@@ -1,13 +1,524 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.IngestDiscovery
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory
+  * each query key maps to. Every SQL-expressible operator has a matching
+  * `oracleSql` entry (DuckDB dialect) with IDENTICAL output column aliases;
+  * aggregates that sum floating columns go through exact DECIMAL sums cast
+  * back to DOUBLE so Spark and DuckDB produce bit-identical values
+  * regardless of accumulation order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- two-source simulation (SURVEY §3): deterministic slices of customer
+  // with a deterministic mutation on the "SQL" side, so merge/recon/SCD2
+  // queries have reproducible overlap and diffs at every SF.
+  private def srcA(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).filter(col("c_custkey") % 3 =!= 0)
+
+  private def srcB(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).filter(col("c_custkey") % 2 =!= 0)
+      .withColumn("c_name",
+        when(col("c_custkey") % 10 === 1, upper(col("c_name"))).otherwise(col("c_name")))
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 13 === 0, col("c_acctbal") + 50.0).otherwise(col("c_acctbal")))
+
+  private val SrcCte =
+    """WITH src_a AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+      |src_b AS (SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 1 THEN upper(c_name) ELSE c_name END AS c_name,
+      |    c_nationkey,
+      |    CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 2 <> 0)""".stripMargin
+
+  // ---- dirty-orders simulation for the quality engine: deterministic
+  // violations (null FK, nonpositive price, bad status, duplicated keys).
+  private def dirtyOrders(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 97 === 0, lit(null)).otherwise(col("o_custkey")).as("o_custkey"),
+      when(col("o_orderkey") % 89 === 0, -col("o_totalprice")).otherwise(col("o_totalprice")).as("o_totalprice"),
+      when(col("o_orderkey") % 83 === 0, lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      lit(0).as("src"))
+    base.unionByName(base.filter(col("o_orderkey") % 101 === 0).withColumn("src", lit(1)))
+  }
+
+  private val DirtyCte =
+    """WITH base AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+      |    CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+      |    CASE WHEN o_orderkey % 83 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |    0 AS src FROM orders),
+      |dirty AS (SELECT * FROM base
+      |  UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 1 AS src
+      |  FROM base WHERE o_orderkey % 101 = 0),
+      |flagged AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src) AS rn FROM dirty),
+      |annotated AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, src,
+      |  concat_ws(' | ',
+      |    CASE WHEN o_custkey IS NULL THEN 'null_custkey' END,
+      |    CASE WHEN o_totalprice <= 0 THEN 'nonpositive_price' END,
+      |    CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 'bad_status' END,
+      |    CASE WHEN rn > 1 THEN 'duplicate_key' END) AS _errors
+      |  FROM flagged)""".stripMargin
+
+  private def annotatedOrders(s: SparkSession, dir: String): DataFrame = {
+    val (addRn, dupRule) = Quality.duplicateKeyRule("duplicate_key", col("o_orderkey"), Seq(col("src")))
+    val rules = Seq(
+      Quality.Rule("null_custkey", col("o_custkey").isNull),
+      Quality.Rule("nonpositive_price", col("o_totalprice") <= 0),
+      Quality.Rule("bad_status", !col("o_orderstatus").isin("O", "F", "P")),
+      dupRule)
+    Quality.annotate(addRn(dirtyOrders(s, dir)), rules).drop("_rn_duplicate_key")
+  }
+
+  // Dual-format dispatch (data_transformer.py:117-140 transform_mon): detect
+  // the CSV shape by its distinguishing column and map to canonical schema.
+  private def dispatchMon(df: DataFrame): DataFrame =
+    if (df.columns.contains("ten_san_pham"))
+      df.select(col("id"), trim(col("ten_san_pham")).as("ten_mon"),
+        lit(null).cast("int").as("loai_id"), col("gia"), lit("csv").as("fmt"))
+    else
+      df.select(col("id"), trim(col("ten_mon")).as("ten_mon"),
+        col("loai_id").cast("int").as("loai_id"), col("gia"), lit("sql").as("fmt"))
+
+  // Dedup corpus: documents plus shifted duplicate copies, so exact-dedup has
+  // non-trivial clusters (driver data is duplicate-free by construction).
+  private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.unionByName(d.filter(col("doc_id") % 20 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  private val CorpusCte =
+    """WITH corpus AS (SELECT * FROM documents
+      |  UNION ALL SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
+
+  private val Stop = TextAnalysis.EnStop.mkString("('", "','", "')")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("star_rollup")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 row 4 — string normalization
+    "normalize_strings" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.select(col("c_custkey"),
+        Normalize.collapseWs(col("c_name")).as("name_norm"),
+        Normalize.emptyToNull(Normalize.digitsOnly(col("c_name"))).as("id_digits"),
+        Normalize.lowerNorm(col("c_mktsegment")).as("seg_norm"))
+    }),
+    // §2.1 row 5 — safe type coercion
+    "coerce_types" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val kRaw = regexp_extract(col("props"), "[0-9]+", 0)
+      e.select(col("event_id"), kRaw.as("k_raw"),
+        Normalize.coerceInt(kRaw, 0).as("k_int"),
+        Normalize.coerceInt(col("event_type"), -1).as("bad_int"),
+        Normalize.coerceDouble(kRaw, 0.0).as("k_dbl"))
+    }),
+    // §2.1 row 6 — ISO timestamp parse with Z handling + fallback
+    "parse_timestamps" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val iso = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      e.select(col("event_id"), iso.as("iso"),
+        Normalize.parseIsoZ(iso).as("parsed"),
+        coalesce(Normalize.parseIsoZ(lit("not-a-timestamp")),
+          to_timestamp(lit("1970-01-01 00:00:00"))).as("parsed_fallback"))
+    }),
+    // §2.1 row 7 — dual-format schema dispatch
+    "dual_format_dispatch" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val csvShape = p.filter(col("p_partkey") % 2 === 0).select(
+        col("p_partkey").as("id"), col("p_name").as("ten_san_pham"),
+        col("p_retailprice").as("gia"))
+      val sqlShape = p.filter(col("p_partkey") % 2 === 1).select(
+        col("p_partkey").as("id"), col("p_name").as("ten_mon"),
+        col("p_size").as("loai_id"), col("p_retailprice").as("gia"))
+      dispatchMon(csvShape).unionByName(dispatchMon(sqlShape))
+    }),
+    // §2.1 row 2 — staged reader metadata contract
+    "staged_read" -> ((s, d) =>
+      IngestDiscovery.staged(Tables.customer(s, d), "csv", "run_001", "2026-01-01 00:00:00")),
+    // §2.1 row 1 — discovery (rows-only oracle: filesystem metadata)
+    "ingest_discovery" -> ((s, d) => IngestDiscovery.discover(s, d)),
+    // §2.1 row 11 — merged union with source tag
+    "merged_union" -> ((s, d) =>
+      MultiSource.mergedUnion(Map("CSV" -> srcA(s, d), "SQL" -> srcB(s, d)))),
+    // §2.1 row 12 — reconciliation
+    "recon_inner" -> ((s, d) =>
+      MultiSource.reconInner(srcA(s, d), srcB(s, d), "c_custkey", Seq("c_name", "c_acctbal"))),
+    "recon_only_left" -> ((s, d) =>
+      MultiSource.reconOnlyIn(srcA(s, d), srcB(s, d), "c_custkey")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+    "recon_only_right" -> ((s, d) =>
+      MultiSource.reconOnlyIn(srcB(s, d), srcA(s, d), "c_custkey")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+    // §2.1 row 13 — per-source aggregation
+    "per_source_agg" -> ((s, d) =>
+      MultiSource.perSourceAgg(
+        MultiSource.mergedUnion(Map("CSV" -> srcA(s, d), "SQL" -> srcB(s, d))),
+        Seq("c_mktsegment"), Seq("CSV", "SQL"))),
+    // §2.1 rows 8-10, 17 — quality engine
+    "quality_clean" -> ((s, d) => Quality.cleanZone(annotatedOrders(s, d))),
+    "quality_errors" -> ((s, d) => Quality.errorZone(annotatedOrders(s, d))),
+    "pipeline_stats" -> ((s, d) => Quality.zoneStats(annotatedOrders(s, d), "orders", "o_orderkey")),
+    "error_audit" -> ((s, d) => Quality.ruleAudit(annotatedOrders(s, d))),
+    // §2.1 row 14 — date dimension
+    "dim_date" -> ((s, d) => Star.dimDate(Tables.orders(s, d), "o_orderdate")),
+    // §2.1 row 15 — star fact build (broadcast dim lookups)
+    "star_fact" -> ((s, d) => {
+      val dimC = Star.withSurrogateKey(
+        Tables.customer(s, d).select(col("c_custkey")), "c_custkey", "customer_key")
+      val dimP = Star.withSurrogateKey(
+        Tables.part(s, d).select(col("p_partkey")), "p_partkey", "part_key")
+      val f0 = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, d).select(
+          col("o_orderkey").as("l_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_orderdate"), col("o_orderstatus")), Seq("l_orderkey"))
+      val f1 = Star.lookupDim(f0, dimC, "c_custkey", "customer_key")
+      val f2 = Star.lookupDim(f1.withColumnRenamed("l_partkey", "p_partkey"), dimP, "p_partkey", "part_key")
+      val od = col("o_orderdate")
+      f2.select(col("l_orderkey"), col("l_linenumber"),
+        col("customer_key"), col("part_key"),
+        (year(od) * 10000 + month(od) * 100 + dayofmonth(od)).as("date_key"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("ext_price"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        col("o_orderstatus").as("status"))
+    }),
+    // §2.1 row 15 — analytical rollup over the star
+    "star_rollup" -> ((s, d) => {
+      val f = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(
+          col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_orderdate")), Seq("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select(
+          col("c_custkey").as("o_custkey"), col("c_mktsegment"))), Seq("o_custkey"))
+      f.groupBy(year(col("o_orderdate")).as("year"),
+          month(col("o_orderdate")).as("month"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+    // §2.1 row 16 — SCD Type 2 dimension
+    "scd2_dim" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val snap1 = c.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"), to_date(lit("2024-01-01")).as("snap_date"))
+      val snap2 = c.select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 11 === 0, lit("MACHINERY")).otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0).otherwise(col("c_acctbal")).as("c_acctbal"),
+        to_date(lit("2024-06-01")).as("snap_date"))
+      Star.scd2(snap1.unionByName(snap2), "c_custkey",
+        Seq("c_name", "c_mktsegment", "c_acctbal"), "snap_date")
+    }),
+    // §2.1 rows 3, 18 — event routing / sessionization / windowed agg
+    "event_route" -> ((s, d) => Events.routeStats(Tables.events(s, d))),
+    "sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d), 1800L)),
+    "window_agg" -> ((s, d) => Events.hourlyAgg(Tables.events(s, d))),
+    // §2.2 row 19 — exact dedup
+    "dedup_exact" -> ((s, d) => Dedup.exactDedupByHash(dedupCorpus(s, d), "doc_id", "text")),
+    "dedup_stats" -> ((s, d) => Dedup.dedupStats(dedupCorpus(s, d), "doc_id", "text")),
+    // §2.2 row 20 — MinHash LSH near-dedup (banded, verified)
+    "neardup_minhash" -> ((s, d) =>
+      Dedup.nearDupMinHash(Tables.documents(s, d), "doc_id", "text", 3, 0.8)),
+    // §2.2 row 21 — SimHash near-dedup (rows-only oracle)
+    "neardup_simhash" -> ((s, d) =>
+      Dedup.nearDupSimHash(Tables.documents(s, d), "doc_id", "text", 12, 3, 0.8)),
+    // §2.2 row 22 — n-gram Jaccard over an explicit pair set
+    "ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id").as("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b")), col("doc_b") === col("doc_a") + 1)
+      Dedup.ngramJaccard(pairs, docs, "doc_id", "text", 2)
+    }),
+    // §2.2 row 23 — exact ANN baseline
+    "ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.exactTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", 10)
+    }),
+    // §2.2 row 24 — LSH-bucketed ANN (rows-only oracle)
+    "ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", 10)
+    }),
+    // §2.2 row 25 — embedding column ops
+    "embedding_norms" -> ((s, d) => Similarity.norms(Tables.embeddings(s, d), "vec_id", "embedding")),
+    // §2.2 row 26 — multimodal binary plumbing (metadata path)
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.metaTable(Multimodal.packBinary(Tables.documents(s, d), "doc_id", "text"))),
+    // §2.2 rows 27-30 — text analysis
+    "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d), "doc_id", "text")),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
+    "token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text", 3))
+  )
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the same
+    * parquet tables. Omitted keys (ingest_discovery, neardup_simhash,
+    * ann_lsh) are non-SQL-expressible → driver's weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "normalize_strings" ->
+      """SELECT c_custkey,
+        |  regexp_replace(trim(c_name), '\s+', ' ', 'g') AS name_norm,
+        |  nullif(regexp_replace(c_name, '[^0-9]', '', 'g'), '') AS id_digits,
+        |  lower(trim(c_mktsegment)) AS seg_norm
+        |FROM customer""".stripMargin,
+    "coerce_types" ->
+      """SELECT event_id,
+        |  regexp_extract(props, '[0-9]+', 0) AS k_raw,
+        |  coalesce(TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS INT), 0) AS k_int,
+        |  coalesce(TRY_CAST(event_type AS INT), -1) AS bad_int,
+        |  coalesce(TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS DOUBLE), 0.0) AS k_dbl
+        |FROM events""".stripMargin,
+    "parse_timestamps" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+        |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS parsed,
+        |  TIMESTAMP '1970-01-01 00:00:00' AS parsed_fallback
+        |FROM events""".stripMargin,
+    "dual_format_dispatch" ->
+      """SELECT p_partkey AS id, trim(p_name) AS ten_mon, CAST(NULL AS INT) AS loai_id,
+        |  p_retailprice AS gia, 'csv' AS fmt FROM part WHERE p_partkey % 2 = 0
+        |UNION ALL
+        |SELECT p_partkey AS id, trim(p_name) AS ten_mon, CAST(p_size AS INT) AS loai_id,
+        |  p_retailprice AS gia, 'sql' AS fmt FROM part WHERE p_partkey % 2 = 1""".stripMargin,
+    "staged_read" ->
+      """SELECT *, 'csv' AS _source, 'run_001' AS _run_id,
+        |  TIMESTAMP '2026-01-01 00:00:00' AS _extract_time FROM customer""".stripMargin,
+    "merged_union" -> (SrcCte +
+      """
+        |SELECT 'CSV' AS source, * FROM src_a
+        |UNION ALL
+        |SELECT 'SQL' AS source, * FROM src_b""".stripMargin),
+    "recon_inner" -> (SrcCte +
+      """
+        |SELECT a.c_custkey AS c_custkey,
+        |  a.c_name AS left_c_name, b.c_name AS right_c_name,
+        |  a.c_acctbal AS left_c_acctbal, b.c_acctbal AS right_c_acctbal
+        |FROM src_a a JOIN src_b b ON a.c_custkey = b.c_custkey
+        |WHERE a.c_name IS DISTINCT FROM b.c_name
+        |   OR a.c_acctbal IS DISTINCT FROM b.c_acctbal""".stripMargin),
+    "recon_only_left" -> (SrcCte +
+      """
+        |SELECT c_custkey, c_name, c_mktsegment FROM src_a a
+        |WHERE NOT EXISTS (SELECT 1 FROM src_b b WHERE b.c_custkey = a.c_custkey)""".stripMargin),
+    "recon_only_right" -> (SrcCte +
+      """
+        |SELECT c_custkey, c_name, c_mktsegment FROM src_b b
+        |WHERE NOT EXISTS (SELECT 1 FROM src_a a WHERE a.c_custkey = b.c_custkey)""".stripMargin),
+    "per_source_agg" -> (SrcCte + """,
+        |merged AS (SELECT 'CSV' AS source, * FROM src_a UNION ALL SELECT 'SQL' AS source, * FROM src_b)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS total_count,
+        |  CAST(SUM(CASE WHEN source = 'CSV' THEN 1 ELSE 0 END) AS BIGINT) AS csv_count,
+        |  CAST(SUM(CASE WHEN source = 'SQL' THEN 1 ELSE 0 END) AS BIGINT) AS sql_count
+        |FROM merged GROUP BY c_mktsegment""".stripMargin),
+    "quality_clean" -> (DirtyCte +
+      """
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, src
+        |FROM annotated WHERE _errors = ''""".stripMargin),
+    "quality_errors" -> (DirtyCte +
+      """
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, src, _errors
+        |FROM annotated WHERE _errors <> ''""".stripMargin),
+    "pipeline_stats" -> (DirtyCte +
+      """
+        |SELECT CASE WHEN _errors = '' THEN 'clean' ELSE 'error' END AS zone,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  'orders' AS entity
+        |FROM annotated GROUP BY 1""".stripMargin),
+    "error_audit" -> (DirtyCte +
+      """
+        |SELECT rule, CAST(count(*) AS BIGINT) AS n_violations FROM (
+        |  SELECT unnest(string_split(_errors, ' | ')) AS rule
+        |  FROM annotated WHERE _errors <> '') GROUP BY rule""".stripMargin),
+    "dim_date" ->
+      """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS full_date FROM orders)
+        |SELECT CAST(year(full_date)*10000 + month(full_date)*100 + dayofmonth(full_date) AS INT) AS date_key,
+        |  full_date,
+        |  CAST(isodow(full_date) AS INT) AS iso_dow,
+        |  dayname(full_date) AS day_name,
+        |  CAST(dayofmonth(full_date) AS INT) AS day_of_month,
+        |  CAST(dayofyear(full_date) AS INT) AS day_of_year,
+        |  CAST(weekofyear(full_date) AS INT) AS week_of_year,
+        |  CAST(month(full_date) AS INT) AS month,
+        |  monthname(full_date) AS month_name,
+        |  CAST(quarter(full_date) AS INT) AS quarter,
+        |  CAST(year(full_date) AS INT) AS year,
+        |  isodow(full_date) >= 6 AS is_weekend
+        |FROM d""".stripMargin,
+    "star_fact" ->
+      """WITH dim_c AS (SELECT c_custkey, dense_rank() OVER (ORDER BY c_custkey) AS customer_key FROM customer),
+        |dim_p AS (SELECT p_partkey, dense_rank() OVER (ORDER BY p_partkey) AS part_key FROM part)
+        |SELECT l.l_orderkey, l.l_linenumber,
+        |  CAST(dc.customer_key AS BIGINT) AS customer_key,
+        |  CAST(dp.part_key AS BIGINT) AS part_key,
+        |  CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + dayofmonth(o.o_orderdate) AS INT) AS date_key,
+        |  l.l_quantity AS quantity,
+        |  l.l_extendedprice AS ext_price,
+        |  l.l_extendedprice * (1 - l.l_discount) AS revenue,
+        |  o.o_orderstatus AS status
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |LEFT JOIN dim_c dc ON o.o_custkey = dc.c_custkey
+        |LEFT JOIN dim_p dp ON l.l_partkey = dp.p_partkey""".stripMargin,
+    "star_rollup" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS year,
+        |  CAST(month(o.o_orderdate) AS INT) AS month,
+        |  c.c_mktsegment AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "scd2_dim" ->
+      """WITH snap1 AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+        |    DATE '2024-01-01' AS snap_date FROM customer),
+        |snap2 AS (SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |    DATE '2024-06-01' AS snap_date FROM customer),
+        |snaps AS (SELECT * FROM snap1 UNION ALL SELECT * FROM snap2),
+        |v AS (SELECT *,
+        |    lag(c_name) OVER w AS p_name, lag(c_mktsegment) OVER w AS p_seg,
+        |    lag(c_acctbal) OVER w AS p_bal, (lag(snap_date) OVER w) IS NULL AS is_first
+        |  FROM snaps WINDOW w AS (PARTITION BY c_custkey ORDER BY snap_date)),
+        |kept AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal, snap_date FROM v
+        |  WHERE is_first OR c_name IS DISTINCT FROM p_name
+        |     OR c_mktsegment IS DISTINCT FROM p_seg OR c_acctbal IS DISTINCT FROM p_bal)
+        |SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+        |  snap_date AS valid_from,
+        |  lead(snap_date) OVER w2 AS valid_to,
+        |  (lead(snap_date) OVER w2) IS NULL AS is_current
+        |FROM kept WINDOW w2 AS (PARTITION BY c_custkey ORDER BY snap_date)""".stripMargin,
+    "event_route" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |  CAST(min(ts) AS TIMESTAMP) AS first_ts,
+        |  CAST(max(ts) AS TIMESTAMP) AS last_ts
+        |FROM events GROUP BY event_type""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0
+        |    THEN 1 ELSE 0 END AS new_s FROM e),
+        |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        |FROM g GROUP BY user_id, session_id""".stripMargin,
+    "window_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "dedup_exact" -> (CorpusCte +
+      """
+        |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM corpus GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')""".stripMargin),
+    "dedup_stats" -> (CorpusCte + """,
+        |clusters AS (SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |  FROM corpus GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |SELECT CAST(n_copies AS BIGINT) AS n_copies, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM clusters GROUP BY n_copies""".stripMargin),
+    "neardup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        |  FROM toks WHERE len(w) >= 2)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |    FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |    FROM embeddings WHERE vec_id >= 5),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim FROM q, c),
+        |r AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""".stripMargin,
+    "embedding_norms" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |  round(sqrt(list_aggregate([x*x for x in CAST(embedding AS DOUBLE[])], 'sum')), 4) AS l2_norm,
+        |  round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum') / len(embedding), 6) AS mean_component
+        |FROM embeddings""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents""".stripMargin,
+    "text_quality" -> (s"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INT) AS len_chars,
+        |  CAST(len(w) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(w, x -> x IN $Stop)) AS INT) AS n_stopwords,
+        |  round(CAST(len(list_filter(w, x -> x IN $Stop)) AS DOUBLE) / len(w), 6) AS stop_ratio,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS n_punct,
+        |  round(CAST(list_aggregate([length(x) for x in w], 'sum') AS DOUBLE) / len(w), 6) AS mean_token_len
+        |FROM t""".stripMargin),
+    "lang_id" -> {
+      val en = TextAnalysis.EnStop.mkString("('", "','", "')")
+      val fr = TextAnalysis.FrStop.mkString("('", "','", "')")
+      val de = TextAnalysis.DeStop.mkString("('", "','", "')")
+      val es = TextAnalysis.EsStop.mkString("('", "','", "')")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(list_filter(w, x -> x IN $en)) AS INT) AS n_en,
+        |    CAST(len(list_filter(w, x -> x IN $fr)) AS INT) AS n_fr,
+        |    CAST(len(list_filter(w, x -> x IN $de)) AS INT) AS n_de,
+        |    CAST(len(list_filter(w, x -> x IN $es)) AS INT) AS n_es
+        |  FROM t)
+        |SELECT doc_id, n_en, n_fr, n_de, n_es,
+        |  CASE WHEN n_en > 0 AND n_en >= n_fr AND n_en >= n_de AND n_en >= n_es THEN 'en'
+        |       WHEN n_fr > 0 AND n_fr >= n_de AND n_fr >= n_es THEN 'fr'
+        |       WHEN n_de > 0 AND n_de >= n_es THEN 'de'
+        |       WHEN n_es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM c""".stripMargin
+    },
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3)
+        |SELECT doc_id, list_aggregate([md5(x) for x in s], 'min') AS fingerprint FROM sh""".stripMargin
+  )
 }

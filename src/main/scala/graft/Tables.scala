@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loaders for the driver's TPC-H-ish testdata layout
+  * (`<dir>/<name>.parquet`). All operators take DataFrames, so these are
+  * only the entry-point bindings used by SparkEntry/Bench.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright; read nanos as long and convert with integer division
+    * (the testdata has no sub-microsecond components, so this is exact). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(s, d, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

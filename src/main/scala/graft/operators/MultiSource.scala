@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source merge, reconciliation, and per-source aggregation.
+  *
+  * Re-expresses the reference's merged views and cross-source checks
+  * (sql/create_merged_views.sql:18-168 UNION-ALL-with-source-tag views;
+  * :205-235 inner-join attribute compare and `NOT IN` only-in-one-source
+  * queries). The `NOT IN` anti-semijoins become `left_anti` joins — NULL-safe
+  * and broadcast/shuffle-hash eligible, unlike a `NOT IN` subquery which
+  * degenerates at scale and silently drops rows when the subquery yields
+  * NULLs.
+  */
+object MultiSource {
+
+  /** Tag every row with its origin (create_merged_views.sql:21 `'CSV' as source`). */
+  def tagged(df: DataFrame, source: String): DataFrame =
+    df.select(lit(source).as("source") +: df.columns.map(col): _*)
+
+  /** UNION ALL of per-source frames, by column name. All frames must share a
+    * schema (the merged views' contract). */
+  def mergedUnion(sources: Map[String, DataFrame]): DataFrame =
+    sources.toSeq.sortBy(_._1).map { case (tag, df) => tagged(df, tag) }
+      .reduce(_.unionByName(_))
+
+  /** Inner-join compare on a business key: rows present in both sources whose
+    * compared attributes differ (create_merged_views.sql:205-214). Output has
+    * `<key>, left_<attr>, right_<attr>...` columns. */
+  def reconInner(left: DataFrame, right: DataFrame, key: String, attrs: Seq[String]): DataFrame = {
+    val l = left.select((key +: attrs).map(col): _*).as("l")
+    val r = right.select((key +: attrs).map(col): _*).as("r")
+    val diff = attrs.map(a => !(col(s"l.$a") <=> col(s"r.$a"))).reduce(_ || _)
+    l.join(r, col(s"l.$key") === col(s"r.$key"))
+      .where(diff)
+      .select(col(s"l.$key").as(key) +:
+        attrs.flatMap(a => Seq(col(s"l.$a").as(s"left_$a"), col(s"r.$a").as(s"right_$a"))): _*)
+  }
+
+  /** Rows only present in `left` (create_merged_views.sql:228-231's
+    * `NOT IN` → left_anti). */
+  def reconOnlyIn(left: DataFrame, right: DataFrame, key: String): DataFrame =
+    left.join(right.select(col(key)), Seq(key), "left_anti")
+
+  /** Per-group record counts with per-source breakdown
+    * (create_merged_views.sql:172-202 `COUNT(*)` + `SUM(CASE WHEN source…)`).
+    * Partial aggregation (map-side combine) applies automatically. */
+  def perSourceAgg(merged: DataFrame, groupCols: Seq[String], sourceTags: Seq[String]): DataFrame = {
+    val perSource = sourceTags.map(t =>
+      sum(when(col("source") === t, 1).otherwise(0)).as(s"${t.toLowerCase}_count"))
+    merged.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("total_count"), perSource: _*)
+  }
+}

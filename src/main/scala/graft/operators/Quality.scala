@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed data-quality rule engine with clean/error zone split.
+  *
+  * Re-expresses the reference's quality engine
+  * (STEP3_QUALITY_ENGINE.py:107-178): per-row rule validation, duplicate
+  * detection, and the clean/error zone split, plus the rejected-row audit
+  * trail (main.py:273-326 FailedDataLogger) and per-zone monitoring stats
+  * (dashboard.py:30-40).
+  *
+  * Scale design: the reference tracks duplicates with in-memory
+  * `seen_ids`/`seen_emails` sets (STEP3_QUALITY_ENGINE.py:113-115) — a
+  * driver-side pattern that cannot scale. Here duplicate detection is a
+  * window function partitioned by the key (`row_number > 1`), so it shuffles
+  * once on the key and scales horizontally. ALL rules for a row are evaluated
+  * in a single pass (one projection, whole-stage codegen) — not one pass per
+  * rule.
+  */
+object Quality {
+
+  /** A named validation rule: `violated` is true when the row FAILS. */
+  final case class Rule(name: String, violated: Column)
+
+  val ErrorsCol = "_errors"
+
+  /** Duplicate-key rule: flags every copy after the first, ordered by
+    * `tieBreak` for determinism (reference keeps the first-seen row). */
+  def duplicateKeyRule(name: String, key: Column, tieBreak: Seq[Column]): (DataFrame => DataFrame, Rule) = {
+    val rnCol = s"_rn_$name"
+    val add = (df: DataFrame) =>
+      df.withColumn(rnCol, row_number().over(Window.partitionBy(key).orderBy(tieBreak: _*)))
+    (add, Rule(name, col(rnCol) > 1))
+  }
+
+  /** Annotate every row with `_errors`: a ' | '-joined list of violated rule
+    * names, empty string when the row is valid
+    * (STEP3_QUALITY_ENGINE.py:147-150 error_row["_errors"]). */
+  def annotate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val parts = rules.map(r => when(r.violated, lit(r.name)))
+    df.withColumn(ErrorsCol, concat_ws(" | ", parts: _*))
+  }
+
+  /** Valid rows → clean zone (STEP3_QUALITY_ENGINE.py:131-134). */
+  def cleanZone(annotated: DataFrame): DataFrame =
+    annotated.where(col(ErrorsCol) === "").drop(ErrorsCol)
+
+  /** Invalid rows + reasons → error zone (STEP3_QUALITY_ENGINE.py:144-150). */
+  def errorZone(annotated: DataFrame): DataFrame =
+    annotated.where(col(ErrorsCol) =!= "")
+
+  /** Per-zone record counts (dashboard.py:30-40 pipeline stats). */
+  def zoneStats(annotated: DataFrame, entity: String, keyCol: String): DataFrame =
+    annotated
+      .withColumn("zone", when(col(ErrorsCol) === "", lit("clean")).otherwise(lit("error")))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col(keyCol)).as("n_keys"))
+      .withColumn("entity", lit(entity))
+
+  /** Per-rule violation counts (FailedDataLogger-style audit rollup,
+    * main.py:273-326). Explodes the joined reason string back into rules. */
+  def ruleAudit(annotated: DataFrame): DataFrame =
+    errorZone(annotated)
+      .select(explode(split(col(ErrorsCol), " \\| ")).as("rule"))
+      .groupBy(col("rule"))
+      .agg(count(lit(1)).as("n_violations"))
+}

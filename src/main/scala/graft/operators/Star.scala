@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Star-schema DWH build: dimension tables with deterministic surrogate keys,
+  * a generated date dimension, SCD Type 2 history, and fact construction via
+  * broadcast dimension-key lookups.
+  *
+  * Re-expresses sql/create_dwh_tables.sql (4 dims + dim_date + facts;
+  * dim_khach_hang is SCD2 with valid_from/valid_to/is_current) and
+  * STEP4_TRANSFORM_LOAD.py:441's transform-and-load.
+  *
+  * Scale design: dimensions are small relative to facts, so every fact-to-dim
+  * lookup is a `broadcast()` hash join — a 100 TB fact must never sort-merge
+  * against a 10 MB dim. Surrogate keys use `dense_rank` over the natural key:
+  * deterministic (unlike monotonically_increasing_id) and reproducible across
+  * runs; the global window is bounded by dimension cardinality, never fact
+  * cardinality.
+  */
+object Star {
+
+  /** Attach a deterministic surrogate key ordered by the natural key
+    * (create_dwh_tables.sql:22 IDENTITY analog). */
+  def withSurrogateKey(dim: DataFrame, naturalKey: String, keyName: String): DataFrame =
+    dim.withColumn(keyName,
+      dense_rank().over(Window.orderBy(col(naturalKey))).cast("long"))
+
+  /** Date dimension derived from a date-typed column's domain
+    * (create_dwh_tables.sql:108-125). date_key = yyyymmdd; ISO day-of-week. */
+  def dimDate(src: DataFrame, dateCol: String): DataFrame = {
+    val d = col("full_date")
+    src.select(col(dateCol).cast("date").as("full_date")).distinct()
+      .select(
+        (year(d) * 10000 + month(d) * 100 + dayofmonth(d)).as("date_key"),
+        d.as("full_date"),
+        (weekday(d) + 1).as("iso_dow"),
+        date_format(d, "EEEE").as("day_name"),
+        dayofmonth(d).as("day_of_month"),
+        dayofyear(d).as("day_of_year"),
+        weekofyear(d).as("week_of_year"),
+        month(d).as("month"),
+        date_format(d, "MMMM").as("month_name"),
+        quarter(d).as("quarter"),
+        year(d).as("year"),
+        (weekday(d) + 1 >= 6).as("is_weekend"))
+  }
+
+  /** Resolve a fact's natural FK to a dim surrogate key with a broadcast
+    * join (STEP4_TRANSFORM_LOAD.py fact lookup; left join keeps facts with
+    * missing dims — surrogate key NULL, the late-arriving-dimension case). */
+  def lookupDim(fact: DataFrame, dim: DataFrame, naturalKey: String, surrogateKey: String): DataFrame =
+    fact.join(broadcast(dim.select(col(naturalKey), col(surrogateKey))), Seq(naturalKey), "left")
+
+  /** SCD Type 2 merge of timestamped snapshots
+    * (create_dwh_tables.sql:21-41 valid_from/valid_to/is_current).
+    *
+    * Input: union of snapshots, each row carrying `snapCol` (snapshot date).
+    * Rows whose tracked attributes are unchanged vs the key's previous
+    * snapshot are dropped; survivors get validity intervals via `lead`.
+    * One shuffle on the business key; no driver-side state.
+    */
+  def scd2(snapshots: DataFrame, key: String, attrs: Seq[String], snapCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(snapCol))
+    val changed = attrs
+      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    val versions = snapshots
+      .withColumn("_first", lag(col(snapCol), 1).over(w).isNull)
+      .withColumn("_changed", changed)
+      .where(col("_first") || col("_changed"))
+      .drop("_first", "_changed")
+    val w2 = Window.partitionBy(col(key)).orderBy(col(snapCol))
+    versions
+      .withColumn("valid_from", col(snapCol))
+      .withColumn("valid_to", lead(col(snapCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(snapCol)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: quality signals, language ID,
+  * token counting, and document fingerprinting — all pure Column expressions
+  * (codegen'd; no UDFs, no driver-side loops).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Count of tokens belonging to a fixed word set. */
+  def wordSetCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  // Minimal per-language stopword lists for the n-gram language heuristic.
+  val EnStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  val FrStop = Seq("le", "la", "les", "de", "et", "un", "est")
+  val DeStop = Seq("der", "die", "das", "und", "ist", "ein")
+  val EsStop = Seq("el", "la", "los", "de", "y", "es", "un")
+
+  /** Quality signals per document: char/token counts, stopword ratio,
+    * punctuation count, mean token length. */
+  def textQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val nStop = wordSetCount(toks, EnStop)
+    docs.select(
+      col(idCol),
+      length(t).as("len_chars"),
+      nTok.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      round(nStop.cast("double") / nTok.cast("double"), 6).as("stop_ratio"),
+      size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"),
+      round(aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double")
+        / nTok.cast("double"), 6).as("mean_token_len"))
+  }
+
+  /** Stopword-count language heuristic with a deterministic precedence chain
+    * (en > fr > de > es; no hits → "und"). Emits the per-language counts so
+    * the decision is auditable. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nEn = wordSetCount(toks, EnStop)
+    val nFr = wordSetCount(toks, FrStop)
+    val nDe = wordSetCount(toks, DeStop)
+    val nEs = wordSetCount(toks, EsStop)
+    docs.select(
+      col(idCol),
+      nEn.as("n_en"), nFr.as("n_fr"), nDe.as("n_de"), nEs.as("n_es"))
+      .withColumn("lang_pred",
+        when(col("n_en") > 0 && col("n_en") >= col("n_fr") &&
+             col("n_en") >= col("n_de") && col("n_en") >= col("n_es"), "en")
+        .when(col("n_fr") > 0 && col("n_fr") >= col("n_de") &&
+              col("n_fr") >= col("n_es"), "fr")
+        .when(col("n_de") > 0 && col("n_de") >= col("n_es"), "de")
+        .when(col("n_es") > 0, "es")
+        .otherwise("und"))
+  }
+
+  /** Whitespace and BPE-ish (letters | digits | single symbol) token counts. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(tokens(col(textCol))).as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
+
+  /** Winnowing-style fingerprint: the minimum md5 over the document's word
+    * n-gram shingles. Identical token streams ⇒ identical fingerprints. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(
+      col(idCol),
+      array_min(transform(Dedup.shingles(col(textCol), n),
+        s => md5(s.cast("binary")))).as("fingerprint"))
+}

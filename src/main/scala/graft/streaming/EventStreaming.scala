@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's broker flow
+  * (etl/broker/producer.py → RabbitMQ → consumer.py → raw zone): the queue
+  * becomes a stream source, the consumer's drain loop becomes a micro-batch
+  * sink, and the raw-zone metadata columns ride along. Watermarked windowed
+  * aggregation and stateful sessionization are the streaming analogs of
+  * operators/Events.
+  */
+object EventStreaming {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionUpdate(user_id: Long, session_start: Timestamp,
+                                 session_end: Timestamp, n_events: Long)
+  private final case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Routing counts per event type over tumbling windows, watermarked so
+    * state is bounded (the streaming `per-queue` stats). */
+  def windowedRouteCounts(events: DataFrame, window_ : String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization with explicit keyed state
+    * (flatMapGroupsWithState): emits a session when `gapSec` of event-time
+    * silence passes. State per user is O(1). */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapSec: Long = 1800L): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$gapSec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionUpdate]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapSec * 1000L =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionUpdate(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapSec * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Raw-zone sink contract: append the staged metadata and write micro-batch
+    * parquet (the consumer.py drain loop). Returns the started query. */
+  def toRawZone(events: DataFrame, outDir: String, checkpointDir: String,
+                source: String, runId: String) =
+    events
+      .withColumn("_source", lit(source))
+      .withColumn("_run_id", lit(runId))
+      .withColumn("_extract_time", current_timestamp())
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+}
