@@ -256,6 +256,12 @@ object SparkEntry {
       Similarity.lshTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10)
     }),
+    // §2.2 row 24 — IVF-bucketed ANN, the 100 TB scale path (rows-only oracle)
+    "ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", 10)
+    }),
     // §2.2 row 25 — embedding column ops
     "embedding_norms" -> ((s, d) => Similarity.norms(Tables.embeddings(s, d), "vec_id", "embedding")),
     // §2.2 row 26 — multimodal binary plumbing (metadata path)

@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot sketching loops.
+  *
+  * Catalyst's higher-order functions (`transform`/`aggregate`) are
+  * CodegenFallback — evaluated by interpreting the expression tree per
+  * element. A 128-hash MinHash over a few hundred shingles costs ~50k
+  * interpreted node evaluations per row, which measured ~500x slower than a
+  * compiled loop. These expressions keep the declarative plan (they are
+  * ordinary expressions, pushdown/pruning still apply) but run tight JVM
+  * loops in eval. CodegenFallback here only costs a virtual call per row —
+  * the loop body itself is compiled Scala.
+  */
+object NativeExprs {
+  /** Mersenne prime 2^31-1: modulus of the affine MinHash family. */
+  val P: Long = 2147483647L
+
+  /** Seeded affine coefficients, identical on every JVM (java.util.Random's
+    * algorithm is specified). */
+  def coeffs(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(42L)
+    def draw(): Long = { val v = rnd.nextLong() % P; if (v < 0) v + P else v }
+    val a = Array.fill(numHashes)(draw() | 1L)
+    val b = Array.fill(numHashes)(draw())
+    (a, b)
+  }
+
+  /** xxhash64 of a UTF8String with Spark's builtin seed (42), reduced mod P. */
+  private[functions] def shingleHash(s: UTF8String): Long = {
+    val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    val m = h % P
+    if (m < 0) m + P else m
+  }
+
+  def minHashSig(shingles: Column, numHashes: Int): Column =
+    GraftShims.toColumn(MinHashSigExpr(GraftShims.toExpression(shingles), numHashes))
+
+  def simHashBits(tokens: Column, numBits: Int = 64): Column =
+    GraftShims.toColumn(SimHashBitsExpr(GraftShims.toExpression(tokens), numBits))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftShims.toColumn(CosineSimExpr(GraftShims.toExpression(a), GraftShims.toExpression(b)))
+
+  def hyperplaneSig(vec: Column, planes: Seq[Seq[Double]]): Column =
+    GraftShims.toColumn(HyperplaneSigExpr(GraftShims.toExpression(vec), planes))
+}
+
+/** MinHash signature of an array<string> shingle set: for each of the
+  * `numHashes` seeded affine permutations h -> (a*h + b) mod P, the minimum
+  * over the shingles' xxhash64 values. Output: array<bigint>(numHashes).
+  * Equivalent to the declarative transform/aggregate formulation, ~500x
+  * faster (compiled loop vs interpreted HOF tree).
+  */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  import NativeExprs._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires array<string>, got $other")
+    }
+  }
+
+  @transient private lazy val (a, b) = coeffs(numHashes)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = shingleHash(arr.getUTF8String(j))
+        var i = 0
+        while (i < numHashes) {
+          val v = (a(i) * h + b(i)) % P
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** SimHash bit vector of an array<string> token list: bit k is the sign of
+  * the sum of +/-1 contributions from bit k of each DISTINCT token's
+  * xxhash64. Output: array<int>(numBits) of 0/1.
+  */
+case class SimHashBitsExpr(child: Expression, numBits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_bits requires array<string>, got $other")
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[Long]()
+    val counts = new Array[Int](numBits)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        if (seen.add(h)) {
+          var k = 0
+          while (k < numBits) {
+            if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+            k += 1
+          }
+        }
+      }
+      j += 1
+    }
+    val bits = new Array[Int](numBits)
+    var k = 0
+    while (k < numBits) { bits(k) = if (counts(k) > 0) 1 else 0; k += 1 }
+    new GenericArrayData(bits)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBitsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_bits"
+}
+
+/** Cosine similarity of two array<double> vectors (null if either side is
+  * null or a length mismatch). One fused pass: dot and both norms in a
+  * single loop. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim requires (array<double>, array<double>), got $other")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Sign-bit LSH signature of an array<double> vector under fixed
+  * hyperplanes, as a '0'/'1' string (the bucket key). */
+case class HyperplaneSigExpr(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(DoubleType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sig requires array<double>, got $other")
+    }
+  }
+
+  @transient private lazy val planeArr: Array[Array[Double]] = planes.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val sb = new java.lang.StringBuilder(planeArr.length)
+    var p = 0
+    while (p < planeArr.length) {
+      val plane = planeArr(p)
+      var dot = 0.0
+      var i = 0
+      val m = math.min(n, plane.length)
+      while (i < m) { dot += v.getDouble(i) * plane(i); i += 1 }
+      sb.append(if (dot >= 0) '1' else '0')
+      p += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_sig"
+}

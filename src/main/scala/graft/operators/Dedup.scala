@@ -61,33 +61,15 @@ object Dedup {
     inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
   }
 
-  // Fixed seeded affine hash family (h -> (a*h + b) mod p, p = 2^31-1) for
-  // MinHash. java.util.Random's algorithm is specified, so coefficients are
-  // identical on every JVM. Shingle hashes and coefficients both live below
-  // 2^31, so a*h+b < 2^62 — no overflow even under ANSI mode — and the mod
-  // is essential: without it the map is monotone in h and every "hash
-  // function" would pick the same min shingle.
-  private val P = 2147483647L // Mersenne prime 2^31-1
-  private def coeffs(numHashes: Int): (Seq[Long], Seq[Long]) = {
-    val rnd = new java.util.Random(42L)
-    def draw(): Long = { val v = rnd.nextLong() % P; if (v < 0) v + P else v }
-    val a = Seq.fill(numHashes)(draw() | 1L)
-    val b = Seq.fill(numHashes)(draw())
-    (a, b)
-  }
-
-  /** 128-value MinHash signature of a shingle array, as array<bigint>.
-    * Shingles are prehashed with xxhash64 reduced mod p; each permutation is
-    * a seeded affine transform mod p. */
-  def minHashSignature(shinglesCol: Column, numHashes: Int): Column = {
-    val (a, b) = coeffs(numHashes)
-    val aLit = typedLit(a)
-    val bLit = typedLit(b)
-    val hashes = transform(shinglesCol, s => pmod(xxhash64(s), lit(P)))
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      aggregate(hashes, lit(Long.MaxValue),
-        (acc, h) => least(acc, pmod(get(aLit, i) * h + get(bLit, i), lit(P)))))
-  }
+  /** 128-value MinHash signature of a shingle array, as array<bigint>:
+    * min over shingle xxhash64s of the seeded affine family
+    * h -> (a*h + b) mod 2^31-1 (the mod is essential: an affine map without
+    * it is monotone in h and every "hash function" picks the same shingle).
+    * Implemented as a native Catalyst expression (graft.functions
+    * .MinHashSigExpr) — the interpreted higher-order-function formulation
+    * measured ~500x slower. */
+  def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
+    graft.functions.NativeExprs.minHashSig(shinglesCol, numHashes)
 
   /** Banded signatures: array of `numBands` xxhash64 values, each over
     * `rowsPerBand` consecutive MinHash values (+ band index). */
@@ -136,14 +118,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash as an array of 64 bits (0/1 ints) over the distinct token
-    * set: bit b is the sign of the sum of ±1 contributions of token hashes. */
-  def simHashBits(text: Column): Column = {
-    val toksH = transform(array_distinct(tokens(text)), t => xxhash64(t))
-    array((0 until 64).map { b =>
-      when(aggregate(toksH, lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2L - 1L)) > 0, 1).otherwise(0)
-    }: _*)
-  }
+    * set: bit b is the sign of the sum of ±1 contributions of token hashes.
+    * Native expression (graft.functions.SimHashBitsExpr) for the same reason
+    * as [[minHashSignature]]. */
+  def simHashBits(text: Column): Column =
+    graft.functions.NativeExprs.simHashBits(tokens(text), 64)
 
   /** Hamming distance between two equal-length bit arrays. */
   def hamming(a: Column, b: Column): Column =

@@ -29,7 +29,11 @@ object Similarity {
   def l2Norm(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity — native fused expression (graft.functions
+    * .CosineSimExpr); the declarative zip_with/aggregate formulation is
+    * interpreted per element and measured orders of magnitude slower on the
+    * cross-join hot path. */
+  def cosine(a: Column, b: Column): Column = graft.functions.NativeExprs.cosineSim(a, b)
 
   /** Exact top-k neighbors by cosine for each query vector.
     * Deterministic tie-break on neighbor id. Output: (query_id, neighbor_id,
@@ -54,36 +58,93 @@ object Similarity {
   }
 
   /** Sign-bit signature under `numPlanes` fixed hyperplanes, as a bit string
-    * (the LSH bucket key). */
-  def lshSignature(vec: Column, numPlanes: Int, dim: Int): Column = {
-    val bits = hyperplanes(numPlanes, dim).map { p =>
-      when(dot(vec, typedLit(p)) >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
+    * (the LSH bucket key). Native expression — one fused loop per row. */
+  def lshSignature(vec: Column, numPlanes: Int, dim: Int): Column =
+    graft.functions.NativeExprs.hyperplaneSig(vec, hyperplanes(numPlanes, dim))
+
+  private def flipAt(sig: Column, i: Int, numPlanes: Int): Column = {
+    val flipped = when(substring(sig, i, 1) === "1", lit("0")).otherwise(lit("1"))
+    concat(substring(sig, 1, i - 1), flipped, substring(sig, i + 1, numPlanes - i))
   }
 
-  /** All single-bit-flip probes of a signature (multiprobe LSH): the
-    * signature itself plus `numPlanes` neighbors at hamming distance 1. */
+  /** Multiprobe set of a signature: itself plus all hamming-1 and hamming-2
+    * neighbors. Only ever evaluated on the (small, broadcast) query side. */
   private def probes(sig: Column, numPlanes: Int): Column = {
-    val flips = (1 to numPlanes).map { i =>
-      val flipped = when(substring(sig, i, 1) === "1", lit("0")).otherwise(lit("1"))
-      concat(substring(sig, 1, i - 1), flipped, substring(sig, i + 1, numPlanes - i))
-    }
-    array(sig +: flips: _*)
+    val singles = (1 to numPlanes).map(i => flipAt(sig, i, numPlanes))
+    val doubles = for {
+      i <- 1 to numPlanes; j <- (i + 1) to numPlanes
+    } yield flipAt(flipAt(sig, i, numPlanes), j, numPlanes)
+    array(sig +: (singles ++ doubles): _*)
   }
 
-  /** LSH-bucketed approximate top-k: corpus bucketed by signature, queries
-    * multiprobed into adjacent buckets, exact cosine re-rank within the
-    * candidate set. Output: (query_id, neighbor_id, rank). */
+  /** LSH-bucketed approximate top-k: corpus bucketed once by signature
+    * (map-side, native expression), queries multiprobed into all buckets
+    * within hamming distance 2, exact cosine re-rank within the candidate
+    * set. Output: (query_id, neighbor_id, rank). At scale the corpus-side
+    * work is one projection + one 8-byte-keyed join — never a cross join. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+              vecCol: String, k: Int, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
       .withColumn("_bucket", lshSignature(col("_cv"), numPlanes, dim))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
       .withColumn("_bucket", explode(probes(lshSignature(col("_qv"), numPlanes, dim), numPlanes)))
     c.join(broadcast(q), "_bucket")
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(first(cosine(col("_qv"), col("_cv"))).as("_sim"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("_sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("_sim").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Nearest-cell id (argmax cosine, ties to the lowest cell) against a
+    * small in-plan centroid table — pure map-side expression, no shuffle. */
+  private def nearestCells(vec: Column, cents: Array[(Int, Array[Double])], n: Int): Column = {
+    val scored = cents.map { case (cell, cv) =>
+      struct((-cosine(vec, typedLit(cv.toSeq))).as("negsim"), lit(cell).as("cell"))
+    }
+    // ascending sort of (-sim, cell) = best-first; take n cells
+    transform(slice(array_sort(array(scored: _*)), 1, n), x => x.getField("cell"))
+  }
+
+  /** IVF-style approximate top-k — the scale path for ANN over 100 TB
+    * corpora. Centroid training is intentionally tiny (numCells vectors):
+    * deterministic hash-sampled seeds refined with one distributed k-means
+    * step (per-dimension mean, 16x64 groups). The trained centroids are
+    * collected (numCells x dim doubles — bytes, by design) and inlined as
+    * literals, so corpus cell assignment is a pure map-side projection:
+    * ZERO shuffle over the corpus. Each query searches only its `nprobe`
+    * nearest cells via an 8-byte-keyed broadcast join. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+
+    // Deterministic seeds: the numCells corpus vectors with smallest
+    // xxhash64(id) — a distributed TakeOrdered, no global sort.
+    val seeds: Array[(Int, Array[Double])] = c
+      .select(col("neighbor_id"), col("_cv"), xxhash64(col("neighbor_id")).as("_h"))
+      .orderBy(col("_h")).limit(numCells)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+
+    // One k-means refinement: map-side assign vs seed literals, then
+    // per-dimension mean (shuffle bounded by numCells x dim groups).
+    val refined: Array[(Int, Array[Double])] = c
+      .select(nearestCells(col("_cv"), seeds, 1)(0).as("cell"), posexplode(col("_cv")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      }.toArray.sortBy(_._1)
+
+    val assigned = c.withColumn("cell", nearestCells(col("_cv"), refined, 1)(0))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
+      .select(col("query_id"), col("_qv"),
+        explode(nearestCells(col("_qv"), refined, nprobe)).as("cell"))
+    assigned.join(broadcast(q), "cell")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("_sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("_sim").desc, col("neighbor_id"))))
       .where(col("rank") <= k)

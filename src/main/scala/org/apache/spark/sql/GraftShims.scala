@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column <-> catalyst Expression converters —
+  * the standard extension-point shim for libraries that ship custom Catalyst
+  * expressions (Spark 4 classic API: org.apache.spark.sql.classic
+  * .ExpressionUtils).
+  */
+object GraftShims {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
