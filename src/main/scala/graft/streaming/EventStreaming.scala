@@ -19,7 +19,7 @@ object EventStreaming {
                          event_type: String, value: Double)
   final case class SessionUpdate(user_id: Long, session_start: Timestamp,
                                  session_end: Timestamp, n_events: Long)
-  private final case class SessionState(start: Long, end: Long, n: Long)
+  final case class SessionState(startMs: Long, endMs: Long, n: Long)
 
   /** Routing counts per event type over tumbling windows, watermarked so
     * state is bounded (the streaming `per-queue` stats). */
@@ -48,7 +48,7 @@ object EventStreaming {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionUpdate(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
+            Iterator.single(SessionUpdate(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
           } else {
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var closed = List.empty[SessionUpdate]
@@ -56,10 +56,10 @@ object EventStreaming {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapSec * 1000L =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) if t - s.endMs <= gapSec * 1000L =>
+                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1))
                 case Some(s) =>
-                  closed ::= SessionUpdate(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  closed ::= SessionUpdate(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
@@ -67,7 +67,7 @@ object EventStreaming {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapSec * 1000L)
+              state.setTimeoutTimestamp(s.endMs + gapSec * 1000L)
             }
             closed.reverseIterator
           }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup keeps the minimum id per normalized text") {
+    val docs = Seq(
+      (1L, "Hello  World"), (5L, "hello world"), (2L, "other text here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L)))
+    // hash-prefixed variant is semantically identical
+    val out2 = Dedup.exactDedupByHash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out2.toSeq == out.toSeq)
+  }
+
+  test("shingles produces distinct space-joined n-grams") {
+    val out = Seq("a b c d a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].collect().head
+    assert(out.toSet == Set("a b c", "b c d", "c d a", "d a b"))
+    // shorter than n -> empty
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].collect().head
+    assert(short.isEmpty)
+  }
+
+  test("minhash signatures: identical sets agree, disjoint sets do not") {
+    val df = Seq(
+      (1L, "w x y z w x y z q"), (2L, "w x y z w x y z q"),
+      (3L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.minHashSignature(Dedup.shingles(col("text"), 3), 128).as("mh"))
+    val sigs = df.as[(Long, Seq[Long])].collect().sortBy(_._1).map(_._2)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    assert(sigs(0).length == 128)
+  }
+
+  test("nearDupMinHash finds planted near-duplicates, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today " * 3
+    val nearDup = base.replace("lazy", "sleepy")
+    val docs = Seq(
+      (1L, base), (2L, nearDup),
+      (3L, "unrelated content about spark catalyst expressions and shuffle planning overhead"),
+      (4L, "yet another totally distinct document with no overlap whatsoever in its shingles")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupMinHash(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical token sets collide (hamming 0), verified by jaccard") {
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4).trim
+    val docs = Seq(
+      (1L, base), (2L, base + " alpha"), // same distinct-token set & shingle set
+      (3L, "something else entirely unrelated to the other two documents completely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupSimHash(docs, "doc_id", "text", 12, 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("cosine: parallel=1, orthogonal=0 (native expression)") {
+    val df = Seq((Seq(1.0, 0.0), Seq(2.0, 0.0), Seq(0.0, 3.0)))
+      .toDF("a", "b", "c")
+    val (p, o) = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).as[(Double, Double)].collect().head
+    assert(math.abs(p - 1.0) < 1e-12)
+    assert(math.abs(o) < 1e-12)
+  }
+
+  test("exactTopK ranks by cosine with deterministic ties") {
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (10L, Seq(1.0f, 0.1f)), (11L, Seq(1.0f, 1.0f)), (12L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.exactTopK(q, c, "vec_id", "embedding", 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(out.toSeq == Seq((0L, 10L, 1), (0L, 11L, 2)))
+  }
+
+  test("lshTopK and ivfTopK find exact duplicates as top-1") {
+    val rnd = new java.util.Random(3L)
+    def vec() = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val corpusVecs = (10L to 60L).map(i => (i, vec()))
+    val q = Seq((0L, corpusVecs.head._2)).toDF("vec_id", "embedding") // = vector 10
+    val c = corpusVecs.toDF("vec_id", "embedding")
+    val lsh = Similarity.lshTopK(q, c, "vec_id", "embedding", 5, numPlanes = 4, dim = 16)
+      .as[(Long, Long, Int)].collect()
+    assert(lsh.exists(r => r._2 == 10L && r._3 == 1)) // identical vector found at rank 1
+    val ivf = Similarity.ivfTopK(q, c, "vec_id", "embedding", 5, numCells = 4, nprobe = 2)
+      .as[(Long, Long, Int)].collect()
+    assert(ivf.exists(r => r._2 == 10L && r._3 == 1))
+  }
+
+  test("norms reports dim and L2") {
+    val out = Similarity.norms(Seq((1L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").as[(Long, Int, Double, Double)].collect().head
+    assert(out == ((1L, 2, 5.0, 3.5)))
+  }
+}

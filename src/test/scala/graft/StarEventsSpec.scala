@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, Star}
+
+class StarEventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dimDate derives calendar attributes (ISO dow, weekend)") {
+    val d = Seq("2024-06-01", "2024-06-03").toDF("d") // Sat, Mon
+      .select(to_date(col("d")).as("d"))
+    val rows = Star.dimDate(d, "d")
+      .select("date_key", "iso_dow", "day_name", "is_weekend", "quarter")
+      .as[(Int, Int, String, Boolean, Int)].collect().sortBy(_._1)
+    assert(rows(0) == (20240601, 6, "Saturday", true, 2))
+    assert(rows(1) == (20240603, 1, "Monday", false, 2))
+  }
+
+  test("withSurrogateKey assigns dense deterministic keys ordered by natural key") {
+    val dim = Seq(30, 10, 20).toDF("nk")
+    val keys = Star.withSurrogateKey(dim, "nk", "sk")
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(keys.toSeq == Seq((10, 1L), (20, 2L), (30, 3L)))
+  }
+
+  test("scd2 keeps only changed versions with validity chain") {
+    val snaps = Seq(
+      (1, "a", "2024-01-01"), (1, "a", "2024-06-01"), // unchanged -> 1 version
+      (2, "x", "2024-01-01"), (2, "y", "2024-06-01")  // changed   -> 2 versions
+    ).toDF("id", "attr", "snap").withColumn("snap", to_date(col("snap")))
+    val out = Star.scd2(snaps, "id", Seq("attr"), "snap")
+      .select(col("id"), col("attr"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .as[(Int, String, String, Option[String], Boolean)].collect().sortBy(r => (r._1, r._3))
+    assert(out.toSeq == Seq(
+      (1, "a", "2024-01-01", None, true),
+      (2, "x", "2024-01-01", Some("2024-06-01"), false),
+      (2, "y", "2024-06-01", None, true)))
+  }
+
+  test("sessionize splits on gaps > gapSec and aggregates per session") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 10L, "a", 1.0), (2L, ts(10), 10L, "a", 2.0), // session 1
+      (3L, ts(60), 10L, "a", 3.0),                             // session 2 (50min gap)
+      (4L, ts(5), 20L, "a", 4.0)                               // other user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val s = Events.sessionize(events, 1800L)
+      .select("user_id", "session_id", "n_events", "session_value")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(s.toSeq == Seq((10L, 1L, 2L, 3.0), (10L, 2L, 1L, 3.0), (20L, 1L, 1L, 4.0)))
+  }
+
+  test("hourlyAgg buckets by hour and type") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val events = Seq(
+      (1L, ts(5), 1L, "a", 1.0), (2L, ts(50), 2L, "a", 2.0), (3L, ts(65), 1L, "b", 3.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = Events.hourlyAgg(events)
+      .select(col("hour").cast("string"), col("event_type"), col("n_events"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(rows.length == 2)
+    assert(rows(0) == ("1970-01-01 00:00:00", "a", 2L, 3.0))
+    assert(rows(1) == ("1970-01-01 01:00:00", "b", 1L, 3.0))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreaming
+import graft.streaming.EventStreaming.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int) = new Timestamp(86400000L + min * 60000L) // day 1, not epoch 0 (epoch 0 == initial watermark -> dropped as late)
+
+  test("windowedRouteCounts aggregates per (window, type) under a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 2, "click", 2.0),
+      Event(3, ts(70), 1, "view", 3.0))
+    val q = EventStreaming.windowedRouteCounts(in.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("route_counts")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("route_counts")
+        .select("event_type", "n_events").as[(String, Long)].collect().toMap
+      assert(rows == Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize emits sessions after the gap passes the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreaming.sessionize(spark, in.toDS(), gapSec = 600L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Event(1, ts(0), 7, "a", 1.0), Event(2, ts(5), 7, "a", 1.0))
+      q.processAllAvailable()
+      // gap > 10min within the same user closes the first session
+      in.addData(Event(3, ts(60), 7, "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(200), 7, "a", 1.0)) // push watermark far ahead
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .as[EventStreaming.SessionUpdate].collect().sortBy(_.session_start.getTime)
+      assert(sessions.nonEmpty)
+      assert(sessions.head.n_events == 2) // first session: events at t0, t5
+    } finally q.stop()
+  }
+}

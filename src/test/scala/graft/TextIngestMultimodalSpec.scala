@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.sources.IngestDiscovery
+
+class TextIngestMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("textQuality computes token/stopword/punct signals") {
+    val out = TextAnalysis.textQuality(
+      Seq((1L, "the cat, and the dog!")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Int, Int, Int, Double, Int, Double)].collect().head
+    // tokens: the cat, and the dog! -> 5; stopwords: the, and, the -> 3; punct: , !
+    assert(out._2 == 21)      // len_chars
+    assert(out._3 == 5)       // n_tokens
+    assert(out._4 == 3)       // n_stopwords
+    assert(out._5 == 0.6)     // stop_ratio
+    assert(out._6 == 2)       // n_punct
+  }
+
+  test("langId picks the dominant stopword language deterministically") {
+    val docs = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "le chat est dans la maison et il est un chat"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs, "doc_id", "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "fr", 3L -> "und"))
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish regex") {
+    val out = TextAnalysis.tokenCounts(
+      Seq((1L, "ab12 cd, ef")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Int, Int)].collect().head
+    assert(out._2 == 3) // ws tokens
+    assert(out._3 == 5) // ab | 12 | cd | , | ef
+  }
+
+  test("fingerprint is stable for identical token streams only") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a  b c d e f"), (3L, "u v w x y z")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("inferEntityType strips suffixes and maps known stems") {
+    assert(IngestDiscovery.inferEntityType("khachhang") == "khach_hang")
+    assert(IngestDiscovery.inferEntityType("nguyen_lieu_tbl") == "nguyen_lieu")
+    assert(IngestDiscovery.inferEntityType("lineitem") == "line_item")
+    assert(IngestDiscovery.inferEntityType("mystery_table") == "mystery_table")
+  }
+
+  test("discover lists files with inferred entities, readCsv+staged round-trips") {
+    val dir = Files.createTempDirectory("graft_disc").toFile
+    val csv = new java.io.File(dir, "khachhang.csv")
+    Files.write(csv.toPath, "id,name\n1,An\n2,Binh\n".getBytes("UTF-8"))
+    val disc = IngestDiscovery.discover(spark, dir.getAbsolutePath)
+      .as[(String, String, String, String)].collect()
+    assert(disc.toSeq == Seq(("khachhang.csv", "khach_hang", "csv", "staging.khach_hang_tbl")))
+
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))
+    val staged = IngestDiscovery.staged(
+      IngestDiscovery.readCsv(spark, csv.getAbsolutePath, schema),
+      "csv", "run_t", "2026-01-01 00:00:00")
+    val rows = staged.select("id", "name", "_source", "_run_id").as[(Int, String, String, String)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "An", "csv", "run_t"), (2, "Binh", "csv", "run_t")))
+  }
+
+  test("multimodal: pack -> meta -> stub decode keeps schema and determinism") {
+    val docs = Seq((1L, "hello"), (2L, "world!")).toDF("doc_id", "text")
+    val media = Multimodal.packBinary(docs, "doc_id", "text")
+    val meta = Multimodal.metaTable(media)
+      .select("doc_id", "n_bytes").as[(Long, Int)].collect().toMap
+    assert(meta == Map(1L -> 5, 2L -> 6))
+
+    val feats = Multimodal.decodeFeatures(spark, media, dim = 8).collect().sortBy(_.doc_id)
+    assert(feats.length == 2)
+    assert(feats.forall(_.feature.length == 8))
+    assert(math.abs(feats.head.feature.sum - 1.0f) < 1e-5) // L1-normalized histogram
+    // deterministic: same payload -> same features
+    val again = Multimodal.decodeFeatures(spark, media, dim = 8).collect().sortBy(_.doc_id)
+    assert(feats.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+  }
+}
