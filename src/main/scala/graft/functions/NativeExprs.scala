@@ -44,8 +44,11 @@ object NativeExprs {
   def minHashSig(shingles: Column, numHashes: Int): Column =
     GraftShims.toColumn(MinHashSigExpr(GraftShims.toExpression(shingles), numHashes))
 
-  def simHashBits(tokens: Column, numBits: Int = 64): Column =
-    GraftShims.toColumn(SimHashBitsExpr(GraftShims.toExpression(tokens), numBits))
+  def simHash(tokens: Column): Column =
+    GraftShims.toColumn(SimHashExpr(GraftShims.toExpression(tokens)))
+
+  def shingles(tokens: Column, n: Int): Column =
+    GraftShims.toColumn(ShinglesExpr(GraftShims.toExpression(tokens), n))
 
   def cosineSim(a: Column, b: Column): Column =
     GraftShims.toColumn(CosineSimExpr(GraftShims.toExpression(a), GraftShims.toExpression(b)))
@@ -100,51 +103,94 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 }
 
-/** SimHash bit vector of an array<string> token list: bit k is the sign of
-  * the sum of +/-1 contributions from bit k of each DISTINCT token's
-  * xxhash64. Output: array<int>(numBits) of 0/1.
+/** Frequency-weighted 64-bit SimHash (Charikar) of an array<string> token
+  * list, packed into one long: bit k is the sign of the sum over ALL token
+  * occurrences of +/-1 from bit k of the token's xxhash64. Weighting by term
+  * frequency is essential on small-vocabulary corpora — an unweighted
+  * token-SET simhash collides for most documents (they share the whole
+  * vocabulary) and candidate generation degenerates to all-pairs.
   */
-case class SimHashBitsExpr(child: Expression, numBits: Int)
+case class SimHashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = LongType
   override def checkInputDataTypes() = {
     child.dataType match {
       case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"simhash_bits requires array<string>, got $other")
+        s"simhash requires array<string>, got $other")
     }
   }
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val seen = new java.util.HashSet[Long]()
-    val counts = new Array[Int](numBits)
+    val counts = new Array[Int](64)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
         val s = arr.getUTF8String(j)
         val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        if (seen.add(h)) {
-          var k = 0
-          while (k < numBits) {
-            if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
-            k += 1
-          }
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
         }
       }
       j += 1
     }
-    val bits = new Array[Int](numBits)
+    var sig = 0L
     var k = 0
-    while (k < numBits) { bits(k) = if (counts(k) > 0) 1 else 0; k += 1 }
-    new GenericArrayData(bits)
+    while (k < 64) { if (counts(k) > 0) sig |= (1L << k); k += 1 }
+    java.lang.Long.valueOf(sig)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHashBitsExpr =
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
-  override def prettyName: String = "simhash_bits"
+  override def prettyName: String = "simhash"
+}
+
+/** Distinct word n-gram shingles (space-joined, first-occurrence order) of
+  * an array<string> token list. Fewer than n tokens -> empty array. The
+  * equivalent transform/array_distinct/slice formulation is interpreted per
+  * shingle; this is one compiled pass.
+  */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingles requires array<string>, got $other")
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= m - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        val t = arr.getUTF8String(i + j)
+        sb.append(if (t == null) "" else t.toString)
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "shingles"
 }
 
 /** Cosine similarity of two array<double> vectors (null if either side is

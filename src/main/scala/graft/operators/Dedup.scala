@@ -46,14 +46,10 @@ object Dedup {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Distinct word n-gram shingles (space-joined). Rows with fewer than n
-    * tokens yield an empty shingle set. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))))
-  }
+    * tokens yield an empty shingle set. Native expression
+    * (graft.functions.ShinglesExpr) — one compiled pass per row. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.NativeExprs.shingles(tokens(text), n)
 
   /** Exact Jaccard of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -117,35 +113,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash as an array of 64 bits (0/1 ints) over the distinct token
-    * set: bit b is the sign of the sum of ±1 contributions of token hashes.
-    * Native expression (graft.functions.SimHashBitsExpr) for the same reason
-    * as [[minHashSignature]]. */
-  def simHashBits(text: Column): Column =
-    graft.functions.NativeExprs.simHashBits(tokens(text), 64)
+  /** Frequency-weighted 64-bit SimHash packed into one long (native
+    * expression; see graft.functions.SimHashExpr for why weighting by term
+    * frequency matters). */
+  def simHash(text: Column): Column =
+    graft.functions.NativeExprs.simHash(tokens(text))
 
-  /** Hamming distance between two equal-length bit arrays. */
-  def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), (acc, x) => acc + x)
+  /** Hamming distance between two packed 64-bit signatures — built-in
+    * bit_count(xor), fully codegen'd. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dedup: 4×16-bit band buckets → candidates → hamming ≤
-    * maxHamming → exact-Jaccard verify. Same no-all-pairs discipline. */
+  /** SimHash near-dedup: 4×16-bit band buckets over the packed signature →
+    * candidate pairs → hamming ≤ maxHamming on the 8-byte signatures →
+    * exact-Jaccard verify. Same no-all-pairs discipline as MinHash LSH;
+    * every per-pair operation before the final verify touches only two
+    * longs. */
   def nearDupSimHash(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 12, shingleN: Int = 3,
                      threshold: Double = 0.8): DataFrame = {
-    val bits = docs.select(col(idCol).as("_id"), simHashBits(col(textCol)).as("_bits"))
-    val banded = bits.select(col("_id"), col("_bits"),
-        posexplode(transform(sequence(lit(0), lit(3)), k =>
-          xxhash64(k, array_join(slice(col("_bits"), k * 16 + 1, lit(16)), "")))))
+    val sig = docs.select(col(idCol).as("_id"), simHash(col(textCol)).as("_sig"))
+    val banded = sig.select(col("_id"), col("_sig"),
+        posexplode(array((0 until 4).map(k =>
+          shiftright(col("_sig"), 16 * k).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_sig")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_sig") === col("y.band_sig") &&
         col("x._id") < col("y._id"))
-      .select(col("x._id").as("doc_a"), col("x._bits").as("_bits_a"),
-        col("y._id").as("doc_b"), col("y._bits").as("_bits_b"))
+      .select(col("x._id").as("doc_a"), col("x._sig").as("_sig_a"),
+        col("y._id").as("doc_b"), col("y._sig").as("_sig_b"))
       .distinct()
-      .where(hamming(col("_bits_a"), col("_bits_b")) <= maxHamming)
+      .where(hamming64(col("_sig_a"), col("_sig_b")) <= maxHamming)
     val sh = docs.select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
     cand
       .join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sh_a"), "doc_a")

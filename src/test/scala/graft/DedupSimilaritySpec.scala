@@ -54,10 +54,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
-  test("simhash: identical token sets collide (hamming 0), verified by jaccard") {
+  test("simhash: identical token multisets collide (hamming 0), verified by jaccard") {
     val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4).trim
+    // same token multiset (weighted simhash identical), slightly different
+    // order -> most shingles shared, a few differ
+    val words = base.split(" ")
+    val swapped = (words.dropRight(2) ++ words.takeRight(2).reverse).mkString(" ")
     val docs = Seq(
-      (1L, base), (2L, base + " alpha"), // same distinct-token set & shingle set
+      (1L, base), (2L, swapped),
       (3L, "something else entirely unrelated to the other two documents completely")
     ).toDF("doc_id", "text")
     val pairs = Dedup.nearDupSimHash(docs, "doc_id", "text", 12, 3, 0.5)
