@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: dumps the formatted physical plan of every SparkEntry
+  * query so pushdown, broadcast choices, and codegen coverage can be
+  * reviewed (`tools/run.sh graft.Plans <sfDir> [query...]`).
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val only = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (only.isEmpty || only.contains(name)) {
+        println(s"\n===== $name =====")
+        try {
+          val df = fn(spark, sfDir)
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        } catch {
+          case e: Throwable => println(s"explain failed: ${e.getMessage}")
+        }
+      }
+    }
+    spark.stop()
+  }
+}
