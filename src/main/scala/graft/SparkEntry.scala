@@ -42,7 +42,9 @@ object SparkEntry {
   private def dirtyOrders(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(s, dir).select(
       col("o_orderkey"),
-      when(col("o_orderkey") % 97 === 0, lit(null)).otherwise(col("o_custkey")).as("o_custkey"),
+      when(col("o_orderkey") % 97 === 0, lit(null))
+        .when(col("o_orderkey") % 79 === 0, lit(-1L))
+        .otherwise(col("o_custkey")).as("o_custkey"),
       when(col("o_orderkey") % 89 === 0, -col("o_totalprice")).otherwise(col("o_totalprice")).as("o_totalprice"),
       when(col("o_orderkey") % 83 === 0, lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
       lit(0).as("src"))
@@ -51,7 +53,8 @@ object SparkEntry {
 
   private val DirtyCte =
     """WITH base AS (SELECT o_orderkey,
-      |    CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+      |         WHEN o_orderkey % 79 = 0 THEN -1 ELSE o_custkey END AS o_custkey,
       |    CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
       |    CASE WHEN o_orderkey % 83 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
       |    0 AS src FROM orders),
@@ -62,6 +65,8 @@ object SparkEntry {
       |annotated AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, src,
       |  concat_ws(' | ',
       |    CASE WHEN o_custkey IS NULL THEN 'null_custkey' END,
+      |    CASE WHEN o_custkey IS NOT NULL
+      |          AND o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 'fk_customer' END,
       |    CASE WHEN o_totalprice <= 0 THEN 'nonpositive_price' END,
       |    CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 'bad_status' END,
       |    CASE WHEN rn > 1 THEN 'duplicate_key' END) AS _errors
@@ -69,12 +74,16 @@ object SparkEntry {
 
   private def annotatedOrders(s: SparkSession, dir: String): DataFrame = {
     val (addRn, dupRule) = Quality.duplicateKeyRule("duplicate_key", col("o_orderkey"), Seq(col("src")))
+    val (addFk, fkCustRule) = Quality.fkRule("fk_customer", col("o_custkey"),
+      Tables.customer(s, dir), "c_custkey")
     val rules = Seq(
       Quality.Rule("null_custkey", col("o_custkey").isNull),
+      fkCustRule,
       Quality.Rule("nonpositive_price", col("o_totalprice") <= 0),
       Quality.Rule("bad_status", !col("o_orderstatus").isin("O", "F", "P")),
       dupRule)
-    Quality.annotate(addRn(dirtyOrders(s, dir)), rules).drop("_rn_duplicate_key")
+    Quality.annotate(addFk(addRn(dirtyOrders(s, dir))), rules)
+      .drop("_rn_duplicate_key", "_fk_ok_fk_customer")
   }
 
   // Dual-format dispatch (data_transformer.py:117-140 transform_mon): detect
@@ -224,6 +233,35 @@ object SparkEntry {
       Star.scd2(snap1.unionByName(snap2), "c_custkey",
         Seq("c_name", "c_mktsegment", "c_acctbal"), "snap_date")
     }),
+    // §2.1 row 19 — warehouse analytics: top-N per group, ROLLUP, as-of,
+    // skew-safe salted aggregation
+    "topn_per_group" -> ((s, d) =>
+      Analytics.topNPerGroup(
+        Tables.orders(s, d).select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_orderpriority")), col("o_totalprice"), col("o_orderkey"), 3)),
+    "rollup_revenue" -> ((s, d) => {
+      val f = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, d).select(
+          col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_orderdate")), Seq("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select(
+          col("c_custkey").as("o_custkey"), col("c_mktsegment"))), Seq("o_custkey"))
+        .select(year(col("o_orderdate")).as("year"), col("c_mktsegment").as("segment"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      Analytics.rollupAgg(f, Seq(col("year"), col("segment")),
+        Seq(count(lit(1)).as("n_items"),
+          sum(col("rev").cast("decimal(18,4)")).cast("double").as("revenue")))
+    }),
+    "asof_last_error" -> ((s, d) =>
+      Analytics.asOfPrior(Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"), col("event_type")),
+        col("user_id"), col("ts"), col("event_id"),
+        col("event_type") === "error", col("ts"), "last_error_ts")
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_error_ts"))),
+    "salted_agg" -> ((s, d) =>
+      Analytics.saltedSumCount(Tables.lineitem(s, d), col("l_returnflag"), "l_returnflag",
+        col("l_quantity").cast("decimal(18,2)"), col("l_orderkey"), 16)
+        .select(col("l_returnflag"), col("n_rows"), col("sum_value").cast("double").as("sum_qty"))),
     // §2.1 rows 3, 18 — event routing / sessionization / windowed agg
     "event_route" -> ((s, d) => Events.routeStats(Tables.events(s, d))),
     "sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d), 1800L)),
@@ -262,6 +300,9 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10)
     }),
+    // §2.2 row 19 — embedding-cosine near-dup (bucketed + verified)
+    "neardup_embedding" -> ((s, d) =>
+      Similarity.cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.9)),
     // §2.2 row 25 — embedding column ops
     "embedding_norms" -> ((s, d) => Similarity.norms(Tables.embeddings(s, d), "vec_id", "embedding")),
     // §2.2 row 26 — multimodal binary plumbing (metadata path)
@@ -414,6 +455,38 @@ object SparkEntry {
         |  lead(snap_date) OVER w2 AS valid_to,
         |  (lead(snap_date) OVER w2) IS NULL AS is_current
         |FROM kept WINDOW w2 AS (PARTITION BY c_custkey ORDER BY snap_date)""".stripMargin,
+    "topn_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "rollup_revenue" ->
+      """WITH f AS (SELECT CAST(year(o.o_orderdate) AS INT) AS year,
+        |    c.c_mktsegment AS segment,
+        |    l.l_extendedprice * (1 - l.l_discount) AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT year, segment, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM f GROUP BY ROLLUP(year, segment)""".stripMargin,
+    "asof_last_error" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(max(CASE WHEN event_type = 'error' THEN ts END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS TIMESTAMP) AS last_error_ts
+        |FROM events""".stripMargin,
+    "salted_agg" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "neardup_embedding" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin,
     "event_route" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

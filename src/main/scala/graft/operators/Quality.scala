@@ -36,6 +36,22 @@ object Quality {
     (add, Rule(name, col(rnCol) > 1))
   }
 
+  /** Referential-integrity rule: flags rows whose non-null `fkCol` has no
+    * match in the dimension. Implemented as a broadcast left join adding a
+    * `_fk_ok_<name>` marker column; the returned Rule reads it. The
+    * reference checks FKs row-at-a-time against the DB
+    * (STEP4_TRANSFORM_LOAD.py lookups); here it is one broadcast join. */
+  def fkRule(name: String, fkCol: Column, dim: DataFrame, dimKey: String): (DataFrame => DataFrame, Rule) = {
+    val marker = s"_fk_ok_$name"
+    val add = (df: DataFrame) => {
+      val keys = dim.select(col(dimKey).as("_fk_key")).distinct()
+        .withColumn(marker, org.apache.spark.sql.functions.lit(true))
+      df.join(org.apache.spark.sql.functions.broadcast(keys),
+        fkCol === col("_fk_key"), "left").drop("_fk_key")
+    }
+    (add, Rule(name, fkCol.isNotNull && col(marker).isNull))
+  }
+
   /** Annotate every row with `_errors`: a ' | '-joined list of violated rule
     * names, empty string when the row is valid
     * (STEP3_QUALITY_ENGINE.py:147-150 error_row["_errors"]). */

@@ -151,6 +151,21 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: corpus bucketed by hyperplane
+    * signature (map-side), candidate pairs from shared buckets, exact cosine
+    * verification >= threshold. Same no-all-pairs discipline as the text
+    * sketches; the verify step touches only candidate pairs. */
+  def cosineNearDup(vectors: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val v = vectors.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
+      .withColumn("_bucket", lshSignature(col("_v"), numPlanes, dim))
+    v.as("x").join(v.as("y"),
+        col("x._bucket") === col("y._bucket") && col("x._id") < col("y._id"))
+      .select(col("x._id").as("vec_a"), col("y._id").as("vec_b"),
+        round(cosine(col("x._v"), col("y._v")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   /** Per-vector norms/dims — typed array-column ops used across the ANN
     * operators, exposed as a checkable table. */
   def norms(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {

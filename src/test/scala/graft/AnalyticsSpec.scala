@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Quality, Similarity}
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topNPerGroup keeps n rows per group with deterministic ties") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("a", 4, 30.0),
+      ("b", 5, 1.0)).toDF("g", "id", "v")
+    val out = Analytics.topNPerGroup(df, Seq(col("g")), col("v"), col("id"), 2)
+      .select("g", "id", "rn").as[(String, Int, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(out.toSeq == Seq(("a", 2, 1), ("a", 4, 2), ("b", 5, 1))) // tie 30.0: id 2 before 4
+  }
+
+  test("rollupAgg emits leaf, subtotal, and grand-total rows") {
+    val df = Seq((2024, "A", 1.0), (2024, "B", 2.0), (2025, "A", 4.0)).toDF("y", "s", "v")
+    val out = Analytics.rollupAgg(df, Seq(col("y"), col("s")),
+      Seq(sum(col("v")).as("t"))).as[(Option[Int], Option[String], Double)].collect()
+    val m = out.map { case (y, s, t) => (y, s) -> t }.toMap
+    assert(m((Some(2024), Some("A"))) == 1.0)
+    assert(m((Some(2024), None)) == 3.0)    // year subtotal
+    assert(m((None, None)) == 7.0)          // grand total
+    assert(out.length == 3 + 2 + 1)
+  }
+
+  test("asOfPrior attaches the most recent strictly-prior matching value") {
+    val df = Seq((1, 10, "x"), (1, 20, "err"), (1, 30, "x"), (1, 40, "err"), (1, 50, "x"))
+      .toDF("u", "t", "kind")
+    val out = Analytics.asOfPrior(df, col("u"), col("t"), col("t"),
+      col("kind") === "err", col("t"), "last_err")
+      .select("t", "last_err").as[(Int, Option[Int])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((10, None), (20, None), (30, Some(20)), (40, Some(20)), (50, Some(40))))
+  }
+
+  test("saltedSumCount equals a direct groupBy") {
+    val df = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0), ("j", 4.0)).toDF("key", "v")
+      .withColumn("src", monotonically_increasing_id())
+    val salted = Analytics.saltedSumCount(df, col("key"), "key", col("v"), col("src"), 4)
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    assert(salted == Map("k" -> ((3L, 6.0)), "j" -> ((1L, 4.0))))
+  }
+
+  test("cosineNearDup finds planted duplicate vectors via buckets") {
+    val rnd = new java.util.Random(5L)
+    def vec() = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val v0 = vec()
+    val rows = Seq((1L, v0), (2L, v0.map(x => x * 2.0f))) ++ // parallel -> cos 1.0
+      (3L to 40L).map(i => (i, vec()))
+    val out = Similarity.cosineNearDup(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 0.99, numPlanes = 6, dim = 16)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)))
+  }
+
+  test("fkRule flags non-null keys missing from the dimension") {
+    val facts = Seq((1, Some(10)), (2, Some(99)), (3, None)).toDF("id", "fk")
+    val dim = Seq(10, 20).toDF("k")
+    val (add, rule) = Quality.fkRule("fk_dim", col("fk"), dim, "k")
+    val ann = Quality.annotate(add(facts), Seq(rule))
+    val errs = ann.select("id", Quality.ErrorsCol).as[(Int, String)].collect().toMap
+    assert(errs == Map(1 -> "", 2 -> "fk_dim", 3 -> "")) // null FK is not an FK violation
+  }
+}
