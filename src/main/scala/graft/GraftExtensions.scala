@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions installer exposing the native graft expressions to
+  * SQL, so `spark.sql("SELECT graft_minhash(shingles, 128) ...")` works:
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * [[GraftExtensions.register]] installs the same functions into an already
+  * running session (the driver owns the session in this harness).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", name, usage)
+
+  private def one(args: Seq[Expression]): Expression = args.head
+  private def intArg(args: Seq[Expression], i: Int, default: Int): Int =
+    if (args.length > i) args(i).eval(null).toString.toInt else default
+
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_minhash",
+      info("graft_minhash", "graft_minhash(shingles array<string>[, numHashes]) -> array<bigint>"),
+      args => MinHashSigExpr(one(args), intArg(args, 1, 128))),
+    ("graft_simhash",
+      info("graft_simhash", "graft_simhash(tokens array<string>) -> bigint"),
+      args => SimHashExpr(one(args))),
+    ("graft_shingles",
+      info("graft_shingles", "graft_shingles(tokens array<string>, n) -> array<string>"),
+      args => ShinglesExpr(one(args), intArg(args, 1, 3))),
+    ("graft_cosine",
+      info("graft_cosine", "graft_cosine(a array<double>, b array<double>) -> double"),
+      args => CosineSimExpr(args(0), args(1))))
+
+  /** Install into a live session (runtime FunctionRegistry). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, i, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), i, builder)
+    }
+}

@@ -53,6 +53,19 @@ object Star {
   def lookupDim(fact: DataFrame, dim: DataFrame, naturalKey: String, surrogateKey: String): DataFrame =
     fact.join(broadcast(dim.select(col(naturalKey), col(surrogateKey))), Seq(naturalKey), "left")
 
+  /** Write a fact table partitioned by its date key — the layout that makes
+    * partition pruning work at 100 TB (a date-ranged query reads only its
+    * partitions; `.explain` shows PartitionFilters). Pair with
+    * `sortWithinPartitions` on the join key so downstream bucketed readers
+    * get clustered data. */
+  def writeFactPartitioned(fact: DataFrame, path: String, dateKeyCol: String,
+                           sortCol: String): Unit =
+    fact.repartition(col(dateKeyCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite")
+      .partitionBy(dateKeyCol)
+      .parquet(path)
+
   /** SCD Type 2 merge of timestamped snapshots
     * (create_dwh_tables.sql:21-41 valid_from/valid_to/is_current).
     *

@@ -30,6 +30,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toRawZone writes micro-batch parquet with staged metadata columns") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_raw").toFile
+    val in = MemoryStream[Event]
+    val q = EventStreaming.toRawZone(in.toDF(),
+      s"$dir/out", s"$dir/ckpt", "broker", "run_s1")
+    try {
+      in.addData(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 2, "view", 2.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      assert(out.count() == 2)
+      val meta = out.select("_source", "_run_id").distinct()
+        .as[(String, String)].collect().toSeq
+      assert(meta == Seq(("broker", "run_s1")))
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits sessions after the gap passes the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
