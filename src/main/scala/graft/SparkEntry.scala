@@ -262,6 +262,31 @@ object SparkEntry {
       Analytics.saltedSumCount(Tables.lineitem(s, d), col("l_returnflag"), "l_returnflag",
         col("l_quantity").cast("decimal(18,2)"), col("l_orderkey"), 16)
         .select(col("l_returnflag"), col("n_rows"), col("sum_value").cast("double").as("sum_qty"))),
+    // §2.1 row 20 — incremental upsert-latest merge
+    "upsert_latest" -> ((s, d) => {
+      val existing = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), lit(1).as("batch"))
+      val updates = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0).select(
+        col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
+        lit("F").as("o_orderstatus"), lit(2).as("batch"))
+      Star.upsertLatest(existing, updates, "o_orderkey", "batch", "batch")
+    }),
+    // §2.1 row 19 — conditional pivot (status columns) + percentile stats
+    "pivot_status" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("year"))
+        .agg(
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_filled"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_partial"))),
+    "pctl_prices" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(min(col("o_totalprice")), 4).as("p_min"),
+          round(max(col("o_totalprice")), 4).as("p_max"))),
     // §2.1 rows 3, 18 — event routing / sessionization / windowed agg
     "event_route" -> ((s, d) => Events.routeStats(Tables.events(s, d))),
     "sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d), 1800L)),
@@ -487,6 +512,28 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
         |FROM s a JOIN s b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin,
+    "upsert_latest" ->
+      """WITH existing AS (SELECT o_orderkey, o_totalprice, o_orderstatus, 1 AS batch FROM orders),
+        |updates AS (SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+        |    'F' AS o_orderstatus, 2 AS batch FROM orders WHERE o_orderkey % 7 = 0),
+        |merged AS (SELECT * FROM existing UNION ALL SELECT * FROM updates),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY batch DESC, batch DESC) AS rn FROM merged)
+        |SELECT o_orderkey, o_totalprice, o_orderstatus, batch
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "pivot_status" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+        |FROM orders GROUP BY 1""".stripMargin,
+    "pctl_prices" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(min(o_totalprice), 4) AS p_min,
+        |  round(max(o_totalprice), 4) AS p_max
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "event_route" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -66,6 +66,21 @@ object Star {
       .partitionBy(dateKeyCol)
       .parquet(path)
 
+  /** Upsert-latest merge: union of the existing table and an updates batch,
+    * keeping only the newest version per business key (version ordered by
+    * `versionCol` desc, deterministic tie-break). The incremental-load
+    * primitive for fact/staging tables (STEP4's repeated staging loads) —
+    * one shuffle on the key, no driver state. */
+  def upsertLatest(existing: DataFrame, updates: DataFrame, key: String,
+                   versionCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(versionCol).desc, col(tieBreak).desc)
+    existing.unionByName(updates)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** SCD Type 2 merge of timestamped snapshots
     * (create_dwh_tables.sql:21-41 valid_from/valid_to/is_current).
     *
