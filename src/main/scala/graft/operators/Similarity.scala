@@ -117,7 +117,10 @@ object Similarity {
     * nearest cells via an 8-byte-keyed broadcast join. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    // The corpus feeds three passes (seed sample, k-means refine, final
+    // search) — cache the projected vectors so the source is scanned once.
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Deterministic seeds: the numCells corpus vectors with smallest
     // xxhash64(id) — a distributed TakeOrdered, no global sort.

@@ -74,6 +74,14 @@ object EventStreaming {
       }
   }
 
+  /** Streaming exact dedup: drop repeated event ids within the watermark
+    * horizon (state is bounded by the watermark — the streaming analog of
+    * the batch exact-dedup operator; at-least-once sources become
+    * effectively-once downstream). */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+
   /** Raw-zone sink contract: append the staged metadata and write micro-batch
     * parquet (the consumer.py drain loop). Returns the started query. */
   def toRawZone(events: DataFrame, outDir: String, checkpointDir: String,

@@ -48,6 +48,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops replayed event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreaming.dedupStream(in.toDF(), "event_id", "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 2, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(1, ts(1), 1, "click", 1.0), Event(3, ts(3), 3, "click", 3.0)) // replay of id 1
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits sessions after the gap passes the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
