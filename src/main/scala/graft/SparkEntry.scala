@@ -333,6 +333,12 @@ object SparkEntry {
     // §2.2 row 26 — multimodal binary plumbing (metadata path)
     "multimodal_meta" -> ((s, d) =>
       Multimodal.metaTable(Multimodal.packBinary(Tables.documents(s, d), "doc_id", "text"))),
+    // §2.2 row 27 — Unicode NFC normalization (pre-dedup canonicalization)
+    "unicode_norm" -> ((s, d) => {
+      val nfc = graft.functions.NativeExprs.nfcNormalize(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+        length(nfc).as("len_nfc"), (nfc === col("text")).as("unchanged"))
+    }),
     // §2.2 rows 27-30 — text analysis
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d), "doc_id", "text")),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
@@ -605,6 +611,10 @@ object SparkEntry {
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  sha256(text) AS sha256
+        |FROM documents""".stripMargin,
+    "unicode_norm" ->
+      """SELECT doc_id, CAST(length(nfc_normalize(text)) AS INT) AS len_nfc,
+        |  nfc_normalize(text) = text AS unchanged
         |FROM documents""".stripMargin,
     "text_quality" -> (s"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents)
         |SELECT doc_id,

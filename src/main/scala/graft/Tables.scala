@@ -8,6 +8,22 @@ import org.apache.spark.sql.types.LongType
   * (`<dir>/<name>.parquet`). All operators take DataFrames, so these are
   * only the entry-point bindings used by SparkEntry/Bench.
   */
+/** Recommended runtime tuning for graft workloads — applied to a live
+  * session (all of these are runtime-settable SQL confs). At cluster scale:
+  * AQE re-plans joins and coalesces shuffle partitions from runtime stats,
+  * skew-join splits hot partitions, and maxPartitionBytes keeps scan tasks
+  * at a size that fits executor memory alongside shuffle buffers.
+  */
+object GraftSession {
+  def tune(spark: SparkSession, shufflePartitions: Option[Int] = None): Unit = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728") // 128 MiB
+    shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+  }
+}
+
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

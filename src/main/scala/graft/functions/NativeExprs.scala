@@ -53,6 +53,9 @@ object NativeExprs {
   def cosineSim(a: Column, b: Column): Column =
     GraftShims.toColumn(CosineSimExpr(GraftShims.toExpression(a), GraftShims.toExpression(b)))
 
+  def nfcNormalize(s: Column): Column =
+    GraftShims.toColumn(NfcNormalizeExpr(GraftShims.toExpression(s)))
+
   def hyperplaneSig(vec: Column, planes: Seq[Seq[Double]]): Column =
     GraftShims.toColumn(HyperplaneSigExpr(GraftShims.toExpression(vec), planes))
 }
@@ -191,6 +194,33 @@ case class ShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
   override def prettyName: String = "shingles"
+}
+
+/** Unicode NFC normalization of a string — canonical composition so that
+  * visually-identical text (e.g. combining-accent vs precomposed forms)
+  * compares and hashes identically. Essential before exact/near dedup on
+  * crawled corpora; Spark has no built-in normalizer.
+  */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize requires string, got $other")
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
 }
 
 /** Cosine similarity of two array<double> vectors (null if either side is

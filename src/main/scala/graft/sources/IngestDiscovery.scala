@@ -64,6 +64,21 @@ object IngestDiscovery {
       .schema(schema)
       .csv(path)
 
+  /** Write a DataFrame into a zone directory (`<root>/<zone>/<entity>`) in
+    * the given format — the clean/error/raw zone layout
+    * (STEP3_QUALITY_ENGINE.py writes staging/clean and staging/error). */
+  def writeZone(df: DataFrame, zoneRoot: String, zone: String, entity: String,
+                format: String = "parquet"): String = {
+    val path = s"$zoneRoot/$zone/$entity"
+    val w = df.write.mode("overwrite")
+    format match {
+      case "csv" => w.option("header", "true").csv(path)
+      case "json" => w.json(path)
+      case _ => w.parquet(path)
+    }
+    path
+  }
+
   /** Attach the raw-zone metadata columns (STEP2_RAW_CONSUMER.py's
     * `_source/_extract_time/_run_id`). `extractTime` is supplied by the
     * caller so reruns are reproducible (the reference stamps now()). */

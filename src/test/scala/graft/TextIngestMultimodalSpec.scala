@@ -75,6 +75,34 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1, "An", "csv", "run_t"), (2, "Binh", "csv", "run_t")))
   }
 
+  test("nfc normalization composes combining characters") {
+    val decomposed = "e\u0301clair" // e + combining acute (7 chars)
+    val precomposed = "\u00e9clair"  // precomposed e-acute (6 chars)
+    val out = Seq((1L, decomposed), (2L, "plain")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.nfcNormalize(col("text")).as("nfc"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == precomposed)
+    assert(out(1L).length == decomposed.length - 1)
+    assert(out(2L) == "plain")
+  }
+
+  test("writeZone lays out <root>/<zone>/<entity> in the requested format") {
+    val root = Files.createTempDirectory("graft_zone").toFile.getAbsolutePath
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val p1 = IngestDiscovery.writeZone(df, root, "clean", "orders")
+    val p2 = IngestDiscovery.writeZone(df, root, "error", "orders", "csv")
+    assert(p1 == s"$root/clean/orders" && p2 == s"$root/error/orders")
+    assert(spark.read.parquet(p1).count() == 2)
+    assert(spark.read.option("header", "true").csv(p2).count() == 2)
+  }
+
+  test("GraftSession.tune applies runtime confs") {
+    GraftSession.tune(spark, Some(2))
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "2")
+  }
+
   test("multimodal: pack -> meta -> stub decode keeps schema and determinism") {
     val docs = Seq((1L, "hello"), (2L, "world!")).toDF("doc_id", "text")
     val media = Multimodal.packBinary(docs, "doc_id", "text")
