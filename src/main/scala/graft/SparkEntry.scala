@@ -333,6 +333,18 @@ object SparkEntry {
     // §2.2 row 26 — multimodal binary plumbing (metadata path)
     "multimodal_meta" -> ((s, d) =>
       Multimodal.metaTable(Multimodal.packBinary(Tables.documents(s, d), "doc_id", "text"))),
+    // §2.2 row 20b — decontamination: train/benchmark near-dup scrub
+    "decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", 3, 0.8)
+    }),
+    // §2.2 row 29b — corpus vocabulary (token frequencies)
+    "vocab_top" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d), "text", 30)),
+    // §2.1 row 17b — single-pass column profiling
+    "profile_columns" -> ((s, d) => Quality.profileColumns(Tables.orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
     // §2.2 row 27 — Unicode NFC normalization (pre-dedup canonicalization)
     "unicode_norm" -> ((s, d) => {
       val nfc = graft.functions.NativeExprs.nfcNormalize(col("text"))
@@ -612,6 +624,46 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  sha256(text) AS sha256
         |FROM documents""".stripMargin,
+    "decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |pairs AS (SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+        |hits AS (SELECT * FROM pairs WHERE jaccard >= 0.8),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY train_id
+        |    ORDER BY jaccard DESC, bench_id DESC) AS rn FROM hits)
+        |SELECT train_id, bench_id, jaccard FROM ranked WHERE rn = 1""".stripMargin,
+    "vocab_top" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        |ranked AS (SELECT token, CAST(n AS BIGINT) AS n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank FROM counts)
+        |SELECT token, n, rank FROM ranked WHERE rank <= 30""".stripMargin,
+    "profile_columns" ->
+      """SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders""".stripMargin,
     "unicode_norm" ->
       """SELECT doc_id, CAST(length(nfc_normalize(text)) AS INT) AS len_nfc,
         |  nfc_normalize(text) = text AS unchanged

@@ -153,6 +153,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Decontamination: training documents that are near-duplicates (n-gram
+    * Jaccard >= threshold) of any benchmark document — the train/test
+    * overlap scrub every LLM data pipeline runs before training. Candidate
+    * generation is the shared MinHash LSH index (train and benchmark are
+    * banded together, pairs restricted to cross-split); verification is
+    * exact Jaccard. Output: one row per contaminated training doc with its
+    * best-matching benchmark doc. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 3,
+                    threshold: Double = 0.8): DataFrame = {
+    val t = train.select(col(idCol).as("_id"), col(textCol).as("_text"), lit("train").as("_split"))
+    val b = benchmark.select(col(idCol).as("_id"), col(textCol).as("_text"), lit("bench").as("_split"))
+    val all = t.unionByName(b)
+    val idx = lshIndex(all.withColumnRenamed("_id", idCol).withColumnRenamed("_text", textCol),
+        idCol, textCol, shingleN)
+      .join(all.select(col("_id").as(idCol), col("_split")), Seq(idCol))
+    val cand = idx.as("x").join(idx.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_sig") === col("y.band_sig") &&
+        col("x._split") === "train" && col("y._split") === "bench")
+      .select(col(s"x.$idCol").as("train_id"), col(s"y.$idCol").as("bench_id"))
+      .distinct()
+    val sh = all.select(col("_id"), shingles(col("_text"), shingleN).as("_sh"))
+    cand
+      .join(sh.withColumnRenamed("_id", "train_id").withColumnRenamed("_sh", "_sh_t"), "train_id")
+      .join(sh.withColumnRenamed("_id", "bench_id").withColumnRenamed("_sh", "_sh_b"), "bench_id")
+      .withColumn("jaccard", round(jaccard(col("_sh_t"), col("_sh_b")), 6))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(max(struct(col("jaccard"), col("bench_id"))).as("_best"))
+      .select(col("train_id"), col("_best.bench_id").as("bench_id"),
+        col("_best.jaccard").as("jaccard"))
+  }
+
   /** Direct n-gram Jaccard over an explicit pair set (pairs: doc_a, doc_b). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int): DataFrame = {

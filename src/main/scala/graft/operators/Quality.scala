@@ -68,6 +68,27 @@ object Quality {
   def errorZone(annotated: DataFrame): DataFrame =
     annotated.where(col(ErrorsCol) =!= "")
 
+  /** Single-pass column profiling: null count, distinct count, min/max per
+    * column (dashboard.py-style data monitoring, computed distributed). All
+    * aggregates evaluate in ONE pass over the data; the per-column reshape
+    * is a codegen'd `stack` over the single aggregate row. min/max surface
+    * as strings for a uniform schema. */
+  def profileColumns(df: DataFrame, columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val aggs = columns.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"_nn_$c"),
+      countDistinct(col(c)).as(s"_nd_$c"),
+      min(col(c)).cast("string").as(s"_mn_$c"),
+      max(col(c)).cast("string").as(s"_mx_$c")))
+    val base = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val stackExpr = s"stack(${columns.length}, " + columns.map(c =>
+      s"'$c', _nn_$c, _nd_$c, _mn_$c, _mx_$c").mkString(", ") +
+      ") as (col_name, n_nulls, n_distinct, min_value, max_value)"
+    base.selectExpr("_n as n_rows", stackExpr)
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+
   /** Per-zone record counts (dashboard.py:30-40 pipeline stats). */
   def zoneStats(annotated: DataFrame, entity: String, keyCol: String): DataFrame =
     annotated

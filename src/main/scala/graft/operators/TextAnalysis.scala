@@ -69,6 +69,17 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
 
+  /** Corpus vocabulary: token frequencies with deterministic ranking
+    * (count desc, token asc). explode + groupBy — partial aggregation
+    * applies; at 100 TB the shuffle key is the token. */
+  def vocabulary(docs: DataFrame, textCol: String, topN: Int): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topN) // distributed TakeOrdered
+      .withColumn("rank", row_number().over( // window over topN rows only
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token"))))
+
   /** Winnowing-style fingerprint: the minimum md5 over the document's word
     * n-gram shingles. Identical token streams ⇒ identical fingerprints. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
