@@ -55,6 +55,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.contains((1L, 2L)))
   }
 
+  test("decontaminate reports only cross-split near-duplicates, best match each") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today " * 3
+    val train = Seq((2L, base), (4L, "completely unrelated training text about spark shuffles"))
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, base.replace("lazy", "sleepy")),
+      (3L, "a benchmark document with entirely different content altogether"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.decontaminate(train, bench, "doc_id", "text", 3, 0.5)
+      .select("train_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L))) // only the planted overlap, only train->bench
+  }
+
+  test("vocabulary ranks token frequencies deterministically") {
+    val docs = Seq((1L, "a a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.vocabulary(docs, "text", 2)
+      .select("token", "n", "rank").as[(String, Long, Int)].collect().sortBy(_._3)
+    assert(out.toSeq == Seq(("a", 3L, 1), ("b", 2L, 2)))
+  }
+
+  test("profileColumns computes nulls/distinct/min/max in one pass") {
+    val df = Seq((Some(1), "x"), (None, "y"), (Some(3), "x")).toDF("a", "b")
+    val out = Quality.profileColumns(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 3L, 1L, 2L, Some("1"), Some("3"))))
+    assert(out("b") == (("b", 3L, 0L, 2L, Some("x"), Some("y"))))
+  }
+
   test("fkRule flags non-null keys missing from the dimension") {
     val facts = Seq((1, Some(10)), (2, Some(99)), (3, None)).toDF("id", "fk")
     val dim = Seq(10, 20).toDF("k")
