@@ -239,6 +239,17 @@ object SparkEntry {
       Analytics.topNPerGroup(
         Tables.orders(s, d).select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
         Seq(col("o_orderpriority")), col("o_totalprice"), col("o_orderkey"), 3)),
+    // §2.1 row 19 — the same top-N via the custom TypedImperativeAggregate
+    // (bounded per-group heaps with map-side partial aggregation: K rows per
+    // group cross the shuffle instead of every row)
+    "topn_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKAgg.topKPairs(
+          struct(col("o_totalprice").as("ord"), col("o_orderkey").as("id")), 3).as("_top"))
+        .select(col("o_orderpriority"), posexplode(col("_top")))
+        .select(col("o_orderpriority"), col("col.id").as("o_orderkey"),
+          col("col.ord").as("o_totalprice"), (col("pos") + 1).cast("int").as("rn"))),
     "rollup_revenue" -> ((s, d) => {
       val f = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
@@ -499,6 +510,12 @@ object SparkEntry {
         |  (lead(snap_date) OVER w2) IS NULL AS is_current
         |FROM kept WINDOW w2 AS (PARTITION BY c_custkey ORDER BY snap_date)""".stripMargin,
     "topn_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "topn_agg" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority

@@ -83,6 +83,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("b") == (("b", 3L, 0L, 2L, Some("x"), Some("y"))))
   }
 
+  test("topKPairs aggregate matches window top-n, including cross-partition merges") {
+    val df = spark.range(0, 500).toDF("id")
+      .select(col("id"), (col("id") % 5).cast("string").as("g"),
+        ((col("id") * 2654435761L) % 1000).cast("double").as("ord"))
+      .repartition(7) // force partial buffers to merge
+    val viaAgg = df.groupBy(col("g"))
+      .agg(graft.functions.TopKAgg.topKPairs(
+        struct(col("ord").as("ord"), col("id").as("id")), 4).as("t"))
+      .select(col("g"), posexplode(col("t")))
+      .select(col("g"), col("col.id").as("id"), (col("pos") + 1).as("rn"))
+      .as[(String, Long, Int)].collect().toSet
+    val viaWindow = Analytics.topNPerGroup(df, Seq(col("g")), col("ord"), col("id"), 4)
+      .select(col("g"), col("id"), col("rn"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(viaAgg == viaWindow && viaAgg.size == 20)
+  }
+
   test("fkRule flags non-null keys missing from the dimension") {
     val facts = Seq((1, Some(10)), (2, Some(99)), (3, None)).toDF("id", "fk")
     val dim = Seq(10, 20).toDF("k")
