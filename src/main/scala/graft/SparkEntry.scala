@@ -269,6 +269,18 @@ object SparkEntry {
         col("user_id"), col("ts"), col("event_id"),
         col("event_type") === "error", col("ts"), "last_error_ts")
         .select(col("event_id"), col("user_id"), col("ts"), col("last_error_ts"))),
+    // §2.1 row 19 — range join: assign events to their session intervals
+    "range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sessions = Events.sessionize(ev, 1800L)
+        .select(col("user_id"), col("session_id"),
+          col("session_start"), col("session_end"))
+      Analytics.rangeJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")), sessions,
+        col("ts"), col("session_start"), col("session_end"),
+        Seq("user_id"), 3600L)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+    }),
     "salted_agg" -> ((s, d) =>
       Analytics.saltedSumCount(Tables.lineitem(s, d), col("l_returnflag"), "l_returnflag",
         col("l_quantity").cast("decimal(18,2)"), col("l_orderkey"), 16)
@@ -537,6 +549,19 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS TIMESTAMP) AS last_error_ts
         |FROM events""".stripMargin,
+    "range_join" ->
+      """WITH e AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0
+        |    THEN 1 ELSE 0 END AS new_s FROM e),
+        |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM f),
+        |sessions AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    min(ts) AS session_start, max(ts) AS session_end
+        |  FROM g GROUP BY user_id, session_id)
+        |SELECT ev.event_id, ev.user_id, s.session_id
+        |FROM events ev JOIN sessions s
+        |  ON ev.user_id = s.user_id
+        | AND ev.ts BETWEEN s.session_start AND s.session_end""".stripMargin,
     "salted_agg" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

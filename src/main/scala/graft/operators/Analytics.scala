@@ -41,6 +41,29 @@ object Analytics {
         Window.partitionBy(partition).orderBy(order, tieBreak)
           .rowsBetween(Window.unboundedPreceding, -1)))
 
+  /** Range (point-in-interval) join via bucket explosion — the scale-safe
+    * form of `points JOIN intervals ON p BETWEEN s AND e`. A plain theta
+    * join is a broadcast-nested-loop (O(n*m)); here each interval is
+    * exploded into the fixed-width buckets it spans, each point computes its
+    * single bucket, and the join is a hash equijoin on (keys..., bucket)
+    * followed by the precise BETWEEN filter. A point's single bucket meets
+    * each overlapping interval exactly once, so no dedup is needed. Choose
+    * `bucketSec` near the typical interval length: wider buckets = fewer
+    * exploded rows, more false candidates for the filter. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointTs: Column, startTs: Column, endTs: Column,
+                keys: Seq[String], bucketSec: Long): DataFrame = {
+    val b = lit(bucketSec.toDouble)
+    val ivals = intervals.withColumn("_bucket",
+      explode(sequence(floor(startTs.cast("double") / b).cast("long"),
+        floor(endTs.cast("double") / b).cast("long"))))
+    val pts = points.withColumn("_bucket",
+      floor(pointTs.cast("double") / b).cast("long"))
+    pts.join(ivals, keys :+ "_bucket")
+      .where(pointTs.cast("double").between(startTs.cast("double"), endTs.cast("double")))
+      .drop("_bucket")
+  }
+
   /** Skew-safe aggregation: partial-aggregate on (key, salt) where salt is a
     * deterministic hash of `saltSource`, then combine per key. Semantically
     * identical to a direct groupBy(key).agg(count, sum...) for the supported

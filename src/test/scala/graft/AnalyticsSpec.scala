@@ -100,6 +100,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(viaAgg == viaWindow && viaAgg.size == 20)
   }
 
+  test("rangeJoin matches points into containing intervals via buckets") {
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val points = Seq((1L, 1L, ts(5)), (2L, 1L, ts(95)), (3L, 2L, ts(5)), (4L, 1L, ts(300)))
+      .toDF("pid", "k", "t")
+    val intervals = Seq((10L, 1L, ts(0), ts(60)), (11L, 1L, ts(90), ts(120)), (12L, 2L, ts(0), ts(60)))
+      .toDF("iid", "k", "s", "e")
+    val out = Analytics.rangeJoin(points, intervals,
+      col("t"), col("s"), col("e"), Seq("k"), 1800L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, 11L), (3L, 12L))) // pid 4 matches nothing
+  }
+
   test("fkRule flags non-null keys missing from the dimension") {
     val facts = Seq((1, Some(10)), (2, Some(99)), (3, None)).toDF("id", "fk")
     val dim = Seq(10, 20).toDF("k")
