@@ -17,10 +17,12 @@ import graft.functions._
   * running session (the driver owns the session in this harness).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    graft.plans.GraftOptimizations.rules.foreach(r => ext.injectOptimizerRule(_ => r))
+  }
 }
 
 object GraftExtensions {

@@ -374,6 +374,13 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         length(nfc).as("len_nfc"), (nfc === col("text")).as("unchanged"))
     }),
+    // §2.2 row 30b — rolling-hash winnowing fingerprints (rows-only oracle)
+    "winnow_fingerprint" -> ((s, d) => {
+      val fps = graft.functions.NativeExprs.winnowFingerprints(
+        Dedup.tokens(col("text")), 5, 4)
+      Tables.documents(s, d).select(col("doc_id"),
+        size(fps).as("n_fingerprints"), array_min(fps).as("min_fp"))
+    }),
     // §2.2 rows 27-30 — text analysis
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d), "doc_id", "text")),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),

@@ -56,6 +56,9 @@ object NativeExprs {
   def nfcNormalize(s: Column): Column =
     GraftShims.toColumn(NfcNormalizeExpr(GraftShims.toExpression(s)))
 
+  def winnowFingerprints(tokens: Column, k: Int, w: Int): Column =
+    GraftShims.toColumn(WinnowExpr(GraftShims.toExpression(tokens), k, w))
+
   def hyperplaneSig(vec: Column, planes: Seq[Seq[Double]]): Column =
     GraftShims.toColumn(HyperplaneSigExpr(GraftShims.toExpression(vec), planes))
 }
@@ -221,6 +224,86 @@ case class NfcNormalizeExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
     copy(child = newChild)
   override def prettyName: String = "nfc_normalize"
+}
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): polynomial
+  * ROLLING hash over token k-grams computed in O(n) (each step adds the next
+  * token's hash and removes the oldest via a precomputed base^(k-1) factor),
+  * then the minimum hash of every window of w consecutive k-gram hashes
+  * (rightmost-min rule), deduplicated. Guarantees any shared token run of
+  * length >= k + w - 1 between two documents produces at least one shared
+  * fingerprint — the standard near-copy detection sketch.
+  * Output: sorted array<bigint> of selected fingerprints.
+  */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow requires array<string>, got $other")
+    }
+  }
+
+  private val Base = 1000003L
+  @transient private lazy val basePowK1: Long = {
+    var p = 1L; var i = 0
+    while (i < k - 1) { p = p * Base; i += 1 } // wrapping 64-bit arithmetic
+    p
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    // per-token hashes
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      th(i) = if (s == null) 0L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    // rolling k-gram hashes: h_i = h_{i-1}*B - th(i-1)*B^k + th(i+k-1)
+    val m = n - k + 1
+    val kg = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + th(i); i += 1 }
+    kg(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - th(i - 1) * basePowK1) * Base + th(i + k - 1)
+      kg(i) = h
+      i += 1
+    }
+    // winnow: min of each window of w hashes (rightmost on ties), dedup
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var best = 0
+      i = 1
+      while (i < m) { if (kg(i) <= kg(best)) best = i; i += 1 }
+      sel.add(kg(best))
+    } else {
+      var start = 0
+      while (start + w <= m) {
+        var best = start
+        i = start + 1
+        while (i < start + w) { if (kg(i) <= kg(best)) best = i; i += 1 }
+        sel.add(kg(best))
+        start += 1
+      }
+    }
+    val out = sel.toArray(new Array[java.lang.Long](0)).map(_.longValue: Any)
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints"
 }
 
 /** Cosine similarity of two array<double> vectors (null if either side is

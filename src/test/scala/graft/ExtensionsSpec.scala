@@ -24,6 +24,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getAs[Long]("sh") == viaApi)
   }
 
+  test("optimizer rule collapses nested nfc_normalize at plan time") {
+    graft.plans.GraftOptimizations.register(spark)
+    // non-foldable input (depends on a column) so constant folding cannot
+    // erase the expressions before our rule is observable
+    val t = concat(lit("eclair-"), col("id").cast("string"))
+    val nfc2 = graft.functions.NativeExprs.nfcNormalize(
+      graft.functions.NativeExprs.nfcNormalize(t))
+    val df = spark.range(1).select(nfc2.as("n"))
+    val optimized = df.queryExecution.optimizedPlan
+    var count = 0
+    optimized.transformAllExpressions {
+      case e: graft.functions.NfcNormalizeExpr => count += 1; e
+    }
+    assert(count == 1) // nested call collapsed
+    assert(df.as[String].head() == "eclair-0") // result still correct
+  }
+
+  test("winnowing fingerprints: shared long runs share fingerprints; disjoint docs do not") {
+    import graft.functions.NativeExprs.winnowFingerprints
+    val shared = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, s"prefix words here $shared"),
+      (2L, s"$shared and a different ending entirely"),
+      (3L, "totally disjoint vocabulary with nothing in common whatsoever at all")
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      winnowFingerprints(graft.operators.Dedup.tokens(col("text")), 5, 4).as("f"))
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)  // shared 12-token run >= k+w-1 = 8
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // identical token stream -> identical fingerprints
+    val again = docs.filter(col("doc_id") === 1).select(
+      winnowFingerprints(graft.operators.Dedup.tokens(col("text")), 5, 4))
+      .as[Seq[Long]].head().toSet
+    assert(again == fps(1L))
+  }
+
   test("writeFactPartitioned lays out by date key and prunes on read") {
     val fact = Seq((20240101, 1L, 10.0), (20240101, 2L, 20.0), (20240202, 3L, 30.0))
       .toDF("date_key", "k", "v")
