@@ -310,6 +310,13 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           round(min(col("o_totalprice")), 4).as("p_min"),
           round(max(col("o_totalprice")), 4).as("p_max"))),
+    // §2.1 row 17c — approximate distinct counts (HLL sketch) alongside
+    // exact, for monitoring at scales where exact countDistinct is too
+    // expensive (rows-only oracle: HLL estimates are engine-specific)
+    "approx_stats" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"))),
     // §2.1 rows 3, 18 — event routing / sessionization / windowed agg
     "event_route" -> ((s, d) => Events.routeStats(Tables.events(s, d))),
     "sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d), 1800L)),

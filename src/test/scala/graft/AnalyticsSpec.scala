@@ -112,6 +112,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (2L, 11L), (3L, 12L))) // pid 4 matches nothing
   }
 
+  test("approx_count_distinct stays within its error bound vs exact") {
+    val df = spark.range(0, 20000).select((col("id") % 5000).as("u"))
+    val (exact, approx) = df.agg(
+      countDistinct(col("u")), approx_count_distinct(col("u"), 0.02))
+      .as[(Long, Long)].head()
+    assert(exact == 5000L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
   test("fkRule flags non-null keys missing from the dimension") {
     val facts = Seq((1, Some(10)), (2, Some(99)), (3, None)).toDF("id", "fk")
     val dim = Seq(10, 20).toDF("k")

@@ -61,6 +61,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == fps(1L))
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.sql("DROP TABLE IF EXISTS g_buck_a")
+      spark.sql("DROP TABLE IF EXISTS g_buck_b")
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+        .write.bucketBy(4, "k").sortBy("k").saveAsTable("g_buck_a")
+      Seq((1L, 10.0), (2L, 20.0), (4L, 40.0)).toDF("k", "w")
+        .write.bucketBy(4, "k").sortBy("k").saveAsTable("g_buck_b")
+      val j = spark.table("g_buck_a").join(spark.table("g_buck_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected no shuffle for co-bucketed join, got:\n$plan")
+      assert(j.count() == 2)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("writeFactPartitioned lays out by date key and prunes on read") {
     val fact = Seq((20240101, 1L, 10.0), (20240101, 2L, 20.0), (20240202, 3L, 30.0))
       .toDF("date_key", "k", "v")
