@@ -25,6 +25,28 @@ object Quality {
   /** A named validation rule: `violated` is true when the row FAILS. */
   final case class Rule(name: String, violated: Column)
 
+  /** Rule-builder vocabulary — the terse constructors that let a catalog of
+    * reference-scale rule sets ("106 rules", STEP3_QUALITY_ENGINE.py) be
+    * declared in a few lines. All are pure Column predicates: the whole
+    * catalog still evaluates in ONE pass. */
+  object Rules {
+    import org.apache.spark.sql.functions._
+    def notNull(c: String): Rule =
+      Rule(s"null_$c", col(c).isNull)
+    def nonEmpty(c: String): Rule =
+      Rule(s"empty_$c", col(c).isNull || length(trim(col(c))) === 0)
+    def inSet(c: String, allowed: Seq[String]): Rule =
+      Rule(s"bad_$c", col(c).isNotNull && !col(c).isin(allowed: _*))
+    def inRange(c: String, lo: Double, hi: Double): Rule =
+      Rule(s"range_$c", col(c).isNotNull && (col(c) < lo || col(c) > hi))
+    def positive(c: String): Rule =
+      Rule(s"nonpositive_$c", col(c).isNotNull && col(c) <= 0)
+    def matches(c: String, pattern: String, label: String): Rule =
+      Rule(label, col(c).isNotNull && !col(c).rlike(pattern))
+    def maxLength(c: String, n: Int): Rule =
+      Rule(s"too_long_$c", col(c).isNotNull && length(col(c)) > n)
+  }
+
   val ErrorsCol = "_errors"
 
   /** Duplicate-key rule: flags every copy after the first, ordered by

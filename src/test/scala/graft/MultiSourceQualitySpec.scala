@@ -37,6 +37,28 @@ class MultiSourceQualitySpec extends SparkSpec {
     assert((total, csv, sql) == (6L, 3L, 3L))
   }
 
+  test("Rules builders cover the catalog vocabulary in one pass") {
+    import graft.operators.Quality.Rules
+    val df = Seq(
+      (1, Some("ab@x.io"), Some(5.0), "OK", "short"),
+      (2, None, Some(-1.0), "BAD", "short"),
+      (3, Some("  "), Some(500.0), "OK", "far-too-long-value")
+    ).toDF("id", "email", "amt", "status", "tag")
+    val rules = Seq(
+      Rules.notNull("email"),
+      Rules.nonEmpty("email"),
+      Rules.matches("email", "^[^@\\s]+@[^@\\s]+$", "bad_email_format"),
+      Rules.positive("amt"),
+      Rules.inRange("amt", 0.0, 100.0),
+      Rules.inSet("status", Seq("OK", "PENDING")),
+      Rules.maxLength("tag", 10))
+    val errs = Quality.annotate(df, rules)
+      .select("id", Quality.ErrorsCol).as[(Int, String)].collect().toMap
+    assert(errs(1) == "")
+    assert(errs(2) == "null_email | empty_email | nonpositive_amt | range_amt | bad_status")
+    assert(errs(3) == "empty_email | bad_email_format | range_amt | too_long_tag")
+  }
+
   test("quality engine: single-pass multi-rule annotate, ordered reasons") {
     val df = Seq(
       (1, Some(10.0), "O"),   // clean
