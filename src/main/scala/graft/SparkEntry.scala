@@ -109,6 +109,29 @@ object SparkEntry {
       |  UNION ALL SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
       |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
 
+  // Embedding near-dup corpus: embeddings plus planted duplicates — exact
+  // copies (cos = 1.0) and single-component perturbations (cos ≈ 0.999) —
+  // so the near-dup gate verifies real pairs instead of an empty result.
+  // All math runs on array<double> in BOTH engines so values hash-match.
+  private def embCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val copies = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val perturbed = e.filter(col("vec_id") % 10 === 5)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) * 1.5),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    e.unionByName(copies).unionByName(perturbed)
+  }
+
+  private val EmbCorpusCte =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |emb_corpus AS (SELECT vec_id, v FROM base
+      |  UNION ALL SELECT vec_id + 100000 AS vec_id, v FROM base WHERE vec_id % 10 = 0
+      |  UNION ALL SELECT vec_id + 200000 AS vec_id,
+      |    list_concat([v[1] * 1.5], v[2:64]) AS v FROM base WHERE vec_id % 10 = 5)""".stripMargin
+
   private val Stop = TextAnalysis.EnStop.mkString("('", "','", "')")
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -206,6 +229,55 @@ object SparkEntry {
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         col("o_orderstatus").as("status"))
     }),
+    // §2.1 row 15 — the reference's FULL star shape
+    // (create_dwh_tables.sql:21-163): four dimensions (customer, part,
+    // supplier, nation-of-supplier) + dim_date around the lineitem-grain
+    // fact; every dim lookup is a broadcast join against a two-phase-ranked
+    // surrogate key.
+    "star_full" -> ((s, d) => {
+      val dimC = Star.withSurrogateKey(
+        Tables.customer(s, d).select(col("c_custkey")), "c_custkey", "customer_key")
+      val dimP = Star.withSurrogateKey(
+        Tables.part(s, d).select(col("p_partkey")), "p_partkey", "part_key")
+      val dimS = Star.withSurrogateKey(
+        Tables.supplier(s, d).select(col("s_suppkey")), "s_suppkey", "supplier_key")
+      val dimN = Star.withSurrogateKey(
+        Tables.nation(s, d).select(col("n_nationkey")), "n_nationkey", "nation_key")
+      val f0 = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, d).select(
+          col("o_orderkey").as("l_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_orderdate")), Seq("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, d).select(
+          col("s_suppkey").as("l_suppkey"), col("s_nationkey").as("n_nationkey"))),
+          Seq("l_suppkey"))
+      val f1 = Star.lookupDim(f0, dimC, "c_custkey", "customer_key")
+      val f2 = Star.lookupDim(f1.withColumnRenamed("l_partkey", "p_partkey"),
+        dimP, "p_partkey", "part_key")
+      val f3 = Star.lookupDim(f2.withColumnRenamed("l_suppkey", "s_suppkey"),
+        dimS, "s_suppkey", "supplier_key")
+      val f4 = Star.lookupDim(f3, dimN, "n_nationkey", "nation_key")
+      val od = col("o_orderdate")
+      f4.select(col("l_orderkey"), col("l_linenumber"),
+        col("customer_key"), col("part_key"), col("supplier_key"), col("nation_key"),
+        (year(od) * 10000 + month(od) * 100 + dayofmonth(od)).as("date_key"),
+        col("l_quantity").as("quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+    // §2.1 row 15 — second fact table at orders grain (fact_orders), sharing
+    // the customer dimension with the lineitem fact
+    "star_orders_fact" -> ((s, d) => {
+      val dimC = Star.withSurrogateKey(
+        Tables.customer(s, d).select(col("c_custkey")), "c_custkey", "customer_key")
+      val f = Star.lookupDim(
+        Tables.orders(s, d).withColumnRenamed("o_custkey", "c_custkey"),
+        dimC, "c_custkey", "customer_key")
+      val od = col("o_orderdate")
+      f.select(col("o_orderkey"), col("customer_key"),
+        (year(od) * 10000 + month(od) * 100 + dayofmonth(od)).as("date_key"),
+        col("o_totalprice").as("total_price"), col("o_orderstatus").as("status"))
+    }),
     // §2.1 row 15 — analytical rollup over the star
     "star_rollup" -> ((s, d) => {
       val f = Tables.lineitem(s, d)
@@ -292,7 +364,9 @@ object SparkEntry {
       val updates = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0).select(
         col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
         lit("F").as("o_orderstatus"), lit(2).as("batch"))
-      Star.upsertLatest(existing, updates, "o_orderkey", "batch", "batch")
+      // real secondary tie-break (o_totalprice) so ranking stays
+      // deterministic even if a batch ever carried duplicate keys
+      Star.upsertLatest(existing, updates, "o_orderkey", "batch", "o_totalprice")
     }),
     // §2.1 row 19 — conditional pivot (status columns) + percentile stats
     "pivot_status" -> ((s, d) =>
@@ -355,9 +429,30 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10)
     }),
-    // §2.2 row 19 — embedding-cosine near-dup (bucketed + verified)
+    // §2.2 row 19 — embedding-cosine near-dup (banded + multiprobed +
+    // verified) over a corpus with planted exact and perturbed duplicates
     "neardup_embedding" -> ((s, d) =>
-      Similarity.cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.9)),
+      Similarity.cosineNearDup(embCorpus(s, d), "vec_id", "embedding", 0.9)),
+    // §2.2 row 24 — ANN recall gate: queries are PERTURBED copies of corpus
+    // vectors (component 0 scaled 1.5x, cos ≈ 0.999 to their source), so the
+    // true nearest neighbor of each query is known and independently
+    // computable by the oracle via brute force. Both approximate paths must
+    // retrieve that neighbor at rank 1 — a genuine recall check on a
+    // near-duplicate workload (the regime ANN bucketing is built for),
+    // without pinning constants the data can't support.
+    "ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id"),
+          concat(array(element_at(col("embedding"), 1) * 1.5),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      def rank1(df: DataFrame, alias: String) =
+        df.filter(col("rank") === 1).select(col("query_id"), col("neighbor_id").as(alias))
+      val lsh = rank1(Similarity.lshTopK(q, e, "vec_id", "embedding", 1), "lsh_nn")
+      val ivf = rank1(Similarity.ivfTopK(q, e, "vec_id", "embedding", 1), "ivf_nn")
+      lsh.join(ivf, Seq("query_id"))
+    }),
     // §2.2 row 25 — embedding column ops
     "embedding_norms" -> ((s, d) => Similarity.norms(Tables.embeddings(s, d), "vec_id", "embedding")),
     // §2.2 row 26 — multimodal binary plumbing (metadata path)
@@ -388,6 +483,21 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         size(fps).as("n_fingerprints"), array_min(fps).as("min_fp"))
     }),
+    // §2.2 row 30b — winnowing invariant, oracled: a document always shares
+    // fingerprints with a prefix-shifted copy of itself (the position-
+    // robustness property winnowing exists for; a position-anchored
+    // fingerprinter fails this), and fingerprint sets are non-empty.
+    "winnow_overlap" -> ((s, d) => {
+      def fpsOf(t: org.apache.spark.sql.Column) =
+        graft.functions.NativeExprs.winnowFingerprints(Dedup.tokens(t), 5, 4)
+      val fps = fpsOf(col("text"))
+      val shifted = fpsOf(concat(lit("shifted prefix padding tokens "), col("text")))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 20 === 0 && size(Dedup.tokens(col("text"))) >= 16)
+        .select(col("doc_id"),
+          (size(fps) > 0).as("has_fps"),
+          (size(array_intersect(fps, shifted)) > 0).as("prefix_overlap"))
+    }),
     // §2.2 rows 27-30 — text analysis
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d), "doc_id", "text")),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
@@ -397,7 +507,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys (ingest_discovery, neardup_simhash,
-    * ann_lsh) are non-SQL-expressible → driver's weaker rows-only check. */
+    * ann_lsh, ann_ivf, approx_stats, winnow_fingerprint) are
+    * non-SQL-expressible → driver's weaker rows-only check; ann_lsh/ann_ivf
+    * recall is gated by the oracled `ann_recall`, winnowing by
+    * `winnow_overlap`, simhash recall by the DedupSimilaritySpec
+    * brute-force-equality test. */
   def oracleSql: Map[String, String] = Map(
     "normalize_strings" ->
       """SELECT c_custkey,
@@ -504,6 +618,35 @@ object SparkEntry {
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |LEFT JOIN dim_c dc ON o.o_custkey = dc.c_custkey
         |LEFT JOIN dim_p dp ON l.l_partkey = dp.p_partkey""".stripMargin,
+    "star_full" ->
+      """WITH dim_c AS (SELECT c_custkey, dense_rank() OVER (ORDER BY c_custkey) AS customer_key FROM customer),
+        |dim_p AS (SELECT p_partkey, dense_rank() OVER (ORDER BY p_partkey) AS part_key FROM part),
+        |dim_s AS (SELECT s_suppkey, dense_rank() OVER (ORDER BY s_suppkey) AS supplier_key FROM supplier),
+        |dim_n AS (SELECT n_nationkey, dense_rank() OVER (ORDER BY n_nationkey) AS nation_key FROM nation)
+        |SELECT l.l_orderkey, l.l_linenumber,
+        |  CAST(dc.customer_key AS BIGINT) AS customer_key,
+        |  CAST(dp.part_key AS BIGINT) AS part_key,
+        |  CAST(ds.supplier_key AS BIGINT) AS supplier_key,
+        |  CAST(dn.nation_key AS BIGINT) AS nation_key,
+        |  CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + dayofmonth(o.o_orderdate) AS INT) AS date_key,
+        |  l.l_quantity AS quantity,
+        |  l.l_extendedprice * (1 - l.l_discount) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |LEFT JOIN dim_c dc ON o.o_custkey = dc.c_custkey
+        |LEFT JOIN dim_p dp ON l.l_partkey = dp.p_partkey
+        |LEFT JOIN dim_s ds ON l.l_suppkey = ds.s_suppkey
+        |LEFT JOIN dim_n dn ON s.s_nationkey = dn.n_nationkey""".stripMargin,
+    "star_orders_fact" ->
+      """WITH dim_c AS (SELECT c_custkey, dense_rank() OVER (ORDER BY c_custkey) AS customer_key FROM customer)
+        |SELECT o.o_orderkey,
+        |  CAST(dc.customer_key AS BIGINT) AS customer_key,
+        |  CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100 + dayofmonth(o.o_orderdate) AS INT) AS date_key,
+        |  o.o_totalprice AS total_price,
+        |  o.o_orderstatus AS status
+        |FROM orders o
+        |LEFT JOIN dim_c dc ON o.o_custkey = dc.c_custkey""".stripMargin,
     "star_rollup" ->
       """SELECT CAST(year(o.o_orderdate) AS INT) AS year,
         |  CAST(month(o.o_orderdate) AS INT) AS month,
@@ -580,19 +723,39 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "neardup_embedding" ->
-      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    "neardup_embedding" -> (EmbCorpusCte +
+      """
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-        |FROM s a JOIN s b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin,
+        |FROM emb_corpus a JOIN emb_corpus b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin),
+    // The oracle brute-forces the true nearest neighbor of each perturbed
+    // query; both approximate paths must have retrieved exactly it.
+    "ann_recall" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, list_concat([v[1] * 1.5], v[2:64]) AS qv
+        |  FROM base WHERE vec_id < 5),
+        |s AS (SELECT query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv, b.v) AS sim FROM q, base b),
+        |r AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM s)
+        |SELECT query_id, neighbor_id AS lsh_nn, neighbor_id AS ivf_nn
+        |FROM r WHERE rn = 1""".stripMargin,
+    // Winnowing position-robustness invariant: every sampled doc must share
+    // fingerprints with its prefix-shifted copy (and have a non-empty set).
+    "winnow_overlap" ->
+      """SELECT doc_id, true AS has_fps, true AS prefix_overlap
+        |FROM documents
+        |WHERE doc_id % 20 = 0
+        |  AND len(string_split_regex(trim(text), '\s+')) >= 16""".stripMargin,
     "upsert_latest" ->
       """WITH existing AS (SELECT o_orderkey, o_totalprice, o_orderstatus, 1 AS batch FROM orders),
         |updates AS (SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
         |    'F' AS o_orderstatus, 2 AS batch FROM orders WHERE o_orderkey % 7 = 0),
         |merged AS (SELECT * FROM existing UNION ALL SELECT * FROM updates),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
-        |    ORDER BY batch DESC, batch DESC) AS rn FROM merged)
+        |    ORDER BY batch DESC, o_totalprice DESC) AS rn FROM merged)
         |SELECT o_orderkey, o_totalprice, o_orderstatus, batch
         |FROM ranked WHERE rn = 1""".stripMargin,
     "pivot_status" ->

@@ -123,27 +123,44 @@ object Dedup {
     * bit_count(xor), fully codegen'd. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dedup: 4×16-bit band buckets over the packed signature →
-    * candidate pairs → hamming ≤ maxHamming on the 8-byte signatures →
-    * exact-Jaccard verify. Same no-all-pairs discipline as MinHash LSH;
-    * every per-pair operation before the final verify touches only two
-    * longs. */
+  /** Disjoint band slices of a packed 64-bit signature: `numBands` bands of
+    * near-equal width covering all 64 bits. Pigeonhole: two signatures within
+    * hamming distance `numBands - 1` MUST agree on at least one band. */
+  private[operators] def simHashBands(sig: Column, numBands: Int): Seq[Column] = {
+    val widths = Array.tabulate(numBands)(k => 64 / numBands + (if (k < 64 % numBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until numBands).map { k =>
+      val mask = if (widths(k) >= 64) -1L else (1L << widths(k)) - 1
+      shiftright(sig, offsets(k)).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** SimHash near-dedup with a RECALL GUARANTEE: the signature is sliced into
+    * `maxHamming + 1` disjoint bands, so any pair within hamming distance
+    * `maxHamming` shares at least one band (pigeonhole) and is guaranteed to
+    * surface as a candidate — no silent misses, unlike fixed 4×16 banding
+    * which only covers hamming ≤ 3. Candidates then pass the cheap
+    * two-longs hamming filter INSIDE the join (before the pair-dedup
+    * shuffle, so non-candidates never cross it) and finally the exact-Jaccard
+    * verify. Tradeoff, documented for 100 TB use: wider maxHamming ⇒
+    * narrower bands ⇒ coarser buckets; pick maxHamming per corpus noise
+    * level (the hamming filter keeps precision; banding only governs
+    * candidate volume). */
   def nearDupSimHash(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 12, shingleN: Int = 3,
                      threshold: Double = 0.8): DataFrame = {
+    val numBands = maxHamming + 1
     val sig = docs.select(col(idCol).as("_id"), simHash(col(textCol)).as("_sig"))
     val banded = sig.select(col("_id"), col("_sig"),
-        posexplode(array((0 until 4).map(k =>
-          shiftright(col("_sig"), 16 * k).bitwiseAND(lit(0xffffL))): _*)))
+        posexplode(array(simHashBands(col("_sig"), numBands): _*)))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_sig")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_sig") === col("y.band_sig") &&
-        col("x._id") < col("y._id"))
-      .select(col("x._id").as("doc_a"), col("x._sig").as("_sig_a"),
-        col("y._id").as("doc_b"), col("y._sig").as("_sig_b"))
+        col("x._id") < col("y._id") &&
+        hamming64(col("x._sig"), col("y._sig")) <= maxHamming)
+      .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"))
       .distinct()
-      .where(hamming64(col("_sig_a"), col("_sig_b")) <= maxHamming)
     val sh = docs.select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
     cand
       .join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sh_a"), "doc_a")

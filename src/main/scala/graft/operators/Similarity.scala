@@ -108,40 +108,53 @@ object Similarity {
   }
 
   /** IVF-style approximate top-k — the scale path for ANN over 100 TB
-    * corpora. Centroid training is intentionally tiny (numCells vectors):
-    * deterministic hash-sampled seeds refined with one distributed k-means
-    * step (per-dimension mean, 16x64 groups). The trained centroids are
-    * collected (numCells x dim doubles — bytes, by design) and inlined as
-    * literals, so corpus cell assignment is a pure map-side projection:
-    * ZERO shuffle over the corpus. Each query searches only its `nprobe`
-    * nearest cells via an 8-byte-keyed broadcast join. */
+    * corpora. Centroid training runs on a BOUNDED hash sample: one
+    * distributed TakeOrdered by xxhash64(id) pulls `numCells * 32` vectors
+    * (a uniform deterministic sample — smallest hashes), which are cached
+    * and feed both seed selection and one k-means refinement step. The
+    * trained centroids are collected (numCells x dim doubles — bytes, by
+    * design) and inlined as literals, so corpus cell assignment is a pure
+    * map-side projection: ZERO shuffle over the corpus, and the full corpus
+    * is scanned exactly ONCE (the search pass; TakeOrdered's scan is
+    * map-side partial top-K). Each query searches only its `nprobe` nearest
+    * cells via an 8-byte-keyed broadcast join. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    // The corpus feeds three passes (seed sample, k-means refine, final
-    // search) — cache the projected vectors so the source is scanned once.
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+
+    // Bounded training sample: numCells*32 vectors with smallest hash.
+    // Cached for the two tiny training jobs, unpersisted before returning —
+    // no cached blocks leak into a long-lived session (the plan returned to
+    // the caller references only the corpus and centroid literals).
+    val train = c
+      .select(col("_cv"), xxhash64(col("neighbor_id")).as("_h"))
+      .orderBy(col("_h")).limit(numCells * 32)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Deterministic seeds: the numCells sample vectors with smallest hash.
+      val seeds: Array[(Int, Array[Double])] = train
+        .orderBy(col("_h")).limit(numCells)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
 
-    // Deterministic seeds: the numCells corpus vectors with smallest
-    // xxhash64(id) — a distributed TakeOrdered, no global sort.
-    val seeds: Array[(Int, Array[Double])] = c
-      .select(col("neighbor_id"), col("_cv"), xxhash64(col("neighbor_id")).as("_h"))
-      .orderBy(col("_h")).limit(numCells)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+      // One k-means refinement over the sample: assign vs seed literals,
+      // per-dimension mean (shuffle bounded by numCells x dim groups).
+      val refined: Array[(Int, Array[Double])] = train
+        .select(nearestCells(col("_cv"), seeds, 1)(0).as("cell"), posexplode(col("_cv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+        }.toArray.sortBy(_._1)
 
-    // One k-means refinement: map-side assign vs seed literals, then
-    // per-dimension mean (shuffle bounded by numCells x dim groups).
-    val refined: Array[(Int, Array[Double])] = c
-      .select(nearestCells(col("_cv"), seeds, 1)(0).as("cell"), posexplode(col("_cv")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col")).as("m"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (cell, rows) =>
-        (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
-      }.toArray.sortBy(_._1)
+      ivfSearch(queries, c, idCol, vecCol, k, nprobe, refined)
+    } finally train.unpersist()
+  }
 
+  private def ivfSearch(queries: DataFrame, c: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nprobe: Int, refined: Array[(Int, Array[Double])]): DataFrame = {
     val assigned = c.withColumn("cell", nearestCells(col("_cv"), refined, 1)(0))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
       .select(col("query_id"), col("_qv"),
@@ -154,19 +167,48 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: corpus bucketed by hyperplane
-    * signature (map-side), candidate pairs from shared buckets, exact cosine
-    * verification >= threshold. Same no-all-pairs discipline as the text
-    * sketches; the verify step touches only candidate pairs. */
+  /** Embedding-cosine near-duplicate pairs: the hyperplane signature is
+    * sliced into `numBands` bands and a pair becomes a candidate when ANY
+    * band matches within hamming distance 1 (one side carries exact band
+    * values, the other is multiprobed with all single-bit band flips —
+    * the lshTopK multiprobe pattern applied to a self-join). Exact cosine
+    * verification >= threshold runs on candidates only, BEFORE the pair
+    * dedup, so unverified pairs never cross the distinct shuffle.
+    *
+    * Recall: a full-signature-equality bucket join misses a true pair at
+    * cos θ with probability 1-(1-θ/π)^P (~71% at cos=0.9 with P=8). With
+    * B bands of r planes and within-band multiprobe ≤1, a pair is missed
+    * only if EVERY band has ≥2 flipped planes — P(miss) = (1-P0-P1)^B where
+    * P0/P1 are Binomial(r, θ/π) — <1e-8 for the near-identical pairs this
+    * operator targets, while a random pair still has to clear a
+    * 1-in-2^(r-something) band bucket, keeping candidates ~13% of pairs
+    * instead of 100% (all-pairs). */
   def cosineNearDup(vectors: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+                    threshold: Double, numPlanes: Int = 32, dim: Int = 64,
+                    numBands: Int = 4): DataFrame = {
+    require(numPlanes % numBands == 0, "numBands must divide numPlanes")
+    val bandLen = numPlanes / numBands
     val v = vectors.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
-      .withColumn("_bucket", lshSignature(col("_v"), numPlanes, dim))
-    v.as("x").join(v.as("y"),
-        col("x._bucket") === col("y._bucket") && col("x._id") < col("y._id"))
+      .withColumn("_sig", lshSignature(col("_v"), numPlanes, dim))
+    def bandAt(b: Int) = substring(col("_sig"), b * bandLen + 1, bandLen)
+    val exact = v.select(col("_id"), col("_v"),
+        posexplode(array((0 until numBands).map(bandAt): _*)))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_val")
+    val probed = v.select(col("_id"), col("_v"),
+        posexplode(array((0 until numBands).map { b =>
+          val band = bandAt(b)
+          array(band +: (1 to bandLen).map(i => flipAt(band, i, bandLen)): _*)
+        }: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .select(col("_id"), col("_v"), col("band_id"), explode(col("col")).as("band_val"))
+    exact.as("x").join(probed.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x._id") < col("y._id"))
       .select(col("x._id").as("vec_a"), col("y._id").as("vec_b"),
         round(cosine(col("x._v"), col("y._v")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
+      .distinct()
   }
 
   /** Per-vector norms/dims — typed array-column ops used across the ANN

@@ -14,18 +14,49 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: dimensions are small relative to facts, so every fact-to-dim
   * lookup is a `broadcast()` hash join — a 100 TB fact must never sort-merge
-  * against a 10 MB dim. Surrogate keys use `dense_rank` over the natural key:
-  * deterministic (unlike monotonically_increasing_id) and reproducible across
-  * runs; the global window is bounded by dimension cardinality, never fact
-  * cardinality.
+  * against a 10 MB dim. Surrogate keys are dense ranks of the natural key
+  * computed with a TWO-PHASE rank: range-repartition the distinct keys,
+  * `row_number` within each partition, then add broadcast per-partition
+  * offsets. No single-partition global window anywhere — a billion-row
+  * dimension ranks with the parallelism of `spark.sql.shuffle.partitions`.
   */
 object Star {
 
-  /** Attach a deterministic surrogate key ordered by the natural key
-    * (create_dwh_tables.sql:22 IDENTITY analog). */
-  def withSurrogateKey(dim: DataFrame, naturalKey: String, keyName: String): DataFrame =
-    dim.withColumn(keyName,
-      dense_rank().over(Window.orderBy(col(naturalKey))).cast("long"))
+  /** Attach a deterministic surrogate key: the dense rank of the natural key,
+    * 1..N in natural-key order (create_dwh_tables.sql:22 IDENTITY analog).
+    *
+    * Two-phase rank: (1) distinct keys are range-partitioned on the key, so
+    * partition i holds a contiguous key range and partitions are
+    * sample-balanced; (2) `row_number` ranks within each partition (the
+    * window is partitioned — no `WindowExec: No Partition Defined`); (3)
+    * per-partition counts (one tiny row per partition) are prefix-summed and
+    * broadcast back, making the global rank `offset(partition) + local rank`.
+    * The result is invariant to where the range boundaries fall, because the
+    * offsets are computed from the actual per-partition counts. The only
+    * global window runs over `numPartitions` count rows, never over data.
+    */
+  def withSurrogateKey(dim: DataFrame, naturalKey: String, keyName: String): DataFrame = {
+    val nk = col(naturalKey)
+    val keys = dim.select(nk).distinct()
+      .repartitionByRange(nk)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("_pid")).orderBy(nk)))
+    // Prefix-sum of per-partition counts via a triangular self-join over the
+    // (numPartitions)-row count table — not a global window, so the whole
+    // plan is free of unpartitioned WindowExec (asserted by StarEventsSpec).
+    val counts = keys.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_offset"))
+    val ranked = keys.join(broadcast(offsets), "_pid")
+      .select(nk, (col("_offset") + col("_rn")).cast("long").as(keyName))
+    // Joining the ranks back is only needed when the dim carries attributes
+    // beyond the key (or duplicate key rows, which share a rank like
+    // dense_rank); a bare key table IS the ranked table.
+    if (dim.columns.toSeq == Seq(naturalKey)) ranked
+    else dim.join(ranked, Seq(naturalKey))
+  }
 
   /** Date dimension derived from a date-typed column's domain
     * (create_dwh_tables.sql:108-125). date_key = yyyymmdd; ISO day-of-week. */

@@ -50,9 +50,10 @@ class AnalyticsSpec extends SparkSpec {
     val rows = Seq((1L, v0), (2L, v0.map(x => x * 2.0f))) ++ // parallel -> cos 1.0
       (3L to 40L).map(i => (i, vec()))
     val out = Similarity.cosineNearDup(rows.toDF("vec_id", "embedding"),
-      "vec_id", "embedding", 0.99, numPlanes = 6, dim = 16)
+      "vec_id", "embedding", 0.99, numPlanes = 8, dim = 16, numBands = 4)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(out.contains((1L, 2L)))
+    assert(out.forall { case (a, b) => a < b })
   }
 
   test("decontaminate reports only cross-split near-duplicates, best match each") {

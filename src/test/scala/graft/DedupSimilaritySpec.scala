@@ -69,6 +69,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("nearDupSimHash recall guarantee: equals brute-force hamming+jaccard pair set") {
+    // Deterministic corpus with a spread of hamming distances: each doc
+    // mutates a different subset of a shared vocabulary.
+    val base = (0 until 20).map(j => s"w$j")
+    val docs = (0 until 30).map { i =>
+      val words = base.zipWithIndex.map { case (w, j) =>
+        if (i % 3 != 0 && j % 7 == i % 7) s"x${i}_$j" else w
+      }
+      (i.toLong, (words ++ words).mkString(" "))
+    }.toDF("doc_id", "text")
+    val maxH = 12
+    val thr = 0.3
+    val out = Dedup.nearDupSimHash(docs, "doc_id", "text", maxH, 3, thr)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    // Brute force over all pairs: same hamming prefilter + exact jaccard.
+    val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")))
+      .as[(Long, Long)].collect().toMap
+    val shs = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3))
+      .as[(Long, Seq[String])].collect().toMap
+    val ids = sigs.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxH
+      sa = shs(a).toSet; sb = shs(b).toSet
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= thr
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "test corpus must contain in-range pairs")
+    assert(out == expected,
+      s"missed=${(expected -- out).take(5)} extra=${(out -- expected).take(5)}")
+  }
+
   test("cosine: parallel=1, orthogonal=0 (native expression)") {
     val df = Seq((Seq(1.0, 0.0), Seq(2.0, 0.0), Seq(0.0, 3.0)))
       .toDF("a", "b", "c")

@@ -25,6 +25,39 @@ class StarEventsSpec extends SparkSpec {
     assert(keys.toSeq == Seq((10, 1L), (20, 2L), (30, 3L)))
   }
 
+  test("withSurrogateKey two-phase rank matches a global dense rank at scale") {
+    val n = 1000
+    val dim = scala.util.Random.shuffle((1 to n).map(_ * 7).toList).toDF("nk")
+    val keys = Star.withSurrogateKey(dim, "nk", "sk")
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(keys.map(_._2).toSeq == (1L to n.toLong))
+    assert(keys.map(_._1).toSeq == (1 to n).map(_ * 7))
+  }
+
+  test("withSurrogateKey: duplicate keys share a rank; attributes survive; no global window") {
+    val dim = Seq((30, "c"), (10, "a"), (20, "b"), (10, "a2")).toDF("nk", "attr")
+    val keyed = Star.withSurrogateKey(dim, "nk", "sk")
+    val ranks = keyed.select(col("nk"), col("sk")).distinct()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(ranks.toSeq == Seq((10, 1L), (20, 2L), (30, 3L)))
+    assert(keyed.count() == 4) // both rows of nk=10 kept, sharing sk=1
+    val unpartitioned = keyed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, "surrogate-key plan must not contain a global window")
+  }
+
+  test("star_fact plan is free of unpartitioned windows (single-partition sort killer)") {
+    val df = SparkEntry.queries("star_fact")(spark, "/root/testdata/sf0.001")
+    val unpartitioned = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"star_fact must scale: found global Window nodes:\n${unpartitioned.mkString("\n")}")
+  }
+
   test("scd2 keeps only changed versions with validity chain") {
     val snaps = Seq(
       (1, "a", "2024-01-01"), (1, "a", "2024-06-01"), // unchanged -> 1 version
