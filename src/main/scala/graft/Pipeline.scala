@@ -17,8 +17,13 @@ import graft.sources.IngestDiscovery
   *     (`_source/_run_id/_extract_time`), write the raw zone.
   *  2. `quality`     — rule-engine split; clean and error zones written
   *     (error rows carry `_errors` reasons).
-  *  3. `transform_load` — star fact build over the CLEAN zone with broadcast
-  *     dim lookups, written partitioned by date_key (the DWH zone).
+  *  3. `transform_load` — star facts over the CLEAN zone with broadcast
+  *     dim lookups: fact_orders (order grain) AND fact_lineitem (line
+  *     grain, customer+part dims) — the reference's two-fact DWH shape
+  *     (create_dwh_tables.sql:127-163) — both written partitioned by
+  *     date_key (the DWH zone).
+  *  4. `report`      — per-zone stats and per-rule violation counts written
+  *     under `report/` (dashboard.py:30-40's data source, as a sink).
   *
   * Returns the run report as a DataFrame: (stage, rows, seconds) — the
   * reference's step_times/step_results table.
@@ -43,11 +48,14 @@ object Pipeline {
     timed("stage_raw") {
       IngestDiscovery.writeZone(orders, outRoot, "raw", "orders")
       IngestDiscovery.writeZone(customer, outRoot, "raw", "customer")
+      IngestDiscovery.writeZone(
+        IngestDiscovery.staged(Tables.lineitem(spark, sfDir), "parquet", runId, extractTime),
+        outRoot, "raw", "lineitem")
       spark.read.parquet(s"$outRoot/raw/orders").count()
     }
 
     // 2. quality: rule engine over the raw zone -> clean/error zones
-    timed("quality") {
+    val annotated = {
       val raw = spark.read.parquet(s"$outRoot/raw/orders")
       val (addRn, dupRule) = Quality.duplicateKeyRule("duplicate_key",
         col("o_orderkey"), Seq(col("_run_id")))
@@ -58,25 +66,53 @@ object Pipeline {
         fkRule,
         Quality.Rule("nonpositive_price", col("o_totalprice") <= 0),
         dupRule)
-      val annotated = Quality.annotate(addFk(addRn(raw)), rules)
+      Quality.annotate(addFk(addRn(raw)), rules)
         .drop("_rn_duplicate_key", "_fk_ok_fk_customer")
+    }
+    timed("quality") {
       IngestDiscovery.writeZone(Quality.cleanZone(annotated), outRoot, "clean", "orders")
       IngestDiscovery.writeZone(Quality.errorZone(annotated), outRoot, "error", "orders")
       spark.read.parquet(s"$outRoot/clean/orders").count()
     }
 
-    // 3. transform & load: star fact over the clean zone, partitioned DWH
+    // 3. transform & load: both star facts over the clean zone (order grain
+    // + line grain — the reference's two-fact DWH), partitioned by date_key
     timed("transform_load") {
       val clean = spark.read.parquet(s"$outRoot/clean/orders")
       val dimC = Star.withSurrogateKey(customer.select(col("c_custkey")), "c_custkey", "customer_key")
-      val fact = Star.lookupDim(
+      val dateKey = (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
+        dayofmonth(col("o_orderdate"))).as("date_key")
+      val ordersKeyed = Star.lookupDim(
         clean.withColumnRenamed("o_custkey", "c_custkey"), dimC, "c_custkey", "customer_key")
-        .select(col("o_orderkey"), col("customer_key"),
-          (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
-            dayofmonth(col("o_orderdate"))).as("date_key"),
+      val factOrders = ordersKeyed
+        .select(col("o_orderkey"), col("customer_key"), dateKey,
           col("o_totalprice"), col("o_orderstatus"))
-      Star.writeFactPartitioned(fact, s"$outRoot/dwh/fact_orders", "date_key", "o_orderkey")
-      spark.read.parquet(s"$outRoot/dwh/fact_orders").count()
+      Star.writeFactPartitioned(factOrders, s"$outRoot/dwh/fact_orders", "date_key", "o_orderkey")
+
+      val dimP = Star.withSurrogateKey(
+        Tables.part(spark, sfDir).select(col("p_partkey")), "p_partkey", "part_key")
+      val line = spark.read.parquet(s"$outRoot/raw/lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_partkey").as("p_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ordersKeyed.select(col("o_orderkey"), col("customer_key"), col("o_orderdate")),
+          Seq("o_orderkey"))
+      val factLine = Star.lookupDim(line, dimP, "p_partkey", "part_key")
+        .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"),
+          col("customer_key"), col("part_key"), dateKey,
+          col("l_quantity").as("quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      Star.writeFactPartitioned(factLine, s"$outRoot/dwh/fact_lineitem", "date_key", "l_orderkey")
+      spark.read.parquet(s"$outRoot/dwh/fact_orders").count() +
+        spark.read.parquet(s"$outRoot/dwh/fact_lineitem").count()
+    }
+
+    // 4. report: per-zone stats + per-rule violations (the dashboard's feed)
+    timed("report") {
+      IngestDiscovery.writeZone(
+        Quality.zoneStats(annotated, "orders", "o_orderkey"), outRoot, "report", "zone_stats")
+      IngestDiscovery.writeZone(Quality.ruleAudit(annotated), outRoot, "report", "rule_audit")
+      spark.read.parquet(s"$outRoot/report/zone_stats").count()
     }
 
     reports.toDF()
