@@ -61,6 +61,9 @@ object NativeExprs {
 
   def hyperplaneSig(vec: Column, planes: Seq[Seq[Double]]): Column =
     GraftShims.toColumn(HyperplaneSigExpr(GraftShims.toExpression(vec), planes))
+
+  def nearestCells(vec: Column, centroids: Seq[(Int, Seq[Double])], n: Int): Column =
+    GraftShims.toColumn(NearestCellsExpr(GraftShims.toExpression(vec), centroids, n))
 }
 
 /** MinHash signature of an array<string> shingle set: for each of the
@@ -379,4 +382,60 @@ case class HyperplaneSigExpr(child: Expression, planes: Seq[Seq[Double]])
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
     copy(child = newChild)
   override def prettyName: String = "hyperplane_sig"
+}
+
+/** Top-n nearest IVF cells of an array<double> vector by cosine against a
+  * fixed centroid table (ties to the lowest cell id), as array<int>.
+  *
+  * The declarative formulation (array_sort over a literal array of structs,
+  * one typedLit vector per centroid) generates kilobytes of codegen per
+  * centroid and seconds of janino compilation per stage; this expression
+  * keeps the centroid matrix as plain JVM state and runs one fused loop —
+  * same plan shape (a pure map-side projection), none of the compile cost. */
+case class NearestCellsExpr(child: Expression, centroids: Seq[(Int, Seq[Double])], n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(DoubleType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells requires array<double>, got $other")
+    }
+  }
+
+  @transient private lazy val cellIds: Array[Int] = centroids.map(_._1).toArray
+  @transient private lazy val cellVecs: Array[Array[Double]] = centroids.map(_._2.toArray).toArray
+  @transient private lazy val cellNorms: Array[Double] =
+    cellVecs.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val len = v.numElements()
+    val m = cellVecs.length
+    val vec = new Array[Double](len)
+    var nv = 0.0
+    var i = 0
+    while (i < len) { val xi = v.getDouble(i); vec(i) = xi; nv += xi * xi; i += 1 }
+    val vnorm = math.sqrt(nv)
+    val sims = new Array[Double](m)
+    var p = 0
+    while (p < m) {
+      val c = cellVecs(p)
+      var dot = 0.0
+      i = 0
+      val d = math.min(len, c.length)
+      while (i < d) { dot += vec(i) * c(i); i += 1 }
+      sims(p) = dot / (vnorm * cellNorms(p))
+      p += 1
+    }
+    // best-first selection of n cells: (-sim, cellId) ascending
+    val order = Array.tabulate(m)(identity)
+      .sortBy(p => (-sims(p), cellIds(p)))
+    new GenericArrayData(order.take(math.min(n, m)).map(p => cellIds(p): Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cells"
 }

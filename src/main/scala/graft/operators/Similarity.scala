@@ -97,15 +97,12 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Nearest-cell id (argmax cosine, ties to the lowest cell) against a
-    * small in-plan centroid table — pure map-side expression, no shuffle. */
-  private def nearestCells(vec: Column, cents: Array[(Int, Array[Double])], n: Int): Column = {
-    val scored = cents.map { case (cell, cv) =>
-      struct((-cosine(vec, typedLit(cv.toSeq))).as("negsim"), lit(cell).as("cell"))
-    }
-    // ascending sort of (-sim, cell) = best-first; take n cells
-    transform(slice(array_sort(array(scored: _*)), 1, n), x => x.getField("cell"))
-  }
+  /** Top-n nearest cell ids (by cosine, ties to the lowest cell) against a
+    * small centroid table — pure map-side native expression, no shuffle and
+    * no per-centroid codegen (graft.functions.NearestCellsExpr). */
+  private def nearestCells(vec: Column, cents: Array[(Int, Array[Double])], n: Int): Column =
+    graft.functions.NativeExprs.nearestCells(vec,
+      cents.map { case (cell, cv) => (cell, cv.toSeq) }.toSeq, n)
 
   /** IVF-style approximate top-k — the scale path for ANN over 100 TB
     * corpora. Centroid training runs on a BOUNDED hash sample: one
