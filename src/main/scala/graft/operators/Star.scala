@@ -25,21 +25,34 @@ object Star {
   /** Attach a deterministic surrogate key: the dense rank of the natural key,
     * 1..N in natural-key order (create_dwh_tables.sql:22 IDENTITY analog).
     *
-    * Two-phase rank: (1) distinct keys are range-partitioned on the key, so
-    * partition i holds a contiguous key range and partitions are
-    * sample-balanced; (2) `row_number` ranks within each partition (the
-    * window is partitioned — no `WindowExec: No Partition Defined`); (3)
-    * per-partition counts (one tiny row per partition) are prefix-summed and
-    * broadcast back, making the global rank `offset(partition) + local rank`.
-    * The result is invariant to where the range boundaries fall, because the
-    * offsets are computed from the actual per-partition counts. The only
-    * global window runs over `numPartitions` count rows, never over data.
+    * Two-phase rank over DETERMINISTIC range buckets: (1) a bounded,
+    * hash-uniform pivot sample of the distinct keys (TakeOrdered by
+    * xxhash64 — one map-side partial top-K pass) is collected and inlined,
+    * so every row's bucket is a pure function of its key — stable under ANY
+    * recomputation or stage retry, unlike `repartitionByRange`, whose
+    * sampled boundaries can differ between plan branches unless the
+    * exchange happens to be reused; (2) `row_number` ranks within each
+    * bucket (the window is partitioned — no `WindowExec: No Partition
+    * Defined`, a billion-row dimension ranks with ~numPivots-way
+    * parallelism); (3) per-bucket counts are prefix-summed via a triangular
+    * self-join over the tiny count table and broadcast back: global rank =
+    * bucket offset + local rank. The collect is bounded (numPivots keys),
+    * the same discipline as the IVF centroid literals.
     */
-  def withSurrogateKey(dim: DataFrame, naturalKey: String, keyName: String): DataFrame = {
+  def withSurrogateKey(dim: DataFrame, naturalKey: String, keyName: String,
+                       numPivots: Int = 64): DataFrame = {
     val nk = col(naturalKey)
-    val keys = dim.select(nk).distinct()
-      .repartitionByRange(nk)
-      .withColumn("_pid", spark_partition_id())
+    val distinctKeys = dim.select(nk).distinct()
+    // Deterministic pivots: the numPivots distinct keys with smallest
+    // seeded hash — a uniform sample of the key domain, collected sorted.
+    val pivots: Array[Any] = distinctKeys
+      .orderBy(xxhash64(lit("pivot"), nk)).limit(numPivots)
+      .sort(nk).collect().map(_.get(0))
+    val bucket =
+      if (pivots.isEmpty) lit(0)
+      else pivots.map(p => when(nk >= lit(p), 1).otherwise(0)).reduce(_ + _)
+    val keys = distinctKeys
+      .withColumn("_pid", bucket)
       .withColumn("_rn", row_number().over(Window.partitionBy(col("_pid")).orderBy(nk)))
     // Prefix-sum of per-partition counts via a triangular self-join over the
     // (numPartitions)-row count table — not a global window, so the whole
