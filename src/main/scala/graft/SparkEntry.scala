@@ -401,6 +401,27 @@ object SparkEntry {
     // §2.2 row 20 — MinHash LSH near-dedup (banded, verified)
     "neardup_minhash" -> ((s, d) =>
       Dedup.nearDupMinHash(Tables.documents(s, d), "doc_id", "text", 3, 0.8)),
+    // §2.2 row 20c — near-dup pairs -> dedup DECISION: connected components
+    // over the MinHash pair graph, one kept representative per cluster
+    "dedup_cluster" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.nearDupClusters(docs,
+        Dedup.nearDupMinHash(docs, "doc_id", "text", 3, 0.8), "doc_id")
+    }),
+    // §2.2 row 27b — PII redaction over deterministically dirtied text
+    "pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.piiScrub(concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-01"),
+          col("doc_id"), lit(" at 192.168.0."), pmod(col("doc_id"), lit(256))))
+          .as("scrubbed"))),
+    // §2.2 row 29f — deterministic stratified sampling (corpus mixing)
+    "sample_stratified" -> ((s, d) =>
+      TextAnalysis.sampleStratified(Tables.documents(s, d), "source", "doc_id", 5)
+        .select(col("doc_id"), col("source"))),
+    // §2.2 row 29g — token-budget sequence packing per stratum
+    "seq_pack" -> ((s, d) =>
+      TextAnalysis.seqPack(Tables.documents(s, d), "source", "doc_id", "text", 512)),
     // §2.2 row 21 — SimHash near-dedup (rows-only oracle). maxHamming=6:
     // jaccard>=0.8 near-dups land well inside hamming 6 of a weighted 64-bit
     // simhash, and the derived 7x~9-bit banding keeps candidate volume ~30x
@@ -818,6 +839,47 @@ object SparkEntry {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+    // True connected-components fixpoint via recursive CTE — the Spark
+    // side's bounded label propagation must reach the same labels.
+    "dedup_cluster" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach(src, node) AS (
+        |  SELECT doc_id AS src, doc_id AS node FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id,
+        |  min(node) = src AS kept
+        |FROM reach GROUP BY src""".stripMargin,
+    "pii_scrub" -> (
+      s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  text || ' contact user' || doc_id || '@example.com or +1-555-01' || doc_id
+        |       || ' at 192.168.0.' || (doc_id % 256),
+        |  '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
+        |  '${TextAnalysis.Ipv4Re}', '[IP]', 'g'),
+        |  '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS scrubbed
+        |FROM documents""".stripMargin),
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5""".stripMargin,
+    "seq_pack" ->
+      """SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+        |  CAST(floor(coalesce(SUM(len(string_split_regex(trim(text), '\s+'))) OVER (
+        |    PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS bin
+        |FROM documents""".stripMargin,
     "ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |sh AS (SELECT doc_id,

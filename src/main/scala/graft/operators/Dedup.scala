@@ -204,6 +204,43 @@ object Dedup {
         col("_best.jaccard").as("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair graph: every document
+    * gets `cluster_id` = the smallest doc id reachable through near-dup
+    * pairs, and `kept` marks the cluster representative — the step that
+    * turns pairwise near-dup OUTPUT into an actual dedup decision (keep one
+    * doc per cluster).
+    *
+    * Min-label propagation: each round, a node's label becomes the minimum
+    * of its own and its neighbors' labels; `rounds` bounds the reachable
+    * diameter (near-dup clusters are shallow — chains longer than a few
+    * hops mean the threshold is too loose). Both the edge set and the
+    * per-round labels are `localCheckpoint`ed: iterative plans otherwise
+    * re-derive the whole LSH candidate lineage once per round and the DAG
+    * grows without bound — the standard Spark iterative-graph discipline.
+    * One shuffle per round, keyed on the 8-byte node id. */
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      rounds: Int = 5): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("doc_b").cast("long").as("src"),
+        col("doc_a").cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).cast("long").as("node"))
+      .withColumn("label", col("node"))
+    var i = 0
+    while (i < rounds) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("label")).as("_nl"))
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
+      (col("node") === col("label")).as("kept"))
+  }
+
   /** Direct n-gram Jaccard over an explicit pair set (pairs: doc_a, doc_b). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int): DataFrame = {

@@ -87,4 +87,50 @@ object TextAnalysis {
       col(idCol),
       array_min(transform(Dedup.shingles(col(textCol), n),
         s => md5(s.cast("binary")))).as("fingerprint"))
+
+  // PII patterns kept RE2-compatible (no backrefs/lookarounds) so the same
+  // regex runs identically in Spark's Java regex and DuckDB's RE2.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\[\\]. -]{6,}[0-9]"
+  val Ipv4Re  = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII redaction — the scrub every training-data pipeline runs before a
+    * corpus ships: emails, phone-like digit runs, and IPv4 literals replaced
+    * with typed placeholders. Pure codegen'd `regexp_replace` chain; order
+    * matters (emails first so their digits don't half-match as phones). */
+  def piiScrub(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "[EMAIL]")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "[IP]")
+    regexp_replace(noIp, PhoneRe, "[PHONE]")
+  }
+
+  /** Deterministic stratified sample: `k` documents per stratum, selected by
+    * md5-of-id order — a uniform pseudo-random draw that any engine can
+    * reproduce (the mixture-weighting primitive for corpus assembly).
+    * Partitioned window; at scale each stratum ranks independently. */
+  def sampleStratified(docs: DataFrame, stratumCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    docs.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** Greedy sequence packing: within each stratum, documents in id order are
+    * packed into bins of `budget` tokens (a doc opens a new bin when the
+    * running token count before it has crossed the next budget boundary) —
+    * the batch-assembly step for constant-length training sequences.
+    * One partitioned window (running sum); no global state. */
+  def seqPack(docs: DataFrame, stratumCol: String, idCol: String,
+              textCol: String, budget: Int): DataFrame = {
+    val nTok = size(tokens(col(textCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(stratumCol), nTok.as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
+  }
 }

@@ -69,6 +69,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("nearDupClusters: chains collapse to min-label components, singletons kept") {
+    val docs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 2-3-4-5 (diameter 3), pair 6-7, singleton 1
+    val pairs = Seq((2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(docs, pairs, "doc_id", rounds = 5)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 2L, true), (3L, 2L, false), (4L, 2L, false),
+      (5L, 2L, false), (6L, 6L, true), (7L, 6L, false)))
+  }
+
   test("nearDupSimHash recall guarantee: equals brute-force hamming+jaccard pair set") {
     // Deterministic corpus with a spread of hamming distances: each doc
     // mutates a different subset of a shared vocabulary.

@@ -50,6 +50,36 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("piiScrub redacts emails, phones, and IPv4 literals") {
+    val out = Seq("mail me at jane.doe+x@corp.example.org or call +1 (555) 010-9999 from 10.0.0.17 ok")
+      .toDF("t").select(TextAnalysis.piiScrub(col("t"))).as[String].collect().head
+    assert(out == "mail me at [EMAIL] or call [PHONE] from [IP] ok")
+    // clean text passes through untouched
+    val clean = Seq("no personal data here at all").toDF("t")
+      .select(TextAnalysis.piiScrub(col("t"))).as[String].collect().head
+    assert(clean == "no personal data here at all")
+  }
+
+  test("sampleStratified draws exactly k per stratum, deterministically") {
+    val docs = (1L to 40L).map(i => (i, if (i % 2 == 0) "web" else "book")).toDF("doc_id", "source")
+    val s1 = TextAnalysis.sampleStratified(docs, "source", "doc_id", 3)
+      .as[(Long, String)].collect().sortBy(r => (r._2, r._1))
+    val s2 = TextAnalysis.sampleStratified(docs, "source", "doc_id", 3)
+      .as[(Long, String)].collect().sortBy(r => (r._2, r._1))
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.groupBy(_._2).view.mapValues(_.length).toMap == Map("web" -> 3, "book" -> 3))
+  }
+
+  test("seqPack assigns bins by running token budget per stratum") {
+    val docs = Seq(
+      (1L, "s", "a b c"), (2L, "s", "d e f"), (3L, "s", "g h"), (4L, "t", "x")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.seqPack(docs, "source", "doc_id", "text", 5)
+      .select(col("doc_id"), col("bin")).as[(Long, Long)].collect().toMap
+    // s: cum-before = 0, 3, 6 -> bins 0, 0, 1; t: bin 0
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("inferEntityType strips suffixes and maps known stems") {
     assert(IngestDiscovery.inferEntityType("khachhang") == "khach_hang")
     assert(IngestDiscovery.inferEntityType("nguyen_lieu_tbl") == "nguyen_lieu")
