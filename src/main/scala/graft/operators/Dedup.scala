@@ -228,13 +228,21 @@ object Dedup {
     var labels = docs.select(col(idCol).cast("long").as("node"))
       .withColumn("label", col("node"))
     var i = 0
-    while (i < rounds) {
+    var converged = false
+    while (i < rounds && !converged) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("node")).agg(min(col("label")).as("_nl"))
-      labels = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"),
+          (coalesce(col("_nl"), col("label")) < col("label")).as("_changed"))
         .localCheckpoint()
+      // Rounds are eager anyway (localCheckpoint); a cheap count on the
+      // checkpointed result lets converged graphs skip the remaining rounds
+      // (near-dup clusters are shallow — usually 1-2 rounds suffice).
+      converged = next.where(col("_changed")).limit(1).isEmpty
+      labels = next.drop("_changed")
       i += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
