@@ -107,11 +107,19 @@ object Pipeline {
         spark.read.parquet(s"$outRoot/dwh/fact_lineitem").count()
     }
 
-    // 4. report: per-zone stats + per-rule violations (the dashboard's feed)
+    // 4. report: per-zone stats + per-rule violations (the dashboard's
+    // feed), derived from the zones ALREADY WRITTEN in stage 2 — the rule
+    // engine (raw scan + FK broadcast join + duplicate-key window) must not
+    // re-run per report query.
     timed("report") {
+      val cleanZ = spark.read.parquet(s"$outRoot/clean/orders")
+        .withColumn("_errors", lit(""))
+      val errorZ = spark.read.parquet(s"$outRoot/error/orders")
+      val zones = cleanZ.select(col("o_orderkey"), col("_errors"))
+        .unionByName(errorZ.select(col("o_orderkey"), col("_errors")))
       IngestDiscovery.writeZone(
-        Quality.zoneStats(annotated, "orders", "o_orderkey"), outRoot, "report", "zone_stats")
-      IngestDiscovery.writeZone(Quality.ruleAudit(annotated), outRoot, "report", "rule_audit")
+        Quality.zoneStats(zones, "orders", "o_orderkey"), outRoot, "report", "zone_stats")
+      IngestDiscovery.writeZone(Quality.ruleAudit(errorZ), outRoot, "report", "rule_audit")
       spark.read.parquet(s"$outRoot/report/zone_stats").count()
     }
 

@@ -211,15 +211,17 @@ object Dedup {
     * doc per cluster).
     *
     * Min-label propagation: each round, a node's label becomes the minimum
-    * of its own and its neighbors' labels; `rounds` bounds the reachable
-    * diameter (near-dup clusters are shallow — chains longer than a few
-    * hops mean the threshold is too loose). Both the edge set and the
+    * of its own and its neighbors' labels. Propagation stops as soon as a
+    * round changes nothing (the fixpoint — one stable round implies global
+    * convergence since each round is a deterministic function of the label
+    * table), so `rounds` is a safety cap on pathological diameters, not a
+    * cost: shallow near-dup graphs exit after 2-3 rounds. Both the edge set and the
     * per-round labels are `localCheckpoint`ed: iterative plans otherwise
     * re-derive the whole LSH candidate lineage once per round and the DAG
     * grows without bound — the standard Spark iterative-graph discipline.
     * One shuffle per round, keyed on the 8-byte node id. */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
-                      rounds: Int = 5): DataFrame = {
+                      rounds: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("doc_b").cast("long").as("src"),

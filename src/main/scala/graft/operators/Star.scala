@@ -65,8 +65,10 @@ object Star {
     val ranked = keys.join(broadcast(offsets), "_pid")
       .select(nk, (col("_offset") + col("_rn")).cast("long").as(keyName))
     // Joining the ranks back is only needed when the dim carries attributes
-    // beyond the key (or duplicate key rows, which share a rank like
-    // dense_rank); a bare key table IS the ranked table.
+    // beyond the key. NOTE the bare-key shortcut treats the input as a key
+    // SET: duplicate rows of a single-column input are collapsed (a
+    // dimension's key column is unique by definition). Multi-column dims
+    // keep all rows — duplicate keys share a rank, like dense_rank.
     if (dim.columns.toSeq == Seq(naturalKey)) ranked
     else dim.join(ranked, Seq(naturalKey))
   }
