@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression specs: the scale claims PLANS.md documents are
+  * asserted here so a refactor that silently de-optimizes a plan (loses a
+  * broadcast, stops pushing filters, widens a scan, breaks map-side partial
+  * aggregation) fails the build instead of only showing up at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("star_rollup joins its dimensions with broadcast hash joins") {
+    val p = planOf("star_rollup")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), "a dim lookup must never sort-merge")
+  }
+
+  test("equality filters are pushed down to the parquet scan") {
+    val p = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") === 42).select(col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(o_orderkey,42)"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("normalize_strings scans only the three referenced customer columns") {
+    val p = planOf("normalize_strings")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("c_custkey") && read.contains("c_name") &&
+      read.contains("c_mktsegment"), s"missing columns: $read")
+    assert(!read.contains("c_acctbal") && !read.contains("c_nationkey"),
+      s"scan reads unused columns: $read")
+  }
+
+  test("topn_agg runs the custom aggregate as partial then final (map-side heaps)") {
+    val p = planOf("topn_agg")
+    assert(p.contains("ObjectHashAggregate"), s"custom TypedImperativeAggregate lost:\n$p")
+    assert(p.contains("partial_top_k_pairs") || p.contains("partial top_k_pairs")
+      || p.toLowerCase.contains("partial"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("rollup_revenue prunes lineitem to its four referenced columns") {
+    val p = planOf("rollup_revenue")
+    val read = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_orderkey")).getOrElse("")
+    assert(read.contains("l_extendedprice") && read.contains("l_discount"),
+      s"lineitem scan shape unexpected: $read")
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate")
+      && !read.contains("l_tax"), s"lineitem scan reads unused columns: $read")
+  }
+}
