@@ -482,6 +482,21 @@ object SparkEntry {
     // §2.2 row 26 — multimodal binary plumbing (metadata path)
     "multimodal_meta" -> ((s, d) =>
       Multimodal.metaTable(Multimodal.packBinary(Tables.documents(s, d), "doc_id", "text"))),
+    // §2.2 row 26b — frame sampling over opaque payloads (every 4th 64-byte
+    // frame; the sizes verify the slicing arithmetic end-to-end)
+    "frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.packBinary(Tables.documents(s, d), "doc_id", "text"), 64, 4)
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("frame_bytes"))),
+    // §2.2 row 25b — int8 embedding quantization (absmax), scalar digest
+    "embedding_quantize" -> ((s, d) => {
+      val v = col("embedding").cast("array<double>")
+      val q = Similarity.quantizeInt8(v)
+      Tables.embeddings(s, d).select(col("vec_id"),
+        get(q, lit(0)).as("q0"),
+        array_min(q).as("q_min"), array_max(q).as("q_max"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"))
+    }),
     // §2.2 row 20b — decontamination: train/benchmark near-dup scrub
     "decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -908,6 +923,23 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  sha256(text) AS sha256
         |FROM documents""".stripMargin,
+    "frame_sample" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, n, CAST(ceil(n / 64.0) AS INT) AS n_frames FROM m WHERE n > 0)
+        |SELECT doc_id, n_frames,
+        |  CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame_idx,
+        |  CAST(least(64, n - CAST(unnest(range(0, n_frames, 4)) AS INT) * 64) AS INT) AS frame_bytes
+        |FROM f""".stripMargin,
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    greatest(list_aggregate([abs(x) for x in v], 'max'), 1e-12) AS mx FROM e),
+        |q AS (SELECT vec_id, [CAST(round(x / mx * 127) AS INT) for x in v] AS qv FROM m)
+        |SELECT vec_id, qv[1] AS q0,
+        |  CAST(list_aggregate(qv, 'min') AS INT) AS q_min,
+        |  CAST(list_aggregate(qv, 'max') AS INT) AS q_max,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum
+        |FROM q""".stripMargin,
     "decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |sh AS (SELECT doc_id,

@@ -54,6 +54,25 @@ object Multimodal {
     hist.map(_ / total)
   }
 
+  /** Frame sampling over an opaque media payload: treat the binary as a
+    * container of fixed-size frames and keep every `every`-th one — the
+    * video-frame-sampling plumbing (schema, slicing arithmetic, explode
+    * shape) with the codec stubbed out as fixed-width byte frames. Pure
+    * Column exprs: `sequence` of sampled indices + `substr` slices; the
+    * real decoder would replace the slice, not the plumbing.
+    * Output: (doc_id, n_frames, frame_idx, frame, frame_bytes). */
+  def frameSample(media: DataFrame, frameSize: Int, every: Int): DataFrame = {
+    val n = octet_length(col("payload"))
+    val nFrames = ceil(n.cast("double") / frameSize).cast("int")
+    media
+      .where(n > 0)
+      .select(col("doc_id"), col("payload"), nFrames.as("n_frames"),
+        explode(sequence(lit(0), nFrames - 1, lit(every))).as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameSize + 1, lit(frameSize)).as("frame"))
+      .withColumn("frame_bytes", octet_length(col("frame")))
+  }
+
   /** Partition-preserving decode stage: typed Dataset in, typed Dataset out,
     * one decoder call per row, batched per partition (the mapInPandas batch
     * shape, expressed as Scala mapPartitions). */

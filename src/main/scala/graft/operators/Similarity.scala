@@ -208,6 +208,14 @@ object Similarity {
       .distinct()
   }
 
+  /** Symmetric int8 quantization of an embedding (per-vector absmax
+    * scaling) — the storage-compression step vector stores apply before
+    * indexing 100 TB of embeddings. Pure higher-order-function math. */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = greatest(array_max(transform(vec, x => abs(x))), lit(1e-12))
+    transform(vec, x => round(x / mx * 127).cast("int"))
+  }
+
   /** Per-vector norms/dims — typed array-column ops used across the ANN
     * operators, exposed as a checkable table. */
   def norms(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {

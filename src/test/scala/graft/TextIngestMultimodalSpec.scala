@@ -80,6 +80,22 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("frameSample slices every k-th fixed-size frame with a short tail") {
+    val media = Seq((1L, "text/plain", Array.fill[Byte](10)('a'))).toDF("doc_id", "mime", "payload")
+    val out = Multimodal.frameSample(media, frameSize = 4, every = 2)
+      .select(col("n_frames"), col("frame_idx"), col("frame_bytes"))
+      .as[(Int, Int, Int)].collect().sortBy(_._2)
+    // 10 bytes / 4 = 3 frames; every 2nd -> idx 0 (4 bytes) and idx 2 (2-byte tail)
+    assert(out.toSeq == Seq((3, 0, 4), (3, 2, 2)))
+  }
+
+  test("quantizeInt8 maps absmax to +/-127 and zero to 0") {
+    val out = Seq(Seq(0.5, -1.0, 0.0, 0.25)).toDF("v")
+      .select(graft.operators.Similarity.quantizeInt8(col("v")))
+      .as[Seq[Int]].collect().head
+    assert(out == Seq(64, -127, 0, 32))
+  }
+
   test("inferEntityType strips suffixes and maps known stems") {
     assert(IngestDiscovery.inferEntityType("khachhang") == "khach_hang")
     assert(IngestDiscovery.inferEntityType("nguyen_lieu_tbl") == "nguyen_lieu")
