@@ -82,6 +82,19 @@ object EventStreaming {
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
 
+  /** Streaming quality split: the SAME batch rule engine runs unchanged on
+    * a stream — rule predicates are stateless Column exprs and FK rules are
+    * stream-static broadcast joins, both streaming-safe. (Duplicate
+    * detection is the one batch rule that doesn't stream — its window
+    * becomes [[dedupStream]]'s watermarked dropDuplicates.) Returns the
+    * (clean, error) streams, each writable to its own zone sink. */
+  def qualityZones(stream: DataFrame,
+                   rules: Seq[graft.operators.Quality.Rule]): (DataFrame, DataFrame) = {
+    val annotated = graft.operators.Quality.annotate(stream, rules)
+    (graft.operators.Quality.cleanZone(annotated),
+      graft.operators.Quality.errorZone(annotated))
+  }
+
   /** Raw-zone sink contract: append the staged metadata and write micro-batch
     * parquet (the consumer.py drain loop). Returns the started query. */
   def toRawZone(events: DataFrame, outDir: String, checkpointDir: String,

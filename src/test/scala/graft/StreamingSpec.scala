@@ -65,6 +65,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality rule engine runs unchanged on a stream (incl. stream-static FK join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val users = Seq(1L, 2L).toDF("known_user")
+    val (addFk, fkRule) = graft.operators.Quality.fkRule(
+      "fk_user", col("user_id"), users, "known_user")
+    val rules = Seq(
+      graft.operators.Quality.Rule("negative_value", col("value") < 0),
+      fkRule)
+    val (clean, err) = EventStreaming.qualityZones(addFk(in.toDF()), rules)
+    val q1 = clean.writeStream.format("memory").queryName("sq_clean")
+      .outputMode(OutputMode.Append).start()
+    val q2 = err.writeStream.format("memory").queryName("sq_err")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Event(1, ts(1), 1, "a", 1.0),   // clean
+        Event(2, ts(2), 9, "a", 2.0),   // unknown user -> fk_user
+        Event(3, ts(3), 2, "a", -1.0))  // negative_value
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val cleanIds = spark.table("sq_clean").select("event_id").as[Long].collect().sorted
+      assert(cleanIds.toSeq == Seq(1L))
+      val errs = spark.table("sq_err").select("event_id", "_errors")
+        .as[(Long, String)].collect().toMap
+      assert(errs == Map(2L -> "fk_user", 3L -> "negative_value"))
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("stateful sessionize emits sessions after the gap passes the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
