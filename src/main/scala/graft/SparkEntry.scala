@@ -391,6 +391,12 @@ object SparkEntry {
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"),
           approx_count_distinct(col("user_id"), 0.02).as("n_approx"))),
+    // §2.1 row 17e — z-score anomaly flags over hourly per-type volumes
+    "anomaly_zscore" -> ((s, d) =>
+      Analytics.zScoreAnomalies(
+        Events.hourlyAgg(Tables.events(s, d))
+          .select(col("hour"), col("event_type"), col("n_events")),
+        Seq(col("event_type")), col("n_events"), 2.0)),
     // §2.1 rows 3, 18 — event routing / sessionization / windowed agg
     "event_route" -> ((s, d) => Events.routeStats(Tables.events(s, d))),
     "sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d), 1800L)),
@@ -797,6 +803,15 @@ object SparkEntry {
         |    ORDER BY batch DESC, o_totalprice DESC) AS rn FROM merged)
         |SELECT o_orderkey, o_totalprice, o_orderstatus, batch
         |FROM ranked WHERE rn = 1""".stripMargin,
+    "anomaly_zscore" ->
+      """WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2),
+        |s AS (SELECT *, avg(n_events) OVER (PARTITION BY event_type) AS m,
+        |    stddev_pop(n_events) OVER (PARTITION BY event_type) AS sd FROM h)
+        |SELECT hour, event_type, n_events,
+        |  round((n_events - m) / nullif(sd, 0), 6) AS z,
+        |  coalesce(abs(round((n_events - m) / nullif(sd, 0), 6)) > 2.0, false) AS is_anomaly
+        |FROM s""".stripMargin,
     "pivot_status" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS year,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,

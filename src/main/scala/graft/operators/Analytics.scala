@@ -50,6 +50,22 @@ object Analytics {
     * each overlapping interval exactly once, so no dedup is needed. Choose
     * `bucketSec` near the typical interval length: wider buckets = fewer
     * exploded rows, more false candidates for the filter. */
+  /** Per-group z-score anomaly flags — the monitoring upgrade over plain
+    * zone counts (dashboard.py's stats, made actionable): each row's value
+    * is scored against its group's mean/stddev in one partitioned window
+    * pass; constant groups (stddev 0) get a null score, never a
+    * divide-by-zero. Flags derive from the ROUNDED score so the boundary
+    * behaves identically in any engine. */
+  def zScoreAnomalies(df: DataFrame, keyCols: Seq[Column], valueCol: Column,
+                      threshold: Double): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*)
+    val sd = stddev_pop(valueCol).over(w)
+    val z = round((valueCol - avg(valueCol).over(w)) /
+      when(sd === 0.0, lit(null)).otherwise(sd), 6)
+    df.withColumn("z", z)
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 pointTs: Column, startTs: Column, endTs: Column,
                 keys: Seq[String], bucketSec: Long): DataFrame = {

@@ -43,6 +43,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(salted == Map("k" -> ((3L, 6.0)), "j" -> ((1L, 4.0))))
   }
 
+  test("zScoreAnomalies flags outliers per group, null score for constant groups") {
+    val df = Seq(
+      ("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 100.0), // outlier
+      ("b", 5.0), ("b", 5.0)                                            // constant group
+    ).toDF("g", "v")
+    val out = Analytics.zScoreAnomalies(df, Seq(col("g")), col("v"), 1.5)
+      .select(col("g"), col("v"), col("is_anomaly")).as[(String, Double, Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.count(_._3) == 1 && out.find(_._3).get._2 == 100.0)
+    assert(out.filter(_._1 == "b").forall(!_._3)) // stddev 0 -> never anomalous
+  }
+
   test("cosineNearDup finds planted duplicate vectors via buckets") {
     val rnd = new java.util.Random(5L)
     def vec() = Seq.fill(16)(rnd.nextGaussian().toFloat)
