@@ -428,6 +428,10 @@ object SparkEntry {
     // §2.2 row 29g — token-budget sequence packing per stratum
     "seq_pack" -> ((s, d) =>
       TextAnalysis.seqPack(Tables.documents(s, d), "source", "doc_id", "text", 512)),
+    // §2.2 row 29h — overlapping context-window chunking (32-token windows,
+    // 8-token overlap at this SF so multi-chunk docs exist)
+    "chunk_docs" -> ((s, d) =>
+      TextAnalysis.chunkTokens(Tables.documents(s, d), "doc_id", "text", 32, 8)),
     // §2.2 row 21 — SimHash near-dedup (rows-only oracle). maxHamming=6:
     // jaccard>=0.8 near-dups land well inside hamming 6 of a weighted 64-bit
     // simhash, and the derived 7x~9-bit banding keeps candidate volume ~30x
@@ -910,6 +914,15 @@ object SparkEntry {
         |    PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS bin
         |FROM documents""".stripMargin,
+    "chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |e AS (SELECT doc_id, w,
+        |    CAST(ceil(greatest(len(w) - 32, 0) / 24.0) AS INT) AS n_extra FROM t),
+        |c AS (SELECT doc_id, w, CAST(unnest(range(0, n_extra + 1)) AS INT) AS chunk_id FROM e)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(w[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS INT) AS n_chunk_tokens,
+        |  array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+        |FROM c""".stripMargin,
     "ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |sh AS (SELECT doc_id,

@@ -118,6 +118,28 @@ object TextAnalysis {
       .drop("_rk")
   }
 
+  /** Overlapping token-window chunking — the context-window preparation
+    * step: each document becomes ceil-coverage chunks of `chunkSize` tokens
+    * advancing by `chunkSize - overlap`, so every token is covered and
+    * consecutive chunks share `overlap` tokens. Pure exprs (`sequence` +
+    * `slice` + `explode`); a 100 TB corpus chunks map-side with no shuffle.
+    * Output: (id, chunk_id, n_chunk_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than chunkSize")
+    val stride = chunkSize - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nExtra = ceil(greatest(n - chunkSize, lit(0)).cast("double") / stride).cast("int")
+    docs
+      .select(col(idCol), toks.as("_toks"), explode(sequence(lit(0), nExtra)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("_toks"), col("chunk_id") * stride + 1, lit(chunkSize)).as("_chunk"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("_chunk")).as("chunk_text"))
+  }
+
   /** Greedy sequence packing: within each stratum, documents in id order are
     * packed into bins of `budget` tokens (a doc opens a new bin when the
     * running token count before it has crossed the next budget boundary) —

@@ -80,6 +80,19 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("chunkTokens covers every token with the requested overlap") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .select(col("chunk_id"), col("chunk_text")).as[(Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0, "t1 t2 t3 t4"), (1, "t4 t5 t6 t7"), (2, "t7 t8 t9 t10")))
+    // short doc -> exactly one full-doc chunk
+    val one = TextAnalysis.chunkTokens(
+      Seq((2L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+      .select(col("chunk_text")).as[String].collect().toSeq
+    assert(one == Seq("a b"))
+  }
+
   test("frameSample slices every k-th fixed-size frame with a short tail") {
     val media = Seq((1L, "text/plain", Array.fill[Byte](10)('a'))).toDF("doc_id", "mime", "payload")
     val out = Multimodal.frameSample(media, frameSize = 4, every = 2)
