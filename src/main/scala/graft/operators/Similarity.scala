@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`): brute-force
@@ -35,6 +34,23 @@ object Similarity {
     * cross-join hot path. */
   def cosine(a: Column, b: Column): Column = graft.functions.NativeExprs.cosineSim(a, b)
 
+  /** Per-query top-k re-rank via the bounded-heap TypedImperativeAggregate
+    * (graft.functions.TopKPairsAgg): each map task keeps at most k candidates
+    * per query and only those cross the shuffle (PARTIAL/FINAL agg), where
+    * the `row_number` window formulation must shuffle AND sort every
+    * candidate row of every query — at 100x corpus the candidate sets grow
+    * with bucket size and that per-query sort becomes the bottleneck.
+    * Ordering matches the window it replaces: _sim desc, neighbor_id asc.
+    * Input: (query_id, neighbor_id: long-castable, _sim: double). */
+  private def topKRank(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topKPairs(
+        struct(col("_sim").cast("double").as("ord"), col("neighbor_id").cast("long").as("id")),
+        k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact top-k neighbors by cosine for each query vector.
     * Deterministic tie-break on neighbor id. Output: (query_id, neighbor_id,
     * rank). */
@@ -43,12 +59,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
     val sim = cosine(col("_qv"), col("_cv"))
-    c.crossJoin(broadcast(q))
-      .withColumn("_sim", sim)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("_sim").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKRank(c.crossJoin(broadcast(q)).withColumn("_sim", sim), k)
   }
 
   // Fixed-seed random hyperplanes (deterministic across JVMs).
