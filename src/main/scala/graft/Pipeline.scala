@@ -17,11 +17,14 @@ import graft.sources.IngestDiscovery
   *     (`_source/_run_id/_extract_time`), write the raw zone.
   *  2. `quality`     — rule-engine split; clean and error zones written
   *     (error rows carry `_errors` reasons).
-  *  3. `transform_load` — star facts over the CLEAN zone with broadcast
-  *     dim lookups: fact_orders (order grain) AND fact_lineitem (line
-  *     grain, customer+part dims) — the reference's two-fact DWH shape
-  *     (create_dwh_tables.sql:127-163) — both written partitioned by
-  *     date_key (the DWH zone).
+  *  3. `transform_load` — the DWH build over the CLEAN zone: the SCD2
+  *     customer dimension over all staged snapshots (create_dwh_tables
+  *     .sql:21-41 — valid_from/valid_to/is_current with per-version
+  *     surrogate keys), dim_date (:108-125), then star facts with
+  *     broadcast dim lookups against the is_current slice: fact_orders
+  *     (order grain) AND fact_lineitem (line grain, customer+part dims)
+  *     — the reference's two-fact DWH shape (create_dwh_tables
+  *     .sql:127-163) — both written partitioned by date_key.
   *  4. `report`      — per-zone stats and per-rule violation counts written
   *     under `report/` (dashboard.py:30-40's data source, as a sink).
   *
@@ -42,12 +45,19 @@ object Pipeline {
       reports :+= StageReport(stage, rows, (System.nanoTime() - t0) / 1e9)
     }
 
-    // 1. stage raw: sources -> raw zone with staged metadata
+    // 1. stage raw: sources -> raw zone with staged metadata. Customer is
+    // staged too and written partitioned by _run_id with DYNAMIC partition
+    // overwrite: each run replaces only its own partition, so repeated runs
+    // ACCUMULATE snapshot history — the incremental staging-load shape that
+    // feeds the SCD2 dimension (re-running a run id is idempotent).
     val orders = IngestDiscovery.staged(Tables.orders(spark, sfDir), "parquet", runId, extractTime)
-    val customer = Tables.customer(spark, sfDir)
+    val customer = IngestDiscovery.staged(Tables.customer(spark, sfDir), "parquet", runId, extractTime)
     timed("stage_raw") {
       IngestDiscovery.writeZone(orders, outRoot, "raw", "orders")
-      IngestDiscovery.writeZone(customer, outRoot, "raw", "customer")
+      customer.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_run_id")
+        .parquet(s"$outRoot/raw/customer")
       IngestDiscovery.writeZone(
         IngestDiscovery.staged(Tables.lineitem(spark, sfDir), "parquet", runId, extractTime),
         outRoot, "raw", "lineitem")
@@ -79,7 +89,31 @@ object Pipeline {
     // + line grain — the reference's two-fact DWH), partitioned by date_key
     timed("transform_load") {
       val clean = spark.read.parquet(s"$outRoot/clean/orders")
-      val dimC = Star.withSurrogateKey(customer.select(col("c_custkey")), "c_custkey", "customer_key")
+
+      // dim_customer is the SCD2 dimension over ALL staged snapshots
+      // (reference create_dwh_tables.sql:21-41 — dim_khach_hang IS the
+      // SCD2 dim): unchanged snapshots are dropped, each surviving version
+      // gets its own surrogate key (IDENTITY analog: two-phase rank over
+      // the (key, valid_from) composite), and validity is a lead() chain.
+      val scdAttrs = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val custSnaps = spark.read.parquet(s"$outRoot/raw/customer")
+        .select(col("c_custkey") +: scdAttrs.map(col) :+ col("_extract_time").as("_snap"): _*)
+      val dimCust = {
+        val versions = Star.scd2(custSnaps, "c_custkey", scdAttrs, "_snap")
+          .withColumn("_vk", concat_ws("|", col("c_custkey"),
+            date_format(col("valid_from"), "yyyyMMddHHmmss")))
+        Star.withSurrogateKey(versions, "_vk", "customer_key").drop("_vk")
+      }
+      IngestDiscovery.writeZone(dimCust, outRoot, "dwh", "dim_customer")
+
+      // dim_date over the clean fact's date domain
+      // (create_dwh_tables.sql:108-125).
+      IngestDiscovery.writeZone(Star.dimDate(clean, "o_orderdate"), outRoot, "dwh", "dim_date")
+
+      // Fact lookups resolve against the CURRENT version slice of the SCD2
+      // dim — a fact loaded today points at today's version of the customer.
+      val dimC = spark.read.parquet(s"$outRoot/dwh/dim_customer")
+        .where(col("is_current")).select(col("c_custkey"), col("customer_key"))
       val dateKey = (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
         dayofmonth(col("o_orderdate"))).as("date_key")
       val ordersKeyed = Star.lookupDim(

@@ -134,6 +134,18 @@ object SparkEntry {
 
   private val Stop = TextAnalysis.EnStop.mkString("('", "','", "')")
 
+  /** IVF centroids trained once per testdata dir and shared across the
+    * queries that search the embeddings corpus (`ann_ivf`, `ann_recall`) —
+    * training is deterministic in (data, numCells), so caching by dir is
+    * exact, and the recall gate no longer re-runs the training jobs
+    * `ann_ivf` already paid for. */
+  private val ivfCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
+  private def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] =
+    ivfCentroidCache.computeIfAbsent(dir, _ =>
+      Similarity.trainCentroids(
+        Tables.embeddings(s, dir).filter(col("vec_id") >= 5), "vec_id", "embedding"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("star_rollup")(spark, "/root/testdata/sf0.001")
@@ -460,8 +472,8 @@ object SparkEntry {
     // §2.2 row 24 — IVF-bucketed ANN, the 100 TB scale path (rows-only oracle)
     "ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
-        "vec_id", "embedding", 10)
+      Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", 10, ivfCentroids(s, d))
     }),
     // §2.2 row 19 — embedding-cosine near-dup (banded + multiprobed +
     // verified) over a corpus with planted exact and perturbed duplicates
@@ -484,7 +496,8 @@ object SparkEntry {
       def rank1(df: DataFrame, alias: String) =
         df.filter(col("rank") === 1).select(col("query_id"), col("neighbor_id").as(alias))
       val lsh = rank1(Similarity.lshTopK(q, e, "vec_id", "embedding", 1), "lsh_nn")
-      val ivf = rank1(Similarity.ivfTopK(q, e, "vec_id", "embedding", 1), "ivf_nn")
+      val ivf = rank1(Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 1,
+        ivfCentroids(s, d)), "ivf_nn")
       lsh.join(ivf, Seq("query_id"))
     }),
     // §2.2 row 25 — embedding column ops

@@ -51,11 +51,23 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.NativeExprs.shingles(tokens(text), n)
 
-  /** Exact Jaccard of two distinct-element arrays. */
+  /** Exact Jaccard of two distinct-element arrays. Note: used inline this
+    * evaluates `array_intersect` twice (no reliable CSE for array exprs) —
+    * the verify hot paths go through [[withJaccard]] instead. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
   }
+
+  /** Append exact Jaccard of two array columns as `outCol` (rounded 6dp),
+    * evaluating the intersect ONCE: the intersect size lands in its own
+    * projection and is referenced twice downstream — CollapseProject keeps
+    * non-cheap multiply-referenced expressions in their own Project, so the
+    * candidate-verify hot path pays one array_intersect per pair, not two. */
+  def withJaccard(df: DataFrame, a: Column, b: Column, outCol: String): DataFrame =
+    df.withColumn("_isz", size(array_intersect(a, b)).cast("double"))
+      .withColumn(outCol, round(col("_isz") / (size(a) + size(b) - col("_isz")), 6))
+      .drop("_isz")
 
   /** 128-value MinHash signature of a shingle array, as array<bigint>:
     * min over shingle xxhash64s of the seeded affine family
@@ -74,18 +86,24 @@ object Dedup {
       xxhash64((Seq[Column](lit("band"), b) ++
         (0 until rowsPerBand).map(r => get(mh, b * rowsPerBand + r))): _*))
 
-  /** (id, band_id, band_sig) exploded LSH index for a document table. */
+  /** (id, band_id, band_sig) exploded LSH index for a document table.
+    * `passthrough` columns ride along through the projection chain (e.g. a
+    * split tag), so callers never need a recovery join back to the source —
+    * that join re-derives the shingle+minhash lineage on both sides of any
+    * downstream self-join. */
   def lshIndex(docs: DataFrame, idCol: String, textCol: String,
                shingleN: Int = 3, numHashes: Int = 128,
-               numBands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+               numBands: Int = 32, rowsPerBand: Int = 4,
+               passthrough: Seq[String] = Nil): DataFrame = {
     require(numBands * rowsPerBand == numHashes, "bands*rows must equal numHashes")
+    val keep = passthrough.map(col)
     docs
-      .select(col(idCol), shingles(col(textCol), shingleN).as("_sh"))
+      .select(col(idCol) +: keep :+ shingles(col(textCol), shingleN).as("_sh"): _*)
       .where(size(col("_sh")) > 0)
-      .select(col(idCol), minHashSignature(col("_sh"), numHashes).as("_mh"))
-      .select(col(idCol), posexplode(bandSignatures(col("_mh"), numBands, rowsPerBand)))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_sig")
+      .select(col(idCol) +: keep :+ minHashSignature(col("_sh"), numHashes).as("_mh"): _*)
+      .select(col(idCol) +: keep :+
+        posexplode(bandSignatures(col("_mh"), numBands, rowsPerBand))
+          .as(Seq("band_id", "band_sig")): _*)
   }
 
   /** Candidate pairs (id_a < id_b) sharing at least one LSH band. */
@@ -105,10 +123,11 @@ object Dedup {
   def nearDupMinHash(docs: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = docs.select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
-    lshCandidates(docs, idCol, textCol, shingleN)
-      .join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sh", "_sh_b"), "doc_b")
-      .withColumn("jaccard", round(jaccard(col("_sh_a"), col("_sh_b")), 6))
+    withJaccard(
+      lshCandidates(docs, idCol, textCol, shingleN)
+        .join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sh", "_sh_b"), "doc_b"),
+      col("_sh_a"), col("_sh_b"), "jaccard")
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -162,10 +181,11 @@ object Dedup {
       .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"))
       .distinct()
     val sh = docs.select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
-    cand
-      .join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sh", "_sh_b"), "doc_b")
-      .withColumn("jaccard", round(jaccard(col("_sh_a"), col("_sh_b")), 6))
+    withJaccard(
+      cand
+        .join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sh", "_sh_b"), "doc_b"),
+      col("_sh_a"), col("_sh_b"), "jaccard")
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -183,20 +203,25 @@ object Dedup {
     val t = train.select(col(idCol).as("_id"), col(textCol).as("_text"), lit("train").as("_split"))
     val b = benchmark.select(col(idCol).as("_id"), col(textCol).as("_text"), lit("bench").as("_split"))
     val all = t.unionByName(b)
+    // `_split` rides THROUGH the index projection (no recovery join back to
+    // `all` — round 3's version re-derived shingles+minhash on both sides of
+    // that join and again in a third shingle table). The two sides of the
+    // band self-join are now canonically identical, so the shuffle exchange
+    // is planned once and REUSED.
     val idx = lshIndex(all.withColumnRenamed("_id", idCol).withColumnRenamed("_text", textCol),
-        idCol, textCol, shingleN)
-      .join(all.select(col("_id").as(idCol), col("_split")), Seq(idCol))
+      idCol, textCol, shingleN, passthrough = Seq("_split"))
     val cand = idx.as("x").join(idx.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_sig") === col("y.band_sig") &&
         col("x._split") === "train" && col("y._split") === "bench")
       .select(col(s"x.$idCol").as("train_id"), col(s"y.$idCol").as("bench_id"))
       .distinct()
-    val sh = all.select(col("_id"), shingles(col("_text"), shingleN).as("_sh"))
-    cand
-      .join(sh.withColumnRenamed("_id", "train_id").withColumnRenamed("_sh", "_sh_t"), "train_id")
-      .join(sh.withColumnRenamed("_id", "bench_id").withColumnRenamed("_sh", "_sh_b"), "bench_id")
-      .withColumn("jaccard", round(jaccard(col("_sh_t"), col("_sh_b")), 6))
+    // Verify shingles come straight off each split's source scan — one
+    // shingle computation per side, no union-and-refilter.
+    val shT = t.select(col("_id").as("train_id"), shingles(col("_text"), shingleN).as("_sh_t"))
+    val shB = b.select(col("_id").as("bench_id"), shingles(col("_text"), shingleN).as("_sh_b"))
+    withJaccard(cand.join(shT, "train_id").join(shB, "bench_id"),
+      col("_sh_t"), col("_sh_b"), "jaccard")
       .where(col("jaccard") >= threshold)
       .groupBy(col("train_id"))
       .agg(max(struct(col("jaccard"), col("bench_id"))).as("_best"))
@@ -255,10 +280,11 @@ object Dedup {
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("_id"), shingles(col(textCol), n).as("_sh"))
-    pairs
-      .join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sh", "_sh_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("_sh_a"), col("_sh_b")), 6).as("jaccard"))
+    withJaccard(
+      pairs
+        .join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sh", "_sh_b"), "doc_b"),
+      col("_sh_a"), col("_sh_b"), "jaccard")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 }

@@ -41,9 +41,13 @@ object Similarity {
     * candidate row of every query — at 100x corpus the candidate sets grow
     * with bucket size and that per-query sort becomes the bottleneck.
     * Ordering matches the window it replaces: _sim desc, neighbor_id asc.
-    * Input: (query_id, neighbor_id: long-castable, _sim: double). */
+    * Input: (query_id, neighbor_id: long-castable, _sim: double).
+    * Degenerate-vector policy (shared by the exact and approximate paths):
+    * NaN sims (zero-norm vectors: 0/0 cosine) and null sims (dim mismatch)
+    * are dropped before ranking — a malformed vector is never a neighbor. */
   private def topKRank(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("query_id"))
+    scored.where(col("_sim").isNotNull && !isnan(col("_sim")))
+      .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.topKPairs(
         struct(col("_sim").cast("double").as("ord"), col("neighbor_id").cast("long").as("id")),
         k).as("_top"))
@@ -53,7 +57,9 @@ object Similarity {
 
   /** Exact top-k neighbors by cosine for each query vector.
     * Deterministic tie-break on neighbor id. Output: (query_id, neighbor_id,
-    * rank). */
+    * rank). NOTE: `idCol` must be long-castable (numeric or numeric-string)
+    * — the bounded-heap re-rank carries ids as longs; a non-numeric string
+    * id would throw under ANSI mode. */
   def exactTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
@@ -99,13 +105,11 @@ object Similarity {
       .withColumn("_bucket", lshSignature(col("_cv"), numPlanes, dim))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
       .withColumn("_bucket", explode(probes(lshSignature(col("_qv"), numPlanes, dim), numPlanes)))
-    c.join(broadcast(q), "_bucket")
-      .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("_sim"))
-      .distinct()
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("_sim").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKRank(
+      c.join(broadcast(q), "_bucket")
+        .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("_sim"))
+        .distinct(),
+      k)
   }
 
   /** Top-n nearest cell ids (by cosine, ties to the lowest cell) against a
@@ -127,7 +131,29 @@ object Similarity {
     * map-side partial top-K). Each query searches only its `nprobe` nearest
     * cells via an 8-byte-keyed broadcast join. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+              vecCol: String, k: Int, numCells: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWith(queries, corpus, idCol, vecCol, k,
+      trainCentroids(corpus, idCol, vecCol, numCells), nprobe)
+
+  /** IVF search against PRECOMPUTED centroids — lets callers train once per
+    * (corpus, numCells) and share across queries (e.g. `ann_ivf` and the
+    * `ann_recall` gate), instead of re-running the training jobs inside
+    * every query. Any fixed centroid set is a valid IVF index: the same
+    * literals assign both corpus cells and query probes, so search is
+    * self-consistent regardless of which corpus snapshot trained them. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int, centroids: Array[(Int, Array[Double])],
+                  nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+    ivfSearch(queries, c, idCol, vecCol, k, nprobe, centroids)
+  }
+
+  /** Train IVF centroids on a BOUNDED deterministic hash sample of the
+    * corpus (see ivfTopK scaladoc). Returns numCells x dim doubles — a
+    * driver-side literal by design. Deterministic for a given (corpus data,
+    * numCells), so results are cacheable and retry-safe. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     numCells: Int = 16): Array[(Int, Array[Double])] = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
 
     // Bounded training sample: numCells*32 vectors with smallest hash.
@@ -157,7 +183,7 @@ object Similarity {
           (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
         }.toArray.sortBy(_._1)
 
-      ivfSearch(queries, c, idCol, vecCol, k, nprobe, refined)
+      refined
     } finally train.unpersist()
   }
 
@@ -167,12 +193,10 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
       .select(col("query_id"), col("_qv"),
         explode(nearestCells(col("_qv"), refined, nprobe)).as("cell"))
-    assigned.join(broadcast(q), "cell")
-      .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("_sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("_sim").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKRank(
+      assigned.join(broadcast(q), "cell")
+        .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("_sim")),
+      k)
   }
 
   /** Embedding-cosine near-duplicate pairs: the hyperplane signature is
