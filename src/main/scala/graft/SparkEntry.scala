@@ -448,8 +448,11 @@ object SparkEntry {
     // jaccard>=0.8 near-dups land well inside hamming 6 of a weighted 64-bit
     // simhash, and the derived 7x~9-bit banding keeps candidate volume ~30x
     // below the maxHamming=12 setting while preserving the recall guarantee.
+    // md5 token hash so DuckDB can reproduce the signatures bit-for-bit:
+    // with the pigeonhole banding guarantee the result set is EXACTLY
+    // "hamming <= 6 AND jaccard >= 0.8", which the oracle brute-forces.
     "neardup_simhash" -> ((s, d) =>
-      Dedup.nearDupSimHash(Tables.documents(s, d), "doc_id", "text", 6, 3, 0.8)),
+      Dedup.nearDupSimHash(Tables.documents(s, d), "doc_id", "text", 6, 3, 0.8, md5Hash = true)),
     // §2.2 row 22 — n-gram Jaccard over an explicit pair set
     "ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -568,12 +571,10 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
-    * parquet tables. Omitted keys (ingest_discovery, neardup_simhash,
-    * ann_lsh, ann_ivf, approx_stats, winnow_fingerprint) are
-    * non-SQL-expressible → driver's weaker rows-only check; ann_lsh/ann_ivf
-    * recall is gated by the oracled `ann_recall`, winnowing by
-    * `winnow_overlap`, simhash recall by the DedupSimilaritySpec
-    * brute-force-equality test. */
+    * parquet tables. Omitted keys (ingest_discovery, ann_lsh, ann_ivf,
+    * approx_stats, winnow_fingerprint) are non-SQL-expressible → driver's
+    * weaker rows-only check; ann_lsh/ann_ivf recall is gated by the oracled
+    * `ann_recall`, winnowing by `winnow_overlap`. */
   def oracleSql: Map[String, String] = Map(
     "normalize_strings" ->
       """SELECT c_custkey,
@@ -945,6 +946,31 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    // Brute-force simhash near-dup: rebuild the frequency-weighted Charikar
+    // signature from the md5 token hash (identical bits to the Spark
+    // expression), then ALL pairs with hamming <= 6 verified by 3-gram
+    // Jaccard >= 0.8 — exactly the set the pigeonhole banding guarantees.
+    "neardup_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h, count(*) AS cnt
+        |    FROM toks GROUP BY doc_id, h),
+        |bits AS (SELECT doc_id, i,
+        |    CASE WHEN SUM(CASE WHEN ((h >> i) & 1) = 1 THEN cnt ELSE -cnt END) > 0
+        |      THEN (1::UBIGINT << i) ELSE 0::UBIGINT END AS b
+        |  FROM th, range(64) r(i) GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, bit_or(b) AS s FROM bits GROUP BY doc_id),
+        |tw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM tw WHERE len(w) >= 3),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 6),
+        |j AS (SELECT doc_a, doc_b,
+        |    round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |    FROM embeddings WHERE vec_id < 5),

@@ -44,8 +44,8 @@ object NativeExprs {
   def minHashSig(shingles: Column, numHashes: Int): Column =
     GraftShims.toColumn(MinHashSigExpr(GraftShims.toExpression(shingles), numHashes))
 
-  def simHash(tokens: Column): Column =
-    GraftShims.toColumn(SimHashExpr(GraftShims.toExpression(tokens)))
+  def simHash(tokens: Column, md5Hash: Boolean = false): Column =
+    GraftShims.toColumn(SimHashExpr(GraftShims.toExpression(tokens), md5Hash))
 
   def shingles(tokens: Column, n: Int): Column =
     GraftShims.toColumn(ShinglesExpr(GraftShims.toExpression(tokens), n))
@@ -114,12 +114,19 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
 
 /** Frequency-weighted 64-bit SimHash (Charikar) of an array<string> token
   * list, packed into one long: bit k is the sign of the sum over ALL token
-  * occurrences of +/-1 from bit k of the token's xxhash64. Weighting by term
-  * frequency is essential on small-vocabulary corpora — an unweighted
+  * occurrences of +/-1 from bit k of the token's 64-bit hash. Weighting by
+  * term frequency is essential on small-vocabulary corpora — an unweighted
   * token-SET simhash collides for most documents (they share the whole
   * vocabulary) and candidate generation degenerates to all-pairs.
+  *
+  * Token hash is pluggable: xxhash64 (default — fastest, the production
+  * choice) or the top 8 bytes of MD5 (`md5Hash = true`), which any SQL
+  * engine can reproduce (`('0x' || substr(md5(t),1,16))::UBIGINT` in
+  * DuckDB) — the cross-engine-verifiable variant the correctness oracle
+  * runs. Both are uniform 64-bit families; the simhash guarantees are
+  * hash-agnostic.
   */
-case class SimHashExpr(child: Expression)
+case class SimHashExpr(child: Expression, md5Hash: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
@@ -131,6 +138,22 @@ case class SimHashExpr(child: Expression)
     }
   }
 
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue() = java.security.MessageDigest.getInstance("MD5")
+  }
+
+  // First 8 MD5 bytes, big-endian — the same value DuckDB parses from the
+  // first 16 hex chars of md5(t).
+  private def md5Low64(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -139,7 +162,9 @@ case class SimHashExpr(child: Expression)
     while (j < n) {
       if (!arr.isNullAt(j)) {
         val s = arr.getUTF8String(j)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h =
+          if (md5Hash) md5Low64(s)
+          else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         var k = 0
         while (k < 64) {
           if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1

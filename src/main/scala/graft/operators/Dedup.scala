@@ -134,9 +134,12 @@ object Dedup {
 
   /** Frequency-weighted 64-bit SimHash packed into one long (native
     * expression; see graft.functions.SimHashExpr for why weighting by term
-    * frequency matters). */
-  def simHash(text: Column): Column =
-    graft.functions.NativeExprs.simHash(tokens(text))
+    * frequency matters). `md5Hash` selects the MD5-derived token hash —
+    * reproducible in any SQL engine, so the whole pair set becomes
+    * DuckDB-oracle-checkable; default xxhash64 is the faster production
+    * family. */
+  def simHash(text: Column, md5Hash: Boolean = false): Column =
+    graft.functions.NativeExprs.simHash(tokens(text), md5Hash)
 
   /** Hamming distance between two packed 64-bit signatures — built-in
     * bit_count(xor), fully codegen'd. */
@@ -167,9 +170,9 @@ object Dedup {
     * candidate volume). */
   def nearDupSimHash(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 12, shingleN: Int = 3,
-                     threshold: Double = 0.8): DataFrame = {
+                     threshold: Double = 0.8, md5Hash: Boolean = false): DataFrame = {
     val numBands = maxHamming + 1
-    val sig = docs.select(col(idCol).as("_id"), simHash(col(textCol)).as("_sig"))
+    val sig = docs.select(col(idCol).as("_id"), simHash(col(textCol), md5Hash).as("_sig"))
     val banded = sig.select(col("_id"), col("_sig"),
         posexplode(array(simHashBands(col("_sig"), numBands): _*)))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_sig")

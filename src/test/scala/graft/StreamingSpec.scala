@@ -95,6 +95,64 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("file-source end-to-end: files dropped in a watched dir flow through quality zones across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // The reference's broker as a directory-queue: the producer drops files
+    // into a watched dir (FileStreamSource), the consumer is readStream ->
+    // qualityZones -> checkpointed raw/clean/error parquet sinks. No
+    // MemoryStream anywhere — this is the real source a deployment tails.
+    val root = java.nio.file.Files.createTempDirectory("graft_fstream").toFile.getAbsolutePath
+    val inDir = new java.io.File(s"$root/incoming"); inDir.mkdirs()
+    def dropFile(name: String, events: Seq[Event]): Unit = {
+      // write atomically elsewhere, then move the part file in — the
+      // producer contract that keeps FileStreamSource from reading partials
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fdrop").toFile.getAbsolutePath
+      events.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new java.io.File(inDir, name).toPath)
+    }
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .parquet(inDir.getAbsolutePath)
+    val rules = Seq(
+      graft.operators.Quality.Rule("negative_value", col("value") < 0),
+      graft.operators.Quality.Rule("null_type", col("event_type").isNull))
+    val (clean, err) = EventStreaming.qualityZones(stream, rules)
+    val qRaw = EventStreaming.toRawZone(stream, s"$root/raw", s"$root/cp_raw", "dirq", "run_f1")
+    val qClean = clean.writeStream.format("parquet")
+      .option("path", s"$root/clean").option("checkpointLocation", s"$root/cp_clean")
+      .outputMode(OutputMode.Append).start()
+    val qErr = err.writeStream.format("parquet")
+      .option("path", s"$root/error").option("checkpointLocation", s"$root/cp_error")
+      .outputMode(OutputMode.Append).start()
+    def drain(): Unit = Seq(qRaw, qClean, qErr).foreach(_.processAllAvailable())
+    try {
+      // micro-batch 1
+      dropFile("b1.parquet", Seq(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(2), 2, "view", -5.0)))
+      drain()
+      assert(spark.read.parquet(s"$root/raw").count() == 2)
+      assert(spark.read.parquet(s"$root/clean").select("event_id").as[Long].collect().toSeq == Seq(1L))
+      assert(spark.read.parquet(s"$root/error").select("event_id", "_errors")
+        .as[(Long, String)].collect().toMap == Map(2L -> "negative_value"))
+      // micro-batch 2: a later file arrives in the same watched dir
+      dropFile("b2.parquet", Seq(
+        Event(3, ts(3), 3, "click", 3.0),
+        Event(4, ts(4), 4, null, 4.0)))
+      drain()
+      assert(spark.read.parquet(s"$root/raw").count() == 4)
+      assert(spark.read.parquet(s"$root/raw").select("_run_id").distinct()
+        .as[String].collect().toSeq == Seq("run_f1"))
+      assert(spark.read.parquet(s"$root/clean").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+      assert(spark.read.parquet(s"$root/error").select("event_id", "_errors")
+        .as[(Long, String)].collect().toMap == Map(2L -> "negative_value", 4L -> "null_type"))
+    } finally { qRaw.stop(); qClean.stop(); qErr.stop() }
+  }
+
   test("stateful sessionize emits sessions after the gap passes the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
