@@ -44,6 +44,16 @@ class PlanAuditSpec extends SparkSpec {
       || p.toLowerCase.contains("partial"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("ANN paths re-rank via the bounded-heap aggregate, never a per-query window") {
+    for (q <- Seq("ann_topk", "ann_lsh", "ann_ivf")) {
+      val p = planOf(q)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q lost the TopKPairsAgg partial/final re-rank:\n$p")
+      assert(!p.contains("Window"),
+        s"$q still shuffles+sorts every candidate through a window:\n$p")
+    }
+  }
+
   test("rollup_revenue prunes lineitem to its four referenced columns") {
     val p = planOf("rollup_revenue")
     val read = p.linesIterator.filter(_.contains("ReadSchema"))
