@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.EventStreaming
+import graft.streaming.{EventStreaming, StreamingPipeline}
 import graft.streaming.EventStreaming.Event
 
 class StreamingSpec extends SparkSpec {
@@ -151,6 +151,49 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(s"$root/error").select("event_id", "_errors")
         .as[(Long, String)].collect().toMap == Map(2L -> "negative_value", 4L -> "null_type"))
     } finally { qRaw.stop(); qClean.stop(); qErr.stop() }
+  }
+
+  test("StreamingPipeline upserts latest state per key across micro-batches (dedup + quality + zones)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_spipe").toFile.getAbsolutePath
+    val inDir = new java.io.File(s"$root/incoming"); inDir.mkdirs()
+    def dropFile(name: String, events: Seq[Event]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdrop").toFile.getAbsolutePath
+      events.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new java.io.File(inDir, name).toPath)
+    }
+    val rules = Seq(graft.operators.Quality.Rule("negative_value", col("value") < 0))
+    val sinks = StreamingPipeline.run(spark, inDir.getAbsolutePath, root, rules, "run_sp1")
+    try {
+      dropFile("b1.parquet", Seq(
+        Event(1, ts(1), 7, "click", 10.0),
+        Event(2, ts(2), 8, "view", 20.0),
+        Event(3, ts(3), 8, "view", -1.0))) // error-zone row, excluded from state
+      sinks.drain()
+      val s1 = spark.read.parquet(s"$root/state")
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+      assert(s1 == Map(7L -> 10.0, 8L -> 20.0))
+      // batch 2: user 7 advances, event 2 is a broker replay (dropped by
+      // dedup), user 9 appears
+      dropFile("b2.parquet", Seq(
+        Event(4, ts(10), 7, "click", 11.0),
+        Event(2, ts(2), 8, "view", 20.0),
+        Event(5, ts(11), 9, "click", 30.0)))
+      sinks.drain()
+      val s2 = spark.read.parquet(s"$root/state")
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+      assert(s2 == Map(7L -> 11.0, 8L -> 20.0, 9L -> 30.0))
+      // state is one row per key; zones accumulated across batches
+      assert(spark.read.parquet(s"$root/state").groupBy("user_id").count()
+        .where(col("count") > 1).count() == 0)
+      assert(spark.read.parquet(s"$root/clean").count() == 4) // 1,2,4,5
+      assert(spark.read.parquet(s"$root/error").select("event_id").as[Long].collect().toSeq
+        == Seq(3L))
+      assert(spark.read.parquet(s"$root/raw").count() == 6) // raw keeps replays
+    } finally sinks.stop()
   }
 
   test("stateful sessionize emits sessions after the gap passes the watermark") {
