@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Targeted timing harness for iterating on single queries:
+  * `tools/run.sh graft.BenchOne <sfDir> <reps> <query...>`.
+  * Warms the session like Bench, then times each named query `reps` times
+  * (noop sink) and prints min/median per query.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    locally {
+      import org.apache.spark.sql.functions._
+      Tables.region(spark, sfDir)
+        .groupBy(col("r_regionkey")).agg(count(lit(1)))
+        .write.mode("overwrite").format("noop").save()
+      Seq(Tables.nation _, Tables.customer _, Tables.supplier _,
+          Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
+          Tables.documents _, Tables.embeddings _)
+        .foreach(t => t(spark, sfDir).count())
+    }
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"$name%-22s min=${ts.head}%6.2f med=${ts(ts.size / 2)}%6.2f reps=$reps")
+    }
+    spark.stop()
+  }
+}

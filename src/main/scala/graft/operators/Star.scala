@@ -73,55 +73,6 @@ object Star {
     else dim.join(ranked, Seq(naturalKey))
   }
 
-  /** Rank SEVERAL single-key dimensions in ONE pass — the star-build
-    * optimization: `withSurrogateKey` per dim costs one eager pivot-collect
-    * job and two small shuffles EACH; a four-dim star pays that four times
-    * over. Here the keys are union-tagged (`_dim`), distinct'd, pivoted,
-    * and ranked together: ONE eager job (per-dim pivot sample via one
-    * partitioned window over the tiny hash-ranked key set) and one shared
-    * window subtree whose shuffle exchange is planned once and REUSED by
-    * every dim's broadcast branch.
-    *
-    * Inputs are (bare key column dim, naturalKey, surrogateName); all keys
-    * must share one data type (they are union'd into a single column).
-    * Output i is exactly `withSurrogateKey(dims(i))` — spec-asserted. */
-  def withSurrogateKeys(dims: Seq[(DataFrame, String, String)],
-                        numPivots: Int = 64): Seq[DataFrame] = {
-    val tagged = dims.zipWithIndex.map { case ((df, nk, _), i) =>
-      df.select(lit(i).as("_dim"), col(nk).as("_k"))
-    }.reduce(_ unionByName _).distinct()
-    // One eager job: the numPivots smallest-hash keys PER dim (partitioned
-    // window over the key set — bounded collect, numPivots * ndims rows).
-    val pivotRows = tagged
-      .withColumn("_hr", row_number().over(
-        Window.partitionBy(col("_dim")).orderBy(xxhash64(lit("pivot"), col("_k")), col("_k"))))
-      .where(col("_hr") <= numPivots)
-      .select(col("_dim"), col("_k")).collect()
-    val pivotsByDim: Map[Int, Array[Any]] = pivotRows
-      .groupBy(_.getInt(0)).map { case (d, rs) => d -> rs.map(_.get(1)) }
-    val bucket = dims.indices.foldRight(lit(0): org.apache.spark.sql.Column) { (i, acc) =>
-      val ps = pivotsByDim.getOrElse(i, Array.empty[Any])
-      val b = if (ps.isEmpty) lit(0)
-              else ps.map(p => when(col("_k") >= lit(p), 1).otherwise(0)).reduce(_ + _)
-      when(col("_dim") === i, b).otherwise(acc)
-    }
-    val keys = tagged
-      .withColumn("_pid", bucket)
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("_dim"), col("_pid")).orderBy(col("_k"))))
-    val counts = keys.groupBy(col("_dim"), col("_pid")).agg(count(lit(1)).as("_cnt"))
-    val offsets = counts.as("a")
-      .join(broadcast(counts.as("b")),
-        col("b._dim") === col("a._dim") && col("b._pid") < col("a._pid"), "left")
-      .groupBy(col("a._dim").as("_dim"), col("a._pid").as("_pid"))
-      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_offset"))
-    val ranked = keys.join(broadcast(offsets), Seq("_dim", "_pid"))
-    dims.zipWithIndex.map { case ((_, nk, keyName), i) =>
-      ranked.where(col("_dim") === i)
-        .select(col("_k").as(nk), (col("_offset") + col("_rn")).cast("long").as(keyName))
-    }
-  }
-
   /** Date dimension derived from a date-typed column's domain
     * (create_dwh_tables.sql:108-125). date_key = yyyymmdd; ISO day-of-week. */
   def dimDate(src: DataFrame, dateCol: String): DataFrame = {

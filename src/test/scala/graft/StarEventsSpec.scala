@@ -34,28 +34,6 @@ class StarEventsSpec extends SparkSpec {
     assert(keys.map(_._1).toSeq == (1 to n).map(_ * 7))
   }
 
-  test("withSurrogateKeys batched ranking equals per-dim withSurrogateKey") {
-    val dimA = scala.util.Random.shuffle((1 to 300).map(_ * 3L).toList).toDF("ka")
-    val dimB = scala.util.Random.shuffle((1 to 77).map(_ * 11L).toList).toDF("kb")
-    val dimC = Seq(42L).toDF("kc") // single-key dim (degenerate pivot case)
-    val batched = Star.withSurrogateKeys(Seq(
-      (dimA, "ka", "ska"), (dimB, "kb", "skb"), (dimC, "kc", "skc")))
-    val single = Seq(
-      Star.withSurrogateKey(dimA, "ka", "ska"),
-      Star.withSurrogateKey(dimB, "kb", "skb"),
-      Star.withSurrogateKey(dimC, "kc", "skc"))
-    batched.zip(single).foreach { case (b, s) =>
-      assert(b.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-        == s.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
-    }
-    // no unpartitioned window anywhere in the batched plan
-    val unpartitioned = batched.head.queryExecution.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window
-        if w.partitionSpec.isEmpty => w
-    }
-    assert(unpartitioned.isEmpty)
-  }
-
   test("withSurrogateKey: duplicate keys share a rank; attributes survive; no global window") {
     val dim = Seq((30, "c"), (10, "a"), (20, "b"), (10, "a2")).toDF("nk", "attr")
     val keyed = Star.withSurrogateKey(dim, "nk", "sk")
