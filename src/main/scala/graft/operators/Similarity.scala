@@ -41,7 +41,8 @@ object Similarity {
     * candidate row of every query — at 100x corpus the candidate sets grow
     * with bucket size and that per-query sort becomes the bottleneck.
     * Ordering matches the window it replaces: _sim desc, neighbor_id asc.
-    * Input: (query_id, neighbor_id: long-castable, _sim: double).
+    * Input: (query_id, neighbor_id: any orderable type — kept as-is, no
+    * cast, so string-keyed corpora work under ANSI mode, _sim: double).
     * Degenerate-vector policy (shared by the exact and approximate paths):
     * NaN sims (zero-norm vectors: 0/0 cosine) and null sims (dim mismatch)
     * are dropped before ranking — a malformed vector is never a neighbor. */
@@ -49,7 +50,7 @@ object Similarity {
     scored.where(col("_sim").isNotNull && !isnan(col("_sim")))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.topKPairs(
-        struct(col("_sim").cast("double").as("ord"), col("neighbor_id").cast("long").as("id")),
+        struct(col("_sim").cast("double").as("ord"), col("neighbor_id").as("id")),
         k).as("_top"))
       .select(col("query_id"), posexplode(col("_top")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
@@ -57,9 +58,7 @@ object Similarity {
 
   /** Exact top-k neighbors by cosine for each query vector.
     * Deterministic tie-break on neighbor id. Output: (query_id, neighbor_id,
-    * rank). NOTE: `idCol` must be long-castable (numeric or numeric-string)
-    * — the bounded-heap re-rank carries ids as longs; a non-numeric string
-    * id would throw under ANSI mode. */
+    * rank); ids keep their source type (any orderable type works). */
   def exactTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))

@@ -113,6 +113,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(viaAgg == viaWindow && viaAgg.size == 20)
   }
 
+  test("topKPairs carries string ids through partial/final serde without a cast") {
+    // String ids exercise the generic-id path: UTF8String copy-on-update
+    // (scan buffers are reused) and the UnsafeRow shuffle serde.
+    val df = spark.range(0, 500).toDF("n")
+      .select((col("n") % 5).cast("string").as("g"),
+        concat(lit("doc-"), format_string("%03d", col("n"))).as("id"),
+        ((col("n") * 2654435761L) % 1000).cast("double").as("ord"))
+      .repartition(7)
+    val viaAgg = df.groupBy(col("g"))
+      .agg(graft.functions.TopKAgg.topKPairs(
+        struct(col("ord").as("ord"), col("id").as("id")), 4).as("t"))
+      .select(col("g"), posexplode(col("t")))
+      .select(col("g"), col("col.id").as("id"), (col("pos") + 1).as("rn"))
+      .as[(String, String, Int)].collect().toSet
+    val viaWindow = Analytics.topNPerGroup(df, Seq(col("g")), col("ord"), col("id"), 4)
+      .select(col("g"), col("id"), col("rn"))
+      .as[(String, String, Int)].collect().toSet
+    assert(viaAgg == viaWindow && viaAgg.size == 20)
+    assert(viaAgg.forall(_._2.startsWith("doc-")))
+  }
+
   test("rangeJoin matches points into containing intervals via buckets") {
     def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
     val points = Seq((1L, 1L, ts(5)), (2L, 1L, ts(95)), (3L, 2L, ts(5)), (4L, 1L, ts(300)))
