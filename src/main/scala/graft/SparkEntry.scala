@@ -567,7 +567,22 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d), "doc_id", "text")),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
     "token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
-    "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text", 3))
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text", 3)),
+    // §2.2 row 27c — Gopher-style repetition quality filter (dup-bigram and
+    // top-bigram fractions; explode + doc_id-keyed partial aggs)
+    "rep_filter" -> ((s, d) =>
+      TextAnalysis.repetitionFilter(Tables.documents(s, d), "doc_id", "text", 2, 0.2)),
+    // §2.2 row 23b — BM25 inverted-index retrieval: every ~97th doc's first
+    // 6 tokens form a query; postings + query-vocab df probe + bounded-heap
+    // top-10 (scores decimal-summed → accumulation-order independent)
+    "bm25_topk" -> ((s, d) => {
+      val queries = Tables.documents(s, d)
+        .where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 6)).as("qtext"))
+      Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        queries, "qid", "qtext", 10)
+    })
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -1090,6 +1105,42 @@ object SparkEntry {
         |sh AS (SELECT doc_id,
         |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
         |  FROM toks WHERE len(w) >= 3)
-        |SELECT doc_id, list_aggregate([md5(x) for x in s], 'min') AS fingerprint FROM sh""".stripMargin
+        |SELECT doc_id, list_aggregate([md5(x) for x in s], 'min') AS fingerprint FROM sh""".stripMargin,
+    "rep_filter" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |grams AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+        |  FROM toks WHERE len(w) >= 2),
+        |per AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram),
+        |agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_grams,
+        |    CAST(max(cnt) AS BIGINT) AS top_cnt
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_distinct_grams,
+        |  round(CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams, 6) AS dup_gram_fraction,
+        |  round(CAST(top_cnt AS DOUBLE) / n_grams, 6) AS top_gram_fraction,
+        |  round(CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams, 6) <= 0.2 AS keep
+        |FROM agg""".stripMargin,
+    "bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |lens AS (SELECT doc_id, len(w) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+        |post AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM post GROUP BY doc_id, term),
+        |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:6])) AS term
+        |  FROM toks WHERE doc_id % 97 = 0),
+        |dfq AS (SELECT t.term, count(*) AS df FROM tf t
+        |  WHERE t.term IN (SELECT DISTINCT term FROM qt) GROUP BY t.term),
+        |contrib AS (SELECT qt.query_id, t.doc_id,
+        |    CAST(round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+        |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)), 6)
+        |      AS DECIMAL(18,6)) AS c
+        |  FROM tf t JOIN qt ON t.term = qt.term JOIN dfq d ON t.term = d.term
+        |  JOIN lens l ON t.doc_id = l.doc_id CROSS JOIN stats s),
+        |scored AS (SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rn FROM scored)
+        |SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank
+        |FROM ranked WHERE rn <= 10""".stripMargin
   )
 }

@@ -140,6 +140,45 @@ object TextAnalysis {
         concat_ws(" ", col("_chunk")).as("chunk_text"))
   }
 
+  /** ALL word n-grams of a token array, in order, WITH duplicates —
+    * the multiset the repetition metrics count over ([[Dedup.shingles]]
+    * dedupes, so it can't serve here). */
+  def ngramsAll(toks: Column, n: Int): Column =
+    // Guard short docs: sequence(1, 0) counts DOWN in Spark, so an
+    // unconditional sequence would hand slice a zero start and throw.
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition quality filter: the fraction of duplicated
+    * word n-grams and the share of the single most frequent n-gram — the
+    * signals used to drop boilerplate/spam docs before training. A doc is
+    * kept when its duplicated-gram fraction is <= maxDupFraction.
+    *
+    * Scale: explode + two partial-agg shuffles, both keyed by doc_id (the
+    * second reuses the first's partitioning — no second exchange). Docs
+    * with fewer than n tokens produce no grams and no output row.
+    * Output: (id, n_grams, n_distinct_grams, dup_gram_fraction,
+    * top_gram_fraction, keep). */
+  def repetitionFilter(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 2, maxDupFraction: Double = 0.2): DataFrame = {
+    val grams = docs
+      .select(col(idCol), explode(ngramsAll(tokens(col(textCol)), n)).as("_gram"))
+      .groupBy(col(idCol), col("_gram")).agg(count(lit(1)).as("_cnt"))
+    grams
+      .groupBy(col(idCol))
+      .agg(sum(col("_cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("_cnt")).as("_top_cnt"))
+      .select(col(idCol), col("n_grams"), col("n_distinct_grams"),
+        round((col("n_grams") - col("n_distinct_grams")).cast("double")
+          / col("n_grams"), 6).as("dup_gram_fraction"),
+        round(col("_top_cnt").cast("double") / col("n_grams"), 6)
+          .as("top_gram_fraction"))
+      .withColumn("keep", col("dup_gram_fraction") <= maxDupFraction)
+  }
+
   /** Greedy sequence packing: within each stratum, documents in id order are
     * packed into bins of `budget` tokens (a doc opens a new bin when the
     * running token count before it has crossed the next budget boundary) —

@@ -22,6 +22,34 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out._6 == 2)       // n_punct
   }
 
+  test("repetitionFilter: dup/top n-gram fractions, short docs emit no row") {
+    val docs = Seq(
+      (1L, "a b a b a"),  // bigrams: "a b","b a","a b","b a" -> 4 total, 2 distinct
+      (2L, "a b c"),      // bigrams: "a b","b c" -> no repetition
+      (3L, "x")           // < 2 tokens -> no grams, no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionFilter(docs, "doc_id", "text", 2, 0.2)
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((1L, 4L, 2L, 0.5, 0.5, false)))
+    assert(out(2L) == ((2L, 2L, 2L, 0.0, 0.5, true)))
+  }
+
+  test("bm25TopK ranks higher-tf docs first and skips docs without query terms") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian durian")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple")).toDF("qid", "qtext")
+    val out = graft.operators.Retrieval
+      .bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext", 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // doc 1 (tf=2) outranks doc 2 (tf=1); doc 3 shares no term -> absent
+    assert(out.map(r => (r._1, r._2, r._4)).toSeq == Seq((100L, 1L, 1), (100L, 2L, 2)))
+    assert(out(0)._3 > out(1)._3 && out(1)._3 > 0)
+  }
+
   test("langId picks the dominant stopword language deterministically") {
     val docs = Seq(
       (1L, "the cat is in the house and it is warm"),
