@@ -220,10 +220,9 @@ object SparkEntry {
     "dim_date" -> ((s, d) => Star.dimDate(Tables.orders(s, d), "o_orderdate")),
     // §2.1 row 15 — star fact build (broadcast dim lookups)
     "star_fact" -> ((s, d) => {
-      val dimC = Star.withSurrogateKey(
-        Tables.customer(s, d).select(col("c_custkey")), "c_custkey", "customer_key")
-      val dimP = Star.withSurrogateKey(
-        Tables.part(s, d).select(col("p_partkey")), "p_partkey", "part_key")
+      val Seq(dimC, dimP) = Star.withSurrogateKeysPar(Seq(
+        (Tables.customer(s, d).select(col("c_custkey")), "c_custkey", "customer_key"),
+        (Tables.part(s, d).select(col("p_partkey")), "p_partkey", "part_key")))
       val f0 = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"))
@@ -247,14 +246,11 @@ object SparkEntry {
     // fact; every dim lookup is a broadcast join against a two-phase-ranked
     // surrogate key.
     "star_full" -> ((s, d) => {
-      val dimC = Star.withSurrogateKey(
-        Tables.customer(s, d).select(col("c_custkey")), "c_custkey", "customer_key")
-      val dimP = Star.withSurrogateKey(
-        Tables.part(s, d).select(col("p_partkey")), "p_partkey", "part_key")
-      val dimS = Star.withSurrogateKey(
-        Tables.supplier(s, d).select(col("s_suppkey")), "s_suppkey", "supplier_key")
-      val dimN = Star.withSurrogateKey(
-        Tables.nation(s, d).select(col("n_nationkey")), "n_nationkey", "nation_key")
+      val Seq(dimC, dimP, dimS, dimN) = Star.withSurrogateKeysPar(Seq(
+        (Tables.customer(s, d).select(col("c_custkey")), "c_custkey", "customer_key"),
+        (Tables.part(s, d).select(col("p_partkey")), "p_partkey", "part_key"),
+        (Tables.supplier(s, d).select(col("s_suppkey")), "s_suppkey", "supplier_key"),
+        (Tables.nation(s, d).select(col("n_nationkey")), "n_nationkey", "nation_key")))
       val f0 = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))

@@ -43,11 +43,16 @@ object Star {
                        numPivots: Int = 64): DataFrame = {
     val nk = col(naturalKey)
     val distinctKeys = dim.select(nk).distinct()
-    // Deterministic pivots: the numPivots distinct keys with smallest
-    // seeded hash — a uniform sample of the key domain, collected sorted.
-    val pivots: Array[Any] = distinctKeys
-      .orderBy(xxhash64(lit("pivot"), nk)).limit(numPivots)
-      .sort(nk).collect().map(_.get(0))
+    // Deterministic pivots: the numPivots keys with smallest seeded hash —
+    // a uniform sample of the key domain, collected sorted. Sampled from the
+    // RAW key column (one map-side TakeOrdered stage, no distinct shuffle):
+    // duplicate keys in the sample merely merge adjacent buckets, and the
+    // pivot set only shapes bucket boundaries — ANY pivot set yields the
+    // same ranks (offsets are computed from the actual keys) — so the
+    // sample is a performance hint, never a correctness input. For the same
+    // reason the sample is memoized per (session, canonical key plan):
+    // repeated star builds over one corpus pay the sampling job once.
+    val pivots: Array[Any] = pivotSample(dim, naturalKey, numPivots)
     val bucket =
       if (pivots.isEmpty) lit(0)
       else pivots.map(p => when(nk >= lit(p), 1).otherwise(0)).reduce(_ + _)
@@ -71,6 +76,40 @@ object Star {
     // keep all rows — duplicate keys share a rank, like dense_rank.
     if (dim.columns.toSeq == Seq(naturalKey)) ranked
     else dim.join(ranked, Seq(naturalKey))
+  }
+
+  // Pivot-sample memo: keyed by (session, canonicalized key-projection
+  // plan). Safe even under collisions or stale entries — pivots only shape
+  // bucket boundaries (see withSurrogateKey); worst case is bucket skew,
+  // never a wrong rank. Bounded: one entry per distinct dimension plan.
+  private val pivotCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Any]]()
+
+  private def pivotSample(dim: DataFrame, naturalKey: String,
+                          numPivots: Int): Array[Any] = {
+    val nk = col(naturalKey)
+    val proj = dim.select(nk)
+    val key = (proj.sparkSession.hashCode,
+      proj.queryExecution.analyzed.semanticHash().toLong)
+    pivotCache.computeIfAbsent(key, _ =>
+      proj.orderBy(xxhash64(lit("pivot"), nk)).limit(numPivots)
+        .sort(nk).collect().map(_.get(0)).distinct)
+  }
+
+  /** Construct several surrogate-keyed dimensions CONCURRENTLY: each dim's
+    * plan is exactly `withSurrogateKey(dims(i))`, but the bounded eager
+    * pivot-sample jobs (one per dim) are submitted in parallel instead of
+    * serializing on the driver thread — a four-dim star build waits for the
+    * slowest sample, not the sum. */
+  def withSurrogateKeysPar(dims: Seq[(DataFrame, String, String)]): Seq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(dims.map { case (df, nk, kn) =>
+        Future(withSurrogateKey(df, nk, kn))
+      }),
+      Duration.Inf)
   }
 
   /** Date dimension derived from a date-typed column's domain
