@@ -16,48 +16,54 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = spark
-    Seq(Tables.nation _, Tables.customer _, Tables.supplier _,
-        Tables.part _, Tables.orders _, Tables.lineitem _)
-      .foreach(t => t(s, d).count())
+    Tables.documents(s, d).count()
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+      println(f"  $label%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
 
     (1 to 2).foreach { round =>
       println(s"--- round $round")
-      val dimC = time("dimC construct (eager pivot)") {
-        operators.Star.withSurrogateKey(
-          Tables.customer(s, d).select(col("c_custkey")), "c_custkey", "customer_key")
+      val docs = Tables.documents(s, d)
+      val toks = operators.TextAnalysis.tokens(col("text"))
+      time("tokens only") {
+        noop(docs.select(col("doc_id"), toks.as("t")))
       }
-      val dimP = time("dimP construct") {
-        operators.Star.withSurrogateKey(
-          Tables.part(s, d).select(col("p_partkey")), "p_partkey", "part_key")
+      time("ngramsAll project") {
+        noop(docs.select(col("doc_id"),
+          operators.TextAnalysis.ngramsAll(toks, 2).as("g")))
       }
-      val dimS = time("dimS construct") {
-        operators.Star.withSurrogateKey(
-          Tables.supplier(s, d).select(col("s_suppkey")), "s_suppkey", "supplier_key")
+      time("ngrams explode") {
+        noop(docs.select(col("doc_id"),
+          explode(operators.TextAnalysis.ngramsAll(toks, 2)).as("g")))
       }
-      val dimN = time("dimN construct") {
-        operators.Star.withSurrogateKey(
-          Tables.nation(s, d).select(col("n_nationkey")), "n_nationkey", "nation_key")
+      time("grams groupBy") {
+        noop(docs.select(col("doc_id"),
+          explode(operators.TextAnalysis.ngramsAll(toks, 2)).as("g"))
+          .groupBy(col("doc_id"), col("g")).count())
       }
-      time("dimC materialize")(dimC.write.mode("overwrite").format("noop").save())
-      time("fact join only") {
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-            col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-          .join(Tables.orders(s, d).select(
-            col("o_orderkey").as("l_orderkey"), col("o_custkey").as("c_custkey"),
-            col("o_orderdate")), Seq("l_orderkey"))
-          .join(broadcast(Tables.supplier(s, d).select(
-            col("s_suppkey").as("l_suppkey"), col("s_nationkey").as("n_nationkey"))),
-            Seq("l_suppkey"))
-          .write.mode("overwrite").format("noop").save()
+      time("rep_filter full") {
+        noop(SparkEntry.queries("rep_filter")(s, d))
       }
-      time("star_full end-to-end") {
-        SparkEntry.queries("star_full")(s, d).write.mode("overwrite").format("noop").save()
+      time("ngramsAll project repart32") {
+        noop(docs.repartition(32).select(col("doc_id"),
+          operators.TextAnalysis.ngramsAll(toks, 2).as("g")))
+      }
+      time("postings repart32") {
+        noop(docs.repartition(32).select(col("doc_id").as("d"), size(toks).as("dl"),
+            explode(toks).as("term"))
+          .groupBy(col("d"), col("dl"), col("term")).agg(count(lit(1))))
+      }
+      time("bm25 postings") {
+        noop(docs.select(col("doc_id").as("d"), size(toks).as("dl"),
+            explode(toks).as("term"))
+          .groupBy(col("d"), col("dl"), col("term")).agg(count(lit(1))))
+      }
+      time("bm25 full") {
+        noop(SparkEntry.queries("bm25_topk")(s, d))
       }
     }
     spark.stop()

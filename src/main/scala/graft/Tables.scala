@@ -49,6 +49,17 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** The corpus tables feed the compute-heavy-per-row operators (shingling,
+    * minhash signatures, n-gram explosion, cosine math). The testdata ships
+    * them as ONE unsplittable row group, so without a spread every scan
+    * stage — and all narrow work fused into it — runs on a single core.
+    * Spread to full parallelism only when the source actually arrived
+    * under-parallel (on a real cluster the input has many splits and this
+    * is a no-op, costing nothing). */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+  def documents(s: SparkSession, d: String): DataFrame = spread(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = spread(s, load(s, d, "embeddings"))
 }
