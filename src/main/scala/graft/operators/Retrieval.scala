@@ -9,16 +9,16 @@ import org.apache.spark.sql.functions._
   * documents about X") and as the first stage of retrieval-augmented
   * pipelines.
   *
-  * Scale design: the corpus is touched exactly twice, both times as the
-  * postings list (doc_id, term, tf) — a single explode + partial-agg shuffle
-  * keyed on (doc_id, term) whose subtree is canonically identical in both
-  * uses, so the exchange is planned once and REUSED. Document frequencies
-  * are computed only for the query's terms (the inverted-index probe — a
-  * semi-join against the broadcast query vocabulary, never a full-vocabulary
-  * aggregate pulled to the driver), and the per-query re-rank goes through
-  * the bounded-heap [[graft.functions.TopKAgg]] so only K docs per query
-  * cross the final shuffle. Corpus-wide scalars (N, avgdl) travel as a
-  * 1-row broadcast cross join.
+  * Scale design: the corpus is touched exactly twice — once as the postings
+  * list (doc_id, term, tf): a single explode + partial-agg shuffle keyed on
+  * (doc_id, term); and once for document frequencies, where the COLLECTED
+  * query vocabulary (bounded — it is the query) is inlined as an `isin`
+  * filter directly behind the explode, so query-irrelevant terms are pruned
+  * map-side before the tiny term-keyed count — never a full-vocabulary
+  * aggregate. The per-query re-rank goes through the bounded-heap
+  * [[graft.functions.TopKAgg]] so only K docs per query cross the final
+  * shuffle. Corpus-wide scalars (N, avgdl) travel as a 1-row broadcast
+  * cross join.
   */
 object Retrieval {
 
@@ -48,14 +48,22 @@ object Retrieval {
     val stats = docs.select(col(idCol), size(toks).as("_dl"))
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("_dl")).cast("double") / count(lit(1))).as("avgdl"))
-    // Query vocabulary: DISTINCT terms per query (query-as-set BM25).
+    // Query vocabulary: DISTINCT terms per query (query-as-set BM25). The
+    // vocabulary is COLLECTED — bounded by |queries| * query length, the
+    // same discipline as the IVF centroid literals — so the document-
+    // frequency pass below needs no join at all.
     val qterms = queries.select(col(qIdCol).as("query_id"),
         explode(array_distinct(TextAnalysis.tokens(col(qTextCol)))).as("term"))
-    // Document frequency of QUERY terms only: semi-join probe of the
-    // postings (inverted index), then a term-keyed count — output is at most
-    // the query vocabulary, so it broadcasts.
-    val dfq = postings
-      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+    val vocab: Array[Any] = qterms.select(col("term")).distinct().collect().map(_.get(0))
+    // Document frequency of QUERY terms only: one scan with the vocabulary
+    // inlined as an `isin` filter directly behind the explode — prunes to
+    // query-relevant terms BEFORE the aggregation, with no second postings
+    // pass and no broadcast build. Output is at most the query vocabulary.
+    val vocabFilter =
+      if (vocab.isEmpty) lit(false) else col("term").isin(vocab.toIndexedSeq: _*)
+    val dfq = docs
+      .select(explode(array_distinct(toks)).as("term"))
+      .where(vocabFilter)
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = postings
       .join(broadcast(qterms), "term")
