@@ -49,13 +49,15 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
-  /** The corpus tables feed the compute-heavy-per-row operators (shingling,
-    * minhash signatures, n-gram explosion, cosine math). The testdata ships
-    * them as ONE unsplittable row group, so without a spread every scan
-    * stage — and all narrow work fused into it — runs on a single core.
-    * Spread to full parallelism only when the source actually arrived
-    * under-parallel (on a real cluster the input has many splits and this
-    * is a no-op, costing nothing). */
+  /** The testdata ships every table as ONE unsplittable parquet row group,
+    * so without a spread every scan stage — and all narrow work fused into
+    * it — runs on a single core. Spread the CORPUS tables (heavy per-row
+    * work: shingling, minhash, n-gram explosion, cosine math) to full
+    * parallelism, but only when the source actually arrived under-parallel
+    * (on a real cluster the input has many splits and this is a no-op).
+    * The relational tables stay unspread: their per-row work is light, and
+    * measurement shows the extra shuffle costs more than the parallelism
+    * returns (+0.4-0.9s per query at sf0.1). */
   private def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
