@@ -529,7 +529,9 @@ object SparkEntry {
     // §2.2 row 29b — corpus vocabulary (token frequencies)
     "vocab_top" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d), "text", 30)),
     // §2.1 row 17b — single-pass column profiling
-    "profile_columns" -> ((s, d) => Quality.profileColumns(Tables.orders(s, d),
+    // (spread: the 4-column exact-distinct profile Expands the input 4x,
+    // all fused into the single-row-group scan without it)
+    "profile_columns" -> ((s, d) => Quality.profileColumns(Tables.spread(s, Tables.orders(s, d)),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
     // §2.2 row 27 — Unicode NFC normalization (pre-dedup canonicalization)
     "unicode_norm" -> ((s, d) => {

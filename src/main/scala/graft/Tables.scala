@@ -58,7 +58,7 @@ object Tables {
     * The relational tables stay unspread: their per-row work is light, and
     * measurement shows the extra shuffle costs more than the parallelism
     * returns (+0.4-0.9s per query at sf0.1). */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

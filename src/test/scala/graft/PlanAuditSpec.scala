@@ -54,6 +54,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bm25 re-ranks via the bounded-heap aggregate with no per-query window") {
+    val p = planOf("bm25_topk")
+    assert(p.contains("ObjectHashAggregate"),
+      s"bm25_topk lost the TopKPairsAgg partial/final re-rank:\n$p")
+    assert(!p.contains("Window"),
+      s"bm25_topk shuffles+sorts every candidate through a window:\n$p")
+  }
+
   test("rollup_revenue prunes lineitem to its four referenced columns") {
     val p = planOf("rollup_revenue")
     val read = p.linesIterator.filter(_.contains("ReadSchema"))
