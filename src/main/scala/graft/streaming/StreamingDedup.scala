@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+
+/** Incremental streaming near-duplicate suppression — the ingestion-time
+  * dedup a training-data pipeline runs so a crawler replaying yesterday's
+  * pages never re-enters the corpus.
+  *
+  * Each micro-batch of documents is MinHash-banded (the same native
+  * signature expressions as the batch [[graft.operators.Dedup]]) and checked
+  * against the ACCUMULATED signature index — a parquet table in the lake
+  * keyed (doc_id, signature), so dedup state scales with the corpus ON DISK,
+  * not with executor memory (flatMapGroupsWithState would cap the corpus at
+  * cluster RAM and lose the index on checkpoint wipe). Candidates come from
+  * an equi-join on (band_id, band_sig) — never an all-pairs compare — and
+  * are verified with the unbiased MinHash Jaccard estimator (matching
+  * signature components / numHashes), so the index never needs document
+  * text. Batch-local duplicates are verified with EXACT shingle Jaccard
+  * (text is still at hand). Uniques append to the index and the clean zone;
+  * duplicates land in the dup zone with their matched representative and
+  * similarity. The foreachBatch is checkpointed (each file is processed in
+  * exactly one batch); a production deployment would additionally partition
+  * the zone appends by batchId so a failed batch replays idempotently.
+  */
+object StreamingDedup {
+
+  final case class Doc(doc_id: Long, text: String)
+
+  /** Unbiased MinHash Jaccard estimate: matching components / numHashes. */
+  def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / numHashes, 6)
+
+  private def bandsOf(sigs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"), col("_mh"),
+      posexplode(Dedup.bandSignatures(col("_mh"), numBands, rowsPerBand))
+        .as(Seq("band_id", "band_sig")))
+
+  /** Start the dedup consumer over a watched directory of Doc parquet files.
+    * Zones under `outRoot`: `clean/` (unique docs), `dups/` (doc_id, rep_id,
+    * similarity, reason), `index/` (doc_id, _mh). Docs too short to shingle
+    * pass straight to clean (no signature to compare). */
+  def run(spark: SparkSession, watchDir: String, outRoot: String,
+          shingleN: Int = 3, numHashes: Int = 128,
+          numBands: Int = 32, rowsPerBand: Int = 4,
+          threshold: Double = 0.8): StreamingQuery = {
+    require(numBands * rowsPerBand == numHashes, "bands*rows must equal numHashes")
+    val indexPath = s"$outRoot/index"
+
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Doc].schema)
+      .parquet(watchDir)
+
+    stream.writeStream
+      .option("checkpointLocation", s"$outRoot/cp")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val docs = batch.dropDuplicates("doc_id")
+          .withColumn("_sh", Dedup.shingles(col("text"), shingleN))
+        val short = docs.where(size(col("_sh")) < 1)
+        val sigs = docs.where(size(col("_sh")) >= 1)
+          .withColumn("_mh", Dedup.minHashSignature(col("_sh"), numHashes))
+          // several downstream uses (index probe, self-join, zone writes) —
+          // bound the lineage once per batch
+          .localCheckpoint()
+
+        // --- cross-batch: probe the accumulated signature index ---------
+        val indexDups: DataFrame = {
+          val existing =
+            if (new java.io.File(indexPath).exists())
+              Some(s.read.parquet(indexPath))
+            else None
+          existing match {
+            case Some(idx) =>
+              val bx = bandsOf(sigs.select(col("doc_id"), col("_mh")), numBands, rowsPerBand)
+              val bi = bandsOf(idx, numBands, rowsPerBand)
+                .withColumnRenamed("doc_id", "rep_id").withColumnRenamed("_mh", "_mh_i")
+              val cand = bx.join(bi, Seq("band_id", "band_sig"))
+                .select(col("doc_id"), col("rep_id"),
+                  estJaccard(col("_mh"), col("_mh_i"), numHashes).as("similarity"))
+                .where(col("similarity") >= threshold)
+                .distinct()
+              // deterministic representative: best similarity, lowest rep id
+              val best = cand.groupBy(col("doc_id")).agg(max(col("similarity")).as("similarity"))
+              cand.join(best, Seq("doc_id", "similarity"))
+                .groupBy(col("doc_id"), col("similarity")).agg(min(col("rep_id")).as("rep_id"))
+                .select(col("doc_id"), col("rep_id"), col("similarity"),
+                  lit("index").as("reason"))
+            case None => s.emptyDataFrame
+              .select(lit(0L).as("doc_id"), lit(0L).as("rep_id"),
+                lit(0.0).as("similarity"), lit("index").as("reason"))
+              .limit(0)
+          }
+        }
+
+        // --- within-batch: LSH candidates verified with EXACT jaccard ---
+        val fresh = sigs.join(indexDups.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        val batchDups = {
+          val bx = bandsOf(fresh.select(col("doc_id"), col("_mh")), numBands, rowsPerBand)
+          val cand = bx.as("x").join(bx.as("y"),
+              col("x.band_id") === col("y.band_id") &&
+              col("x.band_sig") === col("y.band_sig") &&
+              col("x.doc_id") > col("y.doc_id"))
+            .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("rep_id"))
+            .distinct()
+          val sh = fresh.select(col("doc_id"), col("_sh"))
+          val verified = Dedup.withJaccard(
+            cand
+              .join(sh.withColumnRenamed("doc_id", "_ida").withColumnRenamed("_sh", "_sh_a"),
+                col("doc_id") === col("_ida"))
+              .join(sh.withColumnRenamed("doc_id", "_idb").withColumnRenamed("_sh", "_sh_b"),
+                col("rep_id") === col("_idb")),
+            col("_sh_a"), col("_sh_b"), "similarity")
+            .where(col("similarity") >= threshold)
+            .select(col("doc_id"), col("rep_id"), col("similarity"))
+          val best = verified.groupBy(col("doc_id")).agg(max(col("similarity")).as("similarity"))
+          verified.join(best, Seq("doc_id", "similarity"))
+            .groupBy(col("doc_id"), col("similarity")).agg(min(col("rep_id")).as("rep_id"))
+            .select(col("doc_id"), col("rep_id"), col("similarity"),
+              lit("batch").as("reason"))
+        }
+
+        val dups = indexDups.unionByName(batchDups).localCheckpoint()
+        val uniques = sigs.join(dups.select(col("doc_id")), Seq("doc_id"), "left_anti")
+
+        // zone writes: uniques' signatures extend the index; text goes clean
+        uniques.select(col("doc_id"), col("_mh"))
+          .write.mode("append").parquet(indexPath)
+        uniques.select(col("doc_id"), col("text"))
+          .unionByName(short.select(col("doc_id"), col("text")))
+          .write.mode("append").parquet(s"$outRoot/clean")
+        dups.write.mode("append").parquet(s"$outRoot/dups")
+      }
+      .start()
+  }
+}

@@ -217,4 +217,59 @@ class StreamingSpec extends SparkSpec {
       assert(sessions.head.n_events == 2) // first session: events at t0, t5
     } finally q.stop()
   }
+
+  test("StreamingDedup suppresses near-dups within a batch, across batches, and on replay") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.Doc
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup").toFile.getAbsolutePath
+    val inDir = new java.io.File(s"$root/incoming"); inDir.mkdirs()
+    def dropFile(name: String, docs: Seq[Doc]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdrop").toFile.getAbsolutePath
+      docs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new java.io.File(inDir, name).toPath)
+    }
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square"
+    val q = StreamingDedup.run(spark, inDir.getAbsolutePath, s"$root/out")
+    try {
+      // batch 1: A unique, B unique, C ~= A (one appended token) -> batch dup
+      dropFile("b1.parquet", Seq(
+        Doc(1, base),
+        Doc(2, "completely different words about spark catalyst optimizer plans and shuffles at scale here"),
+        Doc(3, base + " tonight")))
+      q.processAllAvailable()
+      val clean1 = spark.read.parquet(s"$root/out/clean").select("doc_id").as[Long].collect().toSet
+      assert(clean1 == Set(1L, 2L))
+      val dups1 = spark.read.parquet(s"$root/out/dups")
+        .select("doc_id", "rep_id", "reason").as[(Long, Long, String)].collect().toSet
+      assert(dups1 == Set((3L, 1L, "batch")))
+
+      // batch 2: D ~= A (cross-batch -> index hit), E unique, F too short to
+      // shingle -> straight to clean
+      dropFile("b2.parquet", Seq(
+        Doc(4, base + " again"),
+        Doc(5, "unrelated fresh content with enough tokens to shingle and index cleanly tonight ok"),
+        Doc(6, "hi")))
+      q.processAllAvailable()
+      val clean2 = spark.read.parquet(s"$root/out/clean").select("doc_id").as[Long].collect().toSet
+      assert(clean2 == Set(1L, 2L, 5L, 6L))
+      val dup4 = spark.read.parquet(s"$root/out/dups")
+        .where($"doc_id" === 4L).as[(Long, Long, Double, String)].collect().head
+      assert(dup4._2 == 1L && dup4._4 == "index" && dup4._3 >= 0.8)
+
+      // batch 3: exact replay of doc 2's text under a new id -> index hit at
+      // similarity 1.0 (the crawler-replay case)
+      dropFile("b3.parquet", Seq(
+        Doc(7, "completely different words about spark catalyst optimizer plans and shuffles at scale here")))
+      q.processAllAvailable()
+      val dup7 = spark.read.parquet(s"$root/out/dups")
+        .where($"doc_id" === 7L).as[(Long, Long, Double, String)].collect().head
+      assert(dup7._2 == 2L && dup7._3 == 1.0 && dup7._4 == "index")
+      // index holds exactly the unique shingleable docs
+      val idx = spark.read.parquet(s"$root/out/index").select("doc_id").as[Long].collect().toSet
+      assert(idx == Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
 }
