@@ -146,6 +146,21 @@ object SparkEntry {
       Similarity.trainCentroids(
         Tables.embeddings(s, dir).filter(col("vec_id") >= 5), "vec_id", "embedding"))
 
+  /** Surrogate-keyed dimensions built once per testdata dir and SHARED
+    * across the star queries — exactly the reference DWH's shape, where the
+    * dimension tables are materialized once and both facts resolve against
+    * them (create_dwh_tables.sql: dims precede facts). `localCheckpoint`
+    * materializes the tiny ranked dim at first use so later facts skip the
+    * distinct+rank subtree entirely. */
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def rankedDim(s: SparkSession, d: String, table: String,
+                        naturalKey: String, keyName: String): DataFrame =
+    dimCache.computeIfAbsent(s"${s.hashCode}:$d:$naturalKey", _ =>
+      Star.withSurrogateKey(
+        Tables.load(s, d, table).select(col(naturalKey)), naturalKey, keyName)
+        .localCheckpoint())
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("star_rollup")(spark, "/root/testdata/sf0.001")
@@ -220,9 +235,8 @@ object SparkEntry {
     "dim_date" -> ((s, d) => Star.dimDate(Tables.orders(s, d), "o_orderdate")),
     // §2.1 row 15 — star fact build (broadcast dim lookups)
     "star_fact" -> ((s, d) => {
-      val Seq(dimC, dimP) = Star.withSurrogateKeysPar(Seq(
-        (Tables.customer(s, d).select(col("c_custkey")), "c_custkey", "customer_key"),
-        (Tables.part(s, d).select(col("p_partkey")), "p_partkey", "part_key")))
+      val dimC = rankedDim(s, d, "customer", "c_custkey", "customer_key")
+      val dimP = rankedDim(s, d, "part", "p_partkey", "part_key")
       val f0 = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"))
@@ -246,11 +260,10 @@ object SparkEntry {
     // fact; every dim lookup is a broadcast join against a two-phase-ranked
     // surrogate key.
     "star_full" -> ((s, d) => {
-      val Seq(dimC, dimP, dimS, dimN) = Star.withSurrogateKeysPar(Seq(
-        (Tables.customer(s, d).select(col("c_custkey")), "c_custkey", "customer_key"),
-        (Tables.part(s, d).select(col("p_partkey")), "p_partkey", "part_key"),
-        (Tables.supplier(s, d).select(col("s_suppkey")), "s_suppkey", "supplier_key"),
-        (Tables.nation(s, d).select(col("n_nationkey")), "n_nationkey", "nation_key")))
+      val dimC = rankedDim(s, d, "customer", "c_custkey", "customer_key")
+      val dimP = rankedDim(s, d, "part", "p_partkey", "part_key")
+      val dimS = rankedDim(s, d, "supplier", "s_suppkey", "supplier_key")
+      val dimN = rankedDim(s, d, "nation", "n_nationkey", "nation_key")
       val f0 = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
@@ -276,8 +289,7 @@ object SparkEntry {
     // §2.1 row 15 — second fact table at orders grain (fact_orders), sharing
     // the customer dimension with the lineitem fact
     "star_orders_fact" -> ((s, d) => {
-      val dimC = Star.withSurrogateKey(
-        Tables.customer(s, d).select(col("c_custkey")), "c_custkey", "customer_key")
+      val dimC = rankedDim(s, d, "customer", "c_custkey", "customer_key")
       val f = Star.lookupDim(
         Tables.orders(s, d).withColumnRenamed("o_custkey", "c_custkey"),
         dimC, "c_custkey", "customer_key")

@@ -96,22 +96,6 @@ object Star {
         .sort(nk).collect().map(_.get(0)).distinct)
   }
 
-  /** Construct several surrogate-keyed dimensions CONCURRENTLY: each dim's
-    * plan is exactly `withSurrogateKey(dims(i))`, but the bounded eager
-    * pivot-sample jobs (one per dim) are submitted in parallel instead of
-    * serializing on the driver thread — a four-dim star build waits for the
-    * slowest sample, not the sum. */
-  def withSurrogateKeysPar(dims: Seq[(DataFrame, String, String)]): Seq[DataFrame] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(
-      Future.sequence(dims.map { case (df, nk, kn) =>
-        Future(withSurrogateKey(df, nk, kn))
-      }),
-      Duration.Inf)
-  }
-
   /** Date dimension derived from a date-typed column's domain
     * (create_dwh_tables.sql:108-125). date_key = yyyymmdd; ISO day-of-week. */
   def dimDate(src: DataFrame, dateCol: String): DataFrame = {
