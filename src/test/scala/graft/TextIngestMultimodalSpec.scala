@@ -162,6 +162,24 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1, "An", "csv", "run_t"), (2, "Binh", "csv", "run_t")))
   }
 
+  test("compaction rewrites a many-file zone into its planned file count, in place") {
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toFile.getAbsolutePath + "/zone"
+    spark.range(0, 10000).select(col("id"), (col("id") % 7).as("k"))
+      .repartition(20).write.parquet(dir)  // streaming-sink decay: 20 small files
+    val (bytes, before) = Compaction.footprint(dir)
+    assert(before == 20)
+    val (b2, a2) = Compaction.compact(spark, dir, targetBytes = bytes) // fits in one
+    assert(b2 == 20 && a2 == 1)
+    assert(spark.read.parquet(dir).count() == 10000)
+    // sorted rewrite: range-partitioned on k, two files, content intact
+    val (_, bytesNow) = Compaction.footprint(dir)
+    val (_, a3) = Compaction.compact(spark, dir, targetBytes = math.max(1L, Compaction.footprint(dir)._1 / 2), sortBy = Seq("k"))
+    assert(a3 >= 2)
+    assert(spark.read.parquet(dir).agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == (0L until 10000L).sum)
+  }
+
   test("nfc normalization composes combining characters") {
     val decomposed = "e\u0301clair" // e + combining acute (7 chars)
     val precomposed = "\u00e9clair"  // precomposed e-acute (6 chars)
