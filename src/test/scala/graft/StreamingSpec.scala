@@ -270,6 +270,22 @@ class StreamingSpec extends SparkSpec {
       // index holds exactly the unique shingleable docs
       val idx = spark.read.parquet(s"$root/out/index").select("doc_id").as[Long].collect().toSet
       assert(idx == Set(1L, 2L, 5L))
+
+      // restart from the same checkpoint: processed files are not replayed,
+      // and the lake-resident index keeps deduping new batches
+      q.stop()
+      val q2 = StreamingDedup.run(spark, inDir.getAbsolutePath, s"$root/out")
+      try {
+        dropFile("b4.parquet", Seq(Doc(8, base + " rebooted")))  // ~= doc 1
+        q2.processAllAvailable()
+        val dup8 = spark.read.parquet(s"$root/out/dups")
+          .where($"doc_id" === 8L).as[(Long, Long, Double, String)].collect().head
+        assert(dup8._2 == 1L && dup8._4 == "index")
+        // no replay: clean zone unchanged except nothing new, index unchanged
+        val cleanAfter = spark.read.parquet(s"$root/out/clean").select("doc_id").as[Long].collect()
+        assert(cleanAfter.length == cleanAfter.toSet.size) // no doc appended twice
+        assert(spark.read.parquet(s"$root/out/index").count() == 3)
+      } finally q2.stop()
     } finally q.stop()
   }
 }
