@@ -36,7 +36,10 @@ object Compaction {
     math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
   }
 
-  /** Compact `dir` in place. Returns (filesBefore, filesAfter). */
+  /** Compact `dir` in place. Returns (filesBefore, filesAfter). NOTE:
+    * rewrites the directory as a FLAT parquet table — for a hive-partitioned
+    * zone, compact each leaf partition directory (that is also the unit a
+    * maintenance job parallelizes over). */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
               sortBy: Seq[String] = Nil): (Int, Int) = {
     val (_, before) = footprint(dir)
