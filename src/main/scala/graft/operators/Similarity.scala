@@ -153,37 +153,47 @@ object Similarity {
     * numCells), so results are cacheable and retry-safe. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      numCells: Int = 16): Array[(Int, Array[Double])] = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
-
-    // Bounded training sample: numCells*32 vectors with smallest hash.
-    // Cached for the two tiny training jobs, unpersisted before returning —
-    // no cached blocks leak into a long-lived session (the plan returned to
-    // the caller references only the corpus and centroid literals).
-    val train = c
-      .select(col("_cv"), xxhash64(col("neighbor_id")).as("_h"))
+    // ONE distributed job: the numCells*32 smallest-hash vectors (map-side
+    // partial top-K, ~sample x dim doubles over the wire — bounded by
+    // construction). Seed selection and the single k-means refinement step
+    // then run driver-side over the collected sample: at 512 x 64 doubles
+    // that is microseconds of arithmetic, and it saves the persist plus two
+    // extra scheduled jobs the distributed formulation cost.
+    val sample: Array[Array[Double]] = corpus
+      .select(toDouble(col(vecCol)).as("_cv"), xxhash64(col(idCol)).as("_h"))
       .orderBy(col("_h")).limit(numCells * 32)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // Deterministic seeds: the numCells sample vectors with smallest hash.
-      val seeds: Array[(Int, Array[Double])] = train
-        .orderBy(col("_h")).limit(numCells)
-        .collect().zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+      .collect().map(_.getSeq[Double](0).toArray)
 
-      // One k-means refinement over the sample: assign vs seed literals,
-      // per-dimension mean (shuffle bounded by numCells x dim groups).
-      val refined: Array[(Int, Array[Double])] = train
-        .select(nearestCells(col("_cv"), seeds, 1)(0).as("cell"), posexplode(col("_cv")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
-        }.toArray.sortBy(_._1)
+    // Deterministic seeds: the numCells sample vectors with smallest hash.
+    val seeds = sample.take(numCells)
+    val seedNorms = seeds.map(s => math.sqrt(s.map(x => x * x).sum))
 
-      refined
-    } finally train.unpersist()
+    // Assign each sample vector to its nearest seed — the same cosine +
+    // (-sim, cellId) tie policy as NearestCellsExpr, so the refinement
+    // reproduces the distributed formulation it replaces.
+    def nearestSeed(v: Array[Double]): Int = {
+      val vnorm = math.sqrt(v.map(x => x * x).sum)
+      val sims = seeds.indices.map { p =>
+        val s = seeds(p)
+        var dot = 0.0
+        var i = 0
+        val d = math.min(v.length, s.length)
+        while (i < d) { dot += v(i) * s(i); i += 1 }
+        dot / (vnorm * seedNorms(p))
+      }
+      seeds.indices.minBy(p => (-sims(p), p))
+    }
+
+    // One k-means step: per-cell, per-dimension mean of assigned vectors.
+    sample.groupBy(nearestSeed)
+      .map { case (cell, vs) =>
+        val dim = vs.map(_.length).max
+        val mean = Array.tabulate(dim) { i =>
+          val xs = vs.filter(_.length > i).map(_(i))
+          xs.sum / xs.length
+        }
+        (cell, mean)
+      }.toArray.sortBy(_._1)
   }
 
   private def ivfSearch(queries: DataFrame, c: DataFrame, idCol: String, vecCol: String,
