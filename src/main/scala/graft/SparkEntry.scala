@@ -445,6 +445,12 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d), "source", "doc_id", 5)
         .select(col("doc_id"), col("source"))),
+    // §2.2 row 29i — weighted mixture sampling (per-language keep
+    // probabilities via portable md5-prefix thresholds)
+    "sample_weighted" -> ((s, d) =>
+      TextAnalysis.sampleWeighted(Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 1.0, "zh" -> 0.5, "es" -> 0.25, "de" -> 0.1), 0.75)
+        .select(col("doc_id"), col("lang"))),
     // §2.2 row 29g — token-budget sequence packing per stratum
     "seq_pack" -> ((s, d) =>
       TextAnalysis.seqPack(Tables.documents(s, d), "source", "doc_id", "text", 512)),
@@ -940,6 +946,12 @@ object SparkEntry {
         |  '${TextAnalysis.Ipv4Re}', '[IP]', 'g'),
         |  '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS scrubbed
         |FROM documents""".stripMargin),
+    "sample_weighted" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE lang WHEN 'en' THEN 'g' WHEN 'zh' THEN '80000000'
+        |            WHEN 'es' THEN '40000000' WHEN 'de' THEN '19999999'
+        |            ELSE 'c0000000' END""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -104,6 +104,26 @@ object TextAnalysis {
     regexp_replace(noIp, PhoneRe, "[PHONE]")
   }
 
+  /** Weighted mixture sampling — the corpus-assembly primitive: keep each
+    * document with its stratum's probability (e.g. upsample English, damp a
+    * crawl-heavy source), deterministically. A doc is kept iff the first 8
+    * hex chars of md5(id) compare lexicographically below the stratum's
+    * threshold string (floor(weight * 2^32) as 8-hex; weight >= 1 becomes
+    * "g", which is above every hex digit, so everything keeps). Pure
+    * map-side Column exprs any engine reproduces — no RNG, no shuffle,
+    * stable under retry, and the SAME doc is kept at every scale. */
+  def sampleWeighted(docs: DataFrame, stratumCol: String, idCol: String,
+                     weights: Map[String, Double],
+                     defaultWeight: Double = 1.0): DataFrame = {
+    def thr(w: Double): String =
+      if (w >= 1.0) "g"
+      else f"${math.max((w * 4294967296.0).toLong, 0L)}%08x"
+    val thrCol = weights.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultWeight))) {
+      case (acc, (k, w)) => when(col(stratumCol) === k, lit(thr(w))).otherwise(acc)
+    }
+    docs.where(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8) < thrCol)
+  }
+
   /** Deterministic stratified sample: `k` documents per stratum, selected by
     * md5-of-id order — a uniform pseudo-random draw that any engine can
     * reproduce (the mixture-weighting primitive for corpus assembly).

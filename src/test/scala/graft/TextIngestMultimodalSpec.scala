@@ -50,6 +50,24 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out(0)._3 > out(1)._3 && out(1)._3 > 0)
   }
 
+  test("sampleWeighted keeps per-stratum fractions deterministically") {
+    val docs = spark.range(0, 4000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, "a").otherwise("b").as("src"))
+    val out = TextAnalysis.sampleWeighted(docs, "src", "doc_id",
+      Map("a" -> 1.0, "b" -> 0.25))
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("a") == 2000)                      // weight 1.0 keeps all
+    assert(math.abs(bySrc("b") - 500.0) < 80)       // ~25% of 2000, md5-uniform
+    // deterministic: the same docs every run
+    val again = TextAnalysis.sampleWeighted(docs, "src", "doc_id",
+      Map("a" -> 1.0, "b" -> 0.25)).select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // weight 0 keeps nothing
+    assert(TextAnalysis.sampleWeighted(docs, "src", "doc_id",
+      Map("a" -> 0.0, "b" -> 0.0)).count() == 0)
+  }
+
   test("langId picks the dominant stopword language deterministically") {
     val docs = Seq(
       (1L, "the cat is in the house and it is warm"),
