@@ -544,6 +544,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", 3, 0.8)
     }),
+    // §2.2 row 20c — exact n-gram decontamination (Bloom-pruned, exact-
+    // verified): train docs sharing ANY verbatim 5-gram with the benchmark
+    "decontam_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontamNgram(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", 5)
+    }),
+    // §2.2 row 27d — unigram LM quality score (mean per-token log-prob
+    // under the corpus's own unigram distribution — the perplexity gate)
+    "lm_score" -> ((s, d) =>
+      TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")),
     // §2.2 row 29b — corpus vocabulary (token frequencies)
     "vocab_top" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d), "text", 30)),
     // §2.1 row 17b — single-pass column profiling
@@ -1057,6 +1069,27 @@ object SparkEntry {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY train_id
         |    ORDER BY jaccard DESC, bench_id DESC) AS rn FROM hits)
         |SELECT train_id, bench_id, jaccard FROM ranked WHERE rn = 1""".stripMargin,
+    "decontam_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |     for i in range(1, len(w) - 3)])) AS gram
+        |  FROM toks WHERE len(w) >= 5),
+        |hits AS (SELECT g.doc_id AS train_id, g.gram FROM g
+        |  WHERE g.doc_id % 2 = 0
+        |    AND g.gram IN (SELECT gram FROM g b WHERE b.doc_id % 2 = 1))
+        |SELECT train_id, CAST(count(*) AS BIGINT) AS n_hit_grams,
+        |  min(gram) AS first_hit
+        |FROM hits GROUP BY train_id""".stripMargin,
+    "lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |n AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(tf * CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
+        |FROM tf JOIN vocab USING (token), n GROUP BY doc_id""".stripMargin,
     "vocab_top" ->
       """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),

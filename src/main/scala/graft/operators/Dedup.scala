@@ -232,6 +232,41 @@ object Dedup {
         col("_best.jaccard").as("jaccard"))
   }
 
+  /** Exact n-gram decontamination — the GPT-3-style overlap scrub that
+    * complements the fuzzy [[decontaminate]]: a training document is
+    * contaminated iff ANY of its word n-grams appears verbatim anywhere in
+    * the benchmark split. Output: one row per contaminated training doc with
+    * the count of its distinct matching n-grams and the lexicographically
+    * first one (for audit).
+    *
+    * Scale design: the benchmark is MBs while train is TBs (the realistic
+    * shape), so the bench gram set is the small side everywhere. A Bloom
+    * filter built over the distinct benchmark grams is broadcast and applied
+    * MAP-SIDE to the exploded train grams, so only the ~fpp false-positive
+    * fraction plus true hits ever reach the exact semi-join that confirms
+    * membership — the Bloom is a shuffle-pruning device, never a correctness
+    * input (false positives are eliminated by the join; Bloom filters have
+    * no false negatives). Train-side grams are per-doc distinct before the
+    * explode, so a boilerplate-heavy doc doesn't amplify the shuffle. */
+  def decontamNgram(train: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5,
+                    bloomFpp: Double = 0.03): DataFrame = {
+    def grams(df: DataFrame) = df.select(
+      col(idCol).as("train_id"),
+      explode(array_distinct(TextAnalysis.ngramsAll(tokens(col(textCol)), n))).as("gram"))
+    val benchGrams = grams(benchmark).select(col("gram")).distinct()
+    // Bounded by the benchmark's distinct gram count; ~1.2 bytes/item at 3% fpp.
+    val nBench = benchGrams.count()
+    val bf = benchGrams.stat.bloomFilter("gram", math.max(nBench, 1L), bloomFpp)
+    val bfBc = train.sparkSession.sparkContext.broadcast(bf)
+    val mightHit = udf((g: String) => bfBc.value.mightContain(g))
+    grams(train)
+      .where(mightHit(col("gram")))               // map-side Bloom prune
+      .join(benchGrams, Seq("gram"), "leftsemi")  // exact confirm (kills FPs)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_hit_grams"), min(col("gram")).as("first_hit"))
+  }
+
   /** Connected components over a near-duplicate pair graph: every document
     * gets `cluster_id` = the smallest doc id reachable through near-dup
     * pairs, and `kept` marks the cluster representative — the step that

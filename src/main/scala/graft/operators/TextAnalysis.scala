@@ -199,6 +199,37 @@ object TextAnalysis {
       .withColumn("keep", col("dup_gram_fraction") <= maxDupFraction)
   }
 
+  /** Unigram language-model quality score (the CCNet-style filter signal):
+    * each document's mean per-token log-probability under the corpus's own
+    * unigram distribution — boilerplate and in-distribution text score high,
+    * gibberish and outlier docs score low, and thresholding on it is the
+    * classic perplexity quality gate.
+    *
+    * Two corpus passes, both partial-agg shuffles: (1) the unigram counts,
+    * keyed by token; (2) per-doc term frequencies (doc_id, token, tf) — the
+    * postings shape — joined back to the counts on token, so the join's left
+    * side is distinct (doc, token) pairs, not the raw token stream. The
+    * corpus total rides as a 1-row broadcast cross join. Per-token log-probs
+    * are rounded to 6dp and tf-weighted as DECIMAL so the score is
+    * accumulation-order independent — bit-stable across partitionings and
+    * engines. Output: (id, n_tokens, avg_logprob). */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col("_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tf.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .select(col("_id"),
+        col("tf"),
+        (col("tf") * round(log(col("cnt").cast("double") / col("n_total")), 6)
+          .cast("decimal(18,6)")).as("_lp"))
+      .groupBy(col("_id"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("_lp")).as("_sum_lp"))
+      .select(col("_id").as(idCol), col("n_tokens"),
+        round(col("_sum_lp").cast("double") / col("n_tokens"), 6).as("avg_logprob"))
+  }
+
   /** Greedy sequence packing: within each stratum, documents in id order are
     * packed into bins of `budget` tokens (a doc opens a new bin when the
     * running token count before it has crossed the next budget boundary) —

@@ -112,6 +112,26 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missed=${(expected -- out).take(5)} extra=${(out -- expected).take(5)}")
   }
 
+  test("decontamNgram flags exactly the docs sharing a verbatim n-gram") {
+    // bench doc 1 contains "p q r s t"; train doc 0 embeds it verbatim,
+    // train doc 2 shares only a 4-gram ("q r s t" then u), doc 4 nothing.
+    val train = Seq(
+      (0L, "a b p q r s t c d"),
+      (2L, "q r s t u v w x y"),
+      (4L, "m n o aa bb cc dd ee ff")).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "z z p q r s t z z"),
+      (3L, "completely different benchmark words here now")).toDF("doc_id", "text")
+    val rows = Dedup.decontamNgram(train, bench, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_._1).toSet == Set(0L))
+    assert(rows.head._2 == 1L && rows.head._3 == "p q r s t")
+    // Bloom is prune-only: a tight fpp and a loose one agree exactly.
+    val loose = Dedup.decontamNgram(train, bench, "doc_id", "text", 5, bloomFpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(loose.toSet == rows.toSet)
+  }
+
   test("cosine: parallel=1, orthogonal=0 (native expression)") {
     val df = Seq((Seq(1.0, 0.0), Seq(2.0, 0.0), Seq(0.0, 3.0)))
       .toDF("a", "b", "c")

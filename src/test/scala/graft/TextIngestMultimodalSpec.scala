@@ -68,6 +68,20 @@ class TextIngestMultimodalSpec extends SparkSpec {
       Map("a" -> 0.0, "b" -> 0.0)).count() == 0)
   }
 
+  test("lmScore computes mean per-token unigram log-prob") {
+    val docs = Seq((1L, "a a b"), (2L, "a b")).toDF("doc_id", "text")
+    // Corpus: 5 tokens, a=3, b=2. lp(a)=ln(3/5), lp(b)=ln(2/5), rounded 6dp.
+    val lpA = BigDecimal(math.log(3.0 / 5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpB = BigDecimal(math.log(2.0 / 5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 3 && out(2L)._1 == 2)
+    assert(math.abs(out(1L)._2 - (2 * lpA + lpB) / 3) < 2e-6)
+    assert(math.abs(out(2L)._2 - (lpA + lpB) / 2) < 2e-6)
+    // The doc weighted toward the common token scores higher.
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
   test("langId picks the dominant stopword language deterministically") {
     val docs = Seq(
       (1L, "the cat is in the house and it is warm"),
