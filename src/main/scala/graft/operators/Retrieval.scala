@@ -9,16 +9,17 @@ import org.apache.spark.sql.functions._
   * documents about X") and as the first stage of retrieval-augmented
   * pipelines.
   *
-  * Scale design: the corpus is touched exactly twice — once as the postings
-  * list (doc_id, term, tf): a single explode + partial-agg shuffle keyed on
-  * (doc_id, term); and once for document frequencies, where the COLLECTED
-  * query vocabulary (bounded — it is the query) is inlined as an `isin`
-  * filter directly behind the explode, so query-irrelevant terms are pruned
-  * map-side before the tiny term-keyed count — never a full-vocabulary
-  * aggregate. The per-query re-rank goes through the bounded-heap
+  * Scale design: the corpus is tokenized exactly ONCE — the postings list
+  * (doc_id, dl, term, tf), a single explode + partial-agg shuffle keyed on
+  * (doc_id, term) — and everything else derives from it: document
+  * frequencies are `count(*)` per term over the postings (postings rows ARE
+  * distinct (doc, term) pairs), pruned to the COLLECTED query vocabulary
+  * (bounded — it is the query) before the tiny term-keyed agg; corpus
+  * scalars (N, avgdl) are a doc-grain re-agg of the same postings. The
+  * postings exchange is planned once and REUSED by all three consumers.
+  * The per-query re-rank goes through the bounded-heap
   * [[graft.functions.TopKAgg]] so only K docs per query cross the final
-  * shuffle. Corpus-wide scalars (N, avgdl) travel as a 1-row broadcast
-  * cross join.
+  * shuffle.
   */
 object Retrieval {
 
@@ -38,31 +39,33 @@ object Retrieval {
                queries: DataFrame, qIdCol: String, qTextCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    // Postings: one explode + one (doc_id, term)-keyed partial-agg shuffle;
-    // dl rides in the group key so no second join against a lengths table.
+    // Postings: THE one corpus tokenization — one explode + one
+    // (doc_id, term)-keyed partial-agg shuffle; dl rides in the group key so
+    // no second join against a lengths table. Every other input below is a
+    // re-agg of this table, so its exchange is planned once and REUSED.
     val postings = docs
       .select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // Corpus scalars: one row, broadcast everywhere.
-    val stats = docs.select(col(idCol), size(toks).as("_dl"))
+    // Corpus scalars: doc-grain re-agg of the postings (dl is constant per
+    // doc, so (doc_id, dl) IS the doc grain) → one row, broadcast everywhere.
+    val stats = postings.groupBy(col("doc_id"), col("dl")).agg(count(lit(1)).as("_nt"))
       .agg(count(lit(1)).as("n_docs"),
-        (sum(col("_dl")).cast("double") / count(lit(1))).as("avgdl"))
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     // Query vocabulary: DISTINCT terms per query (query-as-set BM25). The
     // vocabulary is COLLECTED — bounded by |queries| * query length, the
     // same discipline as the IVF centroid literals — so the document-
-    // frequency pass below needs no join at all.
+    // frequency probe below needs no join at all.
     val qterms = queries.select(col(qIdCol).as("query_id"),
         explode(array_distinct(TextAnalysis.tokens(col(qTextCol)))).as("term"))
     val vocab: Array[Any] = qterms.select(col("term")).distinct().collect().map(_.get(0))
-    // Document frequency of QUERY terms only: one scan with the vocabulary
-    // inlined as an `isin` filter directly behind the explode — prunes to
-    // query-relevant terms BEFORE the aggregation, with no second postings
-    // pass and no broadcast build. Output is at most the query vocabulary.
+    // Document frequency of QUERY terms only: postings rows are distinct
+    // (doc, term) pairs, so df(term) = count(*) — filtered to the inlined
+    // query vocabulary BEFORE the tiny term-keyed agg. No second corpus
+    // scan, no full-vocabulary aggregate.
     val vocabFilter =
       if (vocab.isEmpty) lit(false) else col("term").isin(vocab.toIndexedSeq: _*)
-    val dfq = docs
-      .select(explode(array_distinct(toks)).as("term"))
+    val dfq = postings
       .where(vocabFilter)
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = postings
