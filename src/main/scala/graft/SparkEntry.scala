@@ -556,6 +556,12 @@ object SparkEntry {
     // under the corpus's own unigram distribution — the perplexity gate)
     "lm_score" -> ((s, d) =>
       TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")),
+    // §2.2 row 25c — per-label embedding centroids (class prototypes),
+    // exploded to scalar rows so the oracle hashes element-wise
+    "label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding")
+        .select(col("label"), col("n_vecs"), posexplode(col("centroid")))
+        .select(col("label"), col("n_vecs"), col("pos"), col("col").as("c"))),
     // §2.2 row 29b — corpus vocabulary (token frequencies)
     "vocab_top" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d), "text", 30)),
     // §2.1 row 17b — single-pass column profiling
@@ -1069,6 +1075,16 @@ object SparkEntry {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY train_id
         |    ORDER BY jaccard DESC, bench_id DESC) AS rn FROM hits)
         |SELECT train_id, bench_id, jaccard FROM ranked WHERE rn = 1""".stripMargin,
+    "label_centroids" ->
+      """WITH u AS (SELECT label, unnest(
+        |    [{'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
+        |     for i in range(1, len(embedding) + 1)]) AS e FROM embeddings),
+        |m AS (SELECT label, e.pos AS pos, e.x AS x FROM u),
+        |agg AS (SELECT label, pos, count(*) AS n,
+        |    SUM(CAST(x AS DECIMAL(28,12))) AS s FROM m GROUP BY label, pos)
+        |SELECT label, CAST(n AS BIGINT) AS n_vecs, CAST(pos AS INT) AS pos,
+        |  round(CAST(s AS DOUBLE) / n, 6) AS c
+        |FROM agg""".stripMargin,
     "decontam_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(

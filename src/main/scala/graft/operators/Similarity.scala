@@ -260,6 +260,26 @@ object Similarity {
     transform(vec, x => round(x / mx * 127).cast("int"))
   }
 
+  /** Per-label mean embeddings (class prototypes) — the curation primitive
+    * behind nearest-prototype routing, label-noise detection, and per-class
+    * outlier pruning. posexplode → (label, pos)-keyed partial-agg shuffle
+    * (dim-bounded fan-out: rows = labels × dim after the combine), then a
+    * label-keyed gather into an ordered array. Element sums go through
+    * DECIMAL(28,12) so the centroid is independent of accumulation order —
+    * bit-stable across partitionings and engines. Output:
+    * (label, n_vecs, centroid: array<double> rounded to 6dp). */
+  def labelCentroids(vectors: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    vectors
+      .select(col(labelCol).as("label"), posexplode(toDouble(col(vecCol))))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("_n"), sum(col("col").cast("decimal(28,12)")).as("_s"))
+      .select(col("label"), col("pos"), col("_n"),
+        round(col("_s").cast("double") / col("_n"), 6).as("_c"))
+      .groupBy(col("label"))
+      .agg(max(col("_n")).as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("pos"), col("_c")))),
+          s => s.getField("_c")).as("centroid"))
+
   /** Per-vector norms/dims — typed array-column ops used across the ANN
     * operators, exposed as a checkable table. */
   def norms(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {

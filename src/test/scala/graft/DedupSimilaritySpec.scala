@@ -166,6 +166,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf.exists(r => r._2 == 10L && r._3 == 1))
   }
 
+  test("labelCentroids averages element-wise per label in pos order") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), 0),
+      (2L, Seq(3.0f, 4.0f, 5.0f), 0),
+      (3L, Seq(10.0f, 20.0f, 30.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(vecs, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(out(0)._1 == 2 && out(0)._2 == Seq(2.0, 3.0, 4.0))
+    assert(out(1)._1 == 1 && out(1)._2 == Seq(10.0, 20.0, 30.0))
+  }
+
   test("norms reports dim and L2") {
     val out = Similarity.norms(Seq((1L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding"),
       "vec_id", "embedding").as[(Long, Int, Double, Double)].collect().head
