@@ -95,6 +95,25 @@ object EventStreaming {
       graft.operators.Quality.errorZone(annotated))
   }
 
+  /** Stream-stream interval join: pair each left event with the right-stream
+    * events of the same key whose timestamp lands in [left.ts, left.ts +
+    * maxDelay] — the attribution/funnel primitive (click → purchase within
+    * N minutes). Both sides are watermarked and the join carries the
+    * event-time range condition, so Spark derives a state-eviction bound on
+    * BOTH buffers: state is O(key-rate × (watermark + maxDelay)), never
+    * unbounded — the condition every production stream-stream join must
+    * satisfy. Inner join; emits as soon as both sides arrive. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   watermark: String = "1 hour",
+                   maxDelay: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+      col("r.ts") >= col("l.ts") &&
+      col("r.ts") <= col("l.ts") + expr(s"INTERVAL $maxDelay"))
+  }
+
   /** Raw-zone sink contract: append the staged metadata and write micro-batch
     * parquet (the consumer.py drain loop). Returns the started query. */
   def toRawZone(events: DataFrame, outDir: String, checkpointDir: String,

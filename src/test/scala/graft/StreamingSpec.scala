@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{EventStreaming, StreamingPipeline}
 import graft.streaming.EventStreaming.Event
@@ -62,6 +63,31 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val ids = spark.table("deduped").select("event_id").as[Long].collect().sorted
       assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("intervalJoin pairs same-key events within the delay window, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = EventStreaming.intervalJoin(
+      clicks.toDF().select(col("event_id").as("click_id"), col("ts"), col("user_id")),
+      buys.toDF().select(col("event_id").as("buy_id"), col("ts"), col("user_id")),
+      "user_id", "1 hour", "30 minutes")
+      .select(col("click_id"), col("buy_id"))
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Event(10, ts(0), 1, "click", 0), Event(11, ts(0), 2, "click", 0))
+      buys.addData(Event(20, ts(10), 1, "buy", 5.0)) // user 1, within 30 min
+      q.processAllAvailable()
+      // Next batch: a buy 40 min after user 2's click (outside the window),
+      // and a second in-window buy for user 1 — cross-batch match.
+      buys.addData(Event(21, ts(40), 2, "buy", 7.0), Event(22, ts(25), 1, "buy", 9.0))
+      q.processAllAvailable()
+      val pairs = spark.table("attributed").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((10L, 20L), (10L, 22L)))
     } finally q.stop()
   }
 
