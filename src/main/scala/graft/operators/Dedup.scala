@@ -254,7 +254,9 @@ object Dedup {
     def grams(df: DataFrame) = df.select(
       col(idCol).as("train_id"),
       explode(array_distinct(TextAnalysis.ngramsAll(tokens(col(textCol)), n))).as("gram"))
-    val benchGrams = grams(benchmark).select(col("gram")).distinct()
+    // The bench gram set is read three times (sizing count, Bloom build,
+    // exact semi-join) — materialize it once; it is the bounded small side.
+    val benchGrams = grams(benchmark).select(col("gram")).distinct().localCheckpoint()
     // Bounded by the benchmark's distinct gram count; ~1.2 bytes/item at 3% fpp.
     val nBench = benchGrams.count()
     val bf = benchGrams.stat.bloomFilter("gram", math.max(nBench, 1L), bloomFpp)
