@@ -451,6 +451,10 @@ object SparkEntry {
       TextAnalysis.sampleWeighted(Tables.documents(s, d), "lang", "doc_id",
         Map("en" -> 1.0, "zh" -> 0.5, "es" -> 0.25, "de" -> 0.1), 0.75)
         .select(col("doc_id"), col("lang"))),
+    // §2.2 row 29j — deterministic global corpus shuffle (training order);
+    // two-phase bucket rank, no single-partition window
+    "corpus_shuffle" -> ((s, d) =>
+      TextAnalysis.corpusShuffle(Tables.documents(s, d), "doc_id")),
     // §2.2 row 29g — token-budget sequence packing per stratum
     "seq_pack" -> ((s, d) =>
       TextAnalysis.seqPack(Tables.documents(s, d), "source", "doc_id", "text", 512)),
@@ -964,6 +968,11 @@ object SparkEntry {
         |  '${TextAnalysis.Ipv4Re}', '[IP]', 'g'),
         |  '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS scrubbed
         |FROM documents""".stripMargin),
+    "corpus_shuffle" ->
+      """SELECT doc_id, CAST(row_number() OVER (
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR))
+        |  AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
     "sample_weighted" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <

@@ -138,6 +138,23 @@ object TextAnalysis {
       .drop("_rk")
   }
 
+  /** Deterministic global corpus shuffle — the "shuffle the training data"
+    * step before sequence packing: every document gets a stable
+    * pseudo-random global position 1..N by ranking md5(id). The rank runs
+    * through the two-phase bucket rank ([[Star.withSurrogateKey]]):
+    * partitioned windows + broadcast prefix offsets, never a
+    * single-partition global window — a 100 TB corpus shuffles with full
+    * parallelism. The digest is suffixed with the id so the order is total
+    * even under md5 collisions; no RNG, so the permutation is identical on
+    * every engine, run, and retry. */
+  def corpusShuffle(docs: DataFrame, idCol: String): DataFrame =
+    Star.withSurrogateKey(
+      docs.select(col(idCol),
+        concat(md5(col(idCol).cast("string").cast("binary")),
+          col(idCol).cast("string")).as("_skey")),
+      "_skey", "shuffle_rank")
+      .select(col(idCol), col("shuffle_rank"))
+
   /** Overlapping token-window chunking — the context-window preparation
     * step: each document becomes ceil-coverage chunks of `chunkSize` tokens
     * advancing by `chunkSize - overlap`, so every token is covered and

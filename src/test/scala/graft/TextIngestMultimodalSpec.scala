@@ -68,6 +68,17 @@ class TextIngestMultimodalSpec extends SparkSpec {
       Map("a" -> 0.0, "b" -> 0.0)).count() == 0)
   }
 
+  test("corpusShuffle assigns a stable md5-order permutation 1..N") {
+    val docs = spark.range(1, 101).select(col("id").as("doc_id"))
+    val out = TextAnalysis.corpusShuffle(docs, "doc_id")
+    assert(out.select("shuffle_rank").as[Long].collect().sorted.toSeq == (1L to 100L))
+    val byId = out.orderBy("doc_id").select("shuffle_rank").as[Long].collect().toSeq
+    assert(byId != (1L to 100L)) // actually permuted, not id order
+    val again = TextAnalysis.corpusShuffle(docs, "doc_id")
+      .orderBy("doc_id").select("shuffle_rank").as[Long].collect().toSeq
+    assert(again == byId) // identical permutation on re-run
+  }
+
   test("lmScore computes mean per-token unigram log-prob") {
     val docs = Seq((1L, "a a b"), (2L, "a b")).toDF("doc_id", "text")
     // Corpus: 5 tokens, a=3, b=2. lp(a)=ln(3/5), lp(b)=ln(2/5), rounded 6dp.
