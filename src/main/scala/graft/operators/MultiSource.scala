@@ -17,7 +17,7 @@ object MultiSource {
 
   /** Tag every row with its origin (create_merged_views.sql:21 `'CSV' as source`). */
   def tagged(df: DataFrame, source: String): DataFrame =
-    df.select(lit(source).as("source") +: df.columns.map(col): _*)
+    df.select(lit(source).as("source") +: df.columns.toIndexedSeq.map(col): _*)
 
   /** UNION ALL of per-source frames, by column name. All frames must share a
     * schema (the merged views' contract). */

@@ -83,7 +83,7 @@ object IngestDiscovery {
     * `_source/_extract_time/_run_id`). `extractTime` is supplied by the
     * caller so reruns are reproducible (the reference stamps now()). */
   def staged(df: DataFrame, source: String, runId: String, extractTime: String): DataFrame =
-    df.select(df.columns.map(col) :+
+    df.select(df.columns.toIndexedSeq.map(col) :+
       lit(source).as("_source") :+
       lit(runId).as("_run_id") :+
       to_timestamp(lit(extractTime)).as("_extract_time"): _*)

@@ -62,6 +62,29 @@ class PlanAuditSpec extends SparkSpec {
       s"bm25_topk shuffles+sorts every candidate through a window:\n$p")
   }
 
+  test("lm_score aggregates map-side (partial HashAggregate) and joins on the postings grain") {
+    val p = planOf("lm_score")
+    assert(p.contains("HashAggregate"), s"lm_score lost hash aggregation:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab join should hash, not sort-merge at this scale:\n$p")
+  }
+
+  test("corpus_shuffle ranks with partitioned windows only (no single-partition sort)") {
+    val p = planOf("corpus_shuffle")
+    // The two-phase rank's windows are all partitioned by bucket id; a global
+    // window would print 'Window [...] []' with an empty partition spec.
+    val unpartitioned = p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("windowspecdefinition()"))
+    assert(!unpartitioned, s"corpus_shuffle fell back to a global window:\n$p")
+  }
+
+  test("decontam_ngram confirms candidates with a broadcast semi-join on the bench grams") {
+    val p = planOf("decontam_ngram")
+    assert(p.contains("LeftSemi"), s"exact confirm join missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs explosion:\n$p")
+  }
+
   test("rollup_revenue prunes lineitem to its four referenced columns") {
     val p = planOf("rollup_revenue")
     val read = p.linesIterator.filter(_.contains("ReadSchema"))

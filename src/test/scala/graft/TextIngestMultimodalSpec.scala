@@ -219,7 +219,7 @@ class TextIngestMultimodalSpec extends SparkSpec {
     val (_, bytesNow) = Compaction.footprint(dir)
     val (_, a3) = Compaction.compact(spark, dir, targetBytes = math.max(1L, Compaction.footprint(dir)._1 / 2), sortBy = Seq("k"))
     assert(a3 >= 2)
-    assert(spark.read.parquet(dir).agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+    assert(spark.read.parquet(dir).agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
       == (0L until 10000L).sum)
   }
 
