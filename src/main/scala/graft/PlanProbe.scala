@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway: print executedPlan with AQE off (static ReuseExchange) and
+  * the final adaptive plan after execution, for reuse auditing. */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = args.drop(1)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      println(s"\n===== $name (AQE off, static) =====")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p1 = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      println(p1.linesIterator.filter(l => l.contains("Exchange") || l.contains("Generate")
+        || l.contains("Scan parquet") || l.contains("Reused")).mkString("\n"))
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      println(s"===== $name (AQE on, final after exec) =====")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.mode("overwrite").format("noop").save()
+      val p2 = df.queryExecution.executedPlan.toString
+      println(p2.linesIterator.filter(l => l.contains("Exchange") || l.contains("Generate")
+        || l.contains("Scan parquet") || l.contains("Reused") || l.contains("QueryStage")).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

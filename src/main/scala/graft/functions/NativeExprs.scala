@@ -1,8 +1,10 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.util.sketch.BloomFilter
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShims
@@ -64,6 +66,49 @@ object NativeExprs {
 
   def nearestCells(vec: Column, centroids: Seq[(Int, Seq[Double])], n: Int): Column =
     GraftShims.toColumn(NearestCellsExpr(GraftShims.toExpression(vec), centroids, n))
+
+  def bloomMightContain(s: Column, bfBc: Broadcast[BloomFilter]): Column =
+    GraftShims.toColumn(BloomMightContainExpr(GraftShims.toExpression(s), bfBc))
+}
+
+/** Codegen'd membership probe of a string column against a broadcast Bloom
+  * filter — the map-side shuffle-pruning predicate for decontamination-style
+  * small-set-vs-huge-stream semi-joins. Unlike a Scala UDF (which forces a
+  * UTF8String -> java.lang.String conversion per row and an opaque closure
+  * call inside the hottest projection of the plan), this stays inside
+  * whole-stage codegen: the generated code fetches the broadcast value once
+  * per partition-task and probes the filter with the column's raw UTF-8
+  * bytes — the same bytes `BloomFilter.putString` hashes on the build side,
+  * so probe and build agree with zero copies or charset round-trips.
+  */
+case class BloomMightContainExpr(child: Expression, bfBc: Broadcast[BloomFilter])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain requires string, got $other")
+    }
+  }
+
+  @transient private lazy val bf: BloomFilter = bfBc.value
+
+  override protected def nullSafeEval(input: Any): Any =
+    bf.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bfBc, classOf[Broadcast[_]].getName)
+    // One filter deref per task, hoisted out of the per-row loop.
+    val bfVar = ctx.addMutableState(classOf[BloomFilter].getName, "bloomFilter",
+      v => s"$v = (${classOf[BloomFilter].getName}) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bfVar.mightContainBinary($c.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
 }
 
 /** MinHash signature of an array<string> shingle set: for each of the

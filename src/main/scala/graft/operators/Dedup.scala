@@ -261,9 +261,9 @@ object Dedup {
     val nBench = benchGrams.count()
     val bf = benchGrams.stat.bloomFilter("gram", math.max(nBench, 1L), bloomFpp)
     val bfBc = train.sparkSession.sparkContext.broadcast(bf)
-    val mightHit = udf((g: String) => bfBc.value.mightContain(g))
     grams(train)
-      .where(mightHit(col("gram")))               // map-side Bloom prune
+      // map-side Bloom prune, codegen'd (no UDF in the hottest projection)
+      .where(graft.functions.NativeExprs.bloomMightContain(col("gram"), bfBc))
       .join(benchGrams, Seq("gram"), "leftsemi")  // exact confirm (kills FPs)
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_hit_grams"), min(col("gram")).as("first_hit"))

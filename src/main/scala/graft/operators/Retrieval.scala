@@ -9,17 +9,18 @@ import org.apache.spark.sql.functions._
   * documents about X") and as the first stage of retrieval-augmented
   * pipelines.
   *
-  * Scale design: the corpus is tokenized exactly ONCE — the postings list
-  * (doc_id, dl, term, tf), a single explode + partial-agg shuffle keyed on
-  * (doc_id, term) — and everything else derives from it: document
-  * frequencies are `count(*)` per term over the postings (postings rows ARE
-  * distinct (doc, term) pairs), pruned to the COLLECTED query vocabulary
-  * (bounded — it is the query) before the tiny term-keyed agg; corpus
-  * scalars (N, avgdl) are a doc-grain re-agg of the same postings. The
-  * postings exchange is planned once and REUSED by all three consumers.
-  * The per-query re-rank goes through the bounded-heap
-  * [[graft.functions.TopKAgg]] so only K docs per query cross the final
-  * shuffle.
+  * Scale design: the full corpus NEVER crosses a shuffle. The token stream
+  * is pruned to the COLLECTED query vocabulary (bounded — it is the query)
+  * map-side, immediately after the explode and before the (doc_id, term)
+  * partial agg, so the postings shuffle carries only query-term hits;
+  * document frequencies are a re-agg of that same hits table (its rows ARE
+  * distinct (doc, term) pairs — one exchange, reused). Corpus scalars
+  * (N, avgdl) need no explode at all: a second corpus scan computes
+  * per-doc token counts as a pure map-side projection into a scalar agg —
+  * zero shuffle. Two corpus scans total, one of them explode-free, no
+  * full-postings exchange anywhere. The per-query re-rank goes through the
+  * bounded-heap [[graft.functions.TopKAgg]] so only K docs per query cross
+  * the final shuffle.
   */
 object Retrieval {
 
@@ -39,36 +40,41 @@ object Retrieval {
                queries: DataFrame, qIdCol: String, qTextCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    // Postings: THE one corpus tokenization — one explode + one
-    // (doc_id, term)-keyed partial-agg shuffle; dl rides in the group key so
-    // no second join against a lengths table. Every other input below is a
-    // re-agg of this table, so its exchange is planned once and REUSED.
-    val postings = docs
-      .select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    // Corpus scalars: doc-grain re-agg of the postings (dl is constant per
-    // doc, so (doc_id, dl) IS the doc grain) → one row, broadcast everywhere.
-    val stats = postings.groupBy(col("doc_id"), col("dl")).agg(count(lit(1)).as("_nt"))
+    // Corpus scalars: explode-free scan — per-doc token count is a map-side
+    // projection into a 1-row scalar agg (no shuffle), broadcast everywhere.
+    val stats = docs.select(size(toks).as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     // Query vocabulary: DISTINCT terms per query (query-as-set BM25). The
     // vocabulary is COLLECTED — bounded by |queries| * query length, the
-    // same discipline as the IVF centroid literals — so the document-
-    // frequency probe below needs no join at all.
+    // same discipline as the IVF centroid literals — so the token stream
+    // can be pruned map-side with an inlined isin, no join.
     val qterms = queries.select(col(qIdCol).as("query_id"),
         explode(array_distinct(TextAnalysis.tokens(col(qTextCol)))).as("term"))
     val vocab: Array[Any] = qterms.select(col("term")).distinct().collect().map(_.get(0))
-    // Document frequency of QUERY terms only: postings rows are distinct
-    // (doc, term) pairs, so df(term) = count(*) — filtered to the inlined
-    // query vocabulary BEFORE the tiny term-keyed agg. No second corpus
-    // scan, no full-vocabulary aggregate.
     val vocabFilter =
       if (vocab.isEmpty) lit(false) else col("term").isin(vocab.toIndexedSeq: _*)
-    val dfq = postings
+    // Query-term postings: the ONE explode — pruned to the query vocabulary
+    // BEFORE the (doc_id, term) partial agg, so only query-term hits ever
+    // cross the shuffle (at corpus scale the full postings table is the
+    // biggest intermediate in a naive BM25; it never exists here). dl rides
+    // in the group key so no second join against a lengths table.
+    val hits = docs
+      .select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
       .where(vocabFilter)
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val contrib = postings
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // Document frequency of query terms: hits rows are distinct (doc, term)
+    // pairs (the vocab filter is on term alone, so every doc containing a
+    // query term is still present), hence df(term) = count(*) — a re-agg of
+    // the hits table whose exchange is planned once and REUSED. count(tf)
+    // (≡ count(*): tf is never null) rather than count(1), deliberately:
+    // it keeps tf in this consumer's required columns, so column pruning
+    // can't specialize its copy of the hits aggregate and break the
+    // exchange's canonical equality with the contrib branch.
+    val dfq = hits
+      .groupBy(col("term")).agg(count(col("tf")).as("df"))
+    val contrib = hits
       .join(broadcast(qterms), "term")
       .join(broadcast(dfq), "term")
       .crossJoin(broadcast(stats))

@@ -222,19 +222,20 @@ object TextAnalysis {
     * gibberish and outlier docs score low, and thresholding on it is the
     * classic perplexity quality gate.
     *
-    * Two corpus passes, both partial-agg shuffles: (1) the unigram counts,
-    * keyed by token; (2) per-doc term frequencies (doc_id, token, tf) — the
-    * postings shape — joined back to the counts on token, so the join's left
-    * side is distinct (doc, token) pairs, not the raw token stream. The
-    * corpus total rides as a 1-row broadcast cross join. Per-token log-probs
-    * are rounded to 6dp and tf-weighted as DECIMAL so the score is
-    * accumulation-order independent — bit-stable across partitionings and
-    * engines. Output: (id, n_tokens, avg_logprob). */
+    * The corpus is tokenized ONCE into the postings table (doc_id, token,
+    * tf); the unigram counts (`cnt` = sum of tf per token) and the corpus
+    * total are re-aggregations OF that table, so the explode+regex scan —
+    * the expensive part at corpus scale — runs a single time and its
+    * exchange is reused by all three consumers (the same shape as bm25's
+    * df/N/avgdl derivation). The corpus total rides as a 1-row broadcast
+    * cross join. Per-token log-probs are rounded to 6dp and tf-weighted as
+    * DECIMAL so the score is accumulation-order independent — bit-stable
+    * across partitionings and engines. Output: (id, n_tokens, avg_logprob). */
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col("_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val total = tok.agg(count(lit(1)).as("n_total"))
+    val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val total = tf.agg(sum(col("tf")).as("n_total"))
     tf.join(vocab, "token")
       .crossJoin(broadcast(total))
       .select(col("_id"),

@@ -14,6 +14,19 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Plan with AQE disabled: exchange reuse is then decided statically by
+    * the ReuseExchange rule and visible in the plan string. Under AQE the
+    * SAME canonical-equality check runs at runtime through the stage cache,
+    * so a static ReusedExchange here guarantees the adaptive session (the
+    * driver's default) materializes the stage once too. */
+  private def staticPlanOf(name: String): String = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    finally spark.conf.set(key, prev)
+  }
+
   test("star_rollup joins its dimensions with broadcast hash joins") {
     val p = planOf("star_rollup")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim joins:\n$p")
@@ -83,6 +96,36 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("decontam_ngram")
     assert(p.contains("LeftSemi"), s"exact confirm join missing:\n$p")
     assert(!p.contains("CartesianProduct"), s"all-pairs explosion:\n$p")
+  }
+
+  test("decontam_ngram's Bloom prune is a codegen'd native probe, not a Scala UDF") {
+    val p = planOf("decontam_ngram")
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
+      s"Bloom probe fell back to a UDF in the hottest projection:\n$p")
+    assert(p.contains("bloom_might_contain"), s"native Bloom probe missing:\n$p")
+  }
+
+  test("bm25 explodes the corpus once and the hits exchange is reused by dfq") {
+    // dfq (query-term document frequencies) re-aggregates the hits table;
+    // if plan drift (e.g. column pruning specializing dfq's copy) stops the
+    // exchange from canonicalizing equal, the corpus is silently tokenized
+    // twice more — the exact regression this pins. stats is deliberately a
+    // separate explode-free scan (zero-shuffle scalar agg).
+    val p = staticPlanOf("bm25_topk")
+    assert(p.contains("ReusedExchange"),
+      s"hits exchange not reused — corpus tokenized more than once:\n$p")
+    val corpusExplodes = p.linesIterator
+      .count(l => l.contains("Generate explode(split"))
+    // one corpus explode + one (tiny) query-text explode
+    assert(corpusExplodes <= 2, s"corpus exploded $corpusExplodes times:\n$p")
+  }
+
+  test("lm_score tokenizes the corpus once: vocab and total re-aggregate the tf postings") {
+    val p = staticPlanOf("lm_score")
+    assert(p.contains("ReusedExchange"),
+      s"tf exchange not reused — corpus tokenized more than once:\n$p")
+    val explodes = p.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes <= 1, s"corpus exploded $explodes times:\n$p")
   }
 
   test("rollup_revenue prunes lineitem to its four referenced columns") {
