@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 import graft.operators.{Quality, Star}
+import graft.sources.Retry
 
 /** Continuous variant of `graft.Pipeline.runAll` — the reference's broker
   * consumer as a long-running flow (etl/broker/consumer.py's drain loop +
@@ -43,20 +44,35 @@ object StreamingPipeline {
       .schema(org.apache.spark.sql.Encoders.product[EventStreaming.Event].schema)
       .parquet(watchDir)
 
-    val raw = EventStreaming.toRawZone(stream, s"$outRoot/raw", s"$outRoot/cp_raw",
-      "dirq", runId)
+    // Sink STARTUP (checkpoint dir probe, offset-log recovery, first source
+    // listing) is driver-side work Spark's task retry does not cover — the
+    // same exposure as the reference's broker connect, so it takes the same
+    // bounded-retry treatment (etl/utils/retry.py wraps consumer startup).
+    // start() is idempotent-safe to retry: a failed start leaves no running
+    // query behind.
+    def startRetrying(label: String)(start: => StreamingQuery): StreamingQuery =
+      Retry.withRetry(label = s"stream_start:$label")(start)
+
+    val raw = startRetrying("raw") {
+      EventStreaming.toRawZone(stream, s"$outRoot/raw", s"$outRoot/cp_raw",
+        "dirq", runId)
+    }
 
     val deduped = EventStreaming.dedupStream(stream)
     val (clean, err) = EventStreaming.qualityZones(deduped, rules)
-    val cleanQ = clean.writeStream.format("parquet")
-      .option("path", s"$outRoot/clean").option("checkpointLocation", s"$outRoot/cp_clean")
-      .outputMode(OutputMode.Append).start()
-    val errQ = err.writeStream.format("parquet")
-      .option("path", s"$outRoot/error").option("checkpointLocation", s"$outRoot/cp_error")
-      .outputMode(OutputMode.Append).start()
+    val cleanQ = startRetrying("clean") {
+      clean.writeStream.format("parquet")
+        .option("path", s"$outRoot/clean").option("checkpointLocation", s"$outRoot/cp_clean")
+        .outputMode(OutputMode.Append).start()
+    }
+    val errQ = startRetrying("error") {
+      err.writeStream.format("parquet")
+        .option("path", s"$outRoot/error").option("checkpointLocation", s"$outRoot/cp_error")
+        .outputMode(OutputMode.Append).start()
+    }
 
     val statePath = s"$outRoot/state"
-    val stateQ = clean.writeStream
+    val stateQ = startRetrying("state") { clean.writeStream
       .option("checkpointLocation", s"$outRoot/cp_state")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -73,6 +89,7 @@ object StreamingPipeline {
         merged.write.mode("overwrite").parquet(statePath)
       }
       .start()
+    }
 
     Sinks(raw, cleanQ, errQ, stateQ)
   }

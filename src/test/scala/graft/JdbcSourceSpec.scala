@@ -43,6 +43,37 @@ class JdbcSourceSpec extends SparkSpec {
     assert(df.count() == 40) // bounds shape parallelism, they do not filter
   }
 
+  test("writeStaging round-trips: overwrite+truncate resets, append accumulates") {
+    import spark.implicits._
+    val staged = (1 to 25).map(i => (i.toLong, s"Part#$i", i * 2.5))
+      .toDF("p_key", "p_name", "p_price")
+    // First write creates the table (overwrite on a missing table).
+    JdbcSource.writeStaging(staged, url, "staging_part")
+    val back = JdbcSource.read(spark, url, "staging_part")
+    assert(back.count() == 25)
+    assert(back.where(col("P_KEY") === 9).select("P_NAME").collect()
+      .head.getString(0) == "Part#9")
+    // Append accumulates this run's rows on top.
+    JdbcSource.writeStaging(staged.where(col("p_key") <= 5), url,
+      "staging_part", mode = "append")
+    assert(JdbcSource.read(spark, url, "staging_part").count() == 30)
+    // Overwrite+truncate resets to exactly the new load (DDL preserved).
+    JdbcSource.writeStaging(staged.where(col("p_key") <= 10), url,
+      "staging_part", mode = "overwrite", truncate = true)
+    val reset = JdbcSource.read(spark, url, "staging_part")
+    assert(reset.count() == 10)
+    assert(reset.columns.map(_.toLowerCase).toSet == Set("p_key", "p_name", "p_price"))
+  }
+
+  test("writeStaging caps writer concurrency via numPartitions") {
+    import spark.implicits._
+    val staged = (1 to 16).map(i => (i.toLong, s"N#$i")).toDF("k", "v")
+      .repartition(8)
+    JdbcSource.writeStaging(staged, url, "staging_bounded",
+      numPartitions = Some(2))
+    assert(JdbcSource.read(spark, url, "staging_bounded").count() == 16)
+  }
+
   test("filters push down into the remote query (PushedFilters on the JDBC scan)") {
     val df = JdbcSource.read(spark, url, "staging_customer")
       .where(col("C_CUSTKEY") >= 30)
