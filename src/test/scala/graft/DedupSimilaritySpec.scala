@@ -166,6 +166,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf.exists(r => r._2 == 10L && r._3 == 1))
   }
 
+  test("LSH and IVF recall@10 >= 0.9 vs brute-forced truth on a clustered corpus") {
+    // A 40-query sampled recall gate (vs ann_recall's 5 planted rank-1
+    // probes): 20 clusters x 12 members (center + sigma=0.05 jitter,
+    // within-cluster cos ~ 0.995) — the clustered geometry real embedding
+    // spaces have and the regime ANN bucketing exists for; each query's
+    // true top-10 lies inside its cluster, so recall measures whether the
+    // bucketing actually routes queries to their neighborhood. Truth is
+    // brute-forced by exactTopK (itself oracled via ann_topk).
+    val rnd = new java.util.Random(7L)
+    val dim = 32
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def jitter(c: Array[Double]): Seq[Float] =
+      c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq
+    val centers = Array.fill(20)(unit())
+    val corpus = for {
+      (c, ci) <- centers.zipWithIndex.toSeq
+      m <- 0 until 12
+    } yield ((ci * 12 + m).toLong, jitter(c))
+    val queries = centers.zipWithIndex.toSeq.flatMap { case (c, ci) =>
+      Seq((1000L + ci * 2, jitter(c)), (1001L + ci * 2, jitter(c)))
+    }
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val qdf = queries.toDF("vec_id", "embedding")
+    val truth = Similarity.exactTopK(qdf, cdf, "vec_id", "embedding", 10)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+      val got = approx.as[(Long, Long, Int)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val lshR = recallOf(
+      Similarity.lshTopK(qdf, cdf, "vec_id", "embedding", 10, numPlanes = 8, dim = dim))
+    val ivfR = recallOf(
+      Similarity.ivfTopK(qdf, cdf, "vec_id", "embedding", 10, numCells = 16, nprobe = 4))
+    info(f"recall@10 over ${truth.size} queries: lsh=$lshR%.3f ivf=$ivfR%.3f")
+    assert(lshR >= 0.9, f"LSH recall@10 $lshR%.3f below the 0.9 gate")
+    assert(ivfR >= 0.9, f"IVF recall@10 $ivfR%.3f below the 0.9 gate")
+  }
+
   test("labelCentroids averages element-wise per label in pos order") {
     val vecs = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f), 0),
