@@ -237,9 +237,11 @@ object SparkEntry {
     "star_fact" -> ((s, d) => {
       val dimC = rankedDim(s, d, "customer", "c_custkey", "customer_key")
       val dimP = rankedDim(s, d, "part", "p_partkey", "part_key")
-      val f0 = Tables.lineitem(s, d)
+      // spread: the fact build (broadcast-join pipeline over every lineitem
+      // row) would otherwise run single-core on the one-row-group testdata
+      val f0 = Tables.spread(s, Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          col("l_quantity"), col("l_extendedprice"), col("l_discount")))
         .join(Tables.orders(s, d).select(
           col("o_orderkey").as("l_orderkey"), col("o_custkey").as("c_custkey"),
           col("o_orderdate"), col("o_orderstatus")), Seq("l_orderkey"))
@@ -264,9 +266,9 @@ object SparkEntry {
       val dimP = rankedDim(s, d, "part", "p_partkey", "part_key")
       val dimS = rankedDim(s, d, "supplier", "s_suppkey", "supplier_key")
       val dimN = rankedDim(s, d, "nation", "n_nationkey", "nation_key")
-      val f0 = Tables.lineitem(s, d)
+      val f0 = Tables.spread(s, Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount")))
         .join(Tables.orders(s, d).select(
           col("o_orderkey").as("l_orderkey"), col("o_custkey").as("c_custkey"),
           col("o_orderdate")), Seq("l_orderkey"))
@@ -300,7 +302,9 @@ object SparkEntry {
     }),
     // §2.1 row 15 — analytical rollup over the star
     "star_rollup" -> ((s, d) => {
-      val f = Tables.lineitem(s, d)
+      val f = Tables.spread(s, Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount")))
         .join(Tables.orders(s, d).select(
           col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_orderdate")), Seq("l_orderkey"))
         .join(broadcast(Tables.customer(s, d).select(
@@ -343,8 +347,10 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("col.id").as("o_orderkey"),
           col("col.ord").as("o_totalprice"), (col("pos") + 1).cast("int").as("rn"))),
     "rollup_revenue" -> ((s, d) => {
-      val f = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      // spread: heavy per-row pipeline (two joins + 3x Expand) would
+      // otherwise run single-core on the one-row-group testdata scan
+      val f = Tables.spread(s, Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
         .join(Tables.orders(s, d).select(
           col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_orderdate")), Seq("l_orderkey"))
         .join(broadcast(Tables.customer(s, d).select(
