@@ -626,7 +626,41 @@ object SparkEntry {
           concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 6)).as("qtext"))
       Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         queries, "qid", "qtext", 10)
-    })
+    }),
+    // §2.1 row 19b — sequential funnel over the event stream (view → click →
+    // purchase, each step strictly after the user's previous-step time)
+    "funnel_steps" -> ((s, d) =>
+      Events.funnel(Tables.events(s, d), col("event_type"),
+        Seq("view", "click", "purchase"))),
+    // §2.1 row 19c — weekly cohort retention grid
+    "cohort_retention" -> ((s, d) =>
+      Events.cohortRetention(Tables.events(s, d))),
+    // §2.1 row 19d — CUBE cross-tab over the same revenue fact rollup uses
+    "cube_revenue" -> ((s, d) => {
+      val f = Tables.spread(s, Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
+        .join(Tables.orders(s, d).select(
+          col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_orderdate")), Seq("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select(
+          col("c_custkey").as("o_custkey"), col("c_mktsegment"))), Seq("o_custkey"))
+        .select(year(col("o_orderdate")).as("year"), col("c_mktsegment").as("segment"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      Analytics.cubeAgg(f, Seq(col("year"), col("segment")),
+        Seq(count(lit(1)).as("n_items"),
+          sum(col("rev").cast("decimal(18,4)")).cast("double").as("revenue")))
+    }),
+    // §2.1 row 19e — winsorized prices (per-priority [p05, p95] clamp)
+    "winsorize_prices" -> ((s, d) =>
+      Analytics.winsorize(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        Seq(col("o_orderpriority")), col("o_totalprice"), 0.05, 0.95, "w_price")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"), col("w_price"))),
+    // §2.1 row 19f — per-user daily gap fill with forward fill
+    "gap_fill" -> ((s, d) =>
+      Analytics.gapFill(Tables.events(s, d), col("user_id"), to_date(col("ts")),
+        sum(col("value").cast("decimal(18,4)")).cast("double"))
+        .select(col("key").as("user_id"), col("day"), col("day_value"),
+          col("filled_value"), col("is_filled")))
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -1227,6 +1261,62 @@ object SparkEntry {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, doc_id) AS rn FROM scored)
         |SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank
-        |FROM ranked WHERE rn <= 10""".stripMargin
+        |FROM ranked WHERE rn <= 10""".stripMargin,
+    // Funnel: per-user milestone times computed sequentially; comparisons run
+    // on microsecond-truncated timestamps on BOTH sides (Spark's converted
+    // events ts is micros; DuckDB raw parquet ts is nanos).
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t FROM e GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  AND e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  AND e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+        |SELECT CAST(1 AS INT) AS step_index, 'view' AS step,
+        |  CAST(count(t) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT CAST(2 AS INT), 'click', CAST(count(t) AS BIGINT) FROM s2
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST(count(t) AS BIGINT) FROM s3""".stripMargin,
+    "cohort_retention" ->
+      """WITH f AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts FROM f),
+        |c AS (SELECT user_id,
+        |    date_trunc('week', first_ts) AS cohort_week,
+        |    CAST(floor((epoch(date_trunc('week', ts)) - epoch(date_trunc('week', first_ts)))
+        |      / 604800.0) AS INT) AS week_offset
+        |  FROM g)
+        |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM c GROUP BY cohort_week, week_offset""".stripMargin,
+    "cube_revenue" ->
+      """WITH f AS (SELECT CAST(year(o.o_orderdate) AS INT) AS year,
+        |    c.c_mktsegment AS segment,
+        |    l.l_extendedprice * (1 - l.l_discount) AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT year, segment, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM f GROUP BY CUBE(year, segment)""".stripMargin,
+    "winsorize_prices" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.05) AS lo,
+        |    quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+        |  round(greatest(b.lo, least(b.hi, o.o_totalprice)), 6) AS w_price
+        |FROM orders o JOIN b USING (o_orderpriority)""".stripMargin,
+    "gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY user_id, day),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+        |spine AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span)
+        |SELECT s.user_id, s.day, d.day_value,
+        |  (SELECT dd.day_value FROM daily dd
+        |   WHERE dd.user_id = s.user_id AND dd.day <= s.day
+        |   ORDER BY dd.day DESC LIMIT 1) AS filled_value,
+        |  d.day_value IS NULL AS is_filled
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin
   )
 }

@@ -30,6 +30,54 @@ object Analytics {
   def rollupAgg(df: DataFrame, dims: Seq[Column], aggs: Seq[Column]): DataFrame =
     df.rollup(dims: _*).agg(aggs.head, aggs.tail: _*)
 
+  /** CUBE aggregation: subtotals at EVERY subset of `dims` (2^n grouping
+    * sets), the full cross-tab a dashboard slices from. Like rollup this is
+    * Spark's native grouping-sets operator — a single Expand + one shuffle
+    * with map-side partial aggregation, not 2^n passes over the fact. */
+  def cubeAgg(df: DataFrame, dims: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.cube(dims: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Winsorize: clamp `value` into its group's [lo, hi] quantile range —
+    * the standard robust-stats outlier treatment before training-data or
+    * revenue aggregation. Exact interpolated percentiles per group are
+    * computed in one aggregation pass and broadcast back onto the rows, so
+    * the fact table is scanned once and never shuffled (group count is
+    * bounded — percentile tables are dimension-sized). */
+  def winsorize(df: DataFrame, groupCols: Seq[Column], value: Column,
+                lo: Double, hi: Double, outName: String): DataFrame = {
+    val names = groupCols.zipWithIndex.map { case (_, i) => s"_g$i" }
+    val keyed = groupCols.zip(names).map { case (c, n) => c.as(n) }
+    val exact = df.groupBy(keyed: _*).agg(
+      percentile(value, lit(lo)).as("_lo"),
+      percentile(value, lit(hi)).as("_hi"))
+    df.join(broadcast(exact),
+        groupCols.zip(names).map { case (c, n) => c === col(n) }.reduce(_ && _))
+      .withColumn(outName,
+        round(greatest(col("_lo"), least(col("_hi"), value)), 6))
+      .drop((names ++ Seq("_lo", "_hi")): _*)
+  }
+
+  /** Per-key daily gap fill with forward fill: emit one row per (key, day)
+    * over each key's [min, max] day span; days with no rows carry the most
+    * recent prior value (time-series densification for charts/ML features).
+    *
+    * Scale: the daily aggregate shuffles once on (key, day); the spine is
+    * generated per key from its own span (`sequence` + explode — map-side,
+    * no cross join against a global calendar); the forward fill is one
+    * window over the SAME key partitioning. Spine size is bounded by
+    * keys x span-days, independent of the raw event count. */
+  def gapFill(df: DataFrame, key: Column, dateCol: Column, valueAgg: Column): DataFrame = {
+    val daily = df.groupBy(key.as("key"), dateCol.as("day")).agg(valueAgg.as("day_value"))
+    val spine = daily.groupBy(col("key"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col("key"), explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("key", "day"), "left")
+      .withColumn("filled_value", last(col("day_value"), ignoreNulls = true).over(w))
+      .withColumn("is_filled", col("day_value").isNull)
+  }
+
   /** As-of self-join via window: for every row, the most recent prior value
     * of `valueCol` among rows matching `condition`, within the same
     * `partition`, ordered by (`order`, `tieBreak`). Strictly prior (the

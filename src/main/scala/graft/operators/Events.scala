@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,4 +59,59 @@ object Events {
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+
+  /** Sequential funnel: for each user, the earliest time they completed each
+    * step IN ORDER (step k counts only at a timestamp strictly after the
+    * user's step k-1 completion). Returns one row per step with the count of
+    * users who reached it.
+    *
+    * Scale: one shuffle on user_id; each step is an unordered per-user window
+    * aggregate over the SAME partitioning, so Spark plans a single exchange
+    * + sort and the k window passes pipeline over it (no per-step join
+    * against a per-user milestone table, which would re-shuffle k times).
+    * The final count is a tiny global aggregate of per-user booleans. */
+  def funnel(events: DataFrame, typeCol: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col("user_id"))
+    // _t0, _t1, ... : earliest qualifying ts per step, each from the prior
+    val withTs = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) typeCol === step
+        else typeCol === step && col("ts") > col(s"_t${i - 1}")
+      df.withColumn(s"_t$i", min(when(cond, col("ts"))).over(w))
+    }
+    val perUser = withTs.groupBy(col("user_id"))
+      .agg(steps.indices.map(i => max(col(s"_t$i")).as(s"_t$i")).head,
+        steps.indices.map(i => max(col(s"_t$i")).as(s"_t$i")).tail: _*)
+    val counts = perUser.agg(
+      steps.indices.map(i => count(col(s"_t$i")).as(s"_n$i")).head,
+      steps.indices.map(i => count(col(s"_t$i")).as(s"_n$i")).tail: _*)
+    // unpivot the single counts row to (step_index, step, n_users)
+    val stackExpr = steps.zipWithIndex
+      .map { case (s, i) => s"${i + 1}, '$s', _n$i" }
+      .mkString(s"stack(${steps.size}, ", ", ", ")")
+    counts.select(expr(stackExpr).as(Seq("step_index", "step", "n_users")))
+      .select(col("step_index").cast("int").as("step_index"), col("step"),
+        col("n_users").cast("long").as("n_users"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the week of their first
+    * event; each (cohort_week, weeks-since-cohort) cell counts the distinct
+    * users from that cohort active that week.
+    *
+    * Scale: first-event time is an unordered per-user window (one shuffle on
+    * user_id), offsets are pure arithmetic, and the final distinct-count
+    * shuffles on the (cohort, offset) grid — tiny. Week arithmetic uses
+    * epoch seconds (not engine week-diff builtins) so every engine agrees. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val cohortWeek = date_trunc("week", min(col("ts")).over(w))
+    events
+      .withColumn("cohort_week", cohortWeek)
+      .withColumn("week_offset",
+        floor((date_trunc("week", col("ts")).cast("double") -
+          col("cohort_week").cast("double")) / 604800.0).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
 }

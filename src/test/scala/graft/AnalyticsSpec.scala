@@ -155,6 +155,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("cubeAgg emits every grouping-set combination") {
+    val df = Seq((2024, "A", 1.0), (2024, "B", 2.0), (2025, "A", 4.0)).toDF("y", "s", "v")
+    val out = Analytics.cubeAgg(df, Seq(col("y"), col("s")),
+      Seq(sum(col("v")).as("t"))).as[(Option[Int], Option[String], Double)].collect()
+    val m = out.map { case (y, s, t) => (y, s) -> t }.toMap
+    assert(m((Some(2024), Some("A"))) == 1.0)
+    assert(m((Some(2024), None)) == 3.0)     // year subtotal
+    assert(m((None, Some("A"))) == 5.0)      // segment subtotal — rollup lacks this
+    assert(m((None, None)) == 7.0)
+    assert(out.length == 3 + 2 + 2 + 1)      // leaves + years + segments + grand
+  }
+
+  test("winsorize clamps values into the group's quantile range") {
+    // group a: values 0..100; p10 = 10, p90 = 90 (exact interpolated)
+    val df = (0 to 100).map(v => ("a", v, v.toDouble)).toDF("g", "id", "v")
+    val out = Analytics.winsorize(df, Seq(col("g")), col("v"), 0.1, 0.9, "w")
+      .select("id", "w").as[(Int, Double)].collect().toMap
+    assert(out(0) == 10.0 && out(5) == 10.0)   // clamped up
+    assert(out(50) == 50.0)                    // untouched
+    assert(out(95) == 90.0 && out(100) == 90.0) // clamped down
+    assert(out.size == 101)
+  }
+
+  test("gapFill densifies per-key day spans and forward-fills") {
+    val df = Seq(
+      (1, "2024-01-01", 5.0), (1, "2024-01-04", 7.0),
+      (2, "2024-02-10", 1.0)).toDF("k", "d", "v")
+      .select(col("k"), to_date(col("d")).as("d"), col("v"))
+    val out = Analytics.gapFill(df, col("k"), col("d"), sum(col("v")))
+      .select(col("key"), col("day").cast("string"), col("filled_value"), col("is_filled"))
+      .as[(Int, String, Double, Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1, "2024-01-01", 5.0, false),
+      (1, "2024-01-02", 5.0, true),   // gap: carries Jan 1 value
+      (1, "2024-01-03", 5.0, true),
+      (1, "2024-01-04", 7.0, false),
+      (2, "2024-02-10", 1.0, false))) // single-day span: no spine beyond it
+  }
+
   test("fkRule flags non-null keys missing from the dimension") {
     val facts = Seq((1, Some(10)), (2, Some(99)), (3, None)).toDF("id", "fk")
     val dim = Seq(10, 20).toDF("k")

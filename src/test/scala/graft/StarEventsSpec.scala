@@ -98,4 +98,40 @@ class StarEventsSpec extends SparkSpec {
     assert(rows(0) == ("1970-01-01 00:00:00", "a", 2L, 3.0))
     assert(rows(1) == ("1970-01-01 01:00:00", "b", 1L, 3.0))
   }
+
+  test("funnel counts users per step, strictly in order") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(1), 1L, "click", 0.0), (3L, ts(2), 1L, "buy", 0.0),
+      // user 2: view only
+      (4L, ts(0), 2L, "view", 0.0),
+      // user 3: click BEFORE view — click must not count
+      (5L, ts(0), 3L, "click", 0.0), (6L, ts(1), 3L, "view", 0.0),
+      // user 4: never enters (no view)
+      (7L, ts(0), 4L, "buy", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.funnel(events, col("event_type"), Seq("view", "click", "buy"))
+      .select("step_index", "step", "n_users").as[(Int, String, Long)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, "view", 3L), (2, "click", 1L), (3, "buy", 1L)))
+  }
+
+  test("cohortRetention grids distinct active users by cohort week and offset") {
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    // Jan 1 1970 is a Thursday; week boundary (Monday) falls on day 4.
+    val events = Seq(
+      (1L, ts(0), 1L, "a", 0.0),  // u1 cohort week0, active week0
+      (2L, ts(5), 1L, "a", 0.0),  // u1 active week1
+      (3L, ts(1), 2L, "a", 0.0),  // u2 cohort week0, active week0
+      (4L, ts(5), 3L, "a", 0.0)   // u3 cohort week1, active week1 (offset 0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.cohortRetention(events)
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("n_active"))
+      .as[(String, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("1969-12-29 00:00:00", 0, 2L),  // u1+u2 in week0
+      ("1969-12-29 00:00:00", 1, 1L),  // u1 retained into week1
+      ("1970-01-05 00:00:00", 0, 1L))) // u3's own cohort
+  }
 }
