@@ -660,7 +660,12 @@ object SparkEntry {
       Analytics.gapFill(Tables.events(s, d), col("user_id"), to_date(col("ts")),
         sum(col("value").cast("decimal(18,4)")).cast("double"))
         .select(col("key").as("user_id"), col("day"), col("day_value"),
-          col("filled_value"), col("is_filled")))
+          col("filled_value"), col("is_filled"))),
+    // §2.2 row 29k — exact heavy hitters via the two-pass Misra-Gries sketch
+    // (tokens above 1/40 of the stream; capacity 64 >= 40 keeps the no-miss
+    // guarantee). The oracle recomputes the same exact counts directly.
+    "heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, d), "text", 40, 64))
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -1317,6 +1322,12 @@ object SparkEntry {
         |   WHERE dd.user_id = s.user_id AND dd.day <= s.day
         |   ORDER BY dd.day DESC LIMIT 1) AS filled_value,
         |  d.day_value IS NULL AS is_filled
-        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+    "heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occ FROM tok GROUP BY token)
+        |SELECT token, n_occ, round(CAST(n_occ AS DOUBLE) / t.n, 6) AS share
+        |FROM cnt, tot t WHERE n_occ * 40 > t.n""".stripMargin
   )
 }

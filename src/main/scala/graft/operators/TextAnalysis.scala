@@ -80,6 +80,39 @@ object TextAnalysis {
       .withColumn("rank", row_number().over( // window over topN rows only
         org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token"))))
 
+  /** Exact corpus heavy hitters via a two-pass Misra-Gries sketch: tokens
+    * with frequency strictly above n_total / phiDen.
+    *
+    * Pass 1 summarizes the token stream into a bounded sketch (one global
+    * aggregate whose partial buffers hold at most `capacity` counters — the
+    * only thing crossing the shuffle) plus the exact stream length; the MG
+    * guarantee makes the sketch a SUPERSET of every item above
+    * n/(capacity+1), so with capacity >= phiDen no true heavy hitter is
+    * missed. Pass 2 re-counts ONLY the <= capacity candidate tokens (map-side
+    * broadcast semi-join prunes the stream before its groupBy) and applies
+    * the threshold to exact counts — the result is exact and deterministic
+    * regardless of partitioning or merge order, while the full-vocabulary
+    * groupBy a naive exact computation needs (billions of distinct tokens at
+    * corpus scale) never runs. The threshold compares integers
+    * (cnt * phiDen > n) — no float boundary. */
+  def heavyHitters(docs: DataFrame, textCol: String,
+                   phiDen: Int, capacity: Int): DataFrame = {
+    require(capacity >= phiDen,
+      s"capacity $capacity < phiDen $phiDen voids the no-miss guarantee")
+    val tok = docs.select(explode(tokens(col(textCol))).as("token"))
+    val sketch = tok.agg(
+      graft.functions.MisraGriesAgg.misraGries(col("token"), capacity).as("_cands"),
+      count(lit(1)).as("_n_total"))
+    val cands = sketch.select(col("_n_total"), explode(col("_cands")).as("_c"))
+      .select(col("_c.item").as("token"), col("_n_total"))
+    tok.join(broadcast(cands), "token")
+      .groupBy(col("token"), col("_n_total"))
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") * phiDen > col("_n_total"))
+      .select(col("token"), col("n_occ"),
+        round(col("n_occ").cast("double") / col("_n_total"), 6).as("share"))
+  }
+
   /** Winnowing-style fingerprint: the minimum md5 over the document's word
     * n-gram shingles. Identical token streams ⇒ identical fingerprints. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =

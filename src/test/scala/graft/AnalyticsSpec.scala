@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Quality, Similarity}
+import graft.operators.{Analytics, Quality, Similarity, TextAnalysis}
 
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
@@ -153,6 +153,36 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(exact == 5000L)
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
+  test("misraGries sketch never misses an item above n/(capacity+1), across partitions") {
+    // 12000 items: "hot" 50%, "warm" 25%, the rest singletons. capacity 8
+    // bounds every buffer; guarantee: freq > n/9 items must survive merges.
+    val df = spark.range(0, 12000).repartition(16)
+      .select(when(col("id") % 2 === 0, "hot")
+        .when(col("id") % 4 === 1, "warm")
+        .otherwise(concat(lit("rare"), col("id"))).as("token"))
+    val cands = df.agg(graft.functions.MisraGriesAgg.misraGries(col("token"), 8).as("c"))
+      .select(explode(col("c")).as("x")).select("x.item", "x.est")
+      .as[(String, Long)].collect().toMap
+    assert(cands.contains("hot") && cands.contains("warm"))
+    assert(cands.size <= 8)
+    // estimates never overcount and undercount by at most n/(capacity+1)
+    assert(cands("hot") <= 6000L && cands("hot") >= 6000L - 12000L / 9)
+    assert(cands("warm") <= 3000L && cands("warm") >= 3000L - 12000L / 9)
+  }
+
+  test("heavyHitters returns the exact above-threshold set with exact counts") {
+    // 1000 docs of one token each: "hot" 400, "warm" 300, rare singletons.
+    // phi=1/4 → only "hot" and "warm" (strictly above 250).
+    val docs = spark.range(0, 1000)
+      .select(when(col("id") < 400, "hot")
+        .when(col("id") < 700, "warm")
+        .otherwise(concat(lit("rare"), col("id"))).as("text"))
+      .repartition(8)
+    val out = TextAnalysis.heavyHitters(docs, "text", 4, 16)
+      .select("token", "n_occ").as[(String, Long)].collect().toMap
+    assert(out == Map("hot" -> 400L, "warm" -> 300L))
   }
 
   test("cubeAgg emits every grouping-set combination") {
