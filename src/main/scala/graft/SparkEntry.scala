@@ -665,7 +665,14 @@ object SparkEntry {
     // (tokens above 1/40 of the stream; capacity 64 >= 40 keeps the no-miss
     // guarantee). The oracle recomputes the same exact counts directly.
     "heavy_hitters" -> ((s, d) =>
-      TextAnalysis.heavyHitters(Tables.documents(s, d), "text", 40, 64))
+      TextAnalysis.heavyHitters(Tables.documents(s, d), "text", 40, 64)),
+    // §2.2 row 29l — token-balanced training shards in md5 shuffle order
+    "shard_assign" -> ((s, d) =>
+      TextAnalysis.shardTokenBudget(Tables.documents(s, d), "doc_id", "text", 16)),
+    // §2.2 row 25d — per-class prototype-distance outlier flags
+    "centroid_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, d),
+        "vec_id", "label", "embedding", 0.0))
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -1328,6 +1335,29 @@ object SparkEntry {
         |tot AS (SELECT count(*) AS n FROM tok),
         |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occ FROM tok GROUP BY token)
         |SELECT token, n_occ, round(CAST(n_occ AS DOUBLE) / t.n, 6) AS share
-        |FROM cnt, tot t WHERE n_occ * 40 > t.n""".stripMargin
+        |FROM cnt, tot t WHERE n_occ * 40 > t.n""".stripMargin,
+    "shard_assign" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR) AS skey
+        |  FROM documents),
+        |c AS (SELECT *, coalesce(SUM(n_tokens) OVER (ORDER BY skey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        |    SUM(n_tokens) OVER () AS total FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(least(floor(cum_before / ceil(total / 16.0)), 15) AS INT) AS shard
+        |FROM c""".stripMargin,
+    "centroid_outliers" ->
+      """WITH u AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pe AS (SELECT label, unnest(
+        |    [{'pos': i, 'x': v[i]} for i in range(1, len(v) + 1)]) AS e FROM u),
+        |agg AS (SELECT label, e.pos AS pos, count(*) AS n,
+        |    SUM(CAST(e.x AS DECIMAL(28,12))) AS s FROM pe GROUP BY label, e.pos),
+        |cpos AS (SELECT label, pos, round(CAST(s AS DOUBLE) / n, 6) AS c FROM agg),
+        |cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cpos GROUP BY label)
+        |SELECT u.vec_id, u.label,
+        |  round(list_cosine_similarity(u.v, cent.centroid), 6) AS cos_centroid,
+        |  round(list_cosine_similarity(u.v, cent.centroid), 6) < 0.0 AS is_outlier
+        |FROM u JOIN cent USING (label)""".stripMargin
   )
 }

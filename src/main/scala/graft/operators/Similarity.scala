@@ -280,6 +280,27 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("pos"), col("_c")))),
           s => s.getField("_c")).as("centroid"))
 
+  /** Per-class prototype-distance outlier flags (SemDeDup-style curation):
+    * each vector's cosine similarity to ITS OWN label's mean embedding,
+    * flagged when below `minCos` — the label-noise / off-distribution
+    * pruning gate run before a labeled corpus trains a router or classifier.
+    *
+    * Scale: the centroids table is labels × dim (dimension-sized), so it
+    * broadcasts and the corpus joins map-side — one centroid aggregation
+    * pass + one broadcast join, no corpus shuffle. Flags derive from the
+    * ROUNDED similarity so the boundary is engine-stable. */
+  def centroidOutliers(vectors: DataFrame, idCol: String, labelCol: String,
+                       vecCol: String, minCos: Double): DataFrame = {
+    val cents = labelCentroids(vectors, labelCol, vecCol)
+      .select(col("label"), col("centroid"))
+    vectors
+      .select(col(idCol), col(labelCol).as("label"), toDouble(col(vecCol)).as("_v"))
+      .join(broadcast(cents), "label")
+      .select(col(idCol), col("label"),
+        round(cosine(col("_v"), col("centroid")), 6).as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < minCos)
+  }
+
   /** Per-vector norms/dims — typed array-column ops used across the ANN
     * operators, exposed as a checkable table. */
   def norms(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -188,6 +188,49 @@ object TextAnalysis {
       "_skey", "shuffle_rank")
       .select(col(idCol), col("shuffle_rank"))
 
+  /** Token-balanced training-shard assignment: documents are laid out in the
+    * deterministic md5 shuffle order ([[corpusShuffle]]) and cut into
+    * `numShards` contiguous runs of ~equal TOKEN mass (not document count),
+    * so every output shard feeds a trainer the same work. The global
+    * running-token prefix sum uses the two-phase shape shared with the
+    * surrogate-key rank: the md5 hex prefix buckets the order (a hex prefix
+    * is order-preserving, so buckets tile the global order), a window
+    * cumsums within each bucket, and per-bucket totals prefix-sum through a
+    * broadcast triangular join — no single-partition window anywhere, and
+    * shard boundaries are identical on every engine/run/retry. Downstream,
+    * `df.write.partitionBy(shard)` lays the corpus out one directory per
+    * shard (spec-verified round trip). Output: (id, n_tokens, shard). */
+  def shardTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                       numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val keyed = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      concat(md5(col(idCol).cast("string").cast("binary")),
+        col(idCol).cast("string")).as("_skey"))
+    // 256 order-preserving buckets from the first two hex chars ('0'..'f'
+    // sort below each other identically in ASCII and numerically)
+    val bucketed = keyed.withColumn("_pid",
+      conv(substring(col("_skey"), 1, 2), 16, 10).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("_skey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val local = bucketed.withColumn("_cum_local",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val counts = bucketed.groupBy(col("_pid")).agg(sum(col("n_tokens")).as("_cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_offset"))
+    val total = counts.agg(sum(col("_cnt")).as("_total"))
+    local.join(broadcast(offsets), "_pid")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"),
+        least(
+          floor((col("_offset") + col("_cum_local")) /
+            ceil(col("_total") / lit(numShards.toDouble))),
+          lit(numShards - 1L)).cast("int").as("shard"))
+  }
+
   /** Overlapping token-window chunking — the context-window preparation
     * step: each document becomes ceil-coverage chunks of `chunkSize` tokens
     * advancing by `chunkSize - overlap`, so every token is covered and

@@ -223,6 +223,48 @@ class TextIngestMultimodalSpec extends SparkSpec {
       == (0L until 10000L).sum)
   }
 
+  test("shardTokenBudget cuts the md5 order into token-balanced shards, written per-dir") {
+    // 400 docs, token counts 1..8 → total ~1800 tokens over 4 shards
+    val docs = spark.range(0, 400)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), (col("id") % 8 + 1).cast("int")),
+          i => concat(lit("w"), i))).as("text"))
+      .repartition(8)
+    val out = TextAnalysis.shardTokenBudget(docs, "doc_id", "text", 4)
+    val rows = out.select("doc_id", "n_tokens", "shard").as[(Long, Long, Int)].collect()
+    assert(rows.length == 400 && rows.map(_._1).distinct.length == 400)
+    val perShard = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(perShard.keySet == Set(0, 1, 2, 3))
+    val total = rows.map(_._2).sum
+    val budget = math.ceil(total / 4.0)
+    // each shard holds at most budget + one doc's tokens (greedy boundary)
+    assert(perShard.values.forall(_ <= budget + 8))
+    // shards tile the md5 order contiguously: sort by shuffle key → shard ids ascend
+    val byKey = rows.sortBy { case (id, _, _) =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString) + id.toString }
+    assert(byKey.map(_._3).sliding(2).forall(p => p.head <= p.last))
+    // write path: one directory per shard, full round trip
+    val dir = Files.createTempDirectory("graft_shards").toFile.getAbsolutePath + "/corpus"
+    docs.join(out.select("doc_id", "shard"), "doc_id")
+      .write.partitionBy("shard").parquet(dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("shard=")) == 4)
+    assert(spark.read.parquet(dir).count() == 400)
+  }
+
+  test("centroidOutliers flags vectors pointing away from their label's prototype") {
+    val mk = (xs: Seq[Double]) => xs.toArray
+    val vecs = Seq(
+      (1L, 0, mk(Seq(1.0, 0.1))), (2L, 0, mk(Seq(1.0, -0.1))), (3L, 0, mk(Seq(0.9, 0.0))),
+      (4L, 0, mk(Seq(-1.0, 0.0))),                       // label-0 outlier
+      (5L, 1, mk(Seq(0.0, 1.0))), (6L, 1, mk(Seq(0.1, 1.0)))
+    ).toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Similarity
+      .centroidOutliers(vecs, "vec_id", "label", "embedding", 0.0)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true,
+      5L -> false, 6L -> false))
+  }
+
   test("nfc normalization composes combining characters") {
     val decomposed = "e\u0301clair" // e + combining acute (7 chars)
     val precomposed = "\u00e9clair"  // precomposed e-acute (6 chars)
