@@ -82,6 +82,34 @@ object EventStreaming {
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
 
+  /** Streaming exact dedup for keys whose duplicates may arrive with
+    * DIFFERENT timestamps (retried producers restamp on send, so
+    * `dropDuplicates(id, ts)` misses them): `dropDuplicatesWithinWatermark`
+    * keys state on the id alone and evicts it once the watermark passes the
+    * first sighting — bounded state without requiring duplicate events to
+    * be byte-identical. */
+  def dedupKeysWithinWatermark(events: DataFrame, idCol: String = "event_id",
+                               watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
+
+  /** Gap-based sessionization via Spark's NATIVE session window — the
+    * declarative alternative to the explicit-state [[sessionize]]: the
+    * engine merges per-key windows that overlap within the gap and emits a
+    * session when the watermark passes its end. State and output semantics
+    * match flatMapGroupsWithState but the plan stays fully Catalyst-visible
+    * (codegen'd aggregation, mergeable session state store). */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** Streaming quality split: the SAME batch rule engine runs unchanged on
     * a stream — rule predicates are stateless Column exprs and FK rules are
     * stream-static broadcast joins, both streaming-safe. (Duplicate

@@ -66,6 +66,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupKeysWithinWatermark drops restamped duplicates (same id, different ts)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreaming.dedupKeysWithinWatermark(in.toDF(), "event_id", "1 hour")
+      .writeStream.format("memory").queryName("key_deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 2, "view", 2.0))
+      q.processAllAvailable()
+      // id 1 replayed with a DIFFERENT timestamp — dropDuplicates(id, ts)
+      // would let it through; the key-only dedup must not
+      in.addData(Event(1, ts(5), 1, "click", 1.0), Event(3, ts(6), 3, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("key_deduped").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("native session window emits merged gap sessions after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreaming.sessionWindowAgg(in.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then 50-min silence
+      in.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 2.0))
+      in.addData(Event(3, ts(60), 1, "a", 4.0)) // new session after the gap
+      q.processAllAvailable()
+      // advance the watermark far past everything so sessions finalize
+      in.addData(Event(99, ts(600), 2, "a", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("native_sessions")
+        .select("user_id", "n_events", "session_value")
+        .as[(Long, Long, Double)].collect().filter(_._1 == 1L).sortBy(_._3)
+      assert(rows.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("intervalJoin pairs same-key events within the delay window, across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
