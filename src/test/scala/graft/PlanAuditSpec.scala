@@ -128,6 +128,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(explodes <= 1, s"corpus exploded $explodes times:\n$p")
   }
 
+  test("funnel computes every step milestone over ONE user_id exchange") {
+    // k steps = k window passes over the same (user_id) partitioning; plan
+    // drift that re-shuffles per step turns a 100 TB funnel into k shuffles.
+    val p = planOf("funnel_steps")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges <= 1, s"funnel re-shuffles per step ($exchanges exchanges):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"funnel must not join per-step tables:\n$p")
+  }
+
+  test("heavy_hitters prunes the recount stream with a broadcast join on the candidates") {
+    val p = planOf("heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate recount must broadcast the bounded sketch output:\n$p")
+    assert(p.contains("misra_gries"), s"MG aggregate missing from the plan:\n$p")
+    assert(p.contains("partial_misra_gries") || p.toLowerCase.contains("partial"),
+      s"sketch must partial-aggregate map-side:\n$p")
+  }
+
+  test("shard_assign prefix-sums with partitioned windows only") {
+    val p = planOf("shard_assign")
+    val unpartitioned = p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("windowspecdefinition()"))
+    assert(!unpartitioned, s"shard_assign fell back to a global window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"offsets/total must ride broadcasts:\n$p")
+  }
+
+  test("centroid_outliers joins the centroid table as a broadcast, never shuffling the corpus") {
+    val p = planOf("centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast onto the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle for a dimension-sized centroid join:\n$p")
+  }
+
+  test("winsorize broadcasts the per-group bounds back onto the fact") {
+    val p = planOf("winsorize_prices")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounds join must broadcast (group count is dimension-sized):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact must not shuffle for the clamp:\n$p")
+  }
+
   test("rollup_revenue prunes lineitem to its four referenced columns") {
     val p = planOf("rollup_revenue")
     val read = p.linesIterator.filter(_.contains("ReadSchema"))
