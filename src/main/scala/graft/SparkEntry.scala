@@ -672,7 +672,18 @@ object SparkEntry {
     // §2.2 row 25d — per-class prototype-distance outlier flags
     "centroid_outliers" -> ((s, d) =>
       Similarity.centroidOutliers(Tables.embeddings(s, d),
-        "vec_id", "label", "embedding", 0.0))
+        "vec_id", "label", "embedding", 0.0)),
+    // §2.1 row 19g — hot-key skew diagnostics (top-10 heaviest order keys)
+    "skew_profile" -> ((s, d) =>
+      Analytics.skewProfile(
+        Tables.orders(s, d).select(col("o_custkey")), col("o_custkey"), "o_custkey", 10)),
+    // §2.2 row 29m — power-of-two token-length histogram (packing planner)
+    "len_histogram" -> ((s, d) =>
+      TextAnalysis.tokenLengthHistogram(Tables.documents(s, d), "text")),
+    // §2.1 row 17f — snapshot profile drift between the two source slices
+    "schema_drift" -> ((s, d) =>
+      Quality.profileDrift(srcA(s, d), srcB(s, d),
+        Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment")))
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -1358,6 +1369,73 @@ object SparkEntry {
         |SELECT u.vec_id, u.label,
         |  round(list_cosine_similarity(u.v, cent.centroid), 6) AS cos_centroid,
         |  round(list_cosine_similarity(u.v, cent.centroid), 6) < 0.0 AS is_outlier
-        |FROM u JOIN cent USING (label)""".stripMargin
+        |FROM u JOIN cent USING (label)""".stripMargin,
+    "skew_profile" ->
+      """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM orders GROUP BY o_custkey),
+        |s AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT o_custkey, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / s.total, 6) AS share,
+        |  round(n_rows * s.n_keys / CAST(s.total AS DOUBLE), 4) AS skew_vs_mean
+        |FROM c, s ORDER BY n_rows DESC, o_custkey LIMIT 10""".stripMargin,
+    "len_histogram" ->
+      """WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT CAST(length(bin(greatest(n, 1))) - 1 AS INT) AS bucket, n FROM t)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+        |  CAST(min(n) AS BIGINT) AS min_tokens,
+        |  CAST(max(n) AS BIGINT) AS max_tokens,
+        |  CAST(1 << bucket AS BIGINT) AS band_lo
+        |FROM b GROUP BY bucket""".stripMargin,
+    "schema_drift" -> (SrcCte + """,
+        |pa AS (
+        |  SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(c_custkey) AS VARCHAR) AS min_value, CAST(max(c_custkey) AS VARCHAR) AS max_value FROM src_a
+        |  UNION ALL SELECT 'c_name', CAST(count(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_name) AS BIGINT),
+        |    CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM src_a
+        |  UNION ALL SELECT 'c_acctbal', CAST(count(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_acctbal) AS BIGINT),
+        |    CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR) FROM src_a
+        |  UNION ALL SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+        |    CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM src_a),
+        |pb AS (
+        |  SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(c_custkey) AS VARCHAR) AS min_value, CAST(max(c_custkey) AS VARCHAR) AS max_value FROM src_b
+        |  UNION ALL SELECT 'c_name', CAST(count(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_name) AS BIGINT),
+        |    CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM src_b
+        |  UNION ALL SELECT 'c_acctbal', CAST(count(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_acctbal) AS BIGINT),
+        |    CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR) FROM src_b
+        |  UNION ALL SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+        |    CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM src_b)
+        |SELECT pa.col_name AS col_name,
+        |  pa.n_rows AS rows_before, pb.n_rows AS rows_after,
+        |  pb.n_distinct - pa.n_distinct AS distinct_delta,
+        |  CAST(floor(pb.n_nulls * 1000 / pb.n_rows) AS BIGINT)
+        |    - CAST(floor(pa.n_nulls * 1000 / pa.n_rows) AS BIGINT) AS null_permille_delta,
+        |  (coalesce(pa.min_value, '') <> coalesce(pb.min_value, '')
+        |    OR coalesce(pa.max_value, '') <> coalesce(pb.max_value, '')) AS range_changed,
+        |  (pb.n_distinct - pa.n_distinct <> 0
+        |    OR CAST(floor(pb.n_nulls * 1000 / pb.n_rows) AS BIGINT)
+        |       - CAST(floor(pa.n_nulls * 1000 / pa.n_rows) AS BIGINT) <> 0
+        |    OR coalesce(pa.min_value, '') <> coalesce(pb.min_value, '')
+        |    OR coalesce(pa.max_value, '') <> coalesce(pb.max_value, '')) AS drifted
+        |FROM pa JOIN pb ON pa.col_name = pb.col_name""".stripMargin)
   )
 }

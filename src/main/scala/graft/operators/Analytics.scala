@@ -78,6 +78,24 @@ object Analytics {
       .withColumn("is_filled", col("day_value").isNull)
   }
 
+  /** Hot-key skew diagnostics: the top-N heaviest keys with their share of
+    * the table and their ratio to the mean key weight — the report that
+    * tells you whether a join/agg on this key needs salting BEFORE the 100
+    * TB run finds out the hard way. One (key)-keyed partial-agg shuffle +
+    * a distributed TakeOrdered of the top N; global stats ride a 1-row
+    * broadcast. */
+  def skewProfile(df: DataFrame, key: Column, keyName: String, topN: Int): DataFrame = {
+    val counts = df.groupBy(key.as(keyName)).agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(sum(col("n_rows")).as("_total"),
+      count(lit(1)).as("_n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .select(col(keyName), col("n_rows"),
+        round(col("n_rows").cast("double") / col("_total"), 6).as("share"),
+        round(col("n_rows") * col("_n_keys") / col("_total").cast("double"), 4)
+          .as("skew_vs_mean"))
+      .orderBy(col("n_rows").desc, col(keyName)).limit(topN)
+  }
+
   /** As-of self-join via window: for every row, the most recent prior value
     * of `valueCol` among rows matching `condition`, within the same
     * `partition`, ordered by (`order`, `tieBreak`). Strictly prior (the

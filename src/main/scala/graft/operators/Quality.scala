@@ -111,6 +111,34 @@ object Quality {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** Snapshot profile drift: compare two snapshots' per-column profiles and
+    * flag what changed — the schema/data-drift monitor run between staging
+    * loads (the reference re-checks table structure every run;
+    * STEP3/CHECK_TABLE_STRUCTURE). Each side is ONE aggregation pass
+    * ([[profileColumns]]); the comparison joins the two dimension-sized
+    * profile tables. Null-rate drift is compared in per-mille integers so
+    * the flag never sits on a float boundary. */
+  def profileDrift(before: DataFrame, after: DataFrame,
+                   columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = profileColumns(before, columns).as("a")
+    val b = profileColumns(after, columns).as("b")
+    def permille(nulls: Column, rows: Column): Column =
+      floor(nulls * 1000 / rows).cast("long")
+    a.join(b, col("a.col_name") === col("b.col_name"))
+      .select(col("a.col_name").as("col_name"),
+        col("a.n_rows").as("rows_before"), col("b.n_rows").as("rows_after"),
+        (col("b.n_distinct") - col("a.n_distinct")).as("distinct_delta"),
+        (permille(col("b.n_nulls"), col("b.n_rows")) -
+          permille(col("a.n_nulls"), col("a.n_rows"))).as("null_permille_delta"),
+        (coalesce(col("a.min_value"), lit("")) =!= coalesce(col("b.min_value"), lit("")) ||
+          coalesce(col("a.max_value"), lit("")) =!= coalesce(col("b.max_value"), lit("")))
+          .as("range_changed"))
+      .withColumn("drifted",
+        col("distinct_delta") =!= 0 || col("null_permille_delta") =!= 0 ||
+        col("range_changed"))
+  }
+
   /** Per-zone record counts (dashboard.py:30-40 pipeline stats). */
   def zoneStats(annotated: DataFrame, entity: String, keyCol: String): DataFrame =
     annotated

@@ -188,6 +188,26 @@ object TextAnalysis {
       "_skey", "shuffle_rank")
       .select(col(idCol), col("shuffle_rank"))
 
+  /** Power-of-two token-length histogram — the sequence-length planning
+    * input for packing/bucketed batching: how many documents (and how much
+    * token mass) falls in each [2^k, 2^(k+1)) length band. Pure map-side
+    * bucketing + one tiny groupBy; bucket ids come from integer bit length,
+    * never floating log2 (engine-stable at every boundary). */
+  def tokenLengthHistogram(docs: DataFrame, textCol: String): DataFrame = {
+    val n = size(tokens(col(textCol))).cast("long")
+    docs.select(n.as("_n"))
+      // floor(log2(n)) as binary-digit count minus one: integer-exact in
+      // every engine, no float log at band boundaries
+      .select((length(bin(greatest(col("_n"), lit(1L)))) - 1).cast("int").as("bucket"),
+        col("_n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_n")).as("sum_tokens"),
+        min(col("_n")).as("min_tokens"),
+        max(col("_n")).as("max_tokens"))
+      .withColumn("band_lo", expr("shiftleft(cast(1 as bigint), bucket)").cast("long"))
+  }
+
   /** Token-balanced training-shard assignment: documents are laid out in the
     * deterministic md5 shuffle order ([[corpusShuffle]]) and cut into
     * `numShards` contiguous runs of ~equal TOKEN mass (not document count),

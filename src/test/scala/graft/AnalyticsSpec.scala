@@ -224,6 +224,29 @@ class AnalyticsSpec extends SparkSpec {
       (2, "2024-02-10", 1.0, false))) // single-day span: no spine beyond it
   }
 
+  test("skewProfile surfaces the heaviest keys with share and skew ratio") {
+    // key "hot": 6 rows, "b": 2, "c": 1, "d": 1 → total 10, 4 keys, mean 2.5
+    val df = (Seq.fill(6)("hot") ++ Seq("b", "b", "c", "d")).toDF("k")
+    val out = Analytics.skewProfile(df, col("k"), "k", 2)
+      .select("k", "n_rows", "share", "skew_vs_mean")
+      .as[(String, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq(("hot", 6L, 0.6, 2.4), ("b", 2L, 0.2, 0.8)))
+  }
+
+  test("profileDrift flags distinct, null-rate, and range changes per column") {
+    val before = Seq((1, Some("x"), 10.0), (2, Some("y"), 20.0), (3, Some("y"), 30.0))
+      .toDF("id", "s", "v")
+    val after = Seq((1, Some("x"), 10.0), (2, None, 20.0), (3, Some("y"), 99.0))
+      .toDF("id", "s", "v")
+    val out = Quality.profileDrift(before, after, Seq("id", "s", "v"))
+      .select("col_name", "distinct_delta", "null_permille_delta", "range_changed", "drifted")
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("id") == ("id", 0L, 0L, false, false))      // unchanged
+    assert(out("s") == ("s", 0L, 333L, false, true))       // a third of rows went null
+    assert(out("v") == ("v", 0L, 0L, true, true))          // 30 -> 99 moves max
+  }
+
   test("fkRule flags non-null keys missing from the dimension") {
     val facts = Seq((1, Some(10)), (2, Some(99)), (3, None)).toDF("id", "fk")
     val dim = Seq(10, 20).toDF("k")

@@ -251,6 +251,15 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 400)
   }
 
+  test("tokenLengthHistogram bands docs by power-of-two token counts") {
+    val docs = Seq("a", "a b c", "a b c d", "w x y z u v q r").toDF("text")
+    // counts 1, 3, 4, 8 → buckets 0, 1, 2, 3
+    val out = TextAnalysis.tokenLengthHistogram(docs, "text")
+      .select("bucket", "n_docs", "sum_tokens", "band_lo")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0, 1L, 1L, 1L), (1, 1L, 3L, 2L), (2, 1L, 4L, 4L), (3, 1L, 8L, 8L)))
+  }
+
   test("centroidOutliers flags vectors pointing away from their label's prototype") {
     val mk = (xs: Seq[Double]) => xs.toArray
     val vecs = Seq(
