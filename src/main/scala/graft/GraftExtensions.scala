@@ -45,7 +45,17 @@ object GraftExtensions {
       args => ShinglesExpr(one(args), intArg(args, 1, 3))),
     ("graft_cosine",
       info("graft_cosine", "graft_cosine(a array<double>, b array<double>) -> double"),
-      args => CosineSimExpr(args(0), args(1))))
+      args => CosineSimExpr(args(0), args(1))),
+    // aggregates register like scalar functions — the builder returns the
+    // AggregateFunction and the analyzer wraps it in an AggregateExpression
+    ("graft_misra_gries",
+      info("graft_misra_gries",
+        "graft_misra_gries(item string[, capacity]) -> array<struct<item,est>> (frequent-items sketch)"),
+      args => MisraGriesAgg(one(args), intArg(args, 1, 64))),
+    ("graft_top_k_pairs",
+      info("graft_top_k_pairs",
+        "graft_top_k_pairs(struct<ord double, id>, k) -> array<struct<ord,id>> (bounded per-group top-k)"),
+      args => TopKPairsAgg(args(0), intArg(args, 1, 10))))
 
   /** Install into a live session (runtime FunctionRegistry). */
   def register(spark: SparkSession): Unit =

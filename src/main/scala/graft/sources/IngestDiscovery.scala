@@ -74,6 +74,7 @@ object IngestDiscovery {
     format match {
       case "csv" => w.option("header", "true").csv(path)
       case "json" => w.json(path)
+      case "orc" => w.orc(path)
       case _ => w.parquet(path)
     }
     path

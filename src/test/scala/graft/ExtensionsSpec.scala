@@ -24,6 +24,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getAs[Long]("sh") == viaApi)
   }
 
+  test("custom aggregates are SQL-callable through the extension registry") {
+    GraftExtensions.register(spark)
+    Seq(("hot", 1.0), ("hot", 2.0), ("rare", 9.0)).toDF("t", "v")
+      .createOrReplaceTempView("ext_agg_in")
+    val row = spark.sql(
+      """SELECT graft_misra_gries(t, 4) AS mg,
+        |  graft_top_k_pairs(struct(v AS ord, t AS id), 2) AS tk
+        |FROM ext_agg_in""".stripMargin).head()
+    val mg = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("mg"))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mg == Map("hot" -> 2L, "rare" -> 1L))
+    val tk = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("tk"))
+      .map(r => (r.getDouble(0), r.getString(1)))
+    assert(tk.toList == List((9.0, "rare"), (2.0, "hot")))
+  }
+
   test("optimizer rule collapses nested nfc_normalize at plan time") {
     graft.plans.GraftOptimizations.register(spark)
     // non-foldable input (depends on a column) so constant folding cannot

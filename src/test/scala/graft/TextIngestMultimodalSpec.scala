@@ -291,9 +291,14 @@ class TextIngestMultimodalSpec extends SparkSpec {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
     val p1 = IngestDiscovery.writeZone(df, root, "clean", "orders")
     val p2 = IngestDiscovery.writeZone(df, root, "error", "orders", "csv")
+    val p3 = IngestDiscovery.writeZone(df, root, "report", "orders", "json")
+    val p4 = IngestDiscovery.writeZone(df, root, "archive", "orders", "orc")
     assert(p1 == s"$root/clean/orders" && p2 == s"$root/error/orders")
     assert(spark.read.parquet(p1).count() == 2)
     assert(spark.read.option("header", "true").csv(p2).count() == 2)
+    assert(spark.read.json(p3).count() == 2)
+    assert(spark.read.orc(p4).select("id", "v").as[(Int, String)].collect().toSet
+      == Set((1, "a"), (2, "b")))
   }
 
   test("GraftSession.tune applies runtime confs") {
