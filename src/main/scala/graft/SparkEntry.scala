@@ -683,7 +683,14 @@ object SparkEntry {
     // §2.1 row 17f — snapshot profile drift between the two source slices
     "schema_drift" -> ((s, d) =>
       Quality.profileDrift(srcA(s, d), srcB(s, d),
-        Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment")))
+        Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))),
+    // §2.2 row 29n — per-source document cap (domain-cap curation)
+    "source_cap" -> ((s, d) =>
+      TextAnalysis.sourceCap(Tables.documents(s, d), "doc_id", "source", 10)),
+    // §2.2 row 27e — composite corpus quality gate with ordered reasons
+    "corpus_gate" -> ((s, d) =>
+      TextAnalysis.corpusGate(Tables.documents(s, d), "doc_id", "text",
+        30, 0.05, 0.2))
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -1436,6 +1443,37 @@ object SparkEntry {
         |       - CAST(floor(pa.n_nulls * 1000 / pa.n_rows) AS BIGINT) <> 0
         |    OR coalesce(pa.min_value, '') <> coalesce(pb.min_value, '')
         |    OR coalesce(pa.max_value, '') <> coalesce(pb.max_value, '')) AS drifted
-        |FROM pa JOIN pb ON pa.col_name = pb.col_name""".stripMargin)
+        |FROM pa JOIN pb ON pa.col_name = pb.col_name""".stripMargin),
+    "source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR)) AS INT) AS src_rank
+        |  FROM documents)
+        |SELECT doc_id, source, src_rank FROM r WHERE src_rank <= 10""".stripMargin,
+    "corpus_gate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |q AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |    round(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+        |      AS DOUBLE) / len(w), 6) AS stop_ratio
+        |  FROM t),
+        |grams AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+        |  FROM t WHERE len(w) >= 2),
+        |per AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram),
+        |agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_grams FROM per GROUP BY doc_id),
+        |dupf AS (SELECT doc_id,
+        |    round(CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams, 6) AS df
+        |  FROM agg)
+        |SELECT q.doc_id, q.n_tokens, q.stop_ratio,
+        |  coalesce(dupf.df, 0.0) AS dup_fraction,
+        |  concat_ws(' | ',
+        |    CASE WHEN q.n_tokens < 30 THEN 'too_short' END,
+        |    CASE WHEN q.stop_ratio < 0.05 THEN 'low_stopword_ratio' END,
+        |    CASE WHEN coalesce(dupf.df, 0.0) > 0.2 THEN 'repetitive' END) AS _reasons,
+        |  (concat_ws(' | ',
+        |    CASE WHEN q.n_tokens < 30 THEN 'too_short' END,
+        |    CASE WHEN q.stop_ratio < 0.05 THEN 'low_stopword_ratio' END,
+        |    CASE WHEN coalesce(dupf.df, 0.0) > 0.2 THEN 'repetitive' END) = '') AS keep
+        |FROM q LEFT JOIN dupf ON q.doc_id = dupf.doc_id""".stripMargin
   )
 }

@@ -188,6 +188,47 @@ object TextAnalysis {
       "_skey", "shuffle_rank")
       .select(col(idCol), col("shuffle_rank"))
 
+  /** Per-source document cap — the "domain cap" curation step: keep at most
+    * `k` documents per source/domain, chosen by a deterministic
+    * pseudo-random rank (md5 of the id, suffixed with the id for totality),
+    * so no single crawl source dominates the mixture and the survivor set
+    * is identical on every engine/run/retry. One partitioned window. */
+  def sourceCap(docs: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(concat(md5(col(idCol).cast("string").cast("binary")),
+        col(idCol).cast("string")))
+    docs.select(col(idCol), col(groupCol))
+      .withColumn("src_rank", row_number().over(w))
+      .where(col("src_rank") <= k)
+  }
+
+  /** Composite corpus quality gate — the reference's rule-engine discipline
+    * ([[Quality.annotate]]: one pass, ordered reason strings, clean/error
+    * split) applied to training documents: too-short, low-stopword-ratio,
+    * and repetitive docs are flagged with a ` | `-joined reasons column and
+    * a keep decision. Signals reuse [[textQuality]] and
+    * [[repetitionFilter]] (docs too short to produce bigrams carry
+    * dup_fraction 0); all thresholds compare the 6dp-ROUNDED signals, so
+    * the boundary behaves identically in any engine. */
+  def corpusGate(docs: DataFrame, idCol: String, textCol: String,
+                 minTokens: Int, minStopRatio: Double,
+                 maxDupFraction: Double): DataFrame = {
+    val q = textQuality(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("stop_ratio"))
+    val r = repetitionFilter(docs, idCol, textCol, 2, maxDupFraction)
+      .select(col(idCol), col("dup_gram_fraction"))
+    q.join(r, Seq(idCol), "left")
+      .withColumn("dup_fraction", coalesce(col("dup_gram_fraction"), lit(0.0)))
+      .withColumn("_reasons", concat_ws(" | ",
+        when(col("n_tokens") < minTokens, "too_short"),
+        when(col("stop_ratio") < minStopRatio, "low_stopword_ratio"),
+        when(col("dup_fraction") > maxDupFraction, "repetitive")))
+      .withColumn("keep", col("_reasons") === "")
+      .select(col(idCol), col("n_tokens"), col("stop_ratio"),
+        col("dup_fraction"), col("_reasons"), col("keep"))
+  }
+
   /** Power-of-two token-length histogram — the sequence-length planning
     * input for packing/bucketed batching: how many documents (and how much
     * token mass) falls in each [2^k, 2^(k+1)) length band. Pure map-side

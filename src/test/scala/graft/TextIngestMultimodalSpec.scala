@@ -251,6 +251,38 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 400)
   }
 
+  test("sourceCap keeps at most k docs per source, deterministically") {
+    val docs = (1L to 30L).map(i => (i, s"src${i % 3}", "t")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceCap(docs, "doc_id", "source", 4)
+      .select("doc_id", "source", "src_rank").as[(Long, String, Int)].collect()
+    assert(out.length == 12)
+    assert(out.groupBy(_._2).forall { case (_, rs) => rs.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4) })
+    // deterministic: a second run keeps the identical survivor set
+    val again = TextAnalysis.sourceCap(docs, "doc_id", "source", 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+  }
+
+  test("corpusGate joins ordered reasons and a keep decision per doc") {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    // 80 tokens, every bigram distinct (each pair touches a unique wN),
+    // stopword ratio 0.5 — passes every gate
+    val good = (1 to 40).map(i => s"w$i ${stops(i % stops.length)}").mkString(" ")
+    val docs = Seq(
+      (1L, good),
+      (2L, "just a few words here"),                       // too_short
+      (3L, (1 to 40).map(i => s"x$i").mkString(" ")),      // no stopwords
+      (4L, Seq.fill(60)("spam ham").mkString(" "))         // repetitive + stopword-free
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.corpusGate(docs, "doc_id", "text", 30, 0.05, 0.2)
+      .select("doc_id", "_reasons", "keep").as[(Long, String, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ("", true))
+    assert(out(2L) == ("too_short", false))
+    assert(out(3L) == ("low_stopword_ratio", false))
+    assert(out(4L) == ("low_stopword_ratio | repetitive", false))
+  }
+
   test("tokenLengthHistogram bands docs by power-of-two token counts") {
     val docs = Seq("a", "a b c", "a b c d", "w x y z u v q r").toDF("text")
     // counts 1, 3, 4, 8 → buckets 0, 1, 2, 3
