@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.IngestDiscovery
+
+/** End-to-end training-corpus curation pipeline — the corpus counterpart of
+  * [[Pipeline.runAll]] (which drives the reference's relational DWH): one
+  * orchestrated run wiring the curation operators in their canonical order,
+  * with zone outputs and a per-stage report.
+  *
+  * Stages (each writes a zone under `outRoot` and reports rows + seconds):
+  *  1. `ingest`       — NFC-normalize the text (pre-dedup canonicalization),
+  *     attach staged metadata, write the raw zone.
+  *  2. `quality_gate` — composite gate ([[TextAnalysis.corpusGate]]):
+  *     too-short / low-stopword / repetitive docs to the rejected zone with
+  *     reasons, survivors to the gated zone.
+  *  3. `source_cap`   — at most `capPerSource` docs per source
+  *     (deterministic md5 rank) so no source dominates the mixture.
+  *  4. `dedup`        — exact dedup (keep min id per normalized text), then
+  *     MinHash-LSH near-dup pairs → connected components → keep cluster
+  *     representatives. Survivors to the dedup zone.
+  *  5. `shard_write`  — token-balanced shard assignment
+  *     ([[TextAnalysis.shardTokenBudget]]) and a `partitionBy(shard)`
+  *     layout write of the final corpus.
+  *
+  * Every stage is deterministic (md5 ranks, min-id representatives — no
+  * RNG), so reruns produce byte-identical zones. Returns the run report
+  * as (stage, rows, seconds).
+  */
+object CorpusPipeline {
+
+  def runAll(spark: SparkSession, docs: DataFrame, outRoot: String, runId: String,
+             minTokens: Int = 30, minStopRatio: Double = 0.05,
+             maxDupFraction: Double = 0.2, capPerSource: Int = 1000000,
+             nearDupThreshold: Double = 0.8, numShards: Int = 8,
+             extractTime: String = "2026-01-01 00:00:00"): DataFrame = {
+    import spark.implicits._
+    var reports = Vector.empty[Pipeline.StageReport]
+    def timed(stage: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      reports :+= Pipeline.StageReport(stage, rows, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // 1. ingest: canonicalize + stage metadata -> raw zone
+    timed("ingest") {
+      val canon = docs.withColumn("text",
+        graft.functions.NativeExprs.nfcNormalize(col("text")))
+      IngestDiscovery.writeZone(
+        IngestDiscovery.staged(canon, "corpus", runId, extractTime),
+        outRoot, "raw", "documents")
+      spark.read.parquet(s"$outRoot/raw/documents").count()
+    }
+    val raw = spark.read.parquet(s"$outRoot/raw/documents")
+
+    // 2. quality gate: keep/reject split with reasons
+    timed("quality_gate") {
+      val gate = TextAnalysis.corpusGate(raw, "doc_id", "text",
+        minTokens, minStopRatio, maxDupFraction)
+      val keep = gate.where(col("keep")).select("doc_id")
+      raw.join(gate.where(!col("keep")).select("doc_id", "_reasons"), "doc_id")
+        .write.mode("overwrite").parquet(s"$outRoot/rejected/documents")
+      raw.join(keep, "doc_id")
+        .write.mode("overwrite").parquet(s"$outRoot/gated/documents")
+      spark.read.parquet(s"$outRoot/gated/documents").count()
+    }
+    val gated = spark.read.parquet(s"$outRoot/gated/documents")
+
+    // 3. per-source cap (domain cap)
+    timed("source_cap") {
+      gated.join(
+          TextAnalysis.sourceCap(gated, "doc_id", "source", capPerSource)
+            .select("doc_id"), "doc_id")
+        .write.mode("overwrite").parquet(s"$outRoot/capped/documents")
+      spark.read.parquet(s"$outRoot/capped/documents").count()
+    }
+    val capped = spark.read.parquet(s"$outRoot/capped/documents")
+
+    // 4. dedup: exact keep-min-id, then near-dup cluster representatives
+    timed("dedup") {
+      val exactKeep = Dedup.exactDedupByHash(capped, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val exact = capped.join(exactKeep, "doc_id")
+      val pairs = Dedup.nearDupMinHash(exact, "doc_id", "text",
+        shingleN = 3, threshold = nearDupThreshold)
+      val reps = Dedup.nearDupClusters(exact, pairs, "doc_id")
+        .where(col("kept")).select(col("doc_id"))
+      exact.join(reps, "doc_id")
+        .write.mode("overwrite").parquet(s"$outRoot/deduped/documents")
+      spark.read.parquet(s"$outRoot/deduped/documents").count()
+    }
+    val deduped = spark.read.parquet(s"$outRoot/deduped/documents")
+
+    // 5. token-balanced shards, laid out one directory per shard
+    timed("shard_write") {
+      deduped.join(
+          TextAnalysis.shardTokenBudget(deduped, "doc_id", "text", numShards)
+            .select("doc_id", "shard"), "doc_id")
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$outRoot/shards/documents")
+      spark.read.parquet(s"$outRoot/shards/documents").count()
+    }
+
+    val report = reports.toDF()
+    report.coalesce(1).write.mode("overwrite").parquet(s"$outRoot/report/corpus_run")
+    report
+  }
+}

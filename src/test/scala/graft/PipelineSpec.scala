@@ -95,4 +95,51 @@ class PipelineSpec extends SparkSpec {
     assert(fact.where(col("customer_key").isNull).count() == 0)
     assert(fact.join(cur, Seq("customer_key"), "left_anti").count() == 0)
   }
+
+  test("CorpusPipeline curates ingest -> gate -> cap -> dedup -> shards with a report") {
+    val out = Files.createTempDirectory("graft_corpus").toFile.getAbsolutePath
+    val t1 = (1 to 40).map(i => s"w$i").mkString(" ")            // 40 unique tokens
+    val t1near = (1 to 39).map(i => s"w$i").mkString(" ") + " zz" // ~0.95 shingle jaccard
+    val t2 = (1 to 40).map(i => s"v$i").mkString(" ")
+    val docs = (Seq(
+      (1L, t1, "a"), (2L, t1, "a"),      // exact duplicate pair -> keep 1
+      (3L, t1near, "a"),                 // near-dup of 1 -> dropped by clusters
+      (4L, t2, "a"),                     // distinct good doc
+      (5L, "tiny doc", "a")              // gate-rejected (too short)
+    ) ++ (10L to 14L).map(i =>           // source b: 5 good docs, cap keeps 4
+      (i, (1 to 40).map(j => s"b${i}x$j").mkString(" "), "b")))
+      .toDF("doc_id", "text", "source")
+
+    val report = CorpusPipeline.runAll(spark, docs, out, "run_c1",
+      minTokens = 10, minStopRatio = 0.0, maxDupFraction = 0.9,
+      capPerSource = 4, nearDupThreshold = 0.8, numShards = 2)
+      .as[Pipeline.StageReport].collect().map(r => r.stage -> r.rows).toMap
+
+    assert(report.keySet == Set("ingest", "quality_gate", "source_cap", "dedup", "shard_write"))
+    assert(report("ingest") == 10L)
+    assert(report("quality_gate") == 9L)   // doc 5 rejected
+    assert(report("source_cap") == 8L)     // source b: 5 -> 4
+    assert(report("dedup") == 6L)          // -doc2 (exact), -doc3 (near-dup)
+    assert(report("shard_write") == 6L)
+
+    val rejected = spark.read.parquet(s"$out/rejected/documents")
+      .select("doc_id", "_reasons").as[(Long, String)].collect().toMap
+    assert(rejected == Map(5L -> "too_short"))
+    val survivors = spark.read.parquet(s"$out/shards/documents")
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(1L, 4L).subsetOf(survivors))
+    assert(Set(2L, 3L, 5L).intersect(survivors).isEmpty)
+    // shard layout: one directory per assigned shard
+    val shardDirs = new java.io.File(s"$out/shards/documents")
+      .listFiles().count(_.getName.startsWith("shard="))
+    assert(shardDirs >= 1 && shardDirs <= 2)
+    // deterministic rerun: identical survivor set
+    val out2 = Files.createTempDirectory("graft_corpus2").toFile.getAbsolutePath
+    CorpusPipeline.runAll(spark, docs, out2, "run_c2",
+      minTokens = 10, minStopRatio = 0.0, maxDupFraction = 0.9,
+      capPerSource = 4, nearDupThreshold = 0.8, numShards = 2)
+    val survivors2 = spark.read.parquet(s"$out2/shards/documents")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors2 == survivors)
+  }
 }
