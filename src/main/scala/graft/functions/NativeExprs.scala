@@ -69,6 +69,9 @@ object NativeExprs {
 
   def bloomMightContain(s: Column, bfBc: Broadcast[BloomFilter]): Column =
     GraftShims.toColumn(BloomMightContainExpr(GraftShims.toExpression(s), bfBc))
+
+  def sigProbes(sig: Column, maxHamming: Int): Column =
+    GraftShims.toColumn(SigProbesExpr(GraftShims.toExpression(sig), maxHamming))
 }
 
 /** Codegen'd membership probe of a string column against a broadcast Bloom
@@ -452,6 +455,62 @@ case class HyperplaneSigExpr(child: Expression, planes: Seq[Seq[Double]])
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
     copy(child = newChild)
   override def prettyName: String = "hyperplane_sig"
+}
+
+/** Multiprobe expansion of an LSH bit-string signature: the signature plus
+  * every neighbor within hamming distance `maxHamming` (1 or 2), as
+  * array<string> — original first, then single flips in position order,
+  * then double flips (i < j).
+  *
+  * The declarative formulation (one concat/substring expression per flip —
+  * 1 + n + n*(n-1)/2 nested string-surgery terms for n planes) costs
+  * Catalyst seconds of analysis + janino compilation PER QUERY RUN; this
+  * expression is one opaque call evaluated only on the tiny broadcast query
+  * side, so the plan keeps its shape and loses the compile bill. */
+case class SigProbesExpr(child: Expression, maxHamming: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(maxHamming >= 1 && maxHamming <= 2, "sig_probes supports maxHamming 1..2")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sig_probes requires string, got $other")
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[UTF8String].toString.toCharArray
+    val n = sig.length
+    def flip(c: Char): Char = if (c == '1') '0' else '1'
+    val out = new scala.collection.mutable.ArrayBuffer[Any](1 + n + n * (n - 1) / 2)
+    out += UTF8String.fromString(new String(sig))
+    var i = 0
+    while (i < n) {
+      val a = sig.clone(); a(i) = flip(a(i))
+      out += UTF8String.fromString(new String(a))
+      i += 1
+    }
+    if (maxHamming >= 2) {
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val a = sig.clone(); a(i) = flip(a(i)); a(j) = flip(a(j))
+          out += UTF8String.fromString(new String(a))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SigProbesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "sig_probes"
 }
 
 /** Top-n nearest IVF cells of an array<double> vector by cosine against a

@@ -84,14 +84,12 @@ object Similarity {
   }
 
   /** Multiprobe set of a signature: itself plus all hamming-1 and hamming-2
-    * neighbors. Only ever evaluated on the (small, broadcast) query side. */
-  private def probes(sig: Column, numPlanes: Int): Column = {
-    val singles = (1 to numPlanes).map(i => flipAt(sig, i, numPlanes))
-    val doubles = for {
-      i <- 1 to numPlanes; j <- (i + 1) to numPlanes
-    } yield flipAt(flipAt(sig, i, numPlanes), j, numPlanes)
-    array(sig +: (singles ++ doubles): _*)
-  }
+    * neighbors. Only ever evaluated on the (small, broadcast) query side.
+    * Native expression: the declarative form (37 nested concat/substring
+    * terms at 8 planes) cost more in Catalyst analysis + janino compilation
+    * per run than the whole query's execution. */
+  private def probes(sig: Column, numPlanes: Int): Column =
+    graft.functions.NativeExprs.sigProbes(sig, 2)
 
   /** LSH-bucketed approximate top-k: corpus bucketed once by signature
     * (map-side, native expression), queries multiprobed into all buckets

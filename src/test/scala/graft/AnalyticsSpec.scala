@@ -155,6 +155,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("sigProbes expands a signature to its hamming<=2 ball, original first") {
+    val out = Seq("0101").toDF("s")
+      .select(graft.functions.NativeExprs.sigProbes(col("s"), 2).as("p"))
+      .as[Seq[String]].head()
+    assert(out.length == 1 + 4 + 6)
+    assert(out.head == "0101")
+    assert(out.toSet.size == out.length)                       // all distinct
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(out.tail.take(4).forall(ham(_, "0101") == 1))       // singles, then
+    assert(out.drop(5).forall(ham(_, "0101") == 2))            // doubles
+    assert(out.slice(1, 5) == Seq("1101", "0001", "0111", "0100")) // position order
+  }
+
   test("misraGries sketch never misses an item above n/(capacity+1), across partitions") {
     // 12000 items: "hot" 50%, "warm" 25%, the rest singletons. capacity 8
     // bounds every buffer; guarantee: freq > n/9 items must survive merges.
