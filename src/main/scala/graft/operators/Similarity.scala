@@ -233,10 +233,12 @@ object Similarity {
     val exact = v.select(col("_id"), col("_v"),
         posexplode(array((0 until numBands).map(bandAt): _*)))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_val")
+    // within-band hamming<=1 ball via the native expression — the inline
+    // flipAt tree (numPlanes + numBands terms) paid seconds of analysis +
+    // janino compile per run, dwarfing this operator's execution
     val probed = v.select(col("_id"), col("_v"),
         posexplode(array((0 until numBands).map { b =>
-          val band = bandAt(b)
-          array(band +: (1 to bandLen).map(i => flipAt(band, i, bandLen)): _*)
+          graft.functions.NativeExprs.sigProbes(bandAt(b), 1)
         }: _*)))
       .withColumnRenamed("pos", "band_id")
       .select(col("_id"), col("_v"), col("band_id"), explode(col("col")).as("band_val"))
