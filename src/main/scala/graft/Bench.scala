@@ -43,34 +43,46 @@ object Bench {
         .foreach(t => t(spark, sfDir).count())
     }
 
-    var timings = Vector.empty[(String, Double)]
-    var errors = Vector.empty[(String, String)]
-    // Two back-to-back reps per query, report the min: a single shared-JVM
-    // pass scatters one-time costs (janino codegen compiles, GC debt left
-    // by whichever heavy query ran before, broadcast cleanup) onto random
-    // queries — ±0.5-2s per-query noise that swamps round-over-round
-    // comparison at this scale factor. The min is the steady-state
-    // throughput, which is the quantity that extrapolates to a long-lived
-    // cluster session (compile cost amortizes; it does not scale with data).
+    // INTERLEAVED rep passes, per-query min across passes. Back-to-back
+    // reps of one query both land inside any sustained JVM disturbance
+    // (a long GC pause, page-cache eviction, broadcast cleanup storm), so
+    // min-of-2 fails to filter it and a whole alphabetical block reads
+    // seconds slow (observed: ~30s of phantom cost on an 8-query block in
+    // one round). Running the FULL query list once per pass separates the
+    // two samples of each query by the entire sweep (~20s), so a
+    // disturbance shorter than a sweep can hit at most one sample and the
+    // min recovers the steady-state time — the quantity that extrapolates
+    // to a long-lived cluster session. The per-query max-min spread is
+    // reported so the JSON self-documents how noisy the run was.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     // Stable order so per-round bench JSON is comparable across rounds.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val best = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        timings :+= (name -> best)
-      } catch {
-        case e: Throwable =>
-          errors :+= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    var samples = Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    var errors = Vector.empty[(String, String)]
+    (1 to reps).foreach { _ =>
+      names.foreach { case (name, fn) =>
+        if (!errors.exists(_._1 == name)) {
+          try {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            samples += name -> (samples(name) :+ (System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              errors :+= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+          }
+        }
       }
     }
+    val timings = names.collect { case (n, _) if samples(n).nonEmpty && !errors.exists(_._1 == n) =>
+      n -> samples(n).min
+    }
+    val spreads = timings.map { case (n, mn) => n -> (samples(n).max - mn) }
     val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => s"${q(k)}:${math.round(v * 1000) / 1000.0}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"reps":$reps,"sf":${q(sfDir)}}""")
+    val totalSpread = spreads.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"spread_total":${math.round(totalSpread * 1000) / 1000.0},"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"reps":$reps,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

@@ -72,6 +72,67 @@ object SparkEntry {
       |    CASE WHEN rn > 1 THEN 'duplicate_key' END) AS _errors
       |  FROM flagged)""".stripMargin
 
+  // ---- deterministically-dirtied §3 entities for the CATALOG audit
+  // (quality_catalog): each entity gets its full reference rule set
+  // (Quality.Catalogs) instantiated; dirt moduli are primes chosen so every
+  // rule fires at the oracle scale. Synthetic contact columns (c_email,
+  // c_phone, s_phone) mirror the reference's khach_hang sdt/email fields
+  // (data_transformer.py:30-40), which the TPC-H-ish testdata lacks.
+  private def catalogCustomer(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      when(col("c_custkey") % 113 === 0, lit(null)).otherwise(col("c_custkey")).as("c_custkey"),
+      when(col("c_custkey") % 107 === 0, lit("  "))
+        .when(col("c_custkey") % 149 === 0, rpad(col("c_name"), 40, "x"))
+        .otherwise(col("c_name")).as("c_name"),
+      when(col("c_custkey") % 109 === 0, lit("bad email"))
+        .otherwise(concat(lit("cust"), col("c_custkey").cast("string"), lit("@shop.vn")))
+        .as("c_email"),
+      when(col("c_custkey") % 127 === 0,
+          concat(lit("x"), lpad(col("c_custkey").cast("string"), 8, "0")))
+        .otherwise(lpad(col("c_custkey").cast("string"), 8, "0")).as("c_phone"),
+      when(col("c_custkey") % 131 === 0, col("c_acctbal") + 20000)
+        .otherwise(col("c_acctbal")).as("c_acctbal"),
+      when(col("c_custkey") % 137 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+      when(col("c_custkey") % 139 === 0, lit(99))
+        .otherwise(col("c_nationkey")).as("c_nationkey"))
+
+  private def catalogOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 97 === 0, lit(null))
+        .when(col("o_orderkey") % 79 === 0, lit(-1L))
+        .otherwise(col("o_custkey")).as("o_custkey"),
+      when(col("o_orderkey") % 89 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("o_totalprice"),
+      when(col("o_orderkey") % 83 === 0, lit("X"))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      when(col("o_orderkey") % 103 === 0, to_timestamp(lit("2099-01-01")))
+        .otherwise(col("o_orderdate")).as("o_orderdate"),
+      when(col("o_orderkey") % 71 === 0, lit("9-BOGUS"))
+        .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+
+  private def catalogPart(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      when(col("p_partkey") % 67 === 0, lit("")).otherwise(col("p_name")).as("p_name"),
+      when(col("p_partkey") % 59 === 0, lit("brandX")).otherwise(col("p_brand")).as("p_brand"),
+      when(col("p_partkey") % 53 === 0, lit(null)).otherwise(col("p_type")).as("p_type"),
+      when(col("p_partkey") % 73 === 0, lit(999)).otherwise(col("p_size")).as("p_size"),
+      when(col("p_partkey") % 61 === 0, lit(0.0)).otherwise(col("p_retailprice")).as("p_retailprice"))
+
+  private def catalogSupplier(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).select(
+      col("s_suppkey"),
+      when(col("s_suppkey") % 29 === 0, lit(" ")).otherwise(col("s_name")).as("s_name"),
+      when(col("s_suppkey") % 17 === 0, lit("abc"))
+        .otherwise(concat(lit("84-"), lpad(col("s_suppkey").cast("string"), 7, "0")))
+        .as("s_phone"),
+      when(col("s_suppkey") % 19 === 0, col("s_acctbal") + 20000)
+        .otherwise(col("s_acctbal")).as("s_acctbal"),
+      when(col("s_suppkey") % 23 === 0, lit(99))
+        .otherwise(col("s_nationkey")).as("s_nationkey"))
+
   private def annotatedOrders(s: SparkSession, dir: String): DataFrame = {
     val (addRn, dupRule) = Quality.duplicateKeyRule("duplicate_key", col("o_orderkey"), Seq(col("src")))
     val (addFk, fkCustRule) = Quality.fkRule("fk_customer", col("o_custkey"),
@@ -231,6 +292,20 @@ object SparkEntry {
     "quality_errors" -> ((s, d) => Quality.errorZone(annotatedOrders(s, d))),
     "pipeline_stats" -> ((s, d) => Quality.zoneStats(annotatedOrders(s, d), "orders", "o_orderkey")),
     "error_audit" -> ((s, d) => Quality.ruleAudit(annotatedOrders(s, d))),
+    // §2.1 row 8b — the LITERAL per-entity rule catalogs (the reference's
+    // "106 rules" registry shape): 23 rules over 4 §3 entities, each
+    // catalog one aggregation pass, zero-violation rules included
+    "quality_catalog" -> ((s, d) => {
+      val nat = Tables.nation(s, d)
+      val (prepC, rulesC) = Quality.Catalogs.customer(nat)
+      val (prepO, rulesO) = Quality.Catalogs.orders(Tables.customer(s, d))
+      val (prepP, rulesP) = Quality.Catalogs.part()
+      val (prepS, rulesS) = Quality.Catalogs.supplier(nat)
+      Quality.catalogCounts(prepC(catalogCustomer(s, d)), rulesC, "khach_hang")
+        .unionByName(Quality.catalogCounts(prepO(catalogOrders(s, d)), rulesO, "dat_hang"))
+        .unionByName(Quality.catalogCounts(prepP(catalogPart(s, d)), rulesP, "mon"))
+        .unionByName(Quality.catalogCounts(prepS(catalogSupplier(s, d)), rulesS, "nha_cung_cap"))
+    }),
     // §2.1 row 14 — date dimension
     "dim_date" -> ((s, d) => Star.dimDate(Tables.orders(s, d), "o_orderdate")),
     // §2.1 row 15 — star fact build (broadcast dim lookups)
@@ -774,6 +849,100 @@ object SparkEntry {
         |SELECT rule, CAST(count(*) AS BIGINT) AS n_violations FROM (
         |  SELECT unnest(string_split(_errors, ' | ')) AS rule
         |  FROM annotated WHERE _errors <> '') GROUP BY rule""".stripMargin),
+    "quality_catalog" ->
+      """WITH dc AS (SELECT
+        |    CASE WHEN c_custkey % 113 = 0 THEN NULL ELSE c_custkey END AS c_custkey,
+        |    CASE WHEN c_custkey % 107 = 0 THEN '  '
+        |         WHEN c_custkey % 149 = 0 THEN rpad(c_name, 40, 'x') ELSE c_name END AS c_name,
+        |    CASE WHEN c_custkey % 109 = 0 THEN 'bad email'
+        |         ELSE 'cust' || CAST(c_custkey AS VARCHAR) || '@shop.vn' END AS c_email,
+        |    CASE WHEN c_custkey % 127 = 0 THEN 'x' || lpad(CAST(c_custkey AS VARCHAR), 8, '0')
+        |         ELSE lpad(CAST(c_custkey AS VARCHAR), 8, '0') END AS c_phone,
+        |    CASE WHEN c_custkey % 131 = 0 THEN c_acctbal + 20000 ELSE c_acctbal END AS c_acctbal,
+        |    CASE WHEN c_custkey % 137 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 139 = 0 THEN 99 ELSE c_nationkey END AS c_nationkey
+        |  FROM customer),
+        |dord AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |         WHEN o_orderkey % 79 = 0 THEN -1 ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 83 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 103 = 0 THEN TIMESTAMP '2099-01-01' ELSE o_orderdate END AS o_orderdate,
+        |    CASE WHEN o_orderkey % 71 = 0 THEN '9-BOGUS' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders),
+        |dp AS (SELECT p_partkey,
+        |    CASE WHEN p_partkey % 67 = 0 THEN '' ELSE p_name END AS p_name,
+        |    CASE WHEN p_partkey % 59 = 0 THEN 'brandX' ELSE p_brand END AS p_brand,
+        |    CASE WHEN p_partkey % 53 = 0 THEN NULL ELSE p_type END AS p_type,
+        |    CASE WHEN p_partkey % 73 = 0 THEN 999 ELSE p_size END AS p_size,
+        |    CASE WHEN p_partkey % 61 = 0 THEN 0.0 ELSE p_retailprice END AS p_retailprice
+        |  FROM part),
+        |ds AS (SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 29 = 0 THEN ' ' ELSE s_name END AS s_name,
+        |    CASE WHEN s_suppkey % 17 = 0 THEN 'abc'
+        |         ELSE '84-' || lpad(CAST(s_suppkey AS VARCHAR), 7, '0') END AS s_phone,
+        |    CASE WHEN s_suppkey % 19 = 0 THEN s_acctbal + 20000 ELSE s_acctbal END AS s_acctbal,
+        |    CASE WHEN s_suppkey % 23 = 0 THEN 99 ELSE s_nationkey END AS s_nationkey
+        |  FROM supplier)
+        |SELECT 'khach_hang' AS entity, 'null_c_custkey' AS rule,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM dc
+        |UNION ALL SELECT 'khach_hang', 'empty_c_name',
+        |  CAST(SUM(CASE WHEN c_name IS NULL OR length(trim(c_name)) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM dc
+        |UNION ALL SELECT 'khach_hang', 'too_long_c_name',
+        |  CAST(SUM(CASE WHEN c_name IS NOT NULL AND length(c_name) > 30 THEN 1 ELSE 0 END) AS BIGINT) FROM dc
+        |UNION ALL SELECT 'khach_hang', 'bad_email',
+        |  CAST(SUM(CASE WHEN c_email IS NOT NULL
+        |    AND NOT regexp_matches(c_email, '^[A-Za-z0-9._-]+@[A-Za-z0-9.-]+$') THEN 1 ELSE 0 END) AS BIGINT) FROM dc
+        |UNION ALL SELECT 'khach_hang', 'bad_phone',
+        |  CAST(SUM(CASE WHEN c_phone IS NOT NULL
+        |    AND NOT regexp_matches(c_phone, '^[0-9-]+$') THEN 1 ELSE 0 END) AS BIGINT) FROM dc
+        |UNION ALL SELECT 'khach_hang', 'range_c_acctbal',
+        |  CAST(SUM(CASE WHEN c_acctbal IS NOT NULL
+        |    AND (c_acctbal < -999.99 OR c_acctbal > 9999.99) THEN 1 ELSE 0 END) AS BIGINT) FROM dc
+        |UNION ALL SELECT 'khach_hang', 'bad_c_mktsegment',
+        |  CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+        |    ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END) AS BIGINT) FROM dc
+        |UNION ALL SELECT 'khach_hang', 'fk_nation',
+        |  CAST(SUM(CASE WHEN c_nationkey IS NOT NULL
+        |    AND c_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END) AS BIGINT) FROM dc
+        |UNION ALL SELECT 'dat_hang', 'null_o_custkey',
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM dord
+        |UNION ALL SELECT 'dat_hang', 'fk_customer',
+        |  CAST(SUM(CASE WHEN o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) AS BIGINT) FROM dord
+        |UNION ALL SELECT 'dat_hang', 'nonpositive_o_totalprice',
+        |  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM dord
+        |UNION ALL SELECT 'dat_hang', 'bad_o_orderstatus',
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) FROM dord
+        |UNION ALL SELECT 'dat_hang', 'future_date',
+        |  CAST(SUM(CASE WHEN o_orderdate IS NOT NULL
+        |    AND o_orderdate > TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END) AS BIGINT) FROM dord
+        |UNION ALL SELECT 'dat_hang', 'bad_priority',
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+        |    AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END) AS BIGINT) FROM dord
+        |UNION ALL SELECT 'mon', 'empty_p_name',
+        |  CAST(SUM(CASE WHEN p_name IS NULL OR length(trim(p_name)) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM dp
+        |UNION ALL SELECT 'mon', 'nonpositive_p_retailprice',
+        |  CAST(SUM(CASE WHEN p_retailprice IS NOT NULL AND p_retailprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM dp
+        |UNION ALL SELECT 'mon', 'range_p_size',
+        |  CAST(SUM(CASE WHEN p_size IS NOT NULL AND (p_size < 1 OR p_size > 50) THEN 1 ELSE 0 END) AS BIGINT) FROM dp
+        |UNION ALL SELECT 'mon', 'bad_brand',
+        |  CAST(SUM(CASE WHEN p_brand IS NOT NULL
+        |    AND NOT regexp_matches(p_brand, '^Brand#[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) FROM dp
+        |UNION ALL SELECT 'mon', 'null_p_type',
+        |  CAST(SUM(CASE WHEN p_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM dp
+        |UNION ALL SELECT 'nha_cung_cap', 'empty_s_name',
+        |  CAST(SUM(CASE WHEN s_name IS NULL OR length(trim(s_name)) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM ds
+        |UNION ALL SELECT 'nha_cung_cap', 'bad_phone',
+        |  CAST(SUM(CASE WHEN s_phone IS NOT NULL
+        |    AND NOT regexp_matches(s_phone, '^[0-9-]+$') THEN 1 ELSE 0 END) AS BIGINT) FROM ds
+        |UNION ALL SELECT 'nha_cung_cap', 'range_s_acctbal',
+        |  CAST(SUM(CASE WHEN s_acctbal IS NOT NULL
+        |    AND (s_acctbal < -999.99 OR s_acctbal > 9999.99) THEN 1 ELSE 0 END) AS BIGINT) FROM ds
+        |UNION ALL SELECT 'nha_cung_cap', 'fk_nation',
+        |  CAST(SUM(CASE WHEN s_nationkey IS NOT NULL
+        |    AND s_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END) AS BIGINT) FROM ds""".stripMargin,
     "dim_date" ->
       """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS full_date FROM orders)
         |SELECT CAST(year(full_date)*10000 + month(full_date)*100 + dayofmonth(full_date) AS INT) AS date_key,

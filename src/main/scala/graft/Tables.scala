@@ -62,6 +62,36 @@ object Tables {
     val target = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
-  def documents(s: SparkSession, d: String): DataFrame = spread(s, load(s, d, "documents"))
-  def embeddings(s: SparkSession, d: String): DataFrame = spread(s, load(s, d, "embeddings"))
+  /** Listing-based under-parallelism probe for a parquet source: row groups
+    * are parquet's unit of scan parallelism, and the count comes from the
+    * file footer — a metadata read, no plan-to-RDD conversion (which
+    * [[spread]] pays via `df.rdd` on EVERY corpus load) and no Spark job.
+    * Falls back to "assume well-split" if the path layout is unexpected. */
+  private val rowGroupCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def parquetRowGroups(s: SparkSession, path: String): Int =
+    rowGroupCache.computeIfAbsent(path, p => Integer.valueOf(readRowGroups(s, p))).intValue()
+  private def readRowGroups(s: SparkSession, path: String): Int = {
+    try {
+      val conf = s.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val stat = fs.getFileStatus(p)
+      val files =
+        if (stat.isDirectory)
+          fs.listStatus(p).toSeq.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        else Seq(stat)
+      files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      }.sum
+    } catch { case _: Exception => Int.MaxValue }
+  }
+  private def spreadLoad(s: SparkSession, d: String, name: String): DataFrame = {
+    val df = load(s, d, name)
+    val target = s.sparkContext.defaultParallelism
+    if (parquetRowGroups(s, s"$d/$name.parquet") < target) df.repartition(target) else df
+  }
+  def documents(s: SparkSession, d: String): DataFrame = spreadLoad(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = spreadLoad(s, d, "embeddings")
 }

@@ -39,21 +39,42 @@ object Analytics {
 
   /** Winsorize: clamp `value` into its group's [lo, hi] quantile range —
     * the standard robust-stats outlier treatment before training-data or
-    * revenue aggregation. Exact interpolated percentiles per group are
-    * computed in one aggregation pass and broadcast back onto the rows, so
-    * the fact table is scanned once and never shuffled (group count is
-    * bounded — percentile tables are dimension-sized). */
+    * revenue aggregation. Group percentiles are computed in one aggregation
+    * pass and broadcast back onto the rows, so the fact table is scanned
+    * once and never shuffled (group count is bounded — percentile tables
+    * are dimension-sized).
+    *
+    * Two percentile paths, pick per deployment:
+    *  - `approx = false` (default): Spark's EXACT interpolated `percentile`.
+    *    Bit-matches any SQL engine's exact percentile (the oracle path),
+    *    but the aggregation buffer holds EVERY group value — fine when
+    *    groups are modest, OOM territory when one group spans a 100 TB
+    *    fact.
+    *  - `approx = true`: `approx_percentile` (Greenwald-Khanna sketch,
+    *    `accuracy` controls the error bound ~1/accuracy). Constant-memory
+    *    per group and mergeable map-side — the 100 TB path. Clamp bounds
+    *    may differ from exact by the sketch error; rows clamp to slightly
+    *    different edges, never wrongly dropped. */
   def winsorize(df: DataFrame, groupCols: Seq[Column], value: Column,
-                lo: Double, hi: Double, outName: String): DataFrame = {
+                lo: Double, hi: Double, outName: String,
+                approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
     val names = groupCols.zipWithIndex.map { case (_, i) => s"_g$i" }
     val keyed = groupCols.zip(names).map { case (c, n) => c.as(n) }
+    def pctl(p: Double): Column =
+      if (approx) approx_percentile(value, lit(p), lit(accuracy)).cast("double")
+      else percentile(value, lit(p))
     val exact = df.groupBy(keyed: _*).agg(
-      percentile(value, lit(lo)).as("_lo"),
-      percentile(value, lit(hi)).as("_hi"))
+      pctl(lo).as("_lo"),
+      pctl(hi).as("_hi"))
+    // null-safe LEFT join: a NULL group key still matches its own bounds row
+    // (groupBy keeps a null group), and a row with no bounds row passes
+    // through unclamped instead of being silently dropped.
     df.join(broadcast(exact),
-        groupCols.zip(names).map { case (c, n) => c === col(n) }.reduce(_ && _))
+        groupCols.zip(names).map { case (c, n) => c <=> col(n) }.reduce(_ && _),
+        "left")
       .withColumn(outName,
-        round(greatest(col("_lo"), least(col("_hi"), value)), 6))
+        round(greatest(coalesce(col("_lo"), value),
+          least(coalesce(col("_hi"), value), value)), 6))
       .drop((names ++ Seq("_lo", "_hi")): _*)
   }
 
@@ -91,7 +112,10 @@ object Analytics {
     counts.crossJoin(broadcast(stats))
       .select(col(keyName), col("n_rows"),
         round(col("n_rows").cast("double") / col("_total"), 6).as("share"),
-        round(col("n_rows") * col("_n_keys") / col("_total").cast("double"), 4)
+        // n_rows cast to double BEFORE the multiply: long*long would overflow
+        // (and throw under ANSI) once n_rows * n_keys exceeds 2^63 — easily
+        // reached at the 100 TB scale this diagnostic is for.
+        round(col("n_rows").cast("double") * col("_n_keys") / col("_total"), 4)
           .as("skew_vs_mean"))
       .orderBy(col("n_rows").desc, col(keyName)).limit(topN)
   }

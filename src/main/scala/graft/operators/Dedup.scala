@@ -287,12 +287,24 @@ object Dedup {
     * One shuffle per round, keyed on the 8-byte node id. */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
                       rounds: Int = 20): DataFrame = {
+    // Integral doc ids propagate as 8-byte longs (the compact shuffle key);
+    // every other type is carried NATIVELY — min-label propagation only
+    // needs an ordering, and an unconditional cast("long") throws under
+    // ANSI mode the moment a corpus keys documents by string (URL, UUID).
+    // String-keyed corpora pay string shuffle keys; callers who care can
+    // densify ids upstream (corpusShuffle's md5 rank) and join back.
+    val integral = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    def asKey(c: Column): Column = if (integral) c.cast("long") else c
     val edges = pairs
-      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
-      .unionByName(pairs.select(col("doc_b").cast("long").as("src"),
-        col("doc_a").cast("long").as("dst")))
+      .select(asKey(col("doc_a")).as("src"), asKey(col("doc_b")).as("dst"))
+      .unionByName(pairs.select(asKey(col("doc_b")).as("src"),
+        asKey(col("doc_a")).as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col(idCol).cast("long").as("node"))
+    var labels = docs.select(asKey(col(idCol)).as("node"))
       .withColumn("label", col("node"))
     var i = 0
     var converged = false

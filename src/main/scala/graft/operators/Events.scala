@@ -87,8 +87,10 @@ object Events {
       steps.indices.map(i => count(col(s"_t$i")).as(s"_n$i")).head,
       steps.indices.map(i => count(col(s"_t$i")).as(s"_n$i")).tail: _*)
     // unpivot the single counts row to (step_index, step, n_users)
+    // step names land inside single-quoted SQL literals — escape embedded
+    // quotes so a step like "add'l_info" can't break the stack() parse
     val stackExpr = steps.zipWithIndex
-      .map { case (s, i) => s"${i + 1}, '$s', _n$i" }
+      .map { case (s, i) => s"${i + 1}, '${s.replace("'", "''")}', _n$i" }
       .mkString(s"stack(${steps.size}, ", ", ", ")")
     counts.select(expr(stackExpr).as(Seq("step_index", "step", "n_users")))
       .select(col("step_index").cast("int").as("step_index"), col("step"),
@@ -109,8 +111,12 @@ object Events {
     events
       .withColumn("cohort_week", cohortWeek)
       .withColumn("week_offset",
-        floor((date_trunc("week", col("ts")).cast("double") -
-          col("cohort_week").cast("double")) / 604800.0).cast("int"))
+        // datediff on the truncated DATES, not epoch-seconds/604800: under a
+        // DST session timezone a spring-forward week is 601200s and the
+        // epoch formulation is off by one. Both operands are week-truncated
+        // midnights, so the day difference is an exact multiple of 7.
+        floor(datediff(date_trunc("week", col("ts")).cast("date"),
+          col("cohort_week").cast("date")) / 7).cast("int"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))
   }

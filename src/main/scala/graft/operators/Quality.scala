@@ -123,8 +123,11 @@ object Quality {
     import org.apache.spark.sql.functions._
     val a = profileColumns(before, columns).as("a")
     val b = profileColumns(after, columns).as("b")
+    // zero-rows guard: an empty snapshot otherwise yields 0/0 → NaN whose
+    // ANSI cast to long throws instead of reporting the drift
     def permille(nulls: Column, rows: Column): Column =
-      floor(nulls * 1000 / rows).cast("long")
+      when(rows === 0, lit(0L))
+        .otherwise(floor(nulls * 1000 / rows).cast("long"))
     a.join(b, col("a.col_name") === col("b.col_name"))
       .select(col("a.col_name").as("col_name"),
         col("a.n_rows").as("rows_before"), col("b.n_rows").as("rows_after"),
@@ -154,4 +157,97 @@ object Quality {
       .select(explode(split(col(ErrorsCol), " \\| ")).as("rule"))
       .groupBy(col("rule"))
       .agg(count(lit(1)).as("n_violations"))
+
+  /** LITERAL catalog audit: one output row per declared rule — including
+    * rules with ZERO violations, which [[ruleAudit]]'s explode-the-reasons
+    * form cannot report — so the control report proves the whole catalog
+    * ran, not just the rules that fired. One aggregation pass (each rule's
+    * predicate sums in the same projection; whole-stage codegen'd like
+    * [[annotate]]), then a stack reshape of the single aggregate row.
+    * Output: (entity, rule, n_violations). */
+  def catalogCounts(df: DataFrame, rules: Seq[Rule], entity: String): DataFrame = {
+    require(rules.nonEmpty, "catalogCounts needs at least one rule")
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      sum(r.violated.cast("long")).as(s"_r$i")
+    }
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${rules.length}, " + rules.zipWithIndex.map { case (r, i) =>
+      s"'${r.name.replace("'", "''")}', _r$i" }.mkString(", ") +
+      ") as (rule, n_violations)"
+    base.selectExpr(stackExpr)
+      .select(lit(entity).as("entity"), col("rule"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+  }
+
+  /** Per-entity rule CATALOGS — the reference's "106 rules" registry
+    * (STEP3_QUALITY_ENGINE.py:7, rule_registry.validate_row per entity;
+    * the registry module itself ships only as an import, so the catalogs
+    * re-derive the rule families its transformers and trackers imply:
+    * identity/duplicate tracking via seen_ids/seen_emails
+    * (STEP3_QUALITY_ENGINE.py:111-115,131-142), contact normalization —
+    * digits-only sdt, lowercase email — and per-field presence/format from
+    * data_transformer.py:14-45, numeric coercion-with-default from :57-66).
+    *
+    * Each catalog returns (prep, rules): `prep` installs any marker columns
+    * (FK broadcast joins), `rules` is the pure-Column predicate set — the
+    * whole catalog still evaluates in ONE pass through [[annotate]] or
+    * [[catalogCounts]]. Entity names follow the reference's §3 mapping
+    * (khach_hang=customer, dat_hang=orders, mon=part,
+    * nha_cung_cap=supplier). */
+  object Catalogs {
+    /** khach_hang (customer): identity, name shape, contact formats
+      * (email/phone are the reference's lowercase-email and digits-only-sdt
+      * disciplines turned into validations), balance range, segment domain,
+      * nation FK. Expects `c_email`/`c_phone` columns (synthesized upstream
+      * when the source lacks them). */
+    def customer(nation: DataFrame): (DataFrame => DataFrame, Seq[Rule]) = {
+      val (addFk, fkNation) = fkRule("fk_nation", col("c_nationkey"), nation, "n_nationkey")
+      (addFk, Seq(
+        Rules.notNull("c_custkey"),
+        Rules.nonEmpty("c_name"),
+        Rules.maxLength("c_name", 30),
+        Rules.matches("c_email", "^[A-Za-z0-9._-]+@[A-Za-z0-9.-]+$", "bad_email"),
+        Rules.matches("c_phone", "^[0-9-]+$", "bad_phone"),
+        Rules.inRange("c_acctbal", -999.99, 9999.99),
+        Rules.inSet("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")),
+        fkNation))
+    }
+
+    /** dat_hang (orders): customer FK + presence, price positivity, status
+      * and priority domains, not-in-the-future date. */
+    def orders(customer: DataFrame): (DataFrame => DataFrame, Seq[Rule]) = {
+      val (addFk, fkCust) = fkRule("fk_customer", col("o_custkey"), customer, "c_custkey")
+      (addFk, Seq(
+        Rules.notNull("o_custkey"),
+        fkCust,
+        Rules.positive("o_totalprice"),
+        Rules.inSet("o_orderstatus", Seq("O", "F", "P")),
+        Rule("future_date",
+          col("o_orderdate").isNotNull &&
+            col("o_orderdate") > to_timestamp(lit("2002-01-01"))),
+        Rules.matches("o_orderpriority", "^[1-5]-[A-Z ]+$", "bad_priority")))
+    }
+
+    /** mon (part): name presence, price positivity, size range, brand
+      * format, type presence. */
+    def part(): (DataFrame => DataFrame, Seq[Rule]) =
+      (identity[DataFrame] _, Seq(
+        Rules.nonEmpty("p_name"),
+        Rules.positive("p_retailprice"),
+        Rules.inRange("p_size", 1, 50),
+        Rules.matches("p_brand", "^Brand#[0-9]+$", "bad_brand"),
+        Rules.notNull("p_type")))
+
+    /** nha_cung_cap (supplier): name presence, phone format, balance range,
+      * nation FK. Expects an `s_phone` column. */
+    def supplier(nation: DataFrame): (DataFrame => DataFrame, Seq[Rule]) = {
+      val (addFk, fkNation) = fkRule("fk_nation", col("s_nationkey"), nation, "n_nationkey")
+      (addFk, Seq(
+        Rules.nonEmpty("s_name"),
+        Rules.matches("s_phone", "^[0-9-]+$", "bad_phone"),
+        Rules.inRange("s_acctbal", -999.99, 9999.99),
+        fkNation))
+    }
+  }
 }

@@ -73,6 +73,26 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Scale-adaptive signature sizing: the number of hyperplanes that puts the
+    * MEAN bucket occupancy at `corpusRows / 2^planes ≈ targetOccupancy`, i.e.
+    * `ceil(log2(corpusRows / targetOccupancy))`, floored at `minPlanes`.
+    *
+    * A FIXED signature width is the classic LSH scale-killer: 8 planes is 256
+    * buckets at ANY corpus size, so bucket occupancy — and the within-bucket
+    * candidate work — grows linearly with the corpus and the "approximate"
+    * index quietly degenerates toward all-pairs. Deriving the width from the
+    * corpus count keeps occupancy constant: buckets double every time the
+    * corpus doubles, candidate volume per query stays ~targetOccupancy ×
+    * numProbes regardless of scale, and multiprobe compensates the recall
+    * cost of the narrower buckets. The floor keeps small-corpus behavior
+    * identical to the former fixed defaults (below ~targetOccupancy·2^min
+    * rows the rule returns minPlanes), so results are stable across the test
+    * scale factors and only the 100 TB regime gets wider signatures. */
+  def adaptivePlanes(corpusRows: Long, targetOccupancy: Int, minPlanes: Int): Int = {
+    val buckets = math.max(1.0, corpusRows.toDouble / math.max(targetOccupancy, 1))
+    math.max(minPlanes, math.ceil(math.log(buckets) / math.log(2.0)).toInt)
+  }
+
   /** Sign-bit signature under `numPlanes` fixed hyperplanes, as a bit string
     * (the LSH bucket key). Native expression — one fused loop per row. */
   def lshSignature(vec: Column, numPlanes: Int, dim: Int): Column =
@@ -95,13 +115,22 @@ object Similarity {
     * (map-side, native expression), queries multiprobed into all buckets
     * within hamming distance 2, exact cosine re-rank within the candidate
     * set. Output: (query_id, neighbor_id, rank). At scale the corpus-side
-    * work is one projection + one 8-byte-keyed join — never a cross join. */
+    * work is one projection + one 8-byte-keyed join — never a cross join.
+    *
+    * `numPlanes = 0` (the default) derives the signature width from the
+    * corpus row count via [[adaptivePlanes]] (target occupancy 64, floor 8
+    * planes), so bucket count GROWS with the corpus instead of occupancy
+    * growing — the count job is metadata-cheap next to the search itself.
+    * Pass an explicit width to pin the index shape (e.g. for a precomputed
+    * corpus index shared across query batches). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+              vecCol: String, k: Int, numPlanes: Int = 0, dim: Int = 64): DataFrame = {
+    val planes = if (numPlanes > 0) numPlanes
+                 else adaptivePlanes(corpus.count(), targetOccupancy = 64, minPlanes = 8)
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
-      .withColumn("_bucket", lshSignature(col("_cv"), numPlanes, dim))
+      .withColumn("_bucket", lshSignature(col("_cv"), planes, dim))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
-      .withColumn("_bucket", explode(probes(lshSignature(col("_qv"), numPlanes, dim), numPlanes)))
+      .withColumn("_bucket", explode(probes(lshSignature(col("_qv"), planes, dim), planes)))
     topKRank(
       c.join(broadcast(q), "_bucket")
         .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("_sim"))
@@ -223,12 +252,21 @@ object Similarity {
     * 1-in-2^(r-something) band bucket, keeping candidates ~13% of pairs
     * instead of 100% (all-pairs). */
   def cosineNearDup(vectors: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, numPlanes: Int = 32, dim: Int = 64,
+                    threshold: Double, numPlanes: Int = 0, dim: Int = 64,
                     numBands: Int = 4): DataFrame = {
-    require(numPlanes % numBands == 0, "numBands must divide numPlanes")
-    val bandLen = numPlanes / numBands
+    // numPlanes = 0 (default): derive the per-band width from the corpus
+    // count via adaptivePlanes (target occupancy 256 per band-bucket, floor
+    // 8 bits/band — the former fixed 32/4 shape), so band-bucket count grows
+    // with the corpus instead of within-bucket pairing growing QUADRATICALLY
+    // — the fixed-width failure mode for a near-dup self-join is worse than
+    // for ANN because every bucket pairs with itself.
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else adaptivePlanes(vectors.count(), targetOccupancy = 256, minPlanes = 8) * numBands
+    require(planes % numBands == 0, "numBands must divide numPlanes")
+    val bandLen = planes / numBands
     val v = vectors.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
-      .withColumn("_sig", lshSignature(col("_v"), numPlanes, dim))
+      .withColumn("_sig", lshSignature(col("_v"), planes, dim))
     def bandAt(b: Int) = substring(col("_sig"), b * bandLen + 1, bandLen)
     val exact = v.select(col("_id"), col("_v"),
         posexplode(array((0 until numBands).map(bandAt): _*)))
