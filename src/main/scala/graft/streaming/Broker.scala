@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+
+/** Message-broker abstraction re-expressing the reference's RabbitMQ layer
+  * (etl/broker/rabbitmq_client.py:1-127 connect + per-entity queue declare;
+  * producer.py:1-128 routes each entity's rows to its queue;
+  * consumer.py:1-89 drains queues into the raw zone with explicit acks) in
+  * Spark's streaming model, so the producer → queue → consumer shape is an
+  * explicit interface rather than something implied by directory layout.
+  *
+  * One `Broker` contract, two transports:
+  *
+  *  - [[FileTopicBroker]]: per-topic directories under one root are the
+  *    queues (`root/topics/<topic>/`). `publish` appends parquet files — a
+  *    durable, ordered-enough log, exactly the role RabbitMQ's queue plays
+  *    for the reference. Offset/ack semantics ARE Structured Streaming's
+  *    checkpoint: the FileStreamSource offset log records which files each
+  *    subscription has committed (the consumer ack), so a restarted consumer
+  *    resumes from its last ack and never re-delivers committed messages —
+  *    the at-least-once + explicit-ack contract rabbitmq_client.py
+  *    configures (`basic_ack` after write), without a broker process.
+  *
+  *  - [[KafkaBroker]]: the production transport — `format("kafka")` on both
+  *    sides with JSON-encoded payloads. The sandbox runs no broker, so this
+  *    class is compile-checked wiring (the Kafka connector resolves its
+  *    format at RUNTIME, meaning the class builds and unit-loads without the
+  *    connector jar; starting it requires `--packages spark-sql-kafka`).
+  *    Offsets/acks are Kafka consumer-group offsets managed by the same
+  *    streaming checkpoint.
+  *
+  * Scale: each topic is an independent stream with its own checkpoint —
+  * per-entity parallelism is per-topic query parallelism, and a topic's
+  * backlog never blocks another's (the reason the reference runs one queue
+  * per entity). File-topic publishes are append-only — no compaction races;
+  * a production deployment would layer retention/compaction the way Kafka
+  * does (delete-by-age on committed files).
+  */
+trait Broker {
+
+  /** Producer side: route a batch of rows to `topic`
+    * (producer.py's per-entity `basic_publish` loop, as one append). */
+  def publish(df: DataFrame, topic: String): Unit
+
+  /** Consumer side: an unbounded stream of `topic`'s messages. Offsets are
+    * tracked by the checkpoint of whatever query consumes the stream. */
+  def subscribe(spark: SparkSession, topic: String, schema: StructType): DataFrame
+}
+
+/** File-backed topic queue — see [[Broker]]. `root` holds one directory per
+  * topic; topics are created on first publish (rabbitmq_client.py's
+  * queue_declare is idempotent the same way). */
+final class FileTopicBroker(root: String) extends Broker {
+
+  def topicDir(topic: String): String = s"$root/topics/$topic"
+
+  override def publish(df: DataFrame, topic: String): Unit =
+    df.write.mode("append").parquet(topicDir(topic))
+
+  override def subscribe(spark: SparkSession, topic: String,
+                         schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(topicDir(topic))
+
+  /** Consumer drain loop (consumer.py:40-74: per-queue consume → raw-zone
+    * write → ack): subscribe, stamp staged metadata, append to the topic's
+    * raw zone with a checkpoint. The returned query's checkpoint directory
+    * is the ack ledger — stop it and call `consume` again with the same
+    * `checkpointDir` and it resumes from the last committed file. */
+  def consume(spark: SparkSession, topic: String, schema: StructType,
+              outDir: String, checkpointDir: String, runId: String): StreamingQuery =
+    EventStreaming.toRawZone(subscribe(spark, topic, schema), outDir,
+      checkpointDir, s"topic:$topic", runId)
+}
+
+/** Kafka transport for the same contract — compile-checked wiring; see
+  * [[Broker]] for why it cannot start in this sandbox. Payloads travel as
+  * JSON in Kafka's `value` column: `publish` encodes `to_json(struct(*))`,
+  * `subscribe` decodes with `from_json` against the caller's schema — the
+  * schema-on-read discipline every Kafka pipeline needs because the broker
+  * stores bytes, not tables. */
+final class KafkaBroker(bootstrapServers: String) extends Broker {
+
+  override def publish(df: DataFrame, topic: String): Unit =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
+
+  override def subscribe(spark: SparkSession, topic: String,
+                         schema: StructType): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("_m"))
+      .select(col("_m.*"))
+
+  /** Mirror of [[FileTopicBroker.consume]] over the Kafka transport. */
+  def consume(spark: SparkSession, topic: String, schema: StructType,
+              outDir: String, checkpointDir: String, runId: String): StreamingQuery =
+    EventStreaming.toRawZone(subscribe(spark, topic, schema), outDir,
+      checkpointDir, s"topic:$topic", runId)
+}
+
+object Broker {
+  /** Transport selection behind a flag (config-driven, the way the
+    * reference picks its broker host from etl/config.py): `"kafka:<servers>"`
+    * builds the Kafka transport, anything else is a file-topic root. */
+  def forUri(uri: String): Broker =
+    if (uri.startsWith("kafka:")) new KafkaBroker(uri.stripPrefix("kafka:"))
+    else new FileTopicBroker(uri)
+}

@@ -268,4 +268,29 @@ class AnalyticsSpec extends SparkSpec {
     val errs = ann.select("id", Quality.ErrorsCol).as[(Int, String)].collect().toMap
     assert(errs == Map(1 -> "", 2 -> "fk_dim", 3 -> "")) // null FK is not an FK violation
   }
+
+  test("winsorize approx path tracks the exact clamp within sketch tolerance") {
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    def clampMap(approx: Boolean) =
+      Analytics.winsorize(df, Seq(col("g")), col("v"), 0.05, 0.95, "w", approx = approx)
+        .select("v", "w").as[(Double, Double)].collect().toMap
+    val exact = clampMap(approx = false)
+    val sketch = clampMap(approx = true)
+    assert(exact.size == 1000 && sketch.size == 1000)
+    // interior rows are never clamped by either path; clamped edges agree
+    // within one value-grid step at accuracy 10000 on 1000 rows
+    exact.foreach { case (v, e) => assert(math.abs(e - sketch(v)) <= 1.0, s"v=$v") }
+    assert(exact(1.0) > 1.0 && exact(1000.0) < 1000.0) // clamping actually occurred
+  }
+
+  test("winsorize keeps rows with a NULL group key (null-safe bounds join)") {
+    val df = Seq((Option("a"), 1.0), (Option("a"), 100.0),
+      (Option.empty[String], 5.0), (Option.empty[String], 50.0)).toDF("g", "v")
+    val out = Analytics.winsorize(df, Seq(col("g")), col("v"), 0.0, 1.0, "w")
+    // the inner-equality join this replaces silently DROPPED the null-key rows
+    assert(out.count() == 4)
+    // [0,1] quantile range = [min,max] per group -> no value actually clamps,
+    // including within the null group (whose bounds row matches via <=>)
+    assert(out.select("v", "w").as[(Double, Double)].collect().forall { case (v, w) => v == w })
+  }
 }

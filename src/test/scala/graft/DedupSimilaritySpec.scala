@@ -228,4 +228,50 @@ class DedupSimilaritySpec extends SparkSpec {
       "vec_id", "embedding").as[(Long, Int, Double, Double)].collect().head
     assert(out == ((1L, 2, 5.0, 3.5)))
   }
+
+  test("adaptivePlanes: floors at the fixed default, grows log2 with the corpus") {
+    // below ~targetOccupancy * 2^minPlanes rows the rule reproduces the
+    // former fixed width — test-scale corpora keep bit-identical results
+    assert(Similarity.adaptivePlanes(500, 64, 8) == 8)
+    assert(Similarity.adaptivePlanes(2000, 64, 8) == 8)
+    // in the growth regime bucket count (2^planes) tracks corpus rows, so
+    // mean occupancy stays ~targetOccupancy instead of growing linearly —
+    // the fixed-width scale failure this rule exists to prevent
+    assert(Similarity.adaptivePlanes(1L << 20, 64, 8) == 14) // 2^20/64 buckets
+    assert(Similarity.adaptivePlanes(1L << 30, 64, 8) == 24)
+    assert(Similarity.adaptivePlanes(2L << 30, 64, 8) == 25) // +1 per doubling
+    val widths = (10 to 40).map(b => Similarity.adaptivePlanes(1L << b, 64, 8))
+    assert(widths == widths.sorted, "plane count must be monotone in corpus size")
+  }
+
+  test("adaptive-width defaults reproduce the fixed-width results on a small corpus") {
+    val rnd = new java.util.Random(11L)
+    def vec() = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0L until 40L).map(i => (i, vec()))
+    // plant near-identical pairs so cosineNearDup has hits to compare
+    val corpus = base ++ base.take(5).map { case (i, v) =>
+      (100L + i, v.updated(0, v.head * 1.01f)) }
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val qdf = base.take(3).toDF("vec_id", "embedding")
+    val lshAuto = Similarity.lshTopK(qdf, cdf, "vec_id", "embedding", 5, dim = 16)
+      .as[(Long, Long, Int)].collect().toSet
+    val lshFixed = Similarity.lshTopK(qdf, cdf, "vec_id", "embedding", 5,
+      numPlanes = 8, dim = 16).as[(Long, Long, Int)].collect().toSet
+    assert(lshAuto == lshFixed)
+    val ndAuto = Similarity.cosineNearDup(cdf, "vec_id", "embedding", 0.9, dim = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    val ndFixed = Similarity.cosineNearDup(cdf, "vec_id", "embedding", 0.9,
+      numPlanes = 32, dim = 16).as[(Long, Long, Double)].collect().toSet
+    assert(ndAuto == ndFixed && ndAuto.nonEmpty)
+  }
+
+  test("nearDupClusters carries string doc ids natively (no ANSI cast failure)") {
+    val docs = Seq("u/a", "u/b", "u/c", "u/d").toDF("doc_id")
+    val pairs = Seq(("u/b", "u/c"), ("u/c", "u/d")).toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(docs, pairs, "doc_id", rounds = 5)
+      .as[(String, String, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("u/a", "u/a", true), ("u/b", "u/b", true),
+      ("u/c", "u/b", false), ("u/d", "u/b", false)))
+  }
 }

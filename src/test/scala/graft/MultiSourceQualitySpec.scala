@@ -89,4 +89,38 @@ class MultiSourceQualitySpec extends SparkSpec {
       .select("zone", "n_rows").as[(String, Long)].collect().toMap
     assert(zones == Map("clean" -> 2L, "error" -> 2L))
   }
+
+  test("catalogCounts reports every declared rule — including zero-violation ones — in one pass") {
+    val df = Seq((1, Option("x")), (2, Option.empty[String])).toDF("id", "name")
+    val rules = Seq(Quality.Rules.notNull("name"), Quality.Rules.positive("id"))
+    val out = Quality.catalogCounts(df, rules, "ent")
+      .as[(String, String, Long)].collect().toSet
+    // ruleAudit's explode-the-reasons form can only ever report fired rules;
+    // the literal catalog audit proves the whole catalog RAN
+    assert(out == Set(("ent", "null_name", 1L), ("ent", "nonpositive_id", 0L)))
+  }
+
+  test("entity catalogs evaluate in one pass and fire per family") {
+    val nation = Seq((0, "VN"), (1, "US")).toDF("n_nationkey", "n_name")
+    val cust = Seq(
+      (Option(1L), "Alice", "alice@x.vn", "090-111", 10.0, "BUILDING", 0),   // clean
+      (Option(2L), "  ", "no-at-sign", "phone?", 99999.0, "NOPE", 7)         // fires 6 rules
+    ).toDF("c_custkey", "c_name", "c_email", "c_phone", "c_acctbal", "c_mktsegment", "c_nationkey")
+    val (prep, rules) = Quality.Catalogs.customer(nation)
+    val counts = Quality.catalogCounts(prep(cust), rules, "khach_hang")
+      .as[(String, String, Long)].collect().map { case (_, r, n) => r -> n }.toMap
+    assert(counts == Map(
+      "null_c_custkey" -> 0L, "empty_c_name" -> 1L, "too_long_c_name" -> 0L,
+      "bad_email" -> 1L, "bad_phone" -> 1L, "range_c_acctbal" -> 1L,
+      "bad_c_mktsegment" -> 1L, "fk_nation" -> 1L))
+  }
+
+  test("profileDrift against an empty snapshot reports drift instead of dividing by zero") {
+    val before = Seq.empty[(Int, String)].toDF("id", "name")
+    val after = Seq((1, Option("a")), (2, Option.empty[String])).toDF("id", "name")
+    val out = Quality.profileDrift(before, after, Seq("id", "name"))
+      .select("col_name", "drifted").as[(String, Boolean)].collect().toMap
+    // 0-row denominator is guarded to 0 permille — no NaN, no ANSI throw
+    assert(out == Map("id" -> true, "name" -> true))
+  }
 }

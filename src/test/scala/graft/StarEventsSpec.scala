@@ -117,6 +117,18 @@ class StarEventsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "view", 3L), (2, "click", 1L), (3, "buy", 1L)))
   }
 
+  test("funnel step names with embedded quotes survive the stack() literal") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(1), 1L, "add'l_info", 0.0),
+      (3L, ts(0), 2L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.funnel(events, col("event_type"), Seq("view", "add'l_info"))
+      .select("step_index", "step", "n_users").as[(Int, String, Long)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, "view", 2L), (2, "add'l_info", 1L)))
+  }
+
   test("cohortRetention grids distinct active users by cohort week and offset") {
     def ts(day: Int) = new Timestamp(day * 86400000L)
     // Jan 1 1970 is a Thursday; week boundary (Monday) falls on day 4.
