@@ -314,7 +314,7 @@ object SparkEntry {
       val dimP = rankedDim(s, d, "part", "p_partkey", "part_key")
       // spread: the fact build (broadcast-join pipeline over every lineitem
       // row) would otherwise run single-core on the one-row-group testdata
-      val f0 = Tables.spread(s, Tables.lineitem(s, d)
+      val f0 = Tables.spread(s, d, "lineitem", Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount")))
         .join(Tables.orders(s, d).select(
@@ -341,7 +341,7 @@ object SparkEntry {
       val dimP = rankedDim(s, d, "part", "p_partkey", "part_key")
       val dimS = rankedDim(s, d, "supplier", "s_suppkey", "supplier_key")
       val dimN = rankedDim(s, d, "nation", "n_nationkey", "nation_key")
-      val f0 = Tables.spread(s, Tables.lineitem(s, d)
+      val f0 = Tables.spread(s, d, "lineitem", Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount")))
         .join(Tables.orders(s, d).select(
@@ -377,7 +377,7 @@ object SparkEntry {
     }),
     // §2.1 row 15 — analytical rollup over the star
     "star_rollup" -> ((s, d) => {
-      val f = Tables.spread(s, Tables.lineitem(s, d)
+      val f = Tables.spread(s, d, "lineitem", Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount")))
         .join(Tables.orders(s, d).select(
@@ -424,7 +424,7 @@ object SparkEntry {
     "rollup_revenue" -> ((s, d) => {
       // spread: heavy per-row pipeline (two joins + 3x Expand) would
       // otherwise run single-core on the one-row-group testdata scan
-      val f = Tables.spread(s, Tables.lineitem(s, d)
+      val f = Tables.spread(s, d, "lineitem", Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
         .join(Tables.orders(s, d).select(
           col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_orderdate")), Seq("l_orderkey"))
@@ -652,7 +652,7 @@ object SparkEntry {
     // §2.1 row 17b — single-pass column profiling
     // (spread: the 4-column exact-distinct profile Expands the input 4x,
     // all fused into the single-row-group scan without it)
-    "profile_columns" -> ((s, d) => Quality.profileColumns(Tables.spread(s, Tables.orders(s, d)),
+    "profile_columns" -> ((s, d) => Quality.profileColumns(Tables.spread(s, d, "orders", Tables.orders(s, d)),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
     // §2.2 row 27 — Unicode NFC normalization (pre-dedup canonicalization)
     "unicode_norm" -> ((s, d) => {
@@ -712,7 +712,7 @@ object SparkEntry {
       Events.cohortRetention(Tables.events(s, d))),
     // §2.1 row 19d — CUBE cross-tab over the same revenue fact rollup uses
     "cube_revenue" -> ((s, d) => {
-      val f = Tables.spread(s, Tables.lineitem(s, d)
+      val f = Tables.spread(s, d, "lineitem", Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
         .join(Tables.orders(s, d).select(
           col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_orderdate")), Seq("l_orderkey"))

@@ -58,9 +58,13 @@ object Tables {
     * The relational tables stay unspread: their per-row work is light, and
     * measurement shows the extra shuffle costs more than the parallelism
     * returns (+0.4-0.9s per query at sf0.1). */
-  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+  /** Spread a PROJECTION of the named table: under-parallelism is probed
+    * from the table's parquet footer ([[parquetRowGroups]]), never via
+    * `df.rdd` — the RDD conversion re-planned the query on every
+    * invocation just to read a partition count. */
+  def spread(s: SparkSession, d: String, name: String, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (parquetRowGroups(s, s"$d/$name.parquet") < target) df.repartition(target) else df
   }
   /** Listing-based under-parallelism probe for a parquet source: row groups
     * are parquet's unit of scan parallelism, and the count comes from the

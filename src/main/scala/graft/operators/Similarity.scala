@@ -155,7 +155,19 @@ object Similarity {
     * map-side projection: ZERO shuffle over the corpus, and the full corpus
     * is scanned exactly ONCE (the search pass; TakeOrdered's scan is
     * map-side partial top-K). Each query searches only its `nprobe` nearest
-    * cells via an 8-byte-keyed broadcast join. */
+    * cells via an 8-byte-keyed broadcast join.
+    *
+    * numCells sizing at scale: classic IVF guidance is nlist ≈ sqrt(N)
+    * (cell occupancy and probe cost balance), so a 1e9-vector corpus wants
+    * thousands of cells, not 16. With THIS design — centroids inlined as
+    * literals into a native expression — that is practical to ~4k cells
+    * (~2 MB of plan literals at dim 64; the training TakeOrdered stays
+    * bounded at numCells×32 vectors). Beyond that, move the centroid set
+    * from plan literals to a broadcast table and assign cells with a
+    * broadcast join + per-row argmin — same shuffle profile, no plan
+    * bloat. The default 16 suits the test corpora; size explicitly per
+    * corpus (the parameter exists precisely so the index shape is a
+    * deployment decision, not a constant). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16, nprobe: Int = 4): DataFrame =
     ivfTopKWith(queries, corpus, idCol, vecCol, k,
