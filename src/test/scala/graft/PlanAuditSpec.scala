@@ -180,4 +180,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!read.contains("l_comment") && !read.contains("l_shipdate")
       && !read.contains("l_tax"), s"lineitem scan reads unused columns: $read")
   }
+
+  test("quality_catalog: FK rules broadcast, each entity is one scan + a 1-row aggregate") {
+    val p = planOf("quality_catalog")
+    // FK checks must never sort-merge a fact against a dimension key set
+    assert(p.contains("BroadcastHashJoin"), s"FK rules must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"catalog audit must not SMJ:\n$p")
+    // one-pass discipline: the whole 23-rule catalog is 4 entity scans
+    // (customer, orders, part, supplier) + 2 nation scans for the FK dims —
+    // a per-rule pass would multiply the scan count by the rule count
+    val scans = p.linesIterator.count(_.trim.startsWith("FileScan parquet"))
+    assert(scans <= 8, s"expected <=8 scans (4 entities + FK dims), got $scans:\n$p")
+  }
 }
