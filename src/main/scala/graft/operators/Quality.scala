@@ -103,8 +103,14 @@ object Quality {
       min(col(c)).cast("string").as(s"_mn_$c"),
       max(col(c)).cast("string").as(s"_mx_$c")))
     val base = df.agg(count(lit(1)).as("_n"), aggs: _*)
-    val stackExpr = s"stack(${columns.length}, " + columns.map(c =>
-      s"'$c', _nn_$c, _nd_$c, _mn_$c, _mx_$c").mkString(", ") +
+    // column names land in a quoted SQL literal AND in identifiers — escape
+    // the quote in the literal and backtick-quote the identifiers so names
+    // with spaces/dots/quotes profile instead of breaking the stack() parse
+    val stackExpr = s"stack(${columns.length}, " + columns.map { c =>
+      val litName = c.replace("'", "''")
+      val id = c.replace("`", "``")
+      s"'$litName', `_nn_$id`, `_nd_$id`, `_mn_$id`, `_mx_$id`"
+    }.mkString(", ") +
       ") as (col_name, n_nulls, n_distinct, min_value, max_value)"
     base.selectExpr("_n as n_rows", stackExpr)
       .select(col("col_name"), col("n_rows"), col("n_nulls"),

@@ -115,6 +115,14 @@ class MultiSourceQualitySpec extends SparkSpec {
       "bad_c_mktsegment" -> 1L, "fk_nation" -> 1L))
   }
 
+  test("profileColumns handles column names with spaces and quotes") {
+    val df = Seq((1, Option("a")), (2, Option.empty[String]))
+      .toDF("order id", "cust'name")
+    val out = Quality.profileColumns(df, Seq("order id", "cust'name"))
+      .select("col_name", "n_nulls").as[(String, Long)].collect().toMap
+    assert(out == Map("order id" -> 0L, "cust'name" -> 1L))
+  }
+
   test("profileDrift against an empty snapshot reports drift instead of dividing by zero") {
     val before = Seq.empty[(Int, String)].toDF("id", "name")
     val after = Seq((1, Option("a")), (2, Option.empty[String])).toDF("id", "name")
