@@ -29,10 +29,12 @@ object Normalize {
   def emptyToNull(c: Column): Column = when(length(c) === 0, lit(null)).otherwise(c)
 
   /** Integer coercion with default-on-error (data_transformer.py:160-176).
-    * Guarded so it never throws under ANSI mode: only digit strings are cast.
-    * Equivalent to `coalesce(try_cast(c as int), default)`. */
+    * Guarded so it never throws under ANSI mode: only digit strings are
+    * cast, and the cast itself is a try_cast — a digit string that
+    * OVERFLOWS int (passes the regex, e.g. 20 digits) falls back to the
+    * default instead of throwing the ANSI range error. */
   def coerceInt(c: Column, default: Int): Column =
-    when(trim(c).rlike("^-?[0-9]+$"), trim(c).cast("int")).otherwise(lit(default))
+    coalesce(when(trim(c).rlike("^-?[0-9]+$"), trim(c).try_cast("int")), lit(default))
 
   /** Double coercion with default-on-error (data_transformer.py:55-66). */
   def coerceDouble(c: Column, default: Double): Column =

@@ -25,9 +25,11 @@ class NormalizeSpec extends SparkSpec {
   }
 
   test("coerceInt falls back to default on garbage, never throws under ANSI") {
-    val out = Seq("42", " 7 ", "x", "", "1.5", "-3").toDF("s")
+    // includes a 20-digit string: passes the digit regex but overflows int —
+    // must fall back to the default, not throw the ANSI range error
+    val out = Seq("42", " 7 ", "x", "", "1.5", "-3", "99999999999999999999").toDF("s")
       .select(Normalize.coerceInt(col("s"), -1)).as[Int].collect()
-    assert(out.toSeq == Seq(42, 7, -1, -1, -1, -3))
+    assert(out.toSeq == Seq(42, 7, -1, -1, -1, -3, -1))
   }
 
   test("coerceDouble parses decimals with default-on-error") {
