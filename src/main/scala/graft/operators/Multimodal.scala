@@ -23,7 +23,13 @@ object Multimodal {
                                  feature: Array[Float])
 
   /** Pack a text table into media rows (payload = UTF-8 bytes) — the test
-    * stand-in for real image/audio payload columns. */
+    * stand-in for real image/audio payload columns.
+    *
+    * Doc ids are cast to long because the typed decode stage
+    * ([[decodeFeatures]]) rides a concrete `MediaRow` Encoder — under ANSI
+    * mode a string-keyed corpus must densify ids first (e.g. the
+    * [[TextAnalysis.corpusShuffle]] rank) and join back after; the
+    * binary/decode plumbing itself is id-agnostic. */
   def packBinary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).cast("long").as("doc_id"),
