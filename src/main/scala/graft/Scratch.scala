@@ -25,45 +25,50 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    (1 to 2).foreach { round =>
+    (1 to 3).foreach { round =>
       println(s"--- round $round")
       val docs = Tables.documents(s, d)
       val toks = operators.TextAnalysis.tokens(col("text"))
-      time("tokens only") {
-        noop(docs.select(col("doc_id"), toks.as("t")))
+      // bm25 pieces: construction (vocab collect) vs execution
+      val queries = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(toks, 1, 6)).as("qtext"))
+      time("query-side vocab collect") {
+        queries.select(explode(array_distinct(
+          operators.TextAnalysis.tokens(col("qtext")))).as("term"))
+          .select(col("term")).distinct().collect()
       }
-      time("ngramsAll project") {
-        noop(docs.select(col("doc_id"),
-          operators.TextAnalysis.ngramsAll(toks, 2).as("g")))
+      time("stats agg (scalar)") {
+        docs.select(size(toks).as("dl"))
+          .agg(count(lit(1)), sum(col("dl"))).collect()
       }
-      time("ngrams explode") {
-        noop(docs.select(col("doc_id"),
-          explode(operators.TextAnalysis.ngramsAll(toks, 2)).as("g")))
+      time("bm25 construction only") {
+        operators.Retrieval.bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext", 10)
       }
-      time("grams groupBy") {
-        noop(docs.select(col("doc_id"),
-          explode(operators.TextAnalysis.ngramsAll(toks, 2)).as("g"))
-          .groupBy(col("doc_id"), col("g")).count())
-      }
-      time("rep_filter full") {
-        noop(SparkEntry.queries("rep_filter")(s, d))
-      }
-      time("ngramsAll project repart32") {
-        noop(docs.repartition(32).select(col("doc_id"),
-          operators.TextAnalysis.ngramsAll(toks, 2).as("g")))
-      }
-      time("postings repart32") {
-        noop(docs.repartition(32).select(col("doc_id").as("d"), size(toks).as("dl"),
-            explode(toks).as("term"))
-          .groupBy(col("d"), col("dl"), col("term")).agg(count(lit(1))))
-      }
-      time("bm25 postings") {
-        noop(docs.select(col("doc_id").as("d"), size(toks).as("dl"),
-            explode(toks).as("term"))
-          .groupBy(col("d"), col("dl"), col("term")).agg(count(lit(1))))
-      }
-      time("bm25 full") {
+      time("bm25 full (construct+exec)") {
         noop(SparkEntry.queries("bm25_topk")(s, d))
+      }
+      val pre = time("bm25 construct (pre)") {
+        operators.Retrieval.bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext", 10)
+      }
+      time("bm25 exec only") { noop(pre) }
+      // hypothesis: exploding ALL tokens then filtering is the cost —
+      // filter the token ARRAY first, explode only survivors
+      val vocab = queries.select(explode(array_distinct(
+          operators.TextAnalysis.tokens(col("qtext")))).as("term"))
+        .select(col("term")).distinct().collect().map(_.getString(0)).toSeq
+      time("postings explode-then-filter") {
+        noop(docs.select(col("doc_id").as("d"), size(toks).as("dl"), explode(toks).as("term"))
+          .where(col("term").isin(vocab: _*))
+          .groupBy(col("d"), col("dl"), col("term")).agg(count(lit(1))))
+      }
+      time("postings filter-then-explode") {
+        noop(docs.select(col("doc_id").as("d"), size(toks).as("dl"),
+            explode(filter(toks, t => t.isin(vocab: _*))).as("term"))
+          .groupBy(col("d"), col("dl"), col("term")).agg(count(lit(1))))
+      }
+      time("corpus scan+tokenize only") {
+        noop(docs.select(col("doc_id"), size(toks).as("dl")))
       }
     }
     spark.stop()
