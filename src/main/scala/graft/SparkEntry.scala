@@ -306,6 +306,23 @@ object SparkEntry {
         .unionByName(Quality.catalogCounts(prepP(catalogPart(s, d)), rulesP, "mon"))
         .unionByName(Quality.catalogCounts(prepS(catalogSupplier(s, d)), rulesS, "nha_cung_cap"))
     }),
+    // §2.1 row 17h — the dashboard's serving feed: zone counts, per-rule
+    // violations, per-column drift flags, and hot keys in ONE long-format
+    // (metric, key, value) table (dashboard.py's page, minus the HTML)
+    "monitor_feed" -> ((s, d) => {
+      val ann = annotatedOrders(s, d)
+      Quality.monitorFeed(Seq(
+        ("zone_rows", Quality.zoneStats(ann, "orders", "o_orderkey"),
+          col("zone"), col("n_rows")),
+        ("rule_violations", Quality.ruleAudit(ann),
+          col("rule"), col("n_violations")),
+        ("col_drift", Quality.profileDrift(srcA(s, d), srcB(s, d),
+          Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment")),
+          col("col_name"), col("drifted").cast("int")),
+        ("hot_key_rows", Analytics.skewProfile(
+          Tables.orders(s, d).select(col("o_custkey")), col("o_custkey"), "o_custkey", 10),
+          col("o_custkey"), col("n_rows"))))
+    }),
     // §2.1 row 14 — date dimension
     "dim_date" -> ((s, d) => Star.dimDate(Tables.orders(s, d), "o_orderdate")),
     // §2.1 row 15 — star fact build (broadcast dim lookups)
@@ -849,6 +866,62 @@ object SparkEntry {
         |SELECT rule, CAST(count(*) AS BIGINT) AS n_violations FROM (
         |  SELECT unnest(string_split(_errors, ' | ')) AS rule
         |  FROM annotated WHERE _errors <> '') GROUP BY rule""".stripMargin),
+    "monitor_feed" -> (DirtyCte + "," + SrcCte.stripPrefix("WITH") + """,
+        |pa AS (
+        |  SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(c_custkey) AS VARCHAR) AS min_value, CAST(max(c_custkey) AS VARCHAR) AS max_value FROM src_a
+        |  UNION ALL SELECT 'c_name', CAST(count(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_name) AS BIGINT),
+        |    CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM src_a
+        |  UNION ALL SELECT 'c_acctbal', CAST(count(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_acctbal) AS BIGINT),
+        |    CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR) FROM src_a
+        |  UNION ALL SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+        |    CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM src_a),
+        |pb AS (
+        |  SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(c_custkey) AS VARCHAR) AS min_value, CAST(max(c_custkey) AS VARCHAR) AS max_value FROM src_b
+        |  UNION ALL SELECT 'c_name', CAST(count(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_name) AS BIGINT),
+        |    CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM src_b
+        |  UNION ALL SELECT 'c_acctbal', CAST(count(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_acctbal) AS BIGINT),
+        |    CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR) FROM src_b
+        |  UNION ALL SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+        |    CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM src_b),
+        |drift AS (
+        |  SELECT pa.col_name AS col_name,
+        |    (pb.n_distinct - pa.n_distinct <> 0
+        |     OR CAST(floor(pb.n_nulls * 1000 / pb.n_rows) AS BIGINT)
+        |        - CAST(floor(pa.n_nulls * 1000 / pa.n_rows) AS BIGINT) <> 0
+        |     OR coalesce(pa.min_value, '') <> coalesce(pb.min_value, '')
+        |     OR coalesce(pa.max_value, '') <> coalesce(pb.max_value, '')) AS drifted
+        |  FROM pa JOIN pb ON pa.col_name = pb.col_name),
+        |ck AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows FROM orders GROUP BY o_custkey),
+        |hot AS (SELECT o_custkey, n_rows FROM ck ORDER BY n_rows DESC, o_custkey LIMIT 10)
+        |SELECT 'zone_rows' AS metric,
+        |  CASE WHEN _errors = '' THEN 'clean' ELSE 'error' END AS key,
+        |  CAST(count(*) AS DOUBLE) AS value
+        |FROM annotated GROUP BY 1, 2
+        |UNION ALL SELECT 'rule_violations', rule, CAST(count(*) AS DOUBLE) FROM (
+        |  SELECT unnest(string_split(_errors, ' | ')) AS rule
+        |  FROM annotated WHERE _errors <> '') GROUP BY 1, 2
+        |UNION ALL SELECT 'col_drift', col_name,
+        |  CAST(CASE WHEN drifted THEN 1 ELSE 0 END AS DOUBLE) FROM drift
+        |UNION ALL SELECT 'hot_key_rows', CAST(o_custkey AS VARCHAR),
+        |  CAST(n_rows AS DOUBLE) FROM hot""".stripMargin),
     "quality_catalog" ->
       """WITH dc AS (SELECT
         |    CASE WHEN c_custkey % 113 = 0 THEN NULL ELSE c_custkey END AS c_custkey,

@@ -185,6 +185,23 @@ object Quality {
         coalesce(col("n_violations"), lit(0L)).as("n_violations"))
   }
 
+  /** Unified monitoring feed — the data behind the reference's dashboard
+    * (dashboard.py:30-40 renders zone counts, rule violations, drift and
+    * hot keys on one page; the Flask/HTML layer is serving, this is the
+    * one query it polls): each monitoring table contributes rows under its
+    * metric name as (metric, key, value) — the long format a dashboard,
+    * alerting rule, or metrics store ingests directly.
+    *
+    * Scale: every input is already dimension-sized by construction (zone
+    * counts, per-rule counts, top-N hot keys, per-column flags), so the
+    * feed is a union of tiny aggregates — the heavy lifting stays in the
+    * source aggregations, each independently scale-safe. */
+  def monitorFeed(parts: Seq[(String, DataFrame, Column, Column)]): DataFrame =
+    parts.map { case (metric, df, key, value) =>
+      df.select(lit(metric).as("metric"), key.cast("string").as("key"),
+        value.cast("double").as("value"))
+    }.reduce(_ unionByName _)
+
   /** Per-entity rule CATALOGS — the reference's "106 rules" registry
     * (STEP3_QUALITY_ENGINE.py:7, rule_registry.validate_row per entity;
     * the registry module itself ships only as an import, so the catalogs
