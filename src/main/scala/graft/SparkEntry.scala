@@ -522,6 +522,10 @@ object SparkEntry {
     // §2.2 row 19 — exact dedup
     "dedup_exact" -> ((s, d) => Dedup.exactDedupByHash(dedupCorpus(s, d), "doc_id", "text")),
     "dedup_stats" -> ((s, d) => Dedup.dedupStats(dedupCorpus(s, d), "doc_id", "text")),
+    // §2.2 row 19b — span-level exact dedup (Lee et al. ExactSubstr at
+    // fixed-span granularity): repeated 20-token spans keep only their
+    // first corpus occurrence; docs reassembled from surviving spans
+    "dedup_span" -> ((s, d) => Dedup.spanDedup(dedupCorpus(s, d), "doc_id", "text", 20)),
     // §2.2 row 20 — MinHash LSH near-dedup (banded, verified)
     "neardup_minhash" -> ((s, d) =>
       Dedup.nearDupMinHash(Tables.documents(s, d), "doc_id", "text", 3, 0.8)),
@@ -1242,6 +1246,22 @@ object SparkEntry {
         |  FROM corpus GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
         |SELECT CAST(n_copies AS BIGINT) AS n_copies, CAST(count(*) AS BIGINT) AS n_clusters
         |FROM clusters GROUP BY n_copies""".stripMargin),
+    "dedup_span" -> (CorpusCte + """,
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+        |idx AS (SELECT doc_id, w, CAST(ceil(len(w) / 20.0) AS INT) AS n_total,
+        |    unnest(range(CAST(ceil(len(w) / 20.0) AS BIGINT))) AS i
+        |  FROM toks WHERE len(w) > 0),
+        |spans AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(w[i*20+1 : i*20+20], ' ') AS span, n_total
+        |  FROM idx),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |  FROM spans),
+        |kept AS (SELECT doc_id, pos, span, n_total FROM ranked WHERE rn = 1)
+        |SELECT doc_id,
+        |  string_agg(span, ' ' ORDER BY pos) AS text_dedup,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(max(n_total) - count(*) AS BIGINT) AS n_dropped
+        |FROM kept GROUP BY doc_id""".stripMargin),
     "neardup_minhash" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |sh AS (SELECT doc_id,

@@ -328,6 +328,52 @@ object Dedup {
       (col("node") === col("label")).as("kept"))
   }
 
+  /** Span-level exact dedup — the "deduplicating training data" substring
+    * scrub (Lee et al. 2022's ExactSubstr, at fixed-span granularity; the
+    * C4/RefinedWeb boilerplate-removal discipline): documents are cut into
+    * NON-OVERLAPPING `spanTokens`-token spans, every span that repeats
+    * anywhere in the corpus is dropped from all but its FIRST occurrence
+    * (smallest doc id, then earliest position), and surviving spans are
+    * reassembled in order. Documents whose every span was dropped vanish
+    * (the C4 empty-doc rule). Output:
+    * (doc_id, text_dedup, n_kept, n_dropped).
+    *
+    * Scale: spans explode map-side (non-overlapping, so output tokens =
+    * input tokens); first-occurrence selection is ONE shuffle keyed on
+    * (xxhash64(span), span) — the 8-byte hash leads the key, the span
+    * rides only for exactness under hash collision, the same discipline as
+    * [[exactDedupByHash]]; reassembly is one doc-keyed shuffle. Never
+    * all-pairs, no suffix array, no driver state — the span granularity is
+    * the standard distributed trade against ExactSubstr's suffix-array
+    * exactness. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int = 20): DataFrame = {
+    val w = tokens(col(textCol))
+    val nSpans = ceil(size(col("_w")).cast("double") / spanTokens).cast("int")
+    val spans = docs
+      .select(col(idCol).as("_id"), w.as("_w"))
+      .where(size(col("_w")) > 0)
+      .select(col("_id"), nSpans.as("_n_total"),
+        posexplode(org.apache.spark.sql.functions.transform(
+          sequence(lit(0), nSpans - 1),
+          i => concat_ws(" ", slice(col("_w"), i * spanTokens + 1, lit(spanTokens))))))
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_span")
+    val firstWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("_span")), col("_span"))
+      .orderBy(col("_id"), col("_pos"))
+    spans
+      .withColumn("_rn", row_number().over(firstWin))
+      .where(col("_rn") === 1)
+      .groupBy(col("_id"))
+      .agg(
+        concat_ws(" ", org.apache.spark.sql.functions.transform(
+          array_sort(collect_list(struct(col("_pos"), col("_span")))),
+          s => s.getField("_span"))).as("text_dedup"),
+        count(lit(1)).as("n_kept"),
+        (max(col("_n_total")) - count(lit(1))).cast("long").as("n_dropped"))
+      .select(col("_id").as("doc_id"), col("text_dedup"), col("n_kept"), col("n_dropped"))
+  }
+
   /** Direct n-gram Jaccard over an explicit pair set (pairs: doc_a, doc_b). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int): DataFrame = {

@@ -265,6 +265,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ndAuto == ndFixed && ndAuto.nonEmpty)
   }
 
+  test("spanDedup keeps only the first corpus occurrence of a repeated span") {
+    // span size 3: doc 1 = [A][B], doc 2 = [B][C] (B repeats), doc 3 = [A]
+    // exactly (all spans dropped -> doc vanishes, the C4 empty-doc rule)
+    val A = "a1 a2 a3"; val B = "b1 b2 b3"; val C = "c1 c2 c3"
+    val docs = Seq(
+      (1L, s"$A $B"),
+      (2L, s"$B $C"),
+      (3L, A)).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, s"$A $B", 2L, 0L),   // first occurrence of both spans
+      (2L, C, 1L, 1L)))         // B dropped, C kept; doc 3 vanished entirely
+  }
+
   test("nearDupClusters carries string doc ids natively (no ANSI cast failure)") {
     val docs = Seq("u/a", "u/b", "u/c", "u/d").toDF("doc_id")
     val pairs = Seq(("u/b", "u/c"), ("u/c", "u/d")).toDF("doc_a", "doc_b")
