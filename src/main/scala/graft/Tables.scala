@@ -71,9 +71,20 @@ object Tables {
     * file footer — a metadata read, no plan-to-RDD conversion (which
     * [[spread]] pays via `df.rdd` on EVERY corpus load) and no Spark job.
     * Falls back to "assume well-split" if the path layout is unexpected. */
-  private val rowGroupCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private def parquetRowGroups(s: SparkSession, path: String): Int =
-    rowGroupCache.computeIfAbsent(path, p => Integer.valueOf(readRowGroups(s, p))).intValue()
+  /** Keyed on (path, root modification time) so an in-session rewrite of
+    * the table re-probes instead of serving a stale count; a probe FAILURE
+    * (unexpected layout, permission error) logs a warning before assuming
+    * "well-split", because that assumption silently disables the spread
+    * repartition — a perf guarantee turned off should leave a trace. */
+  private val rowGroupCache = new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
+  private def parquetRowGroups(s: SparkSession, path: String): Int = {
+    val mtime =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sessionState.newHadoopConf()).getFileStatus(p).getModificationTime
+      } catch { case _: Exception => -1L }
+    rowGroupCache.computeIfAbsent((path, mtime), k => Integer.valueOf(readRowGroups(s, k._1))).intValue()
+  }
   private def readRowGroups(s: SparkSession, path: String): Int = {
     try {
       val conf = s.sessionState.newHadoopConf()
@@ -89,7 +100,13 @@ object Tables {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRowGroups.size finally r.close()
       }.sum
-    } catch { case _: Exception => Int.MaxValue }
+    } catch {
+      case e: Exception =>
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"row-group probe failed for $path (assuming well-split; " +
+            s"spread repartition disabled): $e")
+        Int.MaxValue
+    }
   }
   private def spreadLoad(s: SparkSession, d: String, name: String): DataFrame = {
     val df = load(s, d, name)

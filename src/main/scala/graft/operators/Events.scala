@@ -87,10 +87,11 @@ object Events {
       steps.indices.map(i => count(col(s"_t$i")).as(s"_n$i")).head,
       steps.indices.map(i => count(col(s"_t$i")).as(s"_n$i")).tail: _*)
     // unpivot the single counts row to (step_index, step, n_users)
-    // step names land inside single-quoted SQL literals — escape embedded
-    // quotes so a step like "add'l_info" can't break the stack() parse
+    // step names land inside single-quoted SQL literals — SqlLit escapes
+    // quotes AND backslashes so a step like "add'l\info" can't break or
+    // mangle the stack() parse
     val stackExpr = steps.zipWithIndex
-      .map { case (s, i) => s"${i + 1}, '${s.replace("'", "''")}', _n$i" }
+      .map { case (s, i) => s"${i + 1}, ${SqlLit.lit(s)}, _n$i" }
       .mkString(s"stack(${steps.size}, ", ", ", ")")
     counts.select(expr(stackExpr).as(Seq("step_index", "step", "n_users")))
       .select(col("step_index").cast("int").as("step_index"), col("step"),

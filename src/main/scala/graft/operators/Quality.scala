@@ -103,13 +103,13 @@ object Quality {
       min(col(c)).cast("string").as(s"_mn_$c"),
       max(col(c)).cast("string").as(s"_mx_$c")))
     val base = df.agg(count(lit(1)).as("_n"), aggs: _*)
-    // column names land in a quoted SQL literal AND in identifiers — escape
-    // the quote in the literal and backtick-quote the identifiers so names
-    // with spaces/dots/quotes profile instead of breaking the stack() parse
+    // column names land in a quoted SQL literal AND in identifiers — SqlLit
+    // escapes quotes+backslashes in the literal and backtick-quotes the
+    // identifiers so hostile names profile instead of breaking the parse
     val stackExpr = s"stack(${columns.length}, " + columns.map { c =>
-      val litName = c.replace("'", "''")
+      val litName = SqlLit.lit(c)
       val id = c.replace("`", "``")
-      s"'$litName', `_nn_$id`, `_nd_$id`, `_mn_$id`, `_mx_$id`"
+      s"$litName, `_nn_$id`, `_nd_$id`, `_mn_$id`, `_mx_$id`"
     }.mkString(", ") +
       ") as (col_name, n_nulls, n_distinct, min_value, max_value)"
     base.selectExpr("_n as n_rows", stackExpr)
@@ -178,7 +178,7 @@ object Quality {
     }
     val base = df.agg(aggs.head, aggs.tail: _*)
     val stackExpr = s"stack(${rules.length}, " + rules.zipWithIndex.map { case (r, i) =>
-      s"'${r.name.replace("'", "''")}', _r$i" }.mkString(", ") +
+      s"${SqlLit.lit(r.name)}, _r$i" }.mkString(", ") +
       ") as (rule, n_violations)"
     base.selectExpr(stackExpr)
       .select(lit(entity).as("entity"), col("rule"),

@@ -40,18 +40,36 @@ object Retrieval {
                queries: DataFrame, qIdCol: String, qTextCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    // Corpus scalars: explode-free scan — per-doc token count is a map-side
-    // projection into a 1-row scalar agg (no shuffle), broadcast everywhere.
-    val stats = docs.select(size(toks).as("dl"))
-      .agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    // Query vocabulary: DISTINCT terms per query (query-as-set BM25). The
-    // vocabulary is COLLECTED — bounded by |queries| * query length, the
-    // same discipline as the IVF centroid literals — so the token stream
-    // can be pruned map-side with an inlined isin, no join.
-    val qterms = queries.select(col(qIdCol).as("query_id"),
+    // Corpus scalars (N, avgdl): an explode-free projection into a 1-row
+    // scalar agg. dl is guarded by when(id IS NOT NULL, ...) — never null
+    // in practice (the id is the result key) — so this branch's required
+    // columns are {id, text}, IDENTICAL to the postings branch's. When the
+    // input carries an exchange (e.g. a spread repartition over a
+    // few-row-group parquet), both branches then canonicalize to the same
+    // exchange and the corpus is scanned + shuffled ONCE for the whole
+    // query; with count(lit(1)) column pruning specializes this scan to
+    // {text} and the corpus is read twice. On a bare exchange-free scan the
+    // only cost of the guard is reading the id column alongside text.
+    // (Collecting these two scalars eagerly instead measures SLOWER: the
+    // standalone action can't share the exchange and can't overlap the
+    // postings stage.)
+    val stats = docs
+      .select(when(col(idCol).isNotNull, size(toks)).as("dl"))
+      .agg(count(col("dl")).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(col("dl"))).as("avgdl"))
+    // Query terms: DISTINCT terms per query (query-as-set BM25), COLLECTED
+    // once — bounded by |queries| * query length, the same discipline as
+    // the IVF centroid literals. One driver-side pass yields BOTH the
+    // (query_id, term) join side (re-created as a LocalRelation, so its
+    // broadcast is a no-scan job) and the distinct vocabulary for the
+    // map-side prune — previously the vocab collect and the qterms
+    // broadcast each re-scanned the queries input.
+    val qtermRows = queries.select(col(qIdCol).as("query_id"),
         explode(array_distinct(TextAnalysis.tokens(col(qTextCol)))).as("term"))
-    val vocab: Array[Any] = qterms.select(col("term")).distinct().collect().map(_.get(0))
+    val collected = qtermRows.collect()
+    val qterms = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(collected: _*), qtermRows.schema)
+    val vocab: Array[Any] = collected.map(_.get(1)).distinct
     val vocabFilter =
       if (vocab.isEmpty) lit(false) else col("term").isin(vocab.toIndexedSeq: _*)
     // Query-term postings: the ONE explode — pruned to the query vocabulary
@@ -67,13 +85,18 @@ object Retrieval {
     // Document frequency of query terms: hits rows are distinct (doc, term)
     // pairs (the vocab filter is on term alone, so every doc containing a
     // query term is still present), hence df(term) = count(*) — a re-agg of
-    // the hits table whose exchange is planned once and REUSED. count(tf)
-    // (≡ count(*): tf is never null) rather than count(1), deliberately:
-    // it keeps tf in this consumer's required columns, so column pruning
-    // can't specialize its copy of the hits aggregate and break the
-    // exchange's canonical equality with the contrib branch.
+    // the hits table whose exchange is planned once and REUSED. The count
+    // argument is deliberately a NULLABLE expression that requires tf:
+    // a bare count(tf) gets rewritten to count(1) (tf is non-nullable),
+    // after which column pruning specializes this consumer's copy of the
+    // hits aggregate to a no-function distinct — canonically UNEQUAL to
+    // the contrib branch's copy, so the AQE stage cache stops sharing the
+    // exchange and the corpus is tokenized+exploded twice (observed as two
+    // concurrent full-scan jobs). when(tf > 0, true) is non-null on every
+    // row (tf >= 1 by construction), so df is still count(*), but the
+    // rewrite can't fire and both consumers plan the identical child.
     val dfq = hits
-      .groupBy(col("term")).agg(count(col("tf")).as("df"))
+      .groupBy(col("term")).agg(count(when(col("tf") > 0, true)).as("df"))
     val contrib = hits
       .join(broadcast(qterms), "term")
       .join(broadcast(dfq), "term")

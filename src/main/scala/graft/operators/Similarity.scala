@@ -93,6 +93,26 @@ object Similarity {
     math.max(minPlanes, math.ceil(math.log(buckets) / math.log(2.0)).toInt)
   }
 
+  /** Memoized corpus row count for the adaptive-width default (`numPlanes =
+    * 0`). The width is needed at PLAN-CONSTRUCTION time (it shapes the
+    * signature expressions), so the count job itself can't be deferred —
+    * but it is keyed on (session, canonicalized logical plan) and paid
+    * once per distinct corpus: repeated calls over the same input
+    * (`ann_recall` building lsh + exact, bench reps, a query batch loop)
+    * reuse the cached count instead of re-scanning. A corpus REWRITTEN
+    * in-place mid-session would serve a stale count — the width would lag
+    * one index rebuild, which only shifts bucket occupancy, never
+    * correctness. STREAMING inputs cannot be counted at all: pass an
+    * explicit `numPlanes` there (count() on a streaming plan throws). */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession,
+       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), java.lang.Long]()
+  private def memoizedCount(df: DataFrame): Long =
+    rowCountCache.computeIfAbsent(
+      (df.sparkSession, df.queryExecution.analyzed.canonicalized),
+      _ => java.lang.Long.valueOf(df.count())).longValue()
+
   /** Sign-bit signature under `numPlanes` fixed hyperplanes, as a bit string
     * (the LSH bucket key). Native expression — one fused loop per row. */
   def lshSignature(vec: Column, numPlanes: Int, dim: Int): Column =
@@ -126,7 +146,7 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 0, dim: Int = 64): DataFrame = {
     val planes = if (numPlanes > 0) numPlanes
-                 else adaptivePlanes(corpus.count(), targetOccupancy = 64, minPlanes = 8)
+                 else adaptivePlanes(memoizedCount(corpus), targetOccupancy = 64, minPlanes = 8)
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
       .withColumn("_bucket", lshSignature(col("_cv"), planes, dim))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
@@ -274,7 +294,7 @@ object Similarity {
     // for ANN because every bucket pairs with itself.
     val planes =
       if (numPlanes > 0) numPlanes
-      else adaptivePlanes(vectors.count(), targetOccupancy = 256, minPlanes = 8) * numBands
+      else adaptivePlanes(memoizedCount(vectors), targetOccupancy = 256, minPlanes = 8) * numBands
     require(planes % numBands == 0, "numBands must divide numPlanes")
     val bandLen = planes / numBands
     val v = vectors.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
