@@ -121,6 +121,26 @@ object SparkEntry {
       when(col("p_partkey") % 73 === 0, lit(999)).otherwise(col("p_size")).as("p_size"),
       when(col("p_partkey") % 61 === 0, lit(0.0)).otherwise(col("p_retailprice")).as("p_retailprice"))
 
+  private def catalogNation(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(
+      when(col("n_nationkey") % 7 === 0, lit(null)).otherwise(col("n_nationkey")).as("n_nationkey"),
+      when(col("n_nationkey") % 5 === 0, lit(" "))
+        .when(col("n_nationkey") % 11 === 0, lower(col("n_name")))
+        .when(col("n_nationkey") % 13 === 0, rpad(col("n_name"), 30, "X"))
+        .otherwise(col("n_name")).as("n_name"),
+      when(col("n_nationkey") % 17 === 0, lit(99)).otherwise(col("n_regionkey")).as("n_regionkey"))
+
+  private def catalogInventory(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      when(col("l_orderkey") % 43 === 0, lit(null)).otherwise(col("l_partkey")).as("l_partkey"),
+      when(col("l_orderkey") % 23 === 0, lit(999999L)).otherwise(col("l_suppkey")).as("l_suppkey"),
+      when(col("l_orderkey") % 19 === 0, lit(999.0)).otherwise(col("l_quantity")).as("l_quantity"),
+      when(col("l_orderkey") % 29 === 0, lit("X")).otherwise(col("l_returnflag")).as("l_returnflag"),
+      when(col("l_orderkey") % 31 === 0, lit("Z")).otherwise(col("l_linestatus")).as("l_linestatus"),
+      when(col("l_orderkey") % 37 === 0, lit(0.9)).otherwise(col("l_discount")).as("l_discount"),
+      when(col("l_orderkey") % 41 === 0, -col("l_extendedprice"))
+        .otherwise(col("l_extendedprice")).as("l_extendedprice"))
+
   private def catalogSupplier(s: SparkSession, dir: String): DataFrame =
     Tables.supplier(s, dir).select(
       col("s_suppkey"),
@@ -301,10 +321,14 @@ object SparkEntry {
       val (prepO, rulesO) = Quality.Catalogs.orders(Tables.customer(s, d))
       val (prepP, rulesP) = Quality.Catalogs.part()
       val (prepS, rulesS) = Quality.Catalogs.supplier(nat)
+      val (prepL, rulesL) = Quality.Catalogs.loaiMon(Tables.region(s, d))
+      val (prepI, rulesI) = Quality.Catalogs.nguyenLieu(Tables.supplier(s, d))
       Quality.catalogCounts(prepC(catalogCustomer(s, d)), rulesC, "khach_hang")
         .unionByName(Quality.catalogCounts(prepO(catalogOrders(s, d)), rulesO, "dat_hang"))
         .unionByName(Quality.catalogCounts(prepP(catalogPart(s, d)), rulesP, "mon"))
         .unionByName(Quality.catalogCounts(prepS(catalogSupplier(s, d)), rulesS, "nha_cung_cap"))
+        .unionByName(Quality.catalogCounts(prepL(catalogNation(s, d)), rulesL, "loai_mon"))
+        .unionByName(Quality.catalogCounts(prepI(catalogInventory(s, d)), rulesI, "nguyen_lieu"))
     }),
     // §2.1 row 17h — the dashboard's serving feed: zone counts, per-rule
     // violations, per-column drift flags, and hot keys in ONE long-format
@@ -391,6 +415,33 @@ object SparkEntry {
       f.select(col("o_orderkey"), col("customer_key"),
         (year(od) * 10000 + month(od) * 100 + dayofmonth(od)).as("date_key"),
         col("o_totalprice").as("total_price"), col("o_orderstatus").as("status"))
+    }),
+    // §2.1 row 15b — inventory-position fact (the reference's stock-level
+    // fact fact_kho_nguyen_lieu, create_dwh_tables.sql:180-211): lineitem
+    // rows become signed stock movements per (part, supplier) — returns
+    // (l_returnflag = 'R') issue stock back out, everything else receives —
+    // and the fact carries each movement's running stock balance
+    // (key-partitioned cumulative sum, decimal-accumulated), with part and
+    // supplier resolved to broadcast surrogate keys like the other facts.
+    "star_inventory_fact" -> ((s, d) => {
+      val dimP = rankedDim(s, d, "part", "p_partkey", "part_key")
+      val dimS = rankedDim(s, d, "supplier", "s_suppkey", "supplier_key")
+      val m = Tables.spread(s, d, "lineitem", Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber"), col("l_shipdate"), col("l_quantity"), col("l_returnflag")))
+      val f0 = Star.inventoryFact(m,
+        Seq("l_partkey", "l_suppkey"),
+        Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+        when(col("l_returnflag") === "R", -col("l_quantity")).otherwise(col("l_quantity")))
+      val f1 = Star.lookupDim(f0.withColumnRenamed("l_partkey", "p_partkey"),
+        dimP, "p_partkey", "part_key")
+      val f2 = Star.lookupDim(f1.withColumnRenamed("l_suppkey", "s_suppkey"),
+        dimS, "s_suppkey", "supplier_key")
+      val sd = col("l_shipdate")
+      f2.select(col("part_key"), col("supplier_key"),
+        (year(sd) * 10000 + month(sd) * 100 + dayofmonth(sd)).as("date_key"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("qty_delta"), col("stock_balance"))
     }),
     // §2.1 row 15 — analytical rollup over the star
     "star_rollup" -> ((s, d) => {
@@ -495,13 +546,11 @@ object SparkEntry {
           sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_filled"),
           sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_partial"))),
     "pctl_prices" -> ((s, d) =>
-      Tables.orders(s, d)
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-          round(min(col("o_totalprice")), 4).as("p_min"),
-          round(max(col("o_totalprice")), 4).as("p_max"))),
+      // exact path for the oracle; the operator's approx=true switch is the
+      // 100 TB path (constant-memory GK sketch, spec'd within tolerance)
+      Analytics.percentiles(Tables.orders(s, d),
+        col("o_orderpriority"), col("o_totalprice"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p_min" -> 0.0, "p_max" -> 1.0))),
     // §2.1 row 17c — approximate distinct counts (HLL sketch) alongside
     // exact, for monitoring at scales where exact countDistinct is too
     // expensive (rows-only oracle: HLL estimates are engine-specific)
@@ -960,7 +1009,23 @@ object SparkEntry {
         |         ELSE '84-' || lpad(CAST(s_suppkey AS VARCHAR), 7, '0') END AS s_phone,
         |    CASE WHEN s_suppkey % 19 = 0 THEN s_acctbal + 20000 ELSE s_acctbal END AS s_acctbal,
         |    CASE WHEN s_suppkey % 23 = 0 THEN 99 ELSE s_nationkey END AS s_nationkey
-        |  FROM supplier)
+        |  FROM supplier),
+        |dn AS (SELECT
+        |    CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS n_nationkey,
+        |    CASE WHEN n_nationkey % 5 = 0 THEN ' '
+        |         WHEN n_nationkey % 11 = 0 THEN lower(n_name)
+        |         WHEN n_nationkey % 13 = 0 THEN rpad(n_name, 30, 'X') ELSE n_name END AS n_name,
+        |    CASE WHEN n_nationkey % 17 = 0 THEN 99 ELSE n_regionkey END AS n_regionkey
+        |  FROM nation),
+        |dl AS (SELECT
+        |    CASE WHEN l_orderkey % 43 = 0 THEN NULL ELSE l_partkey END AS l_partkey,
+        |    CASE WHEN l_orderkey % 23 = 0 THEN 999999 ELSE l_suppkey END AS l_suppkey,
+        |    CASE WHEN l_orderkey % 19 = 0 THEN 999.0 ELSE l_quantity END AS l_quantity,
+        |    CASE WHEN l_orderkey % 29 = 0 THEN 'X' ELSE l_returnflag END AS l_returnflag,
+        |    CASE WHEN l_orderkey % 31 = 0 THEN 'Z' ELSE l_linestatus END AS l_linestatus,
+        |    CASE WHEN l_orderkey % 37 = 0 THEN 0.9 ELSE l_discount END AS l_discount,
+        |    CASE WHEN l_orderkey % 41 = 0 THEN -l_extendedprice ELSE l_extendedprice END AS l_extendedprice
+        |  FROM lineitem)
         |SELECT 'khach_hang' AS entity, 'null_c_custkey' AS rule,
         |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM dc
         |UNION ALL SELECT 'khach_hang', 'empty_c_name',
@@ -1019,7 +1084,39 @@ object SparkEntry {
         |    AND (s_acctbal < -999.99 OR s_acctbal > 9999.99) THEN 1 ELSE 0 END) AS BIGINT) FROM ds
         |UNION ALL SELECT 'nha_cung_cap', 'fk_nation',
         |  CAST(SUM(CASE WHEN s_nationkey IS NOT NULL
-        |    AND s_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END) AS BIGINT) FROM ds""".stripMargin,
+        |    AND s_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END) AS BIGINT) FROM ds
+        |UNION ALL SELECT 'loai_mon', 'null_n_nationkey',
+        |  CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM dn
+        |UNION ALL SELECT 'loai_mon', 'empty_n_name',
+        |  CAST(SUM(CASE WHEN n_name IS NULL OR length(trim(n_name)) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM dn
+        |UNION ALL SELECT 'loai_mon', 'too_long_n_name',
+        |  CAST(SUM(CASE WHEN n_name IS NOT NULL AND length(n_name) > 25 THEN 1 ELSE 0 END) AS BIGINT) FROM dn
+        |UNION ALL SELECT 'loai_mon', 'bad_n_name_shape',
+        |  CAST(SUM(CASE WHEN n_name IS NOT NULL
+        |    AND NOT regexp_matches(n_name, '^[A-Z ]+$') THEN 1 ELSE 0 END) AS BIGINT) FROM dn
+        |UNION ALL SELECT 'loai_mon', 'fk_region',
+        |  CAST(SUM(CASE WHEN n_regionkey IS NOT NULL
+        |    AND n_regionkey NOT IN (SELECT r_regionkey FROM region) THEN 1 ELSE 0 END) AS BIGINT) FROM dn
+        |UNION ALL SELECT 'nguyen_lieu', 'null_l_partkey',
+        |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM dl
+        |UNION ALL SELECT 'nguyen_lieu', 'fk_supplier',
+        |  CAST(SUM(CASE WHEN l_suppkey IS NOT NULL
+        |    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier) THEN 1 ELSE 0 END) AS BIGINT) FROM dl
+        |UNION ALL SELECT 'nguyen_lieu', 'range_l_quantity',
+        |  CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+        |    AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS BIGINT) FROM dl
+        |UNION ALL SELECT 'nguyen_lieu', 'bad_l_returnflag',
+        |  CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+        |    AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) FROM dl
+        |UNION ALL SELECT 'nguyen_lieu', 'bad_l_linestatus',
+        |  CAST(SUM(CASE WHEN l_linestatus IS NOT NULL
+        |    AND l_linestatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT) FROM dl
+        |UNION ALL SELECT 'nguyen_lieu', 'range_l_discount',
+        |  CAST(SUM(CASE WHEN l_discount IS NOT NULL
+        |    AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT) FROM dl
+        |UNION ALL SELECT 'nguyen_lieu', 'nonpositive_l_extendedprice',
+        |  CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL
+        |    AND l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM dl""".stripMargin,
     "dim_date" ->
       """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS full_date FROM orders)
         |SELECT CAST(year(full_date)*10000 + month(full_date)*100 + dayofmonth(full_date) AS INT) AS date_key,
@@ -1079,6 +1176,23 @@ object SparkEntry {
         |  o.o_orderstatus AS status
         |FROM orders o
         |LEFT JOIN dim_c dc ON o.o_custkey = dc.c_custkey""".stripMargin,
+    "star_inventory_fact" ->
+      """WITH dim_p AS (SELECT p_partkey, dense_rank() OVER (ORDER BY p_partkey) AS part_key FROM part),
+        |dim_s AS (SELECT s_suppkey, dense_rank() OVER (ORDER BY s_suppkey) AS supplier_key FROM supplier),
+        |m AS (SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |    CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END AS qty_delta
+        |  FROM lineitem)
+        |SELECT CAST(dp.part_key AS BIGINT) AS part_key,
+        |  CAST(ds.supplier_key AS BIGINT) AS supplier_key,
+        |  CAST(year(m.l_shipdate)*10000 + month(m.l_shipdate)*100 + dayofmonth(m.l_shipdate) AS INT) AS date_key,
+        |  m.l_orderkey, m.l_linenumber, m.qty_delta,
+        |  CAST(SUM(CAST(m.qty_delta AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY m.l_partkey, m.l_suppkey
+        |    ORDER BY m.l_shipdate, m.l_orderkey, m.l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS stock_balance
+        |FROM m
+        |LEFT JOIN dim_p dp ON m.l_partkey = dp.p_partkey
+        |LEFT JOIN dim_s ds ON m.l_suppkey = ds.s_suppkey""".stripMargin,
     "star_rollup" ->
       """SELECT CAST(year(o.o_orderdate) AS INT) AS year,
         |  CAST(month(o.o_orderdate) AS INT) AS month,

@@ -78,6 +78,28 @@ object Analytics {
       .drop((names ++ Seq("_lo", "_hi")): _*)
   }
 
+  /** Grouped percentile report: one aggregation pass emitting a named
+    * column per requested quantile (0.0/1.0 are min/max). Same two paths
+    * as [[winsorize]], pick per deployment:
+    *  - `approx = false` (default): Spark's EXACT interpolated `percentile`
+    *    — bit-matches any SQL engine's `quantile_cont` (the oracle path),
+    *    but the agg buffer holds EVERY group value: fine for dimension-
+    *    sized groups, OOM territory when one group spans a 100 TB fact.
+    *  - `approx = true`: `approx_percentile` (Greenwald-Khanna sketch),
+    *    constant memory per group and mergeable map-side — the 100 TB
+    *    path. The sketch retains the true extremes, so 0.0/1.0 stay exact;
+    *    interior quantiles differ by at most the ~1/accuracy rank error. */
+  def percentiles(df: DataFrame, group: Column, value: Column,
+                  ps: Seq[(String, Double)], scale: Int = 4,
+                  approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty, "percentiles needs at least one quantile")
+    def pctl(p: Double): Column =
+      if (approx) approx_percentile(value, lit(p), lit(accuracy)).cast("double")
+      else percentile(value, lit(p))
+    val aggs = ps.map { case (n, p) => round(pctl(p), scale).as(n) }
+    df.groupBy(group).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-key daily gap fill with forward fill: emit one row per (key, day)
     * over each key's [min, max] day span; days with no rows carry the most
     * recent prior value (time-series densification for charts/ML features).

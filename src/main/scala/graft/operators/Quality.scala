@@ -272,5 +272,34 @@ object Quality {
         Rules.inRange("s_acctbal", -999.99, 9999.99),
         fkNation))
     }
+
+    /** loai_mon (category dimension — nation here): key presence, name
+      * presence/length/shape (reference category names are a fixed
+      * uppercase vocabulary), region FK. */
+    def loaiMon(region: DataFrame): (DataFrame => DataFrame, Seq[Rule]) = {
+      val (addFk, fkRegion) = fkRule("fk_region", col("n_regionkey"), region, "r_regionkey")
+      (addFk, Seq(
+        Rules.notNull("n_nationkey"),
+        Rules.nonEmpty("n_name"),
+        Rules.maxLength("n_name", 25),
+        Rules.matches("n_name", "^[A-Z ]+$", "bad_n_name_shape"),
+        fkRegion))
+    }
+
+    /** nguyen_lieu (inventory movements — lineitem here): part key
+      * presence, supplier FK, quantity range, movement-code domains (the
+      * reference's don_vi unit-domain discipline over returnflag and
+      * linestatus), discount range, price positivity. */
+    def nguyenLieu(supplier: DataFrame): (DataFrame => DataFrame, Seq[Rule]) = {
+      val (addFk, fkSupp) = fkRule("fk_supplier", col("l_suppkey"), supplier, "s_suppkey")
+      (addFk, Seq(
+        Rules.notNull("l_partkey"),
+        fkSupp,
+        Rules.inRange("l_quantity", 1, 50),
+        Rules.inSet("l_returnflag", Seq("A", "N", "R")),
+        Rules.inSet("l_linestatus", Seq("O", "F")),
+        Rules.inRange("l_discount", 0.0, 0.1),
+        Rules.positive("l_extendedprice")))
+    }
   }
 }

@@ -135,6 +135,30 @@ object Star {
       .partitionBy(dateKeyCol)
       .parquet(path)
 
+  /** Inventory-position fact (the reference's stock-level fact
+    * `fact_kho_nguyen_lieu`, create_dwh_tables.sql:180-211): signed stock
+    * movements with a RUNNING BALANCE per inventory key — the cumulative-sum
+    * fact shape the line- and order-grain facts don't exercise. `delta` is
+    * the signed movement (receipts positive, issues negative); the balance
+    * is its cumulative sum over `keyCols`, ordered by `orderCols` (which
+    * must be a UNIQUE ordering within a key, or the balance is ambiguous).
+    *
+    * Scale: ONE shuffle on the inventory key; the window is key-partitioned
+    * (never global), so a 100 TB movement log balances with full
+    * parallelism — hot keys are bounded by a single part-supplier pair's
+    * history. The running sum accumulates in DECIMAL(18,2) so the balance
+    * is bit-stable across engines and row orderings. */
+  def inventoryFact(movements: DataFrame, keyCols: Seq[String],
+                    orderCols: Seq[String], delta: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    movements
+      .withColumn("qty_delta", delta)
+      .withColumn("stock_balance",
+        sum(col("qty_delta").cast("decimal(18,2)")).over(w).cast("double"))
+  }
+
   /** Upsert-latest merge: union of the existing table and an updates batch,
     * keeping only the newest version per business key (version ordered by
     * `versionCol` desc, deterministic tie-break). The incremental-load

@@ -283,6 +283,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(exact(1.0) > 1.0 && exact(1000.0) < 1000.0) // clamping actually occurred
   }
 
+  test("percentiles: approx path tracks exact within sketch tolerance; 0/1 stay exact") {
+    val df = ((1 to 1000).map(i => ("a", i.toDouble)) ++
+      (1 to 100).map(i => ("b", i * 10.0))).toDF("g", "v")
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p_min" -> 0.0, "p_max" -> 1.0)
+    def run(approx: Boolean) =
+      Analytics.percentiles(df, col("g"), col("v"), ps, approx = approx)
+        .as[(String, Double, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+    val exact = run(approx = false)
+    val sketch = run(approx = true)
+    assert(exact("a") == (("a", 500.5, 900.1, 1.0, 1000.0)))
+    assert(exact("b") == (("b", 505.0, 901.0, 10.0, 1000.0)))
+    for (g <- Seq("a", "b")) {
+      // GK sketch retains true extremes: min/max identical to exact
+      assert(sketch(g)._4 == exact(g)._4 && sketch(g)._5 == exact(g)._5)
+      // interior quantiles within one value-grid step at accuracy 10000
+      assert(math.abs(sketch(g)._2 - exact(g)._2) <= 10.0, s"p50 $g")
+      assert(math.abs(sketch(g)._3 - exact(g)._3) <= 10.0, s"p90 $g")
+    }
+  }
+
   test("winsorize keeps rows with a NULL group key (null-safe bounds join)") {
     val df = Seq((Option("a"), 1.0), (Option("a"), 100.0),
       (Option.empty[String], 5.0), (Option.empty[String], 50.0)).toDF("g", "v")

@@ -186,10 +186,11 @@ class PlanAuditSpec extends SparkSpec {
     // FK checks must never sort-merge a fact against a dimension key set
     assert(p.contains("BroadcastHashJoin"), s"FK rules must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"catalog audit must not SMJ:\n$p")
-    // one-pass discipline: the whole 23-rule catalog is 4 entity scans
-    // (customer, orders, part, supplier) + 2 nation scans for the FK dims —
-    // a per-rule pass would multiply the scan count by the rule count
+    // one-pass discipline: the whole 34-rule catalog is 6 entity scans
+    // (customer, orders, part, supplier, nation, lineitem) + FK-dimension
+    // scans (nation x2, customer, region, supplier) — a per-rule pass would
+    // multiply the scan count by the rule count
     val scans = p.linesIterator.count(_.trim.startsWith("FileScan parquet"))
-    assert(scans <= 8, s"expected <=8 scans (4 entities + FK dims), got $scans:\n$p")
+    assert(scans <= 12, s"expected <=12 scans (6 entities + FK dims), got $scans:\n$p")
   }
 }

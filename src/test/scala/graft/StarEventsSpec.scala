@@ -58,6 +58,27 @@ class StarEventsSpec extends SparkSpec {
       s"star_fact must scale: found global Window nodes:\n${unpartitioned.mkString("\n")}")
   }
 
+  test("inventoryFact runs a signed per-key balance; window stays key-partitioned") {
+    val m = Seq(
+      // (part, supp, seq, qty, flag): two keys interleaved in input order
+      (1, 9, 1, 10.0, "N"), (2, 9, 1, 5.0, "N"),
+      (1, 9, 2, 4.0, "R"), (1, 9, 3, 7.0, "A"),
+      (2, 9, 2, 2.0, "R")).toDF("p", "s", "seq", "qty", "flag")
+    val out = Star.inventoryFact(m, Seq("p", "s"), Seq("seq"),
+      when(col("flag") === "R", -col("qty")).otherwise(col("qty")))
+    val rows = out.select("p", "seq", "qty_delta", "stock_balance")
+      .as[(Int, Int, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == Seq(
+      (1, 1, 10.0, 10.0), (1, 2, -4.0, 6.0), (1, 3, 7.0, 13.0),
+      (2, 1, 5.0, 5.0), (2, 2, -2.0, 3.0)))
+    // the balance window must be partitioned by the inventory key — a
+    // global cumulative sum would single-thread a 100 TB movement log
+    val plan = out.queryExecution.executedPlan.toString
+    val unpartitioned = plan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("windowspecdefinition()"))
+    assert(!unpartitioned, s"inventory balance fell back to a global window:\n$plan")
+  }
+
   test("scd2 keeps only changed versions with validity chain") {
     val snaps = Seq(
       (1, "a", "2024-01-01"), (1, "a", "2024-06-01"), // unchanged -> 1 version
