@@ -345,7 +345,19 @@ object Dedup {
     * [[exactDedupByHash]]; reassembly is one doc-keyed shuffle. Never
     * all-pairs, no suffix array, no driver state — the span granularity is
     * the standard distributed trade against ExactSubstr's suffix-array
-    * exactness. */
+    * exactness.
+    *
+    * MISS CLASS (by construction): only spans that align to the same
+    * token-offset grid are compared, so a duplicated passage SHIFTED by a
+    * non-multiple of `spanTokens` inside otherwise-distinct documents
+    * produces different span cuts and escapes undetected (a suffix array
+    * would catch it). This is deliberate — alignment is what makes the
+    * operator one bounded shuffle. For position-robust detection of
+    * shifted duplication, use the winnowing operators
+    * ([[graft.functions.NativeExprs.winnow]] fingerprints /
+    * `winnow_overlap`), which select fingerprints by local-minimum hash
+    * and are invariant to offset; the pairing is spec-pinned
+    * (DedupSimilaritySpec "spanDedup misses shifted duplicates"). */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
                 spanTokens: Int = 20): DataFrame = {
     val w = tokens(col(textCol))

@@ -38,7 +38,8 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
-               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               vocabInlineLimit: Int = 1000): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     // Corpus scalars (N, avgdl): an explode-free projection into a 1-row
     // scalar agg. dl is guarded by when(id IS NOT NULL, ...) — never null
@@ -70,16 +71,26 @@ object Retrieval {
     val qterms = queries.sparkSession.createDataFrame(
       java.util.Arrays.asList(collected: _*), qtermRows.schema)
     val vocab: Array[Any] = collected.map(_.get(1)).distinct
-    val vocabFilter =
-      if (vocab.isEmpty) lit(false) else col("term").isin(vocab.toIndexedSeq: _*)
+    // Map-side prune of the token stream. Small vocabularies inline as an
+    // InSet literal (zero joins); past `vocabInlineLimit` distinct terms an
+    // inlined list would bloat the plan (analysis + codegen cost scales
+    // with literal count), so the prune becomes a broadcast SEMI join on
+    // term — same shuffle profile (the broadcast replaces the literal set;
+    // the stream still never shuffles unpruned), no plan blowup.
+    val inlineVocab = vocab.length <= vocabInlineLimit
     // Query-term postings: the ONE explode — pruned to the query vocabulary
     // BEFORE the (doc_id, term) partial agg, so only query-term hits ever
     // cross the shuffle (at corpus scale the full postings table is the
     // biggest intermediate in a naive BM25; it never exists here). dl rides
     // in the group key so no second join against a lengths table.
-    val hits = docs
+    val exploded = docs
       .select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
-      .where(vocabFilter)
+    val pruned =
+      if (vocab.isEmpty) exploded.where(lit(false))
+      else if (inlineVocab) exploded.where(col("term").isin(vocab.toIndexedSeq: _*))
+      else exploded.join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+    val hits = pruned
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     // Document frequency of query terms: hits rows are distinct (doc, term)

@@ -93,6 +93,18 @@ object Similarity {
     math.max(minPlanes, math.ceil(math.log(buckets) / math.log(2.0)).toInt)
   }
 
+  /** Scale-adaptive IVF cell count: the classic `nlist ≈ sqrt(N)` sizing
+    * (cell occupancy and probe cost balance at sqrt), clamped to
+    * [minCells, maxCells]. The floor reproduces the former fixed default
+    * (16 cells) below N ≈ 256, so small-corpus behavior is unchanged; the
+    * ceiling is the documented ~4k plan-literal budget — beyond it, move
+    * the centroids from literals to a broadcast table (see ivfTopK). The
+    * training sample scales as numCells*32 vectors (collected), so the
+    * ceiling also bounds the driver at ~131k vectors. */
+  def adaptiveCells(corpusRows: Long, minCells: Int = 16, maxCells: Int = 4096): Int =
+    math.min(maxCells,
+      math.max(minCells, math.ceil(math.sqrt(math.max(corpusRows, 0L).toDouble)).toInt))
+
   /** Memoized corpus row count for the adaptive-width default (`numPlanes =
     * 0`). The width is needed at PLAN-CONSTRUCTION time (it shapes the
     * signature expressions), so the count job itself can't be deferred —
@@ -185,11 +197,14 @@ object Similarity {
     * bounded at numCells×32 vectors). Beyond that, move the centroid set
     * from plan literals to a broadcast table and assign cells with a
     * broadcast join + per-row argmin — same shuffle profile, no plan
-    * bloat. The default 16 suits the test corpora; size explicitly per
-    * corpus (the parameter exists precisely so the index shape is a
-    * deployment decision, not a constant). */
+    * bloat. `numCells = 0` (the default) derives nlist via
+    * [[adaptiveCells]] (≈ sqrt(N), floored at the former fixed 16, capped
+    * at the ~4k literal budget) from a memoized corpus count — the same
+    * pattern as the LSH `adaptivePlanes` default; pass an explicit value
+    * to pin the index shape (a precomputed index shared across query
+    * batches, or a streaming input that cannot be counted). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, numCells: Int = 16, nprobe: Int = 4): DataFrame =
+              vecCol: String, k: Int, numCells: Int = 0, nprobe: Int = 4): DataFrame =
     ivfTopKWith(queries, corpus, idCol, vecCol, k,
       trainCentroids(corpus, idCol, vecCol, numCells), nprobe)
 
@@ -211,7 +226,9 @@ object Similarity {
     * driver-side literal by design. Deterministic for a given (corpus data,
     * numCells), so results are cacheable and retry-safe. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                     numCells: Int = 16): Array[(Int, Array[Double])] = {
+                     numCells0: Int = 0): Array[(Int, Array[Double])] = {
+    val numCells =
+      if (numCells0 > 0) numCells0 else adaptiveCells(memoizedCount(corpus))
     // ONE distributed job: the numCells*32 smallest-hash vectors (map-side
     // partial top-K, ~sample x dim doubles over the wire — bounded by
     // construction). Seed selection and the single k-means refinement step

@@ -205,11 +205,60 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     val lshR = recallOf(
       Similarity.lshTopK(qdf, cdf, "vec_id", "embedding", 10, numPlanes = 8, dim = dim))
+    // IVF with the DERIVED cell count (numCells = 0 default → ceil(sqrt(240))
+    // = 16, the former fixed default) — the gate holds with auto-sizing
     val ivfR = recallOf(
-      Similarity.ivfTopK(qdf, cdf, "vec_id", "embedding", 10, numCells = 16, nprobe = 4))
+      Similarity.ivfTopK(qdf, cdf, "vec_id", "embedding", 10, nprobe = 4))
     info(f"recall@10 over ${truth.size} queries: lsh=$lshR%.3f ivf=$ivfR%.3f")
     assert(lshR >= 0.9, f"LSH recall@10 $lshR%.3f below the 0.9 gate")
     assert(ivfR >= 0.9, f"IVF recall@10 $ivfR%.3f below the 0.9 gate")
+  }
+
+  test("spanDedup misses shifted duplicates by construction; winnowing catches them") {
+    // The same 8-token passage appears in doc 1 at offset 0 and in doc 2 at
+    // offset 3 (a shift that is NOT a multiple of spanTokens=4), embedded in
+    // otherwise-distinct text. Span cuts then differ, so spanDedup keeps
+    // both copies untouched — the documented alignment miss class.
+    val passage = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val doc1 = passage + " tail1 tail2 tail3 tail4"
+    val doc2 = "pre1 pre2 pre3 " + passage + " end1"
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 4)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == 0L && out(1L)._2 == doc1) // nothing dropped from doc 1
+    assert(out(2L)._4 == 0L && out(2L)._2 == doc2) // shifted copy ESCAPES
+    // sanity: the ALIGNED case is caught (doc 3 repeats doc 1's first span
+    // at offset 0, so the grid lines up and the span drops)
+    val aligned = Seq((1L, doc1), (3L, (1 to 4).map(i => s"dup$i").mkString(" ") + " x1 x2 x3 x4"))
+      .toDF("doc_id", "text")
+    val out3 = Dedup.spanDedup(aligned, "doc_id", "text", spanTokens = 4)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out3(3L)._4 == 1L)
+    // winnowing is offset-invariant: the two docs SHARE fingerprints drawn
+    // from the duplicated run, so the shifted copy is detectable
+    val fps = docs.select(col("doc_id"),
+        explode(graft.functions.NativeExprs.winnowFingerprints(
+          graft.operators.TextAnalysis.tokens(col("text")), 4, 3)).as("fp"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (d, rs) => d -> rs.map(_._2).toSet }
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "winnow fingerprints must overlap on the shared passage")
+  }
+
+  test("adaptiveCells: sqrt sizing, monotone in N, clamped to floor and literal budget") {
+    import graft.operators.Similarity.adaptiveCells
+    // floor reproduces the former fixed default below ~256 rows
+    assert(adaptiveCells(0) == 16 && adaptiveCells(200) == 16 && adaptiveCells(256) == 16)
+    // sqrt regime
+    assert(adaptiveCells(10000) == 100)
+    assert(adaptiveCells(1000000) == 1000)
+    // ceiling at the ~4k plan-literal budget
+    assert(adaptiveCells(100000000L) == 4096)
+    assert(adaptiveCells(Long.MaxValue) == 4096)
+    // monotone non-decreasing
+    val ns = Seq(0L, 1L, 255L, 257L, 1000L, 10000L, 123456L, 10000000L, 1L << 40)
+    val cells = ns.map(adaptiveCells(_))
+    assert(cells == cells.sorted, s"adaptiveCells not monotone: ${ns.zip(cells)}")
   }
 
   test("labelCentroids averages element-wise per label in pos order") {

@@ -50,6 +50,28 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out(0)._3 > out(1)._3 && out(1)._3 > 0)
   }
 
+  test("bm25TopK guards large vocabularies: semi-join prune, identical results") {
+    // 40 docs over a 1200-term vocabulary; one query naming 1200 distinct
+    // terms — past the inline limit an isin literal list would bloat the
+    // plan, so the prune must become a broadcast semi join with the SAME
+    // scores and ranking as the inline path.
+    val docs = (1L to 40L).map { i =>
+      (i, (0 until 30).map(j => s"w${(i * 7 + j * 11) % 1200}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val queries = Seq((100L, (0 until 1200).map(j => s"w$j").mkString(" ")))
+      .toDF("qid", "qtext")
+    def run(limit: Int) = graft.operators.Retrieval
+      .bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext", 10,
+        vocabInlineLimit = limit)
+    val guarded = run(1000)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected broadcast semi-join prune:\n$plan")
+    assert(!plan.contains("INSET"), s"vocab still inlined past the limit:\n$plan")
+    val a = guarded.as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val b = run(2000).as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
   test("sampleWeighted keeps per-stratum fractions deterministically") {
     val docs = spark.range(0, 4000)
       .select(col("id").as("doc_id"),
