@@ -32,15 +32,36 @@ object Bench {
     // (alphabetically ann_ivf) and distort per-query comparisons.
     {
       import org.apache.spark.sql.functions._
-      Tables.region(spark, sfDir)
-        .groupBy(col("r_regionkey")).agg(count(lit(1)))
-        .write.mode("overwrite").format("noop").save()
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      noop(Tables.region(spark, sfDir)
+        .groupBy(col("r_regionkey")).agg(count(lit(1))))
       // Per-table first-touch (file listing + footer reads + schema) is also
       // one-time; count() materializes no columns, so this is metadata work.
       Seq(Tables.nation _, Tables.customer _, Tables.supplier _,
           Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
           Tables.documents _, Tables.embeddings _)
         .foreach(t => t(spark, sfDir).count())
+      // One throwaway mini-query per operator-family machinery, all over the
+      // 5-row region table (milliseconds of data): first use of each
+      // executor path — window sort, broadcast hash join, the custom
+      // ObjectHashAggregate, decimal aggregation, generate/explode, regex,
+      // collect_list reassembly — otherwise pays its class-loading + janino
+      // + JIT cost inside pass 1 of whichever real query hits it first,
+      // which is exactly the cold-pass spread the interleaved min then has
+      // to absorb.
+      val r = Tables.region(spark, sfDir).select(col("r_regionkey").as("k"),
+        col("r_name").as("s"))
+      noop(r.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k")).orderBy(col("s")))))
+      noop(r.join(broadcast(r.select(col("k"), col("s").as("s2"))), Seq("k")))
+      noop(r.groupBy(col("k")).agg(graft.functions.TopKAgg.topKPairs(
+          struct(col("k").cast("double").as("ord"), col("k").as("id")), 2).as("t"))
+        .select(col("k"), posexplode(col("t"))))
+      noop(r.agg(sum(col("k").cast("decimal(18,4)")).cast("double"),
+        count(when(col("s").rlike("^[A-Z]"), 1))))
+      noop(r.select(col("k"), explode(split(col("s"), "")).as("c"))
+        .groupBy(col("k")).agg(concat_ws("", sort_array(collect_list(col("c"))))))
     }
 
     // INTERLEAVED rep passes, per-query min across passes. Back-to-back
