@@ -71,23 +71,31 @@ object Tables {
     * file footer — a metadata read, no plan-to-RDD conversion (which
     * [[spread]] pays via `df.rdd` on EVERY corpus load) and no Spark job.
     * Falls back to "assume well-split" if the path layout is unexpected. */
-  /** Keyed on (path, root modification time) so an in-session rewrite of
-    * the table re-probes instead of serving a stale count; a probe FAILURE
-    * (unexpected layout, permission error) logs a warning before assuming
-    * "well-split", because that assumption silently disables the spread
-    * repartition — a perf guarantee turned off should leave a trace. */
-  private val rowGroupCache = new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
+  /** Per-path cache entries carry the root MODIFICATION TIME they were
+    * probed at, so an in-session rewrite of the table re-probes instead of
+    * serving a stale count (stale entries are REPLACED, not accumulated).
+    * The freshness check costs one getFileStatus per load — metadata only —
+    * against `sparkContext.hadoopConfiguration` directly (building a fresh
+    * SQLConf-merged Configuration per call is the expensive part, and scan
+    * options don't affect a footer read). A probe FAILURE (unexpected
+    * layout, permission error) logs a warning before assuming "well-split",
+    * because that assumption silently disables the spread repartition — a
+    * perf guarantee turned off should leave a trace. */
+  private val rowGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
   private def parquetRowGroups(s: SparkSession, path: String): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
     val mtime =
       try {
         val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(s.sessionState.newHadoopConf()).getFileStatus(p).getModificationTime
+        p.getFileSystem(conf).getFileStatus(p).getModificationTime
       } catch { case _: Exception => -1L }
-    rowGroupCache.computeIfAbsent((path, mtime), k => Integer.valueOf(readRowGroups(s, k._1))).intValue()
+    rowGroupCache.compute(path, (p, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else (mtime, readRowGroups(conf, p)))._2
   }
-  private def readRowGroups(s: SparkSession, path: String): Int = {
+  private def readRowGroups(conf: org.apache.hadoop.conf.Configuration, path: String): Int = {
     try {
-      val conf = s.sessionState.newHadoopConf()
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
       val stat = fs.getFileStatus(p)

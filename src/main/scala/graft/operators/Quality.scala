@@ -107,9 +107,8 @@ object Quality {
     // escapes quotes+backslashes in the literal and backtick-quotes the
     // identifiers so hostile names profile instead of breaking the parse
     val stackExpr = s"stack(${columns.length}, " + columns.map { c =>
-      val litName = SqlLit.lit(c)
-      val id = c.replace("`", "``")
-      s"$litName, `_nn_$id`, `_nd_$id`, `_mn_$id`, `_mx_$id`"
+      def m(prefix: String) = SqlLit.ident(s"$prefix$c")
+      s"${SqlLit.lit(c)}, ${m("_nn_")}, ${m("_nd_")}, ${m("_mn_")}, ${m("_mx_")}"
     }.mkString(", ") +
       ") as (col_name, n_nulls, n_distinct, min_value, max_value)"
     base.selectExpr("_n as n_rows", stackExpr)

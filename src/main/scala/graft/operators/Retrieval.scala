@@ -42,22 +42,31 @@ object Retrieval {
                vocabInlineLimit: Int = 1000): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     // Corpus scalars (N, avgdl): an explode-free projection into a 1-row
-    // scalar agg. dl is guarded by when(id IS NOT NULL, ...) — never null
-    // in practice (the id is the result key) — so this branch's required
-    // columns are {id, text}, IDENTICAL to the postings branch's. When the
-    // input carries an exchange (e.g. a spread repartition over a
-    // few-row-group parquet), both branches then canonicalize to the same
+    // scalar agg with EXACT count(*) semantics — every row counts toward
+    // n_docs (null id or null text included) and a null text contributes
+    // null dl (skipped by SUM but in the denominator), matching what any
+    // SQL engine computes for count(*) / SUM(dl)/count(*).
+    //
+    // dl carries a provably-zero pmod(xxhash64(id), 1) term purely so the
+    // id column stays in this branch's REQUIRED set: that makes the
+    // required columns {id, text}, identical to the postings branch's, so
+    // when the input carries an exchange (e.g. a spread repartition over a
+    // few-row-group parquet) both branches canonicalize to the same
     // exchange and the corpus is scanned + shuffled ONCE for the whole
-    // query; with count(lit(1)) column pruning specializes this scan to
-    // {text} and the corpus is read twice. On a bare exchange-free scan the
-    // only cost of the guard is reading the id column alongside text.
-    // (Collecting these two scalars eagerly instead measures SLOWER: the
-    // standalone action can't share the exchange and can't overlap the
-    // postings stage.)
+    // query. A bare `0 * id` term is folded away by the multiply-by-zero
+    // simplification (and count(id) both diverges from count(*) on null
+    // ids and gets rewritten to count(1) on non-nullable schemas);
+    // pmod-by-one has no folding rule, and value/nullability are
+    // untouched (x + 0 = x, null + 0 = null). On an exchange-free scan
+    // the only cost is reading the id column alongside text. (Collecting
+    // these two scalars eagerly instead measures SLOWER: the standalone
+    // action can't share the exchange and can't overlap the postings
+    // stage.)
+    val dlExpr = size(toks) + pmod(xxhash64(col(idCol)), lit(1L)).cast("int")
     val stats = docs
-      .select(when(col(idCol).isNotNull, size(toks)).as("dl"))
-      .agg(count(col("dl")).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(col("dl"))).as("avgdl"))
+      .select(dlExpr.as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     // Query terms: DISTINCT terms per query (query-as-set BM25), COLLECTED
     // once — bounded by |queries| * query length, the same discipline as
     // the IVF centroid literals. One driver-side pass yields BOTH the

@@ -105,6 +105,17 @@ object Similarity {
     math.min(maxCells,
       math.max(minCells, math.ceil(math.sqrt(math.max(corpusRows, 0L).toDouble)).toInt))
 
+  /** Probe count matched to a cell count: a constant FRACTION (1/8) of the
+    * index, floored at the former fixed default (4). A fixed nprobe under
+    * sqrt(N)-derived cells silently shrinks the probed fraction as the
+    * corpus grows (4/16 at the floor but 4/4096 at the ceiling) and recall
+    * decays with scale; probing a constant fraction keeps the
+    * recall/probe-cost trade stable — per-probe candidate work is constant
+    * (occupancy ≈ sqrt(N) per cell), so total query cost grows only with
+    * the fraction times sqrt(N). */
+  def adaptiveProbes(numCells: Int): Int =
+    math.max(4, math.ceil(numCells / 8.0).toInt)
+
   /** Memoized corpus row count for the adaptive-width default (`numPlanes =
     * 0`). The width is needed at PLAN-CONSTRUCTION time (it shapes the
     * signature expressions), so the count job itself can't be deferred —
@@ -116,13 +127,16 @@ object Similarity {
     * one index rebuild, which only shifts bucket occupancy, never
     * correctness. STREAMING inputs cannot be counted at all: pass an
     * explicit `numPlanes` there (count() on a streaming plan throws). */
+  // Keyed by (session hash, semantic plan hash) — small value keys, like
+  // Star's pivot memo, so the map never pins a session or a plan tree (a
+  // LocalRelation key would otherwise hold the corpus data itself). A hash
+  // collision serves a wrong COUNT, whose only consequence is a
+  // differently-sized signature/index — a perf shift, never a wrong result.
   private val rowCountCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession,
-       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), java.lang.Long]()
   private def memoizedCount(df: DataFrame): Long =
     rowCountCache.computeIfAbsent(
-      (df.sparkSession, df.queryExecution.analyzed.canonicalized),
+      (df.sparkSession.hashCode, df.queryExecution.analyzed.semanticHash().toLong),
       _ => java.lang.Long.valueOf(df.count())).longValue()
 
   /** Sign-bit signature under `numPlanes` fixed hyperplanes, as a bit string
@@ -204,7 +218,7 @@ object Similarity {
     * to pin the index shape (a precomputed index shared across query
     * batches, or a streaming input that cannot be counted). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, numCells: Int = 0, nprobe: Int = 4): DataFrame =
+              vecCol: String, k: Int, numCells: Int = 0, nprobe: Int = 0): DataFrame =
     ivfTopKWith(queries, corpus, idCol, vecCol, k,
       trainCentroids(corpus, idCol, vecCol, numCells), nprobe)
 
@@ -214,11 +228,15 @@ object Similarity {
     * every query. Any fixed centroid set is a valid IVF index: the same
     * literals assign both corpus cells and query probes, so search is
     * self-consistent regardless of which corpus snapshot trained them. */
+  /** `nprobe = 0` (the default) derives the probe count from the centroid
+    * set via [[adaptiveProbes]] (a constant 1/8 of the cells, floored at
+    * the former fixed 4); explicit values pin it. */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
                   vecCol: String, k: Int, centroids: Array[(Int, Array[Double])],
-                  nprobe: Int = 4): DataFrame = {
+                  nprobe: Int = 0): DataFrame = {
+    val probes = if (nprobe > 0) nprobe else adaptiveProbes(centroids.length)
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
-    ivfSearch(queries, c, idCol, vecCol, k, nprobe, centroids)
+    ivfSearch(queries, c, idCol, vecCol, k, probes, centroids)
   }
 
   /** Train IVF centroids on a BOUNDED deterministic hash sample of the

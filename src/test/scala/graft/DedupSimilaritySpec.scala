@@ -167,13 +167,17 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("LSH and IVF recall@10 >= 0.9 vs brute-forced truth on a clustered corpus") {
-    // A 40-query sampled recall gate (vs ann_recall's 5 planted rank-1
-    // probes): 20 clusters x 12 members (center + sigma=0.05 jitter,
+    // A 60-query sampled recall gate (vs ann_recall's 5 planted rank-1
+    // probes): 30 clusters x 20 members (center + sigma=0.05 jitter,
     // within-cluster cos ~ 0.995) — the clustered geometry real embedding
     // spaces have and the regime ANN bucketing exists for; each query's
     // true top-10 lies inside its cluster, so recall measures whether the
     // bucketing actually routes queries to their neighborhood. Truth is
-    // brute-forced by exactTopK (itself oracled via ann_topk).
+    // brute-forced by exactTopK (itself oracled via ann_topk). 600 corpus
+    // rows put the derived IVF sizing ABOVE its floor (25 cells, 4 probes
+    // — probing 16% of the index, not the floor regime where auto-sizing
+    // degenerates to the former fixed constants), so the gate exercises
+    // the scaling path, not just backward compatibility.
     val rnd = new java.util.Random(7L)
     val dim = 32
     def unit(): Array[Double] = {
@@ -183,13 +187,13 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     def jitter(c: Array[Double]): Seq[Float] =
       c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq
-    val centers = Array.fill(20)(unit())
+    val centers = Array.fill(30)(unit())
     val corpus = for {
       (c, ci) <- centers.zipWithIndex.toSeq
-      m <- 0 until 12
-    } yield ((ci * 12 + m).toLong, jitter(c))
+      m <- 0 until 20
+    } yield ((ci * 20 + m).toLong, jitter(c))
     val queries = centers.zipWithIndex.toSeq.flatMap { case (c, ci) =>
-      Seq((1000L + ci * 2, jitter(c)), (1001L + ci * 2, jitter(c)))
+      Seq((10000L + ci * 2, jitter(c)), (10001L + ci * 2, jitter(c)))
     }
     val cdf = corpus.toDF("vec_id", "embedding")
     val qdf = queries.toDF("vec_id", "embedding")
@@ -205,10 +209,11 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     val lshR = recallOf(
       Similarity.lshTopK(qdf, cdf, "vec_id", "embedding", 10, numPlanes = 8, dim = dim))
-    // IVF with the DERIVED cell count (numCells = 0 default → ceil(sqrt(240))
-    // = 16, the former fixed default) — the gate holds with auto-sizing
+    // IVF with FULLY DERIVED sizing (numCells = 0 → ceil(sqrt(600)) = 25
+    // cells, nprobe = 0 → ceil(25/8) = 4 probes) — the gate holds with
+    // auto-sizing above the floor
     val ivfR = recallOf(
-      Similarity.ivfTopK(qdf, cdf, "vec_id", "embedding", 10, nprobe = 4))
+      Similarity.ivfTopK(qdf, cdf, "vec_id", "embedding", 10))
     info(f"recall@10 over ${truth.size} queries: lsh=$lshR%.3f ivf=$ivfR%.3f")
     assert(lshR >= 0.9, f"LSH recall@10 $lshR%.3f below the 0.9 gate")
     assert(ivfR >= 0.9, f"IVF recall@10 $ivfR%.3f below the 0.9 gate")
@@ -259,6 +264,14 @@ class DedupSimilaritySpec extends SparkSpec {
     val ns = Seq(0L, 1L, 255L, 257L, 1000L, 10000L, 123456L, 10000000L, 1L << 40)
     val cells = ns.map(adaptiveCells(_))
     assert(cells == cells.sorted, s"adaptiveCells not monotone: ${ns.zip(cells)}")
+    // probe count tracks the cell count at a constant fraction, floored at
+    // the former fixed default — the probed share of the index no longer
+    // shrinks as derived cells grow
+    import graft.operators.Similarity.adaptiveProbes
+    assert(adaptiveProbes(16) == 4 && adaptiveProbes(25) == 4)
+    assert(adaptiveProbes(64) == 8 && adaptiveProbes(4096) == 512)
+    val probes = cells.map(adaptiveProbes)
+    assert(probes == probes.sorted, "adaptiveProbes not monotone over derived cells")
   }
 
   test("labelCentroids averages element-wise per label in pos order") {

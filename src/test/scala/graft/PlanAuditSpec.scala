@@ -83,13 +83,20 @@ class PlanAuditSpec extends SparkSpec {
       s"vocab join should hash, not sort-merge at this scale:\n$p")
   }
 
+  /** Unpartitioned-window detector on the LOGICAL plan: the physical plan
+    * string always prints window contents inside windowspecdefinition(...)
+    * (order spec + frame) even when the partition spec is empty, so the
+    * former `windowspecdefinition()` string grep could never fire — a
+    * vacuous guard. partitionSpec.isEmpty is the real signal. */
+  private def globalWindows(name: String): Seq[Any] =
+    SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+
   test("corpus_shuffle ranks with partitioned windows only (no single-partition sort)") {
-    val p = planOf("corpus_shuffle")
-    // The two-phase rank's windows are all partitioned by bucket id; a global
-    // window would print 'Window [...] []' with an empty partition spec.
-    val unpartitioned = p.linesIterator.exists(l =>
-      l.contains("Window") && l.contains("windowspecdefinition()"))
-    assert(!unpartitioned, s"corpus_shuffle fell back to a global window:\n$p")
+    assert(globalWindows("corpus_shuffle").isEmpty,
+      "corpus_shuffle fell back to a global window")
   }
 
   test("decontam_ngram confirms candidates with a broadcast semi-join on the bench grams") {
@@ -148,10 +155,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("shard_assign prefix-sums with partitioned windows only") {
+    assert(globalWindows("shard_assign").isEmpty,
+      "shard_assign fell back to a global window")
     val p = planOf("shard_assign")
-    val unpartitioned = p.linesIterator.exists(l =>
-      l.contains("Window") && l.contains("windowspecdefinition()"))
-    assert(!unpartitioned, s"shard_assign fell back to a global window:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"offsets/total must ride broadcasts:\n$p")
   }

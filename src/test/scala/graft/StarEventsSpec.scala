@@ -72,11 +72,15 @@ class StarEventsSpec extends SparkSpec {
       (1, 1, 10.0, 10.0), (1, 2, -4.0, 6.0), (1, 3, 7.0, 13.0),
       (2, 1, 5.0, 5.0), (2, 2, -2.0, 3.0)))
     // the balance window must be partitioned by the inventory key — a
-    // global cumulative sum would single-thread a 100 TB movement log
-    val plan = out.queryExecution.executedPlan.toString
-    val unpartitioned = plan.linesIterator.exists(l =>
-      l.contains("Window") && l.contains("windowspecdefinition()"))
-    assert(!unpartitioned, s"inventory balance fell back to a global window:\n$plan")
+    // global cumulative sum would single-thread a 100 TB movement log.
+    // (Checked on the logical plan's partitionSpec: the executed-plan
+    // string always prints window contents inside windowspecdefinition(...)
+    // even when unpartitioned, so a string grep cannot catch this.)
+    val unpartitioned = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, "inventory balance fell back to a global window")
   }
 
   test("scd2 keeps only changed versions with validity chain") {
