@@ -142,16 +142,30 @@ class StarEventsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "view", 3L), (2, "click", 1L), (3, "buy", 1L)))
   }
 
-  test("funnel step names with embedded quotes survive the stack() literal") {
+  test("funnel step names with embedded quotes AND backslashes survive the stack() literal") {
     def ts(min: Int) = new Timestamp(min * 60000L)
+    // The backslash step is the sharp edge: Spark SQL string literals
+    // process backslash escapes, so an unescaped "a\nb" step name would be
+    // silently mangled into a newline (or break the parse on a trailing \).
+    val tricky = "add'l\\nstep\\"
     val events = Seq(
-      (1L, ts(0), 1L, "view", 0.0), (2L, ts(1), 1L, "add'l_info", 0.0),
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(1), 1L, tricky, 0.0),
       (3L, ts(0), 2L, "view", 0.0)
     ).toDF("event_id", "ts", "user_id", "event_type", "value")
-    val out = Events.funnel(events, col("event_type"), Seq("view", "add'l_info"))
+    val out = Events.funnel(events, col("event_type"), Seq("view", tricky))
       .select("step_index", "step", "n_users").as[(Int, String, Long)]
       .collect().sortBy(_._1)
-    assert(out.toSeq == Seq((1, "view", 2L), (2, "add'l_info", 1L)))
+    assert(out.toSeq == Seq((1, "view", 2L), (2, tricky, 1L)))
+  }
+
+  test("catalogCounts rule names with quotes and backslashes survive the stack() literal") {
+    val df = Seq((1, "x"), (2, null)).toDF("id", "v")
+    val rules = Seq(
+      graft.operators.Quality.Rule("null'v \\rule", col("v").isNull),
+      graft.operators.Quality.Rule("neg\\id", col("id") < 0))
+    val out = graft.operators.Quality.catalogCounts(df, rules, "e")
+      .as[(String, String, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(("e", "neg\\id", 0L), ("e", "null'v \\rule", 1L)))
   }
 
   test("cohortRetention grids distinct active users by cohort week and offset") {
