@@ -651,6 +651,24 @@ object SparkEntry {
     // verified) over a corpus with planted exact and perturbed duplicates
     "neardup_embedding" -> ((s, d) =>
       Similarity.cosineNearDup(embCorpus(s, d), "vec_id", "embedding", 0.9)),
+    // §2.2 row 21e — SemDeDup semantic dedup over the planted-duplicate
+    // corpus, clustered by the label column (the oracle-checkable variant;
+    // the derived-IVF-cell variant is spec-gated): each planted copy has a
+    // lower-id source in its cluster at cos >= 0.9, so keep=false marks
+    // exactly the plants and the smallest id of each neighborhood survives
+    "semantic_dedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
+          col("label"))
+      val copies = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+      val perturbed = e.filter(col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) * 1.5),
+            slice(col("embedding"), 2, 63)).as("embedding"), col("label"))
+      Similarity.semanticDedup(e.unionByName(copies).unionByName(perturbed),
+        "vec_id", "embedding", 0.9, clusterCol = Some(col("label")))
+    }),
     // §2.2 row 24 — ANN recall gate: queries are PERTURBED copies of corpus
     // vectors (component 0 scaled 1.5x, cos ≈ 0.999 to their source), so the
     // true nearest neighbor of each query is known and independently
@@ -1275,6 +1293,18 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
         |FROM emb_corpus a JOIN emb_corpus b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin),
+    "semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |p AS (SELECT vec_id, v, label FROM base
+        |  UNION ALL SELECT vec_id + 100000 AS vec_id, v, label FROM base WHERE vec_id % 10 = 0
+        |  UNION ALL SELECT vec_id + 200000 AS vec_id,
+        |    list_concat([v[1] * 1.5], v[2:64]) AS v, label FROM base WHERE vec_id % 10 = 5),
+        |dup AS (SELECT DISTINCT x.vec_id
+        |  FROM p x JOIN p y ON x.label = y.label AND x.vec_id > y.vec_id
+        |  WHERE NOT isnan(list_cosine_similarity(x.v, y.v))
+        |    AND list_cosine_similarity(x.v, y.v) >= 0.9)
+        |SELECT p.vec_id, p.label AS cell, (d.vec_id IS NULL) AS keep
+        |FROM p LEFT JOIN dup d ON p.vec_id = d.vec_id""".stripMargin,
     // The oracle brute-forces the true nearest neighbor of each perturbed
     // query; both approximate paths must have retrieved exactly it.
     "ann_recall" ->

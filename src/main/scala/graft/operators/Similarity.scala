@@ -357,6 +357,52 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are grouped into clusters and, within a
+    * cluster, any vector whose cosine to a LOWER-id cluster-mate reaches
+    * `threshold` is marked a duplicate — the smallest id of every near-dup
+    * neighborhood survives (deterministic, engine-independent keep rule).
+    * Output: (id, cell, keep).
+    *
+    * Scale: pairing is CLUSTER-SCOPED — one cell-keyed hash self-join, so
+    * candidate work is bounded by cluster occupancy (with derived IVF
+    * cells, occupancy ≈ sqrt(N)) and never corpus-wide all-pairs; the
+    * exact-cosine check runs on cluster-mates only. NaN sims (zero-norm
+    * vectors) never mark a duplicate — the ANN paths' degenerate-vector
+    * policy. Null cluster keys pair with nothing (kept), matching SQL
+    * equi-join semantics.
+    *
+    * `clusterCol = Some(c)` pins the grouping to an existing column (a
+    * label, a shard, an LSH band — the oracle-checkable variant); `None`
+    * derives clusters from trained IVF centroids (bounded-sample k-means,
+    * map-side [[graft.functions.NativeExprs.nearestCells]] assignment —
+    * zero extra shuffle over the corpus). Near-dup pairs that straddle a
+    * derived-cell boundary are missed — SemDeDup's documented
+    * approximation (tight near-dup neighborhoods co-locate under any
+    * reasonable clustering; the spec pins the behavior). */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, clusterCol: Option[Column] = None,
+                    numCells: Int = 0): DataFrame = {
+    val assigned = clusterCol match {
+      case Some(c) =>
+        vectors.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"), c.as("cell"))
+      case None =>
+        val cents = trainCentroids(vectors, idCol, vecCol, numCells)
+        vectors.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
+          .withColumn("cell", nearestCells(col("_v"), cents, 1)(0))
+    }
+    val slim = assigned.select(col("cell"), col("_id"), col("_v"))
+    val dropped = slim.as("x").join(slim.as("y"),
+        col("x.cell") === col("y.cell") && col("x._id") > col("y._id"))
+      .select(col("x._id").as("_id"),
+        cosine(col("x._v"), col("y._v")).as("_s"))
+      .where(!isnan(col("_s")) && col("_s") >= threshold)
+      .select(col("_id")).distinct()
+      .withColumn("_dup", lit(true))
+    assigned.join(dropped, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("cell"), col("_dup").isNull.as("keep"))
+  }
+
   /** Symmetric int8 quantization of an embedding (per-vector absmax
     * scaling) — the storage-compression step vector stores apply before
     * indexing 100 TB of embeddings. Pure higher-order-function math. */

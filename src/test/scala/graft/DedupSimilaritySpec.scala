@@ -219,6 +219,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfR >= 0.9, f"IVF recall@10 $ivfR%.3f below the 0.9 gate")
   }
 
+  test("semanticDedup keeps the smallest id per near-dup neighborhood, cluster-scoped") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), "a"),
+      (2L, Seq(0.999f, 0.04f, 0f, 0f), "a"),  // cos to id 1 ~ 0.9992 -> dropped
+      (3L, Seq(0f, 1f, 0f, 0f), "a"),         // orthogonal -> kept
+      (10L, Seq(0f, 0f, 1f, 0f), "b"),
+      (11L, Seq(0f, 0f, 0.999f, 0.04f), "b"), // near-dup of 10 -> dropped
+      (20L, Seq(1f, 0f, 0f, 0f), "b")         // same direction as id 1 but another
+    ).toDF("vec_id", "embedding", "label")    // CLUSTER -> kept (cluster-scoped)
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding", 0.95,
+        clusterCol = Some(col("label")))
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true,
+      10L -> true, 11L -> false, 20L -> true))
+  }
+
+  test("semanticDedup with derived IVF cells: no false drops, most near-copies caught") {
+    // 20 well-separated unit directions, each with a near-identical copy.
+    // The cluster-scoped contract: a near-dup pair is caught only when both
+    // land in the same derived cell, so a copy can escape across a cell
+    // boundary (the documented SemDeDup approximation) — but sources (no
+    // lower-id near-dup anywhere) must NEVER be dropped, and the
+    // overwhelming majority of copies must be caught.
+    val rnd = new java.util.Random(11L)
+    val dim = 32
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(20)(unit())
+    val rows = centers.zipWithIndex.flatMap { case (c, i) =>
+      Seq((i.toLong, c.map(_.toFloat).toSeq),
+        (100L + i, c.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat).toSeq))
+    }.toSeq
+    val out = Similarity.semanticDedup(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 0.95)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    (0 until 20).foreach(i => assert(out(i.toLong), s"source $i must survive"))
+    val caught = (0 until 20).count(i => !out(100L + i))
+    info(s"near-copies caught by derived cells: $caught/20")
+    assert(caught >= 15, s"only $caught/20 near-copies caught by derived cells")
+  }
+
   test("spanDedup misses shifted duplicates by construction; winnowing catches them") {
     // The same 8-token passage appears in doc 1 at offset 0 and in doc 2 at
     // offset 3 (a shift that is NOT a multiple of spanTokens=4), embedded in
