@@ -622,6 +622,10 @@ object SparkEntry {
     // "hamming <= 6 AND jaccard >= 0.8", which the oracle brute-forces.
     "neardup_simhash" -> ((s, d) =>
       Dedup.nearDupSimHash(Tables.documents(s, d), "doc_id", "text", 6, 3, 0.8, md5Hash = true)),
+    // §2.2 row 22c — cross-source n-gram overlap matrix (mixture-design /
+    // leakage diagnostic): exact bigram-vocabulary Jaccard per source pair
+    "source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", 2)),
     // §2.2 row 22 — n-gram Jaccard over an explicit pair set
     "ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1486,6 +1490,21 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "source_overlap" ->
+      """WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT source, g
+        |  FROM toks, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS t(g)
+        |  WHERE len(w) >= 2),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+        |common AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT c.source_a, c.source_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+        |  round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) AS jaccard
+        |FROM common c
+        |JOIN sizes sa ON sa.source = c.source_a
+        |JOIN sizes sb ON sb.source = c.source_b""".stripMargin,
     // Brute-force simhash near-dup: rebuild the frequency-weighted Charikar
     // signature from the md5 token hash (identical bits to the Spark
     // expression), then ALL pairs with hamming <= 6 verified by 3-gram

@@ -386,6 +386,44 @@ object Dedup {
       .select(col("_id").as("doc_id"), col("text_dedup"), col("n_kept"), col("n_dropped"))
   }
 
+  /** Cross-source n-gram overlap matrix — the corpus-curation diagnostic
+    * behind mixture design and leakage checks: for every pair of sources,
+    * the EXACT Jaccard of their distinct shingle vocabularies (how much of
+    * source A's n-gram vocabulary reappears in source B). Corpus-grain
+    * companion to the row-grain operators ([[decontamNgram]],
+    * [[nearDupMinHash]]): a high off-diagonal value says two feeds are
+    * near-copies and the mixture double-counts them. Pairs with zero
+    * shared shingles are omitted (inner join). Output:
+    * (source_a, source_b, n_a, n_b, n_common, jaccard).
+    *
+    * Scale: docs explode to (source, shingle) with a map-side partial
+    * distinct → ONE shingle-keyed shuffle; the pair join's two sides are
+    * the SAME distinct table, so its exchange is planned once and reused;
+    * per-source vocabulary sizes ride a broadcast. Output cardinality is
+    * #sources² — dimension-sized. The shuffle carries raw shingles (exact,
+    * engine-independent — the oracle recomputes it); at petabyte scale
+    * lead the key with xxhash64(g) like [[exactDedupByHash]] and accept
+    * hash-collision jitter in the counts. */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val sh = docs
+      .select(col(srcCol).as("source"), explode(shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_grams").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_grams").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
+
   /** Direct n-gram Jaccard over an explicit pair set (pairs: doc_a, doc_b). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int): DataFrame = {

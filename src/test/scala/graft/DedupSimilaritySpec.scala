@@ -219,6 +219,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfR >= 0.9, f"IVF recall@10 $ivfR%.3f below the 0.9 gate")
   }
 
+  test("sourceOverlap: exact per-pair bigram-vocabulary Jaccard, zero-overlap pairs omitted") {
+    val docs = Seq(
+      ("A", "a b c"), ("A", "c d"),    // A = {a b, b c, c d}
+      ("B", "a b x"),                  // B = {a b, b x}; A∩B = {a b}
+      ("C", "zz yy")                   // C shares nothing
+    ).toDF("source", "text")
+    val out = Dedup.sourceOverlap(docs, "source", "text", 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(("A", "B", 3L, 2L, 1L, 0.25))) // 1/(3+2-1)
+  }
+
   test("semanticDedup keeps the smallest id per near-dup neighborhood, cluster-scoped") {
     val vecs = Seq(
       (1L, Seq(1f, 0f, 0f, 0f), "a"),
