@@ -192,26 +192,37 @@ object SparkEntry {
 
   // Embedding near-dup corpus: embeddings plus planted duplicates — exact
   // copies (cos = 1.0) and single-component perturbations (cos ≈ 0.999) —
-  // so the near-dup gate verifies real pairs instead of an empty result.
+  // so the near-dup gates verify real pairs instead of an empty result.
   // All math runs on array<double> in BOTH engines so values hash-match.
-  private def embCorpus(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+  // ONE source of truth for the plant recipe: `withLabel = true` carries
+  // the label column through (the semantic_dedup cluster key; copies
+  // inherit their source's label) — both the Scala and the SQL corpus are
+  // built from the same construction, never re-implemented per query.
+  private def embCorpus(s: SparkSession, dir: String,
+                        withLabel: Boolean = false): DataFrame = {
+    val cols = Seq(col("vec_id"), col("embedding").cast("array<double>").as("embedding")) ++
+      (if (withLabel) Seq(col("label")) else Nil)
+    val e = Tables.embeddings(s, dir).select(cols: _*)
+    val keep = e.columns.drop(1).map(col)
     val copies = e.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + 100000).as("vec_id") +: keep: _*)
     val perturbed = e.filter(col("vec_id") % 10 === 5)
-      .select((col("vec_id") + 200000).as("vec_id"),
+      .select(Seq((col("vec_id") + 200000).as("vec_id"),
         concat(array(element_at(col("embedding"), 1) * 1.5),
-          slice(col("embedding"), 2, 63)).as("embedding"))
+          slice(col("embedding"), 2, 63)).as("embedding")) ++
+        (if (withLabel) Seq(col("label")) else Nil): _*)
     e.unionByName(copies).unionByName(perturbed)
   }
 
-  private val EmbCorpusCte =
-    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |emb_corpus AS (SELECT vec_id, v FROM base
-      |  UNION ALL SELECT vec_id + 100000 AS vec_id, v FROM base WHERE vec_id % 10 = 0
-      |  UNION ALL SELECT vec_id + 200000 AS vec_id,
-      |    list_concat([v[1] * 1.5], v[2:64]) AS v FROM base WHERE vec_id % 10 = 5)""".stripMargin
+  private def embCorpusCte(withLabel: Boolean): String = {
+    val lbl = if (withLabel) ", label" else ""
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v$lbl FROM embeddings),
+       |emb_corpus AS (SELECT vec_id, v$lbl FROM base
+       |  UNION ALL SELECT vec_id + 100000 AS vec_id, v$lbl FROM base WHERE vec_id % 10 = 0
+       |  UNION ALL SELECT vec_id + 200000 AS vec_id,
+       |    list_concat([v[1] * 1.5], v[2:64]) AS v$lbl FROM base WHERE vec_id % 10 = 5)""".stripMargin
+  }
+  private val EmbCorpusCte = embCorpusCte(withLabel = false)
 
   private val Stop = TextAnalysis.EnStop.mkString("('", "','", "')")
 
@@ -660,19 +671,9 @@ object SparkEntry {
     // the derived-IVF-cell variant is spec-gated): each planted copy has a
     // lower-id source in its cluster at cos >= 0.9, so keep=false marks
     // exactly the plants and the smallest id of each neighborhood survives
-    "semantic_dedup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
-          col("label"))
-      val copies = e.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
-      val perturbed = e.filter(col("vec_id") % 10 === 5)
-        .select((col("vec_id") + 200000).as("vec_id"),
-          concat(array(element_at(col("embedding"), 1) * 1.5),
-            slice(col("embedding"), 2, 63)).as("embedding"), col("label"))
-      Similarity.semanticDedup(e.unionByName(copies).unionByName(perturbed),
-        "vec_id", "embedding", 0.9, clusterCol = Some(col("label")))
-    }),
+    "semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(embCorpus(s, d, withLabel = true),
+        "vec_id", "embedding", 0.9, clusterCol = Some(col("label")))),
     // §2.2 row 24 — ANN recall gate: queries are PERTURBED copies of corpus
     // vectors (component 0 scaled 1.5x, cos ≈ 0.999 to their source), so the
     // true nearest neighbor of each query is known and independently
@@ -1297,18 +1298,15 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
         |FROM emb_corpus a JOIN emb_corpus b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin),
-    "semantic_dedup" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
-        |p AS (SELECT vec_id, v, label FROM base
-        |  UNION ALL SELECT vec_id + 100000 AS vec_id, v, label FROM base WHERE vec_id % 10 = 0
-        |  UNION ALL SELECT vec_id + 200000 AS vec_id,
-        |    list_concat([v[1] * 1.5], v[2:64]) AS v, label FROM base WHERE vec_id % 10 = 5),
+    "semantic_dedup" -> (embCorpusCte(withLabel = true) +
+      """,
         |dup AS (SELECT DISTINCT x.vec_id
-        |  FROM p x JOIN p y ON x.label = y.label AND x.vec_id > y.vec_id
+        |  FROM emb_corpus x JOIN emb_corpus y
+        |    ON x.label = y.label AND x.vec_id > y.vec_id
         |  WHERE NOT isnan(list_cosine_similarity(x.v, y.v))
-        |    AND list_cosine_similarity(x.v, y.v) >= 0.9)
+        |    AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.9)
         |SELECT p.vec_id, p.label AS cell, (d.vec_id IS NULL) AS keep
-        |FROM p LEFT JOIN dup d ON p.vec_id = d.vec_id""".stripMargin,
+        |FROM emb_corpus p LEFT JOIN dup d ON p.vec_id = d.vec_id""".stripMargin),
     // The oracle brute-forces the true nearest neighbor of each perturbed
     // query; both approximate paths must have retrieved exactly it.
     "ann_recall" ->

@@ -397,12 +397,16 @@ object Dedup {
     * (source_a, source_b, n_a, n_b, n_common, jaccard).
     *
     * Scale: docs explode to (source, shingle) with a map-side partial
-    * distinct → ONE shingle-keyed shuffle; the pair join's two sides are
-    * the SAME distinct table, so its exchange is planned once and reused;
-    * per-source vocabulary sizes ride a broadcast. Output cardinality is
-    * #sources² — dimension-sized. The shuffle carries raw shingles (exact,
-    * engine-independent — the oracle recomputes it); at petabyte scale
-    * lead the key with xxhash64(g) like [[exactDedupByHash]] and accept
+    * distinct → a (source, shingle)-keyed shuffle, then the deduped
+    * vocabulary table (far smaller than the token stream) re-shuffles on
+    * shingle alone for the pair join — whose two sides are the SAME
+    * subtree, so that second exchange is planned once and REUSED, and the
+    * sizes aggregate re-reads the first. Two full passes of the distinct
+    * vocabulary over the wire, one of the raw exploded tokens; per-source
+    * sizes ride a broadcast. Output cardinality is #sources² —
+    * dimension-sized. Shuffles carry raw shingles (exact,
+    * engine-independent — the oracle recomputes them); at petabyte scale
+    * lead the keys with xxhash64(g) like [[exactDedupByHash]] and accept
     * hash-collision jitter in the counts. */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
                     n: Int): DataFrame = {

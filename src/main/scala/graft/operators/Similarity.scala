@@ -392,10 +392,13 @@ object Similarity {
           .withColumn("cell", nearestCells(col("_v"), cents, 1)(0))
     }
     val slim = assigned.select(col("cell"), col("_id"), col("_v"))
+    // the similarity is ROUNDED to 6dp before thresholding, like
+    // cosineNearDup/centroidOutliers: accumulation-order float noise at
+    // the boundary must not flip a keep bit between engines or retries
     val dropped = slim.as("x").join(slim.as("y"),
         col("x.cell") === col("y.cell") && col("x._id") > col("y._id"))
       .select(col("x._id").as("_id"),
-        cosine(col("x._v"), col("y._v")).as("_s"))
+        round(cosine(col("x._v"), col("y._v")), 6).as("_s"))
       .where(!isnan(col("_s")) && col("_s") >= threshold)
       .select(col("_id")).distinct()
       .withColumn("_dup", lit(true))
