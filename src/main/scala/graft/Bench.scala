@@ -8,6 +8,30 @@ import org.apache.spark.sql.SparkSession
   * silently timed as if they succeeded.
   */
 object Bench {
+
+  /** Fixed host-speed calibration probe: a corpus-independent
+    * generate → hash → shuffle → aggregate round trip (codegen, exchange
+    * write/read, hash agg — the machinery every real query pays), identical
+    * bytes every round. Timing it alongside the queries gives each bench
+    * artifact its OWN noise denominator: cross-round comparisons divide by
+    * the round's `calib_sec` instead of guessing whether a uniform shift
+    * was the host or the plans (this sandbox's hypervisor contention has
+    * produced whole-bench 1.3-1.7x swings between JVMs). */
+  def calibrate(spark: SparkSession, reps: Int): Seq[Double] = {
+    import org.apache.spark.sql.functions._
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      // summand bounded via pmod so 8M-row SUM stays far below 2^63
+      // (ANSI mode: summing raw xxhash64 longs overflows)
+      spark.range(0L, 8L * 1000 * 1000, 1L, 32)
+        .select(xxhash64(col("id")).as("h"))
+        .groupBy(pmod(col("h"), lit(4096L)).as("b"))
+        .agg(count(lit(1)).as("n"), sum(pmod(col("h"), lit(1000000L))).as("s"))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -76,6 +100,11 @@ object Bench {
     // to a long-lived cluster session. The per-query max-min spread is
     // reported so the JSON self-documents how noisy the run was.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Host-speed probe bracketing the sweep (3 reps before, 3 after): the
+    // reported calib_sec is the median of all 6, so it reflects the host
+    // state the query times were measured under, including drift DURING
+    // the run (calib_spread = max - min of the 6 makes drift visible).
+    val calibBefore = calibrate(spark, 3)
     // Stable order so per-round bench JSON is comparable across rounds.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     var samples = Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
@@ -112,7 +141,10 @@ object Bench {
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
     val totalSpread = spreads.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"spread_total":${r3(totalSpread)},"spread_top5":$sp,"queries":$qs}""")
+    val calibAll = (calibBefore ++ calibrate(spark, 3)).sorted
+    val calibSec = calibAll(calibAll.size / 2)
+    val calibSpread = calibAll.last - calibAll.head
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"calib_sec":${r3(calibSec)},"calib_spread":${r3(calibSpread)},"spread_total":${r3(totalSpread)},"spread_top5":$sp,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -30,6 +30,11 @@ object BenchOne {
           Tables.documents _, Tables.embeddings _)
         .foreach(t => t(spark, sfDir).count())
     }
+    // Same host-speed probe as Bench: printed beside the query minima so a
+    // recorded warm min carries its own noise denominator (compare
+    // min/calib across hosts, not raw min).
+    val calib = Bench.calibrate(spark, 3).sorted
+    println(f"calibration            min=${calib.head}%6.2f med=${calib(calib.size / 2)}%6.2f reps=3")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val ts = (1 to reps).map { _ =>

@@ -74,6 +74,12 @@ object Tables {
   /** Per-path cache entries carry the root MODIFICATION TIME they were
     * probed at, so an in-session rewrite of the table re-probes instead of
     * serving a stale count (stale entries are REPLACED, not accumulated).
+    * Caveat: the probed mtime is the ROOT's (file, or directory for
+    * multi-part tables) — on object stores (S3A) directory mtime is
+    * synthetic or absent, so an in-session rewrite there may still serve a
+    * stale row-group count. Perf-only (the spread repartition may be
+    * skipped once); deriving freshness from the max part-file mtime would
+    * close it at the cost of a full listStatus per load.
     * The freshness check costs one getFileStatus per load — metadata only —
     * against `sparkContext.hadoopConfiguration` directly (building a fresh
     * SQLConf-merged Configuration per call is the expensive part, and scan

@@ -72,6 +72,67 @@ object NativeExprs {
 
   def sigProbes(sig: Column, maxHamming: Int): Column =
     GraftShims.toColumn(SigProbesExpr(GraftShims.toExpression(sig), maxHamming))
+
+  def queryTf(tokens: Column, vocab: Seq[String]): Column =
+    GraftShims.toColumn(QueryTfExpr(GraftShims.toExpression(tokens), vocab))
+
+  def nearestCellsBc(vec: Column, centsBc: Broadcast[Array[(Int, Array[Double])]],
+                     n: Int): Column =
+    GraftShims.toColumn(BcNearestCellsExpr(GraftShims.toExpression(vec), centsBc, n))
+}
+
+/** Shared best-n-cells-by-cosine kernel of [[NearestCellsExpr]] (plan-literal
+  * centroids) and [[BcNearestCellsExpr]] (broadcast-variable centroids) —
+  * identical arithmetic and (-sim, cellId) tie policy, so the two carriers
+  * are interchangeable result-wise and differ only in how the centroid set
+  * reaches the executor. */
+private[functions] object NearestCellsEval {
+  def apply(input: ArrayData, cellIds: Array[Int], cellVecs: Array[Array[Double]],
+            cellNorms: Array[Double], n: Int): GenericArrayData = {
+    val len = input.numElements()
+    val m = cellVecs.length
+    val vec = new Array[Double](len)
+    var nv = 0.0
+    var i = 0
+    while (i < len) { val xi = input.getDouble(i); vec(i) = xi; nv += xi * xi; i += 1 }
+    val vnorm = math.sqrt(nv)
+    val sims = new Array[Double](m)
+    var p = 0
+    while (p < m) {
+      val c = cellVecs(p)
+      var dot = 0.0
+      i = 0
+      val d = math.min(len, c.length)
+      while (i < d) { dot += vec(i) * c(i); i += 1 }
+      sims(p) = dot / (vnorm * cellNorms(p))
+      p += 1
+    }
+    // best-first selection of n cells by (-sim, cellId) ascending: a
+    // bounded insertion scan — O(m*n) primitive compares, no per-row
+    // tuple/boxing allocations (a full sortBy costs m log m TUPLE
+    // allocations per row, which dominated large-index assignment).
+    // NaN sims (zero-norm vectors) order LAST, as in the sort they replace.
+    val take = math.min(math.max(n, 0), m)
+    val best = new Array[Int](take) // cell INDICES, best-first
+    var filled = 0
+    def beats(a: Int, b: Int): Boolean = {
+      val sa = sims(a); val sb = sims(b)
+      if (sa > sb || (sb.isNaN && !sa.isNaN)) true
+      else if (sa == sb) cellIds(a) < cellIds(b)
+      else false
+    }
+    p = 0
+    while (p < m) {
+      if (filled < take || beats(p, best(take - 1))) {
+        var pos = if (filled < take) filled else take - 1
+        while (pos > 0 && beats(p, best(pos - 1))) { best(pos) = best(pos - 1); pos -= 1 }
+        best(pos) = p
+        if (filled < take) filled += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(best.take(filled).map(p => cellIds(p): Any))
+  }
 }
 
 /** Codegen'd membership probe of a string column against a broadcast Bloom
@@ -538,33 +599,121 @@ case class NearestCellsExpr(child: Expression, centroids: Seq[(Int, Seq[Double])
   @transient private lazy val cellNorms: Array[Double] =
     cellVecs.map(c => math.sqrt(c.map(x => x * x).sum))
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val len = v.numElements()
-    val m = cellVecs.length
-    val vec = new Array[Double](len)
-    var nv = 0.0
-    var i = 0
-    while (i < len) { val xi = v.getDouble(i); vec(i) = xi; nv += xi * xi; i += 1 }
-    val vnorm = math.sqrt(nv)
-    val sims = new Array[Double](m)
-    var p = 0
-    while (p < m) {
-      val c = cellVecs(p)
-      var dot = 0.0
-      i = 0
-      val d = math.min(len, c.length)
-      while (i < d) { dot += vec(i) * c(i); i += 1 }
-      sims(p) = dot / (vnorm * cellNorms(p))
-      p += 1
-    }
-    // best-first selection of n cells: (-sim, cellId) ascending
-    val order = Array.tabulate(m)(identity)
-      .sortBy(p => (-sims(p), cellIds(p)))
-    new GenericArrayData(order.take(math.min(n, m)).map(p => cellIds(p): Any))
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCellsEval(input.asInstanceOf[ArrayData], cellIds, cellVecs, cellNorms, n)
 
   override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
     copy(child = newChild)
   override def prettyName: String = "nearest_cells"
+}
+
+/** [[NearestCellsExpr]] with the centroid set carried by a BROADCAST
+  * VARIABLE instead of plan literals — the scale carrier past the ~4k-cell
+  * plan-literal budget: the plan serializes only the broadcast handle, each
+  * executor fetches the centroid array once, and analysis/codegen cost
+  * stays flat no matter how many cells the index has. Same kernel, same
+  * tie policy — results are identical to the literal carrier for the same
+  * centroid set (spec-pinned). */
+case class BcNearestCellsExpr(child: Expression,
+    centsBc: Broadcast[Array[(Int, Array[Double])]], n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(DoubleType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells_bc requires array<double>, got $other")
+    }
+  }
+
+  // One broadcast deref per task; norms derived once per JVM, not per row.
+  @transient private lazy val cellIds: Array[Int] = centsBc.value.map(_._1)
+  @transient private lazy val cellVecs: Array[Array[Double]] = centsBc.value.map(_._2)
+  @transient private lazy val cellNorms: Array[Double] =
+    cellVecs.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCellsEval(input.asInstanceOf[ArrayData], cellIds, cellVecs, cellNorms, n)
+
+  override protected def withNewChildInternal(newChild: Expression): BcNearestCellsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cells_bc"
+}
+
+/** Per-document term frequencies restricted to a bounded query vocabulary —
+  * the map-side postings primitive of [[graft.operators.Retrieval.bm25TopK]].
+  * Returns `array<struct<term,tf>>` with one entry per vocabulary term the
+  * document contains (vocabulary order), so `explode` of the result IS the
+  * query-term hits table — no corpus-wide explode and no (doc, term)
+  * aggregation shuffle are ever needed to obtain tf.
+  *
+  * One compiled pass per row: a shared hash map from vocabulary term to
+  * counter slot, O(|tokens|) lookups — independent of vocabulary size,
+  * where the inlined-InSet + explode + groupBy formulation it replaces paid
+  * a corpus-wide Generate plus a (doc_id, dl, term) exchange. The
+  * vocabulary lives in this expression instance (task-serialized once), not
+  * unrolled into codegen literals, so plan/codegen size stays flat as the
+  * vocabulary grows.
+  */
+case class QueryTfExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType, nullable = false),
+      StructField("tf", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"query_tf requires array<string>, got $other")
+    }
+  }
+
+  @transient private lazy val vocabU: Array[UTF8String] =
+    vocab.map(UTF8String.fromString).toArray
+  // duplicate vocab entries keep their FIRST slot (second insert skipped),
+  // so counts never split across slots even on unsanitized input
+  @transient private lazy val slot: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](vocabU.length * 2)
+    var i = 0
+    while (i < vocabU.length) { m.putIfAbsent(vocabU(i), i); i += 1 }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](vocabU.length)
+    var hit = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val j = slot.get(t)
+        if (j != null) {
+          if (counts(j) == 0) hit += 1
+          counts(j) += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](hit)
+    var k = 0
+    var j = 0
+    while (j < vocabU.length) {
+      if (counts(j) > 0 && slot.get(vocabU(j)) == j) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(vocabU(j), counts(j))
+        k += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QueryTfExpr =
+    copy(child = newChild)
+  override def prettyName: String = "query_tf"
 }

@@ -112,19 +112,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("bloom_might_contain"), s"native Bloom probe missing:\n$p")
   }
 
-  test("bm25 explodes the corpus once and the hits exchange is reused by dfq") {
-    // dfq (query-term document frequencies) re-aggregates the hits table;
-    // if plan drift (e.g. column pruning specializing dfq's copy) stops the
-    // exchange from canonicalizing equal, the corpus is silently tokenized
-    // twice more — the exact regression this pins. stats is deliberately a
-    // separate explode-free scan (zero-shuffle scalar agg).
-    val p = staticPlanOf("bm25_topk")
+  test("bm25 main query is one corpus pass: map-side tf, no stats branch, no corpus-wide explode") {
+    // The inline-vocabulary path computes n_docs/avgdl/df in ONE eager
+    // pre-pass and per-doc tf MAP-SIDE (query_tf native expression), so the
+    // main plan must contain exactly one Generate (exploding the per-doc
+    // hit structs — never the raw token stream), one broadcast join against
+    // the (query_id, term, df) LocalRelation, and NO scalar-stats
+    // cross-join: the literals are already folded into the scoring
+    // projection.
+    val p = planOf("bm25_topk")
+    assert(p.contains("query_tf"), s"map-side tf expression missing:\n$p")
+    assert(!p.contains("Generate explode(split"),
+      s"raw token stream exploded — per-doc tf regressed to a corpus-wide explode:\n$p")
+    val generates = p.linesIterator.count(_.contains("Generate explode"))
+    assert(generates <= 1, s"corpus passes through $generates Generates:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"scalar stats re-joined instead of folded as literals:\n$p")
+    assert(p.contains("LocalTableScan"), s"qterms/df LocalRelation missing:\n$p")
+  }
+
+  test("bm25 large-vocab path explodes the corpus once and the hits exchange is reused by dfq") {
+    // Past vocabInlineLimit the operator switches to the shared-exchange
+    // postings pipeline: dfq (query-term document frequencies)
+    // re-aggregates the hits table — if plan drift (e.g. column pruning
+    // specializing dfq's copy) stops the exchange from canonicalizing
+    // equal, the corpus is silently tokenized twice more. stats shares the
+    // input exchange via the pmod required-column pad (the count(when)
+    // guard in dfq and the pmod term are both load-bearing; see
+    // Retrieval.bm25TopKShared).
+    val docs = Tables.documents(spark, sf)
+    val queries = docs.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    val p =
+      try graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", 10, vocabInlineLimit = 0)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set(key, prev)
     assert(p.contains("ReusedExchange"),
       s"hits exchange not reused — corpus tokenized more than once:\n$p")
     val corpusExplodes = p.linesIterator
       .count(l => l.contains("Generate explode(split"))
-    // one corpus explode + one (tiny) query-text explode
-    assert(corpusExplodes <= 2, s"corpus exploded $corpusExplodes times:\n$p")
+    assert(corpusExplodes <= 1, s"corpus exploded $corpusExplodes times:\n$p")
   }
 
   test("lm_score tokenizes the corpus once: vocab and total re-aggregate the tf postings") {
@@ -192,7 +223,7 @@ class PlanAuditSpec extends SparkSpec {
     // FK checks must never sort-merge a fact against a dimension key set
     assert(p.contains("BroadcastHashJoin"), s"FK rules must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"catalog audit must not SMJ:\n$p")
-    // one-pass discipline: the whole 34-rule catalog is 6 entity scans
+    // one-pass discipline: the whole 35-rule catalog is 6 entity scans
     // (customer, orders, part, supplier, nation, lineitem) + FK-dimension
     // scans (nation x2, customer, region, supplier) — a per-rule pass would
     // multiply the scan count by the rule count
