@@ -22,6 +22,17 @@ import graft.sources.IngestDiscovery
   *  4. `dedup`        — exact dedup (keep min id per normalized text), then
   *     MinHash-LSH near-dup pairs → connected components → keep cluster
   *     representatives. Survivors to the dedup zone.
+  *  4b. `span_scrub`  — OPTIONAL (`spanScrub = Some(spanTokens)`):
+  *     [[Dedup.spanDedup]] rewrites each surviving document keeping only
+  *     the corpus-first occurrence of every aligned token span (the
+  *     within/cross-doc passage-level scrub row-grain dedup can't do).
+  *     Rewrites text in place — no document is dropped here.
+  *  4c. `semantic_dedup` — OPTIONAL (`embeddings = Some(df)` with
+  *     (doc_id, embedding) rows): [[Similarity.semanticDedup]] over the
+  *     SURVIVORS' embeddings (derived IVF cells), dropping every document
+  *     whose cluster holds a lower-id near-duplicate at
+  *     `semanticThreshold` cosine. Documents without an embedding row are
+  *     kept (no silent drops on missing features).
   *  5. `shard_write`  — token-balanced shard assignment
   *     ([[TextAnalysis.shardTokenBudget]]) and a `partitionBy(shard)`
   *     layout write of the final corpus.
@@ -36,7 +47,10 @@ object CorpusPipeline {
              minTokens: Int = 30, minStopRatio: Double = 0.05,
              maxDupFraction: Double = 0.2, capPerSource: Int = 1000000,
              nearDupThreshold: Double = 0.8, numShards: Int = 8,
-             extractTime: String = "2026-01-01 00:00:00"): DataFrame = {
+             extractTime: String = "2026-01-01 00:00:00",
+             spanScrub: Option[Int] = None,
+             embeddings: Option[DataFrame] = None,
+             semanticThreshold: Double = 0.9): DataFrame = {
     import spark.implicits._
     var reports = Vector.empty[Pipeline.StageReport]
     def timed(stage: String)(body: => Long): Unit = {
@@ -92,7 +106,39 @@ object CorpusPipeline {
         .write.mode("overwrite").parquet(s"$outRoot/deduped/documents")
       spark.read.parquet(s"$outRoot/deduped/documents").count()
     }
-    val deduped = spark.read.parquet(s"$outRoot/deduped/documents")
+    var deduped = spark.read.parquet(s"$outRoot/deduped/documents")
+
+    // 4b. optional span-level scrub: rewrite texts keeping only the
+    // corpus-first occurrence of each aligned span (no rows dropped)
+    spanScrub.foreach { spanTokens =>
+      timed("span_scrub") {
+        val scrubbed = Dedup.spanDedup(deduped, "doc_id", "text", spanTokens)
+          .select(col("doc_id"), col("text_dedup"))
+        deduped.drop("text")
+          .join(scrubbed, Seq("doc_id"), "left")
+          // all-empty docs yield no spanDedup row: keep them with empty text
+          .withColumn("text", coalesce(col("text_dedup"), lit("")))
+          .drop("text_dedup")
+          .write.mode("overwrite").parquet(s"$outRoot/span_scrubbed/documents")
+        spark.read.parquet(s"$outRoot/span_scrubbed/documents").count()
+      }
+      deduped = spark.read.parquet(s"$outRoot/span_scrubbed/documents")
+    }
+
+    // 4c. optional SemDeDup stage over the survivors' embeddings: drop
+    // docs whose derived cluster holds a lower-id near-duplicate
+    embeddings.foreach { emb =>
+      timed("semantic_dedup") {
+        val survivorEmb = emb.join(deduped.select("doc_id"), "doc_id")
+        val dropIds = graft.operators.Similarity
+          .semanticDedup(survivorEmb, "doc_id", "embedding", semanticThreshold)
+          .where(!col("keep")).select("doc_id")
+        deduped.join(dropIds, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$outRoot/semantic/documents")
+        spark.read.parquet(s"$outRoot/semantic/documents").count()
+      }
+      deduped = spark.read.parquet(s"$outRoot/semantic/documents")
+    }
 
     // 5. token-balanced shards, laid out one directory per shard
     timed("shard_write") {

@@ -404,15 +404,23 @@ object Dedup {
     * sizes aggregate re-reads the first. Two full passes of the distinct
     * vocabulary over the wire, one of the raw exploded tokens; per-source
     * sizes ride a broadcast. Output cardinality is #sources² —
-    * dimension-sized. Shuffles carry raw shingles (exact,
-    * engine-independent — the oracle recomputes them); at petabyte scale
-    * lead the keys with xxhash64(g) like [[exactDedupByHash]] and accept
-    * hash-collision jitter in the counts. */
+    * dimension-sized.
+    *
+    * `hashKeys = false` (the oracle path) shuffles raw shingle strings —
+    * exact and engine-independent (the oracle recomputes them).
+    * `hashKeys = true` is the petabyte path: the shingle is replaced by
+    * `xxhash64(g)` BEFORE the first distinct, so both shuffles and the
+    * pair join carry 8-byte keys instead of n-gram strings — the
+    * [[exactDedupByHash]] discipline applied to the vocabulary matrix.
+    * A hash collision can merge two distinct shingles (~N²/2^64
+    * expectation), perturbing counts by at most that — accepted jitter,
+    * spec-pinned identical on the test corpus. */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
-                    n: Int): DataFrame = {
-    val sh = docs
+                    n: Int, hashKeys: Boolean = false): DataFrame = {
+    val raw = docs
       .select(col(srcCol).as("source"), explode(shingles(col(textCol), n)).as("g"))
-      .distinct()
+    val sh = (if (hashKeys) raw.select(col("source"), xxhash64(col("g")).as("g"))
+              else raw).distinct()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.source") < col("b.source"))

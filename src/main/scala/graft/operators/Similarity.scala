@@ -96,14 +96,37 @@ object Similarity {
   /** Scale-adaptive IVF cell count: the classic `nlist ≈ sqrt(N)` sizing
     * (cell occupancy and probe cost balance at sqrt), clamped to
     * [minCells, maxCells]. The floor reproduces the former fixed default
-    * (16 cells) below N ≈ 256, so small-corpus behavior is unchanged; the
-    * ceiling is the documented ~4k plan-literal budget — beyond it, move
-    * the centroids from literals to a broadcast table (see ivfTopK). The
-    * training sample scales as numCells*32 vectors (collected), so the
-    * ceiling also bounds the driver at ~131k vectors. */
-  def adaptiveCells(corpusRows: Long, minCells: Int = 16, maxCells: Int = 4096): Int =
+    * (16 cells) below N ≈ 256, so small-corpus behavior is unchanged. Up
+    * to [[centroidLiteralBudget]] cells the centroid set inlines as plan
+    * literals; past it the index switches automatically to sample-seed
+    * training + a broadcast-variable carrier (see [[trainCentroids]] /
+    * [[BcNearestCellsExpr|nearest_cells_bc]]), so the ceiling is no longer
+    * the plan — it is the C-vector driver collect + broadcast (65536 cells
+    * × dim 64 ≈ 33 MB), which covers derived sizing to N ≈ 4e9 corpus
+    * rows. */
+  def adaptiveCells(corpusRows: Long, minCells: Int = 16, maxCells: Int = 65536): Int =
     math.min(maxCells,
       math.max(minCells, math.ceil(math.sqrt(math.max(corpusRows, 0L).toDouble)).toInt))
+
+  /** Largest centroid set inlined into the plan as literals (~2 MB at dim
+    * 64). Larger sets ride a broadcast variable instead — same kernel,
+    * same results, flat plan size ([[graft.functions.BcNearestCellsExpr]]). */
+  val centroidLiteralBudget = 4096
+
+  /** Nearest-cell assignment factory with the carrier chosen by centroid
+    * count: plan literals within [[centroidLiteralBudget]] (zero per-query
+    * setup, the small-index fast path), broadcast variable past it (or on
+    * `forceBroadcast`, which the parity specs use). Returned maker shares
+    * ONE broadcast across every column it builds (corpus assignment and
+    * query probes ride the same copy). */
+  private def cellMaker(df: DataFrame, cents: Array[(Int, Array[Double])],
+                        forceBroadcast: Boolean): (Column, Int) => Column =
+    if (!forceBroadcast && cents.length <= centroidLiteralBudget)
+      (vec, n) => nearestCells(vec, cents, n)
+    else {
+      val bc = df.sparkSession.sparkContext.broadcast(cents)
+      (vec, n) => graft.functions.NativeExprs.nearestCellsBc(vec, bc, n)
+    }
 
   /** Probe count matched to a cell count: a constant FRACTION (1/8) of the
     * index, floored at the former fixed default (4). A fixed nprobe under
@@ -132,12 +155,19 @@ object Similarity {
   // LocalRelation key would otherwise hold the corpus data itself). A hash
   // collision serves a wrong COUNT, whose only consequence is a
   // differently-sized signature/index — a perf shift, never a wrong result.
+  // Bounded: a long-lived JVM cycling sessions/corpora would otherwise
+  // accumulate (session, plan) keys forever. 256 entries ≈ 10 KB; on
+  // overflow the whole map resets (the value is a one-job recompute, not
+  // worth an LRU).
+  private val rowCountCacheMax = 256
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), java.lang.Long]()
-  private def memoizedCount(df: DataFrame): Long =
+  private def memoizedCount(df: DataFrame): Long = {
+    if (rowCountCache.size() >= rowCountCacheMax) rowCountCache.clear()
     rowCountCache.computeIfAbsent(
       (df.sparkSession.hashCode, df.queryExecution.analyzed.semanticHash().toLong),
       _ => java.lang.Long.valueOf(df.count())).longValue()
+  }
 
   /** Sign-bit signature under `numPlanes` fixed hyperplanes, as a bit string
     * (the LSH bucket key). Native expression — one fused loop per row. */
@@ -205,18 +235,17 @@ object Similarity {
     *
     * numCells sizing at scale: classic IVF guidance is nlist ≈ sqrt(N)
     * (cell occupancy and probe cost balance), so a 1e9-vector corpus wants
-    * thousands of cells, not 16. With THIS design — centroids inlined as
-    * literals into a native expression — that is practical to ~4k cells
-    * (~2 MB of plan literals at dim 64; the training TakeOrdered stays
-    * bounded at numCells×32 vectors). Beyond that, move the centroid set
-    * from plan literals to a broadcast table and assign cells with a
-    * broadcast join + per-row argmin — same shuffle profile, no plan
-    * bloat. `numCells = 0` (the default) derives nlist via
-    * [[adaptiveCells]] (≈ sqrt(N), floored at the former fixed 16, capped
-    * at the ~4k literal budget) from a memoized corpus count — the same
-    * pattern as the LSH `adaptivePlanes` default; pass an explicit value
-    * to pin the index shape (a precomputed index shared across query
-    * batches, or a streaming input that cannot be counted). */
+    * thousands of cells, not 16. Centroids inline as plan literals up to
+    * [[centroidLiteralBudget]] (~2 MB at dim 64); past it the index
+    * switches AUTOMATICALLY to sample-seed training and a
+    * broadcast-variable carrier (`nearest_cells_bc`) — same kernel, same
+    * shuffle profile, flat plan size — so derived sizing keeps tracking
+    * sqrt(N) to the 65536-cell collect/broadcast ceiling (N ≈ 4e9).
+    * `numCells = 0` (the default) derives nlist via [[adaptiveCells]]
+    * (≈ sqrt(N), floored at the former fixed 16) from a memoized corpus
+    * count — the same pattern as the LSH `adaptivePlanes` default; pass an
+    * explicit value to pin the index shape (a precomputed index shared
+    * across query batches, or a streaming input that cannot be counted). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 0, nprobe: Int = 0): DataFrame =
     ivfTopKWith(queries, corpus, idCol, vecCol, k,
@@ -231,12 +260,15 @@ object Similarity {
   /** `nprobe = 0` (the default) derives the probe count from the centroid
     * set via [[adaptiveProbes]] (a constant 1/8 of the cells, floored at
     * the former fixed 4); explicit values pin it. */
+  /** `broadcastCentroids` forces the broadcast-variable carrier below the
+    * literal budget (parity testing); past [[centroidLiteralBudget]] cells
+    * the broadcast carrier engages regardless. */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
                   vecCol: String, k: Int, centroids: Array[(Int, Array[Double])],
-                  nprobe: Int = 0): DataFrame = {
+                  nprobe: Int = 0, broadcastCentroids: Boolean = false): DataFrame = {
     val probes = if (nprobe > 0) nprobe else adaptiveProbes(centroids.length)
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
-    ivfSearch(queries, c, idCol, vecCol, k, probes, centroids)
+    ivfSearch(queries, c, idCol, vecCol, k, probes, centroids, broadcastCentroids)
   }
 
   /** Train IVF centroids on a BOUNDED deterministic hash sample of the
@@ -247,6 +279,22 @@ object Similarity {
                      numCells0: Int = 0): Array[(Int, Array[Double])] = {
     val numCells =
       if (numCells0 > 0) numCells0 else adaptiveCells(memoizedCount(corpus))
+    // Past the literal budget, sampled-refined training stops scaling at
+    // the DRIVER (the k-means step is O(sample × cells × dim): quadratic
+    // in cells with the 32x sample) — so the large-index regime switches
+    // to SAMPLE-SEED centroids: the numCells smallest-hash corpus vectors
+    // ARE the centroids (one bounded TakeOrdered collect, numCells × dim
+    // doubles; 65536 × 64 ≈ 33 MB). Any fixed centroid set is a valid IVF
+    // index (see ivfTopKWith) — seeds trade some occupancy balance for a
+    // training cost that stays linear in the index size; the recall knobs
+    // (adaptiveProbes' constant probed fraction) are unchanged. Behavior
+    // at or below the budget is byte-identical to previous rounds.
+    if (numCells > centroidLiteralBudget)
+      return corpus
+        .select(toDouble(col(vecCol)).as("_cv"), xxhash64(col(idCol)).as("_h"))
+        .orderBy(col("_h")).limit(numCells)
+        .collect().map(_.getSeq[Double](0).toArray)
+        .zipWithIndex.map { case (v, i) => (i, v) }
     // ONE distributed job: the numCells*32 smallest-hash vectors (map-side
     // partial top-K, ~sample x dim doubles over the wire — bounded by
     // construction). Seed selection and the single k-means refinement step
@@ -291,11 +339,13 @@ object Similarity {
   }
 
   private def ivfSearch(queries: DataFrame, c: DataFrame, idCol: String, vecCol: String,
-                        k: Int, nprobe: Int, refined: Array[(Int, Array[Double])]): DataFrame = {
-    val assigned = c.withColumn("cell", nearestCells(col("_cv"), refined, 1)(0))
+                        k: Int, nprobe: Int, refined: Array[(Int, Array[Double])],
+                        broadcastCentroids: Boolean = false): DataFrame = {
+    val cells = cellMaker(c, refined, broadcastCentroids)
+    val assigned = c.withColumn("cell", cells(col("_cv"), 1)(0))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
       .select(col("query_id"), col("_qv"),
-        explode(nearestCells(col("_qv"), refined, nprobe)).as("cell"))
+        explode(cells(col("_qv"), nprobe)).as("cell"))
     topKRank(
       assigned.join(broadcast(q), "cell")
         .select(col("query_id"), col("neighbor_id"), cosine(col("_qv"), col("_cv")).as("_sim")),
@@ -382,14 +432,15 @@ object Similarity {
     * reasonable clustering; the spec pins the behavior). */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, clusterCol: Option[Column] = None,
-                    numCells: Int = 0): DataFrame = {
+                    numCells: Int = 0, broadcastCentroids: Boolean = false): DataFrame = {
     val assigned = clusterCol match {
       case Some(c) =>
         vectors.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"), c.as("cell"))
       case None =>
         val cents = trainCentroids(vectors, idCol, vecCol, numCells)
         vectors.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
-          .withColumn("cell", nearestCells(col("_v"), cents, 1)(0))
+          .withColumn("cell",
+            cellMaker(vectors, cents, broadcastCentroids)(col("_v"), 1)(0))
     }
     val slim = assigned.select(col("cell"), col("_id"), col("_v"))
     // the similarity is ROUNDED to 6dp before thresholding, like

@@ -230,6 +230,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(("A", "B", 3L, 2L, 1L, 0.25))) // 1/(3+2-1)
   }
 
+  test("sourceOverlap hashKeys: identical matrix, shuffles 8-byte keys instead of shingles") {
+    // Same corpus through both paths must agree exactly (collisions are a
+    // 2^-64-scale event, impossible on a test vocabulary), and the hashed
+    // plan's first exchange must carry a BIGINT g — the petabyte-scale
+    // guarantee that n-gram strings never become shuffle keys.
+    val rnd = new java.util.Random(17L)
+    val words = (0 until 200).map(i => s"w$i")
+    val docs = (0 until 150).map { i =>
+      (s"src${i % 6}", Seq.fill(25)(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("source", "text")
+    val exact = Dedup.sourceOverlap(docs, "source", "text", 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val hashedDf = Dedup.sourceOverlap(docs, "source", "text", 2, hashKeys = true)
+    val hashed = hashedDf
+      .as[(String, String, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(exact.nonEmpty && hashed.toSeq == exact.toSeq)
+    val plan = hashedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), s"hashKeys plan lost the hash projection:\n$plan")
+    val gExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("g#"))
+      .toSeq
+    assert(gExchanges.nonEmpty, s"no g-keyed exchange found:\n$plan")
+    gExchanges.foreach(l => assert(l.matches(".*g#\\d+L[,)].*"),
+      s"g-keyed exchange does not carry a bigint key: $l"))
+  }
+
   test("semanticDedup keeps the smallest id per near-dup neighborhood, cluster-scoped") {
     val vecs = Seq(
       (1L, Seq(1f, 0f, 0f, 0f), "a"),
@@ -274,6 +300,62 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(caught >= 15, s"only $caught/20 near-copies caught by derived cells")
   }
 
+  test("broadcast-centroid carrier matches the literal carrier exactly at small N") {
+    // Same trained centroid set pushed through both carriers: the literal
+    // nearest_cells expression and the broadcast-variable nearest_cells_bc
+    // must produce identical IVF rankings and an identical semanticDedup
+    // keep set — the parity that lets the large-index regime switch
+    // carriers without touching results.
+    val rnd = new java.util.Random(13L)
+    val dim = 16
+    def vec(): Seq[Float] = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val corpus = (0L until 200L).map(i => (i, vec()))
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val qdf = corpus.take(10).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(cdf, "vec_id", "embedding")
+    val lit = Similarity.ivfTopKWith(qdf, cdf, "vec_id", "embedding", 5, cents)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val viaBc = Similarity.ivfTopKWith(qdf, cdf, "vec_id", "embedding", 5, cents,
+      broadcastCentroids = true)
+    val bcPlan = viaBc.queryExecution.executedPlan.toString
+    assert(bcPlan.contains("nearest_cells_bc"),
+      s"forced broadcast carrier not in plan:\n$bcPlan")
+    assert(viaBc.as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq == lit)
+    def keeps(bc: Boolean) =
+      Similarity.semanticDedup(cdf, "vec_id", "embedding", 0.95,
+          numCells = 16, broadcastCentroids = bc)
+        .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(keeps(bc = true) == keeps(bc = false))
+  }
+
+  test("past the literal budget: sample-seed centroids + broadcast carrier, self-recall intact") {
+    // numCells above centroidLiteralBudget: training must switch to the
+    // bounded sample-seed path (no driver-side quadratic k-means) and the
+    // search must ride the broadcast carrier automatically. Self-queries
+    // still retrieve themselves at rank 1 — the index stays a valid IVF
+    // index past the former 4096-cell clamp.
+    val budget = Similarity.centroidLiteralBudget
+    val numCells = budget + 104
+    val rnd = new java.util.Random(29L)
+    val corpus = (0L until 20000L).map(i => (i, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val cdf = corpus.toDF("vec_id", "embedding").repartition(4)
+    val cents = Similarity.trainCentroids(cdf, "vec_id", "embedding", numCells)
+    assert(cents.length == numCells, s"expected $numCells sample-seed centroids")
+    assert(cents.map(_._1).toSeq == (0 until numCells))
+    val qdf = corpus.take(25).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopKWith(qdf, cdf, "vec_id", "embedding", 3, cents)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("nearest_cells_bc"),
+      s"large centroid set not on the broadcast carrier:\n$plan")
+    assert(!plan.contains("nearest_cells("),
+      s"large centroid set still inlined as plan literals:\n$plan")
+    val got = out.as[(Long, Long, Int)].collect()
+    (0L until 25L).foreach { q =>
+      assert(got.exists(r => r._1 == q && r._2 == q && r._3 == 1),
+        s"query $q did not retrieve itself at rank 1")
+    }
+  }
+
   test("spanDedup misses shifted duplicates by construction; winnowing catches them") {
     // The same 8-token passage appears in doc 1 at offset 0 and in doc 2 at
     // offset 3 (a shift that is NOT a multiple of spanTokens=4), embedded in
@@ -305,16 +387,18 @@ class DedupSimilaritySpec extends SparkSpec {
       "winnow fingerprints must overlap on the shared passage")
   }
 
-  test("adaptiveCells: sqrt sizing, monotone in N, clamped to floor and literal budget") {
+  test("adaptiveCells: sqrt sizing, monotone in N, clamped to floor and collect ceiling") {
     import graft.operators.Similarity.adaptiveCells
     // floor reproduces the former fixed default below ~256 rows
     assert(adaptiveCells(0) == 16 && adaptiveCells(200) == 16 && adaptiveCells(256) == 16)
     // sqrt regime
     assert(adaptiveCells(10000) == 100)
     assert(adaptiveCells(1000000) == 1000)
-    // ceiling at the ~4k plan-literal budget
-    assert(adaptiveCells(100000000L) == 4096)
-    assert(adaptiveCells(Long.MaxValue) == 4096)
+    // sqrt keeps tracking N past the former 4096 plan-literal clamp (the
+    // broadcast carrier takes over there); ceiling is now the 65536-cell
+    // centroid collect/broadcast bound (~N = 4e9)
+    assert(adaptiveCells(100000000L) == 10000)
+    assert(adaptiveCells(Long.MaxValue) == 65536)
     // monotone non-decreasing
     val ns = Seq(0L, 1L, 255L, 257L, 1000L, 10000L, 123456L, 10000000L, 1L << 40)
     val cells = ns.map(adaptiveCells(_))

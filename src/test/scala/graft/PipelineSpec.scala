@@ -142,4 +142,50 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(survivors2 == survivors)
   }
+
+  test("CorpusPipeline optional stages: span scrub rewrites, semantic dedup drops, rerun identical") {
+    val passage = (1 to 4).map(i => s"p$i").mkString(" ")
+    def uniq(prefix: String) = (1 to 36).map(i => s"$prefix$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage + " " + uniq("a"), "a"),
+      (2L, passage + " " + uniq("c"), "a"), // repeats doc 1's aligned first span
+      (3L, uniq("d"), "a"),
+      (4L, uniq("e"), "a"),                 // embedding-identical to doc 3
+      (5L, uniq("f"), "a")
+    ).toDF("doc_id", "text", "source")
+    // paraphrase scenario: distinct TEXTS (row-grain dedup keeps both) with
+    // identical embeddings -> only the semantic stage can catch doc 4
+    val emb = Seq(
+      (3L, Seq(0f, 1f, 0f, 0f)),
+      (4L, Seq(0f, 1f, 0f, 0f)),
+      (5L, Seq(1f, 0f, 0f, 0f))
+    ).toDF("doc_id", "embedding")
+    def run(root: String, runId: String) =
+      CorpusPipeline.runAll(spark, docs, root, runId,
+        minTokens = 10, minStopRatio = 0.0, maxDupFraction = 0.9,
+        capPerSource = 10, nearDupThreshold = 0.8, numShards = 2,
+        spanScrub = Some(4), embeddings = Some(emb), semanticThreshold = 0.95)
+    val out = Files.createTempDirectory("graft_corpus_opt").toFile.getAbsolutePath
+    val report = run(out, "run_c3")
+      .as[Pipeline.StageReport].collect().map(r => r.stage -> r.rows).toMap
+    assert(report.keySet == Set("ingest", "quality_gate", "source_cap", "dedup",
+      "span_scrub", "semantic_dedup", "shard_write"))
+    assert(report("span_scrub") == 5L)     // scrub rewrites, never drops
+    assert(report("semantic_dedup") == 4L) // doc 4 dropped
+    val spanTexts = spark.read.parquet(s"$out/span_scrubbed/documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(spanTexts(1L).startsWith(passage), "first occurrence keeps its span")
+    assert(!spanTexts(2L).contains("p1") && spanTexts(2L).startsWith("c1"),
+      s"doc 2 must lose the repeated span: ${spanTexts(2L).take(40)}")
+    val survivors = spark.read.parquet(s"$out/shards/documents")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L, 5L)) // docs w/o embeddings kept; 4 dropped
+    val out2 = Files.createTempDirectory("graft_corpus_opt2").toFile.getAbsolutePath
+    run(out2, "run_c4")
+    val texts2 = spark.read.parquet(s"$out2/shards/documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    val texts1 = spark.read.parquet(s"$out/shards/documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(texts2 == texts1)
+  }
 }
