@@ -46,6 +46,16 @@ object GraftExtensions {
     ("graft_cosine",
       info("graft_cosine", "graft_cosine(a array<double>, b array<double>) -> double"),
       args => CosineSimExpr(args(0), args(1))),
+    // span/semantic-dedup building blocks (round-8 operators) for SQL users:
+    // cut the span grid, assign nearest cells, verify with graft_cosine
+    ("graft_spans",
+      info("graft_spans",
+        "graft_spans(tokens array<string>[, spanTokens]) -> array<string> (non-overlapping token spans)"),
+      args => SpansExpr(one(args), intArg(args, 1, 20))),
+    ("graft_nearest_cells",
+      info("graft_nearest_cells",
+        "graft_nearest_cells(vec array<double>, centroids array<array<double>>[, n]) -> array<int> (best-n cells by cosine, id = position)"),
+      args => NearestCellsDynExpr(args(0), args(1), intArg(args, 2, 1))),
     // aggregates register like scalar functions — the builder returns the
     // AggregateFunction and the analyzer wraps it in an AggregateExpression
     ("graft_misra_gries",

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.util.sketch.BloomFilter
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -716,4 +716,92 @@ case class QueryTfExpr(child: Expression, vocab: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): QueryTfExpr =
     copy(child = newChild)
   override def prettyName: String = "query_tf"
+}
+
+/** Non-overlapping fixed-width token spans (space-joined) — the span grid
+  * of [[graft.operators.Dedup.spanDedup]] exposed as a scalar expression so
+  * SQL users can reproduce the span-level dedup building block
+  * (`graft_spans`). Cut semantics match spanDedup exactly: ceil(m/n) spans,
+  * the last one short; null tokens are skipped like concat_ws does.
+  */
+case class SpansExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "spanTokens must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"spans requires array<string>, got $other")
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val nSpans = (m + n - 1) / n
+    val out = new Array[Any](nSpans)
+    var s = 0
+    while (s < nSpans) {
+      val sb = new java.lang.StringBuilder()
+      var i = s * n
+      val end = math.min((s + 1) * n, m)
+      var first = true
+      while (i < end) {
+        val t = arr.getUTF8String(i)
+        if (t != null) {
+          if (!first) sb.append(' ')
+          sb.append(t.toString)
+          first = false
+        }
+        i += 1
+      }
+      out(s) = UTF8String.fromString(sb.toString)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpansExpr =
+    copy(child = newChild)
+  override def prettyName: String = "spans"
+}
+
+/** Best-n nearest cells by cosine against a PER-ROW centroid column
+  * (`array<array<double>>`, cell id = position) — the SQL-surface variant
+  * of [[NearestCellsExpr]] (`graft_nearest_cells`): SQL has no way to hand
+  * a Scala centroid literal to the planner, so the centroid set arrives as
+  * an ordinary (usually literal or scalar-subquery) column instead. Same
+  * kernel and (-sim, cellId) tie policy as the library carriers; intended
+  * for dimension-sized centroid sets — the set is re-read per row.
+  */
+case class NearestCellsDynExpr(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells_dyn requires (array<double>, array<array<double>>), got $other")
+    }
+  }
+
+  override protected def nullSafeEval(vec: Any, cents: Any): Any = {
+    val ca = cents.asInstanceOf[ArrayData]
+    val m = ca.numElements()
+    val cellIds = Array.tabulate(m)(identity)
+    val cellVecs = Array.tabulate(m) { i =>
+      if (ca.isNullAt(i)) Array.empty[Double] else ca.getArray(i).toDoubleArray()
+    }
+    val cellNorms = cellVecs.map(c => math.sqrt(c.map(x => x * x).sum))
+    NearestCellsEval(vec.asInstanceOf[ArrayData], cellIds, cellVecs, cellNorms, n)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NearestCellsDynExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "nearest_cells_dyn"
 }

@@ -24,6 +24,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getAs[Long]("sh") == viaApi)
   }
 
+  test("span/semantic building blocks are SQL-callable: graft_spans and graft_nearest_cells") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_spans(array('a','b','c','d','e'), 2) AS sp,
+        |  graft_nearest_cells(array(1.0d, 0.0d),
+        |    array(array(0.0d, 1.0d), array(1.0d, 0.1d)), 2) AS nc""".stripMargin).head()
+    // span grid matches spanDedup's cut: ceil(5/2) spans, last one short
+    assert(row.getSeq[String](row.fieldIndex("sp")).toList == List("a b", "c d", "e"))
+    // nearest cell = position 1 (cos ~0.995), then 0 (cos 0)
+    assert(row.getSeq[Int](row.fieldIndex("nc")).toList == List(1, 0))
+    // the SQL span grid agrees with the operator's cut on a real sentence
+    val viaSql = spark.sql(
+      "SELECT graft_spans(split('w1 w2 w3 w4 w5 w6 w7', ' '), 3) AS s").head()
+      .getSeq[String](0).toList
+    assert(viaSql == List("w1 w2 w3", "w4 w5 w6", "w7"))
+  }
+
   test("custom aggregates are SQL-callable through the extension registry") {
     GraftExtensions.register(spark)
     Seq(("hot", 1.0), ("hot", 2.0), ("rare", 9.0)).toDF("t", "v")
