@@ -12,6 +12,10 @@ object PlanProbe {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // static conf: the default 100-entry codegen cache thrashes under a
+      // 90-query sweep (~1500 distinct codegen units), recompiling every
+      // stage on every run — sized to hold the whole library's units
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -12,54 +12,47 @@ object Scratch {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = spark
     Tables.documents(s, d).count()
 
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val wall = (for (s <- si.submissionTime; c <- si.completionTime) yield (c - s) / 1e3).getOrElse(-1.0)
+        val exec = si.taskMetrics.executorRunTime / 1e3
+        println(f"    stage ${si.stageId}%3d wall=$wall%6.2f cpuSum=$exec%6.2f tasks=${si.numTasks}%3d")
+      }
+    })
     def time[T](label: String)(f: => T): T = {
+      val cm = org.apache.spark.metrics.source.CodegenMetrics
+      val c0 = cm.METRIC_COMPILATION_TIME.getCount
       val t0 = System.nanoTime(); val r = f
-      println(f"  $label%-34s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+      val dc = cm.METRIC_COMPILATION_TIME.getCount - c0
+      println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  janinoCompiles=+$dc"); r
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    val docs = Tables.documents(s, d)
-    val toks = operators.TextAnalysis.tokens(col("text"))
-    val queries = docs.where(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("qid"),
-        concat_ws(" ", slice(toks, 1, 6)).as("qtext"))
-    val vocab = queries.select(explode(array_distinct(
-        operators.TextAnalysis.tokens(col("qtext")))).as("term"))
-      .select(col("term")).distinct().collect().map(_.getString(0)).toSeq
-    println(s"  vocab size = ${vocab.length}")
-    val hsOf = graft.functions.NativeExprs.queryTf(col("_w"), vocab)
-
     (1 to 3).foreach { round =>
       println(s"--- round $round")
-      time("eager-style pass (posexplode_outer)") {
-        docs.select(toks.as("_w"))
-          .select(size(col("_w")).as("_dl"), posexplode_outer(hsOf))
-          .groupBy(col("col.term").as("term"))
-          .agg(count(lit(1)).as("df"))
-          .collect()
+      time("profile_columns") { noop(SparkEntry.queries("profile_columns")(s, d)) }
+      // variants: no spread, and per-column approx to see where time goes
+      val orders = Tables.orders(s, d)
+      time("profile no spread") {
+        noop(operators.Quality.profileColumns(orders,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
       }
-      val hits = docs.select(col("doc_id"), toks.as("_w"))
-        .select(col("doc_id"), size(col("_w")).as("dl"), explode(hsOf).as("_h"))
-        .select(col("doc_id"), col("dl"), col("_h.term").as("term"),
-          col("_h.tf").cast("long").as("tf"))
-      time("hits only (map tf + explode)") { noop(hits) }
-      time("hits + partial sum agg") {
-        noop(hits.groupBy(col("doc_id")).agg(sum(col("tf"))))
+      time("single countDistinct") {
+        noop(Tables.spread(s, d, "orders", orders).agg(countDistinct(col("o_custkey"))))
       }
-      time("bm25 full (construct+exec)") {
-        noop(SparkEntry.queries("bm25_topk")(s, d))
-      }
-      if (round == 3) {
-        val q = SparkEntry.queries("bm25_topk")(s, d)
-        noop(q)
-        println(q.queryExecution.executedPlan.toString)
+      time("4 countDistinct only") {
+        noop(Tables.spread(s, d, "orders", orders).agg(countDistinct(col("o_orderkey")),
+          countDistinct(col("o_custkey")), countDistinct(col("o_orderstatus")),
+          countDistinct(col("o_orderpriority"))))
       }
     }
     spark.stop()

@@ -11,6 +11,10 @@ object SparkSpec {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
+      // static conf: the default 100-entry codegen cache thrashes under a
+      // 90-query sweep (~1500 distinct codegen units), recompiling every
+      // stage on every run — sized to hold the whole library's units
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
