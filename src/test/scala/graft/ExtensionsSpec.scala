@@ -41,6 +41,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == List("w1 w2 w3", "w4 w5 w6", "w7"))
   }
 
+  test("query_tf: vocab-order hit structs, duplicate slots merged, null/empty safe") {
+    import graft.functions.NativeExprs.queryTf
+    val toks = graft.operators.TextAnalysis.tokens(col("t"))
+    val rows = Seq((1, "a b a c"), (2, null: String), (3, "x y"))
+      .toDF("i", "t")
+      // duplicate vocab entry "a" must keep ONE slot (counts never split)
+      .select(col("i"), queryTf(toks, Seq("a", "b", "a", "zz")).as("h"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null
+         else r.getSeq[org.apache.spark.sql.Row](1).map(h => (h.getString(0), h.getInt(1)))))
+      .toMap
+    assert(rows(1) == Seq(("a", 2), ("b", 1))) // vocab order, absent terms omitted
+    assert(rows(2) == null)                    // null text -> null (explode drops it)
+    assert(rows(3) == Seq.empty)               // no hits -> empty array
+  }
+
+  test("nearest_cells_dyn: empty centroid set and n > cells degrade gracefully") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_nearest_cells(array(1.0d), array(array(1.0d)), 5) AS a,
+        |  size(graft_nearest_cells(array(1.0d),
+        |    CAST(array() AS array<array<double>>), 2)) AS b""".stripMargin)
+      .head()
+    assert(r.getSeq[Int](0).toList == List(0)) // n capped at cell count
+    assert(r.getInt(1) == 0)                   // no cells -> empty
+  }
+
   test("custom aggregates are SQL-callable through the extension registry") {
     GraftExtensions.register(spark)
     Seq(("hot", 1.0), ("hot", 2.0), ("rare", 9.0)).toDF("t", "v")
