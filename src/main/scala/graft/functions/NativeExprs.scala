@@ -113,6 +113,7 @@ private[functions] object NearestCellsEval {
     // allocations per row, which dominated large-index assignment).
     // NaN sims (zero-norm vectors) order LAST, as in the sort they replace.
     val take = math.min(math.max(n, 0), m)
+    if (take == 0) return new GenericArrayData(Array.empty[Any])
     val best = new Array[Int](take) // cell INDICES, best-first
     var filled = 0
     def beats(a: Int, b: Int): Boolean = {

@@ -66,6 +66,11 @@ class ExtensionsSpec extends SparkSpec {
       .head()
     assert(r.getSeq[Int](0).toList == List(0)) // n capped at cell count
     assert(r.getInt(1) == 0)                   // no cells -> empty
+    // n = 0 must yield an empty array, not an index-out-of-bounds
+    val z = spark.sql(
+      "SELECT size(graft_nearest_cells(array(1.0d), array(array(1.0d)), 0)) AS z")
+      .head().getInt(0)
+    assert(z == 0)
   }
 
   test("custom aggregates are SQL-callable through the extension registry") {
