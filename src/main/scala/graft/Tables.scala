@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver's TPC-H-ish testdata layout
   * (`<dir>/<name>.parquet`). All operators take DataFrames, so these are
@@ -46,15 +46,23 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright; read nanos as long and convert with integer division
-    * (the testdata has no sub-microsecond components, so this is exact). */
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * vintages, and both must normalize to a session-zone TIMESTAMP:
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it outright, so read
+    *    nanos as long and convert with integer division (the testdata has
+    *    no sub-microsecond components, so this is exact);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ, which refuses numeric casts downstream — reinterpret
+    *    in the session zone (UTC everywhere in graft), which is exactly how
+    *    DuckDB reads the same file for the oracle. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   /** The testdata ships every table as ONE unsplittable parquet row group,
     * so without a spread every scan stage — and all narrow work fused into

@@ -185,4 +185,32 @@ class StarEventsSpec extends SparkSpec {
       ("1969-12-29 00:00:00", 1, 1L),  // u1 retained into week1
       ("1970-01-05 00:00:00", 0, 1L))) // u3's own cohort
   }
+
+  test("Tables.events normalizes both ts encodings to session-zone TIMESTAMP") {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false): written by Spark as NTZ —
+    // the encoding the driver's testdata ships as of round 9
+    val ntzDir = java.nio.file.Files.createTempDirectory("graft_ev_ntz").toString
+    Seq((1L, "2024-06-01 10:30:00", 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("s").cast(TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    val ntz = Tables.events(spark, ntzDir)
+    assert(ntz.schema("ts").dataType == TimestampType)
+    assert(ntz.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].head == "2024-06-01 10:30:00")
+
+    // TIMESTAMP(NANOS) arrives as long under nanosAsLong=true; emulate with
+    // a raw long ts column and check the div-1000 micros conversion
+    val nanosDir = java.nio.file.Files.createTempDirectory("graft_ev_ns").toString
+    val epochNanos = 1717237800L * 1000000000L // 2024-06-01T10:30:00Z
+    Seq((1L, epochNanos, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    val ns = Tables.events(spark, nanosDir)
+    assert(ns.schema("ts").dataType == TimestampType)
+    assert(ns.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].head == "2024-06-01 10:30:00")
+  }
 }
