@@ -130,16 +130,24 @@ object Bench {
     val timings = names.collect { case (n, _) if samples(n).nonEmpty && !errors.exists(_._1 == n) =>
       n -> samples(n).min
     }
-    // 3dp everywhere: the downstream artifact keeps only the LAST 2000
-    // characters of this line, so the per-query map must be compact AND
-    // terminal — full-precision doubles plus a per-query spread dict once
-    // pushed the times dict out of the retained tail entirely. Spread is
-    // summarized to a total + the 5 noisiest queries; the complete
-    // {query: sec} map is emitted last so truncation from the front can
-    // never cost the graded numbers.
+    // LAYOUT IS LOAD-BEARING: the downstream artifact keeps only the LAST
+    // ~2000 characters of stdout, and sbt appends a ~72-char "[success]"
+    // line after this one — so roughly the final 1927 chars of this line
+    // survive. Everything that must be readable from the artifact (the
+    // complete per-query map AND the host-speed calibration that round 9
+    // lost to exactly this truncation) lives in the TERMINAL segment
+    // `"queries":{...},"calib_sec":...,"calib_spread":...}`; the metadata
+    // prefix (value/n_ok/errors/spread) is the sacrificial buffer that
+    // truncation eats first, and every prefix field is recomputable from
+    // the queries map or recorded in BENCH_FULL.json. Query times are 2dp
+    // (10 ms granularity — below host noise) to fit ~91 entries plus the
+    // calibration inside the window; if the surface ever outgrows it, the
+    // cascade below sheds calib_spread, then drops queries to 1dp, rather
+    // than silently letting the tail push query times out of the window.
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    def r2(v: Double): Double = math.round(v * 100) / 100.0
+    def r1(v: Double): Double = math.round(v * 10) / 10.0
     val spreads = timings.map { case (n, mn) => n -> (samples(n).max - mn) }
-    val qs = timings.map { case (k, v) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val sp = spreads.sortBy(-_._2).take(5)
       .map { case (k, v) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
@@ -148,7 +156,34 @@ object Bench {
     val calibAll = (calibBefore ++ calibrate(spark, 3)).sorted
     val calibSec = calibAll(calibAll.size / 2)
     val calibSpread = calibAll.last - calibAll.head
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"calib_sec":${r3(calibSec)},"calib_spread":${r3(calibSpread)},"spread_total":${r3(totalSpread)},"spread_top5":$sp,"queries":$qs}""")
+    def qsDict(r: Double => Double): String =
+      timings.map { case (k, v) => s"${q(k)}:${r(v)}" }.mkString("{", ",", "}")
+    // 2000 artifact chars minus sbt's trailing "[success] Total time: ..."
+    // line (72-77 chars incl newline, worst case observed 77) minus this
+    // line's own newline. Measured at sf0.1: the full segment is ~1922 —
+    // the budget is deliberately exact, with the cascade as the safety net.
+    val tailBudget = 1922
+    val tailSeg = {
+      val full = s""""queries":${qsDict(r2)},"calib_sec":${r2(calibSec)},"calib_spread":${r2(calibSpread)}}"""
+      if (full.length <= tailBudget) full
+      else {
+        val noSpread = s""""queries":${qsDict(r2)},"calib_sec":${r2(calibSec)}}"""
+        if (noSpread.length <= tailBudget) noSpread
+        else s""""queries":${qsDict(r1)},"calib_sec":${r2(calibSec)}}"""
+      }
+    }
+    val prefix =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"spread_total":${r3(totalSpread)},"spread_top5":$sp,"""
+    println(prefix + tailSeg)
+    // Full-precision (3dp) record of the same run, immune to the artifact's
+    // tail capture — written next to the repo's per-round artifacts so the
+    // complete numbers are always recoverable even if the line above is cut.
+    try {
+      val full = prefix +
+        s""""queries":${qsDict(r3)},"calib_sec":${r3(calibSec)},"calib_spread":${r3(calibSpread)}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Exception => () }
     spark.stop()
   }
 }

@@ -226,6 +226,25 @@ object SparkEntry {
 
   private val Stop = TextAnalysis.EnStop.mkString("('", "','", "')")
 
+  /** Shared by `source_overlap` and `source_overlap_hashed`: the hashed
+    * variant's output is hash-independent (pair counts and Jaccard over the
+    * same vocabulary sets), so one exact-string oracle gates both paths. */
+  private val SourceOverlapSql =
+    """WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT source, g
+      |  FROM toks, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS t(g)
+      |  WHERE len(w) >= 2),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+      |common AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS n_common
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT c.source_a, c.source_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+      |  round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) AS jaccard
+      |FROM common c
+      |JOIN sizes sa ON sa.source = c.source_a
+      |JOIN sizes sb ON sb.source = c.source_b""".stripMargin
+
   /** IVF centroids trained once per testdata dir and shared across the
     * queries that search the embeddings corpus (`ann_ivf`, `ann_recall`) —
     * training is deterministic in (data, numCells), so caching by dir is
@@ -637,6 +656,14 @@ object SparkEntry {
     // leakage diagnostic): exact bigram-vocabulary Jaccard per source pair
     "source_overlap" -> ((s, d) =>
       Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", 2)),
+    // §2.2 row 22c, petabyte carrier: xxhash64 replaces the shingle before
+    // the first distinct so every shuffle carries 8-byte keys. The output
+    // matrix is hash-independent (counts, not hashes) modulo ~N²/2⁻⁶⁴
+    // collisions, so it shares source_overlap's oracle SQL verbatim —
+    // putting the scale path under the driver's rows+schema+hash gate, not
+    // just the ScalaTest parity spec.
+    "source_overlap_hashed" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", 2, hashKeys = true)),
     // §2.2 row 22 — n-gram Jaccard over an explicit pair set
     "ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -656,11 +683,16 @@ object SparkEntry {
       Similarity.lshTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10)
     }),
-    // §2.2 row 24 — IVF-bucketed ANN, the 100 TB scale path (rows-only oracle)
+    // §2.2 row 24 — IVF-bucketed ANN, the 100 TB scale path (rows-only
+    // oracle; recall gated by `ann_recall` on shared centroids). Runs with
+    // broadcastCentroids = true so the large-index carrier — the
+    // broadcast-variable kernel that engages past the literal budget — is
+    // the code path the driver actually exercises every round; literal-vs-
+    // broadcast parity is spec-pinned (DedupSimilaritySpec).
     "ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
-        "vec_id", "embedding", 10, ivfCentroids(s, d))
+        "vec_id", "embedding", 10, ivfCentroids(s, d), broadcastCentroids = true)
     }),
     // §2.2 row 19 — embedding-cosine near-dup (banded + multiprobed +
     // verified) over a corpus with planted exact and perturbed duplicates
@@ -1488,21 +1520,12 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
-    "source_overlap" ->
-      """WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (SELECT DISTINCT source, g
-        |  FROM toks, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS t(g)
-        |  WHERE len(w) >= 2),
-        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
-        |common AS (SELECT a.source AS source_a, b.source AS source_b,
-        |    CAST(count(*) AS BIGINT) AS n_common
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
-        |  GROUP BY 1, 2)
-        |SELECT c.source_a, c.source_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
-        |  round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) AS jaccard
-        |FROM common c
-        |JOIN sizes sa ON sa.source = c.source_a
-        |JOIN sizes sb ON sb.source = c.source_b""".stripMargin,
+    "source_overlap" -> SourceOverlapSql,
+    // Same oracle verbatim: hashKeys only changes the join-key
+    // representation (8-byte xxhash64 vs raw n-gram string); the output
+    // matrix is identical modulo ~2^-64 collision probability, so the
+    // hashed carrier answers to the exact-string oracle.
+    "source_overlap_hashed" -> SourceOverlapSql,
     // Brute-force simhash near-dup: rebuild the frequency-weighted Charikar
     // signature from the md5 token hash (identical bits to the Spark
     // expression), then ALL pairs with hamming <= 6 verified by 3-gram

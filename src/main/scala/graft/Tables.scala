@@ -57,6 +57,14 @@ object Tables {
     *    DuckDB reads the same file for the oracle. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ -> TIMESTAMP cast below reinterprets the naive wall clock in
+    // the SESSION zone, so the two vintages would yield different instants
+    // under a non-UTC session (graft's own sessions all pin UTC, but this
+    // loader also runs under the external driver's session, which graft
+    // does not build). Force UTC before the cast is ANALYZED (the zone is
+    // baked into the Cast at resolution), making both vintages and the
+    // DuckDB oracle agree regardless of the caller's zone.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -211,12 +211,21 @@ object TextAnalysis {
     * [[repetitionFilter]] (docs too short to produce bigrams carry
     * dup_fraction 0); all thresholds compare the 6dp-ROUNDED signals, so
     * the boundary behaves identically in any engine. */
+  /** `repetition`: caller-supplied [[repetitionFilter]] output (same
+    * idCol, any extra columns ignored). A pipeline that already ran the
+    * repetition pass over this corpus hands it in and the gate skips its
+    * own all-ngrams explode — one fewer full corpus pass; the n-gram
+    * explode is the gate's dominant cost at scale. Default recomputes
+    * (bigrams, the reference signal), byte-identical output either way
+    * (spec-pinned). */
   def corpusGate(docs: DataFrame, idCol: String, textCol: String,
                  minTokens: Int, minStopRatio: Double,
-                 maxDupFraction: Double): DataFrame = {
+                 maxDupFraction: Double,
+                 repetition: Option[DataFrame] = None): DataFrame = {
     val q = textQuality(docs, idCol, textCol)
       .select(col(idCol), col("n_tokens"), col("stop_ratio"))
-    val r = repetitionFilter(docs, idCol, textCol, 2, maxDupFraction)
+    val r = repetition
+      .getOrElse(repetitionFilter(docs, idCol, textCol, 2, maxDupFraction))
       .select(col(idCol), col("dup_gram_fraction"))
     q.join(r, Seq(idCol), "left")
       .withColumn("dup_fraction", coalesce(col("dup_gram_fraction"), lit(0.0)))

@@ -303,6 +303,14 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out(2L) == ("too_short", false))
     assert(out(3L) == ("low_stopword_ratio", false))
     assert(out(4L) == ("low_stopword_ratio | repetitive", false))
+    // caller-supplied repetition pass: byte-identical gate output, one
+    // fewer corpus explode for pipelines that already ran repetitionFilter
+    val rep = TextAnalysis.repetitionFilter(docs, "doc_id", "text", 2, 0.2)
+    val shared = TextAnalysis.corpusGate(docs, "doc_id", "text", 30, 0.05, 0.2,
+        repetition = Some(rep))
+      .select("doc_id", "_reasons", "keep").as[(Long, String, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(shared == out)
   }
 
   test("tokenLengthHistogram bands docs by power-of-two token counts") {
