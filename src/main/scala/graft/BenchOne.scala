@@ -34,9 +34,11 @@ object BenchOne {
           Tables.documents _, Tables.embeddings _)
         .foreach(t => t(spark, sfDir).count())
     }
-    // Same host-speed probe as Bench: printed beside the query minima so a
+    // Same host-speed probe as Bench, run BEFORE and AFTER the queries: a
     // recorded warm min carries its own noise denominator (compare
-    // min/calib across hosts, not raw min).
+    // min/calib, not raw min), and the closing reading catches a host that
+    // turned noisy MID-sweep — a single opening probe can certify a sweep
+    // that degraded right after it.
     val calib = Bench.calibrate(spark, 3).sorted
     println(f"calibration            min=${calib.head}%6.2f med=${calib(calib.size / 2)}%6.2f reps=3")
     names.foreach { name =>
@@ -48,6 +50,8 @@ object BenchOne {
       }.sorted
       println(f"$name%-22s min=${ts.head}%6.2f med=${ts(ts.size / 2)}%6.2f reps=$reps")
     }
+    val calib2 = Bench.calibrate(spark, 3).sorted
+    println(f"calibration_end        min=${calib2.head}%6.2f med=${calib2(calib2.size / 2)}%6.2f reps=3")
     spark.stop()
   }
 }

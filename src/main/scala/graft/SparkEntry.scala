@@ -364,18 +364,16 @@ object SparkEntry {
     // violations, per-column drift flags, and hot keys in ONE long-format
     // (metric, key, value) table (dashboard.py's page, minus the HTML)
     "monitor_feed" -> ((s, d) => {
-      val ann = annotatedOrders(s, d)
-      Quality.monitorFeed(Seq(
-        ("zone_rows", Quality.zoneStats(ann, "orders", "o_orderkey"),
-          col("zone"), col("n_rows")),
-        ("rule_violations", Quality.ruleAudit(ann),
-          col("rule"), col("n_violations")),
-        ("col_drift", Quality.profileDrift(srcA(s, d), srcB(s, d),
-          Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment")),
-          col("col_name"), col("drifted").cast("int")),
-        ("hot_key_rows", Analytics.skewProfile(
-          Tables.orders(s, d).select(col("o_custkey")), col("o_custkey"), "o_custkey", 10),
-          col("o_custkey"), col("n_rows"))))
+      // zone_rows + rule_violations fused into one annotate pass
+      // (zoneRuleMetrics); drift and hot keys union on as before.
+      Quality.zoneRuleMetrics(annotatedOrders(s, d)).unionByName(
+        Quality.monitorFeed(Seq(
+          ("col_drift", Quality.profileDrift(srcA(s, d), srcB(s, d),
+            Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment")),
+            col("col_name"), col("drifted").cast("int")),
+          ("hot_key_rows", Analytics.skewProfile(
+            Tables.orders(s, d).select(col("o_custkey")), col("o_custkey"), "o_custkey", 10),
+            col("o_custkey"), col("n_rows")))))
     }),
     // §2.1 row 14 — date dimension
     "dim_date" -> ((s, d) => Star.dimDate(Tables.orders(s, d), "o_orderdate")),

@@ -126,21 +126,50 @@ object Quality {
   def profileDrift(before: DataFrame, after: DataFrame,
                    columns: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val a = profileColumns(before, columns).as("a")
-    val b = profileColumns(after, columns).as("b")
+    // ONE side-tagged aggregate chain instead of two: profiling each
+    // snapshot separately plans the whole Expand + multi-distinct
+    // aggregate cascade twice and runs both chains' stages back to back
+    // (the inputs are usually two slices of the same table, so the scans
+    // were never the cost — the chains were). The union is profiled in a
+    // single grouped pass, and the before/after comparison is a
+    // conditional-aggregation pivot of the 2·|columns| stacked profile
+    // rows — dimension-sized, no self-join, so the expensive subtree is
+    // planned and executed exactly once.
+    val keep = columns.map(col)
+    val tagged = before.select(lit("a").as("_side") +: keep: _*)
+      .unionByName(after.select(lit("b").as("_side") +: keep: _*))
+    val aggs = columns.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"_nn_$c"),
+      countDistinct(col(c)).as(s"_nd_$c"),
+      min(col(c)).cast("string").as(s"_mn_$c"),
+      max(col(c)).cast("string").as(s"_mx_$c")))
+    val base = tagged.groupBy(col("_side")).agg(count(lit(1)).as("_n"), aggs: _*)
+    val stackExpr = s"stack(${columns.length}, " + columns.map { c =>
+      def m(prefix: String) = SqlLit.ident(s"$prefix$c")
+      s"${SqlLit.lit(c)}, ${m("_nn_")}, ${m("_nd_")}, ${m("_mn_")}, ${m("_mx_")}"
+    }.mkString(", ") +
+      ") as (col_name, n_nulls, n_distinct, min_value, max_value)"
+    val prof = base.selectExpr("_side", "_n as n_rows", stackExpr)
+    // pivot a/b back into columns; coalesce the counts so an EMPTY
+    // snapshot (no group row at all) behaves like profileColumns' global
+    // aggregate over zero rows: n_rows/n_distinct 0, min/max null
+    def side(s: String, c: String) = max(when(col("_side") === s, col(c)))
     // zero-rows guard: an empty snapshot otherwise yields 0/0 → NaN whose
     // ANSI cast to long throws instead of reporting the drift
     def permille(nulls: Column, rows: Column): Column =
       when(rows === 0, lit(0L))
         .otherwise(floor(nulls * 1000 / rows).cast("long"))
-    a.join(b, col("a.col_name") === col("b.col_name"))
-      .select(col("a.col_name").as("col_name"),
-        col("a.n_rows").as("rows_before"), col("b.n_rows").as("rows_after"),
-        (col("b.n_distinct") - col("a.n_distinct")).as("distinct_delta"),
-        (permille(col("b.n_nulls"), col("b.n_rows")) -
-          permille(col("a.n_nulls"), col("a.n_rows"))).as("null_permille_delta"),
-        (coalesce(col("a.min_value"), lit("")) =!= coalesce(col("b.min_value"), lit("")) ||
-          coalesce(col("a.max_value"), lit("")) =!= coalesce(col("b.max_value"), lit("")))
+    prof.groupBy(col("col_name"))
+      .agg(
+        coalesce(side("a", "n_rows"), lit(0L)).as("rows_before"),
+        coalesce(side("b", "n_rows"), lit(0L)).as("rows_after"),
+        (coalesce(side("b", "n_distinct"), lit(0L)) -
+          coalesce(side("a", "n_distinct"), lit(0L))).as("distinct_delta"),
+        (permille(side("b", "n_nulls"), coalesce(side("b", "n_rows"), lit(0L))) -
+          permille(side("a", "n_nulls"), coalesce(side("a", "n_rows"), lit(0L))))
+          .as("null_permille_delta"),
+        (coalesce(side("a", "min_value"), lit("")) =!= coalesce(side("b", "min_value"), lit("")) ||
+          coalesce(side("a", "max_value"), lit("")) =!= coalesce(side("b", "max_value"), lit("")))
           .as("range_changed"))
       .withColumn("drifted",
         col("distinct_delta") =!= 0 || col("null_permille_delta") =!= 0 ||
@@ -200,6 +229,28 @@ object Quality {
       df.select(lit(metric).as("metric"), key.cast("string").as("key"),
         value.cast("double").as("value"))
     }.reduce(_ unionByName _)
+
+  /** The feed's zone_rows + rule_violations metrics fused into ONE pass
+    * over the annotated table: each row emits its zone struct plus one
+    * struct per violated rule, then a single explode + single (metric, key)
+    * count. Feeding [[zoneStats]] and [[ruleAudit]] to [[monitorFeed]]
+    * separately instead plans the whole annotate subtree (scan, dup-key
+    * window, FK broadcast join) TWICE — under AQE the duplicated exchanges
+    * may or may not be reused at runtime, and either way the explode and
+    * both aggregate stages stay duplicated. Same output rows as the
+    * two-part form (oracle-checked via `monitor_feed`). */
+  def zoneRuleMetrics(annotated: DataFrame): DataFrame =
+    annotated
+      .select(explode(concat(
+        array(struct(
+          lit("zone_rows").as("metric"),
+          when(col(ErrorsCol) === "", lit("clean")).otherwise(lit("error")).as("key"))),
+        when(col(ErrorsCol) === "", array().cast("array<struct<metric:string,key:string>>"))
+          .otherwise(transform(split(col(ErrorsCol), " \\| "),
+            r => struct(lit("rule_violations").as("metric"), r.as("key"))))
+      )).as("m"))
+      .groupBy(col("m.metric").as("metric"), col("m.key").as("key"))
+      .agg(count(lit(1)).cast("double").as("value"))
 
   /** Per-entity rule CATALOGS — the reference's "106 rules" registry
     * (STEP3_QUALITY_ENGINE.py:7, rule_registry.validate_row per entity;

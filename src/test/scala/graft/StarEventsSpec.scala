@@ -213,4 +213,45 @@ class StarEventsSpec extends SparkSpec {
     assert(ns.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
       .as[String].head == "2024-06-01 10:30:00")
   }
+
+  test("Tables.events reads a GENUINE TIMESTAMP(NANOS) parquet file end-to-end") {
+    // Spark cannot write TIMESTAMP(NANOS), so the raw-long test above only
+    // exercises the div-1000 branch. Build a real NANOS file with
+    // parquet-java's example writer — annotated int64 ts, the encoding the
+    // driver's early testdata actually shipped — and read it through
+    // Tables.events, covering the spark.sql.legacy.parquet.nanosAsLong
+    // read path (NANOS arrives as LongType) plus the micros conversion.
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    import org.apache.spark.sql.types.TimestampType
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_real_ns").toString
+    val schema = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts (TIMESTAMP(NANOS,true));
+        |  required int64 user_id;
+        |  required binary event_type (STRING);
+        |  required double value;
+        |  required binary props (STRING);
+        |}""".stripMargin)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withConf(conf).withType(schema).build()
+    val f = new SimpleGroupFactory(schema)
+    // 10:30:00.000000001Z — the sub-microsecond nanosecond exercises the
+    // truncation (testdata has none, but the read path must not throw)
+    val nanos = 1717237800L * 1000000000L + 1L
+    writer.write(f.newGroup()
+      .append("event_id", 1L).append("ts", nanos).append("user_id", 7L)
+      .append("event_type", "click").append("value", 1.0).append("props", "{}"))
+    writer.close()
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(ev.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].head == "2024-06-01 10:30:00")
+    assert(ev.select(col("event_type")).as[String].head == "click")
+  }
 }
