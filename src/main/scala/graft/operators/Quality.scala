@@ -94,7 +94,16 @@ object Quality {
     * column (dashboard.py-style data monitoring, computed distributed). All
     * aggregates evaluate in ONE pass over the data; the per-column reshape
     * is a codegen'd `stack` over the single aggregate row. min/max surface
-    * as strings for a uniform schema. */
+    * as strings for a uniform schema.
+    *
+    * Scale note: the EXACT multi-column distinct counts force Catalyst's
+    * Expand strategy — the input is replicated once per distinct aggregate
+    * and sort-aggregated twice. That is the correct distributed shape for
+    * exact answers, and its cost is real partial-aggregation CPU, not
+    * avoidable stages. At 100 TB, exact per-column distincts are the wrong
+    * tool: use the HLL-based `approx_stats` surface (SparkEntry) — one
+    * plain hash-aggregate pass, no Expand, ±2% — and reserve this exact
+    * profile for dimension-sized tables and drift checks. */
   def profileColumns(df: DataFrame, columns: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val aggs = columns.flatMap(c => Seq(

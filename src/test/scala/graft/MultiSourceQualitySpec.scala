@@ -90,6 +90,38 @@ class MultiSourceQualitySpec extends SparkSpec {
     assert(zones == Map("clean" -> 2L, "error" -> 2L))
   }
 
+  test("zoneRuleMetrics matches the two-pass zoneStats + ruleAudit feed") {
+    val df = Seq(
+      (1, Some(10.0), "O"), (2, None, "O"), (3, Some(-5.0), "X"), (4, Some(1.0), "O")
+    ).toDF("id", "bal", "status")
+    val rules = Seq(
+      Quality.Rule("null_bal", col("bal").isNull),
+      Quality.Rule("negative_bal", col("bal") < 0),
+      Quality.Rule("bad_status", !col("status").isin("O", "F")))
+    val ann = Quality.annotate(df, rules)
+    val fused = Quality.zoneRuleMetrics(ann)
+      .as[(String, String, Double)].collect().toSet
+    val twoPass =
+      Quality.zoneStats(ann, "t", "id")
+        .select(lit("zone_rows").as("metric"), col("zone").as("key"),
+          col("n_rows").cast("double").as("value"))
+        .unionByName(Quality.ruleAudit(ann)
+          .select(lit("rule_violations").as("metric"), col("rule").as("key"),
+            col("n_violations").cast("double").as("value")))
+        .as[(String, String, Double)].collect().toSet
+    assert(fused == twoPass)
+    assert(fused == Set(
+      ("zone_rows", "clean", 2.0), ("zone_rows", "error", 2.0),
+      ("rule_violations", "null_bal", 1.0), ("rule_violations", "negative_bal", 1.0),
+      ("rule_violations", "bad_status", 1.0)))
+    // all-clean corpus: no rule_violations rows at all, matching ruleAudit
+    // over an empty error zone
+    val clean = Quality.annotate(
+      Seq((1, Some(1.0), "O")).toDF("id", "bal", "status"), rules)
+    assert(Quality.zoneRuleMetrics(clean).as[(String, String, Double)]
+      .collect().toSet == Set(("zone_rows", "clean", 1.0)))
+  }
+
   test("catalogCounts reports every declared rule — including zero-violation ones — in one pass") {
     val df = Seq((1, Option("x")), (2, Option.empty[String])).toDF("id", "name")
     val rules = Seq(Quality.Rules.notNull("name"), Quality.Rules.positive("id"))
