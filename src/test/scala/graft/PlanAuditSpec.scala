@@ -230,4 +230,32 @@ class PlanAuditSpec extends SparkSpec {
     val scans = p.linesIterator.count(_.trim.startsWith("FileScan parquet"))
     assert(scans <= 12, s"expected <=12 scans (6 entities + FK dims), got $scans:\n$p")
   }
+
+  private def logicalNodes(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan.collect {
+      case n => n.nodeName
+    }
+
+  test("schema_drift profiles both snapshots in ONE aggregate chain (single Expand, no join)") {
+    // the side-tagged rewrite: exactly one Expand (multi-distinct) over the
+    // unioned snapshots, and the a/b comparison is a conditional-aggregation
+    // pivot — two separate profile chains would show two Expands and a join
+    val nodes = logicalNodes("schema_drift")
+    assert(nodes.count(_ == "Expand") == 1,
+      s"expected exactly 1 Expand, got: $nodes")
+    assert(!nodes.contains("Join"), s"drift compare must pivot, not self-join: $nodes")
+  }
+
+  test("monitor_feed runs ONE annotate pass for zone+rule metrics (one window, one explode)") {
+    // the fused zoneRuleMetrics: the quality-annotate subtree (whose marker
+    // is the dup-key Window over the orders union) must appear exactly
+    // once, feeding a single explode of the per-row metric structs — the
+    // old two-part feed planned both twice. Exactly 2 Generates total: the
+    // metric explode plus the drift branch's stack reshape.
+    val nodes = logicalNodes("monitor_feed")
+    assert(nodes.count(_ == "Window") == 1,
+      s"expected exactly 1 annotate Window, got: $nodes")
+    assert(nodes.count(_ == "Generate") == 2,
+      s"expected 2 Generates (metric explode + drift stack), got: $nodes")
+  }
 }
