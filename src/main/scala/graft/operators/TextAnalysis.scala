@@ -180,13 +180,22 @@ object TextAnalysis {
     * parallelism. The digest is suffixed with the id so the order is total
     * even under md5 collisions; no RNG, so the permutation is identical on
     * every engine, run, and retry. */
-  def corpusShuffle(docs: DataFrame, idCol: String): DataFrame =
+  def corpusShuffle(docs: DataFrame, idCol: String): DataFrame = {
+    // The shuffle key embeds the id after its 32-hex-char md5 prefix, so
+    // the id is RECOVERED from the ranked key by substring instead of
+    // joining the rank table back onto the corpus — withSurrogateKey's
+    // bare-key path ranks the key set with no join-back, removing a whole
+    // corpus-wide shuffle from the plan (the join existed only to carry
+    // idCol alongside the rank).
+    val idType = docs.schema(idCol).dataType
     Star.withSurrogateKey(
-      docs.select(col(idCol),
+      docs.select(
         concat(md5(col(idCol).cast("string").cast("binary")),
           col(idCol).cast("string")).as("_skey")),
       "_skey", "shuffle_rank")
-      .select(col(idCol), col("shuffle_rank"))
+      .select(expr("substring(_skey, 33)").cast(idType).as(idCol),
+        col("shuffle_rank"))
+  }
 
   /** Per-source document cap — the "domain cap" curation step: keep at most
     * `k` documents per source/domain, chosen by a deterministic

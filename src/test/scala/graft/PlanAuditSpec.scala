@@ -236,6 +236,18 @@ class PlanAuditSpec extends SparkSpec {
       case n => n.nodeName
     }
 
+  test("corpus_shuffle never joins the rank table back on the shuffle key") {
+    // the id is recovered from the ranked key by substring (the key embeds
+    // it after the md5 prefix); a join on _skey would be a corpus-sized
+    // shuffle join at scale — only the bounded _pid offset joins remain
+    val lp = SparkEntry.queries("corpus_shuffle")(spark, sf).queryExecution.optimizedPlan
+    val skeyJoins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.toString.contains("_skey")) => j
+    }
+    assert(skeyJoins.isEmpty, s"rank join-back on _skey reappeared:\n$lp")
+  }
+
   test("schema_drift profiles both snapshots in ONE aggregate chain (single Expand, no join)") {
     // the side-tagged rewrite: exactly one Expand (multi-distinct) over the
     // unioned snapshots, and the a/b comparison is a conditional-aggregation
