@@ -99,6 +99,15 @@ class TextIngestMultimodalSpec extends SparkSpec {
     val again = TextAnalysis.corpusShuffle(docs, "doc_id")
       .orderBy("doc_id").select("shuffle_rank").as[Long].collect().toSeq
     assert(again == byId) // identical permutation on re-run
+    // string ids round-trip through the substring recovery (the id rides
+    // inside the rank key after the md5 prefix), preserving type and value
+    val sdocs = Seq("alpha", "beta-7", "x y z").toDF("doc_id")
+    val sout = TextAnalysis.corpusShuffle(sdocs, "doc_id")
+    assert(sout.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(sout.select("doc_id").as[String].collect().toSet ==
+      Set("alpha", "beta-7", "x y z"))
+    assert(sout.select("shuffle_rank").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
   test("lmScore computes mean per-token unigram log-prob") {
