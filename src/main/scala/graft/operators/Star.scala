@@ -62,7 +62,12 @@ object Star {
     // Prefix-sum of per-partition counts via a triangular self-join over the
     // (numPartitions)-row count table — not a global window, so the whole
     // plan is free of unpartitioned WindowExec (asserted by StarEventsSpec).
-    val counts = keys.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    // Counts come off the WINDOW OUTPUT (a bucket's max row_number IS its
+    // count): referencing _rn keeps this subtree identical to the ranked
+    // chain, so the distinct+window stage is computed once and re-read —
+    // a plain count over `keys` would prune the window and re-run the
+    // whole distinct scan as a second corpus pass at scale.
+    val counts = keys.groupBy(col("_pid")).agg(max(col("_rn")).cast("long").as("_cnt"))
     val offsets = counts.as("a")
       .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left")
       .groupBy(col("a._pid").as("_pid"))

@@ -295,7 +295,14 @@ object TextAnalysis {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val local = bucketed.withColumn("_cum_local",
       coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-    val counts = bucketed.groupBy(col("_pid")).agg(sum(col("n_tokens")).as("_cnt"))
+    // Per-bucket totals are read OFF the window output (the bucket's last
+    // cumulative value: max of exclusive-prefix + own, exact since token
+    // counts are nonnegative) rather than re-aggregated from `bucketed` —
+    // a second aggregate over `bucketed` re-runs the tokenize+md5 scan at
+    // corpus scale, while this subtree is the window stage itself, so the
+    // shuffled corpus is computed once and the totals re-read it.
+    val counts = local.groupBy(col("_pid"))
+      .agg(max(col("_cum_local") + col("n_tokens")).as("_cnt"))
     val offsets = counts.as("a")
       .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left")
       .groupBy(col("a._pid").as("_pid"))
