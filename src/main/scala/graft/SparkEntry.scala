@@ -500,6 +500,26 @@ object SparkEntry {
       Star.scd2(snap1.unionByName(snap2), "c_custkey",
         Seq("c_name", "c_mktsegment", "c_acctbal"), "snap_date")
     }),
+    // §2.1 row 16b — point-in-time SCD2 resolution: each order joined to the
+    // customer-dim VERSION valid at its order date (broadcast version table;
+    // the fact side never shuffles). Snapshot dates sit inside the
+    // order-date domain (1995-2001) so both versions receive facts.
+    "pit_fact" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val snap1 = c.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        to_date(lit("1995-01-01")).as("snap_date"))
+      val snap2 = c.select(col("c_custkey"),
+        when(col("c_custkey") % 11 === 0, lit("MACHINERY")).otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0).otherwise(col("c_acctbal")).as("c_acctbal"),
+        to_date(lit("1998-01-01")).as("snap_date"))
+      val dim = Star.scd2(snap1.unionByName(snap2), "c_custkey",
+        Seq("c_mktsegment", "c_acctbal"), "snap_date")
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("order_date"))
+      Star.pointInTime(orders, dim, "o_custkey", "c_custkey", col("order_date"))
+        .select(col("o_orderkey"), col("o_custkey"), col("order_date"),
+          col("c_mktsegment"), col("c_acctbal"), col("valid_from"))
+    }),
     // §2.1 row 19 — warehouse analytics: top-N per group, ROLLUP, as-of,
     // skew-safe salted aggregation
     "topn_per_group" -> ((s, d) =>
@@ -764,6 +784,18 @@ object SparkEntry {
     // under the corpus's own unigram distribution — the perplexity gate)
     "lm_score" -> ((s, d) =>
       TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")),
+    // §2.2 row 27f — bigram LM quality score (lm_score one model order up:
+    // mean log P(w_i | w_{i-1}) under the corpus's own MLE bigram model)
+    "lm_bigram" -> ((s, d) =>
+      TextAnalysis.lmBigram(Tables.documents(s, d), "doc_id", "text")),
+    // §2.2 row 27g — per-doc token-distribution entropy + ratio to max
+    // (the repetitive/templated-text signal)
+    "token_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, d), "doc_id", "text")),
+    // §2.2 row 22d — per-doc n-gram novelty (fraction of the doc's distinct
+    // 3-grams found nowhere else in the corpus — diversity diagnostic)
+    "ngram_novelty" -> ((s, d) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, d), "doc_id", "text", 3)),
     // §2.2 row 25c — per-label embedding centroids (class prototypes),
     // exploded to scalar rows so the oracle hashes element-wise
     "label_centroids" -> ((s, d) =>
@@ -1629,6 +1661,62 @@ object SparkEntry {
         |  round(CAST(SUM(tf * CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
         |    AS DECIMAL(18,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
         |FROM tf JOIN vocab USING (token), n GROUP BY doc_id""".stripMargin,
+    "lm_bigram" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |bi AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram FROM tok),
+        |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bi GROUP BY doc_id, bigram),
+        |vb AS (SELECT bigram, SUM(tf) AS cnt_bi FROM tf GROUP BY bigram),
+        |vc AS (SELECT split_part(bigram, ' ', 1) AS ctx, SUM(cnt_bi) AS cnt_ctx FROM vb GROUP BY 1),
+        |probs AS (SELECT bigram,
+        |    CAST(round(ln(CAST(cnt_bi AS DOUBLE) / cnt_ctx), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM vb JOIN vc ON split_part(bigram, ' ', 1) = ctx)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
+        |FROM tf JOIN probs USING (bigram) GROUP BY doc_id""".stripMargin,
+    "token_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(tf * CAST(round(ln(CAST(tf AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_tlnt
+        |  FROM tf GROUP BY doc_id),
+        |e AS (SELECT doc_id, n_tokens, n_distinct,
+        |    round(ln(CAST(n_tokens AS DOUBLE)) - sum_tlnt / n_tokens, 6) AS entropy FROM agg)
+        |SELECT doc_id, n_tokens, n_distinct, entropy,
+        |  CASE WHEN n_distinct > 1 THEN round(entropy / ln(CAST(n_distinct AS DOUBLE)), 6)
+        |       ELSE 0.0 END AS entropy_ratio
+        |FROM e""".stripMargin,
+    "ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])) AS shingle
+        |  FROM toks WHERE len(w) >= 3),
+        |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM sh JOIN dfq USING (shingle) GROUP BY doc_id""".stripMargin,
+    "pit_fact" ->
+      """WITH snap1 AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    DATE '1995-01-01' AS snap_date FROM customer),
+        |snap2 AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |    DATE '1998-01-01' AS snap_date FROM customer),
+        |snaps AS (SELECT * FROM snap1 UNION ALL SELECT * FROM snap2),
+        |v AS (SELECT *, lag(c_mktsegment) OVER w AS p_seg, lag(c_acctbal) OVER w AS p_bal,
+        |    (lag(snap_date) OVER w) IS NULL AS is_first
+        |  FROM snaps WINDOW w AS (PARTITION BY c_custkey ORDER BY snap_date)),
+        |kept AS (SELECT c_custkey, c_mktsegment, c_acctbal, snap_date FROM v
+        |  WHERE is_first OR c_mktsegment IS DISTINCT FROM p_seg OR c_acctbal IS DISTINCT FROM p_bal),
+        |dim AS (SELECT c_custkey, c_mktsegment, c_acctbal, snap_date AS valid_from,
+        |    lead(snap_date) OVER (PARTITION BY c_custkey ORDER BY snap_date) AS valid_to FROM kept)
+        |SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS order_date,
+        |  d.c_mktsegment, d.c_acctbal, d.valid_from
+        |FROM orders o LEFT JOIN dim d
+        |  ON o.o_custkey = d.c_custkey
+        | AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+        | AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)""".stripMargin,
     "vocab_top" ->
       """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -203,5 +203,28 @@ object Star {
       .withColumn("valid_to", lead(col(snapCol), 1).over(w2))
       .withColumn("is_current", col("valid_to").isNull)
       .drop(snapCol)
+  }
+
+  /** Point-in-time SCD2 resolution: attach to each fact row the dimension
+    * version whose [valid_from, valid_to) interval covered the fact's
+    * timestamp — the historically-correct FK lookup an SCD2 dimension
+    * (create_dwh_tables.sql:21-41) exists to answer; resolving against the
+    * `is_current` slice (what [[graft.Pipeline]] does for fresh loads) would
+    * retro-apply later attribute changes to old facts.
+    *
+    * Scale shape: the version table is dimension-sized, so it rides a
+    * `broadcast()` — the join is a key-equi broadcast hash join with the
+    * interval predicate as a residual filter, and the 100 TB fact never
+    * shuffles. LEFT join keeps facts dated before the first version (or with
+    * no dimension row at all) with null attributes, the SCD2 analog of the
+    * late-arriving-dimension rule. Each fact matches at most one version
+    * because versions of a key tile time disjointly. */
+  def pointInTime(fact: DataFrame, dim: DataFrame, factKey: String,
+                  dimKey: String, factTs: Column): DataFrame = {
+    val d = dim.alias("_pit_dim")
+    val cond = fact(factKey) === d(dimKey) &&
+      factTs >= d("valid_from") &&
+      (d("valid_to").isNull || factTs < d("valid_to"))
+    fact.join(broadcast(d), cond, "left").drop(d(dimKey))
   }
 }

@@ -410,6 +410,96 @@ object TextAnalysis {
         round(col("_sum_lp").cast("double") / col("n_tokens"), 6).as("avg_logprob"))
   }
 
+  /** Per-document Shannon entropy of the document's own token distribution
+    * (natural log), plus the ratio to its maximum ln(n_distinct) — the
+    * low-entropy signal that flags repetitive/templated text a length or
+    * stopword filter misses.
+    *
+    * ONE aggregation chain, NO joins: per-(doc, token) counts, then a
+    * per-doc re-aggregation of the same exchange using the factored form
+    * entropy = ln(n) − (Σ tf·ln tf)/n, so the doc total never needs to be
+    * joined back. Per-token contributions are rounded to 6dp and
+    * DECIMAL-summed — accumulation-order independent across engines and
+    * partitionings. Ratio is 0.0 for single-token-type docs (entropy is
+    * exactly 0 there). */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("_id"), col("token")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * round(log(col("tf").cast("double")), 6).cast("decimal(18,6)"))
+          .as("_sum_tlnt"))
+      .withColumn("entropy",
+        round(log(col("n_tokens").cast("double"))
+          - col("_sum_tlnt").cast("double") / col("n_tokens"), 6))
+      .select(col("_id").as(idCol), col("n_tokens"), col("n_distinct"),
+        col("entropy"),
+        when(col("n_distinct") > 1,
+          round(col("entropy") / log(col("n_distinct").cast("double")), 6))
+          .otherwise(lit(0.0)).as("entropy_ratio"))
+  }
+
+  /** Bigram language-model quality score — [[lmScore]] one order up (the
+    * direction CCNet's 5-gram KenLM gate points): each document's mean
+    * log P(w_i | w_{i-1}) under the corpus's own MLE bigram model
+    * (bigram count / context count).
+    *
+    * The corpus is tokenized ONCE into the per-(doc, bigram) counts table;
+    * the corpus bigram counts AND the context counts are re-aggregations of
+    * it (the context count of w is by definition the sum of bigram counts
+    * starting with w), the two vocabulary-sized tables join into a
+    * probability table keyed on bigram, and the doc-grain table joins that
+    * once — the document stream crosses exactly two keyed shuffles and the
+    * heavy explode scan runs a single time. Log-probs rounded to 6dp and
+    * tf-weighted as DECIMAL (accumulation-order independent). Docs with
+    * fewer than two tokens have no bigrams and drop out. */
+  def lmBigram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    val tf = docs.select(col(idCol).as("_id"), explode(bigrams).as("bigram"))
+      .groupBy(col("_id"), col("bigram")).agg(count(lit(1)).as("tf"))
+    val vb = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cnt_bi"))
+    val ctxOf = split(col("bigram"), " ").getItem(0)
+    val vc = vb.groupBy(ctxOf.as("ctx")).agg(sum(col("cnt_bi")).as("cnt_ctx"))
+    val probs = vb.join(vc, ctxOf === col("ctx"))
+      .select(col("bigram"),
+        round(log(col("cnt_bi").cast("double") / col("cnt_ctx")), 6)
+          .cast("decimal(18,6)").as("_lp"))
+    tf.join(probs, "bigram")
+      .groupBy(col("_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("tf") * col("_lp")).as("_sum_lp"))
+      .select(col("_id").as(idCol), col("n_bigrams"),
+        round(col("_sum_lp").cast("double") / col("n_bigrams"), 6).as("avg_logprob"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of the document's DISTINCT
+    * n-gram shingles that occur in no other document — high novelty means
+    * the doc contributes n-grams the corpus doesn't already have (a
+    * diversity/mixture-design diagnostic, the per-document complement of
+    * [[graft.operators.Dedup.sourceOverlap]]).
+    *
+    * Postings discipline: the distinct (doc, shingle) table is built once;
+    * document frequency is a re-aggregation of it keyed on shingle, joined
+    * back shingle-keyed (the join reuses the df shuffle's partitioning),
+    * then one doc-keyed count. A shingle is "novel" iff its df — counting
+    * DOCS, not occurrences — is exactly 1. Docs with fewer than n tokens
+    * have no shingles and drop out. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val post = docs
+      .select(col(idCol).as("_id"), explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+    val df = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    post.join(df, "shingle")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("_id").as(idCol), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Greedy sequence packing: within each stratum, documents in id order are
     * packed into bins of `budget` tokens (a doc opens a new bin when the
     * running token count before it has crossed the next budget boundary) —

@@ -98,6 +98,31 @@ class StarEventsSpec extends SparkSpec {
       (2, "y", "2024-06-01", None, true)))
   }
 
+  test("pointInTime resolves each fact to the version valid at its timestamp") {
+    val dim = Seq(
+      (1, "v1", Some("2024-01-01"), Some("2024-06-01")),
+      (1, "v2", Some("2024-06-01"), None),
+      (2, "w1", Some("2024-01-01"), None)
+    ).toDF("key", "attr", "valid_from", "valid_to")
+      .withColumn("valid_from", to_date(col("valid_from")))
+      .withColumn("valid_to", to_date(col("valid_to")))
+    val facts = Seq(
+      (10, 1, "2024-03-15"), // inside v1
+      (11, 1, "2024-06-01"), // boundary: valid_to exclusive -> v2
+      (12, 1, "2023-12-31"), // before first version -> null attrs
+      (13, 2, "2025-01-01"), // open-ended single version
+      (14, 3, "2024-03-01")  // no dimension row at all -> null attrs
+    ).toDF("fid", "key", "d").withColumn("d", to_date(col("d")))
+    val out = Star.pointInTime(facts, dim, "key", "key", col("d"))
+      .select("fid", "attr").as[(Int, Option[String])].collect().toMap
+    assert(out == Map(10 -> Some("v1"), 11 -> Some("v2"), 12 -> None,
+      13 -> Some("w1"), 14 -> None))
+    // Scale shape: the version table rides a broadcast hash join.
+    val plan = Star.pointInTime(facts, dim, "key", "key", col("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("sessionize splits on gaps > gapSec and aggregates per session") {
     def ts(min: Int) = new Timestamp(min * 60000L)
     val events = Seq(

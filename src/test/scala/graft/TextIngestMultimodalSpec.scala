@@ -124,6 +124,49 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out(1L)._2 > out(2L)._2)
   }
 
+  test("lmBigram scores mean log P(w_i | w_i-1) under corpus MLE bigram counts") {
+    val docs = Seq((1L, "a b c"), (2L, "b c b b"), (3L, "z")).toDF("doc_id", "text")
+    // Corpus bigrams: doc1 {a b, b c}, doc2 {b c, c b, b b}.
+    // Counts: "a b"=1, "b c"=2, "c b"=1, "b b"=1; contexts: a=1, b=3, c=1.
+    def lp(p: Double) =
+      BigDecimal(math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextAnalysis.lmBigram(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // Single-token doc has no bigrams and drops out.
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 2 && out(2L)._1 == 3)
+    assert(math.abs(out(1L)._2 - (lp(1.0 / 1) + lp(2.0 / 3)) / 2) < 2e-6)
+    assert(math.abs(out(2L)._2 - (lp(2.0 / 3) + lp(1.0 / 1) + lp(1.0 / 3)) / 3) < 2e-6)
+  }
+
+  test("tokenEntropy: factored Shannon entropy + ratio, zero for one-token-type docs") {
+    val docs = Seq((1L, "a a b b"), (2L, "c c c c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ln2 = math.log(2)
+    assert(out(1L)._1 == 4 && out(1L)._2 == 2)
+    assert(math.abs(out(1L)._3 - ln2) < 2e-6)       // uniform over 2 types
+    assert(math.abs(out(1L)._4 - 1.0) < 2e-6)       // at its own maximum
+    assert(out(2L)._3 == 0.0 && out(2L)._4 == 0.0)  // constant doc
+    assert(math.abs(out(3L)._3 - 2 * ln2) < 2e-6)   // uniform over 4 types
+    assert(math.abs(out(3L)._4 - 1.0) < 2e-6)
+  }
+
+  test("ngramNovelty counts corpus-unique distinct shingles per doc") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y"), (4L, "q"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // "a b" appears in docs 1 and 2 (df=2); every other bigram is unique.
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+    assert(!out.contains(4L)) // below shingle width -> no grams
+  }
+
   test("langId picks the dominant stopword language deterministically") {
     val docs = Seq(
       (1L, "the cat is in the house and it is warm"),
