@@ -447,14 +447,15 @@ object TextAnalysis {
     * (bigram count / context count).
     *
     * The corpus is tokenized ONCE into the per-(doc, bigram) counts table;
-    * the corpus bigram counts AND the context counts are re-aggregations of
-    * it (the context count of w is by definition the sum of bigram counts
-    * starting with w), the two vocabulary-sized tables join into a
-    * probability table keyed on bigram, and the doc-grain table joins that
-    * once — the document stream crosses exactly two keyed shuffles and the
-    * heavy explode scan runs a single time. Log-probs rounded to 6dp and
-    * tf-weighted as DECIMAL (accumulation-order independent). Docs with
-    * fewer than two tokens have no bigrams and drop out. */
+    * the corpus bigram counts re-aggregate it (lm_score's reuse shape), and
+    * the context counts — by definition the sum of bigram counts sharing a
+    * first token — come from a WINDOW over the vocabulary-sized count table
+    * partitioned by that first token, so no third corpus pass and no
+    * vocab-side join exist at all. The document stream crosses exactly two
+    * keyed shuffles and the heavy explode scan runs a single time.
+    * Log-probs rounded to 6dp and tf-weighted as DECIMAL
+    * (accumulation-order independent). Docs with fewer than two tokens have
+    * no bigrams and drop out. */
   def lmBigram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val n1 = greatest(size(toks) - 1, lit(0))
@@ -462,10 +463,10 @@ object TextAnalysis {
       (a, b) => concat_ws(" ", a, b))
     val tf = docs.select(col(idCol).as("_id"), explode(bigrams).as("bigram"))
       .groupBy(col("_id"), col("bigram")).agg(count(lit(1)).as("tf"))
-    val vb = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cnt_bi"))
-    val ctxOf = split(col("bigram"), " ").getItem(0)
-    val vc = vb.groupBy(ctxOf.as("ctx")).agg(sum(col("cnt_bi")).as("cnt_ctx"))
-    val probs = vb.join(vc, ctxOf === col("ctx"))
+    val wCtx = org.apache.spark.sql.expressions.Window
+      .partitionBy(split(col("bigram"), " ").getItem(0))
+    val probs = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cnt_bi"))
+      .withColumn("cnt_ctx", sum(col("cnt_bi")).over(wCtx))
       .select(col("bigram"),
         round(log(col("cnt_bi").cast("double") / col("cnt_ctx")), 6)
           .cast("decimal(18,6)").as("_lp"))
@@ -482,17 +483,19 @@ object TextAnalysis {
     * diversity/mixture-design diagnostic, the per-document complement of
     * [[graft.operators.Dedup.sourceOverlap]]).
     *
-    * Postings discipline: the distinct (doc, shingle) table is built once;
-    * document frequency is a re-aggregation of it keyed on shingle, joined
-    * back shingle-keyed (the join reuses the df shuffle's partitioning),
-    * then one doc-keyed count. A shingle is "novel" iff its df — counting
-    * DOCS, not occurrences — is exactly 1. Docs with fewer than n tokens
-    * have no shingles and drop out. */
+    * Postings discipline: the distinct (doc, shingle) table is built once
+    * (the corpus explodes exactly once); document frequency is a COUNT OVER
+    * a shingle-partitioned window on that table — no second corpus pass and
+    * no join-back (a groupBy+join would either re-explode the corpus or
+    * shuffle it twice on the same key) — then one doc-keyed count. A
+    * shingle is "novel" iff its df — counting DOCS, not occurrences — is
+    * exactly 1. Docs with fewer than n tokens have no shingles and drop
+    * out. */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val post = docs
       .select(col(idCol).as("_id"), explode(Dedup.shingles(col(textCol), n)).as("shingle"))
-    val df = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    post.join(df, "shingle")
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    post.withColumn("df", count(lit(1)).over(wSh))
       .groupBy(col("_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))

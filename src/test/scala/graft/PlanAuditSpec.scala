@@ -166,6 +166,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(explodes <= 1, s"corpus exploded $explodes times:\n$p")
   }
 
+  test("lm_bigram explodes the corpus once: probs re-aggregate the tf postings") {
+    val p = staticPlanOf("lm_bigram")
+    assert(p.contains("ReusedExchange"),
+      s"tf exchange not reused — corpus exploded more than once:\n$p")
+    val explodes = p.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes <= 1, s"corpus exploded $explodes times:\n$p")
+  }
+
+  test("ngram_novelty explodes once and takes df from a shingle window, not a join-back") {
+    val p = planOf("ngram_novelty")
+    val explodes = p.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes <= 1, s"corpus exploded $explodes times:\n$p")
+    assert(!p.contains("Join"), s"df must come from a window, not a join-back:\n$p")
+    // ... and the window is keyed on the high-cardinality shingle, never global.
+    assert(globalWindows("ngram_novelty").isEmpty,
+      "ngram_novelty fell back to a global window")
+  }
+
   test("funnel computes every step milestone over ONE user_id exchange") {
     // k steps = k window passes over the same (user_id) partitioning; plan
     // drift that re-shuffles per step turns a 100 TB funnel into k shuffles.
