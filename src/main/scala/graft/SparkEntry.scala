@@ -804,6 +804,23 @@ object SparkEntry {
         .select(col("label"), col("n_vecs"), col("pos"), col("col").as("c"))),
     // §2.2 row 29b — corpus vocabulary (token frequencies)
     "vocab_top" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d), "text", 30)),
+    // §2.2 row 31 — BPE tokenizer training (Sennrich word-frequency
+    // formulation: merge rounds run on the vocabulary-sized word table,
+    // never the corpus; deterministic tie-break). Iterative → rows-only
+    // oracle; the merge list is spec-checked against an in-memory
+    // reference trainer (BpeSpec).
+    "bpe_train" -> ((s, d) =>
+      Bpe.mergesDF(s, Bpe.train(Tables.documents(s, d), "text", 32))),
+    // §2.2 row 31 — BPE segmentation under the trained merges: one
+    // compiled map-side expression, zero shuffles (training memoized, so
+    // this reuses bpe_train's merges within the session)
+    "bpe_segment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", 32)
+      Bpe.segment(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+          concat_ws(" ", slice(col("pieces"), 1, 12)).as("head_pieces"))
+    }),
     // §2.1 row 17b — single-pass column profiling
     // (spread: the 4-column exact-distinct profile Expands the input 4x,
     // all fused into the single-row-group scan without it)

@@ -79,6 +79,12 @@ object NativeExprs {
   def nearestCellsBc(vec: Column, centsBc: Broadcast[Array[(Int, Array[Double])]],
                      n: Int): Column =
     GraftShims.toColumn(BcNearestCellsExpr(GraftShims.toExpression(vec), centsBc, n))
+
+  def bpeMergeOnce(symbols: Column, left: String, right: String): Column =
+    GraftShims.toColumn(BpeMergeExpr(GraftShims.toExpression(symbols), left, right))
+
+  def bpeSegment(tokens: Column, merges: Seq[(String, String)], endOfWord: String): Column =
+    GraftShims.toColumn(BpeSegmentExpr(GraftShims.toExpression(tokens), merges, endOfWord))
 }
 
 /** Shared best-n-cells-by-cosine kernel of [[NearestCellsExpr]] (plan-literal
@@ -805,4 +811,165 @@ case class NearestCellsDynExpr(left: Expression, right: Expression, n: Int)
       newRight: Expression): NearestCellsDynExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "nearest_cells_dyn"
+}
+
+/** One BPE training merge applied to a symbol array: every non-overlapping
+  * adjacent (left, right) occurrence becomes the concatenated symbol, in a
+  * single left-to-right pass (the greedy order reference BPE trainers use).
+  * Higher-order functions can't express an adjacent-merge fold without a
+  * struct-typed accumulator interpreted per element; this is one compiled
+  * scan per row of the vocabulary-sized word table.
+  */
+case class BpeMergeExpr(child: Expression, mergeLeft: String, mergeRight: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_merge requires array<string>, got $other")
+    }
+  }
+
+  @transient private lazy val l = UTF8String.fromString(mergeLeft)
+  @transient private lazy val r = UTF8String.fromString(mergeRight)
+  @transient private lazy val lr = UTF8String.fromString(mergeLeft + mergeRight)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      val cur = arr.getUTF8String(i)
+      if (i + 1 < m && cur != null && l == cur && r == arr.getUTF8String(i + 1)) {
+        out.add(lr)
+        i += 2
+      } else {
+        out.add(cur)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_merge"
+}
+
+/** BPE segmentation of a whitespace-token array under a TRAINED merge list:
+  * each word starts as characters with the end-of-word marker folded into
+  * its final character (Sennrich et al. 2016), then the lowest-rank merge
+  * present in the word is applied (all non-overlapping occurrences,
+  * left-to-right — the same pass [[BpeMergeExpr]] runs in training, so
+  * apply-time segmentation reproduces train-time symbol states exactly)
+  * until no listed pair remains; the per-word pieces concatenate in word
+  * order. The merge list is a plan literal — tokenizer vocabularies are
+  * bounded (32k-100k merges) and shared corpus-wide, the same boundary the
+  * IVF centroid literals document. A bounded per-instance word cache skips
+  * re-segmenting repeated words (Zipf makes the hit rate high); the cache
+  * only ever stores the deterministic segmentation, so results are
+  * identical with or without hits.
+  */
+case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)],
+                          endOfWord: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_segment requires array<string>, got $other")
+    }
+  }
+
+  // Keyed "left right" — the space separator never occurs inside a symbol
+  // (symbols come from whitespace-split tokens); the composite string key
+  // avoids a per-lookup tuple allocation.
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    var i = 0
+    merges.foreach { case (a, b) =>
+      m.putIfAbsent(a + " " + b, Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+  private val cacheMax = 1 << 16
+  @transient private lazy val cache =
+    new java.util.HashMap[String, Array[UTF8String]]()
+
+  private def segmentWord(word: String): Array[UTF8String] = {
+    var syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    // code-point iteration: the training side splits words with the regex
+    // "(?!^)" (code-point aware), so surrogate pairs must stay whole here too
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      syms.add(word.substring(i, i + cc))
+      i += cc
+    }
+    syms.set(syms.size - 1, syms.get(syms.size - 1) + endOfWord)
+    var done = false
+    while (!done && syms.size > 1) {
+      // lowest-rank adjacent pair present in this word
+      var bestRank = Int.MaxValue
+      i = 0
+      while (i < syms.size - 1) {
+        val r = rank.get(syms.get(i) + " " + syms.get(i + 1))
+        if (r != null && r.intValue() < bestRank) bestRank = r.intValue()
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(bestRank)
+        val next = new java.util.ArrayList[String](syms.size)
+        i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms.get(i) == a && syms.get(i + 1) == b) {
+            next.add(a + b)
+            i += 2
+          } else {
+            next.add(syms.get(i))
+            i += 1
+          }
+        }
+        syms = next
+      }
+    }
+    val out = new Array[UTF8String](syms.size)
+    i = 0
+    while (i < syms.size) { out(i) = UTF8String.fromString(syms.get(i)); i += 1 }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      if (w != null && w.numBytes > 0) {
+        val key = w.toString
+        var pieces = cache.get(key)
+        if (pieces == null) {
+          pieces = segmentWord(key)
+          if (cache.size >= cacheMax) cache.clear()
+          cache.put(key, pieces)
+        }
+        var j = 0
+        while (j < pieces.length) { out.add(pieces(j)); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegmentExpr =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_segment"
 }

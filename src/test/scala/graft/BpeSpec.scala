@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE trainer/segmenter vs a straightforward in-memory reference
+  * implementation of the classical word-frequency formulation (overlapping
+  * pair counts, non-overlapping left-to-right merge application,
+  * (count desc, left asc, right asc) tie-break). */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Eow = "</w>"
+
+  // ---- reference implementation (driver-side, small corpora only) ----
+
+  private def refInit(word: String): Vector[String] = {
+    val cs = word.map(_.toString).toVector
+    cs.init :+ (cs.last + Eow)
+  }
+
+  private def refMergeOnce(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refTrain(wordFreq: Map[String, Long], numMerges: Int,
+                       minCount: Long = 2L): Seq[(String, String)] = {
+    var table: Seq[(Vector[String], Long)] =
+      wordFreq.toSeq.map { case (w, f) => refInit(w) -> f }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var round = 0
+    while (!done && round < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      table.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      val eligible = counts.filter(_._2 >= minCount)
+      if (eligible.isEmpty) done = true
+      else {
+        val best = eligible.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        table = table.map { case (syms, f) => refMergeOnce(syms, best._1, best._2) -> f }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def wordFreq(docs: Seq[String]): Map[String, Long] =
+    docs.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  // ---- specs ----
+
+  private val corpus = Seq(
+    (1L, "low low low lower lower"),
+    (2L, "newest newest newest newest widest widest"),
+    (3L, "low newest"))
+
+  test("train matches the in-memory reference trainer, merge for merge") {
+    val docs = corpus.toDF("doc_id", "text")
+    val expected = refTrain(wordFreq(corpus.map(_._2)), 12)
+    val got = Bpe.train(docs, "text", 12)
+    assert(got == expected, s"\nspark: $got\nref:   $expected")
+    assert(got.nonEmpty)
+  }
+
+  test("train stops early when no pair reaches minPairCount") {
+    // every word unique, every pair frequency 1 -> zero merges at min 2
+    val docs = Seq((1L, "abc defg")).toDF("doc_id", "text")
+    assert(Bpe.train(docs, "text", 8).isEmpty)
+    // ... and hapax merging is possible when explicitly allowed
+    assert(Bpe.train(docs, "text", 2, minPairCount = 1L).nonEmpty)
+  }
+
+  test("segment applies merges lowest-rank-first and reproduces training states") {
+    val docs = corpus.toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 12)
+    // reference: fold the merges in training order over each word
+    def refSegment(w: String): Vector[String] =
+      merges.foldLeft(refInit(w)) { case (s, (l, r)) => refMergeOnce(s, l, r) }
+    val out = Bpe.segment(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    corpus.foreach { case (id, text) =>
+      val expected = text.trim.split("\\s+").toSeq.flatMap(refSegment)
+      assert(out(id) == expected, s"doc $id:\n got ${out(id)}\n exp $expected")
+    }
+    // pieces reconstruct the original text exactly
+    corpus.foreach { case (id, text) =>
+      val rebuilt = out(id).mkString.replace(Eow, " ").trim
+      assert(rebuilt == text.trim.split("\\s+").mkString(" "))
+    }
+  }
+
+  test("segment handles unseen words, single chars, and astral code points") {
+    val merges = Seq(("l", "o"), ("lo", "w" + Eow))
+    val docs = Seq((1L, "low a zz 𝄞x")).toDF("doc_id", "text")
+    val out = Bpe.segment(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().head._2
+    assert(out == Seq(
+      "low" + Eow,                      // fully merged
+      "a" + Eow,                        // single char = eow symbol
+      "z", "z" + Eow,                   // unseen word stays at char grain
+      "𝄞", "x" + Eow))       // surrogate pair kept whole
+  }
+
+  test("mergeOnce is non-overlapping left-to-right") {
+    val df = Seq(Tuple1(Seq("a", "a", "a"))).toDF("symbols")
+    val out = df.select(graft.functions.NativeExprs
+        .bpeMergeOnce(col("symbols"), "a", "a").as("m"))
+      .as[Seq[String]].collect().head
+    assert(out == Seq("aa", "a"))
+  }
+}
