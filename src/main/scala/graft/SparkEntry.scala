@@ -520,6 +520,26 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("order_date"),
           col("c_mktsegment"), col("c_acctbal"), col("valid_from"))
     }),
+    // §2.1 row 16c — incremental SCD2 apply: a third snapshot (with
+    // mutations AND keys the dim has never seen — the %4==0 slice) merges
+    // into the live versioned dim; current-slice-only join, one pass.
+    "scd2_merge" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val base = c.filter(col("c_custkey") % 4 =!= 0)
+      val snap1 = base.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        to_date(lit("1995-01-01")).as("snap_date"))
+      val snap2 = base.select(col("c_custkey"),
+        when(col("c_custkey") % 11 === 0, lit("MACHINERY")).otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0).otherwise(col("c_acctbal")).as("c_acctbal"),
+        to_date(lit("1998-01-01")).as("snap_date"))
+      val dim = Star.scd2(snap1.unionByName(snap2), "c_custkey",
+        Seq("c_mktsegment", "c_acctbal"), "snap_date")
+      val snap3 = c.select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit("AUTOMOBILE")).otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("c_custkey") % 9 === 0, col("c_acctbal") + 25.0).otherwise(col("c_acctbal")).as("c_acctbal"))
+      Star.scd2Merge(dim, snap3, "c_custkey", Seq("c_mktsegment", "c_acctbal"),
+        to_date(lit("2001-01-01")))
+    }),
     // §2.1 row 19 — warehouse analytics: top-N per group, ROLLUP, as-of,
     // skew-safe salted aggregation
     "topn_per_group" -> ((s, d) =>
@@ -1734,6 +1754,48 @@ object SparkEntry {
         |  ON o.o_custkey = d.c_custkey
         | AND CAST(o.o_orderdate AS DATE) >= d.valid_from
         | AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)""".stripMargin,
+    "scd2_merge" ->
+      """WITH base AS (SELECT * FROM customer WHERE c_custkey % 4 <> 0),
+        |snap1 AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    DATE '1995-01-01' AS snap_date FROM base),
+        |snap2 AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |    DATE '1998-01-01' AS snap_date FROM base),
+        |snaps AS (SELECT * FROM snap1 UNION ALL SELECT * FROM snap2),
+        |v AS (SELECT *, lag(c_mktsegment) OVER w AS p_seg, lag(c_acctbal) OVER w AS p_bal,
+        |    (lag(snap_date) OVER w) IS NULL AS is_first
+        |  FROM snaps WINDOW w AS (PARTITION BY c_custkey ORDER BY snap_date)),
+        |kept AS (SELECT c_custkey, c_mktsegment, c_acctbal, snap_date FROM v
+        |  WHERE is_first OR c_mktsegment IS DISTINCT FROM p_seg OR c_acctbal IS DISTINCT FROM p_bal),
+        |dim AS (SELECT c_custkey, c_mktsegment, c_acctbal, snap_date AS valid_from,
+        |    lead(snap_date) OVER (PARTITION BY c_custkey ORDER BY snap_date) AS valid_to FROM kept),
+        |dim2 AS (SELECT *, valid_to IS NULL AS is_current FROM dim),
+        |snap3 AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 9 = 0 THEN c_acctbal + 25.0 ELSE c_acctbal END AS c_acctbal,
+        |    DATE '2001-01-01' AS snap_date FROM customer),
+        |hist AS (SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to, is_current
+        |  FROM dim2 WHERE NOT is_current),
+        |cur AS (SELECT * FROM dim2 WHERE is_current),
+        |pass AS (SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, c.valid_from, c.valid_to, c.is_current
+        |  FROM cur c LEFT JOIN snap3 s USING (c_custkey)
+        |  WHERE s.c_custkey IS NULL
+        |     OR (c.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment
+        |         AND c.c_acctbal IS NOT DISTINCT FROM s.c_acctbal)),
+        |closed AS (SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, c.valid_from,
+        |    s.snap_date AS valid_to, false AS is_current
+        |  FROM cur c JOIN snap3 s USING (c_custkey)
+        |  WHERE c.c_mktsegment IS DISTINCT FROM s.c_mktsegment
+        |     OR c.c_acctbal IS DISTINCT FROM s.c_acctbal),
+        |opened AS (SELECT s.c_custkey, s.c_mktsegment, s.c_acctbal,
+        |    s.snap_date AS valid_from, CAST(NULL AS DATE) AS valid_to, true AS is_current
+        |  FROM snap3 s LEFT JOIN cur c USING (c_custkey)
+        |  WHERE c.c_custkey IS NULL
+        |     OR c.c_mktsegment IS DISTINCT FROM s.c_mktsegment
+        |     OR c.c_acctbal IS DISTINCT FROM s.c_acctbal)
+        |SELECT * FROM hist UNION ALL SELECT * FROM pass
+        |UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM opened""".stripMargin,
     "vocab_top" ->
       """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),

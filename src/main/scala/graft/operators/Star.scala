@@ -205,6 +205,56 @@ object Star {
       .drop(snapCol)
   }
 
+  /** Incremental SCD2 apply: merge ONE new snapshot into an existing
+    * versioned dimension — the production reload path
+    * (STEP4_TRANSFORM_LOAD.py:296-330's repeated staging loads versioned
+    * against the live DWH), as opposed to [[scd2]]'s full
+    * snapshot-history rebuild. Semantics:
+    *   - a key whose CURRENT version's attributes differ from the snapshot
+    *     closes that version (valid_to = snapDate, is_current = false) and
+    *     opens a new current version at snapDate;
+    *   - unchanged current versions, historical versions, and keys absent
+    *     from the snapshot pass through untouched (absence is not a
+    *     delete);
+    *   - keys new to the dimension open their first version at snapDate.
+    *
+    * Scale shape: ONE key-keyed full-outer join between the dimension's
+    * current slice and the snapshot (both dimension-sized); historical
+    * rows never join — they union straight through. The three outcomes
+    * (passthrough / close / open) emit from a single conditional
+    * array+explode over the joined row, so the join output is scanned
+    * once. Null-safe attribute compare (`<=>`), like [[scd2]]. */
+  def scd2Merge(dim: DataFrame, snapshot: DataFrame, key: String,
+                attrs: Seq[String], snapDate: Column): DataFrame = {
+    val outCols = (col(key) +: attrs.map(col)) ++
+      Seq(col("valid_from"), col("valid_to"), col("is_current"))
+    val hist = dim.where(!col("is_current")).select(outCols: _*)
+    val cur = dim.where(col("is_current"))
+    val snap = snapshot.select(
+      col(key) +: attrs.map(a => col(a).as(s"_new_$a")) :+ snapDate.as("_snap"): _*)
+    val j = cur.join(snap, Seq(key), "full_outer")
+    val curExists = col("valid_from").isNotNull
+    val snapExists = col("_snap").isNotNull
+    val changed = attrs.map(a => !(col(a) <=> col(s"_new_$a"))).reduce(_ || _)
+    // typed NULL of the snapshot-date column's type (works for DATE and
+    // TIMESTAMP grains alike)
+    val nullDate = when(lit(false), col("_snap"))
+    def v(as: Seq[Column], from: Column, to: Column, current: Column) =
+      struct((attrs.zip(as).map { case (a, c) => c.as(a) } :+
+        from.as("valid_from") :+ to.as("valid_to") :+ current.as("is_current")): _*)
+    val keepCur = v(attrs.map(col), col("valid_from"), col("valid_to"), col("is_current"))
+    val closeCur = v(attrs.map(col), col("valid_from"), col("_snap"), lit(false))
+    val openNew = v(attrs.map(a => col(s"_new_$a")), col("_snap"), nullDate, lit(true))
+    val emit = when(!snapExists, array(keepCur))
+      .when(!curExists, array(openNew))
+      .when(changed, array(closeCur, openNew))
+      .otherwise(array(keepCur))
+    hist.unionByName(
+      j.select(col(key), explode(emit).as("_v"))
+        .select(col(key) +: (attrs :+ "valid_from" :+ "valid_to" :+ "is_current")
+          .map(f => col(s"_v.$f").as(f)): _*))
+  }
+
   /** Point-in-time SCD2 resolution: attach to each fact row the dimension
     * version whose [valid_from, valid_to) interval covered the fact's
     * timestamp — the historically-correct FK lookup an SCD2 dimension

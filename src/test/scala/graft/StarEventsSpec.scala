@@ -98,6 +98,30 @@ class StarEventsSpec extends SparkSpec {
       (2, "y", "2024-06-01", None, true)))
   }
 
+  test("scd2Merge closes changed versions, opens new ones, passes the rest through") {
+    val dim = Seq(
+      (1, "old", Some("2024-01-01"), Some("2024-06-01"), false), // history
+      (1, "a", Some("2024-06-01"), None, true),                  // changed by snap
+      (2, "b", Some("2024-01-01"), None, true),                  // unchanged in snap
+      (3, "c", Some("2024-01-01"), None, true)                   // absent from snap
+    ).toDF("id", "attr", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_from", to_date(col("valid_from")))
+      .withColumn("valid_to", to_date(col("valid_to")))
+    val snap = Seq((1, "a2"), (2, "b"), (4, "d")).toDF("id", "attr") // 4 is new
+    val out = Star.scd2Merge(dim, snap, "id", Seq("attr"), to_date(lit("2025-01-01")))
+      .select(col("id"), col("attr"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .as[(Int, String, String, Option[String], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(out == Seq(
+      (1, "old", "2024-01-01", Some("2024-06-01"), false), // history untouched
+      (1, "a", "2024-06-01", Some("2025-01-01"), false),   // closed
+      (1, "a2", "2025-01-01", None, true),                 // re-opened
+      (2, "b", "2024-01-01", None, true),                  // unchanged
+      (3, "c", "2024-01-01", None, true),                  // absent is not delete
+      (4, "d", "2025-01-01", None, true)))                 // brand new key
+  }
+
   test("pointInTime resolves each fact to the version valid at its timestamp") {
     val dim = Seq(
       (1, "v1", Some("2024-01-01"), Some("2024-06-01")),
