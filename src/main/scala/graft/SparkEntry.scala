@@ -636,6 +636,10 @@ object SparkEntry {
     "event_route" -> ((s, d) => Events.routeStats(Tables.events(s, d))),
     "sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d), 1800L)),
     "window_agg" -> ((s, d) => Events.hourlyAgg(Tables.events(s, d))),
+    // §2.1 row 18b — Markov transition matrix of the event stream (the
+    // path-discovery complement of the fixed-step funnel): one user_id
+    // window pass, then a types^2-sized aggregate
+    "event_transitions" -> ((s, d) => Events.transitions(Tables.events(s, d))),
     // §2.2 row 19 — exact dedup
     "dedup_exact" -> ((s, d) => Dedup.exactDedupByHash(dedupCorpus(s, d), "doc_id", "text")),
     "dedup_stats" -> ((s, d) => Dedup.dedupStats(dedupCorpus(s, d), "doc_id", "text")),
@@ -1476,6 +1480,15 @@ object SparkEntry {
         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
         |FROM g GROUP BY user_id, session_id""".stripMargin,
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |c AS (SELECT from_type, event_type AS to_type, count(*) AS n
+        |  FROM e WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c""".stripMargin,
     "window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

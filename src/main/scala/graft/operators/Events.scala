@@ -60,6 +60,31 @@ object Events {
         countDistinct(col("user_id")).as("n_users"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
 
+  /** First-order Markov transition matrix of the event stream: for every
+    * ordered (from_type -> to_type) step inside a user's timeline, the
+    * count and the row-normalized transition probability — the path-
+    * discovery complement of the fixed-step [[funnel]] (which steps did
+    * users actually take next?).
+    *
+    * Scale: one `lag` over the (user_id)-partitioned, (ts, event_id)-
+    * ordered window — the same single exchange sessionize uses — then one
+    * tiny (from, to) aggregation (|types|² rows). The probability
+    * denominator is a second window over the dimension-sized count table
+    * partitioned by from_type, so nothing re-scans the stream. Rounded to
+    * 6dp (count ratios — engine-exact). */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(byUser).as("from_type"))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    counts.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(byFrom), 6))
+  }
+
   /** Sequential funnel: for each user, the earliest time they completed each
     * step IN ORDER (step k counts only at a timestamp strictly after the
     * user's step k-1 completion). Returns one row per step with the count of

@@ -160,6 +160,26 @@ class StarEventsSpec extends SparkSpec {
     assert(s.toSeq == Seq((10L, 1L, 2L, 3.0), (10L, 2L, 1L, 3.0), (20L, 1L, 1L, 4.0)))
   }
 
+  test("transitions counts ordered next-type pairs with row-normalized probabilities") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 10L, "view", 0.0), (2L, ts(1), 10L, "cart", 0.0),
+      (3L, ts(2), 10L, "view", 0.0), (4L, ts(3), 10L, "buy", 0.0),
+      (5L, ts(0), 20L, "view", 0.0), (6L, ts(1), 20L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    // user 10: view->cart, cart->view, view->buy; user 20: view->view.
+    // From "view": 3 transitions total -> p = 1/3 each; cart->view p = 1.
+    val out = Events.transitions(events)
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      ("view", "cart") -> ((1L, 0.333333)),
+      ("view", "buy") -> ((1L, 0.333333)),
+      ("view", "view") -> ((1L, 0.333333)),
+      ("cart", "view") -> ((1L, 1.0))))
+  }
+
   test("hourlyAgg buckets by hour and type") {
     def ts(min: Int) = new Timestamp(min * 60000L)
     val events = Seq(
