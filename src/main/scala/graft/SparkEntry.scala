@@ -594,6 +594,16 @@ object SparkEntry {
       Analytics.saltedSumCount(Tables.lineitem(s, d), col("l_returnflag"), "l_returnflag",
         col("l_quantity").cast("decimal(18,2)"), col("l_orderkey"), 16)
         .select(col("l_returnflag"), col("n_rows"), col("sum_value").cast("double").as("sum_qty"))),
+    // §2.1 row 19 — skew-safe salted JOIN: probe rows scatter over 8
+    // deterministic salt buckets, the dim side replicates across them;
+    // result identical to the plain equi-join (the oracle IS the plain join)
+    "salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey").as("suppkey"),
+        col("s_name"), col("s_nationkey"))
+      Analytics.saltedJoin(li, sup, "suppkey", col("l_orderkey"), 8)
+    }),
     // §2.1 row 20 — incremental upsert-latest merge
     "upsert_latest" -> ((s, d) => {
       val existing = Tables.orders(s, d).select(
@@ -1395,6 +1405,10 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey AS suppkey,
+        |  l.l_quantity, s.s_name, s.s_nationkey
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey""".stripMargin,
     "neardup_embedding" -> (EmbCorpusCte +
       """
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -203,4 +203,29 @@ object Analytics {
       .agg(count(lit(1)).as("_n"), sum(value).as("_s"))
       .groupBy(col(keyName))
       .agg(sum(col("_n")).as("n_rows"), sum(col("_s")).as("sum_value"))
+
+  /** Skew-safe equi-join (the JOIN counterpart of [[saltedSumCount]]'s
+    * aggregation salting): the probe side's rows scatter over `saltBuckets`
+    * deterministic salt values — `pmod(xxhash64(saltSource), buckets)`,
+    * retry-stable because the salt is a pure function of the row, never an
+    * RNG or a partition id — while every build-side row REPLICATES across
+    * all buckets via one map-side `explode(sequence)`. Joining on
+    * (key, salt) then spreads any single hot key's probe rows over
+    * `saltBuckets` reducers instead of one. Result set identical to the
+    * plain equi-join (spec-asserted); build-side cost is a ×buckets fanout,
+    * so use a dimension-sized build side and fact-sized probe side.
+    *
+    * AQE's skew-join split handles this at runtime for sort-merge joins;
+    * this is the explicit, plan-deterministic variant for when the skew is
+    * KNOWN ahead of time (or AQE is unavailable: non-adaptive engines,
+    * streaming micro-batches, bucketed layouts that must not re-split). */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 saltSource: Column, saltBuckets: Int): DataFrame = {
+    val p = probe.withColumn("_salt",
+      pmod(xxhash64(saltSource), lit(saltBuckets)).cast("int"))
+    // sequence(int, int) is already array<int>; a cast around explode would
+    // be a generator-nested-in-expression analysis error
+    val b = build.withColumn("_salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    p.join(b, Seq(key, "_salt")).drop("_salt")
+  }
 }

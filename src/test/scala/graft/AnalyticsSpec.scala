@@ -43,6 +43,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(salted == Map("k" -> ((3L, 6.0)), "j" -> ((1L, 4.0))))
   }
 
+  test("saltedJoin equals the plain equi-join and joins on (key, salt)") {
+    val probe = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"), (9, "e"))
+      .toDF("k", "pv") // key 1 is "hot"; key 9 has no build match
+    val build = Seq((1, "X"), (2, "Y"), (3, "Z")).toDF("k", "bv")
+    val out = Analytics.saltedJoin(probe, build, "k", col("pv"), 4)
+    val expected = probe.join(build, Seq("k"))
+    assert(out.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
+    assert(out.columns.toSeq == expected.columns.toSeq)
+    // the physical join really keys on (k, _salt)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"salt key missing from the join:\n$plan")
+  }
+
   test("zScoreAnomalies flags outliers per group, null score for constant groups") {
     val df = Seq(
       ("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 100.0), // outlier
