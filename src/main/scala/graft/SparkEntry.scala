@@ -842,9 +842,12 @@ object SparkEntry {
     // formulation: merge rounds run on the vocabulary-sized word table,
     // never the corpus; deterministic tie-break). Iterative → rows-only
     // oracle; the merge list is spec-checked against an in-memory
-    // reference trainer (BpeSpec).
+    // reference trainer (BpeSpec). memoize=false so every bench rep pays
+    // the REAL training loop (the memo would otherwise hide it behind
+    // min-of-reps); bpe_segment keeps the memo — segmentation under an
+    // already-trained tokenizer is the realistic shape there.
     "bpe_train" -> ((s, d) =>
-      Bpe.mergesDF(s, Bpe.train(Tables.documents(s, d), "text", 32))),
+      Bpe.mergesDF(s, Bpe.train(Tables.documents(s, d), "text", 32, memoize = false))),
     // §2.2 row 31 — BPE segmentation under the trained merges: one
     // compiled map-side expression, zero shuffles (training memoized, so
     // this reuses bpe_train's merges within the session)
@@ -1745,9 +1748,9 @@ object SparkEntry {
         |    CAST(SUM(tf * CAST(round(ln(CAST(tf AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_tlnt
         |  FROM tf GROUP BY doc_id),
         |e AS (SELECT doc_id, n_tokens, n_distinct,
-        |    round(ln(CAST(n_tokens AS DOUBLE)) - sum_tlnt / n_tokens, 6) AS entropy FROM agg)
+        |    round(ln(CAST(n_tokens AS DOUBLE)) - sum_tlnt / n_tokens, 6) + 0.0 AS entropy FROM agg)
         |SELECT doc_id, n_tokens, n_distinct, entropy,
-        |  CASE WHEN n_distinct > 1 THEN round(entropy / ln(CAST(n_distinct AS DOUBLE)), 6)
+        |  CASE WHEN n_distinct > 1 THEN round(entropy / ln(CAST(n_distinct AS DOUBLE)), 6) + 0.0
         |       ELSE 0.0 END AS entropy_ratio
         |FROM e""".stripMargin,
     "ngram_novelty" ->

@@ -47,24 +47,28 @@ object Bpe {
     * the vocabulary). Deterministic: same corpus, same merges, any
     * partitioning.
     *
-    * Memoized per (session, canonicalized corpus plan, numMerges,
-    * endOfWord) with the same bounded-map discipline as the ANN width
-    * cache: `bpe_train` and `bpe_segment` over the same corpus pay the
-    * training loop once per session. */
+    * Memoized per (session, CANONICALIZED corpus plan string, numMerges,
+    * endOfWord, textCol, minPairCount) with the same bounded-map
+    * discipline as the ANN width cache — but keyed on the full
+    * canonicalized plan STRING, not a 32-bit hash: a hash collision here
+    * would silently serve another corpus's merge list (wrong results, not
+    * just a perf shift, so the count cache's collision tolerance does not
+    * apply). Pass `memoize = false` to force a fresh training run — what
+    * a benchmark of the training loop itself wants. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            endOfWord: String = "</w>", minPairCount: Long = 2L): Seq[(String, String)] = {
+            endOfWord: String = "</w>", minPairCount: Long = 2L,
+            memoize: Boolean = true): Seq[(String, String)] = {
+    if (!memoize) return trainUncached(docs, textCol, numMerges, endOfWord, minPairCount)
     if (mergeCache.size() >= mergeCacheMax) mergeCache.clear()
-    mergeCache.computeIfAbsent(
-      (docs.sparkSession.hashCode,
-        docs.queryExecution.analyzed.semanticHash().toLong
-          ^ (numMerges.toLong << 32) ^ endOfWord.hashCode.toLong,
-        s"$textCol|$minPairCount"),
+    val key = (docs.sparkSession.hashCode,
+      s"${docs.queryExecution.analyzed.canonicalized}|$textCol|$numMerges|$endOfWord|$minPairCount")
+    mergeCache.computeIfAbsent(key,
       _ => trainUncached(docs, textCol, numMerges, endOfWord, minPairCount))
   }
 
   private val mergeCacheMax = 64
   private val mergeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Long, String), Seq[(String, String)]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Seq[(String, String)]]()
 
   private def trainUncached(docs: DataFrame, textCol: String, numMerges: Int,
                             endOfWord: String, minPairCount: Long): Seq[(String, String)] = {

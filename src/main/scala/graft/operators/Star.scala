@@ -218,22 +218,26 @@ object Star {
     *     delete);
     *   - keys new to the dimension open their first version at snapDate.
     *
-    * Scale shape: ONE key-keyed full-outer join between the dimension's
-    * current slice and the snapshot (both dimension-sized); historical
-    * rows never join — they union straight through. The three outcomes
-    * (passthrough / close / open) emit from a single conditional
-    * array+explode over the joined row, so the join output is scanned
-    * once. Null-safe attribute compare (`<=>`), like [[scd2]]. */
+    * Scale shape: ONE key-keyed full-outer join between the WHOLE
+    * versioned dimension and the snapshot — the dim subtree is planned
+    * exactly once (a current-slice/history split would scan it twice).
+    * The snapshot's single row per key lands on every version of that
+    * key, but only the current version reacts to it: historical versions
+    * pass straight through, and the three current-row outcomes
+    * (passthrough / close / open) emit from one conditional array+explode,
+    * so the join output is scanned once. Null-safe attribute compare
+    * (`<=>`), like [[scd2]]. Precondition (what [[scd2]] and this method
+    * both guarantee of their output): every key has EXACTLY ONE current
+    * version — a key with only closed versions would silently ignore its
+    * snapshot row. */
   def scd2Merge(dim: DataFrame, snapshot: DataFrame, key: String,
                 attrs: Seq[String], snapDate: Column): DataFrame = {
-    val outCols = (col(key) +: attrs.map(col)) ++
-      Seq(col("valid_from"), col("valid_to"), col("is_current"))
-    val hist = dim.where(!col("is_current")).select(outCols: _*)
-    val cur = dim.where(col("is_current"))
     val snap = snapshot.select(
       col(key) +: attrs.map(a => col(a).as(s"_new_$a")) :+ snapDate.as("_snap"): _*)
-    val j = cur.join(snap, Seq(key), "full_outer")
-    val curExists = col("valid_from").isNotNull
+    val j = dim.join(snap, Seq(key), "full_outer")
+    // dim rows always carry a non-null valid_from (scd2 derives it from the
+    // snapshot column); a null marks a snapshot-only (brand-new) key
+    val dimExists = col("valid_from").isNotNull
     val snapExists = col("_snap").isNotNull
     val changed = attrs.map(a => !(col(a) <=> col(s"_new_$a"))).reduce(_ || _)
     // typed NULL of the snapshot-date column's type (works for DATE and
@@ -242,17 +246,16 @@ object Star {
     def v(as: Seq[Column], from: Column, to: Column, current: Column) =
       struct((attrs.zip(as).map { case (a, c) => c.as(a) } :+
         from.as("valid_from") :+ to.as("valid_to") :+ current.as("is_current")): _*)
-    val keepCur = v(attrs.map(col), col("valid_from"), col("valid_to"), col("is_current"))
+    val keepDim = v(attrs.map(col), col("valid_from"), col("valid_to"), col("is_current"))
     val closeCur = v(attrs.map(col), col("valid_from"), col("_snap"), lit(false))
     val openNew = v(attrs.map(a => col(s"_new_$a")), col("_snap"), nullDate, lit(true))
-    val emit = when(!snapExists, array(keepCur))
-      .when(!curExists, array(openNew))
-      .when(changed, array(closeCur, openNew))
-      .otherwise(array(keepCur))
-    hist.unionByName(
-      j.select(col(key), explode(emit).as("_v"))
-        .select(col(key) +: (attrs :+ "valid_from" :+ "valid_to" :+ "is_current")
-          .map(f => col(s"_v.$f").as(f)): _*))
+    val emit = when(dimExists && (!col("is_current") || !snapExists), array(keepDim))
+      .when(dimExists && changed, array(closeCur, openNew))
+      .when(dimExists, array(keepDim))
+      .otherwise(array(openNew))
+    j.select(col(key), explode(emit).as("_v"))
+      .select(col(key) +: (attrs :+ "valid_from" :+ "valid_to" :+ "is_current")
+        .map(f => col(s"_v.$f").as(f)): _*)
   }
 
   /** Point-in-time SCD2 resolution: attach to each fact row the dimension

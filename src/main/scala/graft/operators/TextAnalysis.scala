@@ -431,13 +431,18 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct"),
         sum(col("tf") * round(log(col("tf").cast("double")), 6).cast("decimal(18,6)"))
           .as("_sum_tlnt"))
+      // + 0.0 normalizes IEEE negative zero: the rounding-artifact case
+      // (single-token-type doc whose round(ln tf, 6) rounds UP) yields
+      // round(-4e-7, 6) = -0.0 in DuckDB (C std::round) but +0.0 in Spark
+      // (BigDecimal has no signed zero), and the driver compares float
+      // repr()s exactly. -0.0 + 0.0 == +0.0 in both engines.
       .withColumn("entropy",
         round(log(col("n_tokens").cast("double"))
-          - col("_sum_tlnt").cast("double") / col("n_tokens"), 6))
+          - col("_sum_tlnt").cast("double") / col("n_tokens"), 6) + lit(0.0))
       .select(col("_id").as(idCol), col("n_tokens"), col("n_distinct"),
         col("entropy"),
         when(col("n_distinct") > 1,
-          round(col("entropy") / log(col("n_distinct").cast("double")), 6))
+          round(col("entropy") / log(col("n_distinct").cast("double")), 6) + lit(0.0))
           .otherwise(lit(0.0)).as("entropy_ratio"))
   }
 

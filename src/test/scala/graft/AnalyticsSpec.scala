@@ -51,9 +51,17 @@ class AnalyticsSpec extends SparkSpec {
     val expected = probe.join(build, Seq("k"))
     assert(out.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
     assert(out.columns.toSeq == expected.columns.toSeq)
-    // the physical join really keys on (k, _salt)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("_salt"), s"salt key missing from the join:\n$plan")
+    // the physical JOIN NODE really keys on (k, _salt): inspect the join
+    // operators' key lists, not the whole plan string (the withColumn
+    // projections would contain "_salt" even if the join key regressed)
+    val joins = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "no join in the plan")
+    joins.foreach { j =>
+      val cond = j.condition.map(_.toString).getOrElse("")
+      assert(cond.contains("_salt"), s"join does not key on the salt: $cond")
+    }
   }
 
   test("zScoreAnomalies flags outliers per group, null score for constant groups") {

@@ -140,8 +140,8 @@ class TextIngestMultimodalSpec extends SparkSpec {
   }
 
   test("tokenEntropy: factored Shannon entropy + ratio, zero for one-token-type docs") {
-    val docs = Seq((1L, "a a b b"), (2L, "c c c c"), (3L, "a b c d"))
-      .toDF("doc_id", "text")
+    val docs = Seq((1L, "a a b b"), (2L, "c c c c"), (3L, "a b c d"),
+      (4L, Seq.fill(9)("z").mkString(" "))).toDF("doc_id", "text")
     val out = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
@@ -152,6 +152,12 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out(2L)._3 == 0.0 && out(2L)._4 == 0.0)  // constant doc
     assert(math.abs(out(3L)._3 - 2 * ln2) < 2e-6)   // uniform over 4 types
     assert(math.abs(out(3L)._4 - 1.0) < 2e-6)
+    // 9 identical tokens: round(ln 9, 6) rounds UP, so the factored form
+    // lands at round(-4.2e-7, 6) — must normalize to POSITIVE zero
+    // (Double.compare distinguishes -0.0, and so does the DuckDB oracle
+    // compare's float repr)
+    assert(java.lang.Double.compare(out(4L)._3, 0.0) == 0)
+    assert(java.lang.Double.compare(out(4L)._4, 0.0) == 0)
   }
 
   test("ngramNovelty counts corpus-unique distinct shingles per doc") {
