@@ -33,6 +33,12 @@ import graft.sources.IngestDiscovery
   *     whose cluster holds a lower-id near-duplicate at
   *     `semanticThreshold` cosine. Documents without an embedding row are
   *     kept (no silent drops on missing features).
+  *  4d. `tokenizer`   — OPTIONAL (`bpeMerges = Some(n)`):
+  *     [[graft.operators.Bpe.train]] induces n BPE merges on the final
+  *     survivors, writes the merge table (the tokenizer artifact) to the
+  *     tokenizer zone, and annotates each document with `n_pieces` — its
+  *     subword piece count, the sequence-budget currency downstream
+  *     packing actually consumes.
   *  5. `shard_write`  — token-balanced shard assignment
   *     ([[TextAnalysis.shardTokenBudget]]) and a `partitionBy(shard)`
   *     layout write of the final corpus.
@@ -50,7 +56,8 @@ object CorpusPipeline {
              extractTime: String = "2026-01-01 00:00:00",
              spanScrub: Option[Int] = None,
              embeddings: Option[DataFrame] = None,
-             semanticThreshold: Double = 0.9): DataFrame = {
+             semanticThreshold: Double = 0.9,
+             bpeMerges: Option[Int] = None): DataFrame = {
     import spark.implicits._
     var reports = Vector.empty[Pipeline.StageReport]
     def timed(stage: String)(body: => Long): Unit = {
@@ -138,6 +145,24 @@ object CorpusPipeline {
         spark.read.parquet(s"$outRoot/semantic/documents").count()
       }
       deduped = spark.read.parquet(s"$outRoot/semantic/documents")
+    }
+
+    // 4d. optional tokenizer induction: train BPE on the survivors, write
+    // the merge table (the tokenizer artifact), annotate docs with their
+    // subword piece counts
+    bpeMerges.foreach { n =>
+      timed("tokenizer") {
+        val merges = graft.operators.Bpe.train(deduped, "text", n)
+        graft.operators.Bpe.mergesDF(spark, merges)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outRoot/tokenizer/merges")
+        deduped
+          .withColumn("n_pieces",
+            size(graft.functions.NativeExprs.bpeSegment(
+              graft.operators.Bpe.tokens(col("text")), merges, "</w>")))
+          .write.mode("overwrite").parquet(s"$outRoot/tokenized/documents")
+        spark.read.parquet(s"$outRoot/tokenized/documents").count()
+      }
+      deduped = spark.read.parquet(s"$outRoot/tokenized/documents")
     }
 
     // 5. token-balanced shards, laid out one directory per shard

@@ -47,6 +47,15 @@ object Bpe {
     * the vocabulary). Deterministic: same corpus, same merges, any
     * partitioning.
     *
+    * Honest scale boundary: each merge is one driver-loop round over the
+    * vocabulary table (~0.1 s of job overhead at any SF), so this loop
+    * shape suits merge budgets in the hundreds. A production 32k-merge
+    * tokenizer wants incremental pair-count maintenance (the in-memory
+    * trick reference trainers use) — on a corpus-derived word-frequency
+    * table that fits one machine, which this method's first aggregation
+    * produces; the distributed rounds here are for vocabularies too large
+    * to collect.
+    *
     * Memoized per (session, CANONICALIZED corpus plan string, numMerges,
     * endOfWord, textCol, minPairCount) with the same bounded-map
     * discipline as the ANN width cache — but keyed on the full

@@ -164,14 +164,24 @@ class PipelineSpec extends SparkSpec {
       CorpusPipeline.runAll(spark, docs, root, runId,
         minTokens = 10, minStopRatio = 0.0, maxDupFraction = 0.9,
         capPerSource = 10, nearDupThreshold = 0.8, numShards = 2,
-        spanScrub = Some(4), embeddings = Some(emb), semanticThreshold = 0.95)
+        spanScrub = Some(4), embeddings = Some(emb), semanticThreshold = 0.95,
+        bpeMerges = Some(6))
     val out = Files.createTempDirectory("graft_corpus_opt").toFile.getAbsolutePath
     val report = run(out, "run_c3")
       .as[Pipeline.StageReport].collect().map(r => r.stage -> r.rows).toMap
     assert(report.keySet == Set("ingest", "quality_gate", "source_cap", "dedup",
-      "span_scrub", "semantic_dedup", "shard_write"))
+      "span_scrub", "semantic_dedup", "tokenizer", "shard_write"))
     assert(report("span_scrub") == 5L)     // scrub rewrites, never drops
     assert(report("semantic_dedup") == 4L) // doc 4 dropped
+    assert(report("tokenizer") == 4L)      // annotates, never drops
+    // tokenizer artifact: at most the requested merges, ranked from 1
+    val merges = spark.read.parquet(s"$out/tokenizer/merges")
+      .select("rank").as[Int].collect().sorted
+    assert(merges.nonEmpty && merges.length <= 6 && merges.head == 1)
+    // every surviving doc carries a positive subword piece count
+    val pieces = spark.read.parquet(s"$out/shards/documents")
+      .select("doc_id", "n_pieces").as[(Long, Int)].collect().toMap
+    assert(pieces.values.forall(_ > 0))
     val spanTexts = spark.read.parquet(s"$out/span_scrubbed/documents")
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(spanTexts(1L).startsWith(passage), "first occurrence keeps its span")
