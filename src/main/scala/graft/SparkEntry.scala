@@ -974,7 +974,29 @@ object SparkEntry {
     // §2.2 row 27e — composite corpus quality gate with ordered reasons
     "corpus_gate" -> ((s, d) =>
       TextAnalysis.corpusGate(Tables.documents(s, d), "doc_id", "text",
-        30, 0.05, 0.2))
+        30, 0.05, 0.2)),
+    // §2.2 row 27h — top-5 TF-IDF keyword extraction per document
+    "tfidf_top" -> ((s, d) =>
+      TextAnalysis.tfidfTop(Tables.documents(s, d), "doc_id", "text", 5)),
+    // §2.2 row 29p — training-mixture reweighting to a target language
+    // share (weights > 1 = epochs, < 1 = subsample rate)
+    "mix_weights" -> ((s, d) =>
+      TextAnalysis.mixWeights(Tables.documents(s, d), "lang", "text",
+        Map("en" -> 0.5, "zh" -> 0.2, "fr" -> 0.1, "es" -> 0.1, "de" -> 0.1))),
+    // §2.2 row 29r — exact per-source length deciles (curriculum/eval-split
+    // bucketing) via the two-phase rank, not a per-source global sort
+    "quality_deciles" -> ((s, d) =>
+      Analytics.ntileBuckets(Tables.documents(s, d),
+        col("source"), col("n_chars"), col("doc_id"), 10)
+        .select(col("id").as("doc_id"), col("stratum").as("source"),
+          col("value").as("n_chars"), col("bucket").as("decile"))),
+    // §2.1 row 17j — 7-day trailing revenue window per event type on the
+    // gap-filled day spine (DECIMAL-exact through the sliding frame)
+    "moving_avg" -> ((s, d) =>
+      Analytics.movingAvg(Tables.events(s, d), col("event_type"), col("ts"),
+        col("value"), 7)
+        .select(col("key").as("event_type"), col("day"), col("n_events"),
+          col("day_value"), col("win_sum"), col("win_avg")))
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -2115,6 +2137,55 @@ object SparkEntry {
         |    CASE WHEN q.n_tokens < 30 THEN 'too_short' END,
         |    CASE WHEN q.stop_ratio < 0.05 THEN 'low_stopword_ratio' END,
         |    CASE WHEN coalesce(dupf.df, 0.0) > 0.2 THEN 'repetitive' END) = '') AS keep
-        |FROM q LEFT JOIN dupf ON q.doc_id = dupf.doc_id""".stripMargin
+        |FROM q LEFT JOIN dupf ON q.doc_id = dupf.doc_id""".stripMargin,
+    "tfidf_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),
+        |d AS (SELECT *, CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df,
+        |    (SELECT count(*) FROM documents) AS n_docs FROM tf),
+        |s AS (SELECT doc_id, token, tf, df,
+        |    round(tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6), 6) AS tfidf FROM d),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token) AS INT) AS rank FROM s)
+        |SELECT doc_id, token, tf, df, tfidf, rank FROM r WHERE rank <= 5""".stripMargin,
+    "mix_weights" ->
+      """WITH t AS (SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n_tok FROM documents),
+        |p AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS _total FROM p)
+        |SELECT stratum, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / _total, 6) AS actual_share,
+        |  round(CASE stratum WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 WHEN 'fr' THEN 0.1
+        |    WHEN 'es' THEN 0.1 WHEN 'de' THEN 0.1 ELSE 0.0 END, 6) AS target_share,
+        |  round((CASE stratum WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 WHEN 'fr' THEN 0.1
+        |    WHEN 'es' THEN 0.1 WHEN 'de' THEN 0.1 ELSE 0.0 END)
+        |    / (CAST(n_tokens AS DOUBLE) / _total), 6) AS weight
+        |FROM p, tot""".stripMargin,
+    "quality_deciles" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(ntile(10) OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS INT) AS decile
+        |FROM documents""".stripMargin,
+    "moving_avg" ->
+      """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS rev, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT event_type, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |filled AS (SELECT s.event_type, s.day,
+        |    coalesce(d.rev, CAST(0 AS DECIMAL(18,4))) AS rev,
+        |    CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
+        |  FROM spine s LEFT JOIN daily d USING (event_type, day)),
+        |w AS (SELECT event_type, day, n_events, rev,
+        |    SUM(rev) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS wsum,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS wn
+        |  FROM filled)
+        |SELECT event_type, day, n_events,
+        |  CAST(rev AS DOUBLE) AS day_value, CAST(wsum AS DOUBLE) AS win_sum,
+        |  round(CAST(wsum AS DOUBLE) / wn, 6) AS win_avg
+        |FROM w""".stripMargin
   )
 }

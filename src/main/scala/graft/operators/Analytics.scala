@@ -228,4 +228,90 @@ object Analytics {
     val b = build.withColumn("_salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     p.join(b, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** EXACT ntile(k) per stratum — equal-sized buckets over a deterministic
+    * (value, id) order (quality deciles, curriculum phases, length-balanced
+    * eval splits) — WITHOUT the per-stratum global sort a plain
+    * `ntile().over(partitionBy(stratum).orderBy(...))` window costs: that
+    * window drags every stratum through ONE reducer, and a 100 TB corpus
+    * with a handful of sources is exactly the single-partition sort this
+    * repo bans elsewhere.
+    *
+    * Two-phase rank instead (the corpus_shuffle/shardTokenBudget
+    * discipline): (1) row_number over the FINE-GRAINED (stratum, value)
+    * partitions — thousands of small sorts, no hot reducer beyond genuine
+    * value skew; (2) per-(stratum, value) sizes derive OFF that window
+    * chain (max row_number — no re-aggregation of the input), and their
+    * running offsets + stratum totals come from windows over the
+    * VALUE-DISTINCT count table, which is vocabulary-sized, not
+    * corpus-sized; (3) one co-partitioned join (same (stratum, value) keys
+    * the window already shuffled on; AQE broadcasts the count side)
+    * reassembles global rank = offset + local rank, and the bucket falls
+    * out of SQL-standard NTILE arithmetic on (rank, n): the first n%k
+    * buckets hold ceil(n/k) rows, the rest floor(n/k) — all integer DIV,
+    * no float boundaries. Output is row-identical to the window-ntile
+    * formulation (spec-pinned). */
+  def ntileBuckets(df: DataFrame, stratum: Column, value: Column,
+                   id: Column, k: Int): DataFrame = {
+    require(k >= 1, s"ntileBuckets needs k >= 1, got $k")
+    val base = df.select(stratum.as("stratum"), value.as("value"), id.as("id"))
+    val wIn = Window.partitionBy(col("stratum"), col("value")).orderBy(col("id"))
+    val ranked = base.withColumn("_r_in", row_number().over(wIn))
+    val sizes = ranked.groupBy(col("stratum"), col("value"))
+      .agg(max(col("_r_in")).cast("long").as("_cnt"))
+    val wOff = Window.partitionBy(col("stratum")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("stratum"))
+    val offsets = sizes
+      .withColumn("_before", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+      .select(col("stratum"), col("value"), col("_before"), col("_n"))
+    val r = col("_before") + col("_r_in") // 1-based rank within stratum
+    val q = expr(s"_n DIV $k") // base bucket size
+    val rem = col("_n") % k // first `rem` buckets hold q+1 rows
+    val cut = rem * (q + 1) // rows living in the larger buckets
+    ranked.join(offsets, Seq("stratum", "value"))
+      .select(col("stratum"), col("value"), col("id"),
+        when(r <= cut, expr(s"(_before + _r_in - 1) DIV (_n DIV $k + 1)") + 1)
+          .otherwise(rem + expr(s"(_before + _r_in - 1 - (_n % $k) * (_n DIV $k + 1)) DIV (_n DIV $k)") + 1)
+          .cast("int").as("bucket"))
+  }
+
+  /** Trailing calendar-window daily series: per-key daily event counts and
+    * DECIMAL-exact value sums on a GAP-FILLED day spine (absent days
+    * contribute zero), plus the `windowDays`-day moving sum/average — the
+    * monitoring/trend feed shape (7-day revenue, rolling error rates).
+    *
+    * The spine makes the ROWS frame a true calendar window (without it,
+    * "7 rows" silently means "7 OBSERVED days" and gaps stretch the
+    * window). All windows partition on the key — daily aggregation is one
+    * keyed partial-agg shuffle of (key, day, decimal, count); per-key state
+    * after it is days-sized, never event-sized. Sums stay DECIMAL through
+    * the sliding frame (accumulation-order independent — a double
+    * running sum would be engine/partitioning dependent) and divide by the
+    * ACTUAL frame row count, so the first windowDays-1 days average over
+    * the days that exist. */
+  def movingAvg(events: DataFrame, keyCol: Column, tsCol: Column,
+                valCol: Column, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"movingAvg needs windowDays >= 1, got $windowDays")
+    val daily = events
+      .groupBy(keyCol.as("key"), to_date(tsCol).as("day"))
+      .agg(sum(valCol.cast("decimal(18,4)")).as("_rev"), count(lit(1)).as("n_events"))
+    val spine = daily.groupBy(col("key"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col("key"), explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = spine.join(daily, Seq("key", "day"), "left")
+      .select(col("key"), col("day"),
+        coalesce(col("_rev"), lit(0).cast("decimal(18,4)")).as("_rev"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), 0)
+    filled
+      .withColumn("_wsum", sum(col("_rev")).over(w))
+      .withColumn("_wn", count(lit(1)).over(w))
+      .select(col("key"), col("day"), col("n_events"),
+        col("_rev").cast("double").as("day_value"),
+        col("_wsum").cast("double").as("win_sum"),
+        round(col("_wsum").cast("double") / col("_wn"), 6).as("win_avg"))
+  }
 }

@@ -523,4 +523,66 @@ object TextAnalysis {
       .withColumn("bin",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
   }
+
+  /** Top-k TF-IDF terms per document — the keyword-extraction signal (which
+    * terms characterize this doc against the corpus) used for topic tagging
+    * and mixture diagnostics.
+    *
+    * Postings discipline (the lm_score/ngram_novelty shape): the corpus
+    * tokenizes into the (doc, token, tf) table exactly ONCE; document
+    * frequency is a COUNT OVER a token-partitioned window on that table
+    * (its rows are distinct (doc, token) pairs by construction, so the
+    * window counts docs) — no second corpus pass and no vocabulary join;
+    * the corpus doc count rides a 1-row broadcast. After that, everything
+    * is keyed (id, token, counts) — text never crosses a shuffle. The
+    * final top-k is a doc-partitioned window (fine-grained partitions).
+    * idf is rounded to 6dp before the tf multiply so the score is a
+    * deterministic product of a long and a 6dp double — identical across
+    * engines; ties rank by token ascending. */
+  def tfidfTop(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val total = docs.agg(count(lit(1)).as("_n_docs"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+    val scored = tf.withColumn("df", count(lit(1)).over(wTok))
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * round(log(col("_n_docs").cast("double") / col("df")), 6), 6))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rank", row_number().over(wDoc))
+      .where(col("rank") <= k)
+      .select(col("_id").as(idCol), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
+  /** Training-mixture reweighting: per-stratum sampling weights that move
+    * the corpus's ACTUAL token distribution to a caller-declared TARGET
+    * share map (the Pile/Dolma-style mixture design step — upweight
+    * under-represented strata, downweight dominant ones; weight > 1 means
+    * "epochs over this stratum", < 1 means subsample at that rate).
+    *
+    * One stratum-keyed partial-agg shuffle over the corpus (token counts
+    * aggregate map-side; text never shuffles); the corpus total rides a
+    * 1-row broadcast. Strata absent from the target map get weight 0 —
+    * explicit targets only, so a typo'd map fails loudly in the output
+    * rather than silently keeping a stratum. Shares and weights are
+    * IEEE-deterministic (single divisions of exact longs, rounded 6dp). */
+  def mixWeights(docs: DataFrame, stratumCol: String, textCol: String,
+                 target: Map[String, Double]): DataFrame = {
+    val perStratum = docs
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"))
+    val total = perStratum.agg(sum(col("n_tokens")).as("_total"))
+    val tgt = target.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col("stratum") === s, w).otherwise(acc)
+    }
+    val actual = col("n_tokens").cast("double") / col("_total")
+    perStratum.crossJoin(broadcast(total))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        round(actual, 6).as("actual_share"),
+        round(tgt, 6).as("target_share"),
+        round(tgt / actual, 6).as("weight"))
+  }
 }

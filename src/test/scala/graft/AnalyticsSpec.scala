@@ -325,6 +325,56 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ntileBuckets is row-identical to the window-ntile formulation") {
+    // strata with: heavy value duplication, n not divisible by k, n < k,
+    // and a single-row stratum — every branch of the NTILE arithmetic
+    val rows = (1 to 47).map(i => ("big", i % 5, i)) ++ // 47 rows, 5 distinct values
+      (1 to 7).map(i => ("small", 1, i)) ++ // n < k with ALL values equal
+      Seq(("one", 9, 1))
+    val df = rows.toDF("s", "v", "id")
+    val got = Analytics.ntileBuckets(df, col("s"), col("v"), col("id"), 10)
+      .select("stratum", "id", "bucket").as[(String, Int, Int)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("v"), col("id"))
+    val want = df.withColumn("bucket", ntile(10).over(w))
+      .select("s", "id", "bucket").as[(String, Int, Int)].collect().toSet
+    assert(got == want)
+    // and no single-partition window: every WindowExec in the physical plan
+    // must carry partition expressions (the window-ntile formulation this
+    // replaces would also pass here — its window partitions on stratum —
+    // but ntileBuckets' windows partition FINER: (stratum, value) for the
+    // corpus-sized pass, stratum only on the value-distinct count table)
+    // sparkPlan, not executedPlan: AQE wraps the latter before execution
+    val winExecs = Analytics.ntileBuckets(df, col("s"), col("v"), col("id"), 10)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(winExecs.nonEmpty && winExecs.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window in ntileBuckets plan")
+  }
+
+  test("movingAvg gap-fills the day spine and keeps DECIMAL sums through the frame") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // key "a": days 1, 2, 4 (day 3 absent -> spine fills it with 0)
+    val df = Seq(("a", ts(1), 10.5), ("a", ts(2), 2.25), ("a", ts(2), 1.0),
+      ("a", ts(4), 4.0), ("b", ts(1), 7.0))
+      .toDF("k", "ts", "v")
+    val out = Analytics.movingAvg(df, col("k"), col("ts"), col("v"), 3)
+      .select("key", "day", "n_events", "day_value", "win_sum", "win_avg")
+      .as[(String, java.sql.Date, Long, Double, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2.toString))
+    val a = out.filter(_._1 == "a")
+    assert(a.map(_._2.toString).toSeq ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(a.map(_._3).toSeq == Seq(1L, 2L, 0L, 1L)) // day 3 filled, 0 events
+    assert(a.map(_._4).toSeq == Seq(10.5, 3.25, 0.0, 4.0))
+    // 3-day trailing sums over the SPINE (gap day participates as 0)
+    assert(a.map(_._5).toSeq == Seq(10.5, 13.75, 13.75, 7.25))
+    // first days divide by the actual frame size, not windowDays
+    assert(a.map(_._6).toSeq == Seq(10.5, 6.875, 4.583333, 2.416667))
+    assert(out.count(_._1 == "b") == 1)
+  }
+
   test("winsorize keeps rows with a NULL group key (null-safe bounds join)") {
     val df = Seq((Option("a"), 1.0), (Option("a"), 100.0),
       (Option.empty[String], 5.0), (Option.empty[String], 50.0)).toDF("g", "v")

@@ -442,4 +442,40 @@ class TextIngestMultimodalSpec extends SparkSpec {
     val again = Multimodal.decodeFeatures(spark, media, dim = 8).collect().sortBy(_.doc_id)
     assert(feats.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
   }
+
+  test("tfidfTop ranks corpus-rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common common date")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTop(docs, "doc_id", "text", 2)
+      .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    assert(out.length == 6) // k=2 per doc
+    val d1 = out.filter(_._1 == 1L).sortBy(_._6)
+    // apple: tf=2, df=1 -> 2*ln(3); banana: tf=1, df=2 -> ln(1.5);
+    // common: df=3 -> idf 0, never beats either
+    assert(d1.map(_._2).toSeq == Seq("apple", "banana"))
+    assert(d1.head._3 == 2L && d1.head._4 == 1L)
+    assert(d1.head._5 == 2.197224) // 2 * round(ln 3, 6) = 2 * 1.098612
+    // doc 3: "date" (df=1) outranks "common" despite tf 1 vs 2
+    assert(out.filter(_._1 == 3L).minBy(_._6)._2 == "date")
+  }
+
+  test("mixWeights maps token shares to target-over-actual weights") {
+    val docs = Seq(
+      ("en", "a b c d e f"), ("en", "g h"), // 8 tokens
+      ("zh", "x y"), // 2 tokens
+      ("xx", "q q")) // 2 tokens, NOT in the target map
+      .toDF("lang", "text")
+    val out = TextAnalysis.mixWeights(docs, "lang", "text",
+      Map("en" -> 0.5, "zh" -> 0.5))
+      .select("stratum", "n_docs", "n_tokens", "actual_share", "target_share", "weight")
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("en")._2 == 2L && out("en")._3 == 8L)
+    assert(out("en")._4 == 0.666667) // round(8/12, 6)
+    assert(out("zh")._6 == 3.0) // target 0.5 / actual 1/6
+    assert(out("xx")._5 == 0.0 && out("xx")._6 == 0.0) // absent stratum -> 0
+  }
 }
