@@ -257,6 +257,17 @@ object SparkEntry {
       Similarity.trainCentroids(
         Tables.embeddings(s, dir).filter(col("vec_id") >= 5), "vec_id", "embedding"))
 
+  /** PQ codebooks trained once per testdata dir and shared by `ann_pq` and
+    * the `ann_recall` gate — the ivfCentroids discipline: train once,
+    * search many. */
+  private val pqBookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqBookCache.computeIfAbsent(dir, _ =>
+      Similarity.pqTrain(
+        Tables.embeddings(s, dir).filter(col("vec_id") >= 5), "vec_id", "embedding",
+        m = 8, ksub = 16))
+
   /** Surrogate-keyed dimensions built once per testdata dir and SHARED
     * across the star queries — exactly the reference DWH's shape, where the
     * dimension tables are materialized once and both facts resolve against
@@ -746,6 +757,14 @@ object SparkEntry {
       Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10, ivfCentroids(s, d), broadcastCentroids = true)
     }),
+    // §2.2 row 24c — product-quantization ANN (rows-only oracle; rank-1
+    // recall gated by `ann_recall`'s pq_nn column + recall@10 spec): ADC
+    // scoring over the m-byte code table, exact re-rank of the shortlist
+    "ann_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", 10, pqBooks(s, d))
+    }),
     // §2.2 row 19 — embedding-cosine near-dup (banded + multiprobed +
     // verified) over a corpus with planted exact and perturbed duplicates
     "neardup_embedding" -> ((s, d) =>
@@ -761,8 +780,8 @@ object SparkEntry {
     // §2.2 row 24 — ANN recall gate: queries are PERTURBED copies of corpus
     // vectors (component 0 scaled 1.5x, cos ≈ 0.999 to their source), so the
     // true nearest neighbor of each query is known and independently
-    // computable by the oracle via brute force. Both approximate paths must
-    // retrieve that neighbor at rank 1 — a genuine recall check on a
+    // computable by the oracle via brute force. All three approximate paths
+    // (LSH, IVF, PQ) must retrieve that neighbor at rank 1 — a genuine recall check on a
     // near-duplicate workload (the regime ANN bucketing is built for),
     // without pinning constants the data can't support.
     "ann_recall" -> ((s, d) => {
@@ -777,7 +796,9 @@ object SparkEntry {
       val lsh = rank1(Similarity.lshTopK(q, e, "vec_id", "embedding", 1), "lsh_nn")
       val ivf = rank1(Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 1,
         ivfCentroids(s, d)), "ivf_nn")
-      lsh.join(ivf, Seq("query_id"))
+      val pq = rank1(Similarity.pqTopKWith(q, e, "vec_id", "embedding", 1,
+        pqBooks(s, d)), "pq_nn")
+      lsh.join(ivf, Seq("query_id")).join(pq, Seq("query_id"))
     }),
     // §2.2 row 25 — embedding column ops
     "embedding_norms" -> ((s, d) => Similarity.norms(Tables.embeddings(s, d), "vec_id", "embedding")),
@@ -1001,9 +1022,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys (ingest_discovery, ann_lsh, ann_ivf,
-    * approx_stats, winnow_fingerprint) are non-SQL-expressible → driver's
-    * weaker rows-only check; ann_lsh/ann_ivf recall is gated by the oracled
-    * `ann_recall`, winnowing by `winnow_overlap`. */
+    * ann_pq, approx_stats, winnow_fingerprint, bpe_train, bpe_segment) are
+    * non-SQL-expressible → driver's weaker rows-only check;
+    * ann_lsh/ann_ivf/ann_pq recall is gated by the oracled `ann_recall`,
+    * winnowing by `winnow_overlap`. */
   def oracleSql: Map[String, String] = Map(
     "normalize_strings" ->
       """SELECT c_custkey,
@@ -1460,7 +1482,8 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
         |  FROM s)
-        |SELECT query_id, neighbor_id AS lsh_nn, neighbor_id AS ivf_nn
+        |SELECT query_id, neighbor_id AS lsh_nn, neighbor_id AS ivf_nn,
+        |  neighbor_id AS pq_nn
         |FROM r WHERE rn = 1""".stripMargin,
     // Winnowing position-robustness invariant: every sampled doc must share
     // fingerprints with its prefix-shifted copy (and have a non-empty set).

@@ -85,6 +85,12 @@ object NativeExprs {
 
   def bpeSegment(tokens: Column, merges: Seq[(String, String)], endOfWord: String): Column =
     GraftShims.toColumn(BpeSegmentExpr(GraftShims.toExpression(tokens), merges, endOfWord))
+
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    GraftShims.toColumn(PqEncodeExpr(GraftShims.toExpression(vec), codebooks))
+
+  def pqLut(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    GraftShims.toColumn(PqLutExpr(GraftShims.toExpression(vec), codebooks))
 }
 
 /** Shared best-n-cells-by-cosine kernel of [[NearestCellsExpr]] (plan-literal
@@ -972,4 +978,132 @@ case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)],
   override protected def withNewChildInternal(newChild: Expression): BpeSegmentExpr =
     copy(child = newChild)
   override def prettyName: String = "bpe_segment"
+}
+
+/** Product-quantization encoder: maps a full vector to its m subspace code
+  * ids (nearest codebook centroid per subspace by SQUARED L2, ties to the
+  * lowest code — the classical PQ assignment metric; Jégou et al. 2011).
+  * ONE compiled pass emits all m codes — the per-subspace slice+argmin
+  * pipeline this replaces paid m Generate-free but still m column
+  * evaluations and m array allocations per row. The codebooks live in this
+  * expression instance (task-serialized once, like [[QueryTfExpr]]'s
+  * vocabulary), NOT unrolled into plan literals or codegen — plan size
+  * stays flat as ksub grows. Dimensions beyond the input's length read as
+  * 0.0 (short vectors encode against zero-padded subvectors).
+  */
+case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_encode needs at least one non-empty codebook per subspace")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(DoubleType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_encode requires array<double>, got $other")
+    }
+  }
+
+  @transient private lazy val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val offsets: Array[Int] =
+    books.scanLeft(0)((acc, b) => acc + b(0).length).init
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val m = books.length
+    val codes = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val off = offsets(j)
+      val sub = book(0).length
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d2 = 0.0
+        var i = 0
+        while (i < sub) {
+          val x = if (off + i < len) arr.getDouble(off + i) else 0.0
+          val d = x - cent(i)
+          d2 += d * d
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c } // strict: ties keep lowest c
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** ADC (asymmetric distance computation) lookup table for one query vector:
+  * out[j][c] = dot(query subvector j, codebook j centroid c). Evaluated
+  * ONCE PER QUERY ROW (queries are small by definition); the corpus-side
+  * scan then scores a row with m table lookups + adds instead of a full
+  * d-dim dot product — the whole point of PQ's memory/compute asymmetry.
+  * Codebooks carried in the expression instance like [[PqEncodeExpr]].
+  */
+case class PqLutExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_lut needs at least one non-empty codebook per subspace")
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(DoubleType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_lut requires array<double>, got $other")
+    }
+  }
+
+  @transient private lazy val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val offsets: Array[Int] =
+    books.scanLeft(0)((acc, b) => acc + b(0).length).init
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val m = books.length
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val off = offsets(j)
+      val sub = book(0).length
+      val row = new Array[Any](book.length)
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var dot = 0.0
+        var i = 0
+        while (i < sub) {
+          if (off + i < len) dot += arr.getDouble(off + i) * cent(i)
+          i += 1
+        }
+        row(c) = dot
+        c += 1
+      }
+      out(j) = new GenericArrayData(row)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+  override def prettyName: String = "pq_lut"
 }

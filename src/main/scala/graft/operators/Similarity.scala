@@ -517,4 +517,129 @@ object Similarity {
       round(aggregate(v, lit(0.0), (acc, x) => acc + x) / size(col(vecCol)).cast("double"), 6)
         .as("mean_component"))
   }
+
+  /** Train product-quantization codebooks (Jégou et al. 2011): the vector
+    * space splits into `m` equal subspaces, each with its own `ksub`-entry
+    * L2 codebook, so a d-dim float vector compresses to m small code ids —
+    * the MEMORY-bounded ANN path: a 100 TB float corpus becomes an
+    * m-bytes-per-row code table that fits where the vectors never will.
+    *
+    * Training discipline matches [[trainCentroids]]: ONE bounded
+    * deterministic hash sample (the `ksub * 32` smallest-xxhash vectors via
+    * distributed TakeOrdered — map-side partial top-K, never a full
+    * collect), then per-subspace seed selection + one k-means refinement
+    * step driver-side (L2 metric — the PQ assignment metric — with the
+    * same deterministic smallest-index tie policy). Total driver state is
+    * the sample (ksub*32 × d doubles; 256*32×64 ≈ 4 MB) and the codebooks
+    * (d × ksub doubles regardless of m). Deterministic for a given
+    * (corpus, m, ksub) — cacheable and retry-safe. Corpora smaller than
+    * ksub train a codebook per distinct sample vector. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 2, s"pqTrain needs m >= 1, ksub >= 2; got m=$m ksub=$ksub")
+    val sample: Array[Array[Double]] = corpus
+      .select(toDouble(col(vecCol)).as("_cv"), xxhash64(col(idCol)).as("_h"))
+      .orderBy(col("_h")).limit(ksub * 32)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample.map(_.length).max
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m $m")
+    val sub = dim / m
+
+    Array.tabulate(m) { j =>
+      val off = j * sub
+      // zero-padded subvectors (short vectors read as 0.0 past their end —
+      // the same convention PqEncodeExpr applies at assignment time)
+      val slices = sample.map { v =>
+        Array.tabulate(sub)(i => if (off + i < v.length) v(off + i) else 0.0)
+      }
+      val k = math.min(ksub, slices.length)
+      val seeds = slices.take(k)
+      def nearestSeed(v: Array[Double]): Int = {
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          val s = seeds(c)
+          var d2 = 0.0
+          var i = 0
+          while (i < sub) { val d = v(i) - s(i); d2 += d * d; i += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        best
+      }
+      // One k-means step; seeds with no assigned sample keep themselves
+      // (an empty cell is a valid, merely unused, codebook entry).
+      val assigned = slices.groupBy(nearestSeed)
+      Array.tabulate(k) { c =>
+        assigned.get(c) match {
+          case Some(vs) => Array.tabulate(sub)(i => vs.map(_(i)).sum / vs.length)
+          case None => seeds(c)
+        }
+      }
+    }
+  }
+
+  /** PQ approximate top-k with ADC scoring + exact re-rank — the third ANN
+    * path next to LSH (hash-bucketed) and IVF (cell-probed): PQ trades a
+    * small, RERANK-CORRECTED approximation error for a corpus
+    * representation of m code ids per vector (×32-or-more compression at
+    * dim 64 float), which is what makes billion-scale ANN fit in memory at
+    * all. The three compose in production (IVF-PQ); here PQ stands alone so
+    * its recall is attributable.
+    *
+    * Plan shape: (1) the corpus encodes MAP-SIDE into the (id, codes) index
+    * table — one compiled pass ([[graft.functions.PqEncodeExpr]]; codebooks
+    * ride the expression instance, task-serialized once, plan size flat in
+    * ksub); (2) each query builds its ADC lookup table ONCE
+    * ([[graft.functions.PqLutExpr]]) and broadcasts; the index scan scores a
+    * row with m array lookups + adds — never a d-dim dot product — into the
+    * bounded-heap top-`shortlist` (only shortlist rows per query cross the
+    * shuffle); (3) the shortlist (dimension-sized) broadcast-semi-joins the
+    * corpus to fetch full vectors — at scale an id-pruned scan of the
+    * vector store — and exact cosine re-ranks to the final k. Approximate
+    * ordering ranks by reconstructed cosine: dot from the LUT, vector norm
+    * from the query-independent per-code norm² table (a plan literal,
+    * d-doubles-sized). Zero-norm queries score NaN and drop, matching the
+    * exact path's degenerate-vector policy. */
+  def pqTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int, books: Array[Array[Array[Double]]],
+                 shortlist: Int = 0): DataFrame = {
+    val c = if (shortlist > 0) shortlist else math.max(8 * k, 64)
+    val booksSeq: Seq[Seq[Seq[Double]]] = books.map(_.map(_.toSeq).toSeq).toSeq
+    val norm2: Seq[Seq[Double]] = books.map(_.map(cent => cent.map(x => x * x).sum).toSeq).toSeq
+
+    val index = corpus
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+      .select(col("neighbor_id"),
+        graft.functions.NativeExprs.pqEncode(col("_cv"), booksSeq).as("_codes"))
+    val q = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
+      .select(col("query_id"),
+        graft.functions.NativeExprs.pqLut(col("_qv"), booksSeq).as("_lut"),
+        sqrt(aggregate(col("_qv"), lit(0.0), (acc, x) => acc + x * x)).as("_qnorm"))
+
+    val lookup = (table: Column) => // Σ_j table[j][codes[j]]
+      aggregate(zip_with(table, col("_codes"), (row, code) =>
+        element_at(row, code + 1)), lit(0.0), (acc, x) => acc + x)
+    val approx = lookup(col("_lut")) / (col("_qnorm") * sqrt(lookup(typedLit(norm2))))
+
+    val short = topKRank(
+      index.crossJoin(broadcast(q)).withColumn("_sim", approx), c)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+    val qv = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
+    topKRank(
+      cv.join(broadcast(short), "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .withColumn("_sim", cosine(col("_qv"), col("_cv"))),
+      k)
+  }
+
+  /** [[pqTopKWith]] with codebooks trained in place (m=8 subspaces, ksub=16
+    * codes — sized for the test corpora; production wants ksub=256/byte). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ksub: Int = 16): DataFrame =
+    pqTopKWith(queries, corpus, idCol, vecCol, k, pqTrain(corpus, idCol, vecCol, m, ksub))
 }

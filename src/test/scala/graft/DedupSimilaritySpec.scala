@@ -219,6 +219,62 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfR >= 0.9, f"IVF recall@10 $ivfR%.3f below the 0.9 gate")
   }
 
+  test("PQ: recall@10 >= 0.9 with re-rank, bounded codes, deterministic training") {
+    // Same clustered geometry as the LSH/IVF gate (30 clusters x 20
+    // members, sigma=0.05 jitter at dim 32) — PQ quantization error is
+    // small against a 0.3-ish inter-cluster separation, and the exact
+    // re-rank corrects shortlist ordering, so recall measures whether ADC
+    // scoring routes the true neighborhood into the shortlist at all.
+    val rnd = new java.util.Random(11L)
+    val dim = 32
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def jitter(c: Array[Double]): Seq[Float] =
+      c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq
+    val centers = Array.fill(30)(unit())
+    val corpus = for {
+      (c, ci) <- centers.zipWithIndex.toSeq
+      m <- 0 until 20
+    } yield ((ci * 20 + m).toLong, jitter(c))
+    val queries = centers.zipWithIndex.toSeq.map { case (c, ci) =>
+      (10000L + ci, jitter(c))
+    }
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val qdf = queries.toDF("vec_id", "embedding")
+
+    val books = Similarity.pqTrain(cdf, "vec_id", "embedding", m = 8, ksub = 16)
+    // shape: 8 codebooks of <= 16 centroids, each dim/m = 4 wide
+    assert(books.length == 8 && books.forall(b => b.length <= 16 && b.forall(_.length == 4)))
+    // deterministic: retraining yields byte-identical codebooks
+    val again = Similarity.pqTrain(cdf, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq == again.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // every corpus vector encodes to m in-range codes
+    val booksSeq: Seq[Seq[Seq[Double]]] = books.map(_.map(_.toSeq).toSeq).toSeq
+    val codes = cdf.select(graft.functions.NativeExprs.pqEncode(
+        col("embedding").cast("array<double>"), booksSeq).as("codes"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(cs => cs.length == 8 &&
+      cs.zipWithIndex.forall { case (c, j) => c >= 0 && c < books(j).length }))
+
+    val truth = Similarity.exactTopK(qdf, cdf, "vec_id", "embedding", 10)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val got = Similarity.pqTopKWith(qdf, cdf, "vec_id", "embedding", 10, books)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val per = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+    val recall = per.sum / per.size
+    info(f"PQ recall@10 over ${truth.size} queries: $recall%.3f")
+    assert(recall >= 0.9, f"PQ recall@10 $recall%.3f below the 0.9 gate")
+    // every query returns exactly k ranked rows
+    assert(got.values.forall(_.size == 10))
+  }
+
   test("sourceOverlap: exact per-pair bigram-vocabulary Jaccard, zero-overlap pairs omitted") {
     val docs = Seq(
       ("A", "a b c"), ("A", "c d"),    // A = {a b, b c, c d}
