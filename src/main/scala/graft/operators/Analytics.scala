@@ -254,7 +254,18 @@ object Analytics {
   def ntileBuckets(df: DataFrame, stratum: Column, value: Column,
                    id: Column, k: Int): DataFrame = {
     require(k >= 1, s"ntileBuckets needs k >= 1, got $k")
+    // Explicit null-key filter, for two reasons: (1) semantics — the
+    // rank-reassembly join on (stratum, value) is null-intolerant anyway,
+    // so null-keyed rows can never receive a bucket (made explicit rather
+    // than silent); (2) plan shape — without it the optimizer pushes
+    // DIFFERENT IsNotNull sets into the two branches that scan the input
+    // (ranked gets both keys, the count table only stratum), their
+    // canonical forms diverge, and the (stratum, value) exchange is
+    // computed twice instead of reused (the lm_bigram/ngram_novelty
+    // canonicalization trap). With it, both branches share one exchange
+    // (ReusedExchange, plan-asserted in the spec).
     val base = df.select(stratum.as("stratum"), value.as("value"), id.as("id"))
+      .where(col("stratum").isNotNull && col("value").isNotNull)
     val wIn = Window.partitionBy(col("stratum"), col("value")).orderBy(col("id"))
     val ranked = base.withColumn("_r_in", row_number().over(wIn))
     val sizes = ranked.groupBy(col("stratum"), col("value"))

@@ -174,6 +174,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(explodes <= 1, s"corpus exploded $explodes times:\n$p")
   }
 
+  test("tfidf_top explodes the corpus once; df from a token window; rank limit pushed") {
+    val p = planOf("tfidf_top")
+    val explodes = p.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes <= 1, s"corpus exploded $explodes times:\n$p")
+    // top-k per doc rides the rank-limit pushdown: partial WindowGroupLimit
+    // keeps <= k rows per doc per partition BEFORE the rank shuffle
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed:\n$p")
+  }
+
+  test("quality_deciles scans the corpus once: the count table reuses the rank exchange") {
+    val p = staticPlanOf("quality_deciles")
+    assert(p.contains("ReusedExchange"),
+      s"(stratum, value) exchange not reused — corpus scanned twice:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one documents scan, saw $scans:\n$p")
+  }
+
+  test("ann_pq: broadcast-only joins, bounded-heap aggregate, no sort-merge") {
+    val p = planOf("ann_pq")
+    assert(!p.contains("SortMergeJoin"), s"PQ search must never sort-merge:\n$p")
+    // the shortlist and re-rank both run through the bounded top-k heap
+    assert(p.contains("ObjectHashAggregate"), s"bounded-heap top-k missing:\n$p")
+  }
+
   test("ngram_novelty explodes once and takes df from a shingle window, not a join-back") {
     val p = planOf("ngram_novelty")
     val explodes = p.linesIterator.count(_.contains("Generate explode"))
