@@ -765,6 +765,15 @@ object SparkEntry {
       Similarity.pqTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10, pqBooks(s, d))
     }),
+    // §2.2 row 24d — IVF-PQ composed (cell-routed ADC + exact re-rank, the
+    // billion-vector production shape; rows-only, recall via ann_recall's
+    // ivfpq_nn + the recall@10 spec). Shares ann_ivf's centroids and
+    // ann_pq's codebooks — indexes train once, every searcher reuses them.
+    "ann_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", 10, ivfCentroids(s, d), pqBooks(s, d))
+    }),
     // §2.2 row 19 — embedding-cosine near-dup (banded + multiprobed +
     // verified) over a corpus with planted exact and perturbed duplicates
     "neardup_embedding" -> ((s, d) =>
@@ -798,7 +807,10 @@ object SparkEntry {
         ivfCentroids(s, d)), "ivf_nn")
       val pq = rank1(Similarity.pqTopKWith(q, e, "vec_id", "embedding", 1,
         pqBooks(s, d)), "pq_nn")
+      val ivfpq = rank1(Similarity.ivfPqTopKWith(q, e, "vec_id", "embedding", 1,
+        ivfCentroids(s, d), pqBooks(s, d)), "ivfpq_nn")
       lsh.join(ivf, Seq("query_id")).join(pq, Seq("query_id"))
+        .join(ivfpq, Seq("query_id"))
     }),
     // §2.2 row 25 — embedding column ops
     "embedding_norms" -> ((s, d) => Similarity.norms(Tables.embeddings(s, d), "vec_id", "embedding")),
@@ -1022,10 +1034,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys (ingest_discovery, ann_lsh, ann_ivf,
-    * ann_pq, approx_stats, winnow_fingerprint, bpe_train, bpe_segment) are
-    * non-SQL-expressible → driver's weaker rows-only check;
-    * ann_lsh/ann_ivf/ann_pq recall is gated by the oracled `ann_recall`,
-    * winnowing by `winnow_overlap`. */
+    * ann_pq, ann_ivfpq, approx_stats, winnow_fingerprint, bpe_train,
+    * bpe_segment) are non-SQL-expressible → driver's weaker rows-only
+    * check; ann_lsh/ann_ivf/ann_pq/ann_ivfpq recall is gated by the
+    * oracled `ann_recall`, winnowing by `winnow_overlap`. */
   def oracleSql: Map[String, String] = Map(
     "normalize_strings" ->
       """SELECT c_custkey,
@@ -1483,7 +1495,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
         |  FROM s)
         |SELECT query_id, neighbor_id AS lsh_nn, neighbor_id AS ivf_nn,
-        |  neighbor_id AS pq_nn
+        |  neighbor_id AS pq_nn, neighbor_id AS ivfpq_nn
         |FROM r WHERE rn = 1""".stripMargin,
     // Winnowing position-robustness invariant: every sampled doc must share
     // fingerprints with its prefix-shifted copy (and have a non-empty set).

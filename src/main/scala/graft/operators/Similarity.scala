@@ -642,4 +642,64 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, ksub: Int = 16): DataFrame =
     pqTopKWith(queries, corpus, idCol, vecCol, k, pqTrain(corpus, idCol, vecCol, m, ksub))
+
+  /** IVF-PQ — the two scale paths COMPOSED, the billion-vector production
+    * shape (faiss's IVFxx,PQyy with global codebooks): IVF routing bounds
+    * WHICH rows each query touches (nprobe cells instead of the whole
+    * index), PQ bounds WHAT each touched row costs (m code lookups against
+    * an m-byte entry instead of a d-dim float dot). The index table is
+    * (cell, id, codes) — built in ONE map-side pass over the corpus (cell
+    * assignment and PQ encoding are both compiled projections; the corpus
+    * never shuffles to build it), clustered by cell at rest so a probe
+    * reads only its cells' row groups.
+    *
+    * Search: each query explodes to its nprobe nearest cells and broadcasts
+    * with its ADC lookup table; the (cell)-keyed join prunes the index scan
+    * to the probed cells; ADC scores feed the bounded-heap top-`shortlist`;
+    * exact cosine re-ranks the fetched shortlist vectors to the final k —
+    * the same correction stage as [[pqTopKWith]], so quantization error
+    * affects recall only through shortlist membership.
+    *
+    * Codebooks here are GLOBAL (not per-cell residual): one codebook set
+    * serves every cell, so training stays one bounded sample and the
+    * encoder one expression. Residual encoding (faiss `by_residual`) buys
+    * finer quantization at the cost of per-(query, cell) lookup tables —
+    * with the exact re-rank stage the global-codebook variant already
+    * recovers the recall at these shortlist sizes (spec-gated ≥ 0.9). */
+  def ivfPqTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int,
+                    centroids: Array[(Int, Array[Double])],
+                    books: Array[Array[Array[Double]]],
+                    nprobe: Int = 0, shortlist: Int = 0): DataFrame = {
+    val probes = if (nprobe > 0) nprobe else adaptiveProbes(centroids.length)
+    val cShort = if (shortlist > 0) shortlist else math.max(8 * k, 64)
+    val booksSeq: Seq[Seq[Seq[Double]]] = books.map(_.map(_.toSeq).toSeq).toSeq
+    val norm2: Seq[Seq[Double]] = books.map(_.map(cent => cent.map(x => x * x).sum).toSeq).toSeq
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+    val cells = cellMaker(c, centroids, forceBroadcast = false)
+    val index = c.select(col("neighbor_id"),
+      cells(col("_cv"), 1)(0).as("cell"),
+      graft.functions.NativeExprs.pqEncode(col("_cv"), booksSeq).as("_codes"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
+      .select(col("query_id"),
+        explode(cells(col("_qv"), probes)).as("cell"),
+        graft.functions.NativeExprs.pqLut(col("_qv"), booksSeq).as("_lut"),
+        sqrt(aggregate(col("_qv"), lit(0.0), (acc, x) => acc + x * x)).as("_qnorm"))
+
+    val lookup = (table: Column) =>
+      aggregate(zip_with(table, col("_codes"), (row, code) =>
+        element_at(row, code + 1)), lit(0.0), (acc, x) => acc + x)
+    val approx = lookup(col("_lut")) / (col("_qnorm") * sqrt(lookup(typedLit(norm2))))
+
+    val short = topKRank(
+      index.join(broadcast(q), "cell").withColumn("_sim", approx), cShort)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
+    topKRank(
+      c.join(broadcast(short), "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .withColumn("_sim", cosine(col("_qv"), col("_cv"))),
+      k)
+  }
 }

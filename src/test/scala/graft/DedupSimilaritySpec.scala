@@ -273,6 +273,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"PQ recall@10 $recall%.3f below the 0.9 gate")
     // every query returns exactly k ranked rows
     assert(got.values.forall(_.size == 10))
+
+    // IVF-PQ composed: cell routing + ADC + re-rank holds the same gate
+    // (derived IVF sizing: 25 cells / 4 probes over the 600-row corpus)
+    val cents = Similarity.trainCentroids(cdf, "vec_id", "embedding")
+    val gotIvfPq = Similarity.ivfPqTopKWith(qdf, cdf, "vec_id", "embedding", 10,
+      cents, books)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val perI = truth.map { case (q, t) =>
+      gotIvfPq.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+    val recallI = perI.sum / perI.size
+    info(f"IVF-PQ recall@10 over ${truth.size} queries: $recallI%.3f")
+    assert(recallI >= 0.9, f"IVF-PQ recall@10 $recallI%.3f below the 0.9 gate")
   }
 
   test("sourceOverlap: exact per-pair bigram-vocabulary Jaccard, zero-overlap pairs omitted") {
