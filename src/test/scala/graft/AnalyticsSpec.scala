@@ -353,6 +353,29 @@ class AnalyticsSpec extends SparkSpec {
       "unpartitioned window in ntileBuckets plan")
   }
 
+  test("ntileBuckets parity holds on randomized skew/shape draws") {
+    // 5 fixed-seed draws over hostile shapes: k in {1, 3, 10}, value
+    // domains from 1 distinct value to near-unique, stratum counts 1-4 —
+    // each compared row-for-row against Spark's own window ntile
+    val rnd = new java.util.Random(99L)
+    for (trial <- 1 to 5) {
+      val k = Seq(1, 3, 10)(rnd.nextInt(3))
+      val nStrata = 1 + rnd.nextInt(4)
+      val nVals = 1 + rnd.nextInt(20)
+      val n = 1 + rnd.nextInt(120)
+      val rows = (1 to n).map(i =>
+        (s"s${rnd.nextInt(nStrata)}", rnd.nextInt(nVals), i))
+      val df = rows.toDF("s", "v", "id")
+      val got = Analytics.ntileBuckets(df, col("s"), col("v"), col("id"), k)
+        .select("stratum", "id", "bucket").as[(String, Int, Int)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s")).orderBy(col("v"), col("id"))
+      val want = df.withColumn("bucket", ntile(k).over(w))
+        .select("s", "id", "bucket").as[(String, Int, Int)].collect().toSet
+      assert(got == want, s"trial $trial (k=$k strata=$nStrata vals=$nVals n=$n)")
+    }
+  }
+
   test("movingAvg gap-fills the day spine and keeps DECIMAL sums through the frame") {
     val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
     // key "a": days 1, 2, 4 (day 3 absent -> spine fills it with 0)

@@ -288,6 +288,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recallI >= 0.9, f"IVF-PQ recall@10 $recallI%.3f below the 0.9 gate")
   }
 
+  test("pq_encode matches a brute-force per-subspace L2 argmin, incl. short vectors") {
+    val rnd = new java.util.Random(23L)
+    val m = 4
+    val sub = 3
+    val ksub = 5
+    val books: Seq[Seq[Seq[Double]]] =
+      Seq.fill(m)(Seq.fill(ksub)(Seq.fill(sub)(rnd.nextGaussian())))
+    // random full-length vectors plus SHORT ones (length not a multiple of
+    // the full dim — the zero-padding path)
+    val vecs: Seq[Seq[Double]] =
+      Seq.fill(8)(Seq.fill(m * sub)(rnd.nextGaussian())) ++
+      Seq(Seq.fill(5)(rnd.nextGaussian()), Seq.empty[Double])
+    val got = vecs.toDF("v")
+      .select(graft.functions.NativeExprs.pqEncode(
+        col("v").cast("array<double>"), books).as("codes"))
+      .as[Seq[Int]].collect()
+    def brute(v: Seq[Double]): Seq[Int] = (0 until m).map { j =>
+      val slice = (0 until sub).map(i =>
+        if (j * sub + i < v.length) v(j * sub + i) else 0.0)
+      (0 until ksub).minBy { c =>
+        val d2 = slice.zip(books(j)(c)).map { case (x, y) => (x - y) * (x - y) }.sum
+        (d2, c) // strict-< in the expression == minBy on (d2, index)
+      }
+    }
+    assert(got.toSeq.map(_.toList) == vecs.map(v => brute(v).toList))
+  }
+
   test("sourceOverlap: exact per-pair bigram-vocabulary Jaccard, zero-overlap pairs omitted") {
     val docs = Seq(
       ("A", "a b c"), ("A", "c d"),    // A = {a b, b c, c d}
