@@ -58,6 +58,10 @@ object GraftExtensions {
       args => NearestCellsDynExpr(args(0), args(1), intArg(args, 2, 1))),
     // aggregates register like scalar functions — the builder returns the
     // AggregateFunction and the analyzer wraps it in an AggregateExpression
+    ("graft_pq_encode",
+      info("graft_pq_encode",
+        "graft_pq_encode(vec array<double>, codebooks array<array<array<double>>>) -> array<int> (PQ codes: per-subspace L2 argmin)"),
+      args => PqEncodeDynExpr(args(0), args(1))),
     ("graft_misra_gries",
       info("graft_misra_gries",
         "graft_misra_gries(item string[, capacity]) -> array<struct<item,est>> (frequent-items sketch)"),

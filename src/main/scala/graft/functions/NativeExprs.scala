@@ -991,6 +991,47 @@ case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)],
   * stays flat as ksub grows. Dimensions beyond the input's length read as
   * 0.0 (short vectors encode against zero-padded subvectors).
   */
+/** Shared PQ-assignment kernel of [[PqEncodeExpr]] (codebooks in the
+  * expression instance) and [[PqEncodeDynExpr]] (codebooks as a column for
+  * SQL) — per subspace, the squared-L2 argmin with ties to the lowest
+  * code; dimensions past the input's length read as 0.0. */
+private[functions] object PqEncodeEval {
+  def apply(input: ArrayData, books: Array[Array[Array[Double]]],
+            offsets: Array[Int]): GenericArrayData = {
+    val len = input.numElements()
+    val m = books.length
+    val codes = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val off = offsets(j)
+      val sub = book(0).length
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d2 = 0.0
+        var i = 0
+        while (i < sub) {
+          val x = if (off + i < len) input.getDouble(off + i) else 0.0
+          val d = x - cent(i)
+          d2 += d * d
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c } // strict: ties keep lowest c
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  def offsetsOf(books: Array[Array[Array[Double]]]): Array[Int] =
+    books.scanLeft(0)((acc, b) => acc + b(0).length).init
+}
+
 case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     extends UnaryExpression with CodegenFallback {
   require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
@@ -1007,44 +1048,51 @@ case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 
   @transient private lazy val books: Array[Array[Array[Double]]] =
     codebooks.map(_.map(_.toArray).toArray).toArray
-  @transient private lazy val offsets: Array[Int] =
-    books.scanLeft(0)((acc, b) => acc + b(0).length).init
+  @transient private lazy val offsets: Array[Int] = PqEncodeEval.offsetsOf(books)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val len = arr.numElements()
-    val m = books.length
-    val codes = new Array[Any](m)
-    var j = 0
-    while (j < m) {
-      val book = books(j)
-      val off = offsets(j)
-      val sub = book(0).length
-      var best = 0
-      var bestD = Double.PositiveInfinity
-      var c = 0
-      while (c < book.length) {
-        val cent = book(c)
-        var d2 = 0.0
-        var i = 0
-        while (i < sub) {
-          val x = if (off + i < len) arr.getDouble(off + i) else 0.0
-          val d = x - cent(i)
-          d2 += d * d
-          i += 1
-        }
-        if (d2 < bestD) { bestD = d2; best = c } // strict: ties keep lowest c
-        c += 1
-      }
-      codes(j) = best
-      j += 1
-    }
-    new GenericArrayData(codes)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    PqEncodeEval(input.asInstanceOf[ArrayData], books, offsets)
 
   override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
     copy(child = newChild)
   override def prettyName: String = "pq_encode"
+}
+
+/** [[PqEncodeExpr]] with the codebooks supplied as an ordinary COLUMN —
+  * the SQL-callable variant (`graft_pq_encode`), the NearestCellsDynExpr
+  * pattern: SQL has no way to hand a Scala codebook literal to the
+  * planner, so it arrives as array<array<array<double>>> (usually a
+  * literal or scalar subquery). Intended for dimension-sized codebooks —
+  * the set is re-read per row. */
+case class PqEncodeDynExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_encode_dyn requires (array<double>, array<array<array<double>>>), got $other")
+    }
+  }
+
+  override protected def nullSafeEval(vec: Any, booksCol: Any): Any = {
+    val ba = booksCol.asInstanceOf[ArrayData]
+    val m = ba.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val books = Array.tabulate(m) { j =>
+      val bj = ba.getArray(j)
+      Array.tabulate(bj.numElements()) { c => bj.getArray(c).toDoubleArray() }
+    }
+    if (books.exists(_.isEmpty)) return null // a subspace without codes
+    PqEncodeEval(vec.asInstanceOf[ArrayData], books, PqEncodeEval.offsetsOf(books))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqEncodeDynExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_encode_dyn"
 }
 
 /** ADC (asymmetric distance computation) lookup table for one query vector:

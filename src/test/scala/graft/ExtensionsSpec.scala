@@ -41,6 +41,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == List("w1 w2 w3", "w4 w5 w6", "w7"))
   }
 
+  test("graft_pq_encode is SQL-callable and matches the library encoder") {
+    GraftExtensions.register(spark)
+    // 2 subspaces of width 2, 2 codes each; vector (1,0, 0,1) picks code 0
+    // in subspace 0 (closer to (1,0)) and code 1 in subspace 1
+    val row = spark.sql(
+      """SELECT graft_pq_encode(array(1.0d, 0.0d, 0.0d, 1.0d),
+        |  array(array(array(1.0d, 0.0d), array(0.0d, 1.0d)),
+        |        array(array(1.0d, 0.0d), array(0.0d, 1.0d)))) AS codes""".stripMargin)
+      .head()
+    assert(row.getSeq[Int](0).toList == List(0, 1))
+    // agrees with the library (instance-carried) encoder on the same input
+    val books: Seq[Seq[Seq[Double]]] =
+      Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val viaLib = Seq(Seq(1.0, 0.0, 0.0, 1.0)).toDF("v")
+      .select(graft.functions.NativeExprs.pqEncode(
+        col("v").cast("array<double>"), books))
+      .as[Seq[Int]].head()
+    assert(viaLib.toList == List(0, 1))
+  }
+
   test("query_tf: vocab-order hit structs, duplicate slots merged, null/empty safe") {
     import graft.functions.NativeExprs.queryTf
     val toks = graft.operators.TextAnalysis.tokens(col("t"))
