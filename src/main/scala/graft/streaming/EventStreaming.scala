@@ -142,6 +142,32 @@ object EventStreaming {
       col("r.ts") <= col("l.ts") + expr(s"INTERVAL $maxDelay"))
   }
 
+  /** Streaming heavy hitters: a Misra-Gries frequent-items sketch maintained
+    * ACROSS micro-batches by the streaming aggregation state store — the
+    * monitoring question "which tokens/sources/event types dominate the
+    * stream so far" answered continuously, without ever holding the full
+    * vocabulary (state per group is the sketch's <= capacity counters, the
+    * same bound the batch operator's shuffle buffers carry).
+    *
+    * The MG sketch is a mergeable summary, so Spark's partial/final
+    * streaming aggregation is exactly its algebra: each micro-batch folds
+    * map-side into bounded buffers, merges into the stored state, and the
+    * stored state IS a valid sketch of everything seen since the query
+    * started. The no-miss guarantee carries over: any item with frequency
+    * > n_total/(capacity+1) over the WHOLE stream history is in the
+    * candidate list. Estimated counts undercount by at most
+    * n_total/(capacity+1); items fewer than capacity distinct keep exact
+    * counts. Output (per group): the candidate array + the exact stream
+    * length, for thresholding downstream. Use Update/Complete mode — the
+    * aggregation is global per group, not windowed. */
+  def streamingHeavyHitters(items: DataFrame, itemCol: String, capacity: Int,
+                            groupCols: Seq[String] = Seq.empty): DataFrame =
+    items
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.MisraGriesAgg.misraGries(col(itemCol), capacity)
+          .as("candidates"),
+        count(lit(1)).as("n_total"))
+
   /** Raw-zone sink contract: append the staged metadata and write micro-batch
     * parquet (the consumer.py drain loop). Returns the started query. */
   def toRawZone(events: DataFrame, outDir: String, checkpointDir: String,

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{EventStreaming, StreamingPipeline}
 import graft.streaming.EventStreaming.Event
@@ -353,6 +353,60 @@ class StreamingSpec extends SparkSpec {
         assert(cleanAfter.length == cleanAfter.toSet.size) // no doc appended twice
         assert(spark.read.parquet(s"$root/out/index").count() == 3)
       } finally q2.stop()
+    } finally q.stop()
+  }
+
+  test("streamingHeavyHitters folds the MG sketch across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // capacity 4 >= distinct items in the test stream -> counts stay EXACT
+    // and must accumulate across batches through the state store
+    val q = EventStreaming.streamingHeavyHitters(
+        in.toDF().toDF("id", "tok"), "tok", 4)
+      .writeStream.format("memory").queryName("shh")
+      .outputMode(OutputMode.Complete).start()
+    def snap() = spark.table("shh")
+      .select(col("n_total"), explode(col("candidates")).as("c"))
+      .select(col("n_total"), col("c.item"), col("c.est"))
+      .as[(Long, String, Long)].collect()
+    try {
+      in.addData((1L, "a"), (2L, "a"), (3L, "b"))
+      q.processAllAvailable()
+      val s1 = snap()
+      assert(s1.map(r => r._2 -> r._3).toMap == Map("a" -> 2L, "b" -> 1L))
+      assert(s1.forall(_._1 == 3L))
+      in.addData((4L, "a"), (5L, "c"), (6L, "b"), (7L, "a"))
+      q.processAllAvailable()
+      val s2 = snap()
+      assert(s2.map(r => r._2 -> r._3).toMap == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+      assert(s2.forall(_._1 == 7L))
+    } finally q.stop()
+  }
+
+  test("streamingHeavyHitters keeps the no-miss guarantee under eviction pressure") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // capacity 2 with 6 distinct items: eviction fires, but "hot" has
+    // frequency 10/19 > n/(capacity+1) and MUST survive in the candidates
+    val q = EventStreaming.streamingHeavyHitters(
+        in.toDF().toDF("id", "tok"), "tok", 2)
+      .writeStream.format("memory").queryName("shh2")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData((1L to 5L).map(i => (i, "hot")) ++ Seq((6L, "x1"), (7L, "x2")): _*)
+      q.processAllAvailable()
+      in.addData((8L to 12L).map(i => (i, "hot")) ++
+        Seq((13L, "x3"), (14L, "x4"), (15L, "x5"), (16L, "x1"), (17L, "x2"),
+          (18L, "x3"), (19L, "x4")): _*)
+      q.processAllAvailable()
+      val cands = spark.table("shh2")
+        .select(explode(col("candidates")).as("c")).select(col("c.item"))
+        .as[String].collect().toSet
+      assert(cands.contains("hot"), s"heavy item evicted from $cands")
+      val total = spark.table("shh2").select(col("n_total")).as[Long].head()
+      assert(total == 19L)
     } finally q.stop()
   }
 }
