@@ -1029,7 +1029,21 @@ object SparkEntry {
       Analytics.movingAvg(Tables.events(s, d), col("event_type"), col("ts"),
         col("value"), 7)
         .select(col("key").as("event_type"), col("day"), col("n_events"),
-          col("day_value"), col("win_sum"), col("win_avg")))
+          col("day_value"), col("win_sum"), col("win_avg"))),
+    // §2.2 row 27i — CCNet-style perplexity bucketing: the corpus's own
+    // unigram LM score (row 27d) cut into per-language terciles by the
+    // exact-NTILE operator (row 29r) — bucket 3 = highest avg_logprob =
+    // lowest perplexity ("head"), bucket 1 = "tail". The composition the
+    // CCNet pipeline ships as its quality-stratified sampling input.
+    "ppl_buckets" -> ((s, d) => {
+      val lm = TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(lm, "doc_id")
+      Analytics.ntileBuckets(scored, col("lang"), col("avg_logprob"),
+        col("doc_id"), 3)
+        .select(col("id").as("doc_id"), col("stratum").as("lang"),
+          col("value").as("avg_logprob"), col("bucket").as("ppl_bucket"))
+    })
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -2221,6 +2235,21 @@ object SparkEntry {
         |SELECT event_type, day, n_events,
         |  CAST(rev AS DOUBLE) AS day_value, CAST(wsum AS DOUBLE) AS win_sum,
         |  round(CAST(wsum AS DOUBLE) / wn, 6) AS win_avg
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+    "ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |n AS (SELECT count(*) AS n_total FROM tok),
+        |lm AS (SELECT doc_id,
+        |    round(CAST(SUM(tf * CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
+        |  FROM tf JOIN vocab USING (token), n GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, d.lang, lm.avg_logprob
+        |  FROM documents d JOIN lm USING (doc_id))
+        |SELECT doc_id, lang, avg_logprob,
+        |  CAST(ntile(3) OVER (PARTITION BY lang
+        |    ORDER BY avg_logprob, doc_id) AS INT) AS ppl_bucket
+        |FROM j""".stripMargin
   )
 }
