@@ -39,6 +39,13 @@ import graft.sources.IngestDiscovery
   *     tokenizer zone, and annotates each document with `n_pieces` — its
   *     subword piece count, the sequence-budget currency downstream
   *     packing actually consumes.
+  *  4e. `ppl_buckets` — OPTIONAL (`pplBuckets = Some(k)`): CCNet-style
+  *     perplexity bucketing — each survivor annotated with its
+  *     per-`pplStratum` exact-NTILE bucket of the corpus's own unigram LM
+  *     score ([[TextAnalysis.lmScore]] +
+  *     [[graft.operators.Analytics.ntileBuckets]]; bucket k = highest
+  *     avg_logprob = lowest perplexity, the "head"). Annotates, never
+  *     drops — the label downstream quality-stratified sampling consumes.
   *  5. `shard_write`  — token-balanced shard assignment
   *     ([[TextAnalysis.shardTokenBudget]]) and a `partitionBy(shard)`
   *     layout write of the final corpus.
@@ -57,7 +64,9 @@ object CorpusPipeline {
              spanScrub: Option[Int] = None,
              embeddings: Option[DataFrame] = None,
              semanticThreshold: Double = 0.9,
-             bpeMerges: Option[Int] = None): DataFrame = {
+             bpeMerges: Option[Int] = None,
+             pplBuckets: Option[Int] = None,
+             pplStratum: String = "source"): DataFrame = {
     import spark.implicits._
     var reports = Vector.empty[Pipeline.StageReport]
     def timed(stage: String)(body: => Long): Unit = {
@@ -163,6 +172,22 @@ object CorpusPipeline {
         spark.read.parquet(s"$outRoot/tokenized/documents").count()
       }
       deduped = spark.read.parquet(s"$outRoot/tokenized/documents")
+    }
+
+    // 4e. optional perplexity bucketing: per-stratum exact-NTILE cut of
+    // the survivors' own unigram LM score (annotates, never drops)
+    pplBuckets.foreach { k =>
+      timed("ppl_buckets") {
+        val lm = TextAnalysis.lmScore(deduped, "doc_id", "text")
+        val scored = deduped.select(col("doc_id"), col(pplStratum)).join(lm, "doc_id")
+        val buckets = graft.operators.Analytics.ntileBuckets(scored,
+            col(pplStratum), col("avg_logprob"), col("doc_id"), k)
+          .select(col("id").as("doc_id"), col("bucket").as("ppl_bucket"))
+        deduped.join(buckets, Seq("doc_id"), "left")
+          .write.mode("overwrite").parquet(s"$outRoot/ppl/documents")
+        spark.read.parquet(s"$outRoot/ppl/documents").count()
+      }
+      deduped = spark.read.parquet(s"$outRoot/ppl/documents")
     }
 
     // 5. token-balanced shards, laid out one directory per shard

@@ -165,15 +165,23 @@ class PipelineSpec extends SparkSpec {
         minTokens = 10, minStopRatio = 0.0, maxDupFraction = 0.9,
         capPerSource = 10, nearDupThreshold = 0.8, numShards = 2,
         spanScrub = Some(4), embeddings = Some(emb), semanticThreshold = 0.95,
-        bpeMerges = Some(6))
+        bpeMerges = Some(6), pplBuckets = Some(2))
     val out = Files.createTempDirectory("graft_corpus_opt").toFile.getAbsolutePath
     val report = run(out, "run_c3")
       .as[Pipeline.StageReport].collect().map(r => r.stage -> r.rows).toMap
     assert(report.keySet == Set("ingest", "quality_gate", "source_cap", "dedup",
-      "span_scrub", "semantic_dedup", "tokenizer", "shard_write"))
+      "span_scrub", "semantic_dedup", "tokenizer", "ppl_buckets", "shard_write"))
     assert(report("span_scrub") == 5L)     // scrub rewrites, never drops
     assert(report("semantic_dedup") == 4L) // doc 4 dropped
     assert(report("tokenizer") == 4L)      // annotates, never drops
+    assert(report("ppl_buckets") == 4L)    // annotates, never drops
+    // 4 survivors in one stratum cut into 2 buckets of 2. Post-scrub every
+    // surviving token is corpus-unique, so all docs tie on the unigram LM
+    // and the NTILE falls to the deterministic doc_id tie-break: docs
+    // (1, 2) -> bucket 1, (3, 5) -> bucket 2
+    val ppl = spark.read.parquet(s"$out/shards/documents")
+      .select("doc_id", "ppl_bucket").as[(Long, Int)].collect().toMap
+    assert(ppl == Map(1L -> 1, 2L -> 1, 3L -> 2, 5L -> 2))
     // tokenizer artifact: at most the requested merges, ranked from 1
     val merges = spark.read.parquet(s"$out/tokenizer/merges")
       .select("rank").as[Int].collect().sorted
