@@ -606,28 +606,48 @@ object Similarity {
   def pqTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, k: Int, books: Array[Array[Array[Double]]],
                  shortlist: Int = 0): DataFrame = {
-    val c = if (shortlist > 0) shortlist else math.max(8 * k, 64)
+    val cShort = if (shortlist > 0) shortlist else math.max(8 * k, 64)
     val booksSeq: Seq[Seq[Seq[Double]]] = books.map(_.map(_.toSeq).toSeq).toSeq
-    val norm2: Seq[Seq[Double]] = books.map(_.map(cent => cent.map(x => x * x).sum).toSeq).toSeq
 
     val index = corpus
       .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
       .select(col("neighbor_id"),
         graft.functions.NativeExprs.pqEncode(col("_cv"), booksSeq).as("_codes"))
-    val q = queries
-      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
+    val q = pqQuerySide(queries, idCol, vecCol, booksSeq)
+    val scored = index.crossJoin(broadcast(q))
+      .withColumn("_sim", adcCosine(books))
+    adcRerank(queries, corpus, idCol, vecCol, scored, cShort, k)
+  }
+
+  /** Query-side ADC columns shared by [[pqTopKWith]] and [[ivfPqTopKWith]]:
+    * the per-query lookup table and L2 norm. */
+  private def pqQuerySide(queries: DataFrame, idCol: String, vecCol: String,
+                          booksSeq: Seq[Seq[Seq[Double]]]): DataFrame =
+    queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
       .select(col("query_id"),
         graft.functions.NativeExprs.pqLut(col("_qv"), booksSeq).as("_lut"),
         sqrt(aggregate(col("_qv"), lit(0.0), (acc, x) => acc + x * x)).as("_qnorm"))
 
+  /** Reconstructed-cosine ADC score over (_lut, _codes, _qnorm): dot from
+    * the per-query LUT, vector norm from the query-independent per-code
+    * norm² table (a plan literal, d-doubles-sized). */
+  private def adcCosine(books: Array[Array[Array[Double]]]): Column = {
+    val norm2: Seq[Seq[Double]] =
+      books.map(_.map(cent => cent.map(x => x * x).sum).toSeq).toSeq
     val lookup = (table: Column) => // Σ_j table[j][codes[j]]
       aggregate(zip_with(table, col("_codes"), (row, code) =>
         element_at(row, code + 1)), lit(0.0), (acc, x) => acc + x)
-    val approx = lookup(col("_lut")) / (col("_qnorm") * sqrt(lookup(typedLit(norm2))))
+    lookup(col("_lut")) / (col("_qnorm") * sqrt(lookup(typedLit(norm2))))
+  }
 
-    val short = topKRank(
-      index.crossJoin(broadcast(q)).withColumn("_sim", approx), c)
-      .select(col("query_id"), col("neighbor_id"))
+  /** Shared shortlist + exact-cosine re-rank tail of the two ADC searchers:
+    * bounded-heap top-`cShort` of the approximate scores, then a broadcast
+    * semi-join vector fetch (at scale an id-pruned scan of the vector
+    * store) re-ranked by true cosine to the final k. */
+  private def adcRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, scored: DataFrame,
+                        cShort: Int, k: Int): DataFrame = {
+    val short = topKRank(scored, cShort).select(col("query_id"), col("neighbor_id"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
     val qv = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
     topKRank(
@@ -674,32 +694,21 @@ object Similarity {
     val probes = if (nprobe > 0) nprobe else adaptiveProbes(centroids.length)
     val cShort = if (shortlist > 0) shortlist else math.max(8 * k, 64)
     val booksSeq: Seq[Seq[Seq[Double]]] = books.map(_.map(_.toSeq).toSeq).toSeq
-    val norm2: Seq[Seq[Double]] = books.map(_.map(cent => cent.map(x => x * x).sum).toSeq).toSeq
 
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
     val cells = cellMaker(c, centroids, forceBroadcast = false)
     val index = c.select(col("neighbor_id"),
       cells(col("_cv"), 1)(0).as("cell"),
       graft.functions.NativeExprs.pqEncode(col("_cv"), booksSeq).as("_codes"))
+    // one projection (not pqQuerySide + a join): the probe explode needs
+    // _qv, which the shared helper's projection drops
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
       .select(col("query_id"),
         explode(cells(col("_qv"), probes)).as("cell"),
         graft.functions.NativeExprs.pqLut(col("_qv"), booksSeq).as("_lut"),
         sqrt(aggregate(col("_qv"), lit(0.0), (acc, x) => acc + x * x)).as("_qnorm"))
-
-    val lookup = (table: Column) =>
-      aggregate(zip_with(table, col("_codes"), (row, code) =>
-        element_at(row, code + 1)), lit(0.0), (acc, x) => acc + x)
-    val approx = lookup(col("_lut")) / (col("_qnorm") * sqrt(lookup(typedLit(norm2))))
-
-    val short = topKRank(
-      index.join(broadcast(q), "cell").withColumn("_sim", approx), cShort)
-      .select(col("query_id"), col("neighbor_id"))
-    val qv = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
-    topKRank(
-      c.join(broadcast(short), "neighbor_id")
-        .join(broadcast(qv), "query_id")
-        .withColumn("_sim", cosine(col("_qv"), col("_cv"))),
-      k)
+    val scored = index.join(broadcast(q), "cell")
+      .withColumn("_sim", adcCosine(books))
+    adcRerank(queries, corpus, idCol, vecCol, scored, cShort, k)
   }
 }
