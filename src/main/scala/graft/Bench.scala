@@ -131,19 +131,20 @@ object Bench {
       n -> samples(n).min
     }
     // LAYOUT IS LOAD-BEARING: the downstream artifact keeps only the LAST
-    // ~2000 characters of stdout, and sbt appends a ~72-char "[success]"
-    // line after this one — so roughly the final 1927 chars of this line
-    // survive. Everything that must be readable from the artifact (the
-    // complete per-query map AND the host-speed calibration that round 9
-    // lost to exactly this truncation) lives in the TERMINAL segment
-    // `"queries":{...},"calib_sec":...,"calib_spread":...}`; the metadata
-    // prefix (value/n_ok/errors/spread) is the sacrificial buffer that
-    // truncation eats first, and every prefix field is recomputable from
-    // the queries map or recorded in BENCH_FULL.json. Query times are 2dp
-    // (10 ms granularity — below host noise) to fit ~91 entries plus the
-    // calibration inside the window; if the surface ever outgrows it, the
-    // cascade below sheds calib_spread, then drops queries to 1dp, rather
-    // than silently letting the tail push query times out of the window.
+    // ~2000 characters of stdout, and sbt appends a ~72-77 char "[success]"
+    // line after this one — so roughly the final 1922 chars of this line
+    // survive. The goal is the WHOLE line inside that window, as complete
+    // valid JSON: the per-query map, the host-speed calibration (which
+    // round 9 lost to exactly this truncation), and the metadata prefix.
+    // The printed queries dict is sorted ASCENDING by time, so if the line
+    // ever does overflow, truncation eats the sub-floor entries first, not
+    // the expensive interesting ones. The cascade: 2dp times → 1dp times →
+    // 1dp with the smallest (job-floor) entries explicitly CUT, the cut
+    // recorded as `cut_n`/`cut_max` fields that survive at the tail — an
+    // explicit documented cap, never a silent mid-dict truncation. The
+    // full run is always in BENCH_FULL.json at 3dp (107 queries at 1dp no
+    // longer fit whole: measured 2098-char segment vs the 1922 window, so
+    // level 3 is now the live level, cutting ~20 sub-0.3 s floor entries).
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     def r2(v: Double): Double = math.round(v * 100) / 100.0
     def r1(v: Double): Double = math.round(v * 10) / 10.0
@@ -156,31 +157,37 @@ object Bench {
     val calibAll = (calibBefore ++ calibrate(spark, 3)).sorted
     val calibSec = calibAll(calibAll.size / 2)
     val calibSpread = calibAll.last - calibAll.head
-    def qsDict(r: Double => Double): String =
-      timings.map { case (k, v) => s"${q(k)}:${r(v)}" }.mkString("{", ",", "}")
-    // 2000 artifact chars minus sbt's trailing "[success] Total time: ..."
-    // line (72-77 chars incl newline, worst case observed 77) minus this
-    // line's own newline. Measured at sf0.1: the full segment is ~1922 —
-    // the budget is deliberately exact, with the cascade as the safety net.
-    val tailBudget = 1922
-    val tailSeg = {
-      val full = s""""queries":${qsDict(r2)},"calib_sec":${r2(calibSec)},"calib_spread":${r2(calibSpread)}}"""
-      if (full.length <= tailBudget) full
-      else {
-        val noSpread = s""""queries":${qsDict(r2)},"calib_sec":${r2(calibSec)}}"""
-        if (noSpread.length <= tailBudget) noSpread
-        else s""""queries":${qsDict(r1)},"calib_sec":${r2(calibSec)}}"""
-      }
-    }
+    def dictOf(entries: Seq[(String, Double)], r: Double => Double): String =
+      entries.map { case (k, v) => s"${q(k)}:${r(v)}" }.mkString("{", ",", "}")
+    val asc = timings.sortBy(_._2)
+    val calibPart =
+      s""""calib_sec":${r2(calibSec)},"calib_spread":${r2(calibSpread)}}"""
     val prefix =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"spread_total":${r3(totalSpread)},"spread_top5":$sp,"""
+    // 2000 artifact chars minus the trailing sbt line minus this line's own
+    // newline; the prefix spends part of it, the tail segment gets the rest.
+    val tailBudget = 1922 - prefix.length
+    val lvl1 = s""""queries":${dictOf(asc, r2)},""" + calibPart
+    val lvl2 = s""""queries":${dictOf(asc, r1)},""" + calibPart
+    val tailSeg =
+      if (lvl1.length <= tailBudget) lvl1
+      else if (lvl2.length <= tailBudget) lvl2
+      else {
+        var cut = 0
+        var seg = lvl2
+        while (seg.length > tailBudget && cut < asc.size) {
+          cut += 1
+          seg = s""""queries":${dictOf(asc.drop(cut), r1)},"cut_n":$cut,"cut_max":${r2(asc(cut - 1)._2)},""" + calibPart
+        }
+        seg
+      }
     println(prefix + tailSeg)
     // Full-precision (3dp) record of the same run, immune to the artifact's
     // tail capture — written next to the repo's per-round artifacts so the
     // complete numbers are always recoverable even if the line above is cut.
     try {
       val full = prefix +
-        s""""queries":${qsDict(r3)},"calib_sec":${r3(calibSec)},"calib_spread":${r3(calibSpread)}}"""
+        s""""queries":${dictOf(timings, r3)},"calib_sec":${r3(calibSec)},"calib_spread":${r3(calibSpread)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Exception => () }
