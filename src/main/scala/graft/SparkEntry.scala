@@ -814,6 +814,20 @@ object SparkEntry {
     }),
     // §2.2 row 25 — embedding column ops
     "embedding_norms" -> ((s, d) => Similarity.norms(Tables.embeddings(s, d), "vec_id", "embedding")),
+    // §2.2 row 25e — component covariance matrix (PCA/whitening input):
+    // one corpus scan, pair products map-side, dimension²-sized shuffle
+    "embedding_cov" -> ((s, d) =>
+      Similarity.embeddingCovariance(Tables.embeddings(s, d), "embedding")),
+    // §2.2 row 25e — whitened top-8 PCA projection (rows-only: the basis
+    // comes from a driver eigensolve, not SQL; correctness spec-gated —
+    // orthonormal basis, descending eigenvalues, unit projected variance,
+    // in-memory parity — while the distributed pass is the oracled
+    // embedding_cov)
+    "embedding_pca" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pcaProject(e, "vec_id", "embedding", 8, whiten = true)
+        .select(col("vec_id"), col("proj"))
+    }),
     // §2.2 row 26 — multimodal binary plumbing (metadata path)
     "multimodal_meta" -> ((s, d) =>
       Multimodal.metaTable(Multimodal.packBinary(Tables.documents(s, d), "doc_id", "text"))),
@@ -1049,9 +1063,10 @@ object SparkEntry {
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys (ingest_discovery, ann_lsh, ann_ivf,
     * ann_pq, ann_ivfpq, approx_stats, winnow_fingerprint, bpe_train,
-    * bpe_segment) are non-SQL-expressible → driver's weaker rows-only
-    * check; ann_lsh/ann_ivf/ann_pq/ann_ivfpq recall is gated by the
-    * oracled `ann_recall`, winnowing by `winnow_overlap`. */
+    * bpe_segment, embedding_pca) are non-SQL-expressible → driver's weaker
+    * rows-only check; ann_lsh/ann_ivf/ann_pq/ann_ivfpq recall is gated by
+    * the oracled `ann_recall`, winnowing by `winnow_overlap`, and
+    * embedding_pca's distributed pass by the oracled `embedding_cov`. */
   def oracleSql: Map[String, String] = Map(
     "normalize_strings" ->
       """SELECT c_custkey,
@@ -1745,6 +1760,23 @@ object SparkEntry {
         |  CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame_idx,
         |  CAST(least(64, n - CAST(unnest(range(0, n_frames, 4)) AS INT) * 64) AS INT) AS frame_bytes
         |FROM f""".stripMargin,
+    "embedding_cov" ->
+      """WITH u AS (SELECT vec_id, unnest(
+        |    [{'i': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
+        |     for i in range(1, len(embedding) + 1)]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e.i AS i, e.x AS x FROM u),
+        |p AS (SELECT a.i AS i, b.i AS j, a.x AS xi, b.x AS xj
+        |  FROM m a JOIN m b ON a.vec_id = b.vec_id AND b.i >= a.i),
+        |agg AS (SELECT i, j, count(*) AS n,
+        |    SUM(CAST(xi * xj AS DECIMAL(28,12))) AS sxy,
+        |    SUM(CAST(xi AS DECIMAL(28,12))) AS sx,
+        |    SUM(CAST(xj AS DECIMAL(28,12))) AS sy
+        |  FROM p GROUP BY i, j)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  CAST(n AS BIGINT) AS n_vecs,
+        |  round(CAST(sxy AS DOUBLE) / n
+        |    - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6) + 0.0 AS cov
+        |FROM agg""".stripMargin,
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v,

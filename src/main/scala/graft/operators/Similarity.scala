@@ -711,4 +711,183 @@ object Similarity {
       .withColumn("_sim", adcCosine(books))
     adcRerank(queries, corpus, idCol, vecCol, scored, cShort, k)
   }
+
+  /** Pairwise covariance matrix of the embedding components (upper
+    * triangle incl. the diagonal, population covariance) — the input PCA /
+    * whitening consumes, and a corpus diagnostic in its own right (which
+    * dimensions are degenerate or redundant before an ANN index or
+    * SemDeDup pass is built over them).
+    *
+    * Postings discipline, ONE corpus scan, NO join: posexplode to
+    * (i, x_i) carrying the vector's tail slice, a second map-side explode
+    * emits each ordered pair's product — then one (i, j)-keyed aggregation
+    * whose map-side combine collapses the d(d+1)/2-per-row fan-out to at
+    * most d(d+1)/2 groups per partition BEFORE the exchange: the shuffle
+    * carries dimension²-sized partials, never the corpus. The per-pair
+    * x_i/x_j sums ride the SAME aggregation (every vector contributes
+    * exactly one row to each (i, j) group, so the group's sum(x_i) IS
+    * n·mean_i) — the means never need a second pass or a join-back. All
+    * three sums go through DECIMAL(28,12) (the cast rounds each product
+    * once) so the result is accumulation-order independent and
+    * engine-stable. Output: (i, j, n_vecs, cov 6dp) for i <= j. */
+  def embeddingCovariance(vectors: DataFrame, vecCol: String): DataFrame =
+    vectors
+      .select(toDouble(col(vecCol)).as("_v"))
+      .select(col("_v"), posexplode(col("_v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("_v"), col("i") + lit(1), size(col("_v")) - col("i")))
+          .as(Seq("jj", "xj")))
+      .groupBy(col("i"), (col("i") + col("jj")).as("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("xi") * col("xj")).cast("decimal(28,12)")).as("_sxy"),
+        sum(col("xi").cast("decimal(28,12)")).as("_sx"),
+        sum(col("xj").cast("decimal(28,12)")).as("_sy"))
+      .select(col("i"), col("j"), col("n_vecs"),
+        // + 0.0 collapses IEEE -0.0 to +0.0 (a tiny negative covariance
+        // rounds to a signed zero in some engines but not others)
+        (round(col("_sxy").cast("double") / col("n_vecs")
+          - (col("_sx").cast("double") / col("n_vecs"))
+            * (col("_sy").cast("double") / col("n_vecs")), 6) + lit(0.0)).as("cov"))
+
+  /** Eigendecomposition of a symmetric matrix by cyclic Jacobi rotations —
+    * pure sequential driver math over the DIMENSION-sized covariance
+    * matrix (64×64 here; the corpus never participates). Deterministic:
+    * fixed sweep order, convergence on off-diagonal mass, eigenpairs
+    * sorted by descending eigenvalue (index-ascending on exact ties) and
+    * sign-fixed so each vector's largest-|component| entry is positive.
+    * Returns (eigenvalues desc, eigenvectors as rows). */
+  private[graft] def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var p = 0
+      while (p < d) { var q = p + 1; while (q < d) { s += a(p)(q) * a(p)(q); q += 1 }; p += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 100 && off() > 1e-18) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                    else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val eig = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val w = Array.tabulate(d)(k => v(k)(i))
+      var best = 0
+      var k = 1
+      while (k < d) { if (math.abs(w(k)) > math.abs(w(best))) best = k; k += 1 }
+      if (w(best) < 0) w.map(-_) else w
+    }.toArray
+    (eig, vecs)
+  }
+
+  /** PCA basis over an embedding corpus: means, eigenvalues (descending)
+    * and the top-k principal components. The distributed work is the one
+    * [[embeddingCovariance]] pass; the collect is the d(d+1)/2-row
+    * covariance table (dimension-sized — 2080 doubles at dim 64, bounded
+    * by construction like the centroid collects), and the eigensolve is
+    * [[jacobiEigen]] on the driver. The basis trains on the 6dp-ROUNDED
+    * covariance, so it is bit-identical across partitionings and engines.
+    * Memoized per (session, canonicalized corpus plan, k). */
+  def pcaTrain(vectors: DataFrame, vecCol: String,
+               k: Int): (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val sess = vectors.sparkSession
+    val key = (sess, vectors.select(toDouble(col(vecCol))).queryExecution
+      .analyzed.canonicalized.toString, k)
+    pcaCache.synchronized {
+      pcaCache.getOrElseUpdate(key, {
+        val rows = embeddingCovariance(vectors, vecCol)
+          .select(col("i"), col("j"), col("n_vecs"), col("cov")).collect()
+        val d = rows.iterator.map(_.getInt(1)).max + 1
+        val cov = Array.ofDim[Double](d, d)
+        val nTotal = rows.head.getLong(2)
+        rows.foreach { r =>
+          val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(3))
+          cov(i)(j) = c; cov(j)(i) = c
+        }
+        // means from the same aggregation identity the covariance used:
+        // the (i, i) group's sx is n·mean_i — but sx was not emitted, so
+        // one dimension-sized pass recovers them with the same DECIMAL
+        // discipline (labelCentroids' shape with a single global label).
+        val means = vectors
+          .select(posexplode(toDouble(col(vecCol))).as(Seq("i", "x")))
+          .groupBy(col("i"))
+          .agg(sum(col("x").cast("decimal(28,12)")).as("_s"), count(lit(1)).as("_n"))
+          .select(col("i"), round(col("_s").cast("double") / col("_n"), 6).as("m"))
+          .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+        require(means.length == d, s"dim mismatch: cov $d vs means ${means.length}")
+        require(nTotal > 0, "pcaTrain: empty corpus")
+        val (eig, vecs) = jacobiEigen(cov)
+        (means, eig.take(k), vecs.take(k))
+      })
+    }
+  }
+
+  private val pcaCache =
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String, Int),
+      (Array[Double], Array[Double], Array[Array[Double]])]
+
+  /** Project (and optionally whiten) an embedding corpus onto its top-k
+    * principal components — the dimensionality-reduction / whitening step
+    * run before ANN indexing or SemDeDup when raw embedding components
+    * are correlated. The basis and means ride the projection as plan
+    * literals (k·d + d doubles — dimension-sized); the corpus projects
+    * MAP-SIDE in one codegen'd pass of higher-order functions: no
+    * shuffle, no join, nothing collected. Whitening divides each
+    * component by sqrt(eigenvalue) (floored at 1e-12) so the projected
+    * components have ~unit variance. Output: (id, proj array<double>
+    * rounded 6dp). */
+  def pcaProject(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+                 whiten: Boolean = false): DataFrame = {
+    val (means, eig, basis) = pcaTrain(vectors, vecCol, k)
+    val meansLit = array(means.map(lit(_)).toIndexedSeq: _*)
+    val comps = basis.zip(eig).map { case (w, e) =>
+      val scaleInv = if (whiten) 1.0 / math.sqrt(math.max(e, 1e-12)) else 1.0
+      val wLit = array(w.map(x => lit(x * scaleInv)).toIndexedSeq: _*)
+      wLit
+    }
+    val centered = zip_with(toDouble(col(vecCol)), meansLit, (x, m) => x - m)
+    val proj = array(comps.map(wLit =>
+      round(aggregate(zip_with(centered, wLit, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x), 6)).toIndexedSeq: _*)
+    vectors.select(col(idCol), proj.as("proj"))
+  }
 }

@@ -586,4 +586,77 @@ class DedupSimilaritySpec extends SparkSpec {
       ("u/a", "u/a", true), ("u/b", "u/b", true),
       ("u/c", "u/b", false), ("u/d", "u/b", false)))
   }
+
+  test("embeddingCovariance matches the in-memory population covariance") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(2.0f, 1.0f, 5.0f)),
+      (3L, Seq(0.0f, 4.0f, 1.0f)),
+      (4L, Seq(3.0f, 3.0f, 2.0f)))
+    val out = Similarity.embeddingCovariance(vecs.toDF("vec_id", "embedding"), "embedding")
+      .as[(Int, Int, Long, Double)].collect()
+      .map { case (i, j, n, c) => ((i, j), (n, c)) }.toMap
+    val d = 3; val n = vecs.size
+    val xs = vecs.map(_._2.map(_.toDouble))
+    val mean = (0 until d).map(i => xs.map(_(i)).sum / n)
+    assert(out.size == d * (d + 1) / 2)
+    for (i <- 0 until d; j <- i until d) {
+      val exp = xs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+      val (nn, c) = out((i, j))
+      assert(nn == n)
+      assert(math.abs(c - exp) < 1e-5, s"cov($i,$j): $c vs $exp")
+    }
+  }
+
+  test("jacobiEigen: orthonormal basis, descending eigenvalues, A v = lambda v") {
+    val m = Array(
+      Array(4.0, 1.0, 0.5),
+      Array(1.0, 3.0, 0.2),
+      Array(0.5, 0.2, 1.0))
+    val (eig, vecs) = Similarity.jacobiEigen(m)
+    assert(eig.sliding(2).forall(p => p(0) >= p(1) - 1e-12), "eigenvalues not descending")
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val dot = (0 until 3).map(k => vecs(a)(k) * vecs(b)(k)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9,
+        s"basis not orthonormal at ($a,$b): $dot")
+    }
+    for (c <- 0 until 3; r <- 0 until 3) {
+      val av = (0 until 3).map(k => m(r)(k) * vecs(c)(k)).sum
+      assert(math.abs(av - eig(c) * vecs(c)(r)) < 1e-8, s"A v != lambda v at ($c,$r)")
+    }
+  }
+
+  test("PCA: top-2 basis captures planted rank-2 structure; whitened variance ~1; order-independent") {
+    // deterministic rank-2 data + tiny deterministic noise
+    val d = 8
+    val rows = (0 until 200).map { r =>
+      val a = math.sin(r * 1.7) * 4
+      val b = math.cos(r * 0.9) * 2
+      (r.toLong, (0 until d).map(i =>
+        ((if (i < 4) a * 0.5 else b * 0.5) +
+          0.001 * ((r * 31 + i * 17) % 7 - 3)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (means, eig, basis) = Similarity.pcaTrain(df, "embedding", 2)
+    assert(means.length == d && basis.forall(_.length == d))
+    // planted structure is rank 2: the top-2 eigenvalues carry ~all variance
+    val fullEig = Similarity.pcaTrain(df, "embedding", d)._2
+    assert(eig.sum / fullEig.sum > 0.999, s"top-2 variance share ${eig.sum / fullEig.sum}")
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding", 2, whiten = true)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    for (c <- 0 until 2) {
+      val xs = proj.map(_._2(c))
+      val m0 = xs.sum / xs.length
+      val v = xs.map(x => (x - m0) * (x - m0)).sum / xs.length
+      assert(math.abs(v - 1.0) < 0.05, s"whitened component $c variance $v")
+    }
+    // row order must not matter: a reversed corpus (different plan, fresh
+    // training — the memo keys on the canonical plan) yields the same
+    // basis and projections, because the covariance is DECIMAL-summed and
+    // the eigensolve is deterministic driver math
+    val proj2 = Similarity.pcaProject(rows.reverse.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 2, whiten = true)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(proj.toSeq == proj2.toSeq)
+  }
 }

@@ -312,4 +312,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes.count(_ == "Generate") == 2,
       s"expected 2 Generates (metric explode + drift stack), got: $nodes")
   }
+
+  test("embedding_cov: one scan, pair products map-side, no join, partial agg before the exchange") {
+    // the pair fan-out (two chained Generates) must stay map-side and
+    // collapse through partial aggregation BEFORE the shuffle — a
+    // self-join formulation would exchange the exploded corpus instead of
+    // dimension²-sized partials
+    val nodes = logicalNodes("embedding_cov")
+    assert(!nodes.contains("Join"), s"covariance must never self-join: $nodes")
+    assert(nodes.count(_ == "Generate") == 2,
+      s"expected 2 chained Generates (component + pair explode), got: $nodes")
+    val p = planOf("embedding_cov")
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial_")),
+      s"expected map-side partial aggregation:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"expected a single corpus scan:\n$p")
+  }
 }
