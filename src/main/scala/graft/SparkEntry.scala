@@ -268,6 +268,16 @@ object SparkEntry {
         Tables.embeddings(s, dir).filter(col("vec_id") >= 5), "vec_id", "embedding",
         m = 8, ksub = 16))
 
+  /** Residual PQ codebooks (trained on x − centroid(cell), sharing the IVF
+    * centroids) — once per dir, shared by `ann_ivfpq_res` and `ann_recall`. */
+  private val pqResBookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private def pqResBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqResBookCache.computeIfAbsent(dir, _ =>
+      Similarity.pqTrainResidual(
+        Tables.embeddings(s, dir).filter(col("vec_id") >= 5), "vec_id", "embedding",
+        ivfCentroids(s, dir), m = 8, ksub = 16))
+
   /** Surrogate-keyed dimensions built once per testdata dir and SHARED
     * across the star queries — exactly the reference DWH's shape, where the
     * dimension tables are materialized once and both facts resolve against
@@ -774,6 +784,16 @@ object SparkEntry {
       Similarity.ivfPqTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10, ivfCentroids(s, d), pqBooks(s, d))
     }),
+    // §2.2 row 24e — IVF-PQ with RESIDUAL encoding (faiss by_residual):
+    // codes quantize x − centroid(cell); inner-product ADC keeps the LUT
+    // per-query (only the scalar <q, c> is per-probe). Rows-only; recall
+    // gated by ann_recall's ivfpqr_nn column + the recall@10 spec.
+    "ann_ivfpq_res" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqResidualTopKWith(e.filter(col("vec_id") < 5),
+        e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", 10, ivfCentroids(s, d), pqResBooks(s, d))
+    }),
     // §2.2 row 19 — embedding-cosine near-dup (banded + multiprobed +
     // verified) over a corpus with planted exact and perturbed duplicates
     "neardup_embedding" -> ((s, d) =>
@@ -809,8 +829,10 @@ object SparkEntry {
         pqBooks(s, d)), "pq_nn")
       val ivfpq = rank1(Similarity.ivfPqTopKWith(q, e, "vec_id", "embedding", 1,
         ivfCentroids(s, d), pqBooks(s, d)), "ivfpq_nn")
+      val ivfpqr = rank1(Similarity.ivfPqResidualTopKWith(q, e, "vec_id", "embedding", 1,
+        ivfCentroids(s, d), pqResBooks(s, d)), "ivfpqr_nn")
       lsh.join(ivf, Seq("query_id")).join(pq, Seq("query_id"))
-        .join(ivfpq, Seq("query_id"))
+        .join(ivfpq, Seq("query_id")).join(ivfpqr, Seq("query_id"))
     }),
     // §2.2 row 25 — embedding column ops
     "embedding_norms" -> ((s, d) => Similarity.norms(Tables.embeddings(s, d), "vec_id", "embedding")),
@@ -1062,11 +1084,12 @@ object SparkEntry {
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys (ingest_discovery, ann_lsh, ann_ivf,
-    * ann_pq, ann_ivfpq, approx_stats, winnow_fingerprint, bpe_train,
-    * bpe_segment, embedding_pca) are non-SQL-expressible → driver's weaker
-    * rows-only check; ann_lsh/ann_ivf/ann_pq/ann_ivfpq recall is gated by
-    * the oracled `ann_recall`, winnowing by `winnow_overlap`, and
-    * embedding_pca's distributed pass by the oracled `embedding_cov`. */
+    * ann_pq, ann_ivfpq, ann_ivfpq_res, approx_stats, winnow_fingerprint,
+    * bpe_train, bpe_segment, embedding_pca) are non-SQL-expressible →
+    * driver's weaker rows-only check; the five approximate ANN paths'
+    * recall is gated by the oracled `ann_recall`, winnowing by
+    * `winnow_overlap`, and embedding_pca's distributed pass by the
+    * oracled `embedding_cov`. */
   def oracleSql: Map[String, String] = Map(
     "normalize_strings" ->
       """SELECT c_custkey,
@@ -1524,7 +1547,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
         |  FROM s)
         |SELECT query_id, neighbor_id AS lsh_nn, neighbor_id AS ivf_nn,
-        |  neighbor_id AS pq_nn, neighbor_id AS ivfpq_nn
+        |  neighbor_id AS pq_nn, neighbor_id AS ivfpq_nn,
+        |  neighbor_id AS ivfpqr_nn
         |FROM r WHERE rn = 1""".stripMargin,
     // Winnowing position-robustness invariant: every sampled doc must share
     // fingerprints with its prefix-shifted copy (and have a non-empty set).

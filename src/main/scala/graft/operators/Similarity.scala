@@ -680,12 +680,12 @@ object Similarity {
     * the same correction stage as [[pqTopKWith]], so quantization error
     * affects recall only through shortlist membership.
     *
-    * Codebooks here are GLOBAL (not per-cell residual): one codebook set
-    * serves every cell, so training stays one bounded sample and the
-    * encoder one expression. Residual encoding (faiss `by_residual`) buys
-    * finer quantization at the cost of per-(query, cell) lookup tables —
-    * with the exact re-rank stage the global-codebook variant already
-    * recovers the recall at these shortlist sizes (spec-gated ≥ 0.9). */
+    * Codebooks here are GLOBAL (not residual): one codebook set serves
+    * every cell, so training stays one bounded sample and the encoder one
+    * expression; with the exact re-rank stage this variant already
+    * recovers the recall at these shortlist sizes (spec-gated ≥ 0.9).
+    * [[ivfPqResidualTopKWith]] is the residual-encoded refinement (faiss
+    * `by_residual`) for when the shortlist has to shrink. */
   def ivfPqTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, k: Int,
                     centroids: Array[(Int, Array[Double])],
@@ -709,6 +709,93 @@ object Similarity {
         sqrt(aggregate(col("_qv"), lit(0.0), (acc, x) => acc + x * x)).as("_qnorm"))
     val scored = index.join(broadcast(q), "cell")
       .withColumn("_sim", adcCosine(books))
+    adcRerank(queries, corpus, idCol, vecCol, scored, cShort, k)
+  }
+
+  /** Broadcastable (cell, centroid vector) table — dimension-sized by
+    * construction (≤ 65536 cells × dim doubles), the carrier both residual
+    * paths use to subtract each row's OWN cell centroid map-side. */
+  private def centroidTable(df: DataFrame,
+                            centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    centroids.map { case (id, v) => (id, v.toSeq) }.toSeq.toDF("cell", "_centv")
+  }
+
+  /** Element-wise residual x − centroid, null-safe for short vectors (a
+    * missing element reads as 0.0 — the same zero-pad convention pqTrain
+    * and PqEncodeExpr apply). */
+  private def resid(v: Column, cent: Column): Column =
+    zip_with(v, cent, (x, m) => coalesce(x, lit(0.0)) - coalesce(m, lit(0.0)))
+
+  /** Train PQ codebooks on RESIDUALS x − centroid(cell(x)) — the faiss
+    * `by_residual` training step: after IVF routing, what a cell's rows
+    * differ by is their residual, whose spread is a fraction of the
+    * corpus's, so the same ksub codes quantize it proportionally finer.
+    * One map-side pass forms the residuals (cell assignment + a broadcast
+    * centroid-vector join), then the [[pqTrain]] discipline (bounded
+    * deterministic hash sample, driver k-means step) runs unchanged over
+    * them. */
+  def pqTrainResidual(corpus: DataFrame, idCol: String, vecCol: String,
+                      centroids: Array[(Int, Array[Double])],
+                      m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val c = corpus.select(col(idCol).as("_rid"), toDouble(col(vecCol)).as("_cv"))
+    val cells = cellMaker(c, centroids, forceBroadcast = false)
+    val res = c.withColumn("cell", cells(col("_cv"), 1)(0))
+      .join(broadcast(centroidTable(c, centroids)), "cell")
+      .select(col("_rid"), resid(col("_cv"), col("_centv")).as("_res"))
+    pqTrain(res, "_rid", "_res", m, ksub)
+  }
+
+  /** IVF-PQ with RESIDUAL encoding (faiss `by_residual = true`) — the
+    * refinement over [[ivfPqTopKWith]]'s global codebooks: each index row
+    * stores PQ codes of x − c(cell), so quantization error scales with the
+    * within-cell spread instead of the corpus spread.
+    *
+    * The classical objection to residual encoding — per-(query, cell)
+    * lookup tables — applies to L2 ADC, where the LUT is built from the
+    * query's own residual q − c. Ranking by reconstructed INNER PRODUCT
+    * dissolves it: ⟨q, x̂⟩ = ⟨q, c⟩ + ⟨q, r̂⟩, where the ⟨q, r̂⟩ LUT
+    * depends only on the query (subvector dots against the residual
+    * codebooks — the same [[graft.functions.NativeExprs.pqLut]] as the
+    * global path) and the per-cell part collapses to ONE scalar ⟨q, c⟩,
+    * computed in the probe-exploded query projection (nprobe d-dim dots
+    * per query, dimension-sized). The index build stays one map-side pass
+    * (cell assignment + broadcast centroid join + compiled residual
+    * encode); each row also carries its EXACT vector norm (one double —
+    * the standard IP/cosine-metric companion), so the ADC cosine needs no
+    * reconstructed-norm table. Shortlist + exact re-rank tail shared with
+    * the other ADC searchers; zero-norm vectors score NaN and drop. */
+  def ivfPqResidualTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
+                            vecCol: String, k: Int,
+                            centroids: Array[(Int, Array[Double])],
+                            resBooks: Array[Array[Array[Double]]],
+                            nprobe: Int = 0, shortlist: Int = 0): DataFrame = {
+    val probes = if (nprobe > 0) nprobe else adaptiveProbes(centroids.length)
+    val cShort = if (shortlist > 0) shortlist else math.max(8 * k, 64)
+    val booksSeq: Seq[Seq[Seq[Double]]] = resBooks.map(_.map(_.toSeq).toSeq).toSeq
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+    val cells = cellMaker(c, centroids, forceBroadcast = false)
+    val cents = centroidTable(c, centroids)
+    val index = c.withColumn("cell", cells(col("_cv"), 1)(0))
+      .join(broadcast(cents), "cell")
+      .select(col("cell"), col("neighbor_id"),
+        graft.functions.NativeExprs.pqEncode(resid(col("_cv"), col("_centv")), booksSeq)
+          .as("_codes"),
+        sqrt(aggregate(col("_cv"), lit(0.0), (acc, x) => acc + x * x)).as("_vnorm"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
+      .select(col("query_id"), col("_qv"), explode(cells(col("_qv"), probes)).as("cell"))
+      .join(broadcast(cents), "cell")
+      .select(col("query_id"), col("cell"),
+        dot(col("_qv"), col("_centv")).as("_qdotc"),
+        graft.functions.NativeExprs.pqLut(col("_qv"), booksSeq).as("_lut"),
+        sqrt(aggregate(col("_qv"), lit(0.0), (acc, x) => acc + x * x)).as("_qnorm"))
+    val lutDot = aggregate(
+      zip_with(col("_lut"), col("_codes"), (row, code) => element_at(row, code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = index.join(broadcast(q), "cell")
+      .withColumn("_sim", (col("_qdotc") + lutDot) / (col("_qnorm") * col("_vnorm")))
     adcRerank(queries, corpus, idCol, vecCol, scored, cShort, k)
   }
 

@@ -288,6 +288,80 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recallI >= 0.9, f"IVF-PQ recall@10 $recallI%.3f below the 0.9 gate")
   }
 
+  test("residual IVF-PQ: recall gate holds, residual codes reconstruct finer than global codes") {
+    // same clustered geometry as the PQ gate
+    val rnd = new java.util.Random(17L)
+    val dim = 32
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def jitter(c: Array[Double]): Seq[Float] =
+      c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq
+    val centers = Array.fill(30)(unit())
+    val corpus = for {
+      (c, ci) <- centers.zipWithIndex.toSeq
+      m <- 0 until 20
+    } yield ((ci * 20 + m).toLong, jitter(c))
+    val queries = centers.zipWithIndex.toSeq.map { case (c, ci) => (10000L + ci, jitter(c)) }
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val qdf = queries.toDF("vec_id", "embedding")
+
+    val cents = Similarity.trainCentroids(cdf, "vec_id", "embedding")
+    val resBooks = Similarity.pqTrainResidual(cdf, "vec_id", "embedding", cents,
+      m = 8, ksub = 16)
+    assert(resBooks.length == 8 && resBooks.forall(b => b.length <= 16 && b.forall(_.length == 4)))
+    // deterministic retraining
+    val again = Similarity.pqTrainResidual(cdf, "vec_id", "embedding", cents,
+      m = 8, ksub = 16)
+    assert(resBooks.map(_.map(_.toSeq).toSeq).toSeq == again.map(_.map(_.toSeq).toSeq).toSeq)
+
+    val truth = Similarity.exactTopK(qdf, cdf, "vec_id", "embedding", 10)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val got = Similarity.ivfPqResidualTopKWith(qdf, cdf, "vec_id", "embedding", 10,
+        cents, resBooks)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val per = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+    val recall = per.sum / per.size
+    info(f"residual IVF-PQ recall@10 over ${truth.size} queries: $recall%.3f")
+    assert(recall >= 0.9, f"residual IVF-PQ recall@10 $recall%.3f below the 0.9 gate")
+    assert(got.values.forall(_.size == 10))
+
+    // the point of by_residual: quantizing x − c(cell) with the same
+    // (m, ksub) budget reconstructs x strictly better than quantizing x
+    // directly, because the residual spread is a fraction of the corpus
+    // spread. Measured as mean squared reconstruction error in memory.
+    val globalBooks = Similarity.pqTrain(cdf, "vec_id", "embedding", m = 8, ksub = 16)
+    val sub = dim / 8
+    def nearestCentroid(v: Array[Double]): Array[Double] =
+      cents.minBy { case (_, c) =>
+        v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum }._2
+    def reconstruct(v: Array[Double], books: Array[Array[Array[Double]]]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        val j = i / sub
+        val slice = Array.tabulate(sub)(t => v(j * sub + t))
+        val code = books(j).zipWithIndex.minBy { case (c, _) =>
+          slice.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum }._2
+        books(j)(code)(i % sub)
+      }
+    val (mseRes, mseGlob) = corpus.map { case (_, emb) =>
+      val v = emb.map(_.toDouble).toArray
+      val c = nearestCentroid(v)
+      val r = v.zip(c).map { case (a, b) => a - b }
+      val xhatRes = reconstruct(r, resBooks).zip(c).map { case (a, b) => a + b }
+      val xhatGlob = reconstruct(v, globalBooks)
+      (v.zip(xhatRes).map { case (a, b) => (a - b) * (a - b) }.sum,
+        v.zip(xhatGlob).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.unzip match { case (a, b) => (a.sum / a.size, b.sum / b.size) }
+    info(f"reconstruction MSE: residual $mseRes%.6f vs global $mseGlob%.6f")
+    assert(mseRes < mseGlob,
+      f"residual encoding should reconstruct finer: $mseRes%.6f vs $mseGlob%.6f")
+  }
+
   test("pq_encode matches a brute-force per-subspace L2 argmin, incl. short vectors") {
     val rnd = new java.util.Random(23L)
     val m = 4

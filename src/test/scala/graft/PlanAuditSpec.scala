@@ -198,6 +198,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), s"bounded-heap top-k missing:\n$p")
   }
 
+  test("ann_ivfpq_res: broadcast-only joins (centroid table + probes), no sort-merge, no corpus shuffle join") {
+    // residual index build = map-side cell assignment + a BROADCAST
+    // centroid-vector join + compiled residual encode; probe search joins
+    // the broadcast query side on cell — nothing corpus-sized may
+    // sort-merge or shuffle-hash-join
+    val p = planOf("ann_ivfpq_res")
+    assert(!p.contains("SortMergeJoin"), s"residual IVF-PQ must never sort-merge:\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"corpus must join broadcast sides only:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"bounded-heap top-k missing:\n$p")
+  }
+
   test("ngram_novelty explodes once and takes df from a shingle window, not a join-back") {
     val p = planOf("ngram_novelty")
     val explodes = p.linesIterator.count(_.contains("Generate explode"))
