@@ -816,7 +816,16 @@ object Similarity {
     * n·mean_i) — the means never need a second pass or a join-back. All
     * three sums go through DECIMAL(28,12) (the cast rounds each product
     * once) so the result is accumulation-order independent and
-    * engine-stable. Output: (i, j, n_vecs, cov 6dp) for i <= j. */
+    * engine-stable. Output: (i, j, n_vecs, cov 6dp) for i <= j.
+    *
+    * Scale boundary (honest): the explode materializes O(N·d(d+1)/2)
+    * rows through codegen before the map-side combine — linear in the
+    * corpus and fine at embedding dims like 64-256 (2k-33k pairs/row, CPU
+    * only, nothing extra crosses the shuffle). At dim ≥ ~1024 (524k
+    * pairs/row) the row churn dominates and the right shape is a
+    * fixed-buffer outer-product TypedImperativeAggregate (one d(d+1)/2
+    * array per task, same mergeable algebra as the Misra-Gries sketch) —
+    * a documented follow-up, not needed at this corpus's dims. */
   def embeddingCovariance(vectors: DataFrame, vecCol: String): DataFrame =
     vectors
       .select(toDouble(col(vecCol)).as("_v"))
