@@ -69,7 +69,11 @@ object GraftExtensions {
     ("graft_top_k_pairs",
       info("graft_top_k_pairs",
         "graft_top_k_pairs(struct<ord double, id>, k) -> array<struct<ord,id>> (bounded per-group top-k)"),
-      args => TopKPairsAgg(args(0), intArg(args, 1, 10))))
+      args => TopKPairsAgg(args(0), intArg(args, 1, 10))),
+    ("graft_cov_outer_sum",
+      info("graft_cov_outer_sum",
+        "graft_cov_outer_sum(vec array<double>) -> array<struct<i,j,n_vecs,cov>> (fixed-buffer covariance matrix)"),
+      args => CovOuterSumAgg(one(args))))
 
   /** Install into a live session (runtime FunctionRegistry). */
   def register(spark: SparkSession): Unit =

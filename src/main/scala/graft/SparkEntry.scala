@@ -245,6 +245,27 @@ object SparkEntry {
       |JOIN sizes sa ON sa.source = c.source_a
       |JOIN sizes sb ON sb.source = c.source_b""".stripMargin
 
+  /** Shared by `embedding_cov` and `embedding_cov_hd`: the two Spark paths
+    * (pair explode vs the fixed-buffer CovOuterSumAgg) are bit-identical by
+    * construction, so one full-matrix oracle gates both. */
+  private val EmbeddingCovSql =
+    """WITH u AS (SELECT vec_id, unnest(
+      |    [{'i': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
+      |     for i in range(1, len(embedding) + 1)]) AS e FROM embeddings),
+      |m AS (SELECT vec_id, e.i AS i, e.x AS x FROM u),
+      |p AS (SELECT a.i AS i, b.i AS j, a.x AS xi, b.x AS xj
+      |  FROM m a JOIN m b ON a.vec_id = b.vec_id AND b.i >= a.i),
+      |agg AS (SELECT i, j, count(*) AS n,
+      |    SUM(CAST(xi * xj AS DECIMAL(28,12))) AS sxy,
+      |    SUM(CAST(xi AS DECIMAL(28,12))) AS sx,
+      |    SUM(CAST(xj AS DECIMAL(28,12))) AS sy
+      |  FROM p GROUP BY i, j)
+      |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+      |  CAST(n AS BIGINT) AS n_vecs,
+      |  round(CAST(sxy AS DOUBLE) / n
+      |    - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6) + 0.0 AS cov
+      |FROM agg""".stripMargin
+
   /** IVF centroids trained once per testdata dir and shared across the
     * queries that search the embeddings corpus (`ann_ivf`, `ann_recall`) —
     * training is deterministic in (data, numCells), so caching by dir is
@@ -840,6 +861,12 @@ object SparkEntry {
     // one corpus scan, pair products map-side, dimension²-sized shuffle
     "embedding_cov" -> ((s, d) =>
       Similarity.embeddingCovariance(Tables.embeddings(s, d), "embedding")),
+    // §2.2 row 25e — the HIGH-DIM covariance carrier (fixed-buffer
+    // CovOuterSumAgg, no explode) under the SAME oracle — the paths are
+    // bit-identical by construction, so the driver gates both
+    "embedding_cov_hd" -> ((s, d) =>
+      Similarity.embeddingCovariance(Tables.embeddings(s, d), "embedding",
+        highDim = true)),
     // §2.2 row 25e — whitened top-8 PCA projection (rows-only: the basis
     // comes from a driver eigensolve, not SQL; correctness spec-gated —
     // orthonormal basis, descending eigenvalues, unit projected variance,
@@ -1784,23 +1811,8 @@ object SparkEntry {
         |  CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame_idx,
         |  CAST(least(64, n - CAST(unnest(range(0, n_frames, 4)) AS INT) * 64) AS INT) AS frame_bytes
         |FROM f""".stripMargin,
-    "embedding_cov" ->
-      """WITH u AS (SELECT vec_id, unnest(
-        |    [{'i': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
-        |     for i in range(1, len(embedding) + 1)]) AS e FROM embeddings),
-        |m AS (SELECT vec_id, e.i AS i, e.x AS x FROM u),
-        |p AS (SELECT a.i AS i, b.i AS j, a.x AS xi, b.x AS xj
-        |  FROM m a JOIN m b ON a.vec_id = b.vec_id AND b.i >= a.i),
-        |agg AS (SELECT i, j, count(*) AS n,
-        |    SUM(CAST(xi * xj AS DECIMAL(28,12))) AS sxy,
-        |    SUM(CAST(xi AS DECIMAL(28,12))) AS sx,
-        |    SUM(CAST(xj AS DECIMAL(28,12))) AS sy
-        |  FROM p GROUP BY i, j)
-        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-        |  CAST(n AS BIGINT) AS n_vecs,
-        |  round(CAST(sxy AS DOUBLE) / n
-        |    - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6) + 0.0 AS cov
-        |FROM agg""".stripMargin,
+    "embedding_cov" -> EmbeddingCovSql,
+    "embedding_cov_hd" -> EmbeddingCovSql,
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v,

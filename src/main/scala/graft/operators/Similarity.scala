@@ -818,16 +818,27 @@ object Similarity {
     * once) so the result is accumulation-order independent and
     * engine-stable. Output: (i, j, n_vecs, cov 6dp) for i <= j.
     *
-    * Scale boundary (honest): the explode materializes O(N·d(d+1)/2)
-    * rows through codegen before the map-side combine — linear in the
-    * corpus and fine at embedding dims like 64-256 (2k-33k pairs/row, CPU
+    * Scale boundary: the explode materializes O(N·d(d+1)/2) rows through
+    * codegen before the map-side combine — linear in the corpus and the
+    * right trade at embedding dims like 64-256 (2k-33k pairs/row, CPU
     * only, nothing extra crosses the shuffle). At dim ≥ ~1024 (524k
-    * pairs/row) the row churn dominates and the right shape is a
-    * fixed-buffer outer-product TypedImperativeAggregate (one d(d+1)/2
-    * array per task, same mergeable algebra as the Misra-Gries sketch) —
-    * a documented follow-up, not needed at this corpus's dims. */
-  def embeddingCovariance(vectors: DataFrame, vecCol: String): DataFrame =
-    vectors
+    * pairs/row) the row churn dominates; `highDim = true` switches to
+    * [[graft.functions.CovOuterSumAgg]] — the same O(d²) arithmetic per
+    * row into ONE fixed buffer per task (no rows materialized; only the
+    * d(d+1)/2-entry buffer crosses the shuffle). The two paths are
+    * BIT-IDENTICAL by construction (the aggregate accumulates the same
+    * DECIMAL(28,12)-rounded terms and reproduces the same final double
+    * arithmetic; spec-pinned incl. ragged lengths and lane overflow), so
+    * the hashed driver oracle gates both. */
+  def embeddingCovariance(vectors: DataFrame, vecCol: String,
+                          highDim: Boolean = false): DataFrame =
+    if (highDim)
+      vectors
+        .agg(graft.functions.CovOuterSumAgg.covOuterSum(toDouble(col(vecCol))).as("_m"))
+        .select(explode(col("_m")).as("_e"))
+        .select(col("_e.i").as("i"), col("_e.j").as("j"),
+          col("_e.n_vecs").as("n_vecs"), col("_e.cov").as("cov"))
+    else vectors
       .select(toDouble(col(vecCol)).as("_v"))
       .select(col("_v"), posexplode(col("_v")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"),

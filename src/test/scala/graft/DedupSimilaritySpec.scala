@@ -682,6 +682,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("highDim covariance path is bit-identical to the explode path (ragged lengths, lane overflow)") {
+    // deterministic mixed corpus: varying lengths (per-pair counts differ),
+    // negatives, and large-magnitude values whose scale-12 terms overflow
+    // the aggregate's long lane within two rows (3e3² · 1e12 ≈ 9e18), so
+    // the BigInteger promotion is exercised, not just compiled
+    val rnd = new java.util.Random(41L)
+    val rows = (0 until 300).map { r =>
+      val len = 3 + (r % 4)
+      (r.toLong, (0 until len).map { i =>
+        val base = rnd.nextGaussian().toFloat
+        if (r % 7 == 0) base * 3000.0f else base
+      })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def collectSorted(highDim: Boolean) =
+      Similarity.embeddingCovariance(df, "embedding", highDim = highDim)
+        .as[(Int, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val explodePath = collectSorted(highDim = false)
+    val aggPath = collectSorted(highDim = true)
+    assert(explodePath.nonEmpty)
+    // exact equality, not tolerance: both paths accumulate the same
+    // DECIMAL(28,12)-rounded terms and apply the same final arithmetic
+    assert(aggPath == explodePath)
+    // ragged lengths produced genuinely different per-pair counts
+    assert(explodePath.map(_._3).distinct.size > 1)
+  }
+
   test("jacobiEigen: orthonormal basis, descending eigenvalues, A v = lambda v") {
     val m = Array(
       Array(4.0, 1.0, 0.5),

@@ -107,6 +107,16 @@ class ExtensionsSpec extends SparkSpec {
     val tk = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("tk"))
       .map(r => (r.getDouble(0), r.getString(1)))
     assert(tk.toList == List((9.0, "rare"), (2.0, "hot")))
+    // the covariance-matrix aggregate: 1-dim vectors make the expected
+    // value trivially checkable (population variance of 1, 2, 9)
+    val cov = spark.sql(
+      """SELECT graft_cov_outer_sum(array(CAST(v AS DOUBLE))) AS c
+        |FROM ext_agg_in""".stripMargin).head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(cov.length == 1)
+    val c0 = cov.head
+    assert(c0.getInt(0) == 0 && c0.getInt(1) == 0 && c0.getLong(2) == 3L)
+    assert(math.abs(c0.getDouble(3) - 12.666667) < 1e-9)
   }
 
   test("optimizer rule collapses nested nfc_normalize at plan time") {

@@ -324,6 +324,20 @@ class PlanAuditSpec extends SparkSpec {
       s"expected 2 Generates (metric explode + drift stack), got: $nodes")
   }
 
+  test("embedding_cov_hd: fixed-buffer aggregate — no explode, no join, one ObjectHashAggregate pair") {
+    // the high-dim carrier must materialize NO pair rows: a single
+    // partial/final ObjectHashAggregate over the scan, then the bounded
+    // matrix explodes (one Generate over a 1-row aggregate result)
+    val nodes = logicalNodes("embedding_cov_hd")
+    assert(!nodes.contains("Join"), s"covariance must never self-join: $nodes")
+    val p = planOf("embedding_cov_hd")
+    assert(p.contains("ObjectHashAggregate"), s"fixed-buffer aggregate missing:\n$p")
+    // the only Generate is the dimension²-sized matrix explode AFTER the
+    // aggregate — the corpus itself is never exploded
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      s"expected exactly 1 post-aggregate Generate:\n$p")
+  }
+
   test("embedding_cov: one scan, pair products map-side, no join, partial agg before the exchange") {
     // the pair fan-out (two chained Generates) must stay map-side and
     // collapse through partial aggregation BEFORE the shuffle — a
