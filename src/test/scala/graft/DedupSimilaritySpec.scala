@@ -727,6 +727,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("jacobiEigen randomized draws: orthonormal + exact reconstruction on random symmetric matrices") {
+    val rnd = new java.util.Random(67L)
+    (1 to 25).foreach { draw =>
+      val d = 2 + rnd.nextInt(9)
+      val m = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val v = (rnd.nextGaussian() * math.pow(10, rnd.nextInt(5) - 2)).toDouble
+        m(i)(j) = v; m(j)(i) = v
+      }
+      val (eig, vecs) = Similarity.jacobiEigen(m)
+      val scale = math.max(1.0, eig.map(math.abs).max)
+      assert(eig.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-9 * scale),
+        s"draw $draw: eigenvalues not descending")
+      for (a <- 0 until d; b <- 0 until d) {
+        val dot = (0 until d).map(k => vecs(a)(k) * vecs(b)(k)).sum
+        assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-8,
+          s"draw $draw (d=$d): basis not orthonormal at ($a,$b)")
+      }
+      // reconstruction: M = V^T diag(eig) V within float tolerance of the scale
+      for (r <- 0 until d; c <- 0 until d) {
+        val rec = (0 until d).map(k => eig(k) * vecs(k)(r) * vecs(k)(c)).sum
+        assert(math.abs(rec - m(r)(c)) < 1e-8 * scale,
+          s"draw $draw (d=$d): reconstruction off at ($r,$c)")
+      }
+    }
+  }
+
   test("PCA: top-2 basis captures planted rank-2 structure; whitened variance ~1; order-independent") {
     // deterministic rank-2 data + tiny deterministic noise
     val d = 8
