@@ -20,14 +20,19 @@ import org.apache.spark.sql.types._
   * entries × 4 lanes) crosses the shuffle — the same mergeable-summary
   * algebra as [[MisraGriesAgg]], sized by dimension instead of capacity.
   *
-  * BIT-IDENTICAL to the explode path by construction: per-pair lanes
-  * (n, Σxy, Σx, Σy) accumulate the SAME DECIMAL(28,12)-rounded terms
-  * Spark's `sum(cast(... as decimal(28,12)))` accumulates (scale-12
-  * unscaled integers; `BigDecimal.valueOf(double).setScale(12, HALF_UP)`
-  * is exactly Spark's double→decimal cast), addition is exact and
-  * order-independent, and eval reproduces the final double arithmetic
-  * (`round(sxy/n − (sx/n)(sy/n), 6) + 0.0`, with Spark's own
-  * BigDecimal-based HALF_UP rounding). Ragged corpora match too: the
+  * BIT-IDENTICAL to the explode path by construction, on the explode
+  * path's own numeric domain: per-pair lanes (n, Σxy, Σx, Σy) accumulate
+  * the SAME DECIMAL(28,12)-rounded terms Spark's `sum(cast(... as
+  * decimal(28,12)))` accumulates (scale-12 unscaled integers;
+  * `BigDecimal.valueOf(double).setScale(12, HALF_UP)` is exactly Spark's
+  * double→decimal cast), addition is exact and order-independent, and
+  * eval reproduces the final double arithmetic (`round(sxy/n −
+  * (sx/n)(sy/n), 6) + 0.0`, with Spark's own BigDecimal-based HALF_UP
+  * rounding). Domain caveat: DECIMAL(28,12) carries 16 integral digits,
+  * so a term |x_i·x_j| ≥ 1e16 makes the explode path FAIL LOUDLY under
+  * ANSI mode while this aggregate — uncapped integer arithmetic — still
+  * returns the exact answer; the paths never silently disagree, one
+  * simply has the wider domain. Ragged corpora match too: the
   * per-pair count/sum lanes reproduce the explode path's group
   * membership (a vector contributes to pair (i, j) iff it has a j-th
   * element). The hot path is pure long adds (`Math.addExact`); a lane

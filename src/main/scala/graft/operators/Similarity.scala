@@ -795,7 +795,12 @@ object Similarity {
       zip_with(col("_lut"), col("_codes"), (row, code) => element_at(row, code + 1)),
       lit(0.0), (acc, x) => acc + x)
     val scored = index.join(broadcast(q), "cell")
-      .withColumn("_sim", (col("_qdotc") + lutDot) / (col("_qnorm") * col("_vnorm")))
+      // a zero-norm corpus vector would score ±Infinity here (nonzero
+      // reconstructed numerator over a zero norm) and usurp a shortlist
+      // slot; force the NaN the degenerate-vector policy expects
+      .withColumn("_sim", when(col("_vnorm") > 0,
+        (col("_qdotc") + lutDot) / (col("_qnorm") * col("_vnorm")))
+        .otherwise(lit(Double.NaN)))
     adcRerank(queries, corpus, idCol, vecCol, scored, cShort, k)
   }
 
@@ -826,10 +831,13 @@ object Similarity {
     * [[graft.functions.CovOuterSumAgg]] — the same O(d²) arithmetic per
     * row into ONE fixed buffer per task (no rows materialized; only the
     * d(d+1)/2-entry buffer crosses the shuffle). The two paths are
-    * BIT-IDENTICAL by construction (the aggregate accumulates the same
-    * DECIMAL(28,12)-rounded terms and reproduces the same final double
-    * arithmetic; spec-pinned incl. ragged lengths and lane overflow), so
-    * the hashed driver oracle gates both. */
+    * BIT-IDENTICAL by construction on the decimal path's numeric domain
+    * (the aggregate accumulates the same DECIMAL(28,12)-rounded terms and
+    * reproduces the same final double arithmetic; spec-pinned incl.
+    * ragged lengths and lane overflow), so the hashed driver oracle gates
+    * both; past that domain (|x_i·x_j| ≥ 1e16) the decimal path fails
+    * loudly under ANSI while the aggregate stays exact — see
+    * [[graft.functions.CovOuterSumAgg]]. */
   def embeddingCovariance(vectors: DataFrame, vecCol: String,
                           highDim: Boolean = false): DataFrame =
     if (highDim)
@@ -933,44 +941,39 @@ object Similarity {
     * by construction like the centroid collects), and the eigensolve is
     * [[jacobiEigen]] on the driver. The basis trains on the 6dp-ROUNDED
     * covariance, so it is bit-identical across partitionings and engines.
-    * Memoized per (session, canonicalized corpus plan, k). */
+    *
+    * NOT memoized, deliberately: a canonicalized-plan key omits
+    * LocalRelation data and parquet file locations, so two same-schema
+    * corpora would collide and the second would silently receive the
+    * first's basis — a correctness input, unlike the collision-tolerant
+    * performance hints the bounded memos elsewhere cache. Training is two
+    * dimension-bounded aggregation jobs; callers projecting repeatedly
+    * hold the returned basis and pass it where needed. */
   def pcaTrain(vectors: DataFrame, vecCol: String,
                k: Int): (Array[Double], Array[Double], Array[Array[Double]]) = {
-    val sess = vectors.sparkSession
-    val key = (sess, vectors.select(toDouble(col(vecCol))).queryExecution
-      .analyzed.canonicalized.toString, k)
-    pcaCache.synchronized {
-      pcaCache.getOrElseUpdate(key, {
-        val rows = embeddingCovariance(vectors, vecCol)
-          .select(col("i"), col("j"), col("n_vecs"), col("cov")).collect()
-        val d = rows.iterator.map(_.getInt(1)).max + 1
-        val cov = Array.ofDim[Double](d, d)
-        val nTotal = rows.head.getLong(2)
-        rows.foreach { r =>
-          val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(3))
-          cov(i)(j) = c; cov(j)(i) = c
-        }
-        // means from the same aggregation identity the covariance used:
-        // the (i, i) group's sx is n·mean_i — but sx was not emitted, so
-        // one dimension-sized pass recovers them with the same DECIMAL
-        // discipline (labelCentroids' shape with a single global label).
-        val means = vectors
-          .select(posexplode(toDouble(col(vecCol))).as(Seq("i", "x")))
-          .groupBy(col("i"))
-          .agg(sum(col("x").cast("decimal(28,12)")).as("_s"), count(lit(1)).as("_n"))
-          .select(col("i"), round(col("_s").cast("double") / col("_n"), 6).as("m"))
-          .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
-        require(means.length == d, s"dim mismatch: cov $d vs means ${means.length}")
-        require(nTotal > 0, "pcaTrain: empty corpus")
-        val (eig, vecs) = jacobiEigen(cov)
-        (means, eig.take(k), vecs.take(k))
-      })
+    val rows = embeddingCovariance(vectors, vecCol)
+      .select(col("i"), col("j"), col("n_vecs"), col("cov")).collect()
+    require(rows.nonEmpty, "pcaTrain: empty corpus")
+    val d = rows.iterator.map(_.getInt(1)).max + 1
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(3))
+      cov(i)(j) = c; cov(j)(i) = c
     }
+    // means from the same aggregation identity the covariance used:
+    // the (i, i) group's sx is n·mean_i — but sx was not emitted, so
+    // one dimension-sized pass recovers them with the same DECIMAL
+    // discipline (labelCentroids' shape with a single global label).
+    val means = vectors
+      .select(posexplode(toDouble(col(vecCol))).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x").cast("decimal(28,12)")).as("_s"), count(lit(1)).as("_n"))
+      .select(col("i"), round(col("_s").cast("double") / col("_n"), 6).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    require(means.length == d, s"dim mismatch: cov $d vs means ${means.length}")
+    val (eig, vecs) = jacobiEigen(cov)
+    (means, eig.take(k), vecs.take(k))
   }
-
-  private val pcaCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String, Int),
-      (Array[Double], Array[Double], Array[Array[Double]])]
 
   /** Project (and optionally whiten) an embedding corpus onto its top-k
     * principal components — the dimensionality-reduction / whitening step

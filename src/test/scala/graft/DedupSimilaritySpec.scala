@@ -778,10 +778,10 @@ class DedupSimilaritySpec extends SparkSpec {
       val v = xs.map(x => (x - m0) * (x - m0)).sum / xs.length
       assert(math.abs(v - 1.0) < 0.05, s"whitened component $c variance $v")
     }
-    // row order must not matter: a reversed corpus (different plan, fresh
-    // training — the memo keys on the canonical plan) yields the same
-    // basis and projections, because the covariance is DECIMAL-summed and
-    // the eigensolve is deterministic driver math
+    // row order must not matter: a reversed corpus (fresh training —
+    // pcaTrain is deliberately unmemoized) yields the same basis and
+    // projections, because the covariance is DECIMAL-summed and the
+    // eigensolve is deterministic driver math
     val proj2 = Similarity.pcaProject(rows.reverse.toDF("vec_id", "embedding"),
         "vec_id", "embedding", 2, whiten = true)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
