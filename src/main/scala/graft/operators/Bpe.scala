@@ -56,21 +56,30 @@ object Bpe {
     * produces; the distributed rounds here are for vocabularies too large
     * to collect.
     *
-    * Memoized per (session, CANONICALIZED corpus plan string, numMerges,
-    * endOfWord, textCol, minPairCount) with the same bounded-map
-    * discipline as the ANN width cache — but keyed on the full
-    * canonicalized plan STRING, not a 32-bit hash: a hash collision here
-    * would silently serve another corpus's merge list (wrong results, not
-    * just a perf shift, so the count cache's collision tolerance does not
-    * apply). Pass `memoize = false` to force a fresh training run — what
-    * a benchmark of the training loop itself wants. */
+    * Memoized per (session, canonicalized corpus plan string AND its
+    * semanticHash, numMerges, endOfWord, textCol, minPairCount) with the
+    * same bounded-map discipline as the ANN width cache. BOTH plan
+    * identities are load-bearing: the canonicalized STRING alone is not
+    * enough — it omits parquet file locations and LocalRelation data
+    * (verified empirically: two same-schema reads of different testdata
+    * dirs print the identical canonical string), so on its own it would
+    * silently serve another corpus's merge list; `semanticHash` DOES
+    * distinguish locations/data (and is stable across re-reads of the
+    * same dir), and pairing it with the string means a wrong hit needs a
+    * simultaneous string match and 32-bit hash collision. A stale or
+    * missed entry only re-trains — a collision is the dangerous case,
+    * since merges are a correctness input (unlike the count cache's
+    * collision-tolerant sizing hints). Pass `memoize = false` to force a
+    * fresh training run — what a benchmark of the training loop itself
+    * wants. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             endOfWord: String = "</w>", minPairCount: Long = 2L,
             memoize: Boolean = true): Seq[(String, String)] = {
     if (!memoize) return trainUncached(docs, textCol, numMerges, endOfWord, minPairCount)
     if (mergeCache.size() >= mergeCacheMax) mergeCache.clear()
+    val analyzed = docs.queryExecution.analyzed
     val key = (docs.sparkSession.hashCode,
-      s"${docs.queryExecution.analyzed.canonicalized}|$textCol|$numMerges|$endOfWord|$minPairCount")
+      s"${analyzed.canonicalized}|${analyzed.semanticHash()}|$textCol|$numMerges|$endOfWord|$minPairCount")
     mergeCache.computeIfAbsent(key,
       _ => trainUncached(docs, textCol, numMerges, endOfWord, minPairCount))
   }
