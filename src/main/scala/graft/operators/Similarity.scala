@@ -119,7 +119,7 @@ object Similarity {
     * `forceBroadcast`, which the parity specs use). Returned maker shares
     * ONE broadcast across every column it builds (corpus assignment and
     * query probes ride the same copy). */
-  private def cellMaker(df: DataFrame, cents: Array[(Int, Array[Double])],
+  private[graft] def cellMaker(df: DataFrame, cents: Array[(Int, Array[Double])],
                         forceBroadcast: Boolean): (Column, Int) => Column =
     if (!forceBroadcast && cents.length <= centroidLiteralBudget)
       (vec, n) => nearestCells(vec, cents, n)

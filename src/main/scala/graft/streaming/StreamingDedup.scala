@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Incremental streaming near-duplicate suppression — the ingestion-time
   * dedup a training-data pipeline runs so a crawler replaying yesterday's
@@ -132,6 +132,86 @@ object StreamingDedup {
           .write.mode("append").parquet(indexPath)
         uniques.select(col("doc_id"), col("text"))
           .unionByName(short.select(col("doc_id"), col("text")))
+          .write.mode("append").parquet(s"$outRoot/clean")
+        dups.write.mode("append").parquet(s"$outRoot/dups")
+      }
+      .start()
+  }
+
+  final case class Vec(vec_id: Long, embedding: Seq[Float])
+
+  /** Streaming SEMANTIC dedup (online SemDeDup) — the embedding-space
+    * sibling of [[run]]: each micro-batch of vectors is cell-assigned
+    * map-side against the provided IVF centroids (the same carrier the
+    * batch [[graft.operators.Similarity.semanticDedup]] uses) and checked
+    * for cosine ≥ `threshold` neighbors, first against the ACCUMULATED
+    * (vec_id, cell, vector) parquet index — state on disk, not executor
+    * RAM — then within the batch. Pairing is cell-scoped on BOTH paths, so
+    * the work per batch is bounded by cell occupancy, never all-pairs;
+    * cross-cell misses are the same documented SemDeDup approximation as
+    * the batch operator. Keep rules mirror the batch semantics: an
+    * index-resident vector always beats a new arrival (first-seen
+    * survivor, ties to the best-cosine then lowest rep id), and within a
+    * batch the smallest id survives its neighborhood. Uniques append to
+    * the index and the clean zone; dups carry (rep_id, similarity,
+    * reason). Checkpointed exactly like [[run]] — a restart never replays
+    * committed files and keeps deduping against the lake-resident index. */
+  def runSemantic(spark: SparkSession, watchDir: String, outRoot: String,
+                  centroids: Array[(Int, Array[Double])],
+                  threshold: Double = 0.9): StreamingQuery = {
+    val indexPath = s"$outRoot/index"
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Vec].schema)
+      .parquet(watchDir)
+
+    stream.writeStream
+      .option("checkpointLocation", s"$outRoot/cp")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val cells = Similarity.cellMaker(batch, centroids, forceBroadcast = false)
+        val vecs = batch.dropDuplicates("vec_id")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("_v"))
+          .withColumn("cell", cells(col("_v"), 1)(0))
+          .localCheckpoint()
+
+        def bestRep(cand: DataFrame, reason: String): DataFrame = {
+          val best = cand.groupBy(col("vec_id")).agg(max(col("similarity")).as("similarity"))
+          cand.join(best, Seq("vec_id", "similarity"))
+            .groupBy(col("vec_id"), col("similarity")).agg(min(col("rep_id")).as("rep_id"))
+            .select(col("vec_id"), col("rep_id"), col("similarity"), lit(reason).as("reason"))
+        }
+
+        // --- cross-batch: probe the accumulated vector index by cell ----
+        val indexDups: DataFrame =
+          if (new java.io.File(indexPath).exists()) {
+            val idx = s.read.parquet(indexPath)
+              .select(col("vec_id").as("rep_id"), col("cell"), col("_v").as("_vi"))
+            bestRep(vecs.join(idx, Seq("cell"))
+              .select(col("vec_id"), col("rep_id"),
+                round(Similarity.cosine(col("_v"), col("_vi")), 6).as("similarity"))
+              .where(col("similarity") >= threshold), "index")
+          } else s.emptyDataFrame
+            .select(lit(0L).as("vec_id"), lit(0L).as("rep_id"),
+              lit(0.0).as("similarity"), lit("index").as("reason"))
+            .limit(0)
+
+        // --- within-batch: cell-scoped pairs, smallest id survives ------
+        val fresh = vecs.join(indexDups.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        val batchDups = {
+          val a = fresh.select(col("cell"), col("vec_id"), col("_v"))
+          bestRep(a.as("x").join(a.as("y"),
+              col("x.cell") === col("y.cell") && col("x.vec_id") > col("y.vec_id"))
+            .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("rep_id"),
+              round(Similarity.cosine(col("x._v"), col("y._v")), 6).as("similarity"))
+            .where(col("similarity") >= threshold), "batch")
+        }
+
+        val dups = indexDups.unionByName(batchDups).localCheckpoint()
+        val uniques = vecs.join(dups.select(col("vec_id")), Seq("vec_id"), "left_anti")
+
+        uniques.select(col("vec_id"), col("cell"), col("_v"))
+          .write.mode("append").parquet(indexPath)
+        uniques.select(col("vec_id"), col("_v").as("embedding"))
           .write.mode("append").parquet(s"$outRoot/clean")
         dups.write.mode("append").parquet(s"$outRoot/dups")
       }

@@ -356,6 +356,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamingDedup.runSemantic suppresses embedding near-dups within and across batches, and on restart") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.Vec
+    val root = java.nio.file.Files.createTempDirectory("graft_ssem").toFile.getAbsolutePath
+    val inDir = new java.io.File(s"$root/incoming"); inDir.mkdirs()
+    def dropFile(name: String, vecs: Seq[Vec]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ssdrop").toFile.getAbsolutePath
+      vecs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new java.io.File(inDir, name).toPath)
+    }
+    val cents = Array(
+      0 -> Array(1.0, 0.0, 0.0, 0.0),
+      1 -> Array(0.0, 1.0, 0.0, 0.0))
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val q = StreamingDedup.runSemantic(spark, inDir.getAbsolutePath, s"$root/out",
+      cents, threshold = 0.95)
+    try {
+      // batch 1: 1 and 2 unique (different cells), 3 ~= 1 -> batch dup, rep 1
+      dropFile("b1.parquet", Seq(
+        Vec(1, v(1.0, 0.0, 0.0, 0.05)),
+        Vec(2, v(0.0, 1.0, 0.0, 0.0)),
+        Vec(3, v(0.999, 0.01, 0.0, 0.05))))
+      q.processAllAvailable()
+      val clean1 = spark.read.parquet(s"$root/out/clean").select("vec_id").as[Long].collect().toSet
+      assert(clean1 == Set(1L, 2L))
+      val dups1 = spark.read.parquet(s"$root/out/dups")
+        .select("vec_id", "rep_id", "reason").as[(Long, Long, String)].collect().toSet
+      assert(dups1 == Set((3L, 1L, "batch")))
+
+      // batch 2: 4 ~= 1 -> index hit; 5 orthogonal to everything -> clean
+      dropFile("b2.parquet", Seq(
+        Vec(4, v(1.0, 0.02, 0.0, 0.04)),
+        Vec(5, v(0.0, 0.0, 1.0, 0.0))))
+      q.processAllAvailable()
+      val dup4 = spark.read.parquet(s"$root/out/dups")
+        .where($"vec_id" === 4L).as[(Long, Long, Double, String)].collect().head
+      assert(dup4._2 == 1L && dup4._4 == "index" && dup4._3 >= 0.95)
+      val clean2 = spark.read.parquet(s"$root/out/clean").select("vec_id").as[Long].collect().toSet
+      assert(clean2 == Set(1L, 2L, 5L))
+
+      // restart from the checkpoint: committed files are not replayed and
+      // the lake-resident index keeps deduping (6 ~= 2 -> index hit)
+      q.stop()
+      val q2 = StreamingDedup.runSemantic(spark, inDir.getAbsolutePath, s"$root/out",
+        cents, threshold = 0.95)
+      try {
+        dropFile("b3.parquet", Seq(Vec(6, v(0.01, 1.0, 0.0, 0.02))))
+        q2.processAllAvailable()
+        val dup6 = spark.read.parquet(s"$root/out/dups")
+          .where($"vec_id" === 6L).as[(Long, Long, Double, String)].collect().head
+        assert(dup6._2 == 2L && dup6._4 == "index")
+        val cleanAfter = spark.read.parquet(s"$root/out/clean").select("vec_id").as[Long].collect()
+        assert(cleanAfter.length == cleanAfter.toSet.size)
+        assert(spark.read.parquet(s"$root/out/index").count() == 3)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("streamingHeavyHitters folds the MG sketch across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
