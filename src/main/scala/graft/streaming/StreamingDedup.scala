@@ -22,9 +22,16 @@ import graft.operators.{Dedup, Similarity}
   * text. Batch-local duplicates are verified with EXACT shingle Jaccard
   * (text is still at hand). Uniques append to the index and the clean zone;
   * duplicates land in the dup zone with their matched representative and
-  * similarity. The foreachBatch is checkpointed (each file is processed in
-  * exactly one batch); a production deployment would additionally partition
-  * the zone appends by batchId so a failed batch replays idempotently.
+  * similarity.
+  *
+  * Failure semantics: the foreachBatch is checkpointed (each file is
+  * processed in exactly one committed batch). The zone appends are not
+  * transactional with the checkpoint, so a crash INSIDE a batch — after
+  * some appends, before the commit — replays that batch; index self-matches
+  * are excluded (a doc is never a duplicate of its own id), so a replay
+  * re-appends rows it already wrote rather than reclassifying them as dups
+  * of themselves. A production deployment would additionally partition the
+  * zone appends by batchId so the replayed appends overwrite idempotently.
   */
 object StreamingDedup {
 
@@ -39,6 +46,34 @@ object StreamingDedup {
     sigs.select(col("doc_id"), col("_mh"),
       posexplode(Dedup.bandSignatures(col("_mh"), numBands, rowsPerBand))
         .as(Seq("band_id", "band_sig")))
+
+  /** True iff `path` exists on ITS OWN filesystem — the Hadoop FS API
+    * resolves the path's scheme (s3a://, hdfs://, file:...), where a
+    * java.io.File probe is silently false for anything non-local and would
+    * disable cross-batch dedup on exactly the lake storage the index is
+    * designed for. */
+  private def pathExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** One row per duplicate id from a candidate table (id, rep_id,
+    * similarity, reason): best similarity wins, ties to the lowest
+    * (rep_id, reason) pair — deterministic under any partitioning, and a
+    * single pass over the UNION of the index and batch candidate sets so
+    * an id seen by both paths reports exactly once. */
+  private def bestRep(cand: DataFrame, idCol: String): DataFrame = {
+    val best = cand.groupBy(col(idCol)).agg(max(col("similarity")).as("similarity"))
+    cand.join(best, Seq(idCol, "similarity"))
+      .groupBy(col(idCol), col("similarity"))
+      .agg(min(struct(col("rep_id"), col("reason"))).as("_r"))
+      .select(col(idCol), col("_r.rep_id").as("rep_id"), col("similarity"),
+        col("_r.reason").as("reason"))
+  }
+
+  private def emptyCand(s: SparkSession, idCol: String): DataFrame =
+    s.emptyDataFrame.select(lit(0L).as(idCol), lit(0L).as("rep_id"),
+      lit(0.0).as("similarity"), lit("index").as("reason")).limit(0)
 
   /** Start the dedup consumer over a watched directory of Doc parquet files.
     * Zones under `outRoot`: `clean/` (unique docs), `dups/` (doc_id, rep_id,
@@ -69,46 +104,35 @@ object StreamingDedup {
           .localCheckpoint()
 
         // --- cross-batch: probe the accumulated signature index ---------
-        val indexDups: DataFrame = {
-          val existing =
-            if (new java.io.File(indexPath).exists())
-              Some(s.read.parquet(indexPath))
-            else None
-          existing match {
-            case Some(idx) =>
-              val bx = bandsOf(sigs.select(col("doc_id"), col("_mh")), numBands, rowsPerBand)
-              val bi = bandsOf(idx, numBands, rowsPerBand)
-                .withColumnRenamed("doc_id", "rep_id").withColumnRenamed("_mh", "_mh_i")
-              val cand = bx.join(bi, Seq("band_id", "band_sig"))
-                .select(col("doc_id"), col("rep_id"),
-                  estJaccard(col("_mh"), col("_mh_i"), numHashes).as("similarity"))
-                .where(col("similarity") >= threshold)
-                .distinct()
-              // deterministic representative: best similarity, lowest rep id
-              val best = cand.groupBy(col("doc_id")).agg(max(col("similarity")).as("similarity"))
-              cand.join(best, Seq("doc_id", "similarity"))
-                .groupBy(col("doc_id"), col("similarity")).agg(min(col("rep_id")).as("rep_id"))
-                .select(col("doc_id"), col("rep_id"), col("similarity"),
-                  lit("index").as("reason"))
-            case None => s.emptyDataFrame
-              .select(lit(0L).as("doc_id"), lit(0L).as("rep_id"),
-                lit(0.0).as("similarity"), lit("index").as("reason"))
-              .limit(0)
-          }
-        }
+        val indexCand: DataFrame =
+          if (pathExists(s, indexPath)) {
+            val bx = bandsOf(sigs.select(col("doc_id"), col("_mh")), numBands, rowsPerBand)
+            val bi = bandsOf(s.read.parquet(indexPath), numBands, rowsPerBand)
+              .withColumnRenamed("doc_id", "rep_id").withColumnRenamed("_mh", "_mh_i")
+            bx.join(bi, Seq("band_id", "band_sig"))
+              .select(col("doc_id"), col("rep_id"),
+                estJaccard(col("_mh"), col("_mh_i"), numHashes).as("similarity"))
+              // self-matches (same id already indexed) only occur when a
+              // crashed batch replays — never a duplicate of your own id
+              .where(col("similarity") >= threshold && col("doc_id") =!= col("rep_id"))
+              .distinct()
+              .withColumn("reason", lit("index"))
+          } else emptyCand(s, "doc_id")
 
         // --- within-batch: LSH candidates verified with EXACT jaccard ---
-        val fresh = sigs.join(indexDups.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        val batchDups = {
-          val bx = bandsOf(fresh.select(col("doc_id"), col("_mh")), numBands, rowsPerBand)
+        // Pairing runs over the WHOLE batch (not just index-survivors), so
+        // a doc whose only smaller-id neighbor is itself an index dup is
+        // still caught — the same membership rule the batch operators use.
+        val batchCand = {
+          val bx = bandsOf(sigs.select(col("doc_id"), col("_mh")), numBands, rowsPerBand)
           val cand = bx.as("x").join(bx.as("y"),
               col("x.band_id") === col("y.band_id") &&
               col("x.band_sig") === col("y.band_sig") &&
               col("x.doc_id") > col("y.doc_id"))
             .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("rep_id"))
             .distinct()
-          val sh = fresh.select(col("doc_id"), col("_sh"))
-          val verified = Dedup.withJaccard(
+          val sh = sigs.select(col("doc_id"), col("_sh"))
+          Dedup.withJaccard(
             cand
               .join(sh.withColumnRenamed("doc_id", "_ida").withColumnRenamed("_sh", "_sh_a"),
                 col("doc_id") === col("_ida"))
@@ -117,14 +141,10 @@ object StreamingDedup {
             col("_sh_a"), col("_sh_b"), "similarity")
             .where(col("similarity") >= threshold)
             .select(col("doc_id"), col("rep_id"), col("similarity"))
-          val best = verified.groupBy(col("doc_id")).agg(max(col("similarity")).as("similarity"))
-          verified.join(best, Seq("doc_id", "similarity"))
-            .groupBy(col("doc_id"), col("similarity")).agg(min(col("rep_id")).as("rep_id"))
-            .select(col("doc_id"), col("rep_id"), col("similarity"),
-              lit("batch").as("reason"))
+            .withColumn("reason", lit("batch"))
         }
 
-        val dups = indexDups.unionByName(batchDups).localCheckpoint()
+        val dups = bestRep(indexCand.unionByName(batchCand), "doc_id").localCheckpoint()
         val uniques = sigs.join(dups.select(col("doc_id")), Seq("doc_id"), "left_anti")
 
         // zone writes: uniques' signatures extend the index; text goes clean
@@ -146,16 +166,20 @@ object StreamingDedup {
     * batch [[graft.operators.Similarity.semanticDedup]] uses) and checked
     * for cosine ≥ `threshold` neighbors, first against the ACCUMULATED
     * (vec_id, cell, vector) parquet index — state on disk, not executor
-    * RAM — then within the batch. Pairing is cell-scoped on BOTH paths, so
-    * the work per batch is bounded by cell occupancy, never all-pairs;
-    * cross-cell misses are the same documented SemDeDup approximation as
-    * the batch operator. Keep rules mirror the batch semantics: an
-    * index-resident vector always beats a new arrival (first-seen
-    * survivor, ties to the best-cosine then lowest rep id), and within a
-    * batch the smallest id survives its neighborhood. Uniques append to
-    * the index and the clean zone; dups carry (rep_id, similarity,
-    * reason). Checkpointed exactly like [[run]] — a restart never replays
-    * committed files and keeps deduping against the lake-resident index. */
+    * RAM — then within the batch. Pairing is cell-scoped on BOTH paths and
+    * the within-batch pass covers the whole batch (an arrival whose only
+    * smaller-id neighbor is itself an index dup is still caught), so the
+    * keep rules match the batch operator's: index-resident vectors beat
+    * new arrivals, and within a batch the smallest id survives its
+    * neighborhood; cross-cell misses are the same documented SemDeDup
+    * approximation as the batch operator. Degenerate-vector policy also
+    * matches batch: NaN cosines (zero-norm vectors) never mark a
+    * duplicate — in Spark's ordering NaN compares GREATER than any
+    * double, so an unguarded `NaN >= threshold` would let one zero-norm
+    * index entry silently absorb its whole cell. Uniques append to the
+    * index and the clean zone; dups carry (rep_id, similarity, reason).
+    * Checkpoint + crash-replay semantics are [[run]]'s (self-matches
+    * excluded, so a replayed batch re-appends instead of vanishing). */
   def runSemantic(spark: SparkSession, watchDir: String, outRoot: String,
                   centroids: Array[(Int, Array[Double])],
                   threshold: Double = 0.9): StreamingQuery = {
@@ -174,39 +198,31 @@ object StreamingDedup {
           .withColumn("cell", cells(col("_v"), 1)(0))
           .localCheckpoint()
 
-        def bestRep(cand: DataFrame, reason: String): DataFrame = {
-          val best = cand.groupBy(col("vec_id")).agg(max(col("similarity")).as("similarity"))
-          cand.join(best, Seq("vec_id", "similarity"))
-            .groupBy(col("vec_id"), col("similarity")).agg(min(col("rep_id")).as("rep_id"))
-            .select(col("vec_id"), col("rep_id"), col("similarity"), lit(reason).as("reason"))
-        }
-
         // --- cross-batch: probe the accumulated vector index by cell ----
-        val indexDups: DataFrame =
-          if (new java.io.File(indexPath).exists()) {
+        val indexCand: DataFrame =
+          if (pathExists(s, indexPath)) {
             val idx = s.read.parquet(indexPath)
               .select(col("vec_id").as("rep_id"), col("cell"), col("_v").as("_vi"))
-            bestRep(vecs.join(idx, Seq("cell"))
+            vecs.join(idx, Seq("cell"))
               .select(col("vec_id"), col("rep_id"),
                 round(Similarity.cosine(col("_v"), col("_vi")), 6).as("similarity"))
-              .where(col("similarity") >= threshold), "index")
-          } else s.emptyDataFrame
-            .select(lit(0L).as("vec_id"), lit(0L).as("rep_id"),
-              lit(0.0).as("similarity"), lit("index").as("reason"))
-            .limit(0)
+              .where(!isnan(col("similarity")) && col("similarity") >= threshold &&
+                col("vec_id") =!= col("rep_id"))
+              .withColumn("reason", lit("index"))
+          } else emptyCand(s, "vec_id")
 
         // --- within-batch: cell-scoped pairs, smallest id survives ------
-        val fresh = vecs.join(indexDups.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        val batchDups = {
-          val a = fresh.select(col("cell"), col("vec_id"), col("_v"))
-          bestRep(a.as("x").join(a.as("y"),
+        val batchCand = {
+          val a = vecs.select(col("cell"), col("vec_id"), col("_v"))
+          a.as("x").join(a.as("y"),
               col("x.cell") === col("y.cell") && col("x.vec_id") > col("y.vec_id"))
             .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("rep_id"),
               round(Similarity.cosine(col("x._v"), col("y._v")), 6).as("similarity"))
-            .where(col("similarity") >= threshold), "batch")
+            .where(!isnan(col("similarity")) && col("similarity") >= threshold)
+            .withColumn("reason", lit("batch"))
         }
 
-        val dups = indexDups.unionByName(batchDups).localCheckpoint()
+        val dups = bestRep(indexCand.unionByName(batchCand), "vec_id").localCheckpoint()
         val uniques = vecs.join(dups.select(col("vec_id")), Seq("vec_id"), "left_anti")
 
         uniques.select(col("vec_id"), col("cell"), col("_v"))

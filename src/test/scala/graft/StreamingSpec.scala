@@ -388,31 +388,51 @@ class StreamingSpec extends SparkSpec {
         .select("vec_id", "rep_id", "reason").as[(Long, Long, String)].collect().toSet
       assert(dups1 == Set((3L, 1L, "batch")))
 
-      // batch 2: 4 ~= 1 -> index hit; 5 orthogonal to everything -> clean
+      // batch 2: 4 (5 deg off v1) -> index hit; 7 (22 deg off v1, so NOT an
+      // index dup) is within 17 deg of 4 -> must still be caught as a BATCH
+      // dup even though its only neighbor is itself an index dup (batch
+      // membership parity); 5 orthogonal to everything -> clean
       dropFile("b2.parquet", Seq(
-        Vec(4, v(1.0, 0.02, 0.0, 0.04)),
+        Vec(4, v(0.9962, 0.0, 0.0872, 0.0)),
+        Vec(7, v(0.9272, 0.0, 0.3746, 0.0)),
         Vec(5, v(0.0, 0.0, 1.0, 0.0))))
       q.processAllAvailable()
       val dup4 = spark.read.parquet(s"$root/out/dups")
         .where($"vec_id" === 4L).as[(Long, Long, Double, String)].collect().head
       assert(dup4._2 == 1L && dup4._4 == "index" && dup4._3 >= 0.95)
+      val dup7 = spark.read.parquet(s"$root/out/dups")
+        .where($"vec_id" === 7L).as[(Long, Long, Double, String)].collect().head
+      assert(dup7._2 == 4L && dup7._4 == "batch" && dup7._3 >= 0.95)
       val clean2 = spark.read.parquet(s"$root/out/clean").select("vec_id").as[Long].collect().toSet
       assert(clean2 == Set(1L, 2L, 5L))
 
       // restart from the checkpoint: committed files are not replayed and
-      // the lake-resident index keeps deduping (6 ~= 2 -> index hit)
+      // the lake-resident index keeps deduping (6 ~= 2 -> index hit); a
+      // ZERO-NORM vector must pass to clean (NaN cosines never mark a dup)
       q.stop()
       val q2 = StreamingDedup.runSemantic(spark, inDir.getAbsolutePath, s"$root/out",
         cents, threshold = 0.95)
       try {
-        dropFile("b3.parquet", Seq(Vec(6, v(0.01, 1.0, 0.0, 0.02))))
+        dropFile("b3.parquet", Seq(
+          Vec(6, v(0.01, 1.0, 0.0, 0.02)),
+          Vec(8, v(0.0, 0.0, 0.0, 0.0))))
         q2.processAllAvailable()
         val dup6 = spark.read.parquet(s"$root/out/dups")
           .where($"vec_id" === 6L).as[(Long, Long, Double, String)].collect().head
         assert(dup6._2 == 2L && dup6._4 == "index")
+        val clean3 = spark.read.parquet(s"$root/out/clean").select("vec_id").as[Long].collect().toSet
+        assert(clean3 == Set(1L, 2L, 5L, 8L))
+
+        // batch 4: 9 ~= 1 -> index hit with a REAL similarity and rep — the
+        // zero-norm index entry sharing its cell must not absorb it via NaN
+        dropFile("b4.parquet", Seq(Vec(9, v(1.0, 0.01, 0.0, 0.0))))
+        q2.processAllAvailable()
+        val dup9 = spark.read.parquet(s"$root/out/dups")
+          .where($"vec_id" === 9L).as[(Long, Long, Double, String)].collect().head
+        assert(dup9._2 == 1L && dup9._4 == "index" && !dup9._3.isNaN && dup9._3 >= 0.95)
         val cleanAfter = spark.read.parquet(s"$root/out/clean").select("vec_id").as[Long].collect()
         assert(cleanAfter.length == cleanAfter.toSet.size)
-        assert(spark.read.parquet(s"$root/out/index").count() == 3)
+        assert(spark.read.parquet(s"$root/out/index").count() == 4)
       } finally q2.stop()
     } finally q.stop()
   }
