@@ -91,6 +91,9 @@ object NativeExprs {
 
   def pqLut(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     GraftShims.toColumn(PqLutExpr(GraftShims.toExpression(vec), codebooks))
+
+  def adcSum(table: Column, codes: Column): Column =
+    GraftShims.toColumn(AdcSumExpr(GraftShims.toExpression(table), GraftShims.toExpression(codes)))
 }
 
 /** Shared best-n-cells-by-cosine kernel of [[NearestCellsExpr]] (plan-literal
@@ -459,6 +462,53 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
 /** Cosine similarity of two array<double> vectors (null if either side is
   * null or a length mismatch). One fused pass: dot and both norms in a
   * single loop. */
+/** ADC table walk — the PQ SCORING kernel: Σ_j table[j][codes[j]], one
+  * fused loop over the m codes of an index row. This runs once per
+  * (index row × probing query), the hottest loop in the PQ/IVF-PQ
+  * searchers, where the declarative formulation
+  * (`aggregate(zip_with(table, codes, element_at...))`) is interpreted
+  * per element — the same trap [[CosineSimExpr]]'s doc notes for the
+  * cross-join cosine. Null semantics mirror the HOF shape it replaces:
+  * mismatched table/codes lengths score null (dropped by the rankers'
+  * degenerate-row policy), as does an out-of-range code (impossible from
+  * `pq_encode`, defensive for hand-built tables). */
+case class AdcSumExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"adc_sum requires (array<array<double>>, array<int>), got $other")
+    }
+  }
+
+  override protected def nullSafeEval(t: Any, c: Any): Any = {
+    val table = t.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (table.numElements() != m) return null
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val row = table.getArray(j)
+      val code = codes.getInt(j)
+      if (code < 0 || code >= row.numElements()) return null
+      s += row.getDouble(code)
+      j += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcSumExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "adc_sum"
+}
+
 case class CosineSimExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
 
@@ -1085,7 +1135,19 @@ case class PqEncodeDynExpr(left: Expression, right: Expression)
       val bj = ba.getArray(j)
       Array.tabulate(bj.numElements()) { c => bj.getArray(c).toDoubleArray() }
     }
-    if (books.exists(_.isEmpty)) return null // a subspace without codes
+    // malformed codebooks fail LOUDLY (the repo's ANSI discipline), never
+    // crash with an index error or return null from a non-nullable slot:
+    // the encode kernel walks every centroid to subspace width book(0), so
+    // an empty subspace or ragged centroid widths must be rejected here
+    books.zipWithIndex.foreach { case (b, j) =>
+      if (b.isEmpty)
+        throw new IllegalArgumentException(
+          s"graft_pq_encode: subspace $j has no centroids")
+      val w = b(0).length
+      if (!b.forall(_.length == w))
+        throw new IllegalArgumentException(
+          s"graft_pq_encode: subspace $j centroids differ in width (expected $w)")
+    }
     PqEncodeEval(vec.asInstanceOf[ArrayData], books, PqEncodeEval.offsetsOf(books))
   }
 
@@ -1119,8 +1181,7 @@ case class PqLutExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 
   @transient private lazy val books: Array[Array[Array[Double]]] =
     codebooks.map(_.map(_.toArray).toArray).toArray
-  @transient private lazy val offsets: Array[Int] =
-    books.scanLeft(0)((acc, b) => acc + b(0).length).init
+  @transient private lazy val offsets: Array[Int] = PqEncodeEval.offsetsOf(books)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -221,6 +221,10 @@ object Analytics {
     * streaming micro-batches, bucketed layouts that must not re-split). */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  saltSource: Column, saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 1,
+      s"saltedJoin needs saltBuckets >= 1, got $saltBuckets (0 would pmod-divide by zero)")
+    require(!probe.columns.contains("_salt") && !build.columns.contains("_salt"),
+      "saltedJoin reserves the _salt column; rename it on the inputs first")
     val p = probe.withColumn("_salt",
       pmod(xxhash64(saltSource), lit(saltBuckets)).cast("int"))
     // sequence(int, int) is already array<int>; a cast around explode would

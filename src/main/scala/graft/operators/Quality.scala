@@ -168,7 +168,7 @@ object Quality {
     def permille(nulls: Column, rows: Column): Column =
       when(rows === 0, lit(0L))
         .otherwise(floor(nulls * 1000 / rows).cast("long"))
-    prof.groupBy(col("col_name"))
+    val grouped = prof.groupBy(col("col_name"))
       .agg(
         coalesce(side("a", "n_rows"), lit(0L)).as("rows_before"),
         coalesce(side("b", "n_rows"), lit(0L)).as("rows_after"),
@@ -183,6 +183,20 @@ object Quality {
       .withColumn("drifted",
         col("distinct_delta") =!= 0 || col("null_permille_delta") =!= 0 ||
         col("range_changed"))
+    // both-snapshots-empty degenerate case: the side-tagged groupBy has no
+    // group rows AT ALL, so the fused chain would emit zero rows where the
+    // former two-profile formulation (a global aggregate per side) still
+    // reported one zero-drift row per column — and monitor_feed's
+    // col_drift metric would silently vanish. Two limit-1 probes are the
+    // cheapest way to detect it without adding a column-spine join to the
+    // normal plan (the plan audit pins the no-join shape).
+    if (before.limit(1).isEmpty && after.limit(1).isEmpty) {
+      val s = before.sparkSession
+      import s.implicits._
+      columns.map(c => (c, 0L, 0L, 0L, 0L, false, false))
+        .toDF("col_name", "rows_before", "rows_after", "distinct_delta",
+          "null_permille_delta", "range_changed", "drifted")
+    } else grouped
   }
 
   /** Per-zone record counts (dashboard.py:30-40 pipeline stats). */

@@ -630,14 +630,15 @@ object Similarity {
 
   /** Reconstructed-cosine ADC score over (_lut, _codes, _qnorm): dot from
     * the per-query LUT, vector norm from the query-independent per-code
-    * norm² table (a plan literal, d-doubles-sized). */
+    * norm² table (a plan literal, d-doubles-sized). Both table walks run
+    * through the fused [[graft.functions.AdcSumExpr]] kernel — this is
+    * the per-(index row × query) hot loop, where the declarative
+    * aggregate/zip_with/element_at chain is interpreted per element. */
   private def adcCosine(books: Array[Array[Array[Double]]]): Column = {
     val norm2: Seq[Seq[Double]] =
       books.map(_.map(cent => cent.map(x => x * x).sum).toSeq).toSeq
-    val lookup = (table: Column) => // Σ_j table[j][codes[j]]
-      aggregate(zip_with(table, col("_codes"), (row, code) =>
-        element_at(row, code + 1)), lit(0.0), (acc, x) => acc + x)
-    lookup(col("_lut")) / (col("_qnorm") * sqrt(lookup(typedLit(norm2))))
+    val adc = graft.functions.NativeExprs.adcSum(_: Column, col("_codes"))
+    adc(col("_lut")) / (col("_qnorm") * sqrt(adc(typedLit(norm2))))
   }
 
   /** Shared shortlist + exact-cosine re-rank tail of the two ADC searchers:
@@ -791,9 +792,7 @@ object Similarity {
         dot(col("_qv"), col("_centv")).as("_qdotc"),
         graft.functions.NativeExprs.pqLut(col("_qv"), booksSeq).as("_lut"),
         sqrt(aggregate(col("_qv"), lit(0.0), (acc, x) => acc + x * x)).as("_qnorm"))
-    val lutDot = aggregate(
-      zip_with(col("_lut"), col("_codes"), (row, code) => element_at(row, code + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    val lutDot = graft.functions.NativeExprs.adcSum(col("_lut"), col("_codes"))
     val scored = index.join(broadcast(q), "cell")
       // a zero-norm corpus vector would score ±Infinity here (nonzero
       // reconstructed numerator over a zero norm) and usurp a shortlist

@@ -232,6 +232,8 @@ object Star {
     * snapshot row. */
   def scd2Merge(dim: DataFrame, snapshot: DataFrame, key: String,
                 attrs: Seq[String], snapDate: Column): DataFrame = {
+    require(attrs.nonEmpty,
+      "scd2Merge needs at least one tracked attribute (the change predicate reduces over them)")
     val snap = snapshot.select(
       col(key) +: attrs.map(a => col(a).as(s"_new_$a")) :+ snapDate.as("_snap"): _*)
     val j = dim.join(snap, Seq(key), "full_outer")

@@ -179,7 +179,13 @@ object TextAnalysis {
     * single-partition global window — a 100 TB corpus shuffles with full
     * parallelism. The digest is suffixed with the id so the order is total
     * even under md5 collisions; no RNG, so the permutation is identical on
-    * every engine, run, and retry. */
+    * every engine, run, and retry.
+    *
+    * Contract: `idCol` must be UNIQUE and NON-NULL — the permutation is a
+    * ranking of the distinct id set (duplicate-id rows collapse to one
+    * position; a null id has no md5 and would surface as a null-keyed
+    * row). Corpus ids satisfy this by construction; validate upstream
+    * (the quality engine's identity rules) if the source cannot. */
   def corpusShuffle(docs: DataFrame, idCol: String): DataFrame = {
     // The shuffle key embeds the id after its 32-hex-char md5 prefix, so
     // the id is RECOVERED from the ranked key by substring instead of

@@ -119,6 +119,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(c0.getDouble(3) - 12.666667) < 1e-9)
   }
 
+  test("adc_sum kernel matches the aggregate/zip_with formulation, null on malformed inputs") {
+    val df = Seq(
+      (Seq(Seq(1.0, 2.0), Seq(10.0, 20.0, 30.0)), Seq(1, 2)),   // 2.0 + 30.0
+      (Seq(Seq(1.0, 2.0), Seq(10.0, 20.0, 30.0)), Seq(0, 0))    // 1.0 + 10.0
+    ).toDF("table", "codes")
+    val kernel = df.select(graft.functions.NativeExprs.adcSum(col("table"), col("codes")))
+      .as[Double].collect().toSeq
+    val hof = df.select(aggregate(
+        zip_with(col("table"), col("codes"), (row, code) => element_at(row, code + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .as[Double].collect().toSeq
+    assert(kernel == Seq(32.0, 11.0) && kernel == hof)
+    // mismatched lengths and out-of-range codes score null, never throw
+    val bad = Seq(
+      (Seq(Seq(1.0, 2.0)), Seq(0, 1)),       // table shorter than codes
+      (Seq(Seq(1.0, 2.0), Seq(3.0)), Seq(0, 5))  // code out of range
+    ).toDF("table", "codes")
+    val out = bad.select(graft.functions.NativeExprs.adcSum(col("table"), col("codes")))
+      .collect().map(r => r.isNullAt(0)).toSeq
+    assert(out == Seq(true, true))
+  }
+
   test("optimizer rule collapses nested nfc_normalize at plan time") {
     graft.plans.GraftOptimizations.register(spark)
     // non-foldable input (depends on a column) so constant folding cannot
