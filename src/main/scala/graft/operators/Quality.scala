@@ -187,16 +187,24 @@ object Quality {
     // group rows AT ALL, so the fused chain would emit zero rows where the
     // former two-profile formulation (a global aggregate per side) still
     // reported one zero-drift row per column — and monitor_feed's
-    // col_drift metric would silently vanish. Two limit-1 probes are the
-    // cheapest way to detect it without adding a column-spine join to the
-    // normal plan (the plan audit pins the no-join shape).
-    if (before.limit(1).isEmpty && after.limit(1).isEmpty) {
-      val s = before.sparkSession
-      import s.implicits._
-      columns.map(c => (c, 0L, 0L, 0L, 0L, false, false))
-        .toDF("col_name", "rows_before", "rows_after", "distinct_delta",
-          "null_permille_delta", "range_changed", "drifted")
-    } else grouped
+    // col_drift metric would silently vanish. Union a literal per-column
+    // default table and resolve with max(struct(...)): the leading _real
+    // flag makes any genuine row beat its default, the extra aggregate
+    // runs over at most 2·|columns| rows (dimension-sized — no scan, no
+    // join, no eager probe; limit-1 probes were measured at +0.3 s), and
+    // the plan audit's no-join single-Expand shape is preserved.
+    val s = before.sparkSession
+    import s.implicits._
+    val defaults = columns.map(c => (c, 0L, 0L, 0L, 0L, false, false))
+      .toDF("col_name", "rows_before", "rows_after", "distinct_delta",
+        "null_permille_delta", "range_changed", "drifted")
+    val fields = Seq("rows_before", "rows_after", "distinct_delta",
+      "null_permille_delta", "range_changed", "drifted")
+    grouped.withColumn("_real", lit(1))
+      .unionByName(defaults.withColumn("_real", lit(0)))
+      .groupBy(col("col_name"))
+      .agg(max(struct((col("_real") +: fields.map(col)): _*)).as("_r"))
+      .select(col("col_name") +: fields.map(f => col(s"_r.$f").as(f)): _*)
   }
 
   /** Per-zone record counts (dashboard.py:30-40 pipeline stats). */

@@ -162,5 +162,14 @@ class MultiSourceQualitySpec extends SparkSpec {
       .select("col_name", "drifted").as[(String, Boolean)].collect().toMap
     // 0-row denominator is guarded to 0 permille — no NaN, no ANSI throw
     assert(out == Map("id" -> true, "name" -> true))
+    // BOTH snapshots empty: the side-tagged groupBy has no group rows, but
+    // every declared column must still report one zero-drift row (the
+    // default-spine union), never a vanishing col_drift metric
+    val bothEmpty = Quality.profileDrift(before,
+        Seq.empty[(Int, String)].toDF("id", "name"), Seq("id", "name"))
+      .as[(String, Long, Long, Long, Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(bothEmpty.toSeq == Seq(
+      ("id", 0L, 0L, 0L, 0L, false, false),
+      ("name", 0L, 0L, 0L, 0L, false, false)))
   }
 }
