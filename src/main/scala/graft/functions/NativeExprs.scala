@@ -459,9 +459,6 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
-/** Cosine similarity of two array<double> vectors (null if either side is
-  * null or a length mismatch). One fused pass: dot and both norms in a
-  * single loop. */
 /** ADC table walk — the PQ SCORING kernel: Σ_j table[j][codes[j]], one
   * fused loop over the m codes of an index row. This runs once per
   * (index row × probing query), the hottest loop in the PQ/IVF-PQ
@@ -495,9 +492,12 @@ case class AdcSumExpr(left: Expression, right: Expression)
     var s = 0.0
     var j = 0
     while (j < m) {
+      // null elements (the types admit containsNull) score null like the
+      // HOF chain did — never an NPE, never a silent 0-index read
+      if (table.isNullAt(j) || codes.isNullAt(j)) return null
       val row = table.getArray(j)
       val code = codes.getInt(j)
-      if (code < 0 || code >= row.numElements()) return null
+      if (code < 0 || code >= row.numElements() || row.isNullAt(code)) return null
       s += row.getDouble(code)
       j += 1
     }
@@ -509,6 +509,9 @@ case class AdcSumExpr(left: Expression, right: Expression)
   override def prettyName: String = "adc_sum"
 }
 
+/** Cosine similarity of two array<double> vectors (null if either side is
+  * null or a length mismatch). One fused pass: dot and both norms in a
+  * single loop. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
 
@@ -1132,8 +1135,16 @@ case class PqEncodeDynExpr(left: Expression, right: Expression)
     val m = ba.numElements()
     if (m == 0) return new GenericArrayData(Array.empty[Any])
     val books = Array.tabulate(m) { j =>
+      if (ba.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"graft_pq_encode: subspace $j is null")
       val bj = ba.getArray(j)
-      Array.tabulate(bj.numElements()) { c => bj.getArray(c).toDoubleArray() }
+      Array.tabulate(bj.numElements()) { c =>
+        if (bj.isNullAt(c))
+          throw new IllegalArgumentException(
+            s"graft_pq_encode: subspace $j centroid $c is null")
+        bj.getArray(c).toDoubleArray()
+      }
     }
     // malformed codebooks fail LOUDLY (the repo's ANSI discipline), never
     // crash with an index error or return null from a non-nullable slot:

@@ -613,9 +613,10 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
       .select(col("neighbor_id"),
         graft.functions.NativeExprs.pqEncode(col("_cv"), booksSeq).as("_codes"))
+      .withColumn("_vnormr", reconNorm(books))
     val q = pqQuerySide(queries, idCol, vecCol, booksSeq)
     val scored = index.crossJoin(broadcast(q))
-      .withColumn("_sim", adcCosine(books))
+      .withColumn("_sim", adcCosine)
     adcRerank(queries, corpus, idCol, vecCol, scored, cShort, k)
   }
 
@@ -628,18 +629,25 @@ object Similarity {
         graft.functions.NativeExprs.pqLut(col("_qv"), booksSeq).as("_lut"),
         sqrt(aggregate(col("_qv"), lit(0.0), (acc, x) => acc + x * x)).as("_qnorm"))
 
-  /** Reconstructed-cosine ADC score over (_lut, _codes, _qnorm): dot from
-    * the per-query LUT, vector norm from the query-independent per-code
-    * norm² table (a plan literal, d-doubles-sized). Both table walks run
-    * through the fused [[graft.functions.AdcSumExpr]] kernel — this is
-    * the per-(index row × query) hot loop, where the declarative
-    * aggregate/zip_with/element_at chain is interpreted per element. */
-  private def adcCosine(books: Array[Array[Array[Double]]]): Column = {
+  /** Reconstructed norm of an index row's codes under the
+    * query-independent per-code norm² table (a plan literal,
+    * d-doubles-sized) — computed ONCE PER INDEX ROW at index-build time,
+    * the same discipline as the residual path's exact `_vnorm`: the norm
+    * walk depends only on the codes, so evaluating it inside the
+    * (index row × query) score would repeat it per probing query. */
+  private def reconNorm(books: Array[Array[Array[Double]]]): Column = {
     val norm2: Seq[Seq[Double]] =
       books.map(_.map(cent => cent.map(x => x * x).sum).toSeq).toSeq
-    val adc = graft.functions.NativeExprs.adcSum(_: Column, col("_codes"))
-    adc(col("_lut")) / (col("_qnorm") * sqrt(adc(typedLit(norm2))))
+    sqrt(graft.functions.NativeExprs.adcSum(typedLit(norm2), col("_codes")))
   }
+
+  /** Reconstructed-cosine ADC score over (_lut, _codes, _qnorm, _vnormr):
+    * dot from the per-query LUT via the fused
+    * [[graft.functions.AdcSumExpr]] kernel — the per-(index row × query)
+    * hot loop is exactly one m-code table walk and a divide. */
+  private def adcCosine: Column =
+    graft.functions.NativeExprs.adcSum(col("_lut"), col("_codes")) /
+      (col("_qnorm") * col("_vnormr"))
 
   /** Shared shortlist + exact-cosine re-rank tail of the two ADC searchers:
     * bounded-heap top-`cShort` of the approximate scores, then a broadcast
@@ -701,6 +709,7 @@ object Similarity {
     val index = c.select(col("neighbor_id"),
       cells(col("_cv"), 1)(0).as("cell"),
       graft.functions.NativeExprs.pqEncode(col("_cv"), booksSeq).as("_codes"))
+      .withColumn("_vnormr", reconNorm(books))
     // one projection (not pqQuerySide + a join): the probe explode needs
     // _qv, which the shared helper's projection drops
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
@@ -709,7 +718,7 @@ object Similarity {
         graft.functions.NativeExprs.pqLut(col("_qv"), booksSeq).as("_lut"),
         sqrt(aggregate(col("_qv"), lit(0.0), (acc, x) => acc + x * x)).as("_qnorm"))
     val scored = index.join(broadcast(q), "cell")
-      .withColumn("_sim", adcCosine(books))
+      .withColumn("_sim", adcCosine)
     adcRerank(queries, corpus, idCol, vecCol, scored, cShort, k)
   }
 
