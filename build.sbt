@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's ONE-LINE JSON from sbt's stdout tail.
+// Forward the forked program's output verbatim (no "[info] " prefix) and
+// drop the "[success] Total time ..." banner so the JSON line is the LAST
+// line sbt prints — otherwise the wrapper's `parsed` stays null.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

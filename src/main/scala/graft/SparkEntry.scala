@@ -771,11 +771,14 @@ object SparkEntry {
       Similarity.exactTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10)
     }),
-    // §2.2 row 24 — LSH-bucketed ANN (rows-only oracle)
+    // §2.2 row 24 — LSH-bucketed ANN, FULL top-k table row-hash-oracled:
+    // numPlanes pinned at 8 (the adaptive default at this SF) so the
+    // oracle SQL can inline the fixed-seed hyperplane constants and
+    // re-derive every signature; adaptivePlanes itself is spec-covered.
     "ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
-        "vec_id", "embedding", 10)
+        "vec_id", "embedding", 10, numPlanes = 8)
     }),
     // §2.2 row 24 — IVF-bucketed ANN, the 100 TB scale path (rows-only
     // oracle; recall gated by `ann_recall` on shared centroids). Runs with
@@ -858,24 +861,28 @@ object SparkEntry {
     // §2.2 row 25 — embedding column ops
     "embedding_norms" -> ((s, d) => Similarity.norms(Tables.embeddings(s, d), "vec_id", "embedding")),
     // §2.2 row 25e — component covariance matrix (PCA/whitening input):
-    // one corpus scan, pair products map-side, dimension²-sized shuffle
+    // the explode carrier (pure built-in Catalyst, independently planned),
+    // kept under the oracle as the cross-check of the default aggregate
     "embedding_cov" -> ((s, d) =>
-      Similarity.embeddingCovariance(Tables.embeddings(s, d), "embedding")),
-    // §2.2 row 25e — the HIGH-DIM covariance carrier (fixed-buffer
-    // CovOuterSumAgg, no explode) under the SAME oracle — the paths are
-    // bit-identical by construction, so the driver gates both
-    "embedding_cov_hd" -> ((s, d) =>
       Similarity.embeddingCovariance(Tables.embeddings(s, d), "embedding",
-        highDim = true)),
+        highDim = false)),
+    // §2.2 row 25e — the DEFAULT covariance carrier (fixed-buffer
+    // CovOuterSumAgg, no explode — the only high-dim-safe shape, and
+    // ~2.3× faster already at dim 64) under the SAME oracle — the paths
+    // are bit-identical by construction, so the driver gates both
+    "embedding_cov_hd" -> ((s, d) =>
+      Similarity.embeddingCovariance(Tables.embeddings(s, d), "embedding")),
     // §2.2 row 25e — whitened top-8 PCA projection (rows-only: the basis
     // comes from a driver eigensolve, not SQL; correctness spec-gated —
     // orthonormal basis, descending eigenvalues, unit projected variance,
     // in-memory parity — while the distributed pass is the oracled
-    // embedding_cov)
+    // embedding_cov). Emitted EXPLODED to (vec_id, component_idx, value)
+    // scalar rows so the driver's comparator can sort/count the output
+    // (an array<double> column crashes its pandas sort — r10 red row).
     "embedding_pca" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.pcaProject(e, "vec_id", "embedding", 8, whiten = true)
-        .select(col("vec_id"), col("proj"))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("component_idx", "value")))
     }),
     // §2.2 row 26 — multimodal binary plumbing (metadata path)
     "multimodal_meta" -> ((s, d) =>
@@ -935,11 +942,14 @@ object SparkEntry {
     // §2.2 row 29b — corpus vocabulary (token frequencies)
     "vocab_top" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d), "text", 30)),
     // §2.2 row 31 — BPE tokenizer training (Sennrich word-frequency
-    // formulation: merge rounds run on the vocabulary-sized word table,
-    // never the corpus; deterministic tie-break). Iterative → rows-only
-    // oracle; the merge list is spec-checked against an in-memory
-    // reference trainer (BpeSpec). memoize=false so every bench rep pays
-    // the REAL training loop (the memo would otherwise hide it behind
+    // formulation: ONE corpus pass builds the word table, then — vocab
+    // being far under Bpe.DriverVocabBound — the merge loop runs
+    // driver-side with incremental pair counts, the production-trainer
+    // shape; the distributed per-round carrier engages past the bound and
+    // is spec-pinned merge-for-merge against this one). Iterative →
+    // rows-only oracle; the merge list is also spec-checked against an
+    // in-memory reference trainer (BpeSpec). memoize=false so every bench
+    // rep pays the REAL training (the memo would otherwise hide it behind
     // min-of-reps); bpe_segment keeps the memo — segmentation under an
     // already-trained tokenizer is the realistic shape there.
     "bpe_train" -> ((s, d) =>
@@ -1110,14 +1120,48 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
-    * parquet tables. Omitted keys (ingest_discovery, ann_lsh, ann_ivf,
+    * parquet tables. Omitted keys (ingest_discovery, ann_ivf,
     * ann_pq, ann_ivfpq, ann_ivfpq_res, approx_stats, winnow_fingerprint,
     * bpe_train, bpe_segment, embedding_pca) are non-SQL-expressible →
-    * driver's weaker rows-only check; the five approximate ANN paths'
-    * recall is gated by the oracled `ann_recall`, winnowing by
-    * `winnow_overlap`, and embedding_pca's distributed pass by the
-    * oracled `embedding_cov`. */
+    * driver's weaker rows-only check; the approximate ANN paths'
+    * recall is gated by the oracled `ann_recall` (and `ann_lsh`'s FULL
+    * top-k table is row-hash-oracled — its fixed-seed hyperplanes inline
+    * into the SQL), winnowing by `winnow_overlap`, and embedding_pca's
+    * distributed pass by the oracled `embedding_cov`. */
   def oracleSql: Map[String, String] = Map(
+    // ann_lsh re-derived end-to-end: the SAME 8×64 hyperplane constants
+    // (java.util.Random(7) — deterministic across JVMs) rebuild every
+    // signature as a bit-int; the multiprobe candidate set (query bucket
+    // flipped in ≤2 positions) is EXACTLY the corpus rows within hamming
+    // distance 2, so a bit_count(xor) join replaces probe enumeration;
+    // cosine + (sim DESC, id) rank as in ann_topk. Sign parity of the dot
+    // products holds because both engines sum index-ascending in doubles
+    // and a sign flip would need |dot| below the last-ulp rounding gap.
+    "ann_lsh" -> {
+      val planeRows = graft.operators.Similarity.hyperplanes(8, 64).zipWithIndex
+        .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+        .mkString(",\n        ")
+      s"""WITH planes(pid, pv) AS (VALUES
+        |        $planeRows),
+        |q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |    FROM embeddings WHERE vec_id < 5),
+        |c0 AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |    FROM embeddings WHERE vec_id >= 5),
+        |qs AS (SELECT query_id, bit_or(CASE WHEN list_dot_product(qv, pv) >= 0
+        |      THEN (1::UBIGINT << pid) ELSE 0::UBIGINT END) AS sig
+        |    FROM q0, planes GROUP BY query_id),
+        |cs AS (SELECT neighbor_id, bit_or(CASE WHEN list_dot_product(cv, pv) >= 0
+        |      THEN (1::UBIGINT << pid) ELSE 0::UBIGINT END) AS sig
+        |    FROM c0, planes GROUP BY neighbor_id),
+        |cand AS (SELECT query_id, neighbor_id FROM qs JOIN cs
+        |    ON bit_count(xor(qs.sig, cs.sig)) <= 2),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+        |    FROM cand JOIN q0 USING (query_id) JOIN c0 USING (neighbor_id)),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM s WHERE NOT isnan(sim))
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r
+        |WHERE rank <= 10""".stripMargin
+    },
     "normalize_strings" ->
       """SELECT c_custkey,
         |  regexp_replace(trim(c_name), '\s+', ' ', 'g') AS name_norm,

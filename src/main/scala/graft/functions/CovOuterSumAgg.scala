@@ -138,7 +138,10 @@ case class CovOuterSumAgg(
   }
 
   override def serialize(buffer: Buf): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(16 + buffer.pairs * 40)
+    // size hint clamped: pairs*40 overflows Int past dim ~10k; the stream
+    // still grows correctly, this only pre-sizes the first allocation
+    val bos = new ByteArrayOutputStream(
+      math.min(16L + buffer.pairs.toLong * 40L, 1L << 26).toInt)
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.dim)
     var idx = 0
@@ -240,7 +243,18 @@ object CovOuterSumAgg {
     val hi: Array[Array[BigInteger]] = new Array[Array[BigInteger]](3)
 
     def ensure(newDim: Int): Unit = if (newDim > dim) {
-      val newPairs = newDim * (newDim + 1) / 2
+      // Long arithmetic + explicit ceiling: at newDim ≥ 65536 the Int
+      // triangle size would overflow negative and die as an opaque
+      // NegativeArraySizeException; fail loudly with the real limit
+      // instead. 46340 is the last dim whose triangle fits an Int index
+      // range (and already implies ~8.6 GB of hot lanes — far past any
+      // embedding width this aggregate is for).
+      val longPairs = newDim.toLong * (newDim + 1L) / 2L
+      require(longPairs <= Int.MaxValue,
+        s"cov_outer_sum: vector dimension $newDim exceeds the supported " +
+          s"maximum 46340 (triangle buffer of $longPairs pairs cannot be " +
+          "indexed); reduce the embedding dimension or project first")
+      val newPairs = longPairs.toInt
       cnt = java.util.Arrays.copyOf(cnt, newPairs)
       var lane = 0
       while (lane < 3) {

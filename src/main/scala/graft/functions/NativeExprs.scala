@@ -964,8 +964,9 @@ case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)],
   private def segmentWord(word: String): Array[UTF8String] = {
     var syms = new java.util.ArrayList[String](word.length)
     var i = 0
-    // code-point iteration: the training side splits words with the regex
-    // "(?!^)" (code-point aware), so surrogate pairs must stay whole here too
+    // code-point iteration; the training side initializes words through
+    // THIS expression with an empty merge list, so train/segment init are
+    // one code path (surrogate pairs stay whole in both)
     while (i < word.length) {
       val cc = Character.charCount(word.codePointAt(i))
       syms.add(word.substring(i, i + cc))

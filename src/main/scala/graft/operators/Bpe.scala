@@ -14,47 +14,67 @@ import graft.functions.NativeExprs
   *
   * Scale design: training follows the classical word-frequency formulation —
   * ONE corpus pass builds the (word, freq) table, and every merge round
-  * operates on that VOCABULARY-SIZED table, never the corpus. Per round:
-  * adjacent symbol pairs explode map-side weighted by word frequency, one
-  * keyed aggregation counts them, and a distributed TakeOrdered(1) picks
-  * the winner under a deterministic (count desc, left asc, right asc)
-  * tie-break — the only driver state is that single (left, right) pair.
-  * Symbol rewriting is a map-side native expression; `localCheckpoint`
-  * every few rounds bounds lineage exactly as the iterative
-  * connected-components propagation does. Segmentation is one compiled
-  * map-side pass per document (no shuffle at all) with the trained merge
-  * list carried as a plan literal.
+  * operates on that VOCABULARY-SIZED table, never the corpus. Two carriers
+  * run the merge loop, selected by the vocabulary's measured size:
+  *
+  *  - **Driver kernel** (vocab ≤ [[DriverVocabBound]] distinct words, the
+  *    overwhelmingly common case — production trainers like
+  *    sentencepiece/HF-tokenizers are single-process over exactly this
+  *    table): collect the (symbols, freq) table ONCE, then run the merge
+  *    loop in memory with incremental pair-count maintenance — per merge,
+  *    only the words containing the winning pair are rewritten and only
+  *    their pair counts adjusted (a lazy-validated priority queue picks
+  *    winners; no full recount per round). 32k merges cost seconds, not
+  *    32k Spark jobs.
+  *  - **Distributed rounds** (vocab past the bound): per round, adjacent
+  *    symbol pairs explode map-side weighted by word frequency, one keyed
+  *    aggregation counts them, and a distributed TakeOrdered(1) picks the
+  *    winner — the only driver state is that single (left, right) pair.
+  *    Symbol rewriting is a map-side native expression; `localCheckpoint`
+  *    every few rounds bounds lineage exactly as the iterative
+  *    connected-components propagation does.
+  *
+  * Both carriers implement the identical semantics — same (count desc,
+  * left asc, right asc) tie-break with STRING ORDER AS UTF-8 BYTES (what
+  * Spark's UTF8String comparison does; Java's String.compareTo diverges on
+  * supplementary characters), same non-overlapping left-to-right merge —
+  * and are spec-pinned merge-for-merge against each other (BpeSpec),
+  * including a count-tie corpus where UTF-8 and UTF-16 orderings disagree.
+  * Segmentation is one compiled map-side pass per document (no shuffle at
+  * all) with the trained merge list carried as a plan literal.
   */
 object Bpe {
 
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Per-character symbol array with the end-of-word marker folded into the
-    * final character (the Sennrich initialization). The "(?!^)" split is
-    * code-point aware, matching the segmenter's iteration. */
-  private def charSymbols(word: Column, endOfWord: String): Column = {
-    // Spark's split keeps trailing empties (Java split limit -1), and
-    // "(?!^)" also matches at end-of-string — drop the trailing "" so the
-    // marker folds into the real final character.
-    val chars = filter(split(word, "(?!^)"), c => length(c) > 0)
-    concat(slice(chars, lit(1), size(chars) - 1),
-      array(concat(element_at(chars, -1), lit(endOfWord))))
-  }
+  /** Per-CODE-POINT symbol array with the end-of-word marker folded into
+    * the final code point (the Sennrich initialization). Implemented as
+    * [[NativeExprs.bpeSegment]] with an EMPTY merge list — segmentation
+    * under zero merges IS the init — so training init and segmenter init
+    * are one code path by construction. (The earlier `split(word,
+    * "(?!^)")` formulation is NOT equivalent: Spark's split breaks
+    * surrogate pairs and re-encodes each lone half as U+003F '?', so every
+    * astral code point trained as "? ?" while the segmenter kept it whole —
+    * verified empirically; spec-pinned in BpeSpec's astral tie test.) */
+  private def charSymbols(word: Column, endOfWord: String): Column =
+    NativeExprs.bpeSegment(array(word), Nil, endOfWord)
+
+  /** Vocabulary-size ceiling for the driver-side merge kernel: at or
+    * under this many DISTINCT words the (symbols, freq) table collects to
+    * the driver (≈1 GB heap worst-case at the bound for typical word
+    * lengths — the same bounded-collect discipline as the ANN centroid
+    * and pivot-key collects); past it, training stays distributed. Real
+    * corpora sit far under it: distinct-word counts grow ~O(corpus^0.5)
+    * (Heaps' law), and production BPE trainers assume exactly this table
+    * fits one machine. */
+  val DriverVocabBound: Long = 1000000L
 
   /** Train `numMerges` BPE merges on the corpus. Returns the ordered merge
     * list (rank order = training order). Rounds stop early when no
     * adjacent pair reaches `minPairCount` (merging hapax pairs only bloats
     * the vocabulary). Deterministic: same corpus, same merges, any
-    * partitioning.
-    *
-    * Honest scale boundary: each merge is one driver-loop round over the
-    * vocabulary table (~0.1 s of job overhead at any SF), so this loop
-    * shape suits merge budgets in the hundreds. A production 32k-merge
-    * tokenizer wants incremental pair-count maintenance (the in-memory
-    * trick reference trainers use) — on a corpus-derived word-frequency
-    * table that fits one machine, which this method's first aggregation
-    * produces; the distributed rounds here are for vocabularies too large
-    * to collect.
+    * partitioning, either carrier (see the object doc for the
+    * driver-vs-distributed selection at `driverVocabBound`).
     *
     * Memoized per (session, canonicalized corpus plan string AND its
     * semanticHash, numMerges, endOfWord, textCol, minPairCount) with the
@@ -74,14 +94,16 @@ object Bpe {
     * wants. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             endOfWord: String = "</w>", minPairCount: Long = 2L,
-            memoize: Boolean = true): Seq[(String, String)] = {
-    if (!memoize) return trainUncached(docs, textCol, numMerges, endOfWord, minPairCount)
+            memoize: Boolean = true,
+            driverVocabBound: Long = DriverVocabBound): Seq[(String, String)] = {
+    if (!memoize)
+      return trainUncached(docs, textCol, numMerges, endOfWord, minPairCount, driverVocabBound)
     if (mergeCache.size() >= mergeCacheMax) mergeCache.clear()
     val analyzed = docs.queryExecution.analyzed
     val key = (docs.sparkSession.hashCode,
-      s"${analyzed.canonicalized}|${analyzed.semanticHash()}|$textCol|$numMerges|$endOfWord|$minPairCount")
+      s"${analyzed.canonicalized}|${analyzed.semanticHash()}|$textCol|$numMerges|$endOfWord|$minPairCount|$driverVocabBound")
     mergeCache.computeIfAbsent(key,
-      _ => trainUncached(docs, textCol, numMerges, endOfWord, minPairCount))
+      _ => trainUncached(docs, textCol, numMerges, endOfWord, minPairCount, driverVocabBound))
   }
 
   private val mergeCacheMax = 64
@@ -89,13 +111,27 @@ object Bpe {
     new java.util.concurrent.ConcurrentHashMap[(Int, String), Seq[(String, String)]]()
 
   private def trainUncached(docs: DataFrame, textCol: String, numMerges: Int,
-                            endOfWord: String, minPairCount: Long): Seq[(String, String)] = {
-    var words = docs
+                            endOfWord: String, minPairCount: Long,
+                            driverVocabBound: Long): Seq[(String, String)] = {
+    val words = docs
       .select(explode(tokens(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(charSymbols(col("word"), endOfWord).as("symbols"), col("freq"))
       .localCheckpoint()
+    // the checkpoint is already materialized, so this count is metadata-cheap
+    if (words.count() <= driverVocabBound) {
+      val vocab = words.collect().map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      trainDriver(vocab, numMerges, minPairCount)
+    } else trainDistributed(words, numMerges, minPairCount)
+  }
+
+  /** Distributed merge rounds for vocabularies past the driver bound: one
+    * vocabulary-table job per merge (pair explode → keyed count →
+    * TakeOrdered(1)), symbols rewritten map-side. */
+  private def trainDistributed(words0: DataFrame, numMerges: Int,
+                               minPairCount: Long): Seq[(String, String)] = {
+    var words = words0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var exhausted = false
@@ -123,6 +159,127 @@ object Bpe {
       }
     }
     merges.toSeq
+  }
+
+  /** Non-overlapping left-to-right single-pair merge — the driver twin of
+    * [[graft.functions.NativeExprs.bpeMergeOnce]]. */
+  private[graft] def mergeOnceLocal(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Unsigned UTF-8 byte comparison — EXACTLY Spark's UTF8String binary
+    * string order, which the distributed TakeOrdered(1) tie-break uses.
+    * Java's String.compareTo (UTF-16 code units) disagrees for
+    * supplementary characters vs U+E000..U+FFFF, so it must not be used
+    * here (spec-pinned with such a tie in BpeSpec). */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Driver-side merge loop with incremental pair-count maintenance — the
+    * production-trainer formulation (sentencepiece/HF-tokenizers shape)
+    * over the collected vocabulary table. Per merge only the words
+    * containing the winning pair are rewritten, and only the pairs whose
+    * counts changed are re-queued; winners come from a lazy-validated
+    * priority queue (entries carry the count they were enqueued with; a
+    * popped entry whose count went stale is re-enqueued at the current
+    * count instead of winning). Semantics are identical to one
+    * distributed round per merge: same (count desc, l, r) tie-break under
+    * UTF-8 byte order, same non-overlapping left-to-right rewrite. */
+  private[graft] def trainDriver(vocab: Array[(Array[String], Long)], numMerges: Int,
+                                 minPairCount: Long): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val syms = vocab.map(_._1)
+    val freq = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // inverted index pair -> word ids; a lazily-maintained SUPERSET of the
+    // words currently containing the pair (stale entries no-op at rewrite)
+    val occ = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    var w = 0
+    while (w < syms.length) {
+      val s = syms(w); val f = freq(w)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + f)
+        occ.getOrElseUpdate(p, mutable.BitSet.empty) += w
+        i += 1
+      }
+      w += 1
+    }
+    // max-heap on count, then MIN on (l, r) in UTF-8 byte order
+    val ord: Ordering[(Long, String, String)] = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val cl = utf8Cmp(b._2, a._2)
+          if (cl != 0) cl else utf8Cmp(b._3, a._3)
+        }
+      }
+    }
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((l, r), c) => if (c >= minPairCount) pq.enqueue((c, l, r)) }
+    val merges = Seq.newBuilder[(String, String)]
+    var made = 0
+    while (made < numMerges && pq.nonEmpty) {
+      val (c, l, r) = pq.dequeue()
+      val cur = counts.getOrElse((l, r), 0L)
+      if (cur == c) {
+        merges += ((l, r))
+        made += 1
+        val hits = occ.getOrElse((l, r), mutable.BitSet.empty).toArray
+        val delta = mutable.HashMap.empty[(String, String), Long]
+        hits.foreach { wi =>
+          val before = syms(wi)
+          val after = mergeOnceLocal(before, l, r)
+          if (after.length != before.length) {
+            val f = freq(wi)
+            var i = 0
+            while (i + 1 < before.length) {
+              delta.update((before(i), before(i + 1)),
+                delta.getOrElse((before(i), before(i + 1)), 0L) - f)
+              i += 1
+            }
+            i = 0
+            while (i + 1 < after.length) {
+              val p = (after(i), after(i + 1))
+              delta.update(p, delta.getOrElse(p, 0L) + f)
+              occ.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+              i += 1
+            }
+            syms(wi) = after
+          }
+        }
+        delta.foreach { case (p, d) =>
+          if (d != 0L) {
+            val nc = counts.getOrElse(p, 0L) + d
+            if (nc <= 0L) counts.remove(p)
+            else {
+              counts.update(p, nc)
+              if (nc >= minPairCount) pq.enqueue((nc, p._1, p._2))
+            }
+          }
+        }
+      } else if (cur >= minPairCount) pq.enqueue((cur, l, r))
+      // stale entries under the threshold just drop
+    }
+    merges.result()
   }
 
   /** The trained merge table as a DataFrame (rank is 1-based training

@@ -67,8 +67,10 @@ object Similarity {
     topKRank(c.crossJoin(broadcast(q)).withColumn("_sim", sim), k)
   }
 
-  // Fixed-seed random hyperplanes (deterministic across JVMs).
-  private def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+  // Fixed-seed random hyperplanes (deterministic across JVMs — which is
+  // what lets the driver's DuckDB oracle re-derive ann_lsh's signatures:
+  // SparkEntry inlines these exact constants into the oracle SQL).
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new java.util.Random(7L)
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -725,7 +727,7 @@ object Similarity {
   /** Broadcastable (cell, centroid vector) table — dimension-sized by
     * construction (≤ 65536 cells × dim doubles), the carrier both residual
     * paths use to subtract each row's OWN cell centroid map-side. */
-  private def centroidTable(df: DataFrame,
+  private[graft] def centroidTable(df: DataFrame,
                             centroids: Array[(Int, Array[Double])]): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
@@ -798,7 +800,16 @@ object Similarity {
       .select(col("query_id"), col("_qv"), explode(cells(col("_qv"), probes)).as("cell"))
       .join(broadcast(cents), "cell")
       .select(col("query_id"), col("cell"),
-        dot(col("_qv"), col("_centv")).as("_qdotc"),
+        // zero-pad convention, NOT dot(): zip_with pads the shorter side
+        // with nulls, which would null this whole sum for a ragged/short
+        // query and kill its shortlist at the ADC stage — the WRONG place
+        // to apply the degenerate-vector policy. Every ADC component
+        // zero-pads (resid(), PqLutExpr); the uniform dim-mismatch drop
+        // happens once, at the exact re-rank's cosine (spec-pinned vs the
+        // global-codebook path).
+        aggregate(zip_with(col("_qv"), col("_centv"),
+            (x, m) => coalesce(x, lit(0.0)) * coalesce(m, lit(0.0))),
+          lit(0.0), (acc, x) => acc + x).as("_qdotc"),
         graft.functions.NativeExprs.pqLut(col("_qv"), booksSeq).as("_lut"),
         sqrt(aggregate(col("_qv"), lit(0.0), (acc, x) => acc + x * x)).as("_qnorm"))
     val lutDot = graft.functions.NativeExprs.adcSum(col("_lut"), col("_codes"))
@@ -831,17 +842,17 @@ object Similarity {
     * once) so the result is accumulation-order independent and
     * engine-stable. Output: (i, j, n_vecs, cov 6dp) for i <= j.
     *
-    * Two carriers: the explode materializes O(N·d(d+1)/2) rows through
-    * codegen before the map-side combine — pure built-in Catalyst
-    * machinery, nothing extra crosses the shuffle; `highDim = true`
-    * switches to [[graft.functions.CovOuterSumAgg]] — the same O(d²)
-    * arithmetic per row into ONE fixed buffer per task (no rows
-    * materialized; only the d(d+1)/2-entry buffer crosses the shuffle).
-    * Measured at sf0.1/dim 64 the buffer carrier is already ~2.3× faster
-    * (0.43 s vs 1.14 s warm — the row churn costs more than the
-    * aggregate's per-term decimal rounding even at small dims), and its
-    * advantage grows with dimension; the explode stays the default only
-    * because it is zero-custom-code Catalyst, useful as the
+    * Two carriers; the DEFAULT is the fixed-buffer aggregate
+    * [[graft.functions.CovOuterSumAgg]] — O(d²) arithmetic per row into
+    * ONE buffer per task (no rows materialized; only the d(d+1)/2-entry
+    * buffer crosses the shuffle) — because it measures ~2.3× faster
+    * already at sf0.1/dim 64 (0.43 s vs 1.14 s warm; the explode's row
+    * churn costs more than the aggregate's per-term decimal rounding even
+    * at small dims), its advantage grows with dimension, and it is the
+    * only shape that survives high dims (the explode materializes
+    * O(N·d(d+1)/2) rows through codegen before the map-side combine).
+    * `highDim = false` keeps that explode carrier — pure built-in
+    * Catalyst, nothing extra crossing the shuffle — as the
     * independently-planned shape the oracle cross-checks the aggregate
     * against. The two paths are
     * BIT-IDENTICAL by construction on the decimal path's numeric domain
@@ -852,7 +863,7 @@ object Similarity {
     * loudly under ANSI while the aggregate stays exact — see
     * [[graft.functions.CovOuterSumAgg]]. */
   def embeddingCovariance(vectors: DataFrame, vecCol: String,
-                          highDim: Boolean = false): DataFrame =
+                          highDim: Boolean = true): DataFrame =
     if (highDim)
       vectors
         .agg(graft.functions.CovOuterSumAgg.covOuterSum(toDouble(col(vecCol))).as("_m"))
@@ -876,6 +887,10 @@ object Similarity {
         (round(col("_sxy").cast("double") / col("n_vecs")
           - (col("_sx").cast("double") / col("n_vecs"))
             * (col("_sy").cast("double") / col("n_vecs")), 6) + lit(0.0)).as("cov"))
+
+  /** Dimension ceiling for [[pcaTrain]]'s driver-side Jacobi eigensolve
+    * (O(d³) per sweep — ~minutes of driver CPU at this bound). */
+  val PcaEigenDimBound: Int = 1024
 
   /** Eigendecomposition of a symmetric matrix by cyclic Jacobi rotations —
     * pure sequential driver math over the DIMENSION-sized covariance
@@ -968,6 +983,17 @@ object Similarity {
       .select(col("i"), col("j"), col("n_vecs"), col("cov")).collect()
     require(rows.nonEmpty, "pcaTrain: empty corpus")
     val d = rows.iterator.map(_.getInt(1)).max + 1
+    // The Jacobi eigensolve is O(d³) PER SWEEP on the driver — seconds at
+    // d=256, minutes past ~1024, hours at 4096. Fail loudly at the bound
+    // instead of silently pinning the driver; the >bound path would be a
+    // randomized/truncated SVD (Halko et al. 2011) over the SAME
+    // covariance pass — distributed matmuls against a d×(k+p) sketch —
+    // which only the top-k basis needs, not a full eigendecomposition.
+    require(d <= PcaEigenDimBound,
+      s"pcaTrain: dimension $d exceeds the driver-eigensolve bound " +
+        s"$PcaEigenDimBound (cyclic Jacobi is O(d^3) per sweep); project " +
+        "or slice the embedding first, or implement the randomized-SVD " +
+        "path for wider vectors")
     val cov = Array.ofDim[Double](d, d)
     rows.foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(3))

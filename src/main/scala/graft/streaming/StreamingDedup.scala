@@ -27,11 +27,20 @@ import graft.operators.{Dedup, Similarity}
   * Failure semantics: the foreachBatch is checkpointed (each file is
   * processed in exactly one committed batch). The zone appends are not
   * transactional with the checkpoint, so a crash INSIDE a batch — after
-  * some appends, before the commit — replays that batch; index self-matches
-  * are excluded (a doc is never a duplicate of its own id), so a replay
-  * re-appends rows it already wrote rather than reclassifying them as dups
-  * of themselves. A production deployment would additionally partition the
-  * zone appends by batchId so the replayed appends overwrite idempotently.
+  * some appends, before the commit — replays that batch. Replay
+  * CLASSIFICATION is stable by construction: the index probe excludes any
+  * rep_id present in the current batch (same-batch pairs belong to the
+  * within-batch pass, which verifies with EXACT Jaccard under the
+  * smallest-id-survives rule), so the rows a crashed attempt already
+  * appended to the index are invisible to the replay and it reproduces the
+  * first attempt's verdicts bit for bit. Without that exclusion a replay
+  * would re-judge same-batch pairs through the index path's ESTIMATED
+  * Jaccard — a doc unique at exact similarity could flip to dup (or an
+  * index-resident peer could usurp the smaller-id representative), leaving
+  * clean/ and dups/ in permanent disagreement. What a replay does repeat
+  * is the APPEND of rows the first attempt already wrote; a production
+  * deployment would partition the zone appends by batchId so replayed
+  * appends overwrite idempotently.
   */
 object StreamingDedup {
 
@@ -112,9 +121,14 @@ object StreamingDedup {
             bx.join(bi, Seq("band_id", "band_sig"))
               .select(col("doc_id"), col("rep_id"),
                 estJaccard(col("_mh"), col("_mh_i"), numHashes).as("similarity"))
-              // self-matches (same id already indexed) only occur when a
-              // crashed batch replays — never a duplicate of your own id
-              .where(col("similarity") >= threshold && col("doc_id") =!= col("rep_id"))
+              .where(col("similarity") >= threshold)
+              // index rows whose id is IN this batch only exist when a
+              // crashed batch replays its own appends — those pairs are the
+              // within-batch pass's jurisdiction (exact Jaccard, smallest
+              // id survives), so excluding them here makes the replay
+              // reproduce the first attempt's classification exactly (this
+              // also covers the self-match doc_id == rep_id case)
+              .join(sigs.select(col("doc_id").as("rep_id")), Seq("rep_id"), "left_anti")
               .distinct()
               .withColumn("reason", lit("index"))
           } else emptyCand(s, "doc_id")
@@ -178,8 +192,9 @@ object StreamingDedup {
     * double, so an unguarded `NaN >= threshold` would let one zero-norm
     * index entry silently absorb its whole cell. Uniques append to the
     * index and the clean zone; dups carry (rep_id, similarity, reason).
-    * Checkpoint + crash-replay semantics are [[run]]'s (self-matches
-    * excluded, so a replayed batch re-appends instead of vanishing). */
+    * Checkpoint + crash-replay semantics are [[run]]'s (same-batch ids
+    * excluded from the index probe, so a replay reproduces the first
+    * attempt's classification and only re-appends rows already written). */
   def runSemantic(spark: SparkSession, watchDir: String, outRoot: String,
                   centroids: Array[(Int, Array[Double])],
                   threshold: Double = 0.9): StreamingQuery = {
@@ -206,8 +221,11 @@ object StreamingDedup {
             vecs.join(idx, Seq("cell"))
               .select(col("vec_id"), col("rep_id"),
                 round(Similarity.cosine(col("_v"), col("_vi")), 6).as("similarity"))
-              .where(!isnan(col("similarity")) && col("similarity") >= threshold &&
-                col("vec_id") =!= col("rep_id"))
+              .where(!isnan(col("similarity")) && col("similarity") >= threshold)
+              // same-batch index rows = a crashed replay's own appends;
+              // those pairs belong to the within-batch pass (see run()) —
+              // excluding them keeps replay classification bit-stable
+              .join(vecs.select(col("vec_id").as("rep_id")), Seq("rep_id"), "left_anti")
               .withColumn("reason", lit("index"))
           } else emptyCand(s, "vec_id")
 

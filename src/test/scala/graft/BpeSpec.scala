@@ -76,6 +76,45 @@ class BpeSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("driver and distributed carriers agree merge for merge") {
+    val docs = corpus.toDF("doc_id", "text")
+    // vocab far under the bound -> driver kernel; bound 0 -> distributed
+    val fast = Bpe.train(docs, "text", 12, memoize = false)
+    val dist = Bpe.train(docs, "text", 12, memoize = false, driverVocabBound = 0L)
+    assert(fast == dist, s"\ndriver: $fast\ndist:   $dist")
+    assert(fast == refTrain(wordFreq(corpus.map(_._2)), 12))
+  }
+
+  test("carriers agree on a count tie where UTF-8 and UTF-16 orders differ") {
+    // U+FFFD (UTF-8 EF BF BD; UTF-16 code unit FFFD) vs U+1D11E
+    // (UTF-8 F0 9D 84 9E; UTF-16 lead surrogate D834): Java String order
+    // puts 𝄞 first, Spark's UTF8String byte order puts U+FFFD first. The
+    // two words tie at freq 3, so the first merge IS the tie-break.
+    val repl = "\uFFFD"
+    val clef = "\uD834\uDD1E"
+    val tie = Seq((1L, s"${repl}a ${repl}a ${repl}a ${clef}a ${clef}a ${clef}a"))
+    val docs = tie.toDF("doc_id", "text")
+    val fast = Bpe.train(docs, "text", 2, memoize = false)
+    val dist = Bpe.train(docs, "text", 2, memoize = false, driverVocabBound = 0L)
+    assert(fast == dist, s"\ndriver: $fast\ndist:   $dist")
+    assert(fast.head._1 == repl, s"UTF-8 order must win the tie: $fast")
+  }
+
+  test("driver kernel handles a pair count that is destroyed then recreated") {
+    // after merging (a,b)->"ab", a later (x,a)... shape can re-create an
+    // adjacency whose left symbol string equals a previously-merged pair's
+    // product; the incremental counts must resurrect cleanly. Parity with
+    // the full-recount distributed carrier is the oracle.
+    val docs = Seq(
+      (1L, "abcd abcd abcd abcd"),
+      (2L, "ab cd ab cd ab"),
+      (3L, "abc abc bcd bcd")).toDF("doc_id", "text")
+    val fast = Bpe.train(docs, "text", 16, memoize = false, minPairCount = 1L)
+    val dist = Bpe.train(docs, "text", 16, memoize = false, minPairCount = 1L,
+      driverVocabBound = 0L)
+    assert(fast == dist, s"\ndriver: $fast\ndist:   $dist")
+  }
+
   test("train stops early when no pair reaches minPairCount") {
     // every word unique, every pair frequency 1 -> zero merges at min 2
     val docs = Seq((1L, "abc defg")).toDF("doc_id", "text")

@@ -288,6 +288,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recallI >= 0.9, f"IVF-PQ recall@10 $recallI%.3f below the 0.9 gate")
   }
 
+  test("ragged (short) queries follow the uniform degenerate-vector policy on every ADC path") {
+    // The documented policy: a dim-mismatched vector is never a neighbor —
+    // the exact re-rank's cosine returns null and topKRank drops it, on
+    // EVERY path. Before the _qdotc fix the residual path additionally
+    // nulled its ADC score through dot()'s zip_with null-padding, which is
+    // the wrong STAGE to die at (the shortlist math must follow resid()'s
+    // zero-pad convention); behavior must match the global-codebook path
+    // exactly: full-width query answered, short query dropped by both.
+    val rnd = new java.util.Random(5L)
+    val dim = 16
+    val corpus = (0L until 200L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextGaussian()).toFloat)))
+    val cdf = corpus.toDF("vec_id", "embedding")
+    // query 9000 is full-width, query 9001 is SHORT (dim-4 elements)
+    val qdf = Seq(
+      (9000L, Seq.fill(dim)(rnd.nextGaussian().toFloat)),
+      (9001L, Seq.fill(dim - 4)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(cdf, "vec_id", "embedding")
+    val books = Similarity.pqTrain(cdf, "vec_id", "embedding", m = 4, ksub = 8)
+    val resBooks = Similarity.pqTrainResidual(cdf, "vec_id", "embedding", cents,
+      m = 4, ksub = 8)
+    val global = Similarity.ivfPqTopKWith(qdf, cdf, "vec_id", "embedding", 5,
+        cents, books)
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+    val res = Similarity.ivfPqResidualTopKWith(qdf, cdf, "vec_id", "embedding", 5,
+        cents, resBooks)
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+    assert(global.contains(9000L) && global(9000L).length == 5)
+    assert(res.contains(9000L) && res(9000L).length == 5)
+    assert(!global.contains(9001L) && !res.contains(9001L),
+      "short query must be dropped by the uniform policy on both ADC paths")
+  }
+
   test("residual IVF-PQ: recall gate holds, residual codes reconstruct finer than global codes") {
     // same clustered geometry as the PQ gate
     val rnd = new java.util.Random(17L)

@@ -356,6 +356,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamingDedup replay after a lost checkpoint reproduces the first attempt's classification") {
+    // the crash-inside-a-batch case: zone appends landed but the commit
+    // didn't, so the batch replays against an index that already holds its
+    // own uniques. The index probe excludes same-batch rep_ids, so the
+    // replay must re-derive EXACTLY the first attempt's verdicts — no doc
+    // flips zones, and no same-batch pair is re-judged through the
+    // estimated-Jaccard index path (reason stays "batch").
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.Doc
+    val root = java.nio.file.Files.createTempDirectory("graft_sreplay").toFile.getAbsolutePath
+    val inDir = new java.io.File(s"$root/incoming"); inDir.mkdirs()
+    def dropFile(name: String, docs: Seq[Doc]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdrop").toFile.getAbsolutePath
+      docs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new java.io.File(inDir, name).toPath)
+    }
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square"
+    val batch = Seq(
+      Doc(1, base),
+      Doc(2, "completely different words about spark catalyst optimizer plans and shuffles at scale here"),
+      Doc(3, base + " tonight"))
+    val q = StreamingDedup.run(spark, inDir.getAbsolutePath, s"$root/out")
+    try { dropFile("b1.parquet", batch); q.processAllAvailable() } finally q.stop()
+    def cleanIds = spark.read.parquet(s"$root/out/clean").select("doc_id").as[Long].collect().toSet
+    def dupRows = spark.read.parquet(s"$root/out/dups")
+      .select("doc_id", "rep_id", "reason").as[(Long, Long, String)].collect().toSet
+    assert(cleanIds == Set(1L, 2L) && dupRows == Set((3L, 1L, "batch")))
+
+    // lose the checkpoint -> the whole batch replays against the zones it
+    // already wrote (a superset of the partial-append crash)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/out/cp"))
+    val q2 = StreamingDedup.run(spark, inDir.getAbsolutePath, s"$root/out")
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(cleanIds == Set(1L, 2L), "replay changed the clean zone's membership")
+    assert(dupRows == Set((3L, 1L, "batch")),
+      "replay reclassified a same-batch pair (estimated-Jaccard index path leaked in)")
+    assert(spark.read.parquet(s"$root/out/index").select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L))
+  }
+
   test("StreamingDedup.runSemantic suppresses embedding near-dups within and across batches, and on restart") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
