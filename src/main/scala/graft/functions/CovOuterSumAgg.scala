@@ -44,8 +44,14 @@ import org.apache.spark.sql.types._
   * i ≤ j — which is append-only in j, so the buffer grows to the longest
   * vector actually seen and needs no dimension argument.
   *
-  * Output: array<struct<i int, j int, n_vecs long, cov double>> over the
-  * pairs with at least one contribution, i ≤ j, ordered (j, i).
+  * Output: array<struct<i int, j int, n_vecs long, cov double, mean
+  * double>> over the pairs with at least one contribution, i ≤ j, ordered
+  * (j, i). `mean` is round(Σx_i / n, 6) of the pair's FIRST component —
+  * on the diagonal (i, i) that is exactly the column mean the PCA
+  * centering step needs, with the same decimal-sum discipline a separate
+  * posexplode/groupBy means pass would use; emitting it here lets
+  * `pcaTrain` train from ONE corpus pass instead of two (the covariance
+  * consumers simply don't select it, so the oracle schema is unchanged).
   */
 case class CovOuterSumAgg(
     child: Expression,
@@ -128,7 +134,7 @@ case class CovOuterSumAgg(
           val sx = toDouble12(buffer.total(LaneX, idx))
           val sy = toDouble12(buffer.total(LaneY, idx))
           val cov = round6(sxy / n - (sx / n) * (sy / n)) + 0.0
-          rows += InternalRow(i, j, n, cov)
+          rows += InternalRow(i, j, n, cov, round6(sx / n) + 0.0)
         }
         i += 1
       }
@@ -191,7 +197,8 @@ case class CovOuterSumAgg(
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("i", IntegerType), StructField("j", IntegerType),
-      StructField("n_vecs", LongType), StructField("cov", DoubleType))),
+      StructField("n_vecs", LongType), StructField("cov", DoubleType),
+      StructField("mean", DoubleType))),
     containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)

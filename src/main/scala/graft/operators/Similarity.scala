@@ -963,10 +963,13 @@ object Similarity {
   }
 
   /** PCA basis over an embedding corpus: means, eigenvalues (descending)
-    * and the top-k principal components. The distributed work is the one
-    * [[embeddingCovariance]] pass; the collect is the d(d+1)/2-row
-    * covariance table (dimension-sized — 2080 doubles at dim 64, bounded
-    * by construction like the centroid collects), and the eigensolve is
+    * and the top-k principal components. The distributed work is ONE
+    * corpus pass — the fixed-buffer [[graft.functions.CovOuterSumAgg]]
+    * carrier, whose diagonal entries also carry the column means (same
+    * decimal-sum discipline a separate means pass would use, so nothing
+    * else scans the corpus); the collect is the d(d+1)/2-row covariance
+    * table (dimension-sized — 2080 doubles at dim 64, bounded by
+    * construction like the centroid collects), and the eigensolve is
     * [[jacobiEigen]] on the driver. The basis trains on the 6dp-ROUNDED
     * covariance, so it is bit-identical across partitionings and engines.
     *
@@ -979,8 +982,12 @@ object Similarity {
     * hold the returned basis and pass it where needed. */
   def pcaTrain(vectors: DataFrame, vecCol: String,
                k: Int): (Array[Double], Array[Double], Array[Array[Double]]) = {
-    val rows = embeddingCovariance(vectors, vecCol)
-      .select(col("i"), col("j"), col("n_vecs"), col("cov")).collect()
+    val rows = vectors
+      .agg(graft.functions.CovOuterSumAgg.covOuterSum(toDouble(col(vecCol))).as("_m"))
+      .select(explode(col("_m")).as("_e"))
+      .select(col("_e.i").as("i"), col("_e.j").as("j"),
+        col("_e.cov").as("cov"), col("_e.mean").as("mean"))
+      .collect()
     require(rows.nonEmpty, "pcaTrain: empty corpus")
     val d = rows.iterator.map(_.getInt(1)).max + 1
     // The Jacobi eigensolve is O(d³) PER SWEEP on the driver — seconds at
@@ -995,21 +1002,16 @@ object Similarity {
         "or slice the embedding first, or implement the randomized-SVD " +
         "path for wider vectors")
     val cov = Array.ofDim[Double](d, d)
+    val means = Array.fill(d)(Double.NaN)
     rows.foreach { r =>
-      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(3))
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
       cov(i)(j) = c; cov(j)(i) = c
+      // the diagonal's mean lane IS the column mean (n·mean_i = Σx_i,
+      // accumulated with the same decimal discipline a dedicated
+      // posexplode/groupBy means pass would use) — no second corpus scan
+      if (i == j) means(i) = r.getDouble(3)
     }
-    // means from the same aggregation identity the covariance used:
-    // the (i, i) group's sx is n·mean_i — but sx was not emitted, so
-    // one dimension-sized pass recovers them with the same DECIMAL
-    // discipline (labelCentroids' shape with a single global label).
-    val means = vectors
-      .select(posexplode(toDouble(col(vecCol))).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(sum(col("x").cast("decimal(28,12)")).as("_s"), count(lit(1)).as("_n"))
-      .select(col("i"), round(col("_s").cast("double") / col("_n"), 6).as("m"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
-    require(means.length == d, s"dim mismatch: cov $d vs means ${means.length}")
+    require(!means.exists(_.isNaN), s"pcaTrain: missing diagonal for some of $d dims")
     val (eig, vecs) = jacobiEigen(cov)
     (means, eig.take(k), vecs.take(k))
   }

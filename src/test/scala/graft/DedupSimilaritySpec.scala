@@ -740,6 +740,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(aggPath == explodePath)
     // ragged lengths produced genuinely different per-pair counts
     assert(explodePath.map(_._3).distinct.size > 1)
+
+    // the aggregate's diagonal `mean` lane (what pcaTrain's one-pass
+    // training reads) must equal the dedicated posexplode/groupBy means
+    // pass EXACTLY — same decimal sum, same round — including on this
+    // ragged corpus where per-dimension counts differ
+    val aggMeans = df
+      .agg(graft.functions.CovOuterSumAgg.covOuterSum(
+        col("embedding").cast("array<double>")).as("_m"))
+      .select(explode(col("_m")).as("_e"))
+      .where(col("_e.i") === col("_e.j"))
+      .select(col("_e.i"), col("_e.mean"))
+      .as[(Int, Double)].collect().sortBy(_._1).toSeq
+    val passMeans = df
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x").cast("decimal(28,12)")).as("_s"), count(lit(1)).as("_n"))
+      .select(col("i"), (round(col("_s").cast("double") / col("_n"), 6) + lit(0.0)).as("m"))
+      .as[(Int, Double)].collect().sortBy(_._1).toSeq
+    assert(aggMeans == passMeans)
   }
 
   test("jacobiEigen: orthonormal basis, descending eigenvalues, A v = lambda v") {
