@@ -157,11 +157,15 @@ object Bench {
     val calibAll = (calibBefore ++ calibrate(spark, 3)).sorted
     val calibSec = calibAll(calibAll.size / 2)
     val calibSpread = calibAll.last - calibAll.head
+    // hypervisor contention only ADDS time, so the MIN is the robust
+    // host-speed estimator for cross-round normalization (the median —
+    // calib_sec — stays for continuity; spread documents the noise)
+    val calibMin = calibAll.head
     def dictOf(entries: Seq[(String, Double)], r: Double => Double): String =
       entries.map { case (k, v) => s"${q(k)}:${r(v)}" }.mkString("{", ",", "}")
     val asc = timings.sortBy(_._2)
     val calibPart =
-      s""""calib_sec":${r2(calibSec)},"calib_spread":${r2(calibSpread)}}"""
+      s""""calib_sec":${r2(calibSec)},"calib_min":${r2(calibMin)},"calib_spread":${r2(calibSpread)}}"""
     val prefix =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"spread_total":${r3(totalSpread)},"spread_top5":$sp,"""
     // 2000 artifact chars minus the trailing sbt line minus this line's own
@@ -187,7 +191,7 @@ object Bench {
     // complete numbers are always recoverable even if the line above is cut.
     try {
       val full = prefix +
-        s""""queries":${dictOf(timings, r3)},"calib_sec":${r3(calibSec)},"calib_spread":${r3(calibSpread)}}"""
+        s""""queries":${dictOf(timings, r3)},"calib_sec":${r3(calibSec)},"calib_min":${r3(calibMin)},"calib_spread":${r3(calibSpread)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Exception => () }
