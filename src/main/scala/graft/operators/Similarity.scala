@@ -888,9 +888,19 @@ object Similarity {
           - (col("_sx").cast("double") / col("n_vecs"))
             * (col("_sy").cast("double") / col("n_vecs")), 6) + lit(0.0)).as("cov"))
 
-  /** Dimension ceiling for [[pcaTrain]]'s driver-side Jacobi eigensolve
-    * (O(d³) per sweep — ~minutes of driver CPU at this bound). */
+  /** Dimension ceiling for [[pcaTrain]]'s EXACT driver-side Jacobi
+    * eigensolve (O(d³) per sweep — ~minutes of driver CPU at this
+    * bound); wider covariances switch to [[randomizedTopK]]. */
   val PcaEigenDimBound: Int = 1024
+
+  /** Dimension ceiling for the RANDOMIZED eigensolve path: past the
+    * Jacobi bound, [[pcaTrain]] runs seeded subspace iteration (Halko
+    * et al. 2011) — O(d²·(k+p)) per iteration instead of O(d³) per
+    * sweep, so d = 8192 is seconds of driver CPU. The bound is the
+    * dense d×d covariance the driver holds (~512 MB at 8192); the
+    * distributed covariance pass itself is dimension²-bounded and
+    * unchanged. */
+  val PcaRandomizedDimBound: Int = 8192
 
   /** Eigendecomposition of a symmetric matrix by cyclic Jacobi rotations —
     * pure sequential driver math over the DIMENSION-sized covariance
@@ -962,6 +972,130 @@ object Similarity {
     (eig, vecs)
   }
 
+  private def signFix(w: Array[Double]): Array[Double] = {
+    var best = 0
+    var k = 1
+    while (k < w.length) { if (math.abs(w(k)) > math.abs(w(best))) best = k; k += 1 }
+    if (w(best) < 0) w.map(-_) else w
+  }
+
+  /** Top-k eigenpairs of a symmetric matrix by SEEDED subspace iteration
+    * (randomized range finder + Rayleigh–Ritz; Halko, Martinsson, Tropp
+    * 2011) — the wider-dimension companion of [[jacobiEigen]]: each of
+    * the fixed `iters` power steps costs O(d²·m) (m = k + oversample)
+    * against Jacobi's O(d³) per sweep, so dimensions in the thousands
+    * stay seconds of driver CPU. Deterministic by construction: fixed
+    * seed, fixed iteration count (no convergence-dependent branching),
+    * the small m×m Rayleigh quotient goes through [[jacobiEigen]]'s
+    * deterministic sweep, and the returned basis is sign-fixed the same
+    * way — so the same 6dp-rounded covariance yields the same basis on
+    * every run/engine. Accuracy: the top-k eigenpairs of a spectrum with
+    * any decay are reproduced to ~1e-9 relative after 4 power steps
+    * (spec-pinned against Jacobi at d = 200); degenerate trailing
+    * columns (rank < m) re-seed deterministically. */
+  private[graft] def randomizedTopK(m0: Array[Array[Double]], k: Int,
+      oversample: Int = 8, iters: Int = 4): (Array[Double], Array[Array[Double]]) = {
+    val d = m0.length
+    val m = math.min(d, k + oversample)
+    val rnd = new java.util.Random(987654321L)
+    // column-major sketch: m columns of length d
+    var q = Array.fill(m)(Array.fill(d)(rnd.nextGaussian()))
+
+    def matvec(x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](d)
+      var r = 0
+      while (r < d) {
+        val row = m0(r)
+        var s = 0.0
+        var c = 0
+        while (c < d) { s += row(c) * x(c); c += 1 }
+        y(r) = s
+        r += 1
+      }
+      y
+    }
+
+    def orthonormalize(cols: Array[Array[Double]]): Unit = {
+      var i = 0
+      while (i < cols.length) {
+        var attempt = 0
+        var ok = false
+        while (!ok) {
+          val ci = cols(i)
+          var j = 0
+          while (j < i) {
+            val cj = cols(j)
+            var dot = 0.0; var x = 0
+            while (x < d) { dot += ci(x) * cj(x); x += 1 }
+            x = 0
+            while (x < d) { ci(x) -= dot * cj(x); x += 1 }
+            j += 1
+          }
+          var nrm = 0.0; var x = 0
+          while (x < d) { nrm += ci(x) * ci(x); x += 1 }
+          nrm = math.sqrt(nrm)
+          if (nrm >= 1e-12) {
+            x = 0
+            while (x < d) { ci(x) /= nrm; x += 1 }
+            ok = true
+          } else {
+            // column collapsed into the span of the previous ones
+            // (rank(C) < m): re-seed deterministically and retry; after
+            // 3 attempts leave the zero column (its Ritz value is ~0
+            // and lands at the tail of the descending sort)
+            attempt += 1
+            if (attempt > 3) { java.util.Arrays.fill(ci, 0.0); ok = true }
+            else {
+              val r2 = new java.util.Random(1013904223L * (i + 1) + attempt)
+              var y = 0
+              while (y < d) { ci(y) = r2.nextGaussian(); y += 1 }
+            }
+          }
+        }
+        i += 1
+      }
+    }
+
+    orthonormalize(q)
+    var it = 0
+    while (it < iters) {
+      q = q.map(matvec)
+      orthonormalize(q)
+      it += 1
+    }
+    // Rayleigh quotient B = Qᵀ C Q (m×m, symmetrized against fp drift)
+    val cq = q.map(matvec)
+    val b = Array.tabulate(m, m)((a2, b2) => {
+      var s = 0.0
+      var x = 0
+      while (x < d) { s += q(a2)(x) * cq(b2)(x); x += 1 }
+      s
+    })
+    var i2 = 0
+    while (i2 < m) {
+      var j2 = i2 + 1
+      while (j2 < m) {
+        val avg = (b(i2)(j2) + b(j2)(i2)) / 2.0
+        b(i2)(j2) = avg; b(j2)(i2) = avg
+        j2 += 1
+      }
+      i2 += 1
+    }
+    val (eigB, vecsB) = jacobiEigen(b)
+    val basis = vecsB.take(k).map { vb =>
+      val w = new Array[Double](d)
+      var c = 0
+      while (c < m) {
+        val qc = q(c); val coef = vb(c)
+        var x = 0
+        while (x < d) { w(x) += coef * qc(x); x += 1 }
+        c += 1
+      }
+      signFix(w)
+    }
+    (eigB.take(k), basis)
+  }
+
   /** PCA basis over an embedding corpus: means, eigenvalues (descending)
     * and the top-k principal components. The distributed work is ONE
     * corpus pass — the fixed-buffer [[graft.functions.CovOuterSumAgg]]
@@ -969,9 +1103,12 @@ object Similarity {
     * decimal-sum discipline a separate means pass would use, so nothing
     * else scans the corpus); the collect is the d(d+1)/2-row covariance
     * table (dimension-sized — 2080 doubles at dim 64, bounded by
-    * construction like the centroid collects), and the eigensolve is
-    * [[jacobiEigen]] on the driver. The basis trains on the 6dp-ROUNDED
-    * covariance, so it is bit-identical across partitionings and engines.
+    * construction like the centroid collects), and the eigensolve runs
+    * on the driver — exact [[jacobiEigen]] up to [[PcaEigenDimBound]],
+    * the seeded [[randomizedTopK]] subspace iteration up to
+    * [[PcaRandomizedDimBound]]. The basis trains on the 6dp-ROUNDED
+    * covariance, so it is bit-identical across partitionings and engines
+    * (both solvers are deterministic by construction).
     *
     * NOT memoized, deliberately: a canonicalized-plan key omits
     * LocalRelation data and parquet file locations, so two same-schema
@@ -990,17 +1127,17 @@ object Similarity {
       .collect()
     require(rows.nonEmpty, "pcaTrain: empty corpus")
     val d = rows.iterator.map(_.getInt(1)).max + 1
-    // The Jacobi eigensolve is O(d³) PER SWEEP on the driver — seconds at
-    // d=256, minutes past ~1024, hours at 4096. Fail loudly at the bound
-    // instead of silently pinning the driver; the >bound path would be a
-    // randomized/truncated SVD (Halko et al. 2011) over the SAME
-    // covariance pass — distributed matmuls against a d×(k+p) sketch —
-    // which only the top-k basis needs, not a full eigendecomposition.
-    require(d <= PcaEigenDimBound,
-      s"pcaTrain: dimension $d exceeds the driver-eigensolve bound " +
-        s"$PcaEigenDimBound (cyclic Jacobi is O(d^3) per sweep); project " +
-        "or slice the embedding first, or implement the randomized-SVD " +
-        "path for wider vectors")
+    // Eigensolve dispatch by dimension: exact cyclic Jacobi is O(d³) PER
+    // SWEEP on the driver — seconds at d=256, minutes past ~1024 — so
+    // wider covariances switch to the seeded randomized subspace
+    // iteration (only the top-k basis is needed, not the full
+    // decomposition); past THAT bound the dense d×d matrix itself no
+    // longer belongs on the driver, so fail loudly.
+    require(d <= PcaRandomizedDimBound,
+      s"pcaTrain: dimension $d exceeds the randomized-eigensolve bound " +
+        s"$PcaRandomizedDimBound (the dense covariance alone is " +
+        s"${d.toLong * d * 8 / (1 << 20)} MB on the driver); project or " +
+        "slice the embedding first")
     val cov = Array.ofDim[Double](d, d)
     val means = Array.fill(d)(Double.NaN)
     rows.foreach { r =>
@@ -1012,7 +1149,9 @@ object Similarity {
       if (i == j) means(i) = r.getDouble(3)
     }
     require(!means.exists(_.isNaN), s"pcaTrain: missing diagonal for some of $d dims")
-    val (eig, vecs) = jacobiEigen(cov)
+    val (eig, vecs) =
+      if (d <= PcaEigenDimBound) jacobiEigen(cov)
+      else randomizedTopK(cov, k)
     (means, eig.take(k), vecs.take(k))
   }
 

@@ -761,6 +761,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(aggMeans == passMeans)
   }
 
+  test("randomizedTopK matches Jacobi's top eigenpairs at d=200 and is deterministic") {
+    // planted spectrum with clear decay: C = V diag(lam) V^T from a seeded
+    // orthogonal-ish V; the randomized path (the >PcaEigenDimBound
+    // eigensolve) must reproduce the exact top-k eigenvalues and align
+    // with the exact eigenvectors wherever eigenvalues are separated
+    val d = 200; val k = 6
+    val rnd = new java.util.Random(99L)
+    // symmetric matrix with decaying spectrum: sum of rank-1 planted
+    // components + small symmetric noise
+    val comps = (0 until k).map { c =>
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (math.pow(2.0, k - c).toDouble, v.map(_ / n))
+    }
+    val m = Array.tabulate(d, d) { (i, j) =>
+      comps.map { case (lam, v) => lam * v(i) * v(j) }.sum +
+        0.001 * (if (i == j) 1.0 else 0.0)
+    }
+    val (exactEig, exactVecs) = Similarity.jacobiEigen(m)
+    val (randEig, randVecs) = Similarity.randomizedTopK(m, k)
+    assert(randEig.length == k && randVecs.length == k)
+    (0 until k).foreach { i =>
+      assert(math.abs(randEig(i) - exactEig(i)) < 1e-6 * math.max(1.0, exactEig(i)),
+        s"eig($i): ${randEig(i)} vs ${exactEig(i)}")
+      val dot = (0 until d).map(x => randVecs(i)(x) * exactVecs(i)(x)).sum
+      assert(math.abs(dot) > 0.9999, s"subspace misalignment at $i: |dot|=$dot")
+      val nrm = math.sqrt(randVecs(i).map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9)
+    }
+    // deterministic: bit-identical across invocations
+    val (eig2, vecs2) = Similarity.randomizedTopK(m, k)
+    assert(eig2.toSeq == randEig.toSeq)
+    assert(vecs2.map(_.toSeq).toSeq == randVecs.map(_.toSeq).toSeq)
+  }
+
+  test("randomizedTopK survives rank-deficient matrices (rank < k + oversample)") {
+    // rank-2 matrix at d=50: the sketch's trailing columns collapse and
+    // must re-seed without breaking the top eigenpairs
+    val d = 50
+    val rnd = new java.util.Random(7L)
+    val v1 = Array.fill(d)(rnd.nextGaussian())
+    val v2 = Array.fill(d)(rnd.nextGaussian())
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val u1 = unit(v1)
+    val d12 = v2.zip(u1).map { case (a, b) => a * b }.sum
+    val u2 = unit(v2.zipWithIndex.map { case (x, i) => x - d12 * u1(i) })
+    val m = Array.tabulate(d, d)((i, j) => 5.0 * u1(i) * u1(j) + 2.0 * u2(i) * u2(j))
+    val (eig, vecs) = Similarity.randomizedTopK(m, 4)
+    assert(math.abs(eig(0) - 5.0) < 1e-9 && math.abs(eig(1) - 2.0) < 1e-9,
+      s"top eigenvalues ${eig.toSeq}")
+    assert(math.abs(eig(2)) < 1e-9 && math.abs(eig(3)) < 1e-9)
+    assert(vecs.length == 4)
+  }
+
   test("jacobiEigen: orthonormal basis, descending eigenvalues, A v = lambda v") {
     val m = Array(
       Array(4.0, 1.0, 0.5),
