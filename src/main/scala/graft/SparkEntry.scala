@@ -975,12 +975,17 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         length(nfc).as("len_nfc"), (nfc === col("text")).as("unchanged"))
     }),
-    // §2.2 row 30b — rolling-hash winnowing fingerprints (rows-only oracle)
+    // §2.2 row 30b — rolling-hash winnowing fingerprints, FULLY oracled
+    // (round 11): the MD5 token-hash variant (the simhash precedent) makes
+    // the whole rolling chain replayable in DuckDB — h = (h*B + t) mod
+    // 2^64 in HUGEINT, window-min, distinct — so the driver hash-gates the
+    // actual fingerprint SETS, exploded to scalar rows. The xxh64 default
+    // stays the production path (spec-covered; winnow_overlap runs it).
     "winnow_fingerprint" -> ((s, d) => {
       val fps = graft.functions.NativeExprs.winnowFingerprints(
-        Dedup.tokens(col("text")), 5, 4)
-      Tables.documents(s, d).select(col("doc_id"),
-        size(fps).as("n_fingerprints"), array_min(fps).as("min_fp"))
+        Dedup.tokens(col("text")), 5, 4, md5Hash = true)
+      Tables.documents(s, d).select(col("doc_id"), fps.as("_fps"))
+        .select(col("doc_id"), explode(col("_fps")).as("fp"))
     }),
     // §2.2 row 30b — winnowing invariant, oracled: a document always shares
     // fingerprints with a prefix-shifted copy of itself (the position-
@@ -1121,12 +1126,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys (ingest_discovery, ann_ivf,
-    * ann_pq, ann_ivfpq, ann_ivfpq_res, approx_stats, winnow_fingerprint,
+    * ann_pq, ann_ivfpq, ann_ivfpq_res, approx_stats,
     * bpe_train, bpe_segment, embedding_pca) are non-SQL-expressible →
     * driver's weaker rows-only check; the approximate ANN paths'
     * recall is gated by the oracled `ann_recall` (and `ann_lsh`'s FULL
     * top-k table is row-hash-oracled — its fixed-seed hyperplanes inline
-    * into the SQL), winnowing by `winnow_overlap`, and embedding_pca's
+    * into the SQL), winnowing by `winnow_overlap` + the fully-oracled
+    * md5-variant `winnow_fingerprint`, and embedding_pca's
     * distributed pass by the oracled `embedding_cov`. */
   def oracleSql: Map[String, String] = Map(
     // ann_lsh re-derived end-to-end: the SAME 8×64 hyperplane constants
@@ -1621,6 +1627,33 @@ object SparkEntry {
         |  neighbor_id AS pq_nn, neighbor_id AS ivfpq_nn,
         |  neighbor_id AS ivfpqr_nn
         |FROM r WHERE rn = 1""".stripMargin,
+    // Winnowing fingerprints re-derived end-to-end (md5 token-hash
+    // variant): per-token top-8-md5-bytes as HUGEINT, the rolling chain
+    // h = (h*B + t) mod 2^64 replayed by list_reduce (B = 1000003 < 2^20
+    // keeps every product under HUGEINT range), then RE-SIGNED to BIGINT
+    // BEFORE the window-min — the expression's min compares SIGNED longs,
+    // so the unsigned mod-2^64 value would pick a different minimum in any
+    // window mixing "negative" (>= 2^63) and positive hashes. Window-min
+    // of each w=4 window (the rightmost-tie rule affects positions, never
+    // the selected VALUE, so plain list_min matches), distinct.
+    "winnow_fingerprint" ->
+      """WITH tw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents),
+        |th AS (SELECT doc_id,
+        |    [CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT AS HUGEINT) for t in toks] AS h
+        |  FROM tw),
+        |kg0 AS (SELECT doc_id,
+        |    [list_reduce(h[i:i+4], (a, b) -> (a * 1000003 + b) % 18446744073709551616)
+        |     for i in range(1, len(h) - 3)] AS g0
+        |  FROM th WHERE len(h) >= 5),
+        |kg AS (SELECT doc_id,
+        |    [CASE WHEN m >= 9223372036854775808
+        |          THEN CAST(m - 18446744073709551616 AS BIGINT)
+        |          ELSE CAST(m AS BIGINT) END for m in g0] AS g
+        |  FROM kg0),
+        |sel AS (SELECT doc_id, CASE WHEN len(g) <= 4 THEN [list_min(g)]
+        |    ELSE [list_min(g[s:s+3]) for s in range(1, len(g) - 2)] END AS mins FROM kg)
+        |SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM sel""".stripMargin,
     // Winnowing position-robustness invariant: every sampled doc must share
     // fingerprints with its prefix-shifted copy (and have a non-empty set).
     "winnow_overlap" ->

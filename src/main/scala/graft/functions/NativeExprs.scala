@@ -58,8 +58,9 @@ object NativeExprs {
   def nfcNormalize(s: Column): Column =
     GraftShims.toColumn(NfcNormalizeExpr(GraftShims.toExpression(s)))
 
-  def winnowFingerprints(tokens: Column, k: Int, w: Int): Column =
-    GraftShims.toColumn(WinnowExpr(GraftShims.toExpression(tokens), k, w))
+  def winnowFingerprints(tokens: Column, k: Int, w: Int,
+                         md5Hash: Boolean = false): Column =
+    GraftShims.toColumn(WinnowExpr(GraftShims.toExpression(tokens), k, w, md5Hash))
 
   def hyperplaneSig(vec: Column, planes: Seq[Seq[Double]]): Column =
     GraftShims.toColumn(HyperplaneSigExpr(GraftShims.toExpression(vec), planes))
@@ -387,9 +388,34 @@ case class NfcNormalizeExpr(child: Expression)
   * length >= k + w - 1 between two documents produces at least one shared
   * fingerprint — the standard near-copy detection sketch.
   * Output: sorted array<bigint> of selected fingerprints.
+  *
+  * Token hash is pluggable exactly as [[SimHashExpr]]'s: xxhash64
+  * (default — the production choice) or the top 8 bytes of MD5
+  * (`md5Hash = true`), which any SQL engine can reproduce — combined
+  * with the small base (1000003 < 2^20), the whole rolling chain
+  * `h = (h*B + t) mod 2^64` is replayable in DuckDB HUGEINT arithmetic,
+  * so the md5 variant's fingerprint SETS are row-hash-oracled
+  * (`winnow_fingerprint`), not just invariant-checked. Both are uniform
+  * 64-bit families; the winnowing guarantees are hash-agnostic.
   */
-case class WinnowExpr(child: Expression, k: Int, w: Int)
+case class WinnowExpr(child: Expression, k: Int, w: Int, md5Hash: Boolean = false)
     extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue() = java.security.MessageDigest.getInstance("MD5")
+  }
+
+  // First 8 MD5 bytes, big-endian — the same value DuckDB parses from the
+  // first 16 hex chars of md5(t). (SimHashExpr's convention.)
+  private def md5Low64(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    h
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() = {
@@ -417,6 +443,7 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
     while (i < n) {
       val s = arr.getUTF8String(i)
       th(i) = if (s == null) 0L
+        else if (md5Hash) md5Low64(s)
         else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       i += 1
     }

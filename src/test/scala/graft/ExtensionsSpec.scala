@@ -176,6 +176,37 @@ class ExtensionsSpec extends SparkSpec {
       winnowFingerprints(graft.operators.Dedup.tokens(col("text")), 5, 4))
       .as[Seq[Long]].head().toSet
     assert(again == fps(1L))
+
+    // md5 token-hash variant (the cross-engine-oracled carrier): same
+    // winnowing invariants, genuinely different hash family, and an
+    // in-memory replay of the DuckDB oracle's arithmetic — top-8 md5
+    // bytes big-endian, h = (h*B + t) mod 2^64, window-min, distinct —
+    // reproduces the expression's sets exactly
+    val fpsMd5 = docs.select(col("doc_id"),
+      winnowFingerprints(graft.operators.Dedup.tokens(col("text")), 5, 4,
+        md5Hash = true).as("f"))
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+    assert((fpsMd5(1L) & fpsMd5(2L)).nonEmpty)
+    assert((fpsMd5(1L) & fpsMd5(3L)).isEmpty)
+    assert(fpsMd5(1L) != fps(1L), "md5 and xxh64 variants should differ")
+    def refWinnow(text: String): Set[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val toks = text.trim.split("\\s+")
+      val th = toks.map { t =>
+        val b = md.digest(t.getBytes("UTF-8"))
+        (0 until 8).foldLeft(0L)((h, i) => (h << 8) | (b(i) & 0xffL))
+      }
+      if (th.length < 5) return Set.empty
+      val kg = th.sliding(5).map(_.foldLeft(0L)((h, t) => h * 1000003L + t)).toArray
+      val sel =
+        if (kg.length <= 4) Seq(kg.min)
+        else (0 to kg.length - 4).map(s => kg.slice(s, s + 4).min)
+      sel.toSet
+    }
+    Seq(1L, 2L, 3L).foreach { id =>
+      val text = docs.filter(col("doc_id") === id).select(col("text")).as[String].head()
+      assert(fpsMd5(id) == refWinnow(text), s"md5 winnow mismatch for doc $id")
+    }
   }
 
   test("bucketed tables join without a shuffle (co-located join)") {
