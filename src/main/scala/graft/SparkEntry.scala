@@ -791,6 +791,18 @@ object SparkEntry {
       Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10, ivfCentroids(s, d), broadcastCentroids = true)
     }),
+    // §2.2 row 24 — IVF search under a PINNED seeded centroid set, FULLY
+    // row-hash-oracled (round 11, the ann_lsh pinned-planes precedent):
+    // any fixed centroid set is a valid IVF index, and a seeded one is
+    // reproducible in SQL — the oracle re-derives cell assignment (argmax
+    // cosine, tie to lowest cell), the nprobe=4 probe set, and the
+    // cell-pruned exact top-k. Trained-centroid routing + the broadcast
+    // carrier stay exercised by ann_ivf/ann_recall.
+    "ann_ivf_fixed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", 10, Similarity.seededCentroids(16, 64), nprobe = 4)
+    }),
     // §2.2 row 24c — product-quantization ANN (rows-only oracle; rank-1
     // recall gated by `ann_recall`'s pq_nn column + recall@10 spec): ADC
     // scoring over the m-byte code table, exact re-rank of the shortlist
@@ -1627,6 +1639,38 @@ object SparkEntry {
         |  neighbor_id AS pq_nn, neighbor_id AS ivfpq_nn,
         |  neighbor_id AS ivfpqr_nn
         |FROM r WHERE rn = 1""".stripMargin,
+    // IVF search under the pinned seeded centroids, re-derived end-to-end:
+    // same 16×64 constants as the Spark query; cell = argmax cosine (tie
+    // to lowest cell id), probes = each query's top-4 cells, candidates =
+    // corpus rows in probed cells, then exact cosine top-10 as in ann_topk.
+    "ann_ivf_fixed" -> {
+      val centRows = graft.operators.Similarity.seededCentroids(16, 64)
+        .map { case (cid, v) => s"($cid, [${v.mkString(", ")}])" }
+        .mkString(",\n        ")
+      s"""WITH cents(cid, cv) AS (VALUES
+        |        $centRows),
+        |q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |    FROM embeddings WHERE vec_id < 5),
+        |c0 AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv2
+        |    FROM embeddings WHERE vec_id >= 5),
+        |casim AS (SELECT neighbor_id, cid,
+        |    row_number() OVER (PARTITION BY neighbor_id
+        |      ORDER BY list_cosine_similarity(cv2, cv) DESC, cid) AS rn
+        |    FROM c0, cents),
+        |cell_of AS (SELECT neighbor_id, cid AS cell FROM casim WHERE rn = 1),
+        |probes AS (SELECT query_id, cid AS cell FROM (
+        |    SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(qv, cv) DESC, cid) AS rn
+        |    FROM q0, cents) WHERE rn <= 4),
+        |cand AS (SELECT query_id, neighbor_id
+        |    FROM probes JOIN cell_of USING (cell)),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv2) AS sim
+        |    FROM cand JOIN q0 USING (query_id) JOIN c0 USING (neighbor_id)),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM s WHERE NOT isnan(sim))
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r
+        |WHERE rank <= 10""".stripMargin
+    },
     // Winnowing fingerprints re-derived end-to-end (md5 token-hash
     // variant): per-token top-8-md5-bytes as HUGEINT, the rolling chain
     // h = (h*B + t) mod 2^64 replayed by list_reduce (B = 1000003 < 2^20

@@ -75,6 +75,20 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Fixed-seed random centroid set (deterministic across JVMs). ANY fixed
+    * centroid set is a valid IVF index (see [[ivfTopKWith]] — the same
+    * literals assign corpus cells and query probes, so search is
+    * self-consistent); a SEEDED one is additionally reproducible by the
+    * DuckDB oracle, which inlines these exact constants to re-derive the
+    * full cell-routed search (`ann_ivf_fixed`). Trained centroids
+    * ([[trainCentroids]]) remain the recall-quality path — the pinned set
+    * trades occupancy balance for cross-engine verifiability, exactly the
+    * ann_lsh pinned-planes precedent. */
+  private[graft] def seededCentroids(numCells: Int, dim: Int): Array[(Int, Array[Double])] = {
+    val rnd = new java.util.Random(13L)
+    Array.tabulate(numCells)(c => (c, Array.fill(dim)(rnd.nextGaussian())))
+  }
+
   /** Scale-adaptive signature sizing: the number of hyperplanes that puts the
     * MEAN bucket occupancy at `corpusRows / 2^planes ≈ targetOccupancy`, i.e.
     * `ceil(log2(corpusRows / targetOccupancy))`, floored at `minPlanes`.
