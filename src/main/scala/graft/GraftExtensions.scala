@@ -72,7 +72,7 @@ object GraftExtensions {
       args => TopKPairsAgg(args(0), intArg(args, 1, 10))),
     ("graft_cov_outer_sum",
       info("graft_cov_outer_sum",
-        "graft_cov_outer_sum(vec array<double>) -> array<struct<i,j,n_vecs,cov>> (fixed-buffer covariance matrix)"),
+        "graft_cov_outer_sum(vec array<double>) -> array<struct<i,j,n_vecs,cov,mean>> (fixed-buffer covariance matrix; mean is the pair's first-component mean)"),
       args => CovOuterSumAgg(one(args))))
 
   /** Install into a live session (runtime FunctionRegistry). */

@@ -250,16 +250,15 @@ object CovOuterSumAgg {
     val hi: Array[Array[BigInteger]] = new Array[Array[BigInteger]](3)
 
     def ensure(newDim: Int): Unit = if (newDim > dim) {
-      // Long arithmetic + explicit ceiling: at newDim ≥ 65536 the Int
-      // triangle size would overflow negative and die as an opaque
+      // Long arithmetic + explicit ceiling: past dim 65535 the Int
+      // triangle size d(d+1)/2 overflows and would die as an opaque
       // NegativeArraySizeException; fail loudly with the real limit
-      // instead. 46340 is the last dim whose triangle fits an Int index
-      // range (and already implies ~8.6 GB of hot lanes — far past any
+      // instead (already ~68 GB of hot lanes at the bound — far past any
       // embedding width this aggregate is for).
       val longPairs = newDim.toLong * (newDim + 1L) / 2L
       require(longPairs <= Int.MaxValue,
         s"cov_outer_sum: vector dimension $newDim exceeds the supported " +
-          s"maximum 46340 (triangle buffer of $longPairs pairs cannot be " +
+          s"maximum 65535 (triangle buffer of $longPairs pairs cannot be " +
           "indexed); reduce the embedding dimension or project first")
       val newPairs = longPairs.toInt
       cnt = java.util.Arrays.copyOf(cnt, newPairs)

@@ -252,6 +252,27 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
   * runs. Both are uniform 64-bit families; the simhash guarantees are
   * hash-agnostic.
   */
+/** First 8 MD5 bytes of a string, big-endian — the exact value DuckDB
+  * parses from the first 16 hex chars of md5(t)
+  * (`('0x' || substr(md5(t),1,16))::UBIGINT`). THE hash-convention-critical
+  * helper every cross-engine-oracled md5 carrier shares (simhash,
+  * winnowing): one definition, so an oracle-side convention change can
+  * never break one expression while the other still passes. */
+private[functions] object Md5Low64 {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue() = java.security.MessageDigest.getInstance("MD5")
+  }
+  def apply(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+}
+
 case class SimHashExpr(child: Expression, md5Hash: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
@@ -264,22 +285,6 @@ case class SimHashExpr(child: Expression, md5Hash: Boolean = false)
     }
   }
 
-  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue() = java.security.MessageDigest.getInstance("MD5")
-  }
-
-  // First 8 MD5 bytes, big-endian — the same value DuckDB parses from the
-  // first 16 hex chars of md5(t).
-  private def md5Low64(s: UTF8String): Long = {
-    val d = md5.get()
-    d.reset()
-    val bytes = d.digest(s.getBytes)
-    var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
-    h
-  }
-
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -289,7 +294,7 @@ case class SimHashExpr(child: Expression, md5Hash: Boolean = false)
       if (!arr.isNullAt(j)) {
         val s = arr.getUTF8String(j)
         val h =
-          if (md5Hash) md5Low64(s)
+          if (md5Hash) Md5Low64(s)
           else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         var k = 0
         while (k < 64) {
@@ -401,22 +406,6 @@ case class NfcNormalizeExpr(child: Expression)
 case class WinnowExpr(child: Expression, k: Int, w: Int, md5Hash: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
-  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue() = java.security.MessageDigest.getInstance("MD5")
-  }
-
-  // First 8 MD5 bytes, big-endian — the same value DuckDB parses from the
-  // first 16 hex chars of md5(t). (SimHashExpr's convention.)
-  private def md5Low64(s: UTF8String): Long = {
-    val d = md5.get()
-    d.reset()
-    val bytes = d.digest(s.getBytes)
-    var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
-    h
-  }
-
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() = {
     child.dataType match {
@@ -443,7 +432,7 @@ case class WinnowExpr(child: Expression, k: Int, w: Int, md5Hash: Boolean = fals
     while (i < n) {
       val s = arr.getUTF8String(i)
       th(i) = if (s == null) 0L
-        else if (md5Hash) md5Low64(s)
+        else if (md5Hash) Md5Low64(s)
         else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       i += 1
     }

@@ -96,6 +96,12 @@ object Bpe {
             endOfWord: String = "</w>", minPairCount: Long = 2L,
             memoize: Boolean = true,
             driverVocabBound: Long = DriverVocabBound): Seq[(String, String)] = {
+    // at 0 the two carriers would diverge: the driver kernel's lazy queue
+    // could revalidate a REMOVED pair's stale entry as cur == c == 0 and
+    // emit phantom zero-count merges, while the distributed rounds stop on
+    // pair-table exhaustion — and merging pairs that occur zero times is
+    // meaningless anyway
+    require(minPairCount >= 1L, s"minPairCount must be >= 1, got $minPairCount")
     if (!memoize)
       return trainUncached(docs, textCol, numMerges, endOfWord, minPairCount, driverVocabBound)
     if (mergeCache.size() >= mergeCacheMax) mergeCache.clear()
@@ -179,6 +185,23 @@ object Bpe {
     * supplementary characters vs U+E000..U+FFFF, so it must not be used
     * here (spec-pinned with such a tie in BpeSpec). */
   private[graft] def utf8Cmp(a: String, b: String): Int = {
+    // ASCII fast path: while both sides are ASCII, char order IS UTF-8
+    // byte order — zero allocations for the overwhelmingly common vocab
+    // (this runs on every count-tie in the driver kernel's hot queue).
+    // The first non-ASCII char on either side falls back to a real
+    // byte-array compare.
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i); val cb = b.charAt(i)
+      if (ca >= 0x80 || cb >= 0x80) return utf8CmpBytes(a, b)
+      if (ca != cb) return ca - cb
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def utf8CmpBytes(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)

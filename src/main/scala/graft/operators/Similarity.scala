@@ -22,8 +22,12 @@ object Similarity {
 
   def toDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  // NOTE: there is deliberately no generic dot(a, b) helper here — the
+  // obvious zip_with/aggregate formulation nulls the WHOLE sum when the
+  // arrays differ in length (zip_with null-pads the shorter side), which
+  // silently dropped a ragged query from the residual ADC path once.
+  // Vector sums follow the zero-pad convention explicitly (coalesce to
+  // 0.0 inside the zip_with) or use the native CosineSimExpr.
 
   def l2Norm(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
@@ -876,14 +880,24 @@ object Similarity {
     * both; past that domain (|x_i·x_j| ≥ 1e16) the decimal path fails
     * loudly under ANSI while the aggregate stays exact — see
     * [[graft.functions.CovOuterSumAgg]]. */
+  /** The fixed-buffer covariance carrier WITH the aggregate's diagonal
+    * `mean` column — the ONE pipeline both [[embeddingCovariance]]'s
+    * default branch (which drops `mean` to keep the oracled schema) and
+    * [[pcaTrain]] (which reads the diagonal means) consume, so the
+    * oracled carrier and the PCA training input can never drift apart. */
+  private def covOuterRows(vectors: DataFrame, vecCol: String): DataFrame =
+    vectors
+      .agg(graft.functions.CovOuterSumAgg.covOuterSum(toDouble(col(vecCol))).as("_m"))
+      .select(explode(col("_m")).as("_e"))
+      .select(col("_e.i").as("i"), col("_e.j").as("j"),
+        col("_e.n_vecs").as("n_vecs"), col("_e.cov").as("cov"),
+        col("_e.mean").as("mean"))
+
   def embeddingCovariance(vectors: DataFrame, vecCol: String,
                           highDim: Boolean = true): DataFrame =
     if (highDim)
-      vectors
-        .agg(graft.functions.CovOuterSumAgg.covOuterSum(toDouble(col(vecCol))).as("_m"))
-        .select(explode(col("_m")).as("_e"))
-        .select(col("_e.i").as("i"), col("_e.j").as("j"),
-          col("_e.n_vecs").as("n_vecs"), col("_e.cov").as("cov"))
+      covOuterRows(vectors, vecCol)
+        .select(col("i"), col("j"), col("n_vecs"), col("cov"))
     else vectors
       .select(toDouble(col(vecCol)).as("_v"))
       .select(col("_v"), posexplode(col("_v")).as(Seq("i", "xi")))
@@ -976,16 +990,12 @@ object Similarity {
     }
     val order = (0 until d).sortBy(i => (-a(i)(i), i))
     val eig = order.map(i => a(i)(i)).toArray
-    val vecs = order.map { i =>
-      val w = Array.tabulate(d)(k => v(k)(i))
-      var best = 0
-      var k = 1
-      while (k < d) { if (math.abs(w(k)) > math.abs(w(best))) best = k; k += 1 }
-      if (w(best) < 0) w.map(-_) else w
-    }.toArray
+    val vecs = order.map(i => signFix(Array.tabulate(d)(k => v(k)(i)))).toArray
     (eig, vecs)
   }
 
+  /** Largest-|component|-positive sign convention — the ONE sign fixer
+    * both eigensolvers share, so their bases are comparable. */
   private def signFix(w: Array[Double]): Array[Double] = {
     var best = 0
     var k = 1
@@ -1133,11 +1143,8 @@ object Similarity {
     * hold the returned basis and pass it where needed. */
   def pcaTrain(vectors: DataFrame, vecCol: String,
                k: Int): (Array[Double], Array[Double], Array[Array[Double]]) = {
-    val rows = vectors
-      .agg(graft.functions.CovOuterSumAgg.covOuterSum(toDouble(col(vecCol))).as("_m"))
-      .select(explode(col("_m")).as("_e"))
-      .select(col("_e.i").as("i"), col("_e.j").as("j"),
-        col("_e.cov").as("cov"), col("_e.mean").as("mean"))
+    val rows = covOuterRows(vectors, vecCol)
+      .select(col("i"), col("j"), col("cov"), col("mean"))
       .collect()
     require(rows.nonEmpty, "pcaTrain: empty corpus")
     val d = rows.iterator.map(_.getInt(1)).max + 1

@@ -29,11 +29,13 @@ import graft.operators.{Dedup, Similarity}
   * transactional with the checkpoint, so a crash INSIDE a batch — after
   * some appends, before the commit — replays that batch. Replay
   * CLASSIFICATION is stable by construction: the index probe excludes any
-  * rep_id present in the current batch (same-batch pairs belong to the
-  * within-batch pass, which verifies with EXACT Jaccard under the
-  * smallest-id-survives rule), so the rows a crashed attempt already
-  * appended to the index are invisible to the replay and it reproduces the
-  * first attempt's verdicts bit for bit. Without that exclusion a replay
+  * (rep_id, signature) row identical to one the current batch itself
+  * appends (same-batch pairs belong to the within-batch pass, which
+  * verifies with EXACT Jaccard under the smallest-id-survives rule), so
+  * the rows a crashed attempt already appended to the index are invisible
+  * to the replay and it reproduces the first attempt's verdicts bit for
+  * bit — while an id re-ingested with DIFFERENT text keeps its earlier
+  * index row visible as a representative. Without that exclusion a replay
   * would re-judge same-batch pairs through the index path's ESTIMATED
   * Jaccard — a doc unique at exact similarity could flip to dup (or an
   * index-resident peer could usurp the smaller-id representative), leaving
@@ -119,16 +121,23 @@ object StreamingDedup {
             val bi = bandsOf(s.read.parquet(indexPath), numBands, rowsPerBand)
               .withColumnRenamed("doc_id", "rep_id").withColumnRenamed("_mh", "_mh_i")
             bx.join(bi, Seq("band_id", "band_sig"))
-              .select(col("doc_id"), col("rep_id"),
+              .select(col("doc_id"), col("rep_id"), col("_mh_i"),
                 estJaccard(col("_mh"), col("_mh_i"), numHashes).as("similarity"))
               .where(col("similarity") >= threshold)
-              // index rows whose id is IN this batch only exist when a
-              // crashed batch replays its own appends — those pairs are the
-              // within-batch pass's jurisdiction (exact Jaccard, smallest
-              // id survives), so excluding them here makes the replay
-              // reproduce the first attempt's classification exactly (this
-              // also covers the self-match doc_id == rep_id case)
-              .join(sigs.select(col("doc_id").as("rep_id")), Seq("rep_id"), "left_anti")
+              // index rows IDENTICAL to what this batch's own attempt
+              // appends — same id AND same signature — only exist when a
+              // crashed batch replays; those pairs are the within-batch
+              // pass's jurisdiction (exact Jaccard, smallest id survives),
+              // so excluding them makes the replay reproduce the first
+              // attempt's classification exactly (this also covers the
+              // self-match doc_id == rep_id case). Matching on the FULL
+              // (id, signature) pair — not the id alone — keeps a
+              // re-ingested id with DIFFERENT text (a legitimate update
+              // indexed in an earlier batch) visible as a representative
+              // for its batch-mates.
+              .join(sigs.select(col("doc_id").as("rep_id"), col("_mh").as("_mh_i")),
+                Seq("rep_id", "_mh_i"), "left_anti")
+              .drop("_mh_i")
               .distinct()
               .withColumn("reason", lit("index"))
           } else emptyCand(s, "doc_id")
@@ -192,9 +201,10 @@ object StreamingDedup {
     * double, so an unguarded `NaN >= threshold` would let one zero-norm
     * index entry silently absorb its whole cell. Uniques append to the
     * index and the clean zone; dups carry (rep_id, similarity, reason).
-    * Checkpoint + crash-replay semantics are [[run]]'s (same-batch ids
-    * excluded from the index probe, so a replay reproduces the first
-    * attempt's classification and only re-appends rows already written). */
+    * Checkpoint + crash-replay semantics are [[run]]'s (index rows
+    * identical to the batch's own (id, vector) appends are excluded from
+    * the probe, so a replay reproduces the first attempt's classification
+    * and only re-appends rows already written). */
   def runSemantic(spark: SparkSession, watchDir: String, outRoot: String,
                   centroids: Array[(Int, Array[Double])],
                   threshold: Double = 0.9): StreamingQuery = {
@@ -219,13 +229,17 @@ object StreamingDedup {
             val idx = s.read.parquet(indexPath)
               .select(col("vec_id").as("rep_id"), col("cell"), col("_v").as("_vi"))
             vecs.join(idx, Seq("cell"))
-              .select(col("vec_id"), col("rep_id"),
+              .select(col("vec_id"), col("rep_id"), col("_vi"),
                 round(Similarity.cosine(col("_v"), col("_vi")), 6).as("similarity"))
               .where(!isnan(col("similarity")) && col("similarity") >= threshold)
-              // same-batch index rows = a crashed replay's own appends;
-              // those pairs belong to the within-batch pass (see run()) —
-              // excluding them keeps replay classification bit-stable
-              .join(vecs.select(col("vec_id").as("rep_id")), Seq("rep_id"), "left_anti")
+              // index rows identical to this batch's own appends — same id
+              // AND same vector — are a crashed replay's rows; those pairs
+              // belong to the within-batch pass (see run()), and matching
+              // the full (id, vector) pair keeps a re-ingested id with a
+              // DIFFERENT embedding visible as a representative
+              .join(vecs.select(col("vec_id").as("rep_id"), col("_v").as("_vi")),
+                Seq("rep_id", "_vi"), "left_anti")
+              .drop("_vi")
               .withColumn("reason", lit("index"))
           } else emptyCand(s, "vec_id")
 

@@ -397,6 +397,24 @@ class StreamingSpec extends SparkSpec {
       "replay reclassified a same-batch pair (estimated-Jaccard index path leaked in)")
     assert(spark.read.parquet(s"$root/out/index").select("doc_id").as[Long].collect().toSet
       == Set(1L, 2L))
+
+    // re-ingestion is NOT a replay: the exclusion matches the full
+    // (id, signature) pair, so when id 1 re-arrives with DIFFERENT text,
+    // its EARLIER index row must stay visible as a representative — doc 20
+    // (a near-dup of the original text) still gets caught via the index.
+    val q3 = StreamingDedup.run(spark, inDir.getAbsolutePath, s"$root/out")
+    try {
+      dropFile("b2.parquet", Seq(
+        Doc(1, "entirely new replacement content for document one with plenty of fresh tokens"),
+        Doc(20, base + " indeed")))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val dup20 = spark.read.parquet(s"$root/out/dups")
+      .where($"doc_id" === 20L).as[(Long, Long, Double, String)].collect()
+    assert(dup20.nonEmpty && dup20.head._2 == 1L && dup20.head._4 == "index",
+      s"re-ingested id 1 hid its earlier index row from doc 20: ${dup20.toSeq}")
+    // the re-ingested (different-text) id 1 itself is unique again
+    assert(spark.read.parquet(s"$root/out/dups").where($"doc_id" === 1L).count() == 0)
   }
 
   test("StreamingDedup.runSemantic suppresses embedding near-dups within and across batches, and on restart") {
