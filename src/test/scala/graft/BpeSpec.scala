@@ -115,6 +115,25 @@ class BpeSpec extends SparkSpec {
     assert(fast == dist, s"\ndriver: $fast\ndist:   $dist")
   }
 
+  test("carriers agree merge for merge on a randomized skewed corpus (32 merges)") {
+    // seeded random corpus with a Zipf-ish frequency profile and a small
+    // alphabet (forces many count ties, the tie-break's stress case)
+    val rnd = new scala.util.Random(271828L)
+    val alphabet = "abcdef"
+    def word(): String =
+      (0 until (2 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val vocabWords = Vector.fill(60)(word())
+    val docs = (1L to 40L).map { id =>
+      val n = 5 + rnd.nextInt(15)
+      // skew: low-index words dominate
+      (id, (0 until n).map(_ => vocabWords(math.min(rnd.nextInt(12), rnd.nextInt(60)))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Bpe.train(docs, "text", 32, memoize = false)
+    val dist = Bpe.train(docs, "text", 32, memoize = false, driverVocabBound = 0L)
+    assert(fast == dist, s"\ndriver: $fast\ndist:   $dist")
+    assert(fast.size == 32, s"expected the full merge budget, got ${fast.size}")
+  }
+
   test("train stops early when no pair reaches minPairCount") {
     // every word unique, every pair frequency 1 -> zero merges at min 2
     val docs = Seq((1L, "abc defg")).toDF("doc_id", "text")
