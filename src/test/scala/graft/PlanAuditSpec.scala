@@ -209,6 +209,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), s"bounded-heap top-k missing:\n$p")
   }
 
+  test("ann_ivf_fixed: pinned-centroid routing is map-side; query side broadcasts; no sort-merge") {
+    // the pinned seeded centroids ride the plan as nearest_cells literals:
+    // corpus cell assignment must be a pure projection, the probe-exploded
+    // query side a broadcast, and nothing corpus-sized may sort-merge
+    val p = planOf("ann_ivf_fixed")
+    assert(!p.contains("SortMergeJoin"), s"fixed-IVF search must never sort-merge:\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"corpus must join broadcast sides only:\n$p")
+    assert(p.contains("BroadcastExchange"), s"query probes must broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"bounded-heap top-k missing:\n$p")
+  }
+
   test("ngram_novelty explodes once and takes df from a shingle window, not a join-back") {
     val p = planOf("ngram_novelty")
     val explodes = p.linesIterator.count(_.contains("Generate explode"))
