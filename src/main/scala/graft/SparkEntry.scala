@@ -1126,9 +1126,10 @@ object SparkEntry {
     // lowest perplexity ("head"), bucket 1 = "tail". The composition the
     // CCNet pipeline ships as its quality-stratified sampling input.
     "ppl_buckets" -> ((s, d) => {
-      val lm = TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
-      val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"))
-        .join(lm, "doc_id")
+      // lang rides lmScore's aggregation keys (carry) — no second corpus
+      // scan and no doc-keyed join to re-attach it (round 11)
+      val scored = TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text",
+        carry = Seq("lang"))
       Analytics.ntileBuckets(scored, col("lang"), col("avg_logprob"),
         col("doc_id"), 3)
         .select(col("id").as("doc_id"), col("stratum").as("lang"),

@@ -398,22 +398,36 @@ object TextAnalysis {
     * df/N/avgdl derivation). The corpus total rides as a 1-row broadcast
     * cross join. Per-token log-probs are rounded to 6dp and tf-weighted as
     * DECIMAL so the score is accumulation-order independent — bit-stable
-    * across partitionings and engines. Output: (id, n_tokens, avg_logprob). */
-  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("token"))
-    val tf = tok.groupBy(col("_id"), col("token")).agg(count(lit(1)).as("tf"))
+    * across partitionings and engines. Output: (id, carry..., n_tokens,
+    * avg_logprob).
+    *
+    * `carry` names per-document columns to RIDE the aggregation keys
+    * (they are functionally dependent on the id, e.g. `lang`, `source`) —
+    * a few bytes per postings row against the alternative of a SECOND
+    * corpus scan plus a doc-keyed shuffle join to re-attach them
+    * downstream (what ppl_buckets used to pay). Carry names must not
+    * collide with the internals (`_id`, `token`, `tf`). */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              carry: Seq[String] = Nil): DataFrame = {
+    require(!carry.exists(Set("_id", "token", "tf", "n_tokens", "avg_logprob")),
+      s"carry collides with lmScore internals: $carry")
+    val carryCols = carry.map(col)
+    val tok = docs.select(
+      (col(idCol).as("_id") +: carryCols) :+ explode(tokens(col(textCol))).as("token"): _*)
+    val tf = tok.groupBy((col("_id") +: carryCols) :+ col("token"): _*)
+      .agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
     val total = tf.agg(sum(col("tf")).as("n_total"))
     tf.join(vocab, "token")
       .crossJoin(broadcast(total))
-      .select(col("_id"),
+      .select((col("_id") +: carryCols) ++ Seq(
         col("tf"),
         (col("tf") * round(log(col("cnt").cast("double") / col("n_total")), 6)
-          .cast("decimal(18,6)")).as("_lp"))
-      .groupBy(col("_id"))
+          .cast("decimal(18,6)")).as("_lp")): _*)
+      .groupBy(col("_id") +: carryCols: _*)
       .agg(sum(col("tf")).as("n_tokens"), sum(col("_lp")).as("_sum_lp"))
-      .select(col("_id").as(idCol), col("n_tokens"),
-        round(col("_sum_lp").cast("double") / col("n_tokens"), 6).as("avg_logprob"))
+      .select((col("_id").as(idCol) +: carryCols) ++ Seq(col("n_tokens"),
+        round(col("_sum_lp").cast("double") / col("n_tokens"), 6).as("avg_logprob")): _*)
   }
 
   /** Per-document Shannon entropy of the document's own token distribution

@@ -166,6 +166,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(explodes <= 1, s"corpus exploded $explodes times:\n$p")
   }
 
+  test("ppl_buckets carries lang through lmScore's keys: fewer corpus reads than the join-back shape") {
+    // lang used to be re-attached by a SECOND documents scan + doc-keyed
+    // join; with lmScore's carry it rides the postings aggregation keys.
+    // Compare the live query's static plan against the old formulation
+    // built inline: strictly fewer parquet reads, and the tf exchange
+    // still reused by the vocab/total branches.
+    def scans(p: String) = p.linesIterator.count(_.contains("Scan parquet"))
+    val p = staticPlanOf("ppl_buckets")
+    assert(p.contains("ReusedExchange"),
+      s"tf exchange not reused — corpus tokenized more than once:\n$p")
+    val docs = graft.Tables.documents(spark, sf)
+    val oldScored = docs.select(col("doc_id"), col("lang"))
+      .join(graft.operators.TextAnalysis.lmScore(docs, "doc_id", "text"), "doc_id")
+    val oldQuery = graft.operators.Analytics.ntileBuckets(
+      oldScored, col("lang"), col("avg_logprob"), col("doc_id"), 3)
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    val pOld =
+      try oldQuery.queryExecution.executedPlan.toString
+      finally spark.conf.set(key, prev)
+    assert(scans(p) < scans(pOld),
+      s"carry did not reduce corpus reads: new=${scans(p)} old=${scans(pOld)}")
+  }
+
   test("lm_bigram explodes the corpus once: probs re-aggregate the tf postings") {
     val p = staticPlanOf("lm_bigram")
     assert(p.contains("ReusedExchange"),
