@@ -209,6 +209,38 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee holds on randomized draws: shared runs >= k+w-1 share a fingerprint") {
+    // the Schleimer/Wilkerson/Aiken theorem the operator exists for, pinned
+    // as a randomized property on BOTH hash variants: any pair of docs
+    // sharing a token run of length >= k + w - 1 = 8 must share at least
+    // one selected fingerprint, regardless of where the run sits
+    import graft.functions.NativeExprs.winnowFingerprints
+    val rnd = new scala.util.Random(31337L)
+    def tok() = "t" + rnd.nextInt(5000)
+    val cases = (0 until 24).map { i =>
+      val runLen = 8 + rnd.nextInt(6)
+      val shared = Vector.fill(runLen)(tok())
+      val pre1 = Vector.fill(rnd.nextInt(10))(tok())
+      val post1 = Vector.fill(rnd.nextInt(10))(tok())
+      val pre2 = Vector.fill(rnd.nextInt(10))(tok())
+      val post2 = Vector.fill(rnd.nextInt(10))(tok())
+      (i.toLong * 2, (pre1 ++ shared ++ post1).mkString(" "),
+       i.toLong * 2 + 1, (pre2 ++ shared ++ post2).mkString(" "))
+    }
+    val docs = cases.flatMap { case (a, ta, b, tb) => Seq((a, ta), (b, tb)) }
+      .toDF("doc_id", "text")
+    Seq(false, true).foreach { md5 =>
+      val fps = docs.select(col("doc_id"),
+        winnowFingerprints(graft.operators.Dedup.tokens(col("text")), 5, 4,
+          md5Hash = md5).as("f"))
+        .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+      cases.foreach { case (a, _, b, _) =>
+        assert((fps(a) & fps(b)).nonEmpty,
+          s"pair ($a, $b) md5=$md5 shared a run >= 8 tokens but no fingerprint")
+      }
+    }
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
