@@ -811,6 +811,19 @@ object SparkEntry {
       Similarity.pqTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10, pqBooks(s, d))
     }),
+    // §2.2 row 24c — PQ search under PINNED seeded codebooks, FULLY
+    // row-hash-oracled (the ann_lsh/ann_ivf_fixed pinned-artifact
+    // precedent, applied to ADC): any fixed codebook set is a valid
+    // product quantizer, and a seeded one lets the oracle replay the
+    // entire search in SQL — per-subspace argmin-L2 code assignment,
+    // per-query LUT dots, the order-pinned ADC sum, reconstructed-norm
+    // cosine, top-80 shortlist, exact cosine re-rank. Trained codebooks
+    // stay exercised by ann_pq + ann_recall.
+    "ann_pq_fixed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", 10, Similarity.seededBooks(8, 16, 8))
+    }),
     // §2.2 row 24d — IVF-PQ composed (cell-routed ADC + exact re-rank, the
     // billion-vector production shape; rows-only, recall via ann_recall's
     // ivfpq_nn + the recall@10 spec). Shares ann_ivf's centroids and
@@ -819,6 +832,16 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Similarity.ivfPqTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10, ivfCentroids(s, d), pqBooks(s, d))
+    }),
+    // §2.2 row 24d — IVF-PQ composed under PINNED centroids AND codebooks
+    // (ann_ivf_fixed's seeded cells routing ann_pq_fixed's seeded ADC):
+    // the full production search chain — route → ADC-score → shortlist →
+    // exact re-rank — row-hash-verified end-to-end by one oracle.
+    "ann_ivfpq_fixed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", 10, Similarity.seededCentroids(16, 64),
+        Similarity.seededBooks(8, 16, 8), nprobe = 4)
     }),
     // §2.2 row 24e — IVF-PQ with RESIDUAL encoding (faiss by_residual):
     // codes quantize x − centroid(cell); inner-product ADC keeps the LUT
@@ -976,6 +999,18 @@ object SparkEntry {
         .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
           concat_ws(" ", slice(col("pieces"), 1, 12)).as("head_pieces"))
     }),
+    // §2.2 row 31 — BPE segmentation under a PINNED literal merge list,
+    // FULLY row-hash-oracled (round 12, the pinned-artifact precedent's
+    // fifth application): TRAINING is genuinely iterative-data-dependent
+    // (rows-only, spec-gated), but segmentation under a FIXED merge table
+    // is a deterministic per-word rewrite system a DuckDB recursive CTE
+    // can replay exactly — lowest-rank-first, all non-overlapping
+    // occurrences left-to-right per round (see the oracle's state-machine
+    // CTE). Same BpeSegmentExpr code path as bpe_segment.
+    "bpe_segment_fixed" -> ((s, d) =>
+      Bpe.segment(Tables.documents(s, d), "doc_id", "text", pinnedMerges)
+        .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+          concat_ws(" ", slice(col("pieces"), 1, 12)).as("head_pieces"))),
     // §2.1 row 17b — single-pass column profiling
     // (spread: the 4-column exact-distinct profile Expands the input 4x,
     // all fused into the single-row-group scan without it)
@@ -1142,12 +1177,173 @@ object SparkEntry {
     * ann_pq, ann_ivfpq, ann_ivfpq_res, approx_stats,
     * bpe_train, bpe_segment, embedding_pca) are non-SQL-expressible →
     * driver's weaker rows-only check; the approximate ANN paths'
-    * recall is gated by the oracled `ann_recall` (and `ann_lsh`'s FULL
-    * top-k table is row-hash-oracled — its fixed-seed hyperplanes inline
-    * into the SQL), winnowing by `winnow_overlap` + the fully-oracled
+    * recall is gated by the oracled `ann_recall`, and every searcher
+    * FAMILY is row-hash-oracled under pinned seeded artifacts —
+    * `ann_lsh` (planes), `ann_ivf_fixed` (centroids), `ann_pq_fixed`
+    * (codebooks), `ann_ivfpq_fixed` (both composed) — so only the
+    * TRAINED-artifact variants stay rows-only. BPE segmentation is
+    * gated by `bpe_segment_fixed` (pinned merge list, recursive-CTE
+    * replay) — only TRAINING is genuinely iterative. Winnowing is gated
+    * by `winnow_overlap` + the fully-oracled
     * md5-variant `winnow_fingerprint`, and embedding_pca's
     * distributed pass by the oracled `embedding_cov`. */
+  /** Pinned literal merge list for `bpe_segment_fixed` — rank order is
+    * merge priority. Chosen a priori (common English pairs, NOT trained on
+    * the corpus — the seeded-centroid discipline: artifacts pinned, the
+    * search/rewrite machinery real), with deliberate stress cases: chained
+    * merges (t+h → th+e</w>, i+n → in+g</w>), end-of-word-suffix merges,
+    * and the self-pair l+l that exercises the non-overlapping
+    * left-to-right rule on letter runs. */
+  private[graft] val pinnedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n"), ("r", "e"),
+    ("o", "n"), ("e", "r"), ("an", "d</w>"), ("e", "n"), ("o", "r"),
+    ("t", "i"), ("e", "s</w>"), ("s", "t"), ("a", "r"), ("t", "e"),
+    ("o", "f</w>"), ("in", "g</w>"), ("t", "o</w>"), ("i", "s</w>"),
+    ("e", "d</w>"), ("a", "l"), ("l", "l"), ("c", "o"), ("th", "e"))
+
+  /** Shared DuckDB replay of the pinned-codebook ADC search (`ann_pq_fixed`
+    * / `ann_ivfpq_fixed`): the seeded 8×16×8 codebooks inline as literals
+    * (the ann_lsh / ann_ivf_fixed pinned-artifact precedent, applied to
+    * PQ). Every floating-point reduction is ORDER-PINNED with list_reduce
+    * (ascending element index; ascending subspace j via list(... ORDER BY
+    * j)) to mirror the Scala kernels' sequential loops — PqEncodeEval's
+    * argmin-L2 (ties to lowest code = ORDER BY d2, c), PqLutExpr's dots,
+    * AdcSumExpr's j-walk, reconNorm's per-code norm², l2Norm's fold — so
+    * float parity holds by construction, not engine coincidence.
+    * `candFrom` supplies the candidate (query_id, neighbor_id) pairs: the
+    * full query×corpus product for flat PQ, the probed-cell join for
+    * IVF-PQ; shortlist 80 = pqTopKWith's max(8k, 64) default at k=10. */
+  private def pqFixedOracle(extraCtes: String, candFrom: String): String = {
+    val bookRows = graft.operators.Similarity.seededBooks(8, 16, 8)
+      .zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (bv, c) => s"($j, $c, [${bv.mkString(", ")}])" }
+      }.mkString(",\n        ")
+    s"""WITH books(j, c, bv) AS (VALUES
+      |        $bookRows),
+      |q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |    FROM embeddings WHERE vec_id < 5),
+      |c0 AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |    FROM embeddings WHERE vec_id >= 5),$extraCtes
+      |enc AS (SELECT neighbor_id, j, c, row_number() OVER (PARTITION BY neighbor_id, j
+      |      ORDER BY list_reduce(
+      |        [(coalesce(cv[j*8+i], 0.0) - bv[i]) * (coalesce(cv[j*8+i], 0.0) - bv[i])
+      |         for i in range(1, 9)], (a, b) -> a + b) ASC, c ASC) AS rn
+      |    FROM c0, books),
+      |codes AS (SELECT neighbor_id, j, c AS code FROM enc WHERE rn = 1),
+      |vn AS (SELECT neighbor_id,
+      |      sqrt(list_reduce(list(n2 ORDER BY j), (a, b) -> a + b)) AS vnormr
+      |    FROM (SELECT neighbor_id, codes.j AS j,
+      |        list_reduce([bv[i] * bv[i] for i in range(1, 9)], (a, b) -> a + b) AS n2
+      |      FROM codes JOIN books ON books.j = codes.j AND books.c = codes.code)
+      |    GROUP BY neighbor_id),
+      |qn AS (SELECT query_id,
+      |      sqrt(list_reduce([x * x for x in qv], (a, b) -> a + b)) AS qnorm
+      |    FROM q0),
+      |pj AS (SELECT cand.query_id, cand.neighbor_id, codes.j AS j,
+      |      list_reduce([coalesce(qv[codes.j*8+i], 0.0) * bv[i] for i in range(1, 9)],
+      |        (a, b) -> a + b) AS lj
+      |    FROM $candFrom
+      |      JOIN codes ON codes.neighbor_id = cand.neighbor_id
+      |      JOIN books ON books.j = codes.j AND books.c = codes.code
+      |      JOIN q0 ON q0.query_id = cand.query_id),
+      |adc AS (SELECT query_id, neighbor_id,
+      |      list_reduce(list(lj ORDER BY j), (a, b) -> a + b) AS adcsum
+      |    FROM pj GROUP BY query_id, neighbor_id),
+      |sc AS (SELECT query_id, neighbor_id, adcsum / (qnorm * vnormr) AS asim
+      |    FROM adc JOIN qn USING (query_id) JOIN vn USING (neighbor_id)),
+      |short AS (SELECT query_id, neighbor_id FROM (
+      |      SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY asim DESC, neighbor_id) AS srn
+      |      FROM sc WHERE NOT isnan(asim)) WHERE srn <= 80),
+      |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+      |    FROM short JOIN q0 USING (query_id) JOIN c0 USING (neighbor_id)),
+      |r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS rank FROM s WHERE NOT isnan(sim))
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r
+      |WHERE rank <= 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // PQ search under the pinned seeded codebooks, re-derived end-to-end
+    // (see pqFixedOracle): every corpus row is a candidate for every query
+    // (flat PQ — no routing), exactly pqTopKWith's crossJoin.
+    "ann_pq_fixed" -> pqFixedOracle("",
+      "(SELECT query_id, neighbor_id FROM q0, c0) AS cand"),
+    // IVF-PQ under pinned centroids AND codebooks: candidates are the
+    // probed-cell pairs (cell = argmax cosine, tie to lowest cell id;
+    // probes = each query's top-4 cells — the exact ann_ivf_fixed routing
+    // CTEs), then the same ADC → shortlist → re-rank chain.
+    "ann_ivfpq_fixed" -> {
+      val centRows = graft.operators.Similarity.seededCentroids(16, 64)
+        .map { case (cid, v) => s"($cid, [${v.mkString(", ")}])" }
+        .mkString(",\n        ")
+      pqFixedOracle(
+        s"""
+          |cents(cid, cv0) AS (VALUES
+          |        $centRows),
+          |casim AS (SELECT neighbor_id, cid,
+          |    row_number() OVER (PARTITION BY neighbor_id
+          |      ORDER BY list_cosine_similarity(cv, cv0) DESC, cid) AS crn
+          |    FROM c0, cents),
+          |cell_of AS (SELECT neighbor_id, cid AS cell FROM casim WHERE crn = 1),
+          |probes AS (SELECT query_id, cid AS cell FROM (
+          |    SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
+          |      ORDER BY list_cosine_similarity(qv, cv0) DESC, cid) AS qrn
+          |    FROM q0, cents) WHERE qrn <= 4),""".stripMargin,
+        "(SELECT query_id, neighbor_id FROM probes JOIN cell_of USING (cell)) AS cand")
+    },
+    // BPE segmentation under the pinned merge list, replayed as a per-word
+    // rewrite system: distinct words seed a recursive state machine
+    // (syms, active pair) — while the active pair occurs, merge its
+    // LEFTMOST occurrence (iterated leftmost single-merge ≡ one
+    // non-overlapping left-to-right pass, because merging (a,b) can never
+    // create a NEW (a,b) adjacency: the merged symbol a||b is distinct
+    // from both a and b, so remaining occurrences are exactly the
+    // original non-overlapped ones); when the active pair is exhausted,
+    // re-derive the lowest-rank pair present — the same syms state at
+    // which the Scala expression recomputes after each full pass. Docs
+    // reassemble by word position; wordless docs keep n_pieces=0 via the
+    // LEFT JOIN.
+    "bpe_segment_fixed" -> {
+      val mergeRows = pinnedMerges.zipWithIndex
+        .map { case ((l, r), i) => s"($i, '$l', '$r')" }.mkString(",\n        ")
+      s"""WITH m(rank, l, r) AS (VALUES
+        |        $mergeRows),
+        |d0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |wd AS (SELECT doc_id, u.wi AS wi, u.w AS w FROM (
+        |    SELECT doc_id, unnest([{'wi': i, 'w': toks[i]}
+        |        for i in range(1, len(toks) + 1)]) AS u FROM d0)
+        |  WHERE u.w <> ''),
+        |w0 AS (SELECT DISTINCT w FROM wd),
+        |init AS (SELECT w, ch[1:len(ch)-1] || [ch[len(ch)] || '</w>'] AS syms
+        |    FROM (SELECT w, string_split(w, '') AS ch FROM w0)),
+        |fin AS (
+        |  WITH RECURSIVE st(w, syms, al, ar, done) AS (
+        |    SELECT w, syms, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), false FROM init
+        |    UNION ALL
+        |    SELECT w,
+        |      CASE WHEN pos IS NOT NULL
+        |           THEN syms[1:pos-1] || [al || ar] || syms[pos+2:] ELSE syms END,
+        |      CASE WHEN pos IS NOT NULL THEN al
+        |           ELSE (SELECT mm.l FROM m mm WHERE mm.rank = br) END,
+        |      CASE WHEN pos IS NOT NULL THEN ar
+        |           ELSE (SELECT mm.r FROM m mm WHERE mm.rank = br) END,
+        |      (pos IS NULL AND br IS NULL)
+        |    FROM (SELECT w, syms, al, ar,
+        |        list_min([i for i in range(1, len(syms))
+        |                  if syms[i] = al AND syms[i+1] = ar]) AS pos,
+        |        (SELECT min(mm.rank) FROM m mm WHERE len(
+        |            [i for i in range(1, len(syms))
+        |             if syms[i] = mm.l AND syms[i+1] = mm.r]) > 0) AS br
+        |      FROM st WHERE NOT done))
+        |  SELECT w, syms FROM st WHERE done),
+        |agg AS (SELECT doc_id, CAST(sum(len(syms)) AS INT) AS n_pieces,
+        |      flatten(list(syms ORDER BY wi)) AS pieces
+        |    FROM wd JOIN fin USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_pieces, 0) AS n_pieces,
+        |  coalesce(array_to_string(a.pieces[1:12], ' '), '') AS head_pieces
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
     // ann_lsh re-derived end-to-end: the SAME 8×64 hyperplane constants
     // (java.util.Random(7) — deterministic across JVMs) rebuild every
     // signature as a bit-int; the multiprobe candidate set (query bucket
@@ -1156,6 +1352,15 @@ object SparkEntry {
     // cosine + (sim DESC, id) rank as in ann_topk. Sign parity of the dot
     // products holds because both engines sum index-ascending in doubles
     // and a sign flip would need |dot| below the last-ulp rounding gap.
+    // DUCKDB-VERSION SENSITIVITY: this and ann_ivf_fixed lean on
+    // list_dot_product / list_cosine_similarity summing index-ascending
+    // in plain doubles (true of DuckDB 1.x's scalar implementation); a
+    // future DuckDB that vectorizes them (pairwise/SIMD summation) could
+    // flip a near-zero hyperplane dot's sign or a near-tie rank with NO
+    // Spark-side change — triage a sudden red here as oracle-engine
+    // drift first, not a Spark regression. (ann_pq_fixed/ann_ivfpq_fixed
+    // are immune where they use list_reduce, which pins the order, but
+    // share the exposure through list_cosine_similarity re-ranks.)
     "ann_lsh" -> {
       val planeRows = graft.operators.Similarity.hyperplanes(8, 64).zipWithIndex
         .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }

@@ -61,9 +61,17 @@ object Bpe {
 
   /** Vocabulary-size ceiling for the driver-side merge kernel: at or
     * under this many DISTINCT words the (symbols, freq) table collects to
-    * the driver (≈1 GB heap worst-case at the bound for typical word
-    * lengths — the same bounded-collect discipline as the ANN centroid
-    * and pivot-key collects); past it, training stays distributed. Real
+    * the driver (the same bounded-collect discipline as the ANN centroid
+    * and pivot-key collects); past it, training stays distributed. The
+    * bound covers the kernel's WHOLE working set, not just the collect:
+    * at 1M words × ~10 symbols the symbol arrays are ~0.5 GB, and the
+    * pair-count map plus the per-pair posting lists (both ∝ total
+    * adjacent-symbol positions, ~9M entries worst-case) add ~1.5 GB of
+    * map/entry overhead — budget ~2-3 GB of driver heap at the bound
+    * (tools/run.sh runs -Xmx8g; a production driver has more). The
+    * posting lists are flat int buffers precisely so the index stays
+    * LINEAR in corpus symbols — a bitset-per-pair variant would scale
+    * with pairs × vocabulary width instead and OOM near the bound. Real
     * corpora sit far under it: distinct-word counts grow ~O(corpus^0.5)
     * (Heaps' law), and production BPE trainers assume exactly this table
     * fits one machine. */
@@ -231,8 +239,20 @@ object Bpe {
     val freq = vocab.map(_._2)
     val counts = mutable.HashMap.empty[(String, String), Long]
     // inverted index pair -> word ids; a lazily-maintained SUPERSET of the
-    // words currently containing the pair (stale entries no-op at rewrite)
-    val occ = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // words currently containing the pair (stale entries no-op at rewrite,
+    // duplicates are deduped at lookup). Posting lists, NOT bitsets: a
+    // BitSet sizes to its highest set bit, so one rare pair in a
+    // high-index word would cost vocabSize/8 bytes and the index would
+    // scale with pairs × vocabulary width; int buffers keep it linear in
+    // total symbol occurrences (see [[DriverVocabBound]]'s heap budget).
+    val occ = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    // consecutive-dup guard is a full within-word dedup (appends for one
+    // word are contiguous); re-adds of the same word in LATER merge rounds
+    // can still duplicate, which the lookup's distinct absorbs
+    def addOcc(p: (String, String), wi: Int): Unit = {
+      val b = occ.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int])
+      if (b.isEmpty || b(b.length - 1) != wi) b += wi
+    }
     var w = 0
     while (w < syms.length) {
       val s = syms(w); val f = freq(w)
@@ -240,7 +260,7 @@ object Bpe {
       while (i + 1 < s.length) {
         val p = (s(i), s(i + 1))
         counts.update(p, counts.getOrElse(p, 0L) + f)
-        occ.getOrElseUpdate(p, mutable.BitSet.empty) += w
+        addOcc(p, w)
         i += 1
       }
       w += 1
@@ -266,7 +286,7 @@ object Bpe {
       if (cur == c) {
         merges += ((l, r))
         made += 1
-        val hits = occ.getOrElse((l, r), mutable.BitSet.empty).toArray
+        val hits = occ.getOrElse((l, r), mutable.ArrayBuffer.empty[Int]).distinct
         val delta = mutable.HashMap.empty[(String, String), Long]
         hits.foreach { wi =>
           val before = syms(wi)
@@ -283,7 +303,7 @@ object Bpe {
             while (i + 1 < after.length) {
               val p = (after(i), after(i + 1))
               delta.update(p, delta.getOrElse(p, 0L) + f)
-              occ.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+              addOcc(p, wi)
               i += 1
             }
             syms(wi) = after

@@ -93,6 +93,27 @@ object Similarity {
     Array.tabulate(numCells)(c => (c, Array.fill(dim)(rnd.nextGaussian())))
   }
 
+  /** Fixed-seed random PQ codebooks (m subspaces × ksub codes × sub dims),
+    * deterministic across JVMs — the PQ analog of [[seededCentroids]]: ANY
+    * fixed codebook set is a valid product quantizer ([[pqTopKWith]]'s
+    * encode, LUT, and reconstructed-norm stages all read the same
+    * constants, so search is self-consistent), and a SEEDED one is
+    * replayable by the DuckDB oracle, which inlines these exact literals
+    * to re-derive the whole ADC search (`ann_pq_fixed` /
+    * `ann_ivfpq_fixed`). Entries are scaled to the per-component magnitude
+    * of a unit-norm dim-(m·sub) vector's subvectors (σ = 1/√(m·sub)) so
+    * code assignments spread across the codebook instead of collapsing
+    * onto the smallest-norm entry (argmin ‖x−b‖² is dominated by ‖b‖²
+    * when the codebook's scale dwarfs the data's). Trained codebooks
+    * ([[pqTrain]]) remain the recall-quality path — the pinned set trades
+    * quantization fidelity for cross-engine verifiability, exactly the
+    * seeded-centroid precedent. */
+  private[graft] def seededBooks(m: Int, ksub: Int, sub: Int): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(29L)
+    val sigma = 1.0 / math.sqrt((m * sub).toDouble)
+    Array.fill(m)(Array.fill(ksub)(Array.fill(sub)(rnd.nextGaussian() * sigma)))
+  }
+
   /** Scale-adaptive signature sizing: the number of hyperplanes that puts the
     * MEAN bucket occupancy at `corpusRows / 2^planes ≈ targetOccupancy`, i.e.
     * `ceil(log2(corpusRows / targetOccupancy))`, floored at `minPlanes`.

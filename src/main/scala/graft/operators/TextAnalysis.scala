@@ -406,10 +406,14 @@ object TextAnalysis {
     * a few bytes per postings row against the alternative of a SECOND
     * corpus scan plus a doc-keyed shuffle join to re-attach them
     * downstream (what ppl_buckets used to pay). Carry names must not
-    * collide with the internals (`_id`, `token`, `tf`). */
+    * collide with the internals (`_id`, `token`, `tf`, the vocab/total
+    * join columns `cnt`/`n_total`, the outputs, or the id column itself —
+    * each would otherwise surface later as an opaque ambiguous-column
+    * AnalysisException instead of this message). */
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
               carry: Seq[String] = Nil): DataFrame = {
-    require(!carry.exists(Set("_id", "token", "tf", "n_tokens", "avg_logprob")),
+    require(!carry.exists(
+      Set("_id", "token", "tf", "n_tokens", "avg_logprob", "cnt", "n_total", idCol)),
       s"carry collides with lmScore internals: $carry")
     val carryCols = carry.map(col)
     val tok = docs.select(
