@@ -780,8 +780,12 @@ object SparkEntry {
       Similarity.lshTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10, numPlanes = 8)
     }),
-    // §2.2 row 24 — IVF-bucketed ANN, the 100 TB scale path (rows-only
-    // oracle; recall gated by `ann_recall` on shared centroids). Runs with
+    // §2.2 row 24 — IVF-bucketed ANN, the 100 TB scale path, FULLY
+    // row-hash-oracled INCLUDING TRAINING (round 12): the oracle replays
+    // Spark's xxhash64 in HUGEINT limb arithmetic to re-select the
+    // hash-ordered sample, re-runs seed selection + the one k-means step
+    // with fold-order-pinned means, and derives numCells/nprobe from the
+    // corpus count exactly as adaptiveCells/adaptiveProbes do. Runs with
     // broadcastCentroids = true so the large-index carrier — the
     // broadcast-variable kernel that engages past the literal budget — is
     // the code path the driver actually exercises every round; literal-vs-
@@ -1173,15 +1177,21 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
-    * parquet tables. Omitted keys (ingest_discovery, ann_ivf,
+    * parquet tables. Omitted keys (ingest_discovery,
     * ann_pq, ann_ivfpq, ann_ivfpq_res, approx_stats,
     * bpe_train, bpe_segment, embedding_pca) are non-SQL-expressible →
     * driver's weaker rows-only check; the approximate ANN paths'
-    * recall is gated by the oracled `ann_recall`, and every searcher
+    * recall is gated by the oracled `ann_recall`, every searcher
     * FAMILY is row-hash-oracled under pinned seeded artifacts —
     * `ann_lsh` (planes), `ann_ivf_fixed` (centroids), `ann_pq_fixed`
-    * (codebooks), `ann_ivfpq_fixed` (both composed) — so only the
-    * TRAINED-artifact variants stay rows-only. BPE segmentation is
+    * (codebooks), `ann_ivfpq_fixed` (both composed) — and `ann_ivf`
+    * is oracled WITH its training (the SQL xxhash64 replay re-runs
+    * the hash sample + k-means step), so only the PQ trained-codebook
+    * variants stay rows-only (their k-means runs per SUBSPACE over a
+    * zero-padded slice view — replayable in principle, but eight more
+    * hash-sample k-means chains buy no new coverage: the sample/seed/
+    * mean machinery is already oracle-proven by ann_ivf and the ADC
+    * search by ann_pq_fixed). BPE segmentation is
     * gated by `bpe_segment_fixed` (pinned merge list, recursive-CTE
     * replay) — only TRAINING is genuinely iterative. Winnowing is gated
     * by `winnow_overlap` + the fully-oracled
@@ -1200,6 +1210,40 @@ object SparkEntry {
     ("t", "i"), ("e", "s</w>"), ("s", "t"), ("a", "r"), ("t", "e"),
     ("o", "f</w>"), ("in", "g</w>"), ("t", "o</w>"), ("i", "s</w>"),
     ("e", "d</w>"), ("a", "l"), ("l", "l"), ("c", "o"), ("th", "e"))
+
+  /** 64-bit modular multiply in DuckDB HUGEINT limb arithmetic:
+    * (a*b) mod 2^64 with a < 2^64 split into 32-bit limbs so no
+    * intermediate exceeds HUGEINT range — the building block of the
+    * SQL xxhash64 replay below. */
+  private def mul64(a: String, b: String): String =
+    s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % 18446744073709551616"
+
+  /** Spark `xxhash64(BIGINT)` (seed 42) replayed step-for-step in DuckDB —
+    * the single-8-byte-block XXH64 path (mix with PRIME64_2/rotl31/PRIME64_1,
+    * fold with rotl27*PRIME64_1+PRIME64_4, then the avalanche), each
+    * multiply via [[mul64]], rotates as shift-sum, xors through UBIGINT.
+    * Emits CTEs `$p0`..`hh` mapping (idCol rows of `src`) → signed BIGINT
+    * `h` — bit-identical to Spark's value (verified against pyspark on
+    * known vectors and by the ann_ivf oracle's hash-ordered sample).
+    * This is what makes TRAINED-artifact oracles possible: the training
+    * sample is selected BY this hash, so replaying it exactly lets DuckDB
+    * re-run the whole k-means step rather than needing pinned literals. */
+  private def xxhash64Ctes(src: String, idCol: String): String =
+    s"""hx0 AS (SELECT $idCol, CAST($idCol AS HUGEINT)
+      |      + CASE WHEN $idCol < 0 THEN 18446744073709551616 ELSE 0 END AS l FROM $src),
+      |hx1 AS (SELECT $idCol, ${mul64("l", "14029467366897019727")} AS k1 FROM hx0),
+      |hx2 AS (SELECT $idCol, ((k1 * 2147483648) % 18446744073709551616 + k1 // 8589934592) AS k2 FROM hx1),
+      |hx3 AS (SELECT $idCol, ${mul64("k2", "11400714785074694791")} AS k3 FROM hx2),
+      |hx4 AS (SELECT $idCol, CAST(xor(2870177450012600311::UBIGINT, CAST(k3 AS UBIGINT)) AS HUGEINT) AS h1 FROM hx3),
+      |hx5 AS (SELECT $idCol, ((h1 * 134217728) % 18446744073709551616 + h1 // 137438953472) AS h2 FROM hx4),
+      |hx6 AS (SELECT $idCol, (${mul64("h2", "11400714785074694791")} + 9650029242287828579) % 18446744073709551616 AS h3 FROM hx5),
+      |hx7 AS (SELECT $idCol, CAST(xor(CAST(h3 AS UBIGINT), CAST(h3 // 8589934592 AS UBIGINT)) AS HUGEINT) AS h4 FROM hx6),
+      |hx8 AS (SELECT $idCol, ${mul64("h4", "14029467366897019727")} AS h5 FROM hx7),
+      |hx9 AS (SELECT $idCol, CAST(xor(CAST(h5 AS UBIGINT), CAST(h5 // 536870912 AS UBIGINT)) AS HUGEINT) AS h6 FROM hx8),
+      |hxa AS (SELECT $idCol, ${mul64("h6", "1609587929392839161")} AS h7 FROM hx9),
+      |hxb AS (SELECT $idCol, CAST(xor(CAST(h7 AS UBIGINT), CAST(h7 // 4294967296 AS UBIGINT)) AS HUGEINT) AS h8 FROM hxa),
+      |hh AS (SELECT $idCol, CAST(CASE WHEN h8 >= 9223372036854775808
+      |      THEN h8 - 18446744073709551616 ELSE h8 END AS BIGINT) AS h FROM hxb)""".stripMargin
 
   /** Shared DuckDB replay of the pinned-codebook ADC search (`ann_pq_fixed`
     * / `ann_ivfpq_fixed`): the seeded 8×16×8 codebooks inline as literals
@@ -1264,6 +1308,61 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // ann_ivf — the TRAINED-centroid IVF search, re-derived END-TO-END
+    // including training (round 12; closes SURVEY §7.6's "k-means is not
+    // SQL-oracle-able" question in the negative for THIS trainer):
+    // trainCentroids is one deterministic hash-ordered sample (xxhash64
+    // replayed bit-exact above) + seed selection (numCells smallest
+    // hashes) + ONE k-means step (cosine assignment, tie to lowest cell;
+    // per-dim means summed in SAMPLE order via list(... ORDER BY sp) +
+    // list_reduce — matching the Scala fold order), with numCells/nprobe
+    // derived from the corpus count exactly as adaptiveCells /
+    // adaptiveProbes do — so even the ADAPTIVE SIZING is oracled. The
+    // search tail is the ann_ivf_fixed chain under the computed centroids.
+    "ann_ivf" ->
+      s"""WITH q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |    FROM embeddings WHERE vec_id < 5),
+        |c0 AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |    FROM embeddings WHERE vec_id >= 5),
+        |${xxhash64Ctes("c0", "neighbor_id")},
+        |nc AS (SELECT least(65536, greatest(16, CAST(ceil(sqrt(count(*))) AS INT))) AS numcells FROM c0),
+        |samp AS (SELECT neighbor_id, cv, row_number() OVER (ORDER BY h) AS sp
+        |    FROM c0 JOIN hh USING (neighbor_id), nc
+        |    QUALIFY sp <= numcells * 32),
+        |seeds AS (SELECT sp - 1 AS cid, cv AS sv,
+        |      sqrt(list_reduce([x * x for x in cv], (a, b) -> a + b)) AS snorm
+        |    FROM samp, nc WHERE sp <= numcells),
+        |asg AS (SELECT sp, cid FROM (
+        |    SELECT samp.sp AS sp, seeds.cid AS cid, row_number() OVER (PARTITION BY samp.sp
+        |        ORDER BY list_reduce([samp.cv[i] * seeds.sv[i]
+        |            for i in range(1, least(len(samp.cv), len(seeds.sv)) + 1)], (a, b) -> a + b)
+        |          / (sqrt(list_reduce([x * x for x in samp.cv], (a, b) -> a + b)) * seeds.snorm) DESC,
+        |          seeds.cid) AS arn
+        |    FROM samp, seeds) WHERE arn = 1),
+        |cdim AS (SELECT cid, u.di AS di, u.v AS v, sp FROM (
+        |    SELECT asg.cid AS cid, samp.sp AS sp,
+        |      unnest([{'di': i, 'v': samp.cv[i]} for i in range(1, len(samp.cv) + 1)]) AS u
+        |    FROM asg JOIN samp USING (sp))),
+        |cents AS (SELECT cid, list(m ORDER BY di) AS cv0 FROM (
+        |    SELECT cid, di, list_reduce(list(v ORDER BY sp), (a, b) -> a + b) / count(*) AS m
+        |    FROM cdim GROUP BY cid, di) GROUP BY cid),
+        |np AS (SELECT greatest(4, CAST(ceil(count(*) / 8.0) AS INT)) AS nprobe FROM cents),
+        |casim AS (SELECT neighbor_id, cid,
+        |    row_number() OVER (PARTITION BY neighbor_id
+        |      ORDER BY list_cosine_similarity(cv, cv0) DESC, cid) AS crn
+        |    FROM c0, cents),
+        |cell_of AS (SELECT neighbor_id, cid AS cell FROM casim WHERE crn = 1),
+        |probes AS (SELECT query_id, cid AS cell FROM (
+        |    SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(qv, cv0) DESC, cid) AS qrn
+        |    FROM q0, cents), np WHERE qrn <= nprobe),
+        |cand AS (SELECT query_id, neighbor_id FROM probes JOIN cell_of USING (cell)),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+        |    FROM cand JOIN q0 USING (query_id) JOIN c0 USING (neighbor_id)),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM s WHERE NOT isnan(sim))
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r
+        |WHERE rank <= 10""".stripMargin,
     // PQ search under the pinned seeded codebooks, re-derived end-to-end
     // (see pqFixedOracle): every corpus row is a candidate for every query
     // (flat PQ — no routing), exactly pqTopKWith's crossJoin.
