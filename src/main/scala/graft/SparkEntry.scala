@@ -1177,21 +1177,17 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
-    * parquet tables. Omitted keys (ingest_discovery,
-    * ann_pq, ann_ivfpq, ann_ivfpq_res, approx_stats,
+    * parquet tables. Omitted keys (ingest_discovery, approx_stats,
     * bpe_train, bpe_segment, embedding_pca) are non-SQL-expressible →
-    * driver's weaker rows-only check; the approximate ANN paths'
-    * recall is gated by the oracled `ann_recall`, every searcher
-    * FAMILY is row-hash-oracled under pinned seeded artifacts —
-    * `ann_lsh` (planes), `ann_ivf_fixed` (centroids), `ann_pq_fixed`
-    * (codebooks), `ann_ivfpq_fixed` (both composed) — and `ann_ivf`
-    * is oracled WITH its training (the SQL xxhash64 replay re-runs
-    * the hash sample + k-means step), so only the PQ trained-codebook
-    * variants stay rows-only (their k-means runs per SUBSPACE over a
-    * zero-padded slice view — replayable in principle, but eight more
-    * hash-sample k-means chains buy no new coverage: the sample/seed/
-    * mean machinery is already oracle-proven by ann_ivf and the ADC
-    * search by ann_pq_fixed). BPE segmentation is
+    * driver's weaker rows-only check (filesystem listing; approximate
+    * by construction; genuinely iterative training; eigensolve). The
+    * ENTIRE ANN family is row-hash-oracled: pinned seeded artifacts
+    * (`ann_lsh` planes, `ann_ivf_fixed` centroids, `ann_pq_fixed`
+    * codebooks, `ann_ivfpq_fixed` composed) AND trained artifacts
+    * (`ann_ivf`, `ann_pq`, `ann_ivfpq`, `ann_ivfpq_res` — the SQL
+    * xxhash64 replay re-selects each training sample, and the one-step
+    * k-means re-runs with fold-order-pinned means, so training and
+    * adaptive sizing are verified, not just search). BPE segmentation is
     * gated by `bpe_segment_fixed` (pinned merge list, recursive-CTE
     * replay) — only TRAINING is genuinely iterative. Winnowing is gated
     * by `winnow_overlap` + the fully-oracled
@@ -1268,7 +1264,16 @@ object SparkEntry {
       |    FROM embeddings WHERE vec_id < 5),
       |c0 AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
       |    FROM embeddings WHERE vec_id >= 5),$extraCtes
-      |enc AS (SELECT neighbor_id, j, c, row_number() OVER (PARTITION BY neighbor_id, j
+      |${adcSearchCtes(candFrom)}""".stripMargin
+  }
+
+  /** Global-codebook ADC search chain (encode → reconstructed-norm cosine
+    * → shortlist 80 → exact re-rank 10), consuming CTEs `books(j, c, bv)`,
+    * `c0`, `q0` — shared verbatim by the pinned (`ann_pq_fixed` /
+    * `ann_ivfpq_fixed`) and trained (`ann_pq` / `ann_ivfpq`) oracles;
+    * only the books source differs. */
+  private def adcSearchCtes(candFrom: String): String =
+    s"""enc AS (SELECT neighbor_id, j, c, row_number() OVER (PARTITION BY neighbor_id, j
       |      ORDER BY list_reduce(
       |        [(coalesce(cv[j*8+i], 0.0) - bv[i]) * (coalesce(cv[j*8+i], 0.0) - bv[i])
       |         for i in range(1, 9)], (a, b) -> a + b) ASC, c ASC) AS rn
@@ -1305,7 +1310,82 @@ object SparkEntry {
       |    ORDER BY sim DESC, neighbor_id) AS rank FROM s WHERE NOT isnan(sim))
       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r
       |WHERE rank <= 10""".stripMargin
-  }
+
+  /** `Similarity.trainCentroids` + IVF routing replayed in SQL, consuming
+    * `c0`/`q0`/`hh`: the hash-ordered bounded sample, seed selection, ONE
+    * k-means step with fold-order-pinned per-dim means, adaptiveCells /
+    * adaptiveProbes sizing re-derived from the corpus count, then cell
+    * assignment + per-query probe sets. Emits `cents(cid, cv0)`, `np`,
+    * `cell_of`, `probes` — shared by the ann_ivf / ann_ivfpq /
+    * ann_ivfpq_res oracles. */
+  private val ivfTrainCtes: String =
+    """nc AS (SELECT least(65536, greatest(16, CAST(ceil(sqrt(count(*))) AS INT))) AS numcells FROM c0),
+      |samp AS (SELECT neighbor_id, cv, row_number() OVER (ORDER BY h) AS sp
+      |    FROM c0 JOIN hh USING (neighbor_id), nc
+      |    QUALIFY sp <= numcells * 32),
+      |seeds AS (SELECT sp - 1 AS cid, cv AS sv,
+      |      sqrt(list_reduce([x * x for x in cv], (a, b) -> a + b)) AS snorm
+      |    FROM samp, nc WHERE sp <= numcells),
+      |asg AS (SELECT sp, cid FROM (
+      |    SELECT samp.sp AS sp, seeds.cid AS cid, row_number() OVER (PARTITION BY samp.sp
+      |        ORDER BY list_reduce([samp.cv[i] * seeds.sv[i]
+      |            for i in range(1, least(len(samp.cv), len(seeds.sv)) + 1)], (a, b) -> a + b)
+      |          / (sqrt(list_reduce([x * x for x in samp.cv], (a, b) -> a + b)) * seeds.snorm) DESC,
+      |          seeds.cid) AS arn
+      |    FROM samp, seeds) WHERE arn = 1),
+      |cdim AS (SELECT cid, u.di AS di, u.v AS v, sp FROM (
+      |    SELECT asg.cid AS cid, samp.sp AS sp,
+      |      unnest([{'di': i, 'v': samp.cv[i]} for i in range(1, len(samp.cv) + 1)]) AS u
+      |    FROM asg JOIN samp USING (sp))),
+      |cents AS (SELECT cid, list(m ORDER BY di) AS cv0 FROM (
+      |    SELECT cid, di, list_reduce(list(v ORDER BY sp), (a, b) -> a + b) / count(*) AS m
+      |    FROM cdim GROUP BY cid, di) GROUP BY cid),
+      |np AS (SELECT greatest(4, CAST(ceil(count(*) / 8.0) AS INT)) AS nprobe FROM cents),
+      |casim AS (SELECT neighbor_id, cid,
+      |    row_number() OVER (PARTITION BY neighbor_id
+      |      ORDER BY list_cosine_similarity(cv, cv0) DESC, cid) AS crn
+      |    FROM c0, cents),
+      |cell_of AS (SELECT neighbor_id, cid AS cell FROM casim WHERE crn = 1),
+      |probes AS (SELECT query_id, cid AS cell FROM (
+      |    SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY list_cosine_similarity(qv, cv0) DESC, cid) AS qrn
+      |    FROM q0, cents), np WHERE qrn <= nprobe)""".stripMargin
+
+  /** `Similarity.pqTrain` replayed in SQL over a (neighbor_id, tv) CTE
+    * `tsrc` (m=8, ksub=16, sub=8 — the query surface's pinned shape):
+    * 512-row hash sample (shares the `hh` chain — pqTrain hashes the SAME
+    * id column), per-subspace zero-padded slices, seeds = smallest-hash
+    * 16, argmin-L2 one-step k-means with sample-order-pinned means, empty
+    * codes keeping their seeds. Emits `books(j, c, bv)` — the trained
+    * twin of the seeded literal table, feeding the same
+    * [[adcSearchCtes]]. */
+  private def pqTrainCtes(tsrc: String): String =
+    s"""psamp AS (SELECT t.neighbor_id AS neighbor_id, t.tv AS tv, row_number() OVER (ORDER BY h) AS psp
+      |    FROM $tsrc t JOIN hh ON hh.neighbor_id = t.neighbor_id
+      |    QUALIFY psp <= 512),
+      |jj AS (SELECT unnest(range(0, 8)) AS j),
+      |slc AS (SELECT psp, j, [coalesce(tv[j*8+i], 0.0) for i in range(1, 9)] AS sl FROM psamp, jj),
+      |pseeds AS (SELECT j, psp - 1 AS c, sl AS sv FROM slc WHERE psp <= 16),
+      |pasg AS (SELECT psp, j, c FROM (
+      |    SELECT slc.psp AS psp, slc.j AS j, pseeds.c AS c, row_number() OVER (PARTITION BY slc.psp, slc.j
+      |        ORDER BY list_reduce([(slc.sl[i] - pseeds.sv[i]) * (slc.sl[i] - pseeds.sv[i])
+      |            for i in range(1, 9)], (a, b) -> a + b) ASC, pseeds.c ASC) AS prn
+      |    FROM slc JOIN pseeds ON pseeds.j = slc.j) WHERE prn = 1),
+      |pexp AS (SELECT psp, j, u.di AS di, u.v AS v FROM (
+      |    SELECT psp, j, unnest([{'di': i, 'v': sl[i]} for i in range(1, 9)]) AS u FROM slc)),
+      |pm0 AS (SELECT pasg.j AS j, pasg.c AS c, pexp.di AS di,
+      |      list_reduce(list(pexp.v ORDER BY pexp.psp), (a, b) -> a + b) / count(*) AS mv
+      |    FROM pasg JOIN pexp ON pexp.psp = pasg.psp AND pexp.j = pasg.j
+      |    GROUP BY 1, 2, 3),
+      |pmean AS (SELECT j, c, list(mv ORDER BY di) AS mv FROM pm0 GROUP BY j, c),
+      |books AS (SELECT pseeds.j AS j, pseeds.c AS c, coalesce(pmean.mv, pseeds.sv) AS bv
+      |    FROM pseeds LEFT JOIN pmean ON pmean.j = pseeds.j AND pmean.c = pseeds.c)""".stripMargin
+
+  private val annQcCtes: String =
+    """q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |    FROM embeddings WHERE vec_id < 5),
+      |c0 AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |    FROM embeddings WHERE vec_id >= 5)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // ann_ivf — the TRAINED-centroid IVF search, re-derived END-TO-END
@@ -1320,45 +1400,87 @@ object SparkEntry {
     // adaptiveProbes do — so even the ADAPTIVE SIZING is oracled. The
     // search tail is the ann_ivf_fixed chain under the computed centroids.
     "ann_ivf" ->
-      s"""WITH q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |    FROM embeddings WHERE vec_id < 5),
-        |c0 AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-        |    FROM embeddings WHERE vec_id >= 5),
+      s"""WITH $annQcCtes,
         |${xxhash64Ctes("c0", "neighbor_id")},
-        |nc AS (SELECT least(65536, greatest(16, CAST(ceil(sqrt(count(*))) AS INT))) AS numcells FROM c0),
-        |samp AS (SELECT neighbor_id, cv, row_number() OVER (ORDER BY h) AS sp
-        |    FROM c0 JOIN hh USING (neighbor_id), nc
-        |    QUALIFY sp <= numcells * 32),
-        |seeds AS (SELECT sp - 1 AS cid, cv AS sv,
-        |      sqrt(list_reduce([x * x for x in cv], (a, b) -> a + b)) AS snorm
-        |    FROM samp, nc WHERE sp <= numcells),
-        |asg AS (SELECT sp, cid FROM (
-        |    SELECT samp.sp AS sp, seeds.cid AS cid, row_number() OVER (PARTITION BY samp.sp
-        |        ORDER BY list_reduce([samp.cv[i] * seeds.sv[i]
-        |            for i in range(1, least(len(samp.cv), len(seeds.sv)) + 1)], (a, b) -> a + b)
-        |          / (sqrt(list_reduce([x * x for x in samp.cv], (a, b) -> a + b)) * seeds.snorm) DESC,
-        |          seeds.cid) AS arn
-        |    FROM samp, seeds) WHERE arn = 1),
-        |cdim AS (SELECT cid, u.di AS di, u.v AS v, sp FROM (
-        |    SELECT asg.cid AS cid, samp.sp AS sp,
-        |      unnest([{'di': i, 'v': samp.cv[i]} for i in range(1, len(samp.cv) + 1)]) AS u
-        |    FROM asg JOIN samp USING (sp))),
-        |cents AS (SELECT cid, list(m ORDER BY di) AS cv0 FROM (
-        |    SELECT cid, di, list_reduce(list(v ORDER BY sp), (a, b) -> a + b) / count(*) AS m
-        |    FROM cdim GROUP BY cid, di) GROUP BY cid),
-        |np AS (SELECT greatest(4, CAST(ceil(count(*) / 8.0) AS INT)) AS nprobe FROM cents),
-        |casim AS (SELECT neighbor_id, cid,
-        |    row_number() OVER (PARTITION BY neighbor_id
-        |      ORDER BY list_cosine_similarity(cv, cv0) DESC, cid) AS crn
-        |    FROM c0, cents),
-        |cell_of AS (SELECT neighbor_id, cid AS cell FROM casim WHERE crn = 1),
-        |probes AS (SELECT query_id, cid AS cell FROM (
-        |    SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY list_cosine_similarity(qv, cv0) DESC, cid) AS qrn
-        |    FROM q0, cents), np WHERE qrn <= nprobe),
+        |$ivfTrainCtes,
         |cand AS (SELECT query_id, neighbor_id FROM probes JOIN cell_of USING (cell)),
         |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
         |    FROM cand JOIN q0 USING (query_id) JOIN c0 USING (neighbor_id)),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM s WHERE NOT isnan(sim))
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r
+        |WHERE rank <= 10""".stripMargin,
+    // ann_pq — the TRAINED-codebook flat PQ search, oracled with its
+    // training (round 12): pqTrain's hash sample/seeds/one-k-means-step
+    // replay via pqTrainCtes (per-subspace argmin-L2, sample-order means,
+    // empty codes keep seeds), then the SAME ADC chain as ann_pq_fixed.
+    "ann_pq" ->
+      s"""WITH $annQcCtes,
+        |${xxhash64Ctes("c0", "neighbor_id")},
+        |tsrc AS (SELECT neighbor_id, cv AS tv FROM c0),
+        |${pqTrainCtes("tsrc")},
+        |${adcSearchCtes("(SELECT query_id, neighbor_id FROM q0, c0) AS cand")}""".stripMargin,
+    // ann_ivfpq — trained centroids routing trained global codebooks:
+    // both trainings replay (they share the xxhash64 chain — the sample
+    // selections hash the same id column), candidates are the probed-cell
+    // pairs, the ADC chain is shared with ann_pq/ann_pq_fixed.
+    "ann_ivfpq" ->
+      s"""WITH $annQcCtes,
+        |${xxhash64Ctes("c0", "neighbor_id")},
+        |$ivfTrainCtes,
+        |tsrc AS (SELECT neighbor_id, cv AS tv FROM c0),
+        |${pqTrainCtes("tsrc")},
+        |${adcSearchCtes("(SELECT query_id, neighbor_id FROM probes JOIN cell_of USING (cell)) AS cand")}""".stripMargin,
+    // ann_ivfpq_res — the residual refinement, oracled end-to-end:
+    // residuals (x − centroid(cell), zero-padded zip) feed the SAME
+    // pqTrainCtes; the search scores inner-product ADC — per-(query,
+    // cell) ⟨q,c⟩ scalar + per-query LUT over the residual codes —
+    // against each row's EXACT norm, with the vnorm>0 NaN guard the
+    // Scala path applies, then the shared shortlist/re-rank tail.
+    "ann_ivfpq_res" ->
+      s"""WITH $annQcCtes,
+        |${xxhash64Ctes("c0", "neighbor_id")},
+        |$ivfTrainCtes,
+        |res AS (SELECT c0.neighbor_id AS neighbor_id,
+        |      [coalesce(cv[i], 0.0) - coalesce(cv0[i], 0.0)
+        |       for i in range(1, greatest(len(cv), len(cv0)) + 1)] AS tv
+        |    FROM c0 JOIN cell_of USING (neighbor_id) JOIN cents ON cents.cid = cell_of.cell),
+        |${pqTrainCtes("res")},
+        |enc AS (SELECT res.neighbor_id AS neighbor_id, j, c, row_number() OVER (PARTITION BY res.neighbor_id, j
+        |      ORDER BY list_reduce(
+        |        [(coalesce(tv[j*8+i], 0.0) - bv[i]) * (coalesce(tv[j*8+i], 0.0) - bv[i])
+        |         for i in range(1, 9)], (a, b) -> a + b) ASC, c ASC) AS rn
+        |    FROM res, books),
+        |codes AS (SELECT neighbor_id, j, c AS code FROM enc WHERE rn = 1),
+        |vn AS (SELECT neighbor_id, sqrt(list_reduce([x * x for x in cv], (a, b) -> a + b)) AS vnorm FROM c0),
+        |qn AS (SELECT query_id, sqrt(list_reduce([x * x for x in qv], (a, b) -> a + b)) AS qnorm FROM q0),
+        |qdc AS (SELECT query_id, cell,
+        |      list_reduce([coalesce(qv[i], 0.0) * coalesce(cv0[i], 0.0)
+        |        for i in range(1, greatest(len(qv), len(cv0)) + 1)], (a, b) -> a + b) AS qdotc
+        |    FROM probes JOIN cents ON cents.cid = probes.cell JOIN q0 USING (query_id)),
+        |cand AS (SELECT query_id, neighbor_id, cell FROM probes JOIN cell_of USING (cell)),
+        |pj AS (SELECT cand.query_id, cand.neighbor_id, codes.j AS j,
+        |      list_reduce([coalesce(qv[codes.j*8+i], 0.0) * bv[i] for i in range(1, 9)],
+        |        (a, b) -> a + b) AS lj
+        |    FROM cand
+        |      JOIN codes ON codes.neighbor_id = cand.neighbor_id
+        |      JOIN books ON books.j = codes.j AND books.c = codes.code
+        |      JOIN q0 ON q0.query_id = cand.query_id),
+        |adc AS (SELECT query_id, neighbor_id, list_reduce(list(lj ORDER BY j), (a, b) -> a + b) AS adcsum
+        |    FROM pj GROUP BY query_id, neighbor_id),
+        |sc AS (SELECT adc.query_id AS query_id, adc.neighbor_id AS neighbor_id,
+        |      CASE WHEN vnorm > 0 THEN (qdotc + adcsum) / (qnorm * vnorm) ELSE NULL END AS asim
+        |    FROM adc
+        |      JOIN cand ON cand.query_id = adc.query_id AND cand.neighbor_id = adc.neighbor_id
+        |      JOIN qdc ON qdc.query_id = adc.query_id AND qdc.cell = cand.cell
+        |      JOIN qn ON qn.query_id = adc.query_id
+        |      JOIN vn ON vn.neighbor_id = adc.neighbor_id),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |      SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY asim DESC, neighbor_id) AS srn
+        |      FROM sc WHERE asim IS NOT NULL AND NOT isnan(asim)) WHERE srn <= 80),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+        |    FROM short JOIN q0 USING (query_id) JOIN c0 USING (neighbor_id)),
         |r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id) AS rank FROM s WHERE NOT isnan(sim))
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r
