@@ -145,9 +145,9 @@ object Bench {
     // full run is always in BENCH_FULL.json at 3dp (107 queries at 1dp no
     // longer fit whole: measured 2098-char segment vs the 1922 window, so
     // level 3 is now the live level, cutting ~20 sub-0.3 s floor entries).
-    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     def r2(v: Double): Double = math.round(v * 100) / 100.0
     def r1(v: Double): Double = math.round(v * 10) / 10.0
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val spreads = timings.map { case (n, mn) => n -> (samples(n).max - mn) }
     val sp = spreads.sortBy(-_._2).take(5)
       .map { case (k, v) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
@@ -161,6 +161,34 @@ object Bench {
     // host-speed estimator for cross-round normalization (the median —
     // calib_sec — stays for continuity; spread documents the noise)
     val calibMin = calibAll.head
+    // End-to-end pipeline stage detail (the execution surface per-query
+    // timing can't see: cross-stage zone write + reread costs, SCD2 merge
+    // against accumulated snapshots, dedup-stage interaction). One run each
+    // of the EXACT invocations behind pipeline_report / corpus_report, with
+    // the per-stage (rows, seconds) report written to PIPELINE_BENCH.json
+    // next to BENCH_FULL.json — the artifact's stdout tail window has no
+    // room for ~13 stage rows, and NOTHING may print after the JSON line
+    // below or it falls out of the capture window. The sweep above already
+    // timed both whole runs (min of reps); this records WHERE the time goes.
+    val pipelineJson: String = try {
+      def run(name: String, df: => org.apache.spark.sql.DataFrame): String = {
+        val t0 = System.nanoTime()
+        val st = df.collect().map(r =>
+          s"""{"stage":${q(r.getString(0))},"rows":${r.getLong(1)},"sec":${r3(r.getDouble(2))}}""")
+        val total = (System.nanoTime() - t0) / 1e9
+        s"""${q(name)}:{"total_sec":${r3(total)},"stages":[${st.mkString(",")}]}"""
+      }
+      "{" + run("dwh", SparkEntry.runDwhPipeline(spark, sfDir)) + "," +
+        run("corpus", SparkEntry.runCorpusPipeline(spark, sfDir)) +
+        s""","sf":${q(sfDir)}}"""
+    } catch {
+      case e: Exception =>
+        s"""{"error":${q(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))}}"""
+    }
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("PIPELINE_BENCH.json"),
+        (pipelineJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Exception => () }
     def dictOf(entries: Seq[(String, Double)], r: Double => Double): String =
       entries.map { case (k, v) => s"${q(k)}:${r(v)}" }.mkString("{", ",", "}")
     val asc = timings.sortBy(_._2)

@@ -318,6 +318,34 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("star_rollup")(spark, "/root/testdata/sf0.001")
 
+  /** Zone root for the end-to-end pipeline queries: under the JVM temp dir
+    * (the PipelineSpec temp-dir precedent), keyed by pipeline flavor AND sf
+    * dir so scales never share zone state; a FIXED path (not
+    * createTempDirectory) so reruns overwrite idempotently — combined with
+    * the fixed runId and `_run_id`-partitioned dynamic overwrite, repeated
+    * runs of the same (flavor, sf) are byte-stable, never accumulating. */
+  private def zoneRoot(flavor: String, sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${flavor}_zones_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** The exact end-to-end pipeline invocations behind `pipeline_report` /
+    * `corpus_report` — factored out so Bench's stage-detail phase times the
+    * IDENTICAL runs the correctness gate verifies. Both return the
+    * (stage, rows, seconds) report. Parameter choices: corpus thresholds
+    * match the standalone operators' oracled constants (gate 30/0.05/0.2,
+    * near-dup 3-shingle 0.8, 20-token spans, 32 BPE merges, CCNet
+    * terciles); capPerSource 120 binds at sf0.1 (~150 gated docs in the
+    * largest sources) and is a verified no-op below. semantic_dedup is the
+    * one optional stage left out: its derived-IVF-cell variant is
+    * spec-gated (PipelineSpec), not SQL-replayable. */
+  def runDwhPipeline(s: SparkSession, d: String): DataFrame =
+    Pipeline.runAll(s, d, zoneRoot("dwh", d), "report_run")
+
+  def runCorpusPipeline(s: SparkSession, d: String): DataFrame =
+    CorpusPipeline.runAll(s, Tables.documents(s, d), zoneRoot("corpus", d),
+      "report_run", capPerSource = 120, numShards = 4,
+      spanScrub = Some(20), bpeMerges = Some(32), pplBuckets = Some(3))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 row 4 — string normalization
@@ -362,6 +390,28 @@ object SparkEntry {
       IngestDiscovery.staged(Tables.customer(s, d), "csv", "run_001", "2026-01-01 00:00:00")),
     // §2.1 row 1 — discovery (rows-only oracle: filesystem metadata)
     "ingest_discovery" -> ((s, d) => IngestDiscovery.discover(s, d)),
+    // §2.1 row 17d — the END-TO-END DWH pipeline, run for real and
+    // COUNT-ORACLED (round 13): every stage's row count (raw staging,
+    // quality split, two-fact DWH load, report sink) re-derives in SQL,
+    // so the orchestrated run — zone writes, SCD2 dim, fact loads — not
+    // just its constituent operators, answers to the DuckDB gate.
+    // Per-stage SECONDS are recorded by Bench's pipeline-detail phase
+    // (PIPELINE_BENCH.json); this entry exposes the deterministic part.
+    "pipeline_report" -> ((s, d) =>
+      runDwhPipeline(s, d).select(col("stage"), col("rows").as("n_rows"))),
+    // §2.2 row L17g — the END-TO-END corpus curation pipeline,
+    // COUNT-ORACLED (round 13): NFC ingest → quality gate → source cap →
+    // exact + near-dup dedup (cluster representatives) → span scrub →
+    // BPE tokenizer annotate → perplexity buckets → shard write. Only
+    // gate/cap/dedup change counts (scrub/tokenizer/ppl annotate in
+    // place — spec-pinned in PipelineSpec), so every stage row
+    // re-derives in SQL: the dedup stage via the dedup_cluster oracle's
+    // all-pairs-Jaccard + recursive-reach fixpoint over the capped
+    // survivors. The asymmetry is the point at 100 TB: Spark's stage is
+    // LSH-banded candidates + bounded-round min-label propagation; the
+    // oracle must go all-pairs.
+    "corpus_report" -> ((s, d) =>
+      runCorpusPipeline(s, d).select(col("stage"), col("rows").as("n_rows"))),
     // §2.1 row 11 — merged union with source tag
     "merged_union" -> ((s, d) =>
       MultiSource.mergedUnion(Map("CSV" -> srcA(s, d), "SQL" -> srcB(s, d)))),
@@ -1000,7 +1050,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val merges = Bpe.train(docs, "text", 32)
       Bpe.segment(docs, "doc_id", "text", merges)
-        .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+        .select(col("doc_id"), coalesce(size(col("pieces")), lit(0)).as("n_pieces"),
           concat_ws(" ", slice(col("pieces"), 1, 12)).as("head_pieces"))
     }),
     // §2.2 row 31 — BPE segmentation under a PINNED literal merge list,
@@ -1011,9 +1061,13 @@ object SparkEntry {
     // can replay exactly — lowest-rank-first, all non-overlapping
     // occurrences left-to-right per round (see the oracle's state-machine
     // CTE). Same BpeSegmentExpr code path as bpe_segment.
+    // Degenerate cases aligned with the oracle (round 13): NULL text →
+    // NULL pieces under ANSI size(), coalesced to the oracle's 0;
+    // tokenization runs the same literal whitespace class in both engines
+    // (see Bpe.tokens — Java \s vs RE2 \s differ on U+000B).
     "bpe_segment_fixed" -> ((s, d) =>
       Bpe.segment(Tables.documents(s, d), "doc_id", "text", pinnedMerges)
-        .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+        .select(col("doc_id"), coalesce(size(col("pieces")), lit(0)).as("n_pieces"),
           concat_ws(" ", slice(col("pieces"), 1, 12)).as("head_pieces"))),
     // §2.1 row 17b — single-pass column profiling
     // (spread: the 4-column exact-distinct profile Expands the input 4x,
@@ -1317,7 +1371,13 @@ object SparkEntry {
     * adaptiveProbes sizing re-derived from the corpus count, then cell
     * assignment + per-query probe sets. Emits `cents(cid, cv0)`, `np`,
     * `cell_of`, `probes` — shared by the ann_ivf / ann_ivfpq /
-    * ann_ivfpq_res oracles. */
+    * ann_ivfpq_res oracles. BOTH training regimes replay: past
+    * centroidLiteralBudget (4096) cells — corpus ≳ 16.8M rows —
+    * `trainCentroids` (Similarity.scala:333) skips the k-means step and
+    * the numCells smallest-hash vectors ARE the centroids (hash-order
+    * cid), so `cents` branches on the derived numcells exactly as the
+    * Scala does; a large-SF corpus therefore stays oracle-valid instead
+    * of silently drifting into a regime the replay doesn't cover. */
   private val ivfTrainCtes: String =
     """nc AS (SELECT least(65536, greatest(16, CAST(ceil(sqrt(count(*))) AS INT))) AS numcells FROM c0),
       |samp AS (SELECT neighbor_id, cv, row_number() OVER (ORDER BY h) AS sp
@@ -1337,9 +1397,13 @@ object SparkEntry {
       |    SELECT asg.cid AS cid, samp.sp AS sp,
       |      unnest([{'di': i, 'v': samp.cv[i]} for i in range(1, len(samp.cv) + 1)]) AS u
       |    FROM asg JOIN samp USING (sp))),
-      |cents AS (SELECT cid, list(m ORDER BY di) AS cv0 FROM (
+      |km AS (SELECT cid, list(m ORDER BY di) AS cv0 FROM (
       |    SELECT cid, di, list_reduce(list(v ORDER BY sp), (a, b) -> a + b) / count(*) AS m
       |    FROM cdim GROUP BY cid, di) GROUP BY cid),
+      |cents AS (
+      |  SELECT cid, cv0 FROM km, nc WHERE numcells <= 4096
+      |  UNION ALL
+      |  SELECT cid, sv AS cv0 FROM seeds, nc WHERE numcells > 4096),
       |np AS (SELECT greatest(4, CAST(ceil(count(*) / 8.0) AS INT)) AS nprobe FROM cents),
       |casim AS (SELECT neighbor_id, cid,
       |    row_number() OVER (PARTITION BY neighbor_id
@@ -1530,7 +1594,7 @@ object SparkEntry {
         .map { case ((l, r), i) => s"($i, '$l', '$r')" }.mkString(",\n        ")
       s"""WITH m(rank, l, r) AS (VALUES
         |        $mergeRows),
-        |d0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |d0 AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents),
         |wd AS (SELECT doc_id, u.wi AS wi, u.w AS w FROM (
         |    SELECT doc_id, unnest([{'wi': i, 'w': toks[i]}
         |        for i in range(1, len(toks) + 1)]) AS u FROM d0)
@@ -2803,6 +2867,82 @@ object SparkEntry {
         |    CASE WHEN q.stop_ratio < 0.05 THEN 'low_stopword_ratio' END,
         |    CASE WHEN coalesce(dupf.df, 0.0) > 0.2 THEN 'repetitive' END) = '') AS keep
         |FROM q LEFT JOIN dupf ON q.doc_id = dupf.doc_id""".stripMargin,
+    // pipeline_report — the DWH pipeline's per-stage row counts re-derived:
+    // quality replays Pipeline.runAll's 4-rule engine (null/FK/price checks
+    // + the duplicate-key window; rn without ORDER BY is safe because the
+    // count only depends on WHICH row is rn=1 when a dup group is
+    // heterogeneous on the other rules — orderkeys are unique at every SF,
+    // verified), transform_load is the two facts' grains (clean orders +
+    // their lineitems), report is the zone-stats row count (zones present).
+    "pipeline_report" ->
+      """WITH ann AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderkey) AS rn FROM orders),
+        |flg AS (SELECT o_orderkey, (o_custkey IS NOT NULL
+        |    AND o_custkey IN (SELECT c_custkey FROM customer)
+        |    AND (o_totalprice > 0 OR o_totalprice IS NULL) AND rn = 1) AS is_clean FROM ann),
+        |cl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM flg WHERE is_clean),
+        |li AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem l
+        |    JOIN flg f ON f.o_orderkey = l.l_orderkey AND f.is_clean),
+        |zz AS (SELECT CAST(count(DISTINCT CASE WHEN is_clean THEN 'clean' ELSE 'error' END)
+        |    AS BIGINT) AS n FROM flg)
+        |SELECT 'stage_raw' AS stage, CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows
+        |UNION ALL SELECT 'quality', (SELECT n FROM cl)
+        |UNION ALL SELECT 'transform_load', (SELECT n FROM cl) + (SELECT n FROM li)
+        |UNION ALL SELECT 'report', (SELECT n FROM zz)""".stripMargin,
+    // corpus_report — the curation pipeline's per-stage counts re-derived
+    // end-to-end: the corpus_gate thresholds (30/0.05/0.2, 6dp-rounded
+    // signals), the source_cap md5 rank at 120, exact dedup's
+    // normalized-text min-id grouping, then the dedup_cluster oracle's
+    // all-pairs 3-shingle Jaccard >= 0.8 + recursive-reach fixpoint over
+    // the capped survivors (representative = cluster min). The annotate-
+    // only stages (span scrub, tokenizer, ppl buckets, shard write) carry
+    // the dedup count through — pinned as never-drops in PipelineSpec.
+    "corpus_report" ->
+      """WITH RECURSIVE
+        |d0 AS (SELECT doc_id, source, nfc_normalize(text) AS text FROM documents),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM d0),
+        |q AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |    round(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+        |      AS DOUBLE) / len(w), 6) AS stop_ratio FROM t),
+        |grams AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+        |  FROM t WHERE len(w) >= 2),
+        |per AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram),
+        |agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_grams FROM per GROUP BY doc_id),
+        |gated AS (SELECT d0.doc_id, d0.source, d0.text FROM d0
+        |  JOIN q ON q.doc_id = d0.doc_id LEFT JOIN agg ON agg.doc_id = d0.doc_id
+        |  WHERE q.n_tokens >= 30 AND q.stop_ratio >= 0.05
+        |    AND coalesce(round(CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams, 6), 0.0) <= 0.2),
+        |cap AS (SELECT doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR)) AS rk FROM gated),
+        |capped AS (SELECT g.* FROM gated g JOIN cap ON cap.doc_id = g.doc_id WHERE cap.rk <= 120),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM capped
+        |  GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')),
+        |exd AS (SELECT c.* FROM capped c JOIN ex ON ex.doc_id = c.doc_id),
+        |tw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM exd),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM tw WHERE len(w) >= 3),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach(src, node) AS (
+        |  SELECT doc_id AS src, doc_id AS node FROM exd
+        |  UNION
+        |  SELECT r.src, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node),
+        |kept AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING min(node) = src),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept)
+        |SELECT 'ingest' AS stage, CAST((SELECT count(*) FROM d0) AS BIGINT) AS n_rows
+        |UNION ALL SELECT 'quality_gate', CAST((SELECT count(*) FROM gated) AS BIGINT)
+        |UNION ALL SELECT 'source_cap', CAST((SELECT count(*) FROM capped) AS BIGINT)
+        |UNION ALL SELECT 'dedup', (SELECT n FROM nd)
+        |UNION ALL SELECT 'span_scrub', (SELECT n FROM nd)
+        |UNION ALL SELECT 'tokenizer', (SELECT n FROM nd)
+        |UNION ALL SELECT 'ppl_buckets', (SELECT n FROM nd)
+        |UNION ALL SELECT 'shard_write', (SELECT n FROM nd)""".stripMargin,
     "tfidf_top" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),

@@ -45,7 +45,12 @@ import graft.functions.NativeExprs
   */
 object Bpe {
 
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens. The explicit class IS Java's `\s` ([ \t\n\x0B\f\r]
+    * — byte-identical behavior), spelled out because the DuckDB oracle
+    * replays the split with RE2, whose `\s` does NOT include U+000B: both
+    * engines now run the same literal class, so tokenization parity holds
+    * by construction instead of by the testdata happening to lack \x0B. */
+  def tokens(text: Column): Column = split(trim(text), "[ \\t\\n\\u000B\\f\\r]+")
 
   /** Per-CODE-POINT symbol array with the end-of-word marker folded into
     * the final code point (the Sennrich initialization). Implemented as
