@@ -973,9 +973,17 @@ case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)],
     }
     m
   }
+  // Bounded at 2^16 entries with clear-on-full eviction: size can never
+  // exceed cacheMax (checked before every put), worst case ~64k words ×
+  // ~avg word bytes + piece arrays ≈ tens of MB per expression instance —
+  // the same documented-bound discipline as DriverVocabBound and the
+  // centroid literal budget. Spec-pinned in BpeSpec via [[cacheStats]].
   private val cacheMax = 1 << 16
   @transient private lazy val cache =
     new java.util.HashMap[String, Array[UTF8String]]()
+
+  /** (current cache size, bound) — test hook pinning the cache bound. */
+  private[graft] def cacheStats: (Int, Int) = (cache.size, cacheMax)
 
   private def segmentWord(word: String): Array[UTF8String] = {
     var syms = new java.util.ArrayList[String](word.length)

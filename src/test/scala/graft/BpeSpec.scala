@@ -180,4 +180,34 @@ class BpeSpec extends SparkSpec {
       .as[Seq[String]].collect().head
     assert(out == Seq("aa", "a"))
   }
+
+  test("segment word cache is bounded (clear-on-full) and hit/miss identical") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.BpeSegmentExpr(
+      BoundReference(0, ArrayType(StringType), nullable = true),
+      Seq(("l", "o"), ("lo", "w" + Eow)), Eow)
+    def segment(word: String): Seq[String] = {
+      val arr = ArrayData.toArrayData(Array[AnyRef](UTF8String.fromString(word)))
+      expr.eval(InternalRow(arr)).asInstanceOf[ArrayData]
+        .toArray[UTF8String](StringType).toSeq.map(_.toString)
+    }
+    val first = segment("low")
+    assert(first == Seq("low" + Eow))
+    // push PAST the bound with distinct words: the clear-on-full eviction
+    // must keep size <= cacheMax at every point (checked at the end, after
+    // at least one wraparound), never grow unbounded
+    val bound = expr.cacheStats._2
+    (0 to bound + 64).foreach(i => segment("w" + i))
+    val (size, max) = expr.cacheStats
+    assert(size <= max, s"cache grew past its bound: $size > $max")
+    assert(size > 0 && size < bound, s"expected a post-clear refill, got $size")
+    // a re-segmentation AFTER the clear (cache miss) must equal the
+    // original cached answer — the cache stores only the deterministic
+    // segmentation, so eviction can never change results
+    assert(segment("low") == first)
+  }
 }

@@ -11,6 +11,23 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# The oracle engine BASELINE.md's numbers and the float-sensitive oracles
+# were validated on. ann_lsh and the PQ/IVF re-ranks lean on DuckDB 1.x's
+# list_dot_product/list_cosine_similarity summing index-ascending in plain
+# doubles (see the DUCKDB-VERSION SENSITIVITY note in SparkEntry.scala);
+# a version that vectorizes them could flip a near-zero sign or a near-tie
+# rank with NO Spark-side change. On a mismatch, triage sudden reds in
+# those oracles as ORACLE-ENGINE DRIFT first, not a Spark regression.
+KNOWN_GOOD_DUCKDB = "1.0.0"
+
+def duckdb_version_banner() -> str:
+    v = duckdb.__version__
+    if v == KNOWN_GOOD_DUCKDB:
+        return f"duckdb {v} (known-good)"
+    return (f"duckdb {v} — WARNING: differs from known-good {KNOWN_GOOD_DUCKDB}; "
+            "float-summation-order-sensitive oracles (ann_lsh, PQ/IVF re-ranks) "
+            "may drift — triage as engine drift before suspecting Spark")
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -33,6 +50,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    print(duckdb_version_banner())
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -77,7 +95,7 @@ def main():
                 print(f"ROWS {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
             except Exception as e:
                 print(f"ERROR {name}: {e}")
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    print(f"\n{n_pass} pass, {n_fail} fail ({duckdb_version_banner()})")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
