@@ -181,6 +181,18 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq("aa", "a"))
   }
 
+  test("tokens: explicit class keeps Java \\s semantics (U+000B splits, NBSP does not)") {
+    // Bpe.tokens spells out [ \t\n\x0B\f\r]+ so the DuckDB oracle (RE2,
+    // whose \s lacks U+000B) can run the SAME class. This pins the Java
+    // side: vertical tab still separates words (as \s did), while
+    // non-matching whitespace-adjacent chars like NBSP (U+00A0) stay
+    // inside tokens — i.e. the rewrite changed spelling, not behavior.
+    val docs = Seq((1L, "ab c d \te\rf\ng")).toDF("doc_id", "text")
+    val toks = docs.select(Bpe.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect().head
+    assert(toks == Seq("a", "b", "c d", "e", "f", "g"))
+  }
+
   test("segment word cache is bounded (clear-on-full) and hit/miss identical") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
