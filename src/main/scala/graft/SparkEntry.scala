@@ -399,6 +399,22 @@ object SparkEntry {
     // (PIPELINE_BENCH.json); this entry exposes the deterministic part.
     "pipeline_report" -> ((s, d) =>
       runDwhPipeline(s, d).select(col("stage"), col("rows").as("n_rows"))),
+    // §2.2 row L22e — Z-order (Morton) clustering values: min-max integer
+    // bucketing (exact DIV arithmetic) + bit interleave over
+    // (l_partkey, l_suppkey) — the data-skipping layout key an OPTIMIZE
+    // ZORDER job sorts by. The physical relayout + file-box pruning proof
+    // live in LayoutSpec (Layout.writeZOrdered / fileBoxes); the VALUE
+    // computation — the part with engine-parity risk — is row-hash
+    // oracled here, the DuckDB side generating the SAME shift/mask term
+    // list from the same (bit, column) loop.
+    "zorder_cluster" -> ((s, d) =>
+      Layout.zorderValues(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+        Seq("l_partkey", "l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("_zb_l_partkey").as("zb_part"), col("_zb_l_suppkey").as("zb_supp"),
+          col("zval"))),
     // §2.2 row L17g — the END-TO-END corpus curation pipeline,
     // COUNT-ORACLED (round 13): NFC ingest → quality gate → source cap →
     // exact + near-dup dedup (cluster representatives) → span scrub →
@@ -2867,6 +2883,25 @@ object SparkEntry {
         |    CASE WHEN q.stop_ratio < 0.05 THEN 'low_stopword_ratio' END,
         |    CASE WHEN coalesce(dupf.df, 0.0) > 0.2 THEN 'repetitive' END) = '') AS keep
         |FROM q LEFT JOIN dupf ON q.doc_id = dupf.doc_id""".stripMargin,
+    // zorder_cluster — bucketing replayed with the identical exact
+    // integer arithmetic ((v-min)*(2^16-1) // max(range,1)) and the
+    // interleave generated from the SAME (bit, column) loop as
+    // Layout.interleave, so the 32 shift/mask terms agree by construction.
+    "zorder_cluster" -> {
+      val terms = (for { j <- 0 until 16; i <- 0 until 2 } yield {
+        val b = if (i == 0) "bp" else "bs"
+        s"((($b >> $j) & 1) << ${j * 2 + i})"
+      }).mkString(" | ")
+      s"""WITH b AS (SELECT CAST(min(l_partkey) AS BIGINT) AS mnp, CAST(max(l_partkey) AS BIGINT) AS mxp,
+        |    CAST(min(l_suppkey) AS BIGINT) AS mns, CAST(max(l_suppkey) AS BIGINT) AS mxs FROM lineitem),
+        |v AS (SELECT l_orderkey, l_linenumber,
+        |    ((CAST(l_partkey AS BIGINT) - mnp) * 65535) // greatest(mxp - mnp, 1) AS bp,
+        |    ((CAST(l_suppkey AS BIGINT) - mns) * 65535) // greatest(mxs - mns, 1) AS bs
+        |  FROM lineitem, b)
+        |SELECT l_orderkey, l_linenumber, bp AS zb_part, bs AS zb_supp,
+        |  CAST($terms AS BIGINT) AS zval
+        |FROM v""".stripMargin
+    },
     // pipeline_report — the DWH pipeline's per-stage row counts re-derived:
     // quality replays Pipeline.runAll's 4-rule engine (null/FK/price checks
     // + the duplicate-key window; rn without ORDER BY is safe because the

@@ -43,6 +43,7 @@ class SourceGuardSpec extends AnyFunSpec {
   private val crossJoinBudget = Map(
     // all 1-row broadcast stats/corpus-total joins ...
     "graft/operators/Analytics.scala" -> 1,
+    "graft/operators/Layout.scala" -> 1,
     "graft/operators/Retrieval.scala" -> 1,
     "graft/operators/TextAnalysis.scala" -> 4,
     // ... except pqTopKWith's corpus x QUERY-BATCH join (the flat-PQ ADC
