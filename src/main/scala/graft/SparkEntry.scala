@@ -2946,8 +2946,9 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS n_distinct_grams FROM per GROUP BY doc_id),
         |gated AS (SELECT d0.doc_id, d0.source, d0.text FROM d0
         |  JOIN q ON q.doc_id = d0.doc_id LEFT JOIN agg ON agg.doc_id = d0.doc_id
-        |  WHERE q.n_tokens >= 30 AND q.stop_ratio >= 0.05
-        |    AND coalesce(round(CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams, 6), 0.0) <= 0.2),
+        |  WHERE NOT coalesce(q.n_tokens < 30, FALSE)
+        |    AND NOT coalesce(q.stop_ratio < 0.05, FALSE)
+        |    AND NOT coalesce(round(CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams, 6) > 0.2, FALSE)),
         |cap AS (SELECT doc_id, row_number() OVER (PARTITION BY source
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR)) AS rk FROM gated),
         |capped AS (SELECT g.* FROM gated g JOIN cap ON cap.doc_id = g.doc_id WHERE cap.rk <= 120),
