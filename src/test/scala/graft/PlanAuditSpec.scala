@@ -390,4 +390,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
       s"expected a single corpus scan:\n$p")
   }
+
+  test("zorder_cluster: value is a broadcast-stats projection — no data-path shuffle, no UDF") {
+    // the z-value must cost one scan at any scale: min/max stats flow
+    // through a 1-row BroadcastExchange into a nested-loop cross (the
+    // audited stats-join shape); the lineitem side itself never exchanges,
+    // and the interleave is codegen'd arithmetic, not a Scala UDF
+    val p = planOf("zorder_cluster")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge anywhere:\n$p")
+    // exactly one Exchange — the SinglePartition final min/max aggregate
+    // on the 1-row stats branch; a second would mean the DATA was shuffled
+    assert(p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("BroadcastExchange") && !l.contains("ReusedExchange")) == 1,
+      s"expected only the stats branch's SinglePartition exchange:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"interleave must be codegen'd arithmetic:\n$p")
+  }
 }
