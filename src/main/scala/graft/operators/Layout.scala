@@ -64,14 +64,14 @@ object Layout {
         // would round large products): scaled numerator and range land in
         // named temp columns so the SQL `DIV` operator applies — the same
         // `//` arithmetic the DuckDB oracle runs, term-for-term
-        acc.withColumn(s"_zn_$i", (col(c).cast("long") - col(s"_mn_$c")) * maxBucket)
-          .withColumn(s"_zr_$i", greatest(col(s"_mx_$c") - col(s"_mn_$c"), lit(1L)))
-          .withColumn(s"_zb_$c", expr(s"_zn_$i DIV _zr_$i"))
+        acc.withColumn(s"_graft_zn_$i", (col(c).cast("long") - col(s"_mn_$c")) * maxBucket)
+          .withColumn(s"_graft_zr_$i", greatest(col(s"_mx_$c") - col(s"_mn_$c"), lit(1L)))
+          .withColumn(s"_zb_$c", expr(s"_graft_zn_$i DIV _graft_zr_$i"))
     }
     withBuckets
       .withColumn("zval", interleave(cols.map(c => col(s"_zb_$c")), bits))
       .drop(cols.flatMap(c => Seq(s"_mn_$c", s"_mx_$c")): _*)
-      .drop(cols.indices.flatMap(i => Seq(s"_zn_$i", s"_zr_$i")): _*)
+      .drop(cols.indices.flatMap(i => Seq(s"_graft_zn_$i", s"_graft_zr_$i")): _*)
   }
 
   /** Bit interleave of k bucket columns, column-major within each bit

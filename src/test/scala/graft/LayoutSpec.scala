@@ -40,6 +40,17 @@ class LayoutSpec extends SparkSpec {
     assert(out.map(_._3).min == 0 && out.map(_._3).max == 255)
   }
 
+  test("zorderValues: 3-column interleave matches the reference encoder") {
+    val df = Seq((1L, 0L, 3L, 5L), (2L, 7L, 0L, 2L), (3L, 4L, 7L, 0L))
+      .toDF("id", "a", "b", "c")
+    val out = Layout.zorderValues(df, Seq("a", "b", "c"), bits = 3)
+      .select(col("id"), col("_zb_a"), col("_zb_b"), col("_zb_c"), col("zval"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    out.foreach { case (id, ba, bb, bc, z) =>
+      assert(z == morton(Seq(ba, bb, bc), 3), s"3-col zval mismatch at id=$id")
+    }
+  }
+
   test("zorderValues: constant column lands in bucket 0; non-integral rejected") {
     val df = Seq((1L, 5L), (2L, 5L)).toDF("id", "c")
     val buckets = Layout.zorderValues(df, Seq("c"), bits = 4)
