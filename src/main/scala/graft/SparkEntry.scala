@@ -245,6 +245,21 @@ object SparkEntry {
       |JOIN sizes sa ON sa.source = c.source_a
       |JOIN sizes sb ON sb.source = c.source_b""".stripMargin
 
+  /** Shared by `setsim_join` and `setsim_join_hashed`: PPJoin promises the
+    * EXACT threshold-join result, so the oracle is the all-pairs brute
+    * force — completeness is the contract, and the hashed carrier's output
+    * is key-representation-independent (verify scores true shingle arrays). */
+  private val SetSimJoinSql =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+      |  FROM toks WHERE len(w) >= 3),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+
   /** Shared by `embedding_cov` and `embedding_cov_hd`: the two Spark paths
     * (pair explode vs the fixed-buffer CovOuterSumAgg) are bit-identical by
     * construction, so one full-matrix oracle gates both. */
@@ -768,6 +783,20 @@ object SparkEntry {
     // §2.2 row 20 — MinHash LSH near-dedup (banded, verified)
     "neardup_minhash" -> ((s, d) =>
       Dedup.nearDupMinHash(Tables.documents(s, d), "doc_id", "text", 3, 0.8)),
+    // §2.2 row 20g — EXACT set-similarity self-join (AllPairs/PPJoin prefix
+    // filter): complete at J >= 0.5, a threshold where 32x4 MinHash banding
+    // would miss ~13% of true pairs. Never all-pairs: candidates only form
+    // inside prefix-shingle buckets (rarest-first global order).
+    "setsim_join" -> ((s, d) =>
+      Dedup.setSimJoin(Tables.documents(s, d), "doc_id", "text", 3, 1, 2)),
+    // §2.2 row 20g, petabyte carrier: xxhash64 shingle keys map-side, so
+    // the df aggregate, window pass, and prefix self-join all shuffle
+    // 8-byte longs instead of n-gram strings; verify runs on true shingle
+    // arrays, so it answers to the exact-string oracle verbatim (the
+    // source_overlap_hashed discipline).
+    "setsim_join_hashed" -> ((s, d) =>
+      Dedup.setSimJoin(Tables.documents(s, d), "doc_id", "text", 3, 1, 2,
+        hashKeys = true)),
     // §2.2 row 20c — near-dup pairs -> dedup DECISION: connected components
     // over the MinHash pair graph, one kept representative per cluster
     "dedup_cluster" -> ((s, d) => {
@@ -2312,6 +2341,13 @@ object SparkEntry {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+    // Exact operator, exact oracle: the all-pairs brute force IS the
+    // contract here (PPJoin guarantees completeness, not approximation),
+    // so any miss by the prefix filter is a hard red, not noise.
+    "setsim_join" -> SetSimJoinSql,
+    // Same oracle verbatim: hashed shingle keys change only the shuffle
+    // representation; the verify stage scores true shingle arrays.
+    "setsim_join_hashed" -> SetSimJoinSql,
     // True connected-components fixpoint via recursive CTE — the Spark
     // side's bounded label propagation must reach the same labels.
     "dedup_cluster" ->

@@ -436,6 +436,87 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
   }
 
+  /** Exact set-similarity self-join — AllPairs/PPJoin prefix filtering
+    * (Bayardo et al. WWW'07 "Scaling Up All Pairs Similarity Search";
+    * Xiao et al. WWW'08 PPJoin): EVERY pair of documents whose shingle-set
+    * Jaccard meets `tNum/tDen`, with a COMPLETENESS GUARANTEE — unlike the
+    * probabilistic [[nearDupMinHash]]/[[nearDupSimHash]] candidate
+    * generators, no qualifying pair can be missed at any threshold. At
+    * J = 0.5 the default 32×4 MinHash banding misses ≈ (1-0.5⁴)³² ≈ 13% of
+    * true pairs; this operator is the exact path for such mid-threshold
+    * joins (mixture dedup, paraphrase mining). Output:
+    * (doc_a, doc_b, jaccard rounded 6dp), doc_a < doc_b.
+    *
+    * Prefix filter: shingles are globally ordered by ascending document
+    * frequency (ties lexicographic); each document emits only its first
+    * p = s − ⌈t·s⌉ + 1 shingles as join keys. Completeness: J(A,B) ≥ t
+    * implies |A∩B| ≥ t·max(|A|,|B|) (from i ≥ t(|A|+|B|)/(1+t) and the
+    * length filter |small| ≥ t·|large|), so if no common shingle sat in
+    * A's prefix then all ≥ t·|A| common shingles would have to fit in A's
+    * suffix of length ⌈t·|A|⌉ − 1 < t·|A| — contradiction; symmetrically
+    * for B. The threshold is a rational tNum/tDen and ⌈t·s⌉ is computed
+    * in exact integer arithmetic, so the filter never rounds the wrong way.
+    *
+    * Scale (100 TB): never all-pairs — candidates form only inside
+    * per-shingle buckets of the PREFIXES, and df-ascending ordering puts
+    * the rarest shingles in prefixes, so high-frequency shingles (the
+    * buckets that would explode) are exactly the ones excluded. Shuffle
+    * inventory: one gram-keyed aggregate for df, one doc-keyed window pass
+    * (rank + size in a single window operator), one gram-keyed self-join
+    * whose two sides are the SAME subtree (exchange planned once, reused),
+    * one pair-distinct, two id-keyed verify joins. Length filter
+    * |small|·tDen ≥ |large|·tNum prunes inside the join, before the
+    * pair-dedup shuffle.
+    *
+    * `hashKeys = true` is the petabyte carrier: shingles become xxhash64
+    * longs map-side (array_distinct ∘ transform — no extra shuffle), so
+    * df/window/join shuffles all carry 8-byte keys; the verify still runs
+    * on true shingle arrays, so the OUTPUT is identical to the exact path
+    * modulo within-document hash collisions (~s²/2⁶⁴ expectation) — the
+    * [[sourceOverlap]] hashed-carrier discipline, spec-pinned identical. */
+  def setSimJoin(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, tNum: Int = 1, tDen: Int = 2,
+                 hashKeys: Boolean = false): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
+    val sh = docs.select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
+      .where(size(col("_sh")) > 0)
+    val grams =
+      if (hashKeys)
+        sh.select(col("_id"), explode(array_distinct(
+          org.apache.spark.sql.functions.transform(col("_sh"), g => xxhash64(g)))).as("_g"))
+      else sh.select(col("_id"), explode(col("_sh")).as("_g"))
+    val dfq = grams.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    // One window operator: rank within the doc by (df asc, gram asc) and the
+    // doc's set size over the same sorted partition (full-frame count).
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_df"), col("_g"))
+    val full = byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // ⌈t·s⌉ integer-exact: (s·tNum + tDen−1 − mod) / tDen divides evenly.
+    val a = col("_s") * tNum + lit(tDen - 1)
+    val ceilTs = ((a - pmod(a, lit(tDen))) / tDen).cast("long")
+    val pfx = grams.join(dfq, "_g")
+      .select(col("_id"), col("_g"),
+        row_number().over(byDoc).as("_rn"),
+        count(lit(1)).over(full).as("_s"))
+      .where(col("_rn") <= col("_s") - ceilTs + 1)
+      .select(col("_id"), col("_g"), col("_s"))
+    val cand = pfx.as("x").join(pfx.as("y"),
+        col("x._g") === col("y._g") && col("x._id") < col("y._id") &&
+        least(col("x._s"), col("y._s")) * tDen >=
+          greatest(col("x._s"), col("y._s")) * tNum)
+      .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"))
+      .distinct()
+    withJaccard(
+      cand
+        .join(sh.select(col("_id").as("doc_a"), col("_sh").as("_sh_a")), "doc_a")
+        .join(sh.select(col("_id").as("doc_b"), col("_sh").as("_sh_b")), "doc_b"),
+      col("_sh_a"), col("_sh_b"), "jaccard")
+      .where(col("jaccard") >= tNum.toDouble / tDen)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Direct n-gram Jaccard over an explicit pair set (pairs: doc_a, doc_b). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int): DataFrame = {

@@ -917,4 +917,69 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     assert(proj.toSeq == proj2.toSeq)
   }
+
+  /** Deterministic mid-similarity corpus for the set-similarity join tests:
+    * overlapping word windows over a small vocabulary produce a dense
+    * spread of pairwise Jaccards (including the 0.5-0.7 band where 32x4
+    * MinHash banding has a ~13-27% miss rate). */
+  private def setSimCorpus: org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(40)(i => s"w$i")
+    val rows = (1L to 40L).map { id =>
+      val start = rnd.nextInt(30)
+      val len = 8 + rnd.nextInt(13)
+      val words = Array.tabulate(len)(j => vocab((start + j) % 40))
+      (id, words.mkString(" "))
+    } :+ (41L, "too short")  // < shingleN tokens: excluded on both paths
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Brute-force threshold join via explicit all-pairs (test-side only). */
+  private def bruteSetSim(docs: org.apache.spark.sql.DataFrame, n: Int,
+                          t: Double): Set[(Long, Long, Double)] = {
+    val ids = docs.select(col("doc_id")).where(size(Dedup.shingles(col("text"), n)) > 0)
+    val pairs = ids.select(col("doc_id").as("doc_a"))
+      .join(ids.select(col("doc_id").as("doc_b")), col("doc_a") < col("doc_b"))
+    Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n)
+      .where(col("jaccard") >= t)
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("setSimJoin equals the brute-force threshold join (completeness at J >= 0.5)") {
+    val docs = setSimCorpus
+    val got = Dedup.setSimJoin(docs, "doc_id", "text", 3, 1, 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = bruteSetSim(docs, 3, 0.5)
+    assert(want.nonEmpty, "corpus must contain qualifying pairs for the test to bite")
+    // some pairs must sit in the LSH-missable 0.5-0.7 band
+    assert(want.exists(p => p._3 < 0.7), "corpus must exercise the mid-similarity band")
+    assert(got == want)
+  }
+
+  test("setSimJoin honors a rational threshold exactly (t = 2/3, boundary-safe)") {
+    val docs = setSimCorpus
+    val got = Dedup.setSimJoin(docs, "doc_id", "text", 2, 2, 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == bruteSetSim(docs, 2, 2.0 / 3))
+  }
+
+  test("setSimJoin hashed carrier is row-identical to the exact-string path") {
+    val docs = setSimCorpus
+    val exact = Dedup.setSimJoin(docs, "doc_id", "text", 3, 1, 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val hashed = Dedup.setSimJoin(docs, "doc_id", "text", 3, 1, 2, hashKeys = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hashed == exact)
+  }
+
+  test("setSimJoin covers pairs the default MinHash banding can miss") {
+    val docs = setSimCorpus
+    val exact = Dedup.setSimJoin(docs, "doc_id", "text", 3, 1, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDupMinHash(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // LSH output is always a subset; the exact join's guarantee is that it
+    // can never be the smaller set
+    assert(lsh.subsetOf(exact))
+  }
 }
