@@ -1244,6 +1244,13 @@ object SparkEntry {
     "mix_weights" -> ((s, d) =>
       TextAnalysis.mixWeights(Tables.documents(s, d), "lang", "text",
         Map("en" -> 0.5, "zh" -> 0.2, "fr" -> 0.1, "es" -> 0.1, "de" -> 0.1))),
+    // §2.2 row 29q — DSIR importance weights (hashed unigram+bigram
+    // log-likelihood ratio vs the English subset as target): the model is
+    // bounded at 1024 bucket rows no matter the corpus size; scoring is a
+    // broadcast join, the only corpus shuffle is the per-doc sum
+    "dsir_weights" -> ((s, d) =>
+      TextAnalysis.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en", 1024)),
     // §2.2 row 29r — exact per-source length deciles (curriculum/eval-split
     // bucketing) via the two-phase rank, not a per-source global sort
     "quality_deciles" -> ((s, d) =>
@@ -3038,6 +3045,32 @@ object SparkEntry {
         |    WHEN 'es' THEN 0.1 WHEN 'de' THEN 0.1 ELSE 0.0 END)
         |    / (CAST(n_tokens AS DOUBLE) / _total), 6) AS weight
         |FROM p, tot""".stripMargin,
+    // DSIR replay: identical hashed-bucket model (MD5-top-32-bit mod 1024),
+    // identical add-1 smoothing, the per-bucket log-ratio as ONE double
+    // expression rounded to 6dp, and the per-doc sum in DECIMAL — the
+    // lm_score float-summation discipline.
+    "dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang = 'en' AS t,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |feats AS (
+        |  SELECT doc_id, t, unnest(w) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, t,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+        |  FROM toks),
+        |fb AS (SELECT doc_id, t,
+        |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b FROM feats),
+        |stats AS (SELECT b, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+        |    count(*) AS cr FROM fb GROUP BY b),
+        |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM stats),
+        |ratio AS (SELECT b,
+        |    CAST(round(ln((CAST(ct + 1 AS DOUBLE) / (nt + 1024))
+        |      * (CAST(nr + 1024 AS DOUBLE) / (cr + 1))), 6)
+        |      AS DECIMAL(18,6)) AS lr
+        |  FROM stats, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  round(CAST(SUM(lr) AS DOUBLE), 6) AS dsir_logw
+        |FROM fb JOIN ratio USING (b) GROUP BY doc_id""".stripMargin,
     "quality_deciles" ->
       """SELECT doc_id, source, n_chars,
         |  CAST(ntile(10) OVER (PARTITION BY source

@@ -609,4 +609,58 @@ object TextAnalysis {
         round(tgt, 6).as("target_share"),
         round(tgt / actual, 6).as("weight"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how target-like its hashed n-gram distribution is — the standard
+    * data-selection signal for up-sampling in-domain text out of a raw
+    * crawl. Features are word unigrams AND bigrams (with multiplicity)
+    * hashed into `nBuckets` buckets; target and raw bag-of-buckets unigram
+    * models get add-1 smoothing; a document's log importance weight is
+    * Σ_features log(p_target(b) / p_raw(b)). Downstream, resampling with
+    * probability ∝ exp(weight) reproduces DSIR; this operator emits the
+    * ranking signal. Output: (id, n_feats, dsir_logw), every input doc.
+    *
+    * Determinism/oracle discipline: the bucket hash is the MD5-top-32-bit
+    * value mod nBuckets (reproducible in any SQL engine — the
+    * [[corpusShuffle]] family's portable-hash convention); per-bucket
+    * log-ratios are computed in ONE double expression, rounded to 6dp,
+    * and per-doc sums run over DECIMAL — accumulation-order independent
+    * across partitionings and engines (the [[lmScore]] discipline).
+    *
+    * Scale (100 TB): the model is BOUNDED AT nBuckets ROWS regardless of
+    * corpus size — bucket stats aggregate with map-side combine into
+    * ≤ nBuckets rows, totals ride a 1-row broadcast, and the per-feature
+    * scoring join is a BROADCAST of the nBuckets-row ratio table against
+    * the exploded feature stream (never a shuffle of the corpus on
+    * feature keys); the only corpus-sized shuffle is the final per-doc
+    * sum, keyed by the 8-byte id. Raw counts include the target subset
+    * (DSIR's convention: raw = the full crawl). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, nBuckets: Int = 1024): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = concat(toks, ngramsAll(toks, 2))
+    val feats = docs.select(col(idCol).as("_id"), isTarget.as("_t"),
+        explode(grams).as("_g"))
+      .select(col("_id"), col("_t"),
+        (conv(substring(md5(col("_g")), 1, 8), 16, 10).cast("long")
+          % nBuckets).as("_b"))
+    val stats = feats.groupBy(col("_b")).agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),
+      count(lit(1)).as("_cr"))
+    val totals = stats.agg(sum(col("_ct")).as("_nt"), sum(col("_cr")).as("_nr"))
+    // One double expression on both engines: log of the smoothed ratio,
+    // with double division before multiplication so no integer product
+    // can overflow at corpus scale.
+    val ratio = stats.crossJoin(broadcast(totals))
+      .select(col("_b"),
+        round(log(((col("_ct") + 1).cast("double") / (col("_nt") + nBuckets)) *
+          ((col("_nr") + nBuckets).cast("double") / (col("_cr") + 1))), 6)
+          .cast("decimal(18,6)").as("_lr"))
+    feats.join(broadcast(ratio), "_b")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("_lr")).as("_sum"))
+      .select(col("_id").as(idCol), col("n_feats"),
+        round(col("_sum").cast("double"), 6).as("dsir_logw"))
+  }
 }

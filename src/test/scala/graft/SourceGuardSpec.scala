@@ -45,7 +45,9 @@ class SourceGuardSpec extends AnyFunSpec {
     "graft/operators/Analytics.scala" -> 1,
     "graft/operators/Layout.scala" -> 1,
     "graft/operators/Retrieval.scala" -> 1,
-    "graft/operators/TextAnalysis.scala" -> 4,
+    // 4 long-audited 1-row stats joins + dsirWeights' 1-row totals join
+    // (nt/nr over the <=nBuckets-row bucket table)
+    "graft/operators/TextAnalysis.scala" -> 5,
     // ... except pqTopKWith's corpus x QUERY-BATCH join (the flat-PQ ADC
     // scan: every index row scores against every query's broadcast LUT
     // — bounded by the query batch, the intended shape) and one 1-row

@@ -478,4 +478,38 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out("zh")._6 == 3.0) // target 0.5 / actual 1/6
     assert(out("xx")._5 == 0.0 && out("xx")._6 == 0.0) // absent stratum -> 0
   }
+
+  test("dsirWeights ranks target-like docs above off-domain docs") {
+    // target domain: a small shared vocabulary; off-domain: disjoint words
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "beta gamma delta alpha gamma", true),
+      (3L, "alpha beta gamma delta beta", false),  // target-like but unlabeled
+      (4L, "zebra quark lemon vortex crumb", false) // off-domain
+    ).toDF("doc_id", "text", "is_t")
+    val out = TextAnalysis.dsirWeights(docs, "doc_id", "text", col("is_t"), 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // feature count: n unigrams + (n-1) bigrams
+    assert(out.values.forall(_._2 == 9L))
+    // the unlabeled target-like doc must outscore the off-domain doc,
+    // and the labeled target docs must too
+    assert(out(3L)._3 > out(4L)._3)
+    assert(math.min(out(1L)._3, out(2L)._3) > out(4L)._3)
+    // deterministic under re-evaluation (hash model, no RNG)
+    val again = TextAnalysis.dsirWeights(docs, "doc_id", "text", col("is_t"), 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
+  test("dsirWeights smoothing keeps unseen-bucket docs finite and every doc scored") {
+    val docs = Seq(
+      (1L, "only target words here now", true),
+      (2L, "totally different vocabulary outside", false),
+      (3L, "", false) // empty text: one ''-token feature, still scored
+    ).toDF("doc_id", "text", "is_t")
+    val out = TextAnalysis.dsirWeights(docs, "doc_id", "text", col("is_t"), 32)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 3)
+    assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite))
+  }
 }
