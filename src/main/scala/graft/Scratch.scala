@@ -19,41 +19,63 @@ object Scratch {
     val s = spark
     Tables.documents(s, d).count()
 
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val si = e.stageInfo
-        val wall = (for (s <- si.submissionTime; c <- si.completionTime) yield (c - s) / 1e3).getOrElse(-1.0)
-        val exec = si.taskMetrics.executorRunTime / 1e3
-        println(f"    stage ${si.stageId}%3d wall=$wall%6.2f cpuSum=$exec%6.2f tasks=${si.numTasks}%3d")
-      }
-    })
     def time[T](label: String)(f: => T): T = {
-      val cm = org.apache.spark.metrics.source.CodegenMetrics
-      val c0 = cm.METRIC_COMPILATION_TIME.getCount
       val t0 = System.nanoTime(); val r = f
-      val dc = cm.METRIC_COMPILATION_TIME.getCount - c0
-      println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  janinoCompiles=+$dc"); r
+      println(f"  $label%-34s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    import operators.Dedup
+    val docs = Tables.documents(s, d)
+    // candidate volume diagnostics: how many prefix postings, raw join
+    // matches, distinct candidates, verified pairs
+    val sh = docs.select(col("doc_id").as("_id"), Dedup.shingles(col("text"), 3).as("_sh"))
+      .where(size(col("_sh")) > 0)
+    val grams = sh.select(col("_id"), explode(col("_sh")).as("_g"))
+    val dfq = grams.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_df"), col("_g"))
+    val full = byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val a = col("_s") * 1 + lit(1)
+    val ceilTs = ((a - pmod(a, lit(2))) / 2).cast("long")
+    val pfx = grams.join(dfq, "_g")
+      .select(col("_id"), col("_g"),
+        row_number().over(byDoc).as("_rn"),
+        count(lit(1)).over(full).as("_s"))
+      .where(col("_rn") <= col("_s") - ceilTs + 1)
+    println("docs=" + sh.count() + " grams=" + grams.count() +
+      " distinct_grams=" + dfq.count() + " prefix_postings=" + pfx.count())
+    val raw = pfx.as("x").join(pfx.as("y"),
+      col("x._g") === col("y._g") && col("x._id") < col("y._id") &&
+        least(col("x._s"), col("y._s")) * 2 >= greatest(col("x._s"), col("y._s")) * 1)
+    println("raw_matches=" + raw.count())
+    val pos = raw.where((lit(1) + least(col("x._s") - col("x._rn"),
+      col("y._s") - col("y._rn"))) * 3 >= (col("x._s") + col("y._s")) * 1)
+    println("pos_filtered_matches=" + pos.count())
+    println("cand_distinct=" + raw.select(col("x._id"), col("y._id")).distinct().count())
+    println("cand_pos_distinct=" + pos.select(col("x._id"), col("y._id")).distinct().count())
+
+    val posPfx = pfx.select(col("_id"), col("_g"), col("_rn"), col("_s"))
+    val cand2 = posPfx.as("x").join(posPfx.as("y"),
+        col("x._g") === col("y._g") && col("x._id") < col("y._id") &&
+        least(col("x._s"), col("y._s")) * 2 >= greatest(col("x._s"), col("y._s")) &&
+        (lit(1) + least(col("x._s") - col("x._rn"), col("y._s") - col("y._rn"))) * 3 >=
+          (col("x._s") + col("y._s")))
+      .select(col("x._id").as("doc_a"), col("y._id").as("doc_b")).distinct()
     (1 to 3).foreach { round =>
       println(s"--- round $round")
-      time("profile_columns") { noop(SparkEntry.queries("profile_columns")(s, d)) }
-      // variants: no spread, and per-column approx to see where time goes
-      val orders = Tables.orders(s, d)
-      time("profile no spread") {
-        noop(operators.Quality.profileColumns(orders,
-          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+      time("stage: pfx only") { noop(posPfx) }
+      time("stage: cand distinct") { noop(cand2) }
+      time("stage: verify only") {
+        noop(Dedup.ngramJaccard(cand2, docs.withColumnRenamed("doc_id", "did"), "did", "text", 3)
+          .where(col("jaccard") >= 0.5))
       }
-      time("single countDistinct") {
-        noop(Tables.spread(s, d, "orders", orders).agg(countDistinct(col("o_custkey"))))
-      }
-      time("4 countDistinct only") {
-        noop(Tables.spread(s, d, "orders", orders).agg(countDistinct(col("o_orderkey")),
-          countDistinct(col("o_custkey")), countDistinct(col("o_orderstatus")),
-          countDistinct(col("o_orderpriority"))))
-      }
+      time("setsim_join") { noop(SparkEntry.queries("setsim_join")(s, d)) }
+      time("setsim_join_hashed") { noop(SparkEntry.queries("setsim_join_hashed")(s, d)) }
+      time("dsir_weights") { noop(SparkEntry.queries("dsir_weights")(s, d)) }
     }
     spark.stop()
   }

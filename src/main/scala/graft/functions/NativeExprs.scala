@@ -95,6 +95,9 @@ object NativeExprs {
 
   def adcSum(table: Column, codes: Column): Column =
     GraftShims.toColumn(AdcSumExpr(GraftShims.toExpression(table), GraftShims.toExpression(codes)))
+
+  def xxhash64Array(arr: Column): Column =
+    GraftShims.toColumn(ArrayXxhash64Expr(GraftShims.toExpression(arr)))
 }
 
 /** Shared best-n-cells-by-cosine kernel of [[NearestCellsExpr]] (plan-literal
@@ -198,6 +201,55 @@ case class BloomMightContainExpr(child: Expression, bfBc: Broadcast[BloomFilter]
   * Equivalent to the declarative transform/aggregate formulation, ~500x
   * faster (compiled loop vs interpreted HOF tree).
   */
+/** Per-element Spark `xxhash64` (seed 42 — bit-identical to the builtin, so
+  * these values can join against `xxhash64(string)` keys) of an
+  * array<string>, DEDUPLICATED and sorted: the 8-byte carrier of a shingle
+  * SET for hashed set-similarity verification. |A∩B| over two such arrays
+  * equals the string-set intersection size modulo within-document hash
+  * collisions (~s²/2⁶⁴ per doc). A `transform(arr, xxhash64)` lambda would
+  * evaluate interpreted (HOFs are CodegenFallback per element); this runs
+  * one compiled loop per row. */
+case class ArrayXxhash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"xxhash64_array requires array<string>, got $other")
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var j = 0
+    var m = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        hs(m) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        m += 1
+      }
+      j += 1
+    }
+    java.util.Arrays.sort(hs, 0, m)
+    // drop duplicates (within-doc collisions or duplicate input elements)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayXxhash64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "xxhash64_array"
+}
+
 case class MinHashSigExpr(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
   import NativeExprs._

