@@ -522,6 +522,14 @@ object Dedup {
     // admits at t = 0.5. The required overlap ⌈t/(1+t)·(sa+sb)⌉ compares
     // in integer arithmetic: ubound ≥ ⌈x/(tNum+tDen)⌉ ⟺
     // ubound·(tNum+tDen) ≥ x.
+    // Join strategy, measured at sf0.1: AQE broadcasts one side of this
+    // self-join below its size threshold, which REBUILDS the pfx lineage
+    // on the broadcast side — and that measured FASTER (2.2 s) than
+    // forcing shuffle_hash on either or both sides (5.0 s): recomputing a
+    // threshold-sized posting list is cheaper than shuffling both sides.
+    // Past the broadcast threshold (real corpora) AQE plans a shuffle
+    // join whose two identical per-side shuffle stages are deduplicated
+    // by runtime stage reuse. Leave the planner unhinted.
     val cand = pfx.as("x").join(pfx.as("y"),
         col("x._g") === col("y._g") && col("x._id") < col("y._id") &&
         least(col("x._s"), col("y._s")) * tDen >=

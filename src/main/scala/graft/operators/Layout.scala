@@ -104,6 +104,37 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Bucketed co-located layout — the SHUFFLE-FREE-JOIN storage shape
+    * (Hive/Spark bucketing): rows hash into `numBuckets` files per
+    * partition by `keys`, recorded in the catalog, so a join or
+    * aggregation on those keys reads each bucket as an already-hash-
+    * partitioned split and plans NO Exchange on that side. The Z-order
+    * sibling above optimizes PREDICATE pruning; this one optimizes JOIN
+    * co-location — together they are the two storage-layout levers a
+    * 100 TB star/corpus store tunes. Two tables bucketed the same way
+    * (same keys, same count) join with zero shuffle on both sides — the
+    * fact⋈fact edge (orders⋈lineitem) that at petabyte scale is THE
+    * dominant exchange. `sortCols` adds within-bucket ordering
+    * (`sortBy`), letting sort-merge joins skip their sorts too.
+    *
+    * Catalog-backed by necessity: bucket metadata lives in the table
+    * catalog (`saveAsTable` — Spark's bucketBy contract), so callers
+    * address the layout by table name, not path. The bucket function is
+    * Spark's internal key hash — opaque to other engines by design,
+    * which is why this operator is spec-verified (plan-shape + row
+    * parity) rather than value-oracled: there is nothing engine-portable
+    * to oracle, the LAYOUT is the deliverable. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "bucketed write needs at least one key column")
+    require(numBuckets >= 1 && numBuckets <= 100000,
+      s"numBuckets must be in [1,100000], got $numBuckets")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Per-file min/max bounding boxes of `cols` under `path` — the
     * statistics a data-skipping reader consults, surfaced as a DataFrame
     * so layouts are auditable (and testable) without parsing footers. One

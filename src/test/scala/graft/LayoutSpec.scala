@@ -111,4 +111,38 @@ class LayoutSpec extends SparkSpec {
     assert(intersecting(zdir, "y", 0, 255) <= 8)
     assert(spark.read.parquet(zdir).count() == n)
   }
+
+  test("bucketed layout: co-bucketed join and bucket-key aggregation plan no shuffle") {
+    import spark.implicits._
+    val fact1 = (1L to 2000L).map(i => (i % 97, i, i * 2)).toDF("k", "a", "b")
+    val fact2 = (1L to 1500L).map(i => (i % 97, i * 3)).toDF("k", "c")
+    Layout.writeBucketed(fact1, "bkt_fact1", Seq("k"), 4, sortCols = Seq("k"))
+    Layout.writeBucketed(fact2, "bkt_fact2", Seq("k"), 4, sortCols = Seq("k"))
+    val t1 = spark.table("bkt_fact1")
+    val t2 = spark.table("bkt_fact2")
+    // row parity through the layout
+    assert(t1.count() == 2000 && t2.count() == 1500)
+    // force the join away from broadcast so co-location is what's tested
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = t1.join(t2, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+      // values still correct: spot-check against the unbucketed join
+      val expect = fact1.join(fact2, "k").count()
+      assert(joined.count() == expect)
+      // single-table aggregation on the bucket key: no exchange either
+      val agg = t1.groupBy(col("k")).agg(sum(col("a")).as("sa"))
+      val aplan = agg.queryExecution.executedPlan.toString
+      assert(!aplan.contains("Exchange"),
+        s"bucket-key aggregation must not shuffle:\n$aplan")
+      assert(agg.count() == 97)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS bkt_fact1")
+      spark.sql("DROP TABLE IF EXISTS bkt_fact2")
+    }
+  }
 }
