@@ -780,6 +780,12 @@ object SparkEntry {
     // fixed-span granularity): repeated 20-token spans keep only their
     // first corpus occurrence; docs reassembled from surviving spans
     "dedup_span" -> ((s, d) => Dedup.spanDedup(dedupCorpus(s, d), "doc_id", "text", 20)),
+    // §2.2 row 19c — CDC span dedup: content-defined chunk boundaries
+    // (rolling 4-gram hash, low-5-bit mask => ~32-token chunks), so
+    // duplicated passages dedup at ANY offset — spanDedup's documented
+    // miss class. MD5 token hash => the rolling chain replays in DuckDB.
+    "dedup_cdc" -> ((s, d) =>
+      Dedup.cdcDedup(dedupCorpus(s, d), "doc_id", "text", 4, 5, md5Hash = true)),
     // §2.2 row 20 — MinHash LSH near-dedup (banded, verified)
     "neardup_minhash" -> ((s, d) =>
       Dedup.nearDupMinHash(Tables.documents(s, d), "doc_id", "text", 3, 0.8)),
@@ -2335,6 +2341,42 @@ object SparkEntry {
         |kept AS (SELECT doc_id, pos, span, n_total FROM ranked WHERE rn = 1)
         |SELECT doc_id,
         |  string_agg(span, ' ' ORDER BY pos) AS text_dedup,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(max(n_total) - count(*) AS BIGINT) AS n_dropped
+        |FROM kept GROUP BY doc_id""".stripMargin),
+    // CDC replay: MD5 token hashes fold through the same wrapping rolling
+    // chain as the winnow oracle (HUGEINT mod 2^64); the low-5-bit
+    // boundary predicate reads only bits signed wrap preserves, so no
+    // re-signing is needed; chunk reassembly mirrors the span oracle.
+    "dedup_cdc" -> (CorpusCte + """,
+        |tw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+        |th AS (SELECT doc_id, toks,
+        |    [CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT AS HUGEINT) for t in toks] AS h
+        |  FROM tw WHERE len(toks) > 0),
+        |kg AS (SELECT doc_id, toks,
+        |    CASE WHEN len(h) >= 4 THEN
+        |      [list_reduce(h[i:i+3], (a, b) -> (a * 1000003 + b) % 18446744073709551616)
+        |       for i in range(1, len(h) - 2)]
+        |    ELSE CAST([] AS HUGEINT[]) END AS g
+        |  FROM th),
+        |bnd AS (SELECT doc_id, toks,
+        |    list_append(list_prepend(0,
+        |      list_filter([CASE WHEN g[i] % 32 = 0 AND i + 3 < len(toks) THEN i + 3 END
+        |                   for i in range(1, len(g) + 1)], x -> x IS NOT NULL)),
+        |      len(toks)) AS b
+        |  FROM kg),
+        |chs AS (SELECT doc_id,
+        |    [array_to_string(toks[b[j] + 1 : b[j + 1]], ' ') for j in range(1, len(b))] AS cs
+        |  FROM bnd),
+        |e AS (SELECT doc_id, len(cs) AS n_total,
+        |    unnest([{'p': j - 1, 'c': cs[j]} for j in range(1, len(cs) + 1)]) AS u
+        |  FROM chs),
+        |f AS (SELECT doc_id, n_total, CAST(u.p AS INT) AS pos, u.c AS chunk FROM e),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM f),
+        |kept AS (SELECT doc_id, pos, chunk, n_total FROM ranked WHERE rn = 1)
+        |SELECT doc_id,
+        |  string_agg(chunk, ' ' ORDER BY pos) AS text_dedup,
         |  CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(max(n_total) - count(*) AS BIGINT) AS n_dropped
         |FROM kept GROUP BY doc_id""".stripMargin),

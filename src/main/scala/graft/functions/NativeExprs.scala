@@ -98,6 +98,9 @@ object NativeExprs {
 
   def xxhash64Array(arr: Column): Column =
     GraftShims.toColumn(ArrayXxhash64Expr(GraftShims.toExpression(arr)))
+
+  def cdcChunks(tokens: Column, k: Int, maskBits: Int, md5Hash: Boolean = false): Column =
+    GraftShims.toColumn(CdcChunksExpr(GraftShims.toExpression(tokens), k, maskBits, md5Hash))
 }
 
 /** Shared best-n-cells-by-cosine kernel of [[NearestCellsExpr]] (plan-literal
@@ -525,6 +528,98 @@ case class WinnowExpr(child: Expression, k: Int, w: Int, md5Hash: Boolean = fals
   override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
     copy(child = newChild)
   override def prettyName: String = "winnow_fingerprints"
+}
+
+/** Content-defined chunking (the FastCDC/rsync discipline applied to token
+  * streams): cut a token array into variable-length chunks at positions
+  * where the rolling k-gram hash has its low `maskBits` bits zero —
+  * boundaries are a function of LOCAL CONTENT ONLY, so an identical
+  * passage produces identical interior chunks at ANY offset in any
+  * document. This is the position-robust complement of fixed-grid span
+  * cutting ([[graft.operators.Dedup.spanDedup]]'s documented miss class:
+  * duplicates shifted off the span grid escape it; CDC chunks catch
+  * them). Expected chunk length ≈ 2^maskBits tokens (geometric); a doc
+  * shorter than k tokens is one chunk; a boundary on the final token
+  * produces no empty trailing chunk. Chunks partition the token stream
+  * losslessly: concatenation reproduces the input tokens in order.
+  *
+  * Rolling hash: the [[WinnowExpr]] chain — per-token xxhash64 (seed 42)
+  * or MD5-top-8-bytes (`md5Hash = true`, the DuckDB-replayable oracle
+  * variant), folded as h = h·1000003 + t in wrapping 64-bit arithmetic.
+  * The boundary predicate reads only the low bits, which signed wrap
+  * preserves, so the SQL replay needs no re-signing. */
+case class CdcChunksExpr(child: Expression, k: Int, maskBits: Int, md5Hash: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(maskBits >= 1 && maskBits <= 30, s"maskBits must be in [1,30], got $maskBits")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cdc_chunks requires array<string>, got $other")
+    }
+  }
+
+  private val Base = 1000003L
+  @transient private lazy val basePowK1: Long = {
+    var p = 1L; var i = 0
+    while (i < k - 1) { p = p * Base; i += 1 }
+    p
+  }
+  private val mask = (1L << maskBits) - 1
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      toks(i) = s.toString
+      th(i) = if (md5Hash) Md5Low64(s)
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    val chunks = new scala.collection.mutable.ArrayBuffer[Any](4)
+    def emit(from: Int, until: Int): Unit = {
+      val sb = new java.lang.StringBuilder()
+      var j = from
+      while (j < until) {
+        if (j > from) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      chunks += UTF8String.fromString(sb.toString)
+    }
+    if (n < k) {
+      if (n > 0) emit(0, n)
+    } else {
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * Base + th(i); i += 1 }
+      var start = 0
+      var end = k - 1 // index of the token closing the current k-gram
+      while (end < n) {
+        // boundary AFTER `end` when the k-gram hash's low bits are zero;
+        // never cut after the last token (no empty trailing chunk)
+        if ((h & mask) == 0L && end < n - 1) {
+          emit(start, end + 1)
+          start = end + 1
+        }
+        if (end + 1 < n) h = (h - th(end - k + 1) * basePowK1) * Base + th(end + 1)
+        end += 1
+      }
+      emit(start, n)
+    }
+    new GenericArrayData(chunks.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+  override def prettyName: String = "cdc_chunks"
 }
 
 /** ADC table walk — the PQ SCORING kernel: Σ_j table[j][codes[j]], one

@@ -386,6 +386,56 @@ object Dedup {
       .select(col("_id").as("doc_id"), col("text_dedup"), col("n_kept"), col("n_dropped"))
   }
 
+  /** Content-defined-chunking span dedup — closes [[spanDedup]]'s
+    * documented miss class (duplicated passages SHIFTED off the fixed
+    * span grid escape it): chunk boundaries come from a rolling k-gram
+    * hash of the content itself (`NativeExprs.cdcChunks`, the
+    * FastCDC/rsync discipline on token streams), so an identical passage
+    * yields identical interior chunks at ANY offset in any document —
+    * those repeats collapse to their first corpus occurrence exactly like
+    * spanDedup's grid spans (smallest doc id, then earliest position),
+    * and documents reassemble from surviving chunks in order. Expected
+    * chunk length ≈ 2^maskBits tokens. Output:
+    * (doc_id, text_dedup, n_kept, n_dropped), fully-deduped docs vanish.
+    *
+    * Scale: identical to [[spanDedup]] — chunks cut map-side in one
+    * compiled pass (lossless partition of the token stream, output
+    * tokens = input tokens), first-occurrence selection is ONE shuffle
+    * keyed (xxhash64(chunk), chunk), reassembly one doc-keyed shuffle;
+    * never all-pairs, no suffix array, no driver state. Boundary-context
+    * caveat (the CDC trade): the first and last chunks of a duplicated
+    * passage include surrounding context, so only passages spanning ≥ 2
+    * boundaries (≈ 2·2^maskBits tokens) dedup their interior — shorter
+    * shifted repeats remain [[winnow]]-detection territory, spec-pinned.
+    *
+    * `md5Hash = true` is the cross-engine variant (MD5 token hash →
+    * DuckDB-replayable rolling chain, the [[WinnowExpr]] convention) the
+    * oracle gates; xxhash64 is the production default. */
+  def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 4, maskBits: Int = 5, md5Hash: Boolean = false): DataFrame = {
+    val chunks = docs
+      .select(col(idCol).as("_id"),
+        graft.functions.NativeExprs.cdcChunks(tokens(col(textCol)), k, maskBits, md5Hash)
+          .as("_ch"))
+      .where(size(col("_ch")) > 0)
+      .select(col("_id"), size(col("_ch")).as("_n_total"), posexplode(col("_ch")))
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_chunk")
+    val firstWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("_chunk")), col("_chunk"))
+      .orderBy(col("_id"), col("_pos"))
+    chunks
+      .withColumn("_rn", row_number().over(firstWin))
+      .where(col("_rn") === 1)
+      .groupBy(col("_id"))
+      .agg(
+        concat_ws(" ", org.apache.spark.sql.functions.transform(
+          array_sort(collect_list(struct(col("_pos"), col("_chunk")))),
+          s => s.getField("_chunk"))).as("text_dedup"),
+        count(lit(1)).as("n_kept"),
+        (max(col("_n_total")) - count(lit(1))).cast("long").as("n_dropped"))
+      .select(col("_id").as("doc_id"), col("text_dedup"), col("n_kept"), col("n_dropped"))
+  }
+
   /** Cross-source n-gram overlap matrix — the corpus-curation diagnostic
     * behind mixture design and leakage checks: for every pair of sources,
     * the EXACT Jaccard of their distinct shingle vocabularies (how much of

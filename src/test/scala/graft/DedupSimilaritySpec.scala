@@ -972,6 +972,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hashed == exact)
   }
 
+  test("cdcChunks partition the token stream losslessly (both hash variants)") {
+    val docs = setSimCorpus
+    for (md5 <- Seq(false, true)) {
+      val out = docs.select(col("text"),
+          concat_ws(" ", graft.functions.NativeExprs.cdcChunks(
+            Dedup.tokens(col("text")), 4, 3, md5)).as("j"))
+        .as[(String, String)].collect()
+      out.foreach { case (t, j) =>
+        assert(j == t.trim.split("\\s+").mkString(" "), s"md5=$md5 lossy for: $t")
+      }
+    }
+  }
+
+  test("cdcDedup removes shifted duplicated passages spanDedup's grid misses") {
+    val rnd = new scala.util.Random(7)
+    def words(n: Int, tag: String) = Array.tabulate(n)(i => s"$tag${rnd.nextInt(1000)}x$i")
+    val passage = words(200, "p").mkString(" ")
+    val a = words(13, "a").mkString(" ") + " " + passage + " " + words(9, "z").mkString(" ")
+    val b = words(6, "b").mkString(" ") + " " + passage + " " + words(17, "q").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    // 20-token grid, passage offsets 13 vs 6: no span of doc 2 aligns with
+    // any span of doc 1, so the fixed grid misses the whole duplication
+    val span = Dedup.spanDedup(docs, "doc_id", "text", 20)
+      .where(col("doc_id") === 2).select(col("n_dropped")).as[Long].head()
+    assert(span == 0, "grid spans must miss the shifted duplicate for the test to bite")
+    // CDC boundaries are content-defined: the passage's interior chunks are
+    // identical in both docs and collapse to doc 1's occurrence
+    for (md5 <- Seq(false, true)) {
+      val cdc = Dedup.cdcDedup(docs, "doc_id", "text", 4, 4, md5)
+        .where(col("doc_id") === 2).select(col("n_dropped")).as[Long].head()
+      assert(cdc > 0, s"cdc (md5=$md5) must drop interior chunks of the shifted passage")
+    }
+  }
+
+  test("cdcDedup: an exact duplicate document vanishes entirely (C4 empty-doc rule)") {
+    val docs = setSimCorpus
+    val withDup = docs.unionByName(
+      docs.where(col("doc_id") === 3L).select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    val out = Dedup.cdcDedup(withDup, "doc_id", "text", 4, 3)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(!out.contains(1003L), "the full duplicate must lose every chunk")
+    assert(out.contains(3L), "the first occurrence survives")
+  }
+
   test("setSimJoin covers pairs the default MinHash banding can miss") {
     val docs = setSimCorpus
     val exact = Dedup.setSimJoin(docs, "doc_id", "text", 3, 1, 2)
