@@ -190,6 +190,39 @@ object SparkEntry {
       |  UNION ALL SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
       |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
 
+  /** CDC rolling-chain replay, shared by the `dedup_cdc` and
+    * `boilerplate_scrub` oracles: MD5 token hashes fold through the same
+    * wrapping rolling chain as the winnow oracle (HUGEINT mod 2^64); the
+    * low-bit boundary predicate (`g % maskMod`, maskMod = 2^maskBits)
+    * reads only bits signed wrap preserves, so no re-signing is needed.
+    * Emits CTEs (no leading WITH) ending in
+    * `f(doc_id, n_total, pos, chunk)` — one row per content-defined
+    * chunk of `src`, in document order. */
+  private def cdcChainCtes(src: String, maskMod: Int): String =
+    s"""tw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM $src),
+       |th AS (SELECT doc_id, toks,
+       |    [CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT AS HUGEINT) for t in toks] AS h
+       |  FROM tw WHERE len(toks) > 0),
+       |kg AS (SELECT doc_id, toks,
+       |    CASE WHEN len(h) >= 4 THEN
+       |      [list_reduce(h[i:i+3], (a, b) -> (a * 1000003 + b) % 18446744073709551616)
+       |       for i in range(1, len(h) - 2)]
+       |    ELSE CAST([] AS HUGEINT[]) END AS g
+       |  FROM th),
+       |bnd AS (SELECT doc_id, toks,
+       |    list_append(list_prepend(0,
+       |      list_filter([CASE WHEN g[i] % $maskMod = 0 AND i + 3 < len(toks) THEN i + 3 END
+       |                   for i in range(1, len(g) + 1)], x -> x IS NOT NULL)),
+       |      len(toks)) AS b
+       |  FROM kg),
+       |chs AS (SELECT doc_id,
+       |    [array_to_string(toks[b[j] + 1 : b[j + 1]], ' ') for j in range(1, len(b))] AS cs
+       |  FROM bnd),
+       |e AS (SELECT doc_id, len(cs) AS n_total,
+       |    unnest([{'p': j - 1, 'c': cs[j]} for j in range(1, len(cs) + 1)]) AS u
+       |  FROM chs),
+       |f AS (SELECT doc_id, n_total, CAST(u.p AS INT) AS pos, u.c AS chunk FROM e)""".stripMargin
+
   // Embedding near-dup corpus: embeddings plus planted duplicates — exact
   // copies (cos = 1.0) and single-component perturbations (cos ≈ 0.999) —
   // so the near-dup gates verify real pairs instead of an empty result.
@@ -786,6 +819,14 @@ object SparkEntry {
     // miss class. MD5 token hash => the rolling chain replays in DuckDB.
     "dedup_cdc" -> ((s, d) =>
       Dedup.cdcDedup(dedupCorpus(s, d), "doc_id", "text", 4, 5, md5Hash = true)),
+    // §2.2 row 19d — boilerplate scrub: CDC chunks at the ~4-token scale
+    // occurring in >= 3 DISTINCT docs are template noise and drop from
+    // EVERY doc (no canonical first copy — the CCNet/RefinedWeb
+    // discipline, vs dedup_cdc's keep-first). Plain documents: natural
+    // cross-doc fragment repeats are exactly the boilerplate signal.
+    "boilerplate_scrub" -> ((s, d) =>
+      Dedup.boilerplateScrub(Tables.documents(s, d), "doc_id", "text", 4, 2, 3,
+        md5Hash = true)),
     // §2.2 row 20 — MinHash LSH near-dedup (banded, verified)
     "neardup_minhash" -> ((s, d) =>
       Dedup.nearDupMinHash(Tables.documents(s, d), "doc_id", "text", 3, 0.8)),
@@ -827,6 +868,13 @@ object SparkEntry {
       TextAnalysis.sampleWeighted(Tables.documents(s, d), "lang", "doc_id",
         Map("en" -> 1.0, "zh" -> 0.5, "es" -> 0.25, "de" -> 0.1), 0.75)
         .select(col("doc_id"), col("lang"))),
+    // §2.2 row 29s — priority sampling (Duffield-Lund-Thorup): k=200
+    // weight-proportional WITHOUT replacement by n_chars + the unbiased
+    // max(w, tau) subset-sum estimator; priorities use only exact IEEE
+    // ops (md5-derived dyadic u, one division) so the doubles
+    // hash-match the SQL replay bit-for-bit
+    "sample_priority" -> ((s, d) =>
+      TextAnalysis.samplePriority(Tables.documents(s, d), "doc_id", "n_chars", 200)),
     // §2.2 row 29j — deterministic global corpus shuffle (training order);
     // two-phase bucket rank, no single-partition window
     "corpus_shuffle" -> ((s, d) =>
@@ -2344,39 +2392,25 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(max(n_total) - count(*) AS BIGINT) AS n_dropped
         |FROM kept GROUP BY doc_id""".stripMargin),
-    // CDC replay: MD5 token hashes fold through the same wrapping rolling
-    // chain as the winnow oracle (HUGEINT mod 2^64); the low-5-bit
-    // boundary predicate reads only bits signed wrap preserves, so no
-    // re-signing is needed; chunk reassembly mirrors the span oracle.
-    "dedup_cdc" -> (CorpusCte + """,
-        |tw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM corpus),
-        |th AS (SELECT doc_id, toks,
-        |    [CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT AS HUGEINT) for t in toks] AS h
-        |  FROM tw WHERE len(toks) > 0),
-        |kg AS (SELECT doc_id, toks,
-        |    CASE WHEN len(h) >= 4 THEN
-        |      [list_reduce(h[i:i+3], (a, b) -> (a * 1000003 + b) % 18446744073709551616)
-        |       for i in range(1, len(h) - 2)]
-        |    ELSE CAST([] AS HUGEINT[]) END AS g
-        |  FROM th),
-        |bnd AS (SELECT doc_id, toks,
-        |    list_append(list_prepend(0,
-        |      list_filter([CASE WHEN g[i] % 32 = 0 AND i + 3 < len(toks) THEN i + 3 END
-        |                   for i in range(1, len(g) + 1)], x -> x IS NOT NULL)),
-        |      len(toks)) AS b
-        |  FROM kg),
-        |chs AS (SELECT doc_id,
-        |    [array_to_string(toks[b[j] + 1 : b[j + 1]], ' ') for j in range(1, len(b))] AS cs
-        |  FROM bnd),
-        |e AS (SELECT doc_id, len(cs) AS n_total,
-        |    unnest([{'p': j - 1, 'c': cs[j]} for j in range(1, len(cs) + 1)]) AS u
-        |  FROM chs),
-        |f AS (SELECT doc_id, n_total, CAST(u.p AS INT) AS pos, u.c AS chunk FROM e),
+    // CDC replay (chain in cdcChainCtes): keep first corpus occurrence of
+    // every chunk, reassemble — mirrors the span oracle's tail.
+    "dedup_cdc" -> (CorpusCte + ",\n" + cdcChainCtes("corpus", 32) + """,
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
         |  FROM f),
         |kept AS (SELECT doc_id, pos, chunk, n_total FROM ranked WHERE rn = 1)
         |SELECT doc_id,
         |  string_agg(chunk, ' ' ORDER BY pos) AS text_dedup,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(max(n_total) - count(*) AS BIGINT) AS n_dropped
+        |FROM kept GROUP BY doc_id""".stripMargin),
+    // Boilerplate scrub: same CDC chain at the ~4-token chunk scale over
+    // plain documents; chunks in >= 3 distinct docs drop from EVERY doc.
+    "boilerplate_scrub" -> ("WITH " + cdcChainCtes("documents", 4) + """,
+        |dfx AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
+        |kept AS (SELECT f.doc_id, f.pos, f.chunk, f.n_total
+        |  FROM f JOIN dfx USING (chunk) WHERE dfx.df < 3)
+        |SELECT doc_id,
+        |  string_agg(chunk, ' ' ORDER BY pos) AS text_clean,
         |  CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(max(n_total) - count(*) AS BIGINT) AS n_dropped
         |FROM kept GROUP BY doc_id""".stripMargin),
@@ -2436,6 +2470,22 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 'g' WHEN 'zh' THEN '80000000'
         |            WHEN 'es' THEN '40000000' WHEN 'de' THEN '19999999'
         |            ELSE 'c0000000' END""".stripMargin,
+    // Priority sampling: u = (52-bit md5 prefix + 0.5) / 2^52 is a dyadic
+    // rational (every op exact in doubles), priority = weight / u one
+    // correctly-rounded division — bit-identical to Spark, so the float
+    // columns hash-match without decimal laundering.
+    "sample_priority" ->
+      """WITH s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT AS DOUBLE)
+        |        + 0.5) / 4503599627370496.0) AS priority
+        |  FROM documents),
+        |top AS (SELECT * FROM s ORDER BY priority DESC, doc_id LIMIT 201),
+        |m AS (SELECT min(priority) AS tau, count(*) AS n FROM top)
+        |SELECT doc_id, weight, priority,
+        |  CASE WHEN m.n <= 200 THEN weight ELSE greatest(weight, m.tau) END AS w_est
+        |FROM top, m
+        |QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 200""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -413,27 +413,77 @@ object Dedup {
     * oracle gates; xxhash64 is the production default. */
   def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 4, maskBits: Int = 5, md5Hash: Boolean = false): DataFrame = {
-    val chunks = docs
+    val chunks = cdcExploded(docs, idCol, textCol, k, maskBits, md5Hash)
+    val firstWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("_chunk")), col("_chunk"))
+      .orderBy(col("_id"), col("_pos"))
+    reassembleChunks(
+      chunks.withColumn("_rn", row_number().over(firstWin)).where(col("_rn") === 1),
+      "text_dedup")
+  }
+
+  /** Shared CDC prelude: cut each doc's token stream with
+    * [[graft.functions.NativeExprs.cdcChunks]] and explode to one row per
+    * chunk — (_id, _n_total, _pos, _chunk). Map-side only. */
+  private def cdcExploded(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, maskBits: Int, md5Hash: Boolean): DataFrame =
+    docs
       .select(col(idCol).as("_id"),
         graft.functions.NativeExprs.cdcChunks(tokens(col(textCol)), k, maskBits, md5Hash)
           .as("_ch"))
       .where(size(col("_ch")) > 0)
       .select(col("_id"), size(col("_ch")).as("_n_total"), posexplode(col("_ch")))
       .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_chunk")
-    val firstWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col("_chunk")), col("_chunk"))
-      .orderBy(col("_id"), col("_pos"))
-    chunks
-      .withColumn("_rn", row_number().over(firstWin))
-      .where(col("_rn") === 1)
+
+  /** Shared reassembly: surviving (_id, _pos, _chunk, _n_total) rows back to
+    * one doc row in original chunk order — (doc_id, `outCol`, n_kept,
+    * n_dropped); docs with zero surviving chunks vanish. One doc-keyed
+    * shuffle. */
+  private def reassembleChunks(kept: DataFrame, outCol: String): DataFrame =
+    kept
       .groupBy(col("_id"))
       .agg(
         concat_ws(" ", org.apache.spark.sql.functions.transform(
           array_sort(collect_list(struct(col("_pos"), col("_chunk")))),
-          s => s.getField("_chunk"))).as("text_dedup"),
+          s => s.getField("_chunk"))).as(outCol),
         count(lit(1)).as("n_kept"),
         (max(col("_n_total")) - count(lit(1))).cast("long").as("n_dropped"))
-      .select(col("_id").as("doc_id"), col("text_dedup"), col("n_kept"), col("n_dropped"))
+      .select(col("_id").as("doc_id"), col(outCol), col("n_kept"), col("n_dropped"))
+
+  /** Boilerplate-chunk scrub — the CCNet/RefinedWeb curation discipline
+    * that is NOT first-occurrence dedup: a chunk occurring in `maxDf` or
+    * more DISTINCT documents is template/boilerplate (headers, footers,
+    * navigation, license blurbs at web scale) and is dropped from EVERY
+    * document, including the first — no occurrence is canonical. Chunks
+    * come from the same content-defined cutting as [[cdcDedup]] (so the
+    * same boilerplate passage collapses to identical chunks at any offset
+    * in any page); small `maskBits` (default 2, ≈4-token chunks) targets
+    * the short repeated-fragment regime boilerplate lives in. Output:
+    * (doc_id, text_clean, n_kept, n_dropped); a fully-boilerplate doc
+    * vanishes.
+    *
+    * Scale: document frequency is computed INSIDE one chunk-keyed window
+    * shuffle (dense_rank over doc id, then its partition max = exact
+    * count-distinct-docs) — the df verdict rides alongside the payload
+    * rows, so there is no df-table join-back; reassembly is the one
+    * doc-keyed shuffle shared with [[cdcDedup]]. Never all-pairs, no
+    * driver state. */
+  def boilerplateScrub(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 4, maskBits: Int = 2, maxDf: Int = 3,
+                       md5Hash: Boolean = false): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (1 would scrub every chunk), got $maxDf")
+    val chunks = cdcExploded(docs, idCol, textCol, k, maskBits, md5Hash)
+    val byChunkOrdered = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("_chunk")), col("_chunk"))
+      .orderBy(col("_id"))
+    val byChunk = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("_chunk")), col("_chunk"))
+    reassembleChunks(
+      chunks
+        .withColumn("_dr", dense_rank().over(byChunkOrdered))
+        .withColumn("_df", max(col("_dr")).over(byChunk))
+        .where(col("_df") < maxDf),
+      "text_clean")
   }
 
   /** Cross-source n-gram overlap matrix — the corpus-curation diagnostic

@@ -171,6 +171,57 @@ object TextAnalysis {
       .drop("_rk")
   }
 
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007) — weight-
+    * proportional sampling WITHOUT replacement with an UNBIASED subset-sum
+    * estimator, the missing complement of [[sampleWeighted]] (independent
+    * Bernoulli keeps, sample size varies) and [[sampleStratified]]
+    * (uniform within stratum): every row gets priority q = w / u with
+    * u ~ Uniform(0,1); the k highest-priority rows are the sample, the
+    * (k+1)-th priority is the threshold τ, and ŵ = max(w, τ) estimates so
+    * that any subset's Σŵ over the sample is unbiased for its true Σw —
+    * a k-row sketch that answers weighted-total queries over a 100 TB
+    * corpus. If N ≤ k the whole population returns and ŵ = w exactly.
+    *
+    * DETERMINISTIC AND BIT-EXACT CROSS-ENGINE by construction: u derives
+    * from md5(id) — the first 13 hex chars as a 52-bit integer h, then
+    * u = (h + 0.5) / 2^52. Both h + 0.5 (53-bit significand) and the
+    * power-of-two division are EXACT in IEEE doubles, and w / u is one
+    * correctly-rounded division — so unlike ln-based Efraimidis–Spirakis
+    * keys (transcendental, libm-dependent), every priority is
+    * bit-identical in any engine and the sample hash-matches a SQL
+    * replay. No RNG, stable under retry.
+    *
+    * Scale: one map-side priority expression + ONE distributed top-(k+1)
+    * (TakeOrderedAndProject — per-partition bounded heaps, no global
+    * sort, no shuffle of the corpus); the two unpartitioned windows rank
+    * the ≤ k+1-row post-limit result (driver-bounded by construction, the
+    * vocab_top precedent). Output: (id, weight, priority, w_est). */
+  def samplePriority(docs: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h52 = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    val u = (h52 + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val top = docs
+      .select(col(idCol), col(weightCol).cast("double").as("weight"),
+        (col(weightCol).cast("double") / u).as("priority"))
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k + 1)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col(idCol).asc)
+    val wFull = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    top
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_n", count(lit(1)).over(wFull))
+      .withColumn("_tau", min(col("priority")).over(wFull))
+      .where(col("_rn") <= k)
+      .select(col(idCol), col("weight"), col("priority"),
+        when(col("_n") <= k, col("weight"))
+          .otherwise(greatest(col("weight"), col("_tau"))).as("w_est"))
+  }
+
   /** Deterministic global corpus shuffle — the "shuffle the training data"
     * step before sequence packing: every document gets a stable
     * pseudo-random global position 1..N by ranking md5(id). The rank runs

@@ -1016,6 +1016,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.contains(3L), "the first occurrence survives")
   }
 
+  test("boilerplateScrub drops >=maxDf-doc chunks from EVERY doc, keeps the rest") {
+    val rnd = new scala.util.Random(11)
+    def words(n: Int, tag: String) = Array.tabulate(n)(i => s"$tag${rnd.nextInt(1000)}v$i")
+    // boilerplate: one fragment long enough to span interior CDC chunks,
+    // planted in three docs at different offsets; unique prefix/suffix
+    val boiler = words(120, "bp").mkString(" ")
+    val docs = Seq(
+      (1L, words(5, "a").mkString(" ") + " " + boiler + " " + words(7, "a2").mkString(" ")),
+      (2L, words(9, "b").mkString(" ") + " " + boiler),
+      (3L, boiler + " " + words(4, "c").mkString(" ")),
+      (4L, words(40, "d").mkString(" "))).toDF("doc_id", "text")
+    for (md5 <- Seq(false, true)) {
+      val out = Dedup.boilerplateScrub(docs, "doc_id", "text", 4, 3, 3, md5)
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      // ALL THREE carriers lose interior boilerplate chunks — no doc is
+      // canonical (the keep-first contrast with cdcDedup)
+      Seq(1L, 2L, 3L).foreach { id =>
+        assert(out(id)._4 > 0, s"md5=$md5 doc $id must drop boilerplate chunks")
+      }
+      // the boilerplate-free doc reassembles losslessly
+      assert(out(4L)._2 == docs.where(col("doc_id") === 4)
+        .select(col("text")).as[String].head() && out(4L)._4 == 0)
+    }
+  }
+
+  test("boilerplateScrub df counts DISTINCT docs, not occurrences") {
+    // the repeated fragment appears TWICE in one doc but only in that doc:
+    // df = 1 < maxDf = 2, so nothing is scrubbed anywhere
+    val rnd = new scala.util.Random(13)
+    def words(n: Int, tag: String) = Array.tabulate(n)(i => s"$tag${rnd.nextInt(1000)}u$i")
+    val frag = words(60, "f").mkString(" ")
+    val docs = Seq(
+      (1L, frag + " " + words(3, "m").mkString(" ") + " " + frag),
+      (2L, words(30, "n").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.boilerplateScrub(docs, "doc_id", "text", 4, 3, 2)
+      .select(col("doc_id"), col("n_dropped")).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("setSimJoin covers pairs the default MinHash banding can miss") {
     val docs = setSimCorpus
     val exact = Dedup.setSimJoin(docs, "doc_id", "text", 3, 1, 2)

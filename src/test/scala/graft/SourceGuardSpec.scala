@@ -55,9 +55,11 @@ class SourceGuardSpec extends AnyFunSpec {
     "graft/operators/Similarity.scala" -> 2)
 
   private val windowOrderByBudget = Map(
-    // vocab_top ranks a 30-row post-limit output — the one audited
-    // unpartitioned window (dimension-sized by construction)
-    "graft/operators/TextAnalysis.scala" -> 1)
+    // vocab_top ranks a 30-row post-limit output, and samplePriority
+    // ranks its ≤ k+1-row post-limit top set — both unpartitioned
+    // windows run over driver-bounded results (dimension-sized by
+    // construction), never the corpus
+    "graft/operators/TextAnalysis.scala" -> 2)
 
   private val mapPartitionsBudget = Map(
     // opaque-binary decode: no Catalyst expression form exists

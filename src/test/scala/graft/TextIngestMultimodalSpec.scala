@@ -221,6 +221,34 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(s1.groupBy(_._2).view.mapValues(_.length).toMap == Map("web" -> 3, "book" -> 3))
   }
 
+  test("samplePriority matches a local brute-force of the DLT scheme exactly") {
+    val docs = (1L to 300L).map(i => (i, 10L + (i * 7) % 90)).toDF("doc_id", "w")
+    val k = 50
+    // local replay: u = (first 13 md5 hex chars + 0.5) / 2^52, q = w / u
+    def prio(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.substring(0, 13), 16)
+      w.toDouble / ((h.toDouble + 0.5) / 4503599627370496.0)
+    }
+    val local = (1L to 300L).map(i => (i, 10L + (i * 7) % 90))
+      .map { case (i, w) => (i, w, prio(i, w)) }.sortBy(r => (-r._3, r._1))
+    val tau = local(k)._3
+    val expect = local.take(k).map { case (i, w, q) =>
+      (i, w.toDouble, q, math.max(w.toDouble, tau)) }.toSet
+    val out = TextAnalysis.samplePriority(docs, "doc_id", "w", k)
+      .as[(Long, Double, Double, Double)].collect().toSet
+    assert(out == expect) // bit-exact: selection, priorities, AND estimator
+  }
+
+  test("samplePriority: N <= k returns everything with w_est = weight") {
+    val docs = (1L to 8L).map(i => (i, i * 3)).toDF("doc_id", "w")
+    val out = TextAnalysis.samplePriority(docs, "doc_id", "w", 20)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(out.length == 8)
+    assert(out.forall { case (_, w, _, est) => est == w })
+  }
+
   test("seqPack assigns bins by running token budget per stratum") {
     val docs = Seq(
       (1L, "s", "a b c"), (2L, "s", "d e f"), (3L, "s", "g h"), (4L, "t", "x")
