@@ -875,6 +875,12 @@ object SparkEntry {
     // hash-match the SQL replay bit-for-bit
     "sample_priority" -> ((s, d) =>
       TextAnalysis.samplePriority(Tables.documents(s, d), "doc_id", "n_chars", 200)),
+    // §2.2 row 29o, per-stratum form: an independent DLT sample of 50 per
+    // language — partitioned windows only (the large-k/many-strata shape:
+    // no k-row funnel through one task)
+    "sample_priority_strat" -> ((s, d) =>
+      TextAnalysis.samplePriorityPerStratum(Tables.documents(s, d),
+        "lang", "doc_id", "n_chars", 50)),
     // §2.2 row 29j — deterministic global corpus shuffle (training order);
     // two-phase bucket rank, no single-partition window
     "corpus_shuffle" -> ((s, d) =>
@@ -2486,6 +2492,19 @@ object SparkEntry {
         |  CASE WHEN m.n <= 200 THEN weight ELSE greatest(weight, m.tau) END AS w_est
         |FROM top, m
         |QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 200""".stripMargin,
+    "sample_priority_strat" ->
+      """WITH s AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT AS DOUBLE)
+        |        + 0.5) / 4503599627370496.0) AS priority
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn FROM s),
+        |t AS (SELECT *, max(CASE WHEN rn = 51 THEN priority END)
+        |    OVER (PARTITION BY lang) AS tau FROM r)
+        |SELECT lang, doc_id, weight, priority,
+        |  CASE WHEN tau IS NULL THEN weight ELSE greatest(weight, tau) END AS w_est
+        |FROM t WHERE rn <= 50""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -472,12 +472,17 @@ object Dedup {
                        k: Int = 4, maskBits: Int = 2, maxDf: Int = 3,
                        md5Hash: Boolean = false): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (1 would scrub every chunk), got $maxDf")
+    // the 8-byte hash key is MATERIALIZED as a column (not written inline in
+    // partitionBy) so both window specs share one attribute-based required
+    // distribution — inline expression keys defeat exchange reuse and the
+    // plan pays a second corpus-wide shuffle (plan-read on this operator)
     val chunks = cdcExploded(docs, idCol, textCol, k, maskBits, md5Hash)
+      .withColumn("_hk", xxhash64(col("_chunk")))
     val byChunkOrdered = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col("_chunk")), col("_chunk"))
+      .partitionBy(col("_hk"), col("_chunk"))
       .orderBy(col("_id"))
     val byChunk = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col("_chunk")), col("_chunk"))
+      .partitionBy(col("_hk"), col("_chunk"))
     reassembleChunks(
       chunks
         .withColumn("_dr", dense_rank().over(byChunkOrdered))

@@ -195,7 +195,12 @@ object TextAnalysis {
     * (TakeOrderedAndProject — per-partition bounded heaps, no global
     * sort, no shuffle of the corpus); the two unpartitioned windows rank
     * the ≤ k+1-row post-limit result (driver-bounded by construction, the
-    * vocab_top precedent). Output: (id, weight, priority, w_est). */
+    * vocab_top precedent). Output: (id, weight, priority, w_est).
+    *
+    * Weight domain (both forms): the DLT scheme assumes w > 0 (size and
+    * score weights are). A zero weight gets priority 0 and is never
+    * sampled before any positive-weight row; negative weights are outside
+    * the estimator's contract — filter upstream. */
   def samplePriority(docs: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -219,6 +224,38 @@ object TextAnalysis {
       .where(col("_rn") <= k)
       .select(col(idCol), col("weight"), col("priority"),
         when(col("_n") <= k, col("weight"))
+          .otherwise(greatest(col("weight"), col("_tau"))).as("w_est"))
+  }
+
+  /** Per-stratum priority sampling — [[samplePriority]]'s partition-parallel
+    * form: an independent Duffield–Lund–Thorup sample of k rows per stratum
+    * (per language, per source), each with its own threshold τ_s and the
+    * same unbiased max(w, τ_s) estimator. This is the 100 TB shape when k
+    * itself is large or strata are many: PARTITIONED windows only — every
+    * stratum ranks in parallel on its own executor set and no k-row set
+    * funnels through one task (the global variant's top-(k+1) reduce).
+    * Same exact-IEEE priority construction, so results hash-match a SQL
+    * replay bit-for-bit. A stratum with ≤ k rows returns whole (τ_s is
+    * NULL — the rank k+1 row does not exist — and ŵ = w). Output:
+    * (stratum, id, weight, priority, w_est). One stratum-keyed shuffle;
+    * both window specs (rank, τ_s pluck) share its exchange. */
+  def samplePriorityPerStratum(docs: DataFrame, stratumCol: String, idCol: String,
+                               weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h52 = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    val u = (h52 + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("priority").desc, col(idCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+    docs
+      .select(col(stratumCol), col(idCol), col(weightCol).cast("double").as("weight"),
+        (col(weightCol).cast("double") / u).as("priority"))
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_tau", max(when(col("_rn") === k + 1, col("priority"))).over(wAll))
+      .where(col("_rn") <= k)
+      .select(col(stratumCol), col(idCol), col("weight"), col("priority"),
+        when(col("_tau").isNull, col("weight"))
           .otherwise(greatest(col("weight"), col("_tau"))).as("w_est"))
   }
 

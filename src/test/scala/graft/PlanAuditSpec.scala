@@ -408,4 +408,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
       s"interleave must be codegen'd arithmetic:\n$p")
   }
+
+  test("boilerplate_scrub: both df windows share ONE chunk-keyed exchange") {
+    // the materialized _hk column makes the two window specs' required
+    // distributions attribute-identical; regressing to inline expression
+    // keys re-adds a corpus-wide shuffle (measured +18% at sf0.1)
+    val p = planOf("boilerplate_scrub")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Window")) +
+      p.linesIterator.count(_.trim.startsWith(":- Window")) >= 1, s"windows lost:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected exactly the chunk-keyed + doc-keyed exchanges:\n$p")
+  }
+
+  test("sample_priority: distributed top-(k+1), no corpus shuffle or global sort") {
+    val p = planOf("sample_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-(k+1) must be per-partition bounded heaps:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus must never shuffle on a key:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("BatchEvalPython"),
+      s"priority must be codegen'd arithmetic:\n$p")
+  }
 }

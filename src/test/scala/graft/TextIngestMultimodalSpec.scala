@@ -241,6 +241,30 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out == expect) // bit-exact: selection, priorities, AND estimator
   }
 
+  test("samplePriorityPerStratum: independent exact DLT sample per stratum") {
+    // stratum "big" (40 rows) exercises the tau path, "tiny" (3 rows) the
+    // whole-population path — both against a local per-stratum brute force
+    val rows = (1L to 40L).map(i => ("big", i, 5L + i % 17)) ++
+      (101L to 103L).map(i => ("tiny", i, i))
+    val docs = rows.toDF("src", "doc_id", "w")
+    def prio(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.substring(0, 13), 16)
+      w.toDouble / ((h.toDouble + 0.5) / 4503599627370496.0)
+    }
+    val k = 10
+    val expect = rows.groupBy(_._1).flatMap { case (src, rs) =>
+      val ranked = rs.map { case (_, i, w) => (i, w, prio(i, w)) }.sortBy(r => (-r._3, r._1))
+      val tau = if (ranked.length > k) Some(ranked(k)._3) else None
+      ranked.take(k).map { case (i, w, q) =>
+        (src, i, w.toDouble, q, tau.fold(w.toDouble)(t => math.max(w.toDouble, t))) }
+    }.toSet
+    val out = TextAnalysis.samplePriorityPerStratum(docs, "src", "doc_id", "w", k)
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(out == expect)
+  }
+
   test("samplePriority: N <= k returns everything with w_est = weight") {
     val docs = (1L to 8L).map(i => (i, i * 3)).toDF("doc_id", "w")
     val out = TextAnalysis.samplePriority(docs, "doc_id", "w", 20)
