@@ -844,6 +844,12 @@ object SparkEntry {
     "setsim_join_hashed" -> ((s, d) =>
       Dedup.setSimJoin(Tables.documents(s, d), "doc_id", "text", 3, 1, 2,
         hashKeys = true)),
+    // §2.2 row 20h — exact ASYMMETRIC containment join at C >= 0.6: the
+    // short-doc-embedded-in-long-doc class every symmetric threshold
+    // (Jaccard/minhash/simhash) passes by; sub-side-only prefix filter,
+    // sup side contributes full postings
+    "containment_join" -> ((s, d) =>
+      Dedup.containmentJoin(Tables.documents(s, d), "doc_id", "text", 3, 3, 5)),
     // §2.2 row 20c — near-dup pairs -> dedup DECISION: connected components
     // over the MinHash pair graph, one kept representative per cluster
     "dedup_cluster" -> ((s, d) => {
@@ -2434,6 +2440,17 @@ object SparkEntry {
     // contract here (PPJoin guarantees completeness, not approximation),
     // so any miss by the prefix filter is a hard red, not noise.
     "setsim_join" -> SetSimJoinSql,
+    // Asymmetric containment, all-pairs brute force — completeness IS the
+    // contract (ordered pairs: exact copies qualify in both directions).
+    "containment_join" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |pairs AS (SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id)
+        |SELECT doc_sub, doc_sup, containment FROM pairs WHERE containment >= 0.6""".stripMargin,
     // Same oracle verbatim: hashed shingle keys change only the shuffle
     // representation; the verify stage scores true shingle arrays.
     "setsim_join_hashed" -> SetSimJoinSql,

@@ -652,6 +652,76 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** EXACT set-containment join — the ASYMMETRIC miss class of every
+    * symmetric-threshold join in this file: a short document embedded in a
+    * long one (a quoted passage, a syndicated article inside an
+    * aggregator page, a doc re-published with added commentary) has
+    * containment C(A,B) = |A∩B| / |A| ≈ 1 while its symmetric Jaccard
+    * |A∩B| / |A∪B| ≈ |A|/|B| falls below any useful threshold — so
+    * [[setSimJoin]], [[nearDupMinHash]], and [[nearDupSimHash]] all pass
+    * it by (spec-pinned). Emits every ORDERED pair (doc_sub, doc_sup)
+    * with C(sub→sup) ≥ tNum/tDen (exact copies qualify in both
+    * directions), plus the exact 6dp containment.
+    *
+    * Completeness (AllPairs prefix filter, asymmetric form): shingles are
+    * globally df-ascending-ordered; only the SUB side is prefix-cut — if
+    * none of A's first s_A − ⌈t·s_A⌉ + 1 shingles hit B, the ≥ ⌈t·s_A⌉
+    * shared shingles would have to fit in A's ⌈t·s_A⌉ − 1 suffix slots.
+    * The SUP side has no prefix bound (containment does not constrain
+    * |B|), so it contributes its FULL postings. Candidates still cannot
+    * explode: they form only in buckets of SUB-PREFIX shingles, and
+    * df-ascending ordering makes those exactly the rare ones — a
+    * high-frequency shingle never leads a prefix. Length
+    * (|B|·tDen ≥ |A|·tNum, from |B| ≥ |A∩B|) and the one-sided PPJoin
+    * positional bound ((1 + min(s_a − rn_a, s_b − rn_b))·tDen ≥ s_a·tNum)
+    * prune inside the join in exact integer arithmetic. Shuffle
+    * inventory matches [[setSimJoin]]; the join's two sides share the
+    * ranked-postings subtree (its doc-keyed window exchange plans once).
+    *
+    * `hashKeys = true` is the same 8-byte petabyte carrier as
+    * [[setSimJoin]] (identical output modulo ~s²/2⁶⁴ within-doc
+    * collisions, spec-pinned identical). */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, tNum: Int = 3, tDen: Int = 5,
+                      hashKeys: Boolean = false): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
+    val sh0 = docs.select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
+      .where(size(col("_sh")) > 0)
+    val sh =
+      if (hashKeys)
+        sh0.select(col("_id"), graft.functions.NativeExprs.xxhash64Array(col("_sh")).as("_sh"))
+      else sh0
+    val grams = sh.select(col("_id"), explode(col("_sh")).as("_g"))
+    val dfq = grams.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_df"), col("_g"))
+    val full = byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ranked = grams.join(dfq, "_g")
+      .select(col("_id"), col("_g"),
+        row_number().over(byDoc).as("_rn"),
+        count(lit(1)).over(full).as("_s"))
+    val a = col("_s") * tNum + lit(tDen - 1)
+    val ceilTs = ((a - pmod(a, lit(tDen))) / tDen).cast("long")
+    val pfx = ranked.where(col("_rn") <= col("_s") - ceilTs + 1)
+    val cand = pfx.as("x").join(ranked.as("y"),
+        col("x._g") === col("y._g") && col("x._id") =!= col("y._id") &&
+        col("y._s") * tDen >= col("x._s") * tNum &&
+        (lit(1) + least(col("x._s") - col("x._rn"), col("y._s") - col("y._rn"))) *
+          tDen >= col("x._s") * tNum)
+      .select(col("x._id").as("doc_sub"), col("y._id").as("doc_sup"))
+      .distinct()
+    cand
+      .join(sh.select(col("_id").as("doc_sub"), col("_sh").as("_sh_a")), "doc_sub")
+      .join(sh.select(col("_id").as("doc_sup"), col("_sh").as("_sh_b")), "doc_sup")
+      .withColumn("containment",
+        round(size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double")
+          / size(col("_sh_a")), 6))
+      .where(col("containment") >= tNum.toDouble / tDen)
+      .select(col("doc_sub"), col("doc_sup"), col("containment"))
+  }
+
   /** Direct n-gram Jaccard over an explicit pair set (pairs: doc_a, doc_b). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int): DataFrame = {

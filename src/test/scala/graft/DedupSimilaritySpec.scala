@@ -1065,4 +1065,60 @@ class DedupSimilaritySpec extends SparkSpec {
     // can never be the smaller set
     assert(lsh.subsetOf(exact))
   }
+
+  /** Brute-force containment join via explicit all-pairs (test-side only). */
+  private def bruteContainment(docs: org.apache.spark.sql.DataFrame, n: Int,
+                               t: Double): Set[(Long, Long, Double)] = {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), n).as("_sh"))
+      .where(size(col("_sh")) > 0)
+    sh.select(col("doc_id").as("doc_sub"), col("_sh").as("_a"))
+      .join(sh.select(col("doc_id").as("doc_sup"), col("_sh").as("_b")),
+        col("doc_sub") =!= col("doc_sup"))
+      .withColumn("containment",
+        round(size(array_intersect(col("_a"), col("_b"))).cast("double") / size(col("_a")), 6))
+      .where(col("containment") >= t)
+      .select(col("doc_sub"), col("doc_sup"), col("containment"))
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("containmentJoin equals all-pairs brute force at two thresholds") {
+    val docs = setSimCorpus
+    for ((tn, td) <- Seq((3, 5), (4, 5))) {
+      val got = Dedup.containmentJoin(docs, "doc_id", "text", 3, tn, td)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = bruteContainment(docs, 3, tn.toDouble / td)
+      assert(want.nonEmpty, s"corpus must contain qualifying pairs at $tn/$td")
+      assert(got == want, s"t=$tn/$td")
+    }
+  }
+
+  test("containmentJoin finds the embedded short doc every symmetric join misses") {
+    val rnd = new scala.util.Random(19)
+    def words(n: Int, tag: String) = Array.tabulate(n)(i => s"$tag${rnd.nextInt(1000)}c$i")
+    val big = words(300, "h")
+    // sub-document: a 25-token slice of the host, republished alone
+    val sub = big.slice(120, 145)
+    val docs = Seq((1L, big.mkString(" ")), (2L, sub.mkString(" ")),
+      (3L, words(80, "z").mkString(" "))).toDF("doc_id", "text")
+    val cont = Dedup.containmentJoin(docs, "doc_id", "text", 3, 4, 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont.exists { case (s, h, c) => s == 2L && h == 1L && c == 1.0 },
+      s"the embedded doc must surface as (sub=2, sup=1, 1.0): $cont")
+    // symmetric joins at ANY useful threshold miss it: J = 23/298 here
+    val sym = Dedup.setSimJoin(docs, "doc_id", "text", 3, 1, 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sym.isEmpty, s"symmetric J>=0.5 must miss the embedding: $sym")
+    val lsh = Dedup.nearDupMinHash(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.isEmpty, "minhash banding must miss the embedding")
+  }
+
+  test("containmentJoin hashed carrier answers the exact-string result") {
+    val docs = setSimCorpus
+    val exact = Dedup.containmentJoin(docs, "doc_id", "text", 3, 3, 5)
+      .as[(Long, Long, Double)].collect().toSet
+    val hashed = Dedup.containmentJoin(docs, "doc_id", "text", 3, 3, 5, hashKeys = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hashed == exact)
+  }
 }
