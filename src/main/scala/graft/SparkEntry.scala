@@ -1310,6 +1310,12 @@ object SparkEntry {
     "mix_weights" -> ((s, d) =>
       TextAnalysis.mixWeights(Tables.documents(s, d), "lang", "text",
         Map("en" -> 0.5, "zh" -> 0.2, "fr" -> 0.1, "es" -> 0.1, "de" -> 0.1))),
+    // §2.2 row 29t — mixture-epoch materialization: declared per-lang
+    // weights become the physical training list (floor(w) full epochs +
+    // one deterministic-Bernoulli partial epoch); map-side only
+    "mix_epochs" -> ((s, d) =>
+      TextAnalysis.materializeEpochs(Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 1.6, "zh" -> 2.3, "es" -> 0.5, "fr" -> 0.25, "de" -> 1.0))),
     // §2.2 row 29q — DSIR importance weights (hashed unigram+bigram
     // log-likelihood ratio vs the English subset as target): the model is
     // bounded at 1024 bucket rows no matter the corpus size; scoring is a
@@ -3173,6 +3179,21 @@ object SparkEntry {
         |    WHEN 'es' THEN 0.1 WHEN 'de' THEN 0.1 ELSE 0.0 END)
         |    / (CAST(n_tokens AS DOUBLE) / _total), 6) AS weight
         |FROM p, tot""".stripMargin,
+    // Epoch thresholds are floor(frac(w)*2^32) as 8-hex (the
+    // sample_weighted convention): 1.6->99999999, 2.3->4ccccccc,
+    // 0.5->80000000, 0.25->40000000, 1.0->00000000 (never keeps).
+    "mix_epochs" ->
+      """WITH e AS (SELECT doc_id, lang,
+        |    CAST(CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 WHEN 'es' THEN 0
+        |         WHEN 'fr' THEN 0 ELSE 1 END AS INT) AS full_e,
+        |    CASE lang WHEN 'en' THEN '99999999' WHEN 'zh' THEN '4ccccccc'
+        |         WHEN 'es' THEN '80000000' WHEN 'fr' THEN '40000000'
+        |         ELSE '00000000' END AS thr
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(e AS INT) AS epoch
+        |FROM (SELECT doc_id, lang, full_e, thr,
+        |        unnest(range(0, full_e + 1)) AS e FROM e) u
+        |WHERE e < full_e OR substr(md5(doc_id || ':' || e), 1, 8) < thr""".stripMargin,
     // DSIR replay: identical hashed-bucket model (MD5-top-32-bit mod 1024),
     // identical add-1 smoothing, the per-bucket log-ratio as ONE double
     // expression rounded to 6dp, and the per-doc sum in DECIMAL — the

@@ -698,6 +698,47 @@ object TextAnalysis {
         round(tgt / actual, 6).as("weight"))
   }
 
+  /** Mixture-epoch materialization — the step that turns DECLARED mixture
+    * weights ([[mixWeights]]' output, or a hand-tuned map) into the
+    * PHYSICAL training list: a stratum with weight w contributes ⌊w⌋ full
+    * epochs of every document plus one partial epoch keeping each doc
+    * with probability w − ⌊w⌋ (the Pile/Dolma "epochs over a source"
+    * semantics; w < 1 is pure subsampling). Output: one (id, stratum,
+    * epoch) row per materialized copy, epoch 0-based.
+    *
+    * Deterministic, no RNG: the partial-epoch keep decision compares the
+    * 8-hex md5 prefix of "id:epoch" against ⌊frac·2^32⌋ as hex (the
+    * [[sampleWeighted]] threshold-string convention) — identical output
+    * on every engine/run/retry, and distinct epochs of one doc draw
+    * independent coins. Map-side only: one generate per doc (⌊w⌋+1
+    * candidate epochs) and a filter — ZERO shuffles at any scale; the
+    * blow-up factor is exactly the declared weight, never a join. */
+  def materializeEpochs(docs: DataFrame, stratumCol: String, idCol: String,
+                        weights: Map[String, Double],
+                        defaultWeight: Double = 1.0): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(w => w >= 0 && w <= 64),
+      "epoch weights must be in [0, 64] — a larger weight is a config typo")
+    def thr(w: Double): String = {
+      val frac = w - math.floor(w)
+      f"${math.max((frac * 4294967296.0).toLong, 0L)}%08x"
+    }
+    val wCol = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (s, w)) => when(col(stratumCol) === s, lit(w)).otherwise(acc)
+    }
+    val thrCol = weights.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultWeight))) {
+      case (acc, (s, w)) => when(col(stratumCol) === s, lit(thr(w))).otherwise(acc)
+    }
+    docs
+      .select(col(idCol), col(stratumCol), floor(wCol).cast("int").as("_full"),
+        thrCol.as("_thr"))
+      .select(col(idCol), col(stratumCol), col("_full"), col("_thr"),
+        explode(sequence(lit(0), col("_full"))).as("epoch"))
+      .where(col("epoch") < col("_full") ||
+        substring(md5(concat(col(idCol).cast("string"), lit(":"),
+          col("epoch").cast("string")).cast("binary")), 1, 8) < col("_thr"))
+      .select(col(idCol), col(stratumCol), col("epoch"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how target-like its hashed n-gram distribution is — the standard

@@ -273,6 +273,29 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out.forall { case (_, w, _, est) => est == w })
   }
 
+  test("materializeEpochs: exact local replay of full + partial epochs") {
+    val ws = Map("a" -> 2.5, "b" -> 0.75, "c" -> 1.0)
+    val rows = (1L to 300L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
+    val docs = rows.toDF("doc_id", "src")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def thr(w: Double) =
+      f"${math.max(((w - math.floor(w)) * 4294967296.0).toLong, 0L)}%08x"
+    val expect = rows.flatMap { case (id, s) =>
+      val w = ws(s); val full = math.floor(w).toInt
+      val fulls = (0 until full).map(e => (id, s, e))
+      val partial = if (md5hex(s"$id:$full").substring(0, 8) < thr(w))
+        Seq((id, s, full)) else Nil
+      fulls ++ partial
+    }.toSet
+    val out = TextAnalysis.materializeEpochs(docs, "src", "doc_id", ws)
+      .as[(Long, String, Int)].collect().toSet
+    assert(out == expect)
+    // partial-epoch coins are per (doc, epoch): stratum "a" keeps ~50% in
+    // epoch 2, "b" ~75% in epoch 0, "c" exactly its 100 docs once
+    assert(out.count(_._2 == "c") == 100)
+  }
+
   test("seqPack assigns bins by running token budget per stratum") {
     val docs = Seq(
       (1L, "s", "a b c"), (2L, "s", "d e f"), (3L, "s", "g h"), (4L, "t", "x")
