@@ -1030,6 +1030,14 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(embCorpus(s, d, withLabel = true),
         "vec_id", "embedding", 0.9, clusterCol = Some(col("label")))),
+    // §2.2 row 21f — margin-based cross-side pair mining (Artetxe-Schwenk
+    // ratio margin, the CCMatrix criterion) between the even- and odd-label
+    // halves; planes pinned at 16 (4 bands x 4 bits) for the SQL replay
+    "margin_mine" -> ((s, d) =>
+      Similarity.marginMine(
+        Tables.embeddings(s, d).withColumn("side",
+          when(pmod(col("label"), lit(2)) === 0, "a").otherwise("b")),
+        "vec_id", "embedding", "side", 4, 1.0, numPlanes = 16)),
     // §2.2 row 24 — ANN recall gate: queries are PERTURBED copies of corpus
     // vectors (component 0 scaled 1.5x, cos ≈ 0.999 to their source), so the
     // true nearest neighbor of each query is known and independently
@@ -2230,6 +2238,48 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
         |FROM emb_corpus a JOIN emb_corpus b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin),
+    // Margin mining replay (ann_lsh pinned-planes precedent): the same
+    // 16x64 hyperplane constants rebuild every signature as a bit-int;
+    // the per-band hamming<=1 multiprobe is EXACTLY "some 4-bit band of
+    // the xor has popcount <= 1" (band masks 0xF << 4b); cosines round
+    // 6dp before use, mu_k sums run over DECIMAL(18,6) and divide once
+    // in doubles — margins match bit-for-bit. Shares ann_lsh's
+    // documented DuckDB float-summation-order sensitivity.
+    "margin_mine" -> {
+      val planeRows = graft.operators.Similarity.hyperplanes(16, 64).zipWithIndex
+        .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+        .mkString(",\n        ")
+      val bandCond = (0 until 4)
+        .map(b => s"bit_count(xor(a.sig, b.sig) & ${15L << (4 * b)}::UBIGINT) <= 1")
+        .mkString(" OR ")
+      s"""WITH planes(pid, pv) AS (VALUES
+        |        $planeRows),
+        |v AS (SELECT vec_id, CASE WHEN label % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sg AS (SELECT vec_id, bit_or(CASE WHEN list_dot_product(v.v, pv) >= 0
+        |      THEN (1::UBIGINT << pid) ELSE 0::UBIGINT END) AS sig
+        |    FROM v, planes GROUP BY vec_id),
+        |sv AS (SELECT v.vec_id, v.side, v.v, sg.sig FROM v JOIN sg USING (vec_id)),
+        |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |  FROM sv a JOIN sv b ON a.side < b.side AND ($bandCond)
+        |  WHERE NOT isnan(list_cosine_similarity(a.v, b.v))),
+        |ranked AS (SELECT *,
+        |    row_number() OVER (PARTITION BY vec_a ORDER BY cos_sim DESC, vec_b) AS ra,
+        |    row_number() OVER (PARTITION BY vec_b ORDER BY cos_sim DESC, vec_a) AS rb
+        |  FROM cand),
+        |mua AS (SELECT vec_a, CAST(SUM(CAST(cos_sim AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS mu_a
+        |  FROM ranked WHERE ra <= 4 GROUP BY vec_a),
+        |mub AS (SELECT vec_b, CAST(SUM(CAST(cos_sim AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS mu_b
+        |  FROM ranked WHERE rb <= 4 GROUP BY vec_b)
+        |SELECT vec_a, vec_b, cos_sim,
+        |  round(cos_sim / ((mu_a + mu_b) / 2), 6) AS margin
+        |FROM ranked JOIN mua USING (vec_a) JOIN mub USING (vec_b)
+        |WHERE (ra = 1 OR rb = 1)
+        |  AND round(cos_sim / ((mu_a + mu_b) / 2), 6) >= 1.0""".stripMargin
+    },
     "semantic_dedup" -> (embCorpusCte(withLabel = true) +
       """,
         |dup AS (SELECT DISTINCT x.vec_id

@@ -448,6 +448,87 @@ object Similarity {
       .distinct()
   }
 
+  /** Margin-based semantic pair mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix bitext-mining criterion): mine high-confidence
+    * CROSS-SIDE pairs — parallel sentences across languages, caption↔image
+    * embeddings, duplicate listings across marketplaces — by RATIO margin,
+    * margin(x, y) = cos(x, y) / ((μ_k(x) + μ_k(y)) / 2), where μ_k is the
+    * mean cosine of a vector's k best candidate neighbors on the OTHER
+    * side. Raw cosine is incomparable across query neighborhoods (hubness);
+    * the margin normalizes by local density, which is why CCMatrix mines
+    * with it at web scale. A pair is emitted when it is rank-1 for at
+    * least one of its endpoints (forward ∪ backward best-match, the
+    * standard mining union) and its margin clears `minMargin`. Output:
+    * (vec_a, vec_b, cos_sim 6dp, margin 6dp), side(a) < side(b).
+    *
+    * Candidates are LSH-band-scoped, the [[cosineNearDup]] discipline:
+    * banded hyperplane signatures, per-band hamming ≤ 1 multiprobe, pairs
+    * form only inside band buckets — never corpus × corpus. μ_k is the
+    * mean over the CANDIDATE neighborhood, not the exhaustive kNN — the
+    * approximation CCMatrix itself makes (margins normalize against the
+    * retrieved neighborhood; spec-pinned vs a brute-force replay of the
+    * same scoping).
+    *
+    * Determinism/oracle: pinned `numPlanes` re-derives the signatures in
+    * SQL (the ann_lsh precedent); cosines are 6dp-rounded BEFORE use, μ_k
+    * sums run over DECIMAL(18,6) (order-independent) and divide as one
+    * exactly-rounded double op, so the margin is bit-identical
+    * cross-engine. Ties rank by (cos desc, id asc). Scale: the candidate
+    * table (bucket-bounded) is the unit of all downstream work — two
+    * id-keyed window passes + two id-keyed μ aggregates join back onto
+    * candidates, never onto the corpus. */
+  def marginMine(vectors: DataFrame, idCol: String, vecCol: String, sideCol: String,
+                 k: Int = 4, minMargin: Double = 1.0,
+                 numPlanes: Int = 0, dim: Int = 64, numBands: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else adaptivePlanes(memoizedCount(vectors), targetOccupancy = 256, minPlanes = 8) * numBands
+    require(planes % numBands == 0, "numBands must divide numPlanes")
+    val bandLen = planes / numBands
+    val v = vectors.select(col(sideCol).as("_side"), col(idCol).as("_id"),
+        toDouble(col(vecCol)).as("_v"))
+      .withColumn("_sig", lshSignature(col("_v"), planes, dim))
+    def bandAt(b: Int) = substring(col("_sig"), b * bandLen + 1, bandLen)
+    val exact = v.select(col("_side"), col("_id"), col("_v"),
+        posexplode(array((0 until numBands).map(bandAt): _*)))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_val")
+    val probed = v.select(col("_side"), col("_id"), col("_v"),
+        posexplode(array((0 until numBands).map { b =>
+          graft.functions.NativeExprs.sigProbes(bandAt(b), 1)
+        }: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .select(col("_side"), col("_id"), col("_v"), col("band_id"),
+        explode(col("col")).as("band_val"))
+    val cand = exact.as("x").join(probed.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x._side") < col("y._side"))
+      .select(col("x._id").as("vec_a"), col("y._id").as("vec_b"),
+        round(cosine(col("x._v"), col("y._v")), 6).as("cos_sim"))
+      .where(!isnan(col("cos_sim")))
+      .distinct()
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_a")).orderBy(col("cos_sim").desc, col("vec_b"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_b")).orderBy(col("cos_sim").desc, col("vec_a"))
+    val ranked = cand
+      .withColumn("_ra", row_number().over(wa))
+      .withColumn("_rb", row_number().over(wb))
+    val muA = ranked.where(col("_ra") <= k).groupBy(col("vec_a"))
+      .agg((sum(col("cos_sim").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+        .as("_mu_a"))
+    val muB = ranked.where(col("_rb") <= k).groupBy(col("vec_b"))
+      .agg((sum(col("cos_sim").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+        .as("_mu_b"))
+    ranked.where(col("_ra") === 1 || col("_rb") === 1)
+      .join(muA, "vec_a").join(muB, "vec_b")
+      .withColumn("margin",
+        round(col("cos_sim") / ((col("_mu_a") + col("_mu_b")) / 2), 6))
+      .where(col("margin") >= minMargin)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("margin"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): embeddings are grouped into clusters and, within a
     * cluster, any vector whose cosine to a LOWER-id cluster-mate reaches

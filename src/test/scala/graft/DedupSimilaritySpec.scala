@@ -1113,6 +1113,66 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.isEmpty, "minhash banding must miss the embedding")
   }
 
+  test("marginMine: exact local replay on provably-exhaustive candidates") {
+    // 1-bit bands (numPlanes = 4, numBands = 4): a hamming<=1 probe ball on
+    // a 1-bit band covers BOTH values, so every cross-side pair is a
+    // candidate by construction and the whole operator replays locally
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(8)(rnd.nextGaussian())
+    val rows = (1L to 12L).map(i => (i, if (i <= 6) "a" else "b", vec().toSeq))
+    val docs = rows.toDF("vec_id", "side", "embedding")
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      math.rint(d / math.sqrt(nx * ny) * 1e6) / 1e6
+    }
+    val cand = for ((ia, sa, va) <- rows if sa == "a"; (ib, sb, vb) <- rows if sb == "b")
+      yield (ia, ib, cos(va, vb))
+    def mu(sel: Seq[Double]): Double = {
+      val top = sel.sorted(Ordering[Double].reverse).take(4)
+      (top.map(c => BigDecimal(c).setScale(6)).sum.doubleValue) / top.size
+    }
+    val muA = cand.groupBy(_._1).map { case (id, cs) => id -> mu(cs.map(_._3).toSeq) }
+    val muB = cand.groupBy(_._2).map { case (id, cs) => id -> mu(cs.map(_._3).toSeq) }
+    def rank(seq: Seq[(Long, Double)], self: Long): Int =
+      seq.sortBy { case (o, c) => (-c, o) }.indexWhere(_._1 == self) + 1
+    val expect = cand.filter { case (ia, ib, c) =>
+      val ra = rank(cand.filter(_._1 == ia).map(t => (t._2, t._3)).toSeq, ib)
+      val rb = rank(cand.filter(_._2 == ib).map(t => (t._1, t._3)).toSeq, ia)
+      ra == 1 || rb == 1
+    }.map { case (ia, ib, c) =>
+      (ia, ib, c, math.rint(c / ((muA(ia) + muB(ib)) / 2) * 1e6) / 1e6)
+    }.filter(_._4 >= 1.0).toSet
+    val out = Similarity.marginMine(docs, "vec_id", "embedding", "side", 4, 1.0,
+        numPlanes = 4, dim = 8, numBands = 4)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(expect.nonEmpty, "the draw must produce qualifying pairs")
+    assert(out == expect)
+  }
+
+  test("marginMine surfaces the planted cross-side mate and stays cross-side") {
+    val rnd = new scala.util.Random(29)
+    def vec() = Array.fill(16)(rnd.nextGaussian()).toSeq
+    val base = vec()
+    val mate = base.map(_ * 1.001) // near-identical, the planted parallel pair
+    val rows = ((1L to 10L).map(i => (i, "a", vec())) ++
+      (11L to 20L).map(i => (i, "b", vec())) :+
+      (21L, "a", base) :+ (22L, "b", mate))
+    val docs = rows.toDF("vec_id", "side", "embedding")
+    val out = Similarity.marginMine(docs, "vec_id", "embedding", "side", 4, 1.0,
+        numPlanes = 8, dim = 16, numBands = 4)
+      .as[(Long, Long, Double, Double)].collect()
+    val aIds = rows.filter(_._2 == "a").map(_._1).toSet
+    val bIds = rows.filter(_._2 == "b").map(_._1).toSet
+    assert(out.forall(r => aIds(r._1) && bIds(r._2)), "every pair must be cross-side")
+    assert(out.exists(r => r._1 == 21L && r._2 == 22L && r._3 > 0.999),
+      s"planted mate must surface: ${out.toSeq}")
+    val again = Similarity.marginMine(docs, "vec_id", "embedding", "side", 4, 1.0,
+        numPlanes = 8, dim = 16, numBands = 4)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("containmentJoin hashed carrier answers the exact-string result") {
     val docs = setSimCorpus
     val exact = Dedup.containmentJoin(docs, "doc_id", "text", 3, 3, 5)
