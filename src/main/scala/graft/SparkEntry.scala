@@ -282,6 +282,16 @@ object SparkEntry {
     * EXACT threshold-join result, so the oracle is the all-pairs brute
     * force — completeness is the contract, and the hashed carrier's output
     * is key-representation-independent (verify scores true shingle arrays). */
+  private val ContainmentJoinSql =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+      |  FROM toks WHERE len(w) >= 3),
+      |pairs AS (SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+      |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment
+      |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id)
+      |SELECT doc_sub, doc_sup, containment FROM pairs WHERE containment >= 0.6""".stripMargin
+
   private val SetSimJoinSql =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |sh AS (SELECT doc_id,
@@ -850,6 +860,12 @@ object SparkEntry {
     // sup side contributes full postings
     "containment_join" -> ((s, d) =>
       Dedup.containmentJoin(Tables.documents(s, d), "doc_id", "text", 3, 3, 5)),
+    // §2.2 row 20h, petabyte carrier: per-element xxhash64 shingle keys
+    // map-side, every downstream shuffle 8-byte (the setsim_join_hashed
+    // discipline — identical output, same exact-string oracle)
+    "containment_join_hashed" -> ((s, d) =>
+      Dedup.containmentJoin(Tables.documents(s, d), "doc_id", "text", 3, 3, 5,
+        hashKeys = true)),
     // §2.2 row 20c — near-dup pairs -> dedup DECISION: connected components
     // over the MinHash pair graph, one kept representative per cluster
     "dedup_cluster" -> ((s, d) => {
@@ -2498,15 +2514,10 @@ object SparkEntry {
     "setsim_join" -> SetSimJoinSql,
     // Asymmetric containment, all-pairs brute force — completeness IS the
     // contract (ordered pairs: exact copies qualify in both directions).
-    "containment_join" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |pairs AS (SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
-        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment
-        |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id)
-        |SELECT doc_sub, doc_sup, containment FROM pairs WHERE containment >= 0.6""".stripMargin,
+    // The hashed carrier answers the same exact-string statement (key
+    // representation only, the setsim_join_hashed discipline).
+    "containment_join" -> ContainmentJoinSql,
+    "containment_join_hashed" -> ContainmentJoinSql,
     // Same oracle verbatim: hashed shingle keys change only the shuffle
     // representation; the verify stage scores true shingle arrays.
     "setsim_join_hashed" -> SetSimJoinSql,
