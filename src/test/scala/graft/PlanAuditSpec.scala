@@ -420,6 +420,18 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the chunk-keyed + doc-keyed exchanges:\n$p")
   }
 
+  test("containment_join and margin_mine pair only in key buckets — never cartesian") {
+    // the asymmetric prefix join and the band-bucket join are both
+    // equi-joins; a refactor that degrades either to a cartesian (or a
+    // nested-loop over the data path) is the quadratic failure mode
+    for (q <- Seq("containment_join", "containment_join_hashed", "margin_mine")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q degraded to cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on keys, not a nested loop:\n$p")
+    }
+  }
+
   test("sample_priority: distributed top-(k+1), no corpus shuffle or global sort") {
     val p = planOf("sample_priority")
     assert(p.contains("TakeOrderedAndProject"),
