@@ -72,7 +72,11 @@ class SourceGuardSpec extends AnyFunSpec {
     * collect justification as `.collect()`). */
   private val takeBudget = Map(
     "graft/operators/Similarity.scala" -> 6,
-    "graft/functions/NativeExprs.scala" -> 1)
+    "graft/functions/NativeExprs.scala" -> 1,
+    // streaming priority sampler: Scala-List truncations of the per-stratum
+    // state inside flatMapGroupsWithState — top-(k+1) then the k-sample;
+    // the list is bounded by k+1 + the micro-batch group, never a DataFrame
+    "graft/streaming/StreamingSampling.scala" -> 2)
 
   /** Single-partition funnels: `coalesce(1)`/`repartition(1)` serialize a
     * whole dataset through one task — only valid for bounded artifacts.

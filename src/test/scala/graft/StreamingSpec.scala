@@ -551,4 +551,45 @@ class StreamingSpec extends SparkSpec {
       assert(total == 19L)
     } finally q.stop()
   }
+
+  test("streaming priority sample matches the batch operator and absorbs replays") {
+    import spark.implicits._
+    import graft.streaming.{PrioInput, StreamingSampling}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[PrioInput]
+    val k = 3
+    val q = StreamingSampling.run(spark, in.toDS(), k)
+      .writeStream.format("memory").queryName("sps")
+      .outputMode(OutputMode.Update).start()
+    // latest emission per stratum = rows at that stratum's max seq
+    def latest(): Set[(String, Long, Double, Double)] = {
+      val t = spark.table("sps")
+        .as[(String, Long, Double, Double, Double, Long)].collect()
+      val maxSeq = t.groupBy(_._1).view.mapValues(_.map(_._6).max).toMap
+      t.filter(r => r._6 == maxSeq(r._1)).map(r => (r._1, r._2, r._3, r._5)).toSet
+    }
+    def batchExpect(rows: Seq[(String, Long, Double)]): Set[(String, Long, Double, Double)] =
+      graft.operators.TextAnalysis
+        .samplePriorityPerStratum(rows.toDF("src", "doc_id", "w"), "src", "doc_id", "w", k)
+        .as[(String, Long, Double, Double, Double)].collect()
+        .map(r => (r._1, r._2, r._3, r._5)).toSet
+    val b1 = Seq(("x", 1L, 10.0), ("x", 2L, 30.0), ("x", 3L, 20.0), ("y", 10L, 5.0))
+    val b2 = Seq(("x", 4L, 40.0), ("x", 5L, 15.0), ("x", 6L, 25.0), ("y", 11L, 7.0))
+    def feed(rows: Seq[(String, Long, Double)]): Unit =
+      in.addData(rows.map { case (s, i, w) => PrioInput(s, i, w) }: _*)
+    try {
+      feed(b1)
+      q.processAllAvailable()
+      assert(latest() == batchExpect(b1), "after batch 1 the sample must equal batch DLT")
+      feed(b2)
+      q.processAllAvailable()
+      val afterTwo = latest()
+      assert(afterTwo == batchExpect(b1 ++ b2),
+        "the streaming state must answer as if all rows arrived at once")
+      // at-least-once redelivery: replaying batch 1 verbatim changes nothing
+      feed(b1)
+      q.processAllAvailable()
+      assert(latest() == afterTwo, "replayed rows must merge idempotently")
+    } finally q.stop()
+  }
 }
