@@ -873,6 +873,16 @@ object SparkEntry {
       Dedup.nearDupClusters(docs,
         Dedup.nearDupMinHash(docs, "doc_id", "text", 3, 0.8), "doc_id")
     }),
+    // §2.2 row 21d, keep-BEST canonical selection: the cluster
+    // representative is the longest member (most complete copy), not the
+    // smallest id — crawl order is not a quality signal
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.keepBestPerCluster(
+        Dedup.nearDupClusters(docs,
+          Dedup.nearDupMinHash(docs, "doc_id", "text", 3, 0.8), "doc_id"),
+        docs.select(col("doc_id"), col("n_chars").cast("long").as("score")))
+    }),
     // §2.2 row 27b — PII redaction over deterministically dirtied text
     "pii_scrub" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -2541,6 +2551,29 @@ object SparkEntry {
         |SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id,
         |  min(node) = src AS kept
         |FROM reach GROUP BY src""".stripMargin,
+    // Same recursive-CTE fixpoint; the kept rule becomes the per-cluster
+    // score argmax (n_chars desc, id asc) instead of min id.
+    "dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach(src, node) AS (
+        |  SELECT doc_id AS src, doc_id AS node FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node),
+        |lab AS (SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT l.doc_id, l.cluster_id, CAST(d.n_chars AS BIGINT) AS score,
+        |  row_number() OVER (PARTITION BY l.cluster_id
+        |    ORDER BY d.n_chars DESC, l.doc_id) = 1 AS kept
+        |FROM lab l JOIN documents d ON l.doc_id = d.doc_id""".stripMargin,
     "pii_scrub" -> (
       s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
         |  text || ' contact user' || doc_id || '@example.com or +1-555-01' || doc_id

@@ -652,6 +652,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Canonical selection over near-dup clusters — keep-BEST, not
+    * keep-first: given [[nearDupClusters]]' labels and a per-doc quality
+    * score, the surviving representative of each cluster is its
+    * HIGHEST-SCORING member (ties → smallest id), the production rule —
+    * keep the cleanest/most complete copy of a near-dup neighborhood, not
+    * the first-crawled one (min-id keep is an accident of crawl order).
+    * `scores` is (doc_id, `scoreCol`) — length, a quality-gate composite,
+    * a DSIR weight. Output: (doc_id, cluster_id, score, kept).
+    *
+    * Scale: one id-keyed join of the label table against the score table
+    * + ONE cluster-keyed window — both on 8-byte keys; cluster occupancy
+    * bounds the window partitions, never the corpus. */
+  def keepBestPerCluster(clusters: DataFrame, scores: DataFrame,
+                         scoreCol: String = "score"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col(scoreCol).desc, col("doc_id"))
+    clusters.drop("kept")
+      .join(scores, "doc_id")
+      .withColumn("_rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col(scoreCol),
+        (col("_rn") === 1).as("kept"))
+  }
+
   /** EXACT set-containment join — the ASYMMETRIC miss class of every
     * symmetric-threshold join in this file: a short document embedded in a
     * long one (a quoted passage, a syndicated article inside an

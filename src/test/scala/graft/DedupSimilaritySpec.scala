@@ -1113,6 +1113,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.isEmpty, "minhash banding must miss the embedding")
   }
 
+  test("keepBestPerCluster keeps the highest-scoring member, not the min id") {
+    // cluster {1,2,3} via explicit pairs; scores make doc 3 the best —
+    // keep-first would keep doc 1
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(docs, pairs, "doc_id")
+    val scores = Seq((1L, 10L), (2L, 30L), (3L, 30L), (9L, 5L)).toDF("doc_id", "score")
+    val out = Dedup.keepBestPerCluster(clusters, scores)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // tie at score 30 between docs 2 and 3 -> smallest id (2) wins
+    assert(out(2L)._4 && !out(1L)._4 && !out(3L)._4,
+      s"argmax (score desc, id asc) must keep doc 2: $out")
+    assert(out(9L)._4, "a singleton keeps itself")
+    assert(Seq(1L, 2L, 3L).forall(id => out(id)._2 == 1L) && out(9L)._2 == 9L)
+  }
+
   test("marginMine: exact local replay on provably-exhaustive candidates") {
     // 1-bit bands (numPlanes = 4, numBands = 4): a hamming<=1 probe ball on
     // a 1-bit band covers BOTH values, so every cross-side pair is a
