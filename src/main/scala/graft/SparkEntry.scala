@@ -39,6 +39,15 @@ object SparkEntry {
 
   // ---- dirty-orders simulation for the quality engine: deterministic
   // violations (null FK, nonpositive price, bad status, duplicated keys).
+  // Pinned weight vector for quality_classify: w(b) = (b·2654435761 mod
+  // 2^32)/2^32 − 0.5, a dyadic rational per bucket (denominator 2^32), so
+  // every per-doc partial sum is EXACT in IEEE double and the logit
+  // replays bit-identically from integer arithmetic in the oracle. A
+  // trained parameter vector drops in through the same element_at carrier.
+  private val classifierWeights: Array[Double] = Array.tabulate(1024) { b =>
+    ((b.toLong * 2654435761L) % 4294967296L).toDouble / 4294967296.0 - 0.5
+  }
+
   private def dirtyOrders(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(s, dir).select(
       col("o_orderkey"),
@@ -1357,6 +1366,13 @@ object SparkEntry {
     "dsir_weights" -> ((s, d) =>
       TextAnalysis.dsirWeights(Tables.documents(s, d), "doc_id", "text",
         col("lang") === "en", 1024)),
+    // §2.2 row 27j — model-based quality filter (fastText/CCNet-style
+    // hashed linear classifier, APPLY side): pure projection, zero
+    // shuffles — the pinned dyadic weight vector stands in for trained
+    // parameters (same plan either way)
+    "quality_classify" -> ((s, d) =>
+      TextAnalysis.hashClassifier(Tables.documents(s, d), "doc_id", "text",
+        classifierWeights)),
     // §2.2 row 29r — exact per-source length deciles (curriculum/eval-split
     // bucketing) via the two-phase rank, not a per-source global sort
     "quality_deciles" -> ((s, d) =>
@@ -3314,6 +3330,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
         |  round(CAST(SUM(lr) AS DOUBLE), 6) AS dsir_logw
         |FROM fb JOIN ratio USING (b) GROUP BY doc_id""".stripMargin,
+    // Integer replay of the pinned dyadic weights: Spark folds
+    // w_i = (k_i - 2^31)/2^32 (each partial sum exact in double), so
+    // summing the k_i as integers and applying (SUM(k) - n·2^31)/2^32/n
+    // reconstructs the identical double — one exact subtraction, two
+    // divisions whose operands are exactly representable.
+    "quality_classify" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |feats AS (
+        |  SELECT doc_id, unnest(w) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+        |  FROM toks),
+        |fk AS (SELECT doc_id,
+        |    ((('0x' || substr(md5(g), 1, 8))::BIGINT % 1024)
+        |      * 2654435761) % 4294967296 AS k
+        |  FROM feats),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |    CAST(SUM(k) - count(*) * 2147483648 AS DOUBLE)
+        |      / 4294967296.0 / count(*) AS logit
+        |  FROM fk GROUP BY doc_id)
+        |SELECT doc_id, n_feats, logit, logit > 0.0 AS kept FROM agg""".stripMargin,
     "quality_deciles" ->
       """SELECT doc_id, source, n_chars,
         |  CAST(ntile(10) OVER (PARTITION BY source

@@ -792,4 +792,43 @@ object TextAnalysis {
       .select(col("_id").as(idCol), col("n_feats"),
         round(col("_sum").cast("double"), 6).as("dsir_logw"))
   }
+
+  /** Model-based quality filtering — fastText/CCNet-style hashed linear
+    * classifier INFERENCE (the "quality classifier" stage of modern corpus
+    * pipelines): each word unigram and bigram hashes into one of
+    * `weights.length` buckets, the doc's logit is the mean bucket weight
+    * plus a bias, and the doc is kept when the logit clears zero (the
+    * sigmoid is monotone, so thresholding the probability IS thresholding
+    * the logit — no transcendental in the hot path). `weights` is the
+    * trained parameter vector (here the caller pins it; training is out of
+    * scope, this is the apply side).
+    *
+    * Scale: a PURE PROJECTION — the weight vector rides into codegen as a
+    * literal array (`element_at`), feature hashing and the weighted fold
+    * run inside one `aggregate` lambda per row, and NO shuffle of any kind
+    * exists in the plan (unlike [[dsirWeights]], which learns its table
+    * from corpus statistics first). Per-row cost is O(tokens); 100 TB is
+    * embarrassingly parallel. Output: (id, n_feats, logit, kept).
+    *
+    * Determinism: with dyadic weights (k/2^32-style, the pinned-artifact
+    * convention) every partial sum is exact in IEEE double, so the fold
+    * order can't matter and the logit replays bit-identically in SQL. */
+  def hashClassifier(docs: DataFrame, idCol: String, textCol: String,
+                     weights: Array[Double], bias: Double = 0.0): DataFrame = {
+    val nb = weights.length
+    val toks = tokens(col(textCol))
+    def w(g: Column): Column = element_at(typedLit(weights),
+      ((conv(substring(md5(g), 1, 8), 16, 10).cast("long") % nb) + 1)
+        .cast("int"))
+    // Materialize the feature array once per row: the outer projection
+    // references it three times (size twice, the fold once), and
+    // CollapseProject keeps a multi-referenced non-trivial alias in its own
+    // projection rather than inlining three tokenize+ngram passes.
+    docs.select(col(idCol), concat(toks, ngramsAll(toks, 2)).as("_grams"))
+      .select(col(idCol),
+        size(col("_grams")).cast("long").as("n_feats"),
+        (lit(bias) + aggregate(col("_grams"), lit(0.0), (acc, g) => acc + w(g))
+          / size(col("_grams"))).as("logit"))
+      .withColumn("kept", col("logit") > 0.0)
+  }
 }

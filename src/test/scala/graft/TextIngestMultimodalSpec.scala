@@ -587,4 +587,34 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out.length == 3)
     assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite))
   }
+
+  test("hashClassifier: exact local replay, kept = logit > 0, zero shuffles") {
+    // dyadic pinned weights (denominator 2^32): every partial sum is exact
+    // in double, so the engine fold must equal a local fold BITWISE
+    val weights = Array.tabulate(64) { b =>
+      ((b.toLong * 2654435761L) % 4294967296L).toDouble / 4294967296.0 - 0.5
+    }
+    val docs = Seq((1L, "alpha"), (2L, "alpha beta"),
+      (3L, "gamma delta epsilon gamma")).toDF("doc_id", "text")
+    val q = TextAnalysis.hashClassifier(docs, "doc_id", "text", weights)
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+      "classifier inference must be a pure projection (no shuffle)")
+    val out = q.as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    def bucket(g: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 64).toInt
+    }
+    def replay(gs: Seq[String]): Double =
+      gs.map(g => weights(bucket(g))).sum / gs.size
+    assert(out(1L)._2 == 1L && out(1L)._3 == replay(Seq("alpha")))
+    assert(out(2L)._2 == 3L &&
+      out(2L)._3 == replay(Seq("alpha", "beta", "alpha beta")))
+    assert(out(3L)._2 == 7L && out(3L)._3 == replay(Seq(
+      "gamma", "delta", "epsilon", "gamma",
+      "gamma delta", "delta epsilon", "epsilon gamma")))
+    out.values.foreach(r => assert(r._4 == (r._3 > 0.0)))
+  }
 }
