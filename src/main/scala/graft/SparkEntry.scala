@@ -1373,6 +1373,12 @@ object SparkEntry {
     "quality_classify" -> ((s, d) =>
       TextAnalysis.hashClassifier(Tables.documents(s, d), "doc_id", "text",
         classifierWeights)),
+    // §2.2 row 27k — domain-level keep decision above the per-doc gate:
+    // a source survives only when it's big enough to judge AND mostly
+    // classifier-clean (the spam-domain wholesale drop)
+    "domain_gate" -> ((s, d) =>
+      TextAnalysis.domainGate(Tables.documents(s, d), "doc_id", "text",
+        "source", "n_chars", classifierWeights)),
     // §2.2 row 29r — exact per-source length deciles (curriculum/eval-split
     // bucketing) via the two-phase rank, not a per-source global sort
     "quality_deciles" -> ((s, d) =>
@@ -3352,6 +3358,34 @@ object SparkEntry {
         |      / 4294967296.0 / count(*) AS logit
         |  FROM fk GROUP BY doc_id)
         |SELECT doc_id, n_feats, logit, logit > 0.0 AS kept FROM agg""".stripMargin,
+    // Per-source rollup of the same integer-replayed classifier verdicts;
+    // both ratios are one double division of exactly-summed integers.
+    "domain_gate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |feats AS (
+        |  SELECT doc_id, unnest(w) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+        |  FROM toks),
+        |fk AS (SELECT doc_id,
+        |    ((('0x' || substr(md5(g), 1, 8))::BIGINT % 1024)
+        |      * 2654435761) % 4294967296 AS k
+        |  FROM feats),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(k) - count(*) * 2147483648 AS DOUBLE)
+        |      / 4294967296.0 / count(*) AS logit
+        |  FROM fk GROUP BY doc_id),
+        |j AS (SELECT d.source, d.n_chars, a.logit > 0.0 AS kept
+        |  FROM documents d JOIN agg a USING (doc_id)),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+        |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS keep_rate
+        |  FROM j GROUP BY source)
+        |SELECT source, n_docs, mean_chars, keep_rate,
+        |  n_docs >= 10 AND keep_rate > 0.5 AS src_kept
+        |FROM g""".stripMargin,
     "quality_deciles" ->
       """SELECT doc_id, source, n_chars,
         |  CAST(ntile(10) OVER (PARTITION BY source

@@ -814,9 +814,13 @@ object TextAnalysis {
     * convention) every partial sum is exact in IEEE double, so the fold
     * order can't matter and the logit replays bit-identically in SQL. */
   def hashClassifier(docs: DataFrame, idCol: String, textCol: String,
-                     weights: Array[Double], bias: Double = 0.0): DataFrame = {
+                     weights: Array[Double], bias: Double = 0.0,
+                     carry: Seq[String] = Nil): DataFrame = {
+    require(!carry.exists(Set("_grams", "n_feats", "logit", "kept", idCol)),
+      s"carry collides with hashClassifier internals: $carry")
     val nb = weights.length
     val toks = tokens(col(textCol))
+    val carryCols = carry.map(col)
     def w(g: Column): Column = element_at(typedLit(weights),
       ((conv(substring(md5(g), 1, 8), 16, 10).cast("long") % nb) + 1)
         .cast("int"))
@@ -824,11 +828,42 @@ object TextAnalysis {
     // references it three times (size twice, the fold once), and
     // CollapseProject keeps a multi-referenced non-trivial alias in its own
     // projection rather than inlining three tokenize+ngram passes.
-    docs.select(col(idCol), concat(toks, ngramsAll(toks, 2)).as("_grams"))
-      .select(col(idCol),
+    docs.select((col(idCol) +: carryCols) :+
+        concat(toks, ngramsAll(toks, 2)).as("_grams"): _*)
+      .select((col(idCol) +: carryCols) ++ Seq(
         size(col("_grams")).cast("long").as("n_feats"),
         (lit(bias) + aggregate(col("_grams"), lit(0.0), (acc, g) => acc + w(g))
-          / size(col("_grams"))).as("logit"))
+          / size(col("_grams"))).as("logit")): _*)
       .withColumn("kept", col("logit") > 0.0)
   }
+
+  /** Domain-level (per-source) keep decision — the two-level gate web-scale
+    * curation applies ABOVE per-doc filters: aggregate each source's doc
+    * population (count, mean length, classifier keep-rate from
+    * [[hashClassifier]]) and keep the WHOLE source only when it is both big
+    * enough to judge (`minDocs`) and mostly classifier-clean
+    * (`minKeepRate`) — spam/SEO domains fail wholesale even though some
+    * individual pages slip past per-doc gates, and tiny sources don't get
+    * judged on a handful of docs.
+    *
+    * Scale: the per-doc score is the classifier's shuffle-free projection;
+    * the ONLY exchange is the per-source aggregate (partial map-side
+    * combine, |sources| result rows). Verdicts join back to docs as a
+    * dimension-sized broadcast when applied. Output: (groupCol, n_docs,
+    * mean_chars, keep_rate, src_kept). Both ratios are single divisions of
+    * exactly-summed integers — engine-exact. */
+  def domainGate(docs: DataFrame, idCol: String, textCol: String,
+                 groupCol: String, charsCol: String, weights: Array[Double],
+                 minDocs: Long = 10L, minKeepRate: Double = 0.5): DataFrame =
+    hashClassifier(docs, idCol, textCol, weights,
+        carry = Seq(groupCol, charsCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol).cast("long")).as("_chars"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("_nk"))
+      .select(col(groupCol), col("n_docs"),
+        (col("_chars").cast("double") / col("n_docs")).as("mean_chars"),
+        (col("_nk").cast("double") / col("n_docs")).as("keep_rate"))
+      .withColumn("src_kept",
+        col("n_docs") >= minDocs && col("keep_rate") > minKeepRate)
 }

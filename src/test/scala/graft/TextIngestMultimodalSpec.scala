@@ -617,4 +617,32 @@ class TextIngestMultimodalSpec extends SparkSpec {
       "gamma delta", "delta epsilon", "epsilon gamma")))
     out.values.foreach(r => assert(r._4 == (r._3 > 0.0)))
   }
+
+  test("domainGate keeps big mostly-clean sources, drops small or dirty ones") {
+    val weights = Array.tabulate(64) { b =>
+      ((b.toLong * 2654435761L) % 4294967296L).toDouble / 4294967296.0 - 0.5
+    }
+    val docs = Seq(
+      (1L, "alpha beta", "A", 9L), (2L, "gamma delta", "A", 11L),
+      (3L, "epsilon zeta", "A", 13L), (4L, "eta theta", "B", 8L),
+      (5L, "iota kappa", "B", 10L), (6L, "lambda mu", "C", 7L)
+    ).toDF("doc_id", "text", "src", "n_chars")
+    val q = TextAnalysis.domainGate(docs, "doc_id", "text", "src", "n_chars",
+      weights, minDocs = 3L, minKeepRate = 0.4)
+    assert("Exchange".r.findAllIn(q.queryExecution.executedPlan.toString)
+      .length == 1, "only the per-source aggregate may shuffle")
+    val out = q.as[(String, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // local expectation from the per-doc classifier verdicts themselves
+    val perDoc = TextAnalysis.hashClassifier(docs, "doc_id", "text", weights,
+        carry = Seq("src"))
+      .select("src", "kept").as[(String, Boolean)].collect().groupBy(_._1)
+    for ((src, rows) <- perDoc) {
+      val n = rows.length; val nk = rows.count(_._2)
+      assert(out(src)._2 == n && out(src)._4 == nk.toDouble / n)
+      assert(out(src)._5 == (n >= 3 && nk.toDouble / n > 0.4))
+    }
+    assert(!out("C")._5, "below-minDocs source must never be kept")
+    assert(out("A")._3 == (9 + 11 + 13).toDouble / 3)
+  }
 }
