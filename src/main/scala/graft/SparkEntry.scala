@@ -825,6 +825,9 @@ object SparkEntry {
     // path-discovery complement of the fixed-step funnel): one user_id
     // window pass, then a types^2-sized aggregate
     "event_transitions" -> ((s, d) => Events.transitions(Tables.events(s, d))),
+    // §2.1 row 18c — random-surfer centrality over the transition graph
+    // (integer fixed-point power iteration, bit-exact cross-engine)
+    "event_pagerank" -> ((s, d) => Events.pageRank(Tables.events(s, d))),
     // §2.2 row 19 — exact dedup
     "dedup_exact" -> ((s, d) => Dedup.exactDedupByHash(dedupCorpus(s, d), "doc_id", "text")),
     "dedup_stats" -> ((s, d) => Dedup.dedupStats(dedupCorpus(s, d), "doc_id", "text")),
@@ -2468,6 +2471,35 @@ object SparkEntry {
         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
         |FROM g GROUP BY user_id, session_id""".stripMargin,
+    // Bit-exact replay of the integer fixed-point power iteration: the 8
+    // rounds unroll as chained CTEs, every step a truncating integer
+    // division on nonnegative operands (DuckDB's floor // == Spark's
+    // truncating div there), so no float ever accumulates.
+    "event_pagerank" -> {
+      val base = "((1000000000000 // (SELECT nn FROM nn)) * 15) // 100"
+      val rounds = (1 to 8).map { i =>
+        s"""pr$i AS (SELECT n.node,
+           |    $base + (85 * coalesce(c.cs, 0)) // 100 AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.to_type AS node, SUM((p.pr * e.p6) // 1000000) AS cs
+           |    FROM pr${i - 1} p JOIN e ON e.from_type = p.node GROUP BY 1) c
+           |  USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+         |  FROM events),
+         |ec AS (SELECT from_type, event_type AS to_type, count(*) AS n
+         |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         |eo AS (SELECT from_type, SUM(n) AS out_n FROM ec GROUP BY 1),
+         |e AS (SELECT ec.from_type, ec.to_type,
+         |    (ec.n * 1000000) // eo.out_n AS p6
+         |  FROM ec JOIN eo USING (from_type)),
+         |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+         |nn AS (SELECT count(*) AS nn FROM nodes),
+         |pr0 AS (SELECT node, 1000000000000 // (SELECT nn FROM nn) AS pr FROM nodes),
+         |$rounds
+         |SELECT node AS event_type, CAST(pr AS BIGINT) AS pagerank FROM pr8""".stripMargin
+    },
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type

@@ -85,6 +85,59 @@ object Events {
       round(col("n").cast("double") / sum(col("n")).over(byFrom), 6))
   }
 
+  /** Random-surfer centrality (PageRank, damping 0.85) over the
+    * [[transitions]] graph — which states of the event stream attract the
+    * traffic, weighting edges by observed transition counts. The power
+    * iteration runs in INTEGER FIXED-POINT: rank mass is `scale` units,
+    * edge probabilities are parts-per-million integers, every step is a
+    * truncating integer division — bit-exact on any engine and any fold
+    * order, no float accumulation to drift cross-engine. Mass arriving at
+    * a dangling state (one with no observed outgoing step) leaks, the
+    * classic simplification; ranks still order by attracted traffic.
+    *
+    * Scale: ONE corpus pass builds the edge counts (the same user-window
+    * exchange sessionize uses); everything after is |types|²-sized —
+    * per-round joins and sums over the dimension-sized graph, each round
+    * `localCheckpoint`ed (the iterative-graph discipline of
+    * [[graft.operators.Dedup.nearDupClusters]]: no unbounded lineage).
+    * p6 ≤ 10^6 and rank ≤ `scale` bound every product below 2^63 at ANY
+    * corpus size. Output: (event_type, pagerank) in `scale` units. */
+  def pageRank(events: DataFrame, iters: Int = 8,
+               scale: Long = 1000000000000L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(byUser).as("from_type"))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val out = counts.groupBy(col("from_type")).agg(sum(col("n")).as("out_n"))
+    val edges = counts.join(out, "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("(n * 1000000L) div out_n").as("p6"))
+      .localCheckpoint()
+    val nodes = events.select(col("event_type").as("node")).distinct()
+      .localCheckpoint()
+    val nn = broadcast(nodes.agg(count(lit(1)).as("nn")))
+    var pr = nodes.crossJoin(nn)
+      .select(col("node"), expr(s"${scale}L div nn").as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(edges, pr("node") === edges("from_type"))
+        .select(col("to_type").as("node"),
+          expr("(pr * p6) div 1000000L").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+      pr = nodes.crossJoin(nn)
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"((${scale}L div nn) * 15L) div 100L") +
+            expr("(85L * coalesce(cs, 0L)) div 100L")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("node").as("event_type"), col("pr").as("pagerank"))
+  }
+
   /** Sequential funnel: for each user, the earliest time they completed each
     * step IN ORDER (step k counts only at a timestamp strictly after the
     * user's step k-1 completion). Returns one row per step with the count of

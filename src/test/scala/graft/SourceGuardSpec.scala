@@ -43,6 +43,9 @@ class SourceGuardSpec extends AnyFunSpec {
   private val crossJoinBudget = Map(
     // all 1-row broadcast stats/corpus-total joins ...
     "graft/operators/Analytics.scala" -> 1,
+    // pageRank's two node ⋈ 1-row-count joins (init + per-round base
+    // share) — the audited broadcast-stats pattern on a |types|-row frame
+    "graft/operators/Events.scala" -> 2,
     "graft/operators/Layout.scala" -> 1,
     "graft/operators/Retrieval.scala" -> 1,
     // 4 long-audited 1-row stats joins + dsirWeights' 1-row totals join

@@ -180,6 +180,36 @@ class StarEventsSpec extends SparkSpec {
       ("cart", "view") -> ((1L, 1.0))))
   }
 
+  test("pageRank: exact integer replay, traffic sinks outrank sources") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    // u10: a->b, b->c, c->b, b->a; u20: a->b. Inflow concentrates on b
+    // (b's outflow splits, so no undamped 2-cycle oscillation survives).
+    val events = Seq(
+      (1L, ts(0), 10L, "a", 0.0), (2L, ts(1), 10L, "b", 0.0),
+      (3L, ts(2), 10L, "c", 0.0), (4L, ts(3), 10L, "b", 0.0),
+      (5L, ts(4), 10L, "a", 0.0),
+      (6L, ts(0), 20L, "a", 0.0), (7L, ts(1), 20L, "b", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.pageRank(events).as[(String, Long)].collect().toMap
+    // local replay of the fixed-point arithmetic (Long / truncates like
+    // div on nonnegative operands)
+    val edges = Map(("a", "b") -> 2L, ("b", "c") -> 1L, ("c", "b") -> 1L,
+      ("b", "a") -> 1L)
+    val nodes = Seq("a", "b", "c")
+    val outN = edges.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val p6 = edges.map { case ((f, t), n) => (f, t) -> n * 1000000L / outN(f) }
+    val S = 1000000000000L
+    var pr = nodes.map(_ -> S / nodes.length).toMap
+    for (_ <- 1 to 8) {
+      val cs = nodes.map(v => v -> p6.collect {
+        case ((f, t), p) if t == v => pr(f) * p / 1000000L }.sum).toMap
+      pr = nodes.map(v =>
+        v -> (S / nodes.length * 15L / 100L + 85L * cs(v) / 100L)).toMap
+    }
+    assert(out == pr, s"engine $out vs replay $pr")
+    assert(out("b") > out("a") && out("b") > out("c"))
+  }
+
   test("hourlyAgg buckets by hour and type") {
     def ts(min: Int) = new Timestamp(min * 60000L)
     val events = Seq(
