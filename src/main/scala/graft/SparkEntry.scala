@@ -1226,6 +1226,22 @@ object SparkEntry {
       Bpe.segment(Tables.documents(s, d), "doc_id", "text", pinnedMerges)
         .select(col("doc_id"), coalesce(size(col("pieces")), lit(0)).as("n_pieces"),
           concat_ws(" ", slice(col("pieces"), 1, 12)).as("head_pieces"))),
+    // §2.2 row 31b — tokenizer fertility (pieces per word, per language):
+    // the compression-ratio eval for tokenizer choice; pure projection
+    // (the pinned-merge segmenter) + one lang-keyed aggregate, fertility
+    // is one double division of exactly-summed integer counts
+    "bpe_fertility" -> ((s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d).select(col("lang"),
+          coalesce(size(graft.functions.NativeExprs.bpeSegment(
+            toks, pinnedMerges, "</w>")), lit(0)).cast("long").as("_np"),
+          size(filter(toks, w => w =!= "")).cast("long").as("_nw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_nw")).as("n_words"),
+          sum(col("_np")).as("n_pieces"))
+        .withColumn("fertility",
+          col("n_pieces").cast("double") / col("n_words"))
+    }),
     // §2.1 row 17b — single-pass column profiling
     // (spread: the 4-column exact-distinct profile Expands the input 4x,
     // all fused into the single-row-group scan without it)
@@ -1430,6 +1446,45 @@ object SparkEntry {
     * by `winnow_overlap` + the fully-oracled
     * md5-variant `winnow_fingerprint`, and embedding_pca's
     * distributed pass by the oracled `embedding_cov`. */
+  /** Shared DuckDB CTE chain for the pinned-merge BPE oracles
+    * (`bpe_segment_fixed`, `bpe_fertility`): explicit whitespace class
+    * (RE2's \s lacks U+000B), per-word-instance table `wd`, distinct-word
+    * `w0`/`init`, and the recursive merge state machine `fin`. */
+  private def bpeFixedCtes: String = {
+    val mergeRows = pinnedMerges.zipWithIndex
+      .map { case ((l, r), i) => s"($i, '$l', '$r')" }.mkString(",\n        ")
+    s"""m(rank, l, r) AS (VALUES
+      |        $mergeRows),
+      |d0 AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents),
+      |wd AS (SELECT doc_id, u.wi AS wi, u.w AS w FROM (
+      |    SELECT doc_id, unnest([{'wi': i, 'w': toks[i]}
+      |        for i in range(1, len(toks) + 1)]) AS u FROM d0)
+      |  WHERE u.w <> ''),
+      |w0 AS (SELECT DISTINCT w FROM wd),
+      |init AS (SELECT w, ch[1:len(ch)-1] || [ch[len(ch)] || '</w>'] AS syms
+      |    FROM (SELECT w, string_split(w, '') AS ch FROM w0)),
+      |fin AS (
+      |  WITH RECURSIVE st(w, syms, al, ar, done) AS (
+      |    SELECT w, syms, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), false FROM init
+      |    UNION ALL
+      |    SELECT w,
+      |      CASE WHEN pos IS NOT NULL
+      |           THEN syms[1:pos-1] || [al || ar] || syms[pos+2:] ELSE syms END,
+      |      CASE WHEN pos IS NOT NULL THEN al
+      |           ELSE (SELECT mm.l FROM m mm WHERE mm.rank = br) END,
+      |      CASE WHEN pos IS NOT NULL THEN ar
+      |           ELSE (SELECT mm.r FROM m mm WHERE mm.rank = br) END,
+      |      (pos IS NULL AND br IS NULL)
+      |    FROM (SELECT w, syms, al, ar,
+      |        list_min([i for i in range(1, len(syms))
+      |                  if syms[i] = al AND syms[i+1] = ar]) AS pos,
+      |        (SELECT min(mm.rank) FROM m mm WHERE len(
+      |            [i for i in range(1, len(syms))
+      |             if syms[i] = mm.l AND syms[i+1] = mm.r]) > 0) AS br
+      |      FROM st WHERE NOT done))
+      |  SELECT w, syms FROM st WHERE done)""".stripMargin
+  }
+
   /** Pinned literal merge list for `bpe_segment_fixed` — rank order is
     * merge priority. Chosen a priori (common English pairs, NOT trained on
     * the corpus — the seeded-centroid discipline: artifacts pinned, the
@@ -1772,46 +1827,28 @@ object SparkEntry {
     // which the Scala expression recomputes after each full pass. Docs
     // reassemble by word position; wordless docs keep n_pieces=0 via the
     // LEFT JOIN.
-    "bpe_segment_fixed" -> {
-      val mergeRows = pinnedMerges.zipWithIndex
-        .map { case ((l, r), i) => s"($i, '$l', '$r')" }.mkString(",\n        ")
-      s"""WITH m(rank, l, r) AS (VALUES
-        |        $mergeRows),
-        |d0 AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents),
-        |wd AS (SELECT doc_id, u.wi AS wi, u.w AS w FROM (
-        |    SELECT doc_id, unnest([{'wi': i, 'w': toks[i]}
-        |        for i in range(1, len(toks) + 1)]) AS u FROM d0)
-        |  WHERE u.w <> ''),
-        |w0 AS (SELECT DISTINCT w FROM wd),
-        |init AS (SELECT w, ch[1:len(ch)-1] || [ch[len(ch)] || '</w>'] AS syms
-        |    FROM (SELECT w, string_split(w, '') AS ch FROM w0)),
-        |fin AS (
-        |  WITH RECURSIVE st(w, syms, al, ar, done) AS (
-        |    SELECT w, syms, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), false FROM init
-        |    UNION ALL
-        |    SELECT w,
-        |      CASE WHEN pos IS NOT NULL
-        |           THEN syms[1:pos-1] || [al || ar] || syms[pos+2:] ELSE syms END,
-        |      CASE WHEN pos IS NOT NULL THEN al
-        |           ELSE (SELECT mm.l FROM m mm WHERE mm.rank = br) END,
-        |      CASE WHEN pos IS NOT NULL THEN ar
-        |           ELSE (SELECT mm.r FROM m mm WHERE mm.rank = br) END,
-        |      (pos IS NULL AND br IS NULL)
-        |    FROM (SELECT w, syms, al, ar,
-        |        list_min([i for i in range(1, len(syms))
-        |                  if syms[i] = al AND syms[i+1] = ar]) AS pos,
-        |        (SELECT min(mm.rank) FROM m mm WHERE len(
-        |            [i for i in range(1, len(syms))
-        |             if syms[i] = mm.l AND syms[i+1] = mm.r]) > 0) AS br
-        |      FROM st WHERE NOT done))
-        |  SELECT w, syms FROM st WHERE done),
+    "bpe_segment_fixed" ->
+      s"""WITH $bpeFixedCtes,
         |agg AS (SELECT doc_id, CAST(sum(len(syms)) AS INT) AS n_pieces,
         |      flatten(list(syms ORDER BY wi)) AS pieces
         |    FROM wd JOIN fin USING (w) GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(a.n_pieces, 0) AS n_pieces,
         |  coalesce(array_to_string(a.pieces[1:12], ' '), '') AS head_pieces
-        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
-    },
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // Same pinned-merge segmentation machinery, aggregated per language:
+    // fertility is one double division of exactly-summed integer counts.
+    "bpe_fertility" ->
+      s"""WITH $bpeFixedCtes,
+        |agg AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS np,
+        |      CAST(count(*) AS BIGINT) AS nw
+        |    FROM wd JOIN fin USING (w) GROUP BY doc_id)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(coalesce(a.nw, 0)) AS BIGINT) AS n_words,
+        |  CAST(SUM(coalesce(a.np, 0)) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(coalesce(a.np, 0)) AS DOUBLE) / SUM(coalesce(a.nw, 0))
+        |    AS fertility
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |GROUP BY d.lang""".stripMargin,
     // ann_lsh re-derived end-to-end: the SAME 8×64 hyperplane constants
     // (java.util.Random(7) — deterministic across JVMs) rebuild every
     // signature as a bit-int; the multiprobe candidate set (query bucket

@@ -222,4 +222,24 @@ class BpeSpec extends SparkSpec {
     // segmentation, so eviction can never change results
     assert(segment("low") == first)
   }
+
+  test("fertility arithmetic: pieces per word under a pinned merge list") {
+    import org.apache.spark.sql.functions._
+    val merges = Seq(("a", "b</w>"))
+    // "ab" -> [ab</w>] (1 piece), "cd" -> [c, d</w>] (2), "a" -> [a</w>],
+    // "b" -> [b</w>]; doc2's extra whitespace must not add words
+    val docs = Seq((1L, "ab ab cd", "en"), (2L, " a  b ", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val out = docs.select(col("lang"),
+        coalesce(size(graft.functions.NativeExprs.bpeSegment(
+          toks, merges, "</w>")), lit(0)).cast("long").as("np"),
+        size(filter(toks, w => w =!= "")).cast("long").as("nw"))
+      .groupBy(col("lang"))
+      .agg(sum(col("nw")).as("n_words"), sum(col("np")).as("n_pieces"))
+      .withColumn("fertility", col("n_pieces").cast("double") / col("n_words"))
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("en") == (("en", 3L, 4L, 4.0 / 3)))
+    assert(out("zh") == (("zh", 2L, 2L, 1.0)))
+  }
 }
