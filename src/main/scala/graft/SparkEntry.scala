@@ -906,6 +906,11 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d), "source", "doc_id", 5)
         .select(col("doc_id"), col("source"))),
+    // §2.2 row 29u — deterministic stratified train/val/test assignment
+    // (exact per-language ratios via the rank cut, disjoint + exhaustive)
+    "split_assign" -> ((s, d) =>
+      TextAnalysis.splitAssign(Tables.documents(s, d), "lang", "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
     // §2.2 row 29i — weighted mixture sampling (per-language keep
     // probabilities via portable md5-prefix thresholds)
     "sample_weighted" -> ((s, d) =>
@@ -2719,6 +2724,18 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) WHERE rk <= 5""".stripMargin,
+    // Same rank construction; the cut boundaries are floor(c * n) with the
+    // identical double literals, so the split is engine-exact.
+    "split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN rn <= floor(0.9 * n) THEN 'train'
+        |       WHEN rn <= floor(0.95 * n) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)""".stripMargin,
     "seq_pack" ->
       """SELECT doc_id, source,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,

@@ -171,6 +171,47 @@ object TextAnalysis {
       .drop("_rk")
   }
 
+  /** Deterministic stratified train/val/test split assignment — the
+    * holdout-creation step of corpus assembly: within each stratum, docs
+    * rank by md5-of-id order (the [[sampleStratified]] draw) and the rank
+    * range assigns the split, so every stratum contributes EXACTLY its
+    * `fractions` share to each split (ratios exact by construction, not in
+    * expectation), splits are disjoint and exhaustive, and the assignment
+    * is engine-reproducible with no RNG. Rank-cut vs hash-threshold is a
+    * contract choice: [[sampleWeighted]]'s thresholds keep a doc's
+    * membership stable when the corpus grows; the rank cut here trades
+    * that for exact per-stratum counts (the eval-split requirement —
+    * a 5% holdout should BE 5%).
+    *
+    * Scale: ONE stratum-keyed exchange; both windows (rank + stratum
+    * count) share it. `fractions` must sum to 1; the last split absorbs
+    * the floor remainders. Output: docs' (idCol, stratumCol) + split. */
+  def splitAssign(docs: DataFrame, stratumCol: String, idCol: String,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.size >= 2 && fractions.forall(_._2 > 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must be >= 2 positive shares summing to 1: $fractions")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+    // Accumulate boundaries in DECIMAL so the cut literal equals the
+    // decimal the caller wrote (0.9 + 0.05 in doubles is 0.9500000000000001,
+    // NOT the 0.95 a SQL replay would state — floor(c*n) could then differ
+    // exactly when c*n lands on an integer).
+    val cums = fractions.init
+      .scanLeft(BigDecimal(0))((acc, f) => acc + BigDecimal.valueOf(f._2))
+      .tail.map(_.toDouble)
+    val assign = fractions.init.zip(cums).foldRight(
+        lit(fractions.last._1): Column) { case (((label, _), c), rest) =>
+      when(col("_rn") <= floor(lit(c) * col("_n")), label).otherwise(rest)
+    }
+    docs.select(col(idCol), col(stratumCol))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .select(col(idCol), col(stratumCol), assign.as("split"))
+  }
+
   /** Priority sampling (Duffield–Lund–Thorup, JACM 2007) — weight-
     * proportional sampling WITHOUT replacement with an UNBIASED subset-sum
     * estimator, the missing complement of [[sampleWeighted]] (independent

@@ -645,4 +645,24 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(!out("C")._5, "below-minDocs source must never be kept")
     assert(out("A")._3 == (9 + 11 + 13).toDouble / 3)
   }
+
+  test("splitAssign: disjoint, exhaustive, exact per-stratum ratios") {
+    val docs = (1L to 40L).map(i => (i, if (i <= 20) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = TextAnalysis.splitAssign(docs, "lang", "doc_id", fr)
+      .as[(Long, String, String)].collect()
+    // one row per doc, every doc assigned exactly one split
+    assert(out.length == 40 && out.map(_._1).distinct.length == 40)
+    // exact ratios per stratum: 20 docs -> 16/2/2, not in expectation
+    for (lang <- Seq("en", "zh")) {
+      val g = out.filter(_._2 == lang).groupBy(_._3)
+        .view.mapValues(_.size).toMap
+      assert(g == Map("train" -> 16, "val" -> 2, "test" -> 2), s"$lang -> $g")
+    }
+    // deterministic under re-evaluation (md5-rank order, no RNG)
+    val again = TextAnalysis.splitAssign(docs, "lang", "doc_id", fr)
+      .as[(Long, String, String)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
 }
