@@ -1011,6 +1011,17 @@ object SparkEntry {
       Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10, Similarity.seededCentroids(16, 64), nprobe = 4)
     }),
+    // §2.2 row 24f — FILTERED vector search: the metadata predicate is
+    // pushed into the corpus scan BEFORE the index (pre-filtering), so
+    // every cell holds only qualifying rows and top-k can never starve —
+    // the composition falls out of the operators taking the corpus as a
+    // DataFrame (Catalyst pushes the filter into the parquet scan)
+    "ann_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopKWith(e.filter(col("vec_id") < 5),
+        e.filter(col("vec_id") >= 5 && col("label").isin(2, 3, 5)),
+        "vec_id", "embedding", 10, Similarity.seededCentroids(16, 64), nprobe = 4)
+    }),
     // §2.2 row 24c — product-quantization ANN (rows-only oracle; rank-1
     // recall gated by `ann_recall`'s pq_nn column + recall@10 spec): ADC
     // scoring over the m-byte code table, exact re-rank of the shortlist
@@ -1451,6 +1462,39 @@ object SparkEntry {
     * by `winnow_overlap` + the fully-oracled
     * md5-variant `winnow_fingerprint`, and embedding_pca's
     * distributed pass by the oracled `embedding_cov`. */
+  /** Pinned-centroid IVF search replay, parameterized by the corpus-scan
+    * predicate — `ann_ivf_fixed` uses the plain split, `ann_filtered` adds
+    * the metadata filter (pre-filtering: the index sees only qualifying
+    * rows, the filtered-vector-search strategy that cannot starve top-k). */
+  private def ivfFixedSql(corpusPred: String): String = {
+    val centRows = graft.operators.Similarity.seededCentroids(16, 64)
+      .map { case (cid, v) => s"($cid, [${v.mkString(", ")}])" }
+      .mkString(",\n        ")
+    s"""WITH cents(cid, cv) AS (VALUES
+      |        $centRows),
+      |q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |    FROM embeddings WHERE vec_id < 5),
+      |c0 AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv2
+      |    FROM embeddings WHERE $corpusPred),
+      |casim AS (SELECT neighbor_id, cid,
+      |    row_number() OVER (PARTITION BY neighbor_id
+      |      ORDER BY list_cosine_similarity(cv2, cv) DESC, cid) AS rn
+      |    FROM c0, cents),
+      |cell_of AS (SELECT neighbor_id, cid AS cell FROM casim WHERE rn = 1),
+      |probes AS (SELECT query_id, cid AS cell FROM (
+      |    SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY list_cosine_similarity(qv, cv) DESC, cid) AS rn
+      |    FROM q0, cents) WHERE rn <= 4),
+      |cand AS (SELECT query_id, neighbor_id
+      |    FROM probes JOIN cell_of USING (cell)),
+      |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv2) AS sim
+      |    FROM cand JOIN q0 USING (query_id) JOIN c0 USING (neighbor_id)),
+      |r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS rank FROM s WHERE NOT isnan(sim))
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r
+      |WHERE rank <= 10""".stripMargin
+  }
+
   /** Shared DuckDB CTE chain for the pinned-merge BPE oracles
     * (`bpe_segment_fixed`, `bpe_fertility`): explicit whitespace class
     * (RE2's \s lacks U+000B), per-word-instance table `wd`, distinct-word
@@ -2401,34 +2445,11 @@ object SparkEntry {
     // same 16×64 constants as the Spark query; cell = argmax cosine (tie
     // to lowest cell id), probes = each query's top-4 cells, candidates =
     // corpus rows in probed cells, then exact cosine top-10 as in ann_topk.
-    "ann_ivf_fixed" -> {
-      val centRows = graft.operators.Similarity.seededCentroids(16, 64)
-        .map { case (cid, v) => s"($cid, [${v.mkString(", ")}])" }
-        .mkString(",\n        ")
-      s"""WITH cents(cid, cv) AS (VALUES
-        |        $centRows),
-        |q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |    FROM embeddings WHERE vec_id < 5),
-        |c0 AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv2
-        |    FROM embeddings WHERE vec_id >= 5),
-        |casim AS (SELECT neighbor_id, cid,
-        |    row_number() OVER (PARTITION BY neighbor_id
-        |      ORDER BY list_cosine_similarity(cv2, cv) DESC, cid) AS rn
-        |    FROM c0, cents),
-        |cell_of AS (SELECT neighbor_id, cid AS cell FROM casim WHERE rn = 1),
-        |probes AS (SELECT query_id, cid AS cell FROM (
-        |    SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY list_cosine_similarity(qv, cv) DESC, cid) AS rn
-        |    FROM q0, cents) WHERE rn <= 4),
-        |cand AS (SELECT query_id, neighbor_id
-        |    FROM probes JOIN cell_of USING (cell)),
-        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv2) AS sim
-        |    FROM cand JOIN q0 USING (query_id) JOIN c0 USING (neighbor_id)),
-        |r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY sim DESC, neighbor_id) AS rank FROM s WHERE NOT isnan(sim))
-        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r
-        |WHERE rank <= 10""".stripMargin
-    },
+    "ann_ivf_fixed" -> ivfFixedSql("vec_id >= 5"),
+    // Filtered vector search: the SAME pinned-centroid IVF replay with the
+    // metadata predicate pushed into the corpus scan (pre-filtering — the
+    // index sees only qualifying rows, so top-k can never starve).
+    "ann_filtered" -> ivfFixedSql("vec_id >= 5 AND label IN (2, 3, 5)"),
     // Winnowing fingerprints re-derived end-to-end (md5 token-hash
     // variant): per-token top-8-md5-bytes as HUGEINT, the rolling chain
     // h = (h*B + t) mod 2^64 replayed by list_reduce (B = 1000003 < 2^20

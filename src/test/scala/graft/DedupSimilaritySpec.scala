@@ -190,6 +190,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(adaptive == rows(SparkEntry.queries("ann_lsh")(spark, d)))
   }
 
+  test("filtered IVF search respects the predicate and excludes closer non-matching vectors") {
+    val rnd = new java.util.Random(11L)
+    def vec() = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    def near(eps: Float) = base.zipWithIndex
+      .map { case (x, i) => if (i == 0) x + eps else x }
+    // id 10: near-exact dup but label 0 (filtered OUT);
+    // id 11: slightly farther dup, label 1 (IN) — must become rank 1
+    val corpus = Seq((10L, near(0.001f), 0), (11L, near(0.05f), 1)) ++
+      (12L to 40L).map(i => (i, vec(), (i % 2).toInt))
+    val c = corpus.toDF("vec_id", "embedding", "label")
+    val q = Seq((0L, base)).toDF("vec_id", "embedding")
+    // nprobe = numCells -> exhaustive probing, no recall miss possible
+    val out = Similarity.ivfTopKWith(q, c.filter(col("label") === 1),
+        "vec_id", "embedding", 5, Similarity.seededCentroids(4, 16), nprobe = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(out.exists(r => r._2 == 11L && r._3 == 1),
+      s"the filtered nearest must rank 1: ${out.toSeq}")
+    assert(!out.exists(r => r._2 == 10L),
+      "a closer vector failing the predicate must never surface")
+    val allowed = corpus.filter(_._3 == 1).map(_._1).toSet
+    assert(out.forall(r => allowed(r._2)), "every hit satisfies the predicate")
+  }
+
   test("LSH and IVF recall@10 >= 0.9 vs brute-forced truth on a clustered corpus") {
     // A 60-query sampled recall gate (vs ann_recall's 5 planted rank-1
     // probes): 30 clusters x 20 members (center + sigma=0.05 jitter,
