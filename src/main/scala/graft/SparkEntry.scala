@@ -1122,6 +1122,12 @@ object SparkEntry {
     }),
     // §2.2 row 25 — embedding column ops
     "embedding_norms" -> ((s, d) => Similarity.norms(Tables.embeddings(s, d), "vec_id", "embedding")),
+    // §2.2 row 25f — Matryoshka truncation readiness: retained_d IS
+    // cos(full, d-prefix truncation); decides the coarse-stage width of a
+    // prefix-search retrieval funnel
+    "embedding_matryoshka" -> ((s, d) =>
+      Similarity.matryoshkaNorms(Tables.embeddings(s, d), "vec_id",
+        "embedding", Seq(16, 32))),
     // §2.2 row 25e — component covariance matrix (PCA/whitening input):
     // the explode carrier (pure built-in Catalyst, independently planned),
     // kept under the oracle as the cross-check of the default aggregate
@@ -2827,6 +2833,21 @@ object SparkEntry {
         |  round(sqrt(list_aggregate([x*x for x in CAST(embedding AS DOUBLE[])], 'sum')), 4) AS l2_norm,
         |  round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum') / len(embedding), 6) AS mean_component
         |FROM embeddings""".stripMargin,
+    // No rounding anywhere: the squared-norm fold is order-pinned
+    // (list_reduce over the squared list == Spark's ascending aggregate
+    // fold, 0.0 + x1^2 being exactly x1^2), and sqrt / the ratio are
+    // single correctly-rounded ops — raw doubles hash-match.
+    "embedding_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id,
+        |    sqrt(list_reduce([x*x for x in v], (a, b) -> a + b)) AS norm_full,
+        |    sqrt(list_reduce([x*x for x in v[1:16]], (a, b) -> a + b)) AS norm_16,
+        |    sqrt(list_reduce([x*x for x in v[1:32]], (a, b) -> a + b)) AS norm_32
+        |  FROM e)
+        |SELECT vec_id, norm_full,
+        |  norm_16, norm_16 / norm_full AS retained_16,
+        |  norm_32, norm_32 / norm_full AS retained_32
+        |FROM n""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -640,6 +640,32 @@ object Similarity {
         .as("mean_component"))
   }
 
+  /** Matryoshka (MRL) truncation diagnostics — how much of each vector's
+    * mass the first `d` dimensions retain: for truncation-by-prefix,
+    * cos(full, truncated) = ‖x[1:d]‖ / ‖x‖ EXACTLY (the dot against the
+    * zero-padded prefix collapses to the prefix's own squared norm), so
+    * `retained_d` IS the cosine the truncated vector keeps — the number
+    * that decides how far a retrieval funnel can cheapen its coarse stage
+    * (prefix search) before the refine stage must take over.
+    *
+    * Pure projection, zero shuffles. Determinism: the squared-norm fold is
+    * order-pinned ascending (Spark's `aggregate` left fold ≡ DuckDB's
+    * `list_reduce` over the squared list, 0.0 + x₁² being exactly x₁²);
+    * sqrt and the ratio are single correctly-rounded operations — the
+    * doubles replay bit-identically with NO rounding step. */
+  def matryoshkaNorms(embeddings: DataFrame, idCol: String, vecCol: String,
+                      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"bad prefix dims: $dims")
+    val v = toDouble(col(vecCol))
+    val withNorms = embeddings.select(
+      (col(idCol) +: l2Norm(v).as("norm_full") +:
+        dims.map(d => l2Norm(slice(v, 1, d)).as(s"norm_$d"))): _*)
+    withNorms.select(
+      (col(idCol) +: col("norm_full") +:
+        dims.flatMap(d => Seq(col(s"norm_$d"),
+          (col(s"norm_$d") / col("norm_full")).as(s"retained_$d")))): _*)
+  }
+
   /** Train product-quantization codebooks (Jégou et al. 2011): the vector
     * space splits into `m` equal subspaces, each with its own `ksub`-entry
     * L2 codebook, so a d-dim float vector compresses to m small code ids —

@@ -214,6 +214,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall(r => allowed(r._2)), "every hit satisfies the predicate")
   }
 
+  test("matryoshkaNorms: retained_d equals cos(full, d-prefix truncation) bitwise") {
+    val rnd = new java.util.Random(5L)
+    val vecs = Seq(
+      (1L, Seq(3f, 4f, 0f, 0f)),             // prefix-2 holds ALL mass
+      (2L, Seq(0f, 0f, 0f, 2f)),             // prefix-2 holds none
+      (3L, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val out = Similarity.matryoshkaNorms(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", Seq(2))
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 5.0 && out(1L)._3 == 5.0 && out(1L)._4 == 1.0)
+    assert(out(2L)._4 == 0.0)
+    // bitwise identity with a local replay, and with the cosine identity:
+    // dot(full, zero-padded prefix) / (|full||prefix|) == |prefix| / |full|
+    val x = vecs(2)._2.map(_.toDouble)
+    def nrm(s: Seq[Double]) = math.sqrt(s.foldLeft(0.0)((a, v) => a + v * v))
+    assert(out(3L)._2 == nrm(x) && out(3L)._3 == nrm(x.take(2)))
+    assert(out(3L)._4 == nrm(x.take(2)) / nrm(x))
+    val cos = x.take(2).zip(x.take(2)).map { case (a, b) => a * b }.sum /
+      (nrm(x) * nrm(x.take(2)))
+    assert(math.abs(out(3L)._4 - cos) < 1e-15)
+  }
+
   test("LSH and IVF recall@10 >= 0.9 vs brute-forced truth on a clustered corpus") {
     // A 60-query sampled recall gate (vs ann_recall's 5 planted rank-1
     // probes): 30 clusters x 20 members (center + sigma=0.05 jitter,
