@@ -1011,6 +1011,14 @@ object SparkEntry {
       Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10, Similarity.seededCentroids(16, 64), nprobe = 4)
     }),
+    // §2.2 row 23c — MMR-diversified retrieval: greedy diversified
+    // re-rank of the brute top-20 pool (λ = 0.7, k = 5); 6dp-rounded
+    // cosines + decimal λ/μ literals make every greedy step engine-exact
+    "mmr_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.mmrTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", k = 5, pool = 20, lambda = 0.7)
+    }),
     // §2.2 row 24f — FILTERED vector search: the metadata predicate is
     // pushed into the corpus scan BEFORE the index (pre-filtering), so
     // every cell holds only qualifying rows and top-k can never starve —
@@ -2819,6 +2827,52 @@ object SparkEntry {
         |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
         |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
+    // The greedy MMR steps unroll as CTEs (the event_pagerank pattern):
+    // candidate/pairwise cosines 6dp-rounded before any arithmetic, λ/μ
+    // as the same decimal literals the Spark side computes with, argmax
+    // ties on neighbor_id — each step is engine-exact by construction.
+    "mmr_topk" -> {
+      val steps = (2 to 5).map { t =>
+        s"""ch$t AS (SELECT * FROM ch${t - 1}
+           |  UNION ALL
+           |  SELECT query_id, neighbor_id, $t AS mmr_rank FROM (
+           |    SELECT cd.query_id, cd.neighbor_id,
+           |      row_number() OVER (PARTITION BY cd.query_id
+           |        ORDER BY 0.7 * cd.sim - 0.3 * pen.mx DESC, cd.neighbor_id) AS rk
+           |    FROM cand cd
+           |    JOIN (SELECT p.query_id, p.ida, max(p.psim) AS mx
+           |        FROM p JOIN ch${t - 1} ch
+           |          ON ch.query_id = p.query_id AND ch.neighbor_id = p.idb
+           |        GROUP BY p.query_id, p.ida) pen
+           |      ON pen.query_id = cd.query_id AND pen.ida = cd.neighbor_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM ch${t - 1} x
+           |      WHERE x.query_id = cd.query_id AND x.neighbor_id = cd.neighbor_id)
+           |  ) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |    FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |    FROM embeddings WHERE vec_id >= 5),
+        |s0 AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS rawsim
+        |    FROM q, c),
+        |sh AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rawsim DESC, neighbor_id) AS rk
+        |    FROM s0 WHERE NOT isnan(rawsim)) WHERE rk <= 20),
+        |cand AS (SELECT s.query_id, s.neighbor_id, round(s.rawsim, 6) AS sim
+        |    FROM s0 s JOIN sh USING (query_id, neighbor_id)),
+        |p AS (SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+        |      round(list_cosine_similarity(ca.cv, cb.cv), 6) AS psim
+        |    FROM sh a JOIN sh b USING (query_id)
+        |    JOIN c ca ON ca.neighbor_id = a.neighbor_id
+        |    JOIN c cb ON cb.neighbor_id = b.neighbor_id
+        |    WHERE a.neighbor_id <> b.neighbor_id),
+        |ch1 AS (SELECT query_id, neighbor_id, 1 AS mmr_rank FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rk FROM cand) WHERE rk = 1),
+        |$steps
+        |SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank FROM ch5""".stripMargin
+    },
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |    FROM embeddings WHERE vec_id < 5),

@@ -640,6 +640,74 @@ object Similarity {
         .as("mean_component"))
   }
 
+  /** MMR-diversified retrieval (Carbonell & Goldstein 1998 maximal marginal
+    * relevance) — the de-duplicating re-rank every RAG/retrieval stack puts
+    * after top-k: greedily pick k results maximizing
+    * λ·sim(q,d) − (1−λ)·max_{c∈chosen} sim(d,c), so a shortlist full of
+    * near-identical hits diversifies instead of wasting slots. Output:
+    * (query_id, neighbor_id, mmr_rank), min(k, |pool|) rows per query.
+    *
+    * Determinism / oracle-ability: candidate and pairwise cosines are
+    * 6dp-rounded BEFORE any score arithmetic, λ and μ = 1−λ are decimal
+    * literals (1.0 − 0.7 in doubles is NOT the 0.3 a SQL replay states —
+    * the split_assign lesson), every product/difference is then a single
+    * correctly-rounded op, ties break on neighbor_id — so the k greedy
+    * steps unroll as SQL CTEs and replay exactly (the event_pagerank
+    * pattern, applied to retrieval).
+    *
+    * Scale: the pool comes from [[exactTopK]]'s bounded heaps (swap in any
+    * ANN searcher upstream — no corpus shuffle either way); vectors for
+    * the ≤ pool·|queries| shortlist re-fetch via one broadcast semi-join
+    * against the corpus scan; pairwise sims and all k greedy rounds run on
+    * pool²-sized frames, each round `localCheckpoint`ed (the iterative
+    * discipline). The corpus is scanned twice and never shuffled. */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int = 5, pool: Int = 20,
+              lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && pool >= k && lambda > 0 && lambda <= 1,
+      s"need k >= 1, pool >= k, 0 < lambda <= 1: k=$k pool=$pool λ=$lambda")
+    val mu = (BigDecimal.valueOf(1.0) - BigDecimal.valueOf(lambda)).toDouble
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+    val shortIds = exactTopK(queries, corpus, idCol, vecCol, pool)
+      .select(col("query_id"), col("neighbor_id"))
+    val cvecs = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
+    val cand = cvecs.join(broadcast(shortIds), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_qv"), col("_cv")), 6).as("_sim"), col("_cv"))
+      .localCheckpoint()
+    val pairs = cand.select(col("query_id"), col("neighbor_id").as("_ida"), col("_cv").as("_va"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("_idb"), col("_cv").as("_vb")),
+        Seq("query_id"))
+      .where(col("_ida") =!= col("_idb"))
+      .select(col("query_id"), col("_ida"), col("_idb"),
+        round(cosine(col("_va"), col("_vb")), 6).as("_psim"))
+      .localCheckpoint()
+    var chosen = cand
+      .withColumn("_rn", row_number().over(byQ.orderBy(col("_sim").desc, col("neighbor_id"))))
+      .where(col("_rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("mmr_rank"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val pen = pairs
+        .join(chosen.select(col("query_id"), col("neighbor_id").as("_idb")),
+          Seq("query_id", "_idb"))
+        .groupBy(col("query_id"), col("_ida")).agg(max(col("_psim")).as("_pen"))
+        .withColumnRenamed("_ida", "neighbor_id")
+      val pick = cand
+        .join(chosen.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(pen, Seq("query_id", "neighbor_id"))
+        .withColumn("_score", lit(lambda) * col("_sim") - lit(mu) * col("_pen"))
+        .withColumn("_rn", row_number().over(byQ.orderBy(col("_score").desc, col("neighbor_id"))))
+        .where(col("_rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(t).as("mmr_rank"))
+      chosen = chosen.union(pick).localCheckpoint()
+    }
+    chosen
+  }
+
   /** Matryoshka (MRL) truncation diagnostics — how much of each vector's
     * mass the first `d` dimensions retain: for truncation-by-prefix,
     * cos(full, truncated) = ‖x[1:d]‖ / ‖x‖ EXACTLY (the dot against the

@@ -214,6 +214,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall(r => allowed(r._2)), "every hit satisfies the predicate")
   }
 
+  test("mmrTopK diversifies: a near-duplicate of the chosen hit is deferred") {
+    val corpus = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f)),     // A
+      (11L, Seq(1f, 0.01f, 0f, 0f)),  // A': near-dup of A, slightly closer to q
+      (12L, Seq(0f, 1f, 0f, 0f)),     // B: as relevant as A, orthogonal to it
+      (13L, Seq(0f, 0f, 1f, 0f))      // C: irrelevant
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    def order(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().sortBy(_._3).map(_._2).toSeq
+    // plain similarity ranks the duplicate pair adjacent
+    assert(order(Similarity.exactTopK(q, corpus, "vec_id", "embedding", 4))
+      == Seq(11L, 10L, 12L, 13L))
+    // MMR defers A' twin A behind the diverse B; the irrelevant C stays last
+    val mmr = order(Similarity.mmrTopK(q, corpus, "vec_id", "embedding",
+      k = 4, pool = 4, lambda = 0.7))
+    assert(mmr == Seq(11L, 12L, 10L, 13L), s"mmr order: $mmr")
+    assert(mmr == order(Similarity.mmrTopK(q, corpus, "vec_id", "embedding",
+      k = 4, pool = 4, lambda = 0.7)), "greedy must be deterministic")
+  }
+
   test("matryoshkaNorms: retained_d equals cos(full, d-prefix truncation) bitwise") {
     val rnd = new java.util.Random(5L)
     val vecs = Seq(
