@@ -906,6 +906,10 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d), "source", "doc_id", 5)
         .select(col("doc_id"), col("source"))),
+    // §2.2 row 29v — budget-constrained mixture allocation: exact integer
+    // waterfilling of half the corpus's tokens across sources
+    "mix_waterfill" -> ((s, d) =>
+      TextAnalysis.waterfillBudget(Tables.documents(s, d), "source", "text", 2L)),
     // §2.2 row 29u — deterministic stratified train/val/test assignment
     // (exact per-language ratios via the rank cut, disjoint + exhaustive)
     "split_assign" -> ((s, d) =>
@@ -2759,6 +2763,35 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) WHERE rk <= 5""".stripMargin,
+    // Same closed-form windows as the Spark side: funded via the monotone
+    // capacity test, the level via one integer division, remainder to the
+    // first unfunded sources in id order — all-integer, engine-exact.
+    "mix_waterfill" ->
+      """WITH caps AS (SELECT source,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS cap_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT SUM(cap_tokens) AS total, count(*) AS n FROM caps),
+        |rk AS (SELECT source, cap_tokens,
+        |    (SELECT total // 2 FROM t) AS b, (SELECT n FROM t) AS n,
+        |    row_number() OVER (ORDER BY cap_tokens, source) AS rn,
+        |    SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+        |      ROWS UNBOUNDED PRECEDING) AS pref
+        |  FROM caps),
+        |f AS (SELECT *,
+        |    cap_tokens * (n - rn + 1) + (pref - cap_tokens) <= b AS funded
+        |  FROM rk),
+        |g AS (SELECT *,
+        |    SUM(CASE WHEN funded THEN 1 ELSE 0 END) OVER () AS k,
+        |    SUM(CASE WHEN funded THEN cap_tokens ELSE 0 END) OVER () AS pk,
+        |    row_number() OVER (PARTITION BY funded ORDER BY source) AS ur
+        |  FROM f)
+        |SELECT source, cap_tokens,
+        |  CAST(CASE WHEN funded THEN cap_tokens
+        |       ELSE (b - pk) // (n - k)
+        |         + (CASE WHEN ur <= (b - pk) % (n - k) THEN 1 ELSE 0 END)
+        |       END AS BIGINT) AS alloc_tokens,
+        |  funded
+        |FROM g""".stripMargin,
     // Same rank construction; the cut boundaries are floor(c * n) with the
     // identical double literals, so the split is engine-exact.
     "split_assign" ->

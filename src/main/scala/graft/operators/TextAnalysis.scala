@@ -834,6 +834,58 @@ object TextAnalysis {
         round(col("_sum").cast("double"), 6).as("dsir_logw"))
   }
 
+  /** Budget-constrained mixture allocation — EXACT integer waterfilling of
+    * a token budget across sources: every source gets min(capacity, level)
+    * where the level is the unique waterline at which the budget is spent;
+    * small sources are fully funded, large sources are capped at the level
+    * — the Pile/Dolma-style mixture-construction step when the training
+    * budget is smaller than the corpus. Closed form, no iteration: sort by
+    * capacity, a source is funded iff funding it and every larger source
+    * at its own capacity still fits (monotone in the sort), the level is
+    * one integer division of the residual and the remainder spreads to the
+    * first unfunded sources in id order. Σ alloc == min(budget, total)
+    * EXACTLY — all arithmetic is integer, engine-exact by construction.
+    *
+    * Scale: one corpus pass to per-source token capacities, then windows
+    * over the |sources|-row table (the unpartitioned-window-over-
+    * dimension-sized-aggregates shape, vocab_top precedent) and a 1-row
+    * broadcast totals join. cap·n stays below 2^63 for any corpus that
+    * fits in long token counts. Output: (groupCol, cap_tokens,
+    * alloc_tokens, funded). */
+  def waterfillBudget(docs: DataFrame, groupCol: String, textCol: String,
+                      budgetDivisor: Long = 2L): DataFrame = {
+    require(budgetDivisor >= 1, s"budgetDivisor must be >= 1: $budgetDivisor")
+    import org.apache.spark.sql.expressions.Window
+    val caps = docs
+      .select(col(groupCol), size(tokens(col(textCol))).cast("long").as("_c"))
+      .groupBy(col(groupCol)).agg(sum(col("_c")).as("cap_tokens"))
+    val tot = caps.agg(sum(col("cap_tokens")).as("_total"),
+      count(lit(1)).as("_n"))
+    // unpartitioned windows over the |sources|-row aggregate — the
+    // dimension-sized post-aggregation shape (vocab_top precedent)
+    val ord = Window.orderBy(col("cap_tokens"), col(groupCol))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val f = caps.crossJoin(broadcast(tot))
+      .withColumn("_b", expr(s"_total div ${budgetDivisor}L"))
+      .withColumn("_rn", row_number().over(ord))
+      .withColumn("_pref", sum(col("cap_tokens"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("funded",
+        col("cap_tokens") * (col("_n") - col("_rn") + 1) +
+          (col("_pref") - col("cap_tokens")) <= col("_b"))
+    f.withColumn("_k", sum(when(col("funded"), 1L).otherwise(0L)).over(full))
+      .withColumn("_pk",
+        sum(when(col("funded"), col("cap_tokens")).otherwise(0L)).over(full))
+      .withColumn("_ur", row_number()
+        .over(Window.partitionBy(col("funded")).orderBy(col(groupCol))))
+      .select(col(groupCol), col("cap_tokens"),
+        when(col("funded"), col("cap_tokens")).otherwise(
+          expr("(_b - _pk) div (_n - _k)") +
+            when(col("_ur") <= (col("_b") - col("_pk")) % (col("_n") - col("_k")),
+              1L).otherwise(0L)).as("alloc_tokens"),
+        col("funded"))
+  }
+
   /** Model-based quality filtering — fastText/CCNet-style hashed linear
     * classifier INFERENCE (the "quality classifier" stage of modern corpus
     * pipelines): each word unigram and bigram hashes into one of

@@ -49,8 +49,9 @@ class SourceGuardSpec extends AnyFunSpec {
     "graft/operators/Layout.scala" -> 1,
     "graft/operators/Retrieval.scala" -> 1,
     // 4 long-audited 1-row stats joins + dsirWeights' 1-row totals join
-    // (nt/nr over the <=nBuckets-row bucket table)
-    "graft/operators/TextAnalysis.scala" -> 5,
+    // (nt/nr over the <=nBuckets-row bucket table) + waterfillBudget's
+    // 1-row (total, n) totals join onto the |sources|-row capacity table
+    "graft/operators/TextAnalysis.scala" -> 6,
     // ... except pqTopKWith's corpus x QUERY-BATCH join (the flat-PQ ADC
     // scan: every index row scores against every query's broadcast LUT
     // — bounded by the query batch, the intended shape) and one 1-row
@@ -58,11 +59,12 @@ class SourceGuardSpec extends AnyFunSpec {
     "graft/operators/Similarity.scala" -> 2)
 
   private val windowOrderByBudget = Map(
-    // vocab_top ranks a 30-row post-limit output, and samplePriority
-    // ranks its ≤ k+1-row post-limit top set — both unpartitioned
-    // windows run over driver-bounded results (dimension-sized by
-    // construction), never the corpus
-    "graft/operators/TextAnalysis.scala" -> 2)
+    // vocab_top ranks a 30-row post-limit output, samplePriority ranks
+    // its ≤ k+1-row post-limit top set, and waterfillBudget's rank
+    // window runs over the |sources|-row capacity aggregate — all
+    // unpartitioned windows over driver-bounded / dimension-sized
+    // results, never the corpus
+    "graft/operators/TextAnalysis.scala" -> 3)
 
   private val mapPartitionsBudget = Map(
     // opaque-binary decode: no Catalyst expression form exists

@@ -646,6 +646,24 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out("A")._3 == (9 + 11 + 13).toDouble / 3)
   }
 
+  test("waterfillBudget: exact level, remainder order, budget conservation") {
+    // caps A=1, B=6, C=6 tokens; total 13, budget 13 div 2 = 6.
+    // A funded (1*3 <= 6); level = (6-1) div 2 = 2, remainder 1 -> B gets +1.
+    val docs = Seq(
+      ("A", "w1"), ("B", "w1 w2 w3 w4 w5 w6"), ("C", "w1 w2 w3"),
+      ("C", "w4 w5 w6")).toDF("source", "text")
+    val out = TextAnalysis.waterfillBudget(docs, "source", "text", 2L)
+      .as[(String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 1L, 1L, true)))
+    assert(out("B") == (("B", 6L, 3L, false)), s"got ${out("B")}")
+    assert(out("C") == (("C", 6L, 2L, false)))
+    assert(out.values.map(_._3).sum == 13L / 2, "allocations must spend the budget exactly")
+    // budget >= total: everyone fully funded, allocation == capacity
+    val all = TextAnalysis.waterfillBudget(docs, "source", "text", 1L)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(all.forall(r => r._3 == r._2 && r._4))
+  }
+
   test("splitAssign: disjoint, exhaustive, exact per-stratum ratios") {
     val docs = (1L to 40L).map(i => (i, if (i <= 20) "en" else "zh"))
       .toDF("doc_id", "lang")
