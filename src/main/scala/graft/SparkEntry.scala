@@ -910,6 +910,10 @@ object SparkEntry {
     // waterfilling of half the corpus's tokens across sources
     "mix_waterfill" -> ((s, d) =>
       TextAnalysis.waterfillBudget(Tables.documents(s, d), "source", "text", 2L)),
+    // §2.2 row 29w — PMI collocation mining (phrase induction for
+    // tokenizer/vocab curation): top-50 above-chance bigrams
+    "pmi_collocations" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, d), "text", 5L, 50)),
     // §2.2 row 29u — deterministic stratified train/val/test assignment
     // (exact per-language ratios via the rank cut, disjoint + exhaustive)
     "split_assign" -> ((s, d) =>
@@ -2763,6 +2767,27 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) WHERE rk <= 5""".stripMargin,
+    // PMI from the same single-tokenize counts; the pmi expression's
+    // parenthesization is pinned to the Spark side's, rounded 6dp, ties
+    // on the bigram string.
+    "pmi_collocations" ->
+      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS g FROM toks),
+        |ucnt AS (SELECT g AS wrd, count(*) AS cw FROM uni GROUP BY g),
+        |nt AS (SELECT SUM(cw) AS n FROM ucnt),
+        |bi AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g FROM toks),
+        |bcnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pair FROM bi
+        |  GROUP BY g HAVING count(*) >= 5),
+        |s AS (SELECT b.g AS bigram, b.n_pair,
+        |    round(ln((CAST(b.n_pair AS DOUBLE) / cl.cw)
+        |      * (CAST((SELECT n FROM nt) AS DOUBLE) / cr.cw)), 6) AS pmi
+        |  FROM bcnt b
+        |  JOIN ucnt cl ON cl.wrd = string_split(b.g, ' ')[1]
+        |  JOIN ucnt cr ON cr.wrd = string_split(b.g, ' ')[2]),
+        |r AS (SELECT bigram, n_pair, pmi,
+        |    row_number() OVER (ORDER BY pmi DESC, bigram) AS rank FROM s)
+        |SELECT bigram, n_pair, pmi, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 50""".stripMargin,
     // Same closed-form windows as the Spark side: funded via the monotone
     // capacity test, the level via one integer division, remainder to the
     // first unfunded sources in id order — all-integer, engine-exact.

@@ -834,6 +834,52 @@ object TextAnalysis {
         round(col("_sum").cast("double"), 6).as("dsir_logw"))
   }
 
+  /** PMI collocation mining — the phrase-induction signal (Church & Hanks
+    * 1990 pointwise mutual information) for tokenizer/vocabulary curation:
+    * word pairs that co-occur far above chance (pmi = ln(P(xy)/(P(x)P(y))))
+    * are the multi-word units worth single tokens. Emits the top-k
+    * above-`minCount` bigrams by (pmi desc, bigram).
+    *
+    * Scale: ONE corpus explode — unigrams and bigrams ride the same
+    * explode under a type tag, so one aggregation produces both count
+    * tables (the dsir single-explode discipline); everything after is
+    * vocabulary-sized (two broadcast joins of the bigram table against
+    * the unigram counts + a 1-row totals broadcast). Determinism: pmi is
+    * one parenthesization-pinned double expression rounded to 6dp, ties
+    * break on the bigram string. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = tokens(col(textCol))
+    val tagged = concat(
+      transform(toks, t => struct(lit("u").as("tag"), t.as("gram"))),
+      transform(ngramsAll(toks, 2), g => struct(lit("b").as("tag"), g.as("gram"))))
+    val counts = docs.select(explode(tagged).as("_e"))
+      .select(col("_e.tag").as("_tag"), col("_e.gram").as("_gram"))
+      .groupBy(col("_tag"), col("_gram")).agg(count(lit(1)).as("_n"))
+    val uni = counts.where(col("_tag") === "u")
+      .select(col("_gram").as("_w"), col("_n").as("_cw"))
+    val tot = uni.agg(sum(col("_cw")).as("_nt"))
+    val bi = counts.where(col("_tag") === "b" && col("_n") >= minCount)
+      .select(col("_gram").as("bigram"), col("_n").as("n_pair"),
+        split(col("_gram"), " ").getItem(0).as("_l"),
+        split(col("_gram"), " ").getItem(1).as("_r"))
+    val scored = bi
+      .join(broadcast(uni.withColumnRenamed("_w", "_l").withColumnRenamed("_cw", "_cl")), "_l")
+      .join(broadcast(uni.withColumnRenamed("_w", "_r").withColumnRenamed("_cw", "_cr")), "_r")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(log(
+        (col("n_pair").cast("double") / col("_cl")) *
+          (col("_nt").cast("double") / col("_cr"))), 6))
+    // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    // bounded heaps, no global sort); the unpartitioned rank window runs
+    // AFTER the limit over <= k rows (the vocab_top post-limit shape)
+    scored.select(col("bigram"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi").desc, col("bigram"))).cast("int"))
+  }
+
   /** Budget-constrained mixture allocation — EXACT integer waterfilling of
     * a token budget across sources: every source gets min(capacity, level)
     * where the level is the unique waterline at which the budget is spent;

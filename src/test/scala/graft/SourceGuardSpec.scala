@@ -51,7 +51,8 @@ class SourceGuardSpec extends AnyFunSpec {
     // 4 long-audited 1-row stats joins + dsirWeights' 1-row totals join
     // (nt/nr over the <=nBuckets-row bucket table) + waterfillBudget's
     // 1-row (total, n) totals join onto the |sources|-row capacity table
-    "graft/operators/TextAnalysis.scala" -> 6,
+    // + pmiCollocations' 1-row token-total join onto the bigram counts
+    "graft/operators/TextAnalysis.scala" -> 7,
     // ... except pqTopKWith's corpus x QUERY-BATCH join (the flat-PQ ADC
     // scan: every index row scores against every query's broadcast LUT
     // — bounded by the query batch, the intended shape) and one 1-row
@@ -60,11 +61,12 @@ class SourceGuardSpec extends AnyFunSpec {
 
   private val windowOrderByBudget = Map(
     // vocab_top ranks a 30-row post-limit output, samplePriority ranks
-    // its ≤ k+1-row post-limit top set, and waterfillBudget's rank
-    // window runs over the |sources|-row capacity aggregate — all
+    // its ≤ k+1-row post-limit top set, waterfillBudget's rank window
+    // runs over the |sources|-row capacity aggregate, and
+    // pmiCollocations ranks its ≤ k-row post-limit top set — all
     // unpartitioned windows over driver-bounded / dimension-sized
     // results, never the corpus
-    "graft/operators/TextAnalysis.scala" -> 3)
+    "graft/operators/TextAnalysis.scala" -> 4)
 
   private val mapPartitionsBudget = Map(
     // opaque-binary decode: no Catalyst expression form exists

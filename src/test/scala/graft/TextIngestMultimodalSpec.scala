@@ -646,6 +646,21 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out("A")._3 == (9 + 11 + 13).toDouble / 3)
   }
 
+  test("pmiCollocations: planted collocation scores ln(chance ratio) exactly") {
+    // 6 identical docs: each bigram occurs 6x, each unigram 6x, 24 tokens
+    // -> pmi = round(ln((6/6) * (24/6)), 6) for all three bigrams;
+    // ties rank alphabetically
+    val docs = Seq.fill(6)("new york stock exchange").toDF("text")
+    val out = TextAnalysis.pmiCollocations(docs, "text", minCount = 5L, k = 50)
+      .as[(String, Long, Double, Int)].collect().sortBy(_._4)
+    val expected = BigDecimal(math.log((6.0 / 6) * (24.0 / 6)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._1).toSeq == Seq("new york", "stock exchange", "york stock"))
+    assert(out.forall(r => r._2 == 6L && r._3 == expected), s"got ${out.toSeq}")
+    // below minCount: nothing emitted
+    assert(TextAnalysis.pmiCollocations(docs, "text", minCount = 7L, 50).count() == 0)
+  }
+
   test("waterfillBudget: exact level, remainder order, budget conservation") {
     // caps A=1, B=6, C=6 tokens; total 13, budget 13 div 2 = 6.
     // A funded (1*3 <= 6); level = (6-1) div 2 = 2, remainder 1 -> B gets +1.
