@@ -496,6 +496,19 @@ object SparkEntry {
     "corpus_report" -> ((s, d) =>
       runCorpusPipeline(s, d).select(col("stage"), col("rows").as("n_rows"))),
     // §2.1 row 11 — merged union with source tag
+    // §2.2 row 29x — corpus snapshot diff (dataset versioning audit):
+    // v2 derives deterministically from the corpus (drop %17, edit %13,
+    // clone %19 under shifted ids), then every id classifies added /
+    // removed / changed / unchanged by map-side content hash
+    "corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v2 = docs.where(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      MultiSource.snapshotDiff(docs, v2, "doc_id", Seq("text"))
+    }),
     "merged_union" -> ((s, d) =>
       MultiSource.mergedUnion(Map("CSV" -> srcA(s, d), "SQL" -> srcB(s, d)))),
     // §2.1 row 12 — reconciliation
@@ -1990,6 +2003,21 @@ object SparkEntry {
     "staged_read" ->
       """SELECT *, 'csv' AS _source, 'run_001' AS _run_id,
         |  TIMESTAMP '2026-01-01 00:00:00' AS _extract_time FROM customer""".stripMargin,
+    "corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 19 = 0),
+        |o AS (SELECT doc_id, md5(text) AS oh FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS nh FROM v2)
+        |SELECT doc_id,
+        |  CASE WHEN oh IS NULL THEN 'added'
+        |       WHEN nh IS NULL THEN 'removed'
+        |       WHEN oh <> nh THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n USING (doc_id)""".stripMargin,
     "merged_union" -> (SrcCte +
       """
         |SELECT 'CSV' AS source, * FROM src_a

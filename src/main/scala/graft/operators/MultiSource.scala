@@ -43,6 +43,30 @@ object MultiSource {
   def reconOnlyIn(left: DataFrame, right: DataFrame, key: String): DataFrame =
     left.join(right.select(col(key)), Seq(key), "left_anti")
 
+  /** Corpus/table snapshot diff — the versioning audit between two
+    * snapshots of the same entity: every key is classified added /
+    * removed / changed / unchanged by comparing a CONTENT HASH of the
+    * payload columns (computed map-side, so wide payloads — document
+    * text — never cross the shuffle; only 8-byte ids and 32-hex digests
+    * do). One full-outer join on the key is the whole plan: dataset
+    * versioning at 100 TB costs one id-keyed co-partitioned pass.
+    * Output: (keyCol, status). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "snapshotDiff needs payload columns")
+    def digest(df: DataFrame, as: String) = df.select(col(keyCol).as("_id"),
+      md5(concat_ws("\u0001",
+        payloadCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)).as(as))
+    val o = digest(oldDf, "_oh")
+    val n = digest(newDf, "_nh")
+    o.join(n, Seq("_id"), "full_outer")
+      .select(col("_id").as(keyCol),
+        when(col("_oh").isNull, "added")
+          .when(col("_nh").isNull, "removed")
+          .when(col("_oh") =!= col("_nh"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Per-group record counts with per-source breakdown
     * (create_merged_views.sql:172-202 `COUNT(*)` + `SUM(CASE WHEN source…)`).
     * Partial aggregation (map-side combine) applies automatically. */

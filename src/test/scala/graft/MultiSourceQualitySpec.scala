@@ -25,6 +25,21 @@ class MultiSourceQualitySpec extends SparkSpec {
     assert(rows.toSeq == Seq((3, "c", "C", 30.0, 30.0))) // id 2 matches, id 3 differs
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged by content hash") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "payload")
+    val out = MultiSource.snapshotDiff(v1, v2, "id", Seq("payload"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // multi-column payloads can't alias across the column boundary:
+    // ("a","b") must differ from ("ab","")
+    val oa = Seq((1L, "a", "b")).toDF("id", "x", "y")
+    val ob = Seq((1L, "ab", "")).toDF("id", "x", "y")
+    assert(MultiSource.snapshotDiff(oa, ob, "id", Seq("x", "y"))
+      .as[(Long, String)].collect().head._2 == "changed")
+  }
+
   test("reconOnlyIn is a null-safe anti join") {
     assert(MultiSource.reconOnlyIn(left, right, "id").select("id").as[Int].collect().toSeq == Seq(1))
     assert(MultiSource.reconOnlyIn(right, left, "id").select("id").as[Int].collect().toSeq == Seq(4))
