@@ -66,7 +66,10 @@ object CorpusPipeline {
              semanticThreshold: Double = 0.9,
              bpeMerges: Option[Int] = None,
              pplBuckets: Option[Int] = None,
-             pplStratum: String = "source"): DataFrame = {
+             pplStratum: String = "source",
+             classifierWeights: Option[Array[Double]] = None,
+             domainMinKeepRate: Option[Double] = None,
+             domainMinDocs: Long = 10L): DataFrame = {
     import spark.implicits._
     var reports = Vector.empty[Pipeline.StageReport]
     def timed(stage: String)(body: => Long): Unit = {
@@ -97,7 +100,36 @@ object CorpusPipeline {
         .write.mode("overwrite").parquet(s"$outRoot/gated/documents")
       spark.read.parquet(s"$outRoot/gated/documents").count()
     }
-    val gated = spark.read.parquet(s"$outRoot/gated/documents")
+    var gated = spark.read.parquet(s"$outRoot/gated/documents")
+
+    // 2b. optional model-based gates (default-off — the adjudicated
+    // report counts are untouched unless enabled): the per-doc hashed
+    // linear classifier keep, then the domain-level wholesale drop
+    // scored over the PRE-model-gate population (a domain is judged on
+    // everything it submitted, not on its survivors)
+    classifierWeights.foreach { w =>
+      val preGate = gated
+      timed("model_gate") {
+        val kept = TextAnalysis.hashClassifier(preGate, "doc_id", "text", w)
+          .where(col("kept")).select("doc_id")
+        preGate.join(kept, "doc_id")
+          .write.mode("overwrite").parquet(s"$outRoot/model_gated/documents")
+        spark.read.parquet(s"$outRoot/model_gated/documents").count()
+      }
+      gated = spark.read.parquet(s"$outRoot/model_gated/documents")
+      domainMinKeepRate.foreach { minRate =>
+        timed("domain_gate") {
+          val srcKeep = TextAnalysis.domainGate(
+              preGate.withColumn("_len", length(col("text"))),
+              "doc_id", "text", "source", "_len", w, domainMinDocs, minRate)
+            .where(col("src_kept")).select("source")
+          gated.join(broadcast(srcKeep), "source")
+            .write.mode("overwrite").parquet(s"$outRoot/domain_gated/documents")
+          spark.read.parquet(s"$outRoot/domain_gated/documents").count()
+        }
+        gated = spark.read.parquet(s"$outRoot/domain_gated/documents")
+      }
+    }
 
     // 3. per-source cap (domain cap)
     timed("source_cap") {

@@ -143,6 +143,35 @@ class PipelineSpec extends SparkSpec {
     assert(survivors2 == survivors)
   }
 
+  test("CorpusPipeline model + domain gates: per-doc classifier keep, tiny domains dropped wholesale") {
+    val weights = Array.tabulate(64) { b =>
+      ((b.toLong * 2654435761L) % 4294967296L).toDouble / 4294967296.0 - 0.5
+    }
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val docs = ((1L to 12L).map(i => (i, words(s"b$i", 12), "big")) ++
+      Seq((20L, words("t", 12), "tiny"), (21L, words("u", 12), "tiny")))
+      .toDF("doc_id", "text", "source")
+    // expected model-gate survivors, straight from the operator
+    val perDoc = graft.operators.TextAnalysis
+      .hashClassifier(docs, "doc_id", "text", weights, carry = Seq("source"))
+      .where(org.apache.spark.sql.functions.col("kept"))
+      .select("doc_id", "source")
+      .as[(Long, String)].collect()
+    val out = Files.createTempDirectory("graft_corpus_mg").toFile.getAbsolutePath
+    val report = CorpusPipeline.runAll(spark, docs, out, "run_mg",
+        minTokens = 1, minStopRatio = 0.0, maxDupFraction = 0.95,
+        capPerSource = 100, nearDupThreshold = 0.9, numShards = 2,
+        classifierWeights = Some(weights), domainMinKeepRate = Some(0.0),
+        domainMinDocs = 3L)
+      .as[Pipeline.StageReport].collect().map(r => r.stage -> r.rows).toMap
+    assert(report("model_gate") == perDoc.length.toLong,
+      s"model gate must keep exactly the classifier's keeps: $report")
+    // tiny (2 docs < minDocs 3) drops wholesale regardless of its verdicts
+    val expectedAfterDomain = perDoc.count(_._2 == "big").toLong
+    assert(report("domain_gate") == expectedAfterDomain, s"$report")
+    assert(report.contains("shard_write"))
+  }
+
   test("CorpusPipeline optional stages: span scrub rewrites, semantic dedup drops, rerun identical") {
     val passage = (1 to 4).map(i => s"p$i").mkString(" ")
     def uniq(prefix: String) = (1 to 36).map(i => s"$prefix$i").mkString(" ")
