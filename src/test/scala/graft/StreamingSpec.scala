@@ -31,6 +31,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifier gate runs unchanged on a stream, bitwise batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val weights = Array.tabulate(64) { b =>
+      ((b.toLong * 2654435761L) % 4294967296L).toDouble / 4294967296.0 - 0.5
+    }
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta epsilon"),
+      (3L, "zeta eta theta"))
+    val in = MemoryStream[(Long, String)]
+    // the model gate is a stateless pure projection, so the SAME operator
+    // call plans on a stream with no watermark, state, or mode changes
+    val q = graft.operators.TextAnalysis.hashClassifier(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", weights)
+      .writeStream.format("memory").queryName("sq_classify")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("sq_classify")
+        .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+      val batch = graft.operators.TextAnalysis.hashClassifier(
+          docs.toDF("doc_id", "text"), "doc_id", "text", weights)
+        .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch, "stream and batch must agree bitwise")
+    } finally q.stop()
+  }
+
   test("toRawZone writes micro-batch parquet with staged metadata columns") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
