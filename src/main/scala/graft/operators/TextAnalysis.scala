@@ -942,38 +942,70 @@ object TextAnalysis {
     * trained parameter vector (here the caller pins it; training is out of
     * scope, this is the apply side).
     *
-    * Scale: a PURE PROJECTION — the weight vector rides into codegen as a
-    * literal array (`element_at`), feature hashing and the weighted fold
-    * run inside one `aggregate` lambda per row, and NO shuffle of any kind
-    * exists in the plan (unlike [[dsirWeights]], which learns its table
-    * from corpus statistics first). Per-row cost is O(tokens); 100 TB is
-    * embarrassingly parallel. Output: (id, n_feats, logit, kept).
+    * Scale: at or under `literalBudget` buckets, a PURE PROJECTION — the
+    * weight vector rides into codegen as a literal array (`element_at`),
+    * feature hashing and the weighted fold run inside one `aggregate`
+    * lambda per row, and NO shuffle of any kind exists in the plan (unlike
+    * [[dsirWeights]], which learns its table from corpus statistics
+    * first). Past the budget (a production fastText vector is millions of
+    * buckets — too big for a plan literal) the carrier switches to a
+    * BROADCAST bucket→weight join over exploded features + one id-keyed
+    * per-doc sum; with dyadic weights the two carriers are bit-identical
+    * (spec-pinned). Per-row cost is O(tokens) either way.
+    * Output: (id, n_feats, logit, kept).
     *
     * Determinism: with dyadic weights (k/2^32-style, the pinned-artifact
     * convention) every partial sum is exact in IEEE double, so the fold
     * order can't matter and the logit replays bit-identically in SQL. */
   def hashClassifier(docs: DataFrame, idCol: String, textCol: String,
                      weights: Array[Double], bias: Double = 0.0,
-                     carry: Seq[String] = Nil): DataFrame = {
-    require(!carry.exists(Set("_grams", "n_feats", "logit", "kept", idCol)),
+                     carry: Seq[String] = Nil,
+                     literalBudget: Int = 8192): DataFrame = {
+    require(!carry.exists(Set("_grams", "_g", "_b", "_w", "_id", "n_feats",
+      "logit", "kept", idCol)),
       s"carry collides with hashClassifier internals: $carry")
     val nb = weights.length
     val toks = tokens(col(textCol))
     val carryCols = carry.map(col)
-    def w(g: Column): Column = element_at(typedLit(weights),
-      ((conv(substring(md5(g), 1, 8), 16, 10).cast("long") % nb) + 1)
-        .cast("int"))
-    // Materialize the feature array once per row: the outer projection
-    // references it three times (size twice, the fold once), and
-    // CollapseProject keeps a multi-referenced non-trivial alias in its own
-    // projection rather than inlining three tokenize+ngram passes.
-    docs.select((col(idCol) +: carryCols) :+
-        concat(toks, ngramsAll(toks, 2)).as("_grams"): _*)
-      .select((col(idCol) +: carryCols) ++ Seq(
-        size(col("_grams")).cast("long").as("n_feats"),
-        (lit(bias) + aggregate(col("_grams"), lit(0.0), (acc, g) => acc + w(g))
-          / size(col("_grams"))).as("logit")): _*)
-      .withColumn("kept", col("logit") > 0.0)
+    val grams = concat(toks, ngramsAll(toks, 2))
+    def bucket(g: Column): Column =
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long") % nb
+    if (nb <= literalBudget) {
+      // literal carrier: the weight vector rides into codegen as an
+      // element_at array — zero shuffles, one projection.
+      def w(g: Column): Column =
+        element_at(typedLit(weights), (bucket(g) + 1).cast("int"))
+      // Materialize the feature array once per row: the outer projection
+      // references it three times (size twice, the fold once), and
+      // CollapseProject keeps a multi-referenced non-trivial alias in its
+      // own projection rather than inlining three tokenize+ngram passes.
+      docs.select((col(idCol) +: carryCols) :+ grams.as("_grams"): _*)
+        .select((col(idCol) +: carryCols) ++ Seq(
+          size(col("_grams")).cast("long").as("n_feats"),
+          (lit(bias) + aggregate(col("_grams"), lit(0.0), (acc, g) => acc + w(g))
+            / size(col("_grams"))).as("logit")): _*)
+        .withColumn("kept", col("logit") > 0.0)
+    } else {
+      // broadcast-join carrier for production-size models (a real fastText
+      // vector is millions of buckets — too big for a plan literal, the
+      // >4k-centroid ANN-carrier precedent): explode features, broadcast
+      // the bucket->weight table, one id-keyed per-doc sum. With the exact
+      // dyadic-weight convention the sum is order-independent, so BOTH
+      // carriers produce bit-identical logits (spec-pinned).
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val wdf = broadcast(weights.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("_b", "_w"))
+      docs.select((col(idCol).as("_id") +: carryCols) :+
+          explode(grams).as("_g"): _*)
+        .select((col("_id") +: carryCols) :+ bucket(col("_g")).as("_b"): _*)
+        .join(wdf, "_b")
+        .groupBy(col("_id") +: carryCols: _*)
+        .agg(count(lit(1)).as("n_feats"), sum(col("_w")).as("_sum"))
+        .select((col("_id").as(idCol) +: carryCols) ++ Seq(col("n_feats"),
+          (lit(bias) + col("_sum") / col("n_feats")).as("logit")): _*)
+        .withColumn("kept", col("logit") > 0.0)
+    }
   }
 
   /** Domain-level (per-source) keep decision — the two-level gate web-scale

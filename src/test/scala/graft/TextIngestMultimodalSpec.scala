@@ -618,6 +618,21 @@ class TextIngestMultimodalSpec extends SparkSpec {
     out.values.foreach(r => assert(r._4 == (r._3 > 0.0)))
   }
 
+  test("hashClassifier carriers agree bitwise: literal array vs broadcast join") {
+    val weights = Array.tabulate(64) { b =>
+      ((b.toLong * 2654435761L) % 4294967296L).toDouble / 4294967296.0 - 0.5
+    }
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta"),
+      (3L, "epsilon zeta eta theta iota")).toDF("doc_id", "text")
+    def rows(budget: Int) =
+      TextAnalysis.hashClassifier(docs, "doc_id", "text", weights,
+          literalBudget = budget)
+        .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    // budget 1 forces the broadcast-join carrier; dyadic weights make the
+    // per-doc sum order-independent, so the logits must match BITWISE
+    assert(rows(8192) == rows(1))
+  }
+
   test("domainGate keeps big mostly-clean sources, drops small or dirty ones") {
     val weights = Array.tabulate(64) { b =>
       ((b.toLong * 2654435761L) % 4294967296L).toDouble / 4294967296.0 - 0.5
