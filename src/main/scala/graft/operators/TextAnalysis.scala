@@ -849,6 +849,7 @@ object TextAnalysis {
     * break on the bigram string. */
   def pmiCollocations(docs: DataFrame, textCol: String,
                       minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"need minCount, k >= 1: $minCount, $k")
     val toks = tokens(col(textCol))
     val tagged = concat(
       transform(toks, t => struct(lit("u").as("tag"), t.as("gram"))),
@@ -961,6 +962,9 @@ object TextAnalysis {
                      weights: Array[Double], bias: Double = 0.0,
                      carry: Seq[String] = Nil,
                      literalBudget: Int = 8192): DataFrame = {
+    require(weights.nonEmpty,
+      "hashClassifier needs a non-empty weight vector (an empty one would " +
+        "surface as a bucket-modulo division by zero at runtime)")
     require(!carry.exists(Set("_grams", "_g", "_b", "_w", "_id", "n_feats",
       "logit", "kept", idCol)),
       s"carry collides with hashClassifier internals: $carry")
