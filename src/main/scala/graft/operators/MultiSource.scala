@@ -50,7 +50,9 @@ object MultiSource {
     * text — never cross the shuffle; only 8-byte ids and 32-hex digests
     * do). One full-outer join on the key is the whole plan: dataset
     * versioning at 100 TB costs one id-keyed co-partitioned pass.
-    * Output: (keyCol, status). */
+    * Output: (keyCol, status). Assumes `keyCol` is unique within each
+    * snapshot (the corpus invariant every upstream dedup stage enforces);
+    * duplicate keys would fan the join out row-multiplicatively. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
                    payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "snapshotDiff needs payload columns")
