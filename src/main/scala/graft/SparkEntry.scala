@@ -908,6 +908,10 @@ object SparkEntry {
           Dedup.nearDupMinHash(docs, "doc_id", "text", 3, 0.8), "doc_id"),
         docs.select(col("doc_id"), col("n_chars").cast("long").as("score")))
     }),
+    // §2.2 row 22e — document-fragment stitching: A's last-3 == B's
+    // first-3 tokens flags B as A's continuation (pagination reassembly)
+    "fragment_pairs" -> ((s, d) =>
+      Dedup.fragmentPairs(Tables.documents(s, d), "doc_id", "text", 3)),
     // §2.2 row 27b — PII redaction over deterministically dirtied text
     "pii_scrub" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -2741,6 +2745,14 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY l.cluster_id
         |    ORDER BY d.n_chars DESC, l.doc_id) = 1 AS kept
         |FROM lab l JOIN documents d ON l.doc_id = d.doc_id""".stripMargin,
+    "fragment_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |hb AS (SELECT doc_id,
+        |    array_to_string(w[1:3], ' ') AS head3,
+        |    array_to_string(w[len(w)-2:len(w)], ' ') AS tail3
+        |  FROM t WHERE len(w) >= 6)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail3 AS boundary
+        |FROM hb a JOIN hb b ON a.tail3 = b.head3 AND a.doc_id <> b.doc_id""".stripMargin,
     "pii_scrub" -> (
       s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
         |  text || ' contact user' || doc_id || '@example.com or +1-555-01' || doc_id

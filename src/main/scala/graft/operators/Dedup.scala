@@ -652,6 +652,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Document-fragment stitching — the reassembly signal for paginated /
+    * chunk-split corpora: a pair (A, B) where A's LAST k tokens equal B's
+    * FIRST k tokens is evidence B continues A (crawler pagination, PDF
+    * page splits, chunked exports), the miss class of every whole-doc and
+    * span dedup above. Emits (doc_a, doc_b, boundary) for every ordered
+    * stitch candidate; docs shorter than 2k tokens are excluded (their
+    * head and tail would overlap).
+    *
+    * Scale: two map-side k-gram projections, ONE join keyed by the 8-byte
+    * xxhash64 of the boundary gram (the house join-key discipline) with
+    * the exact string equality verifying on the same row — only k-token
+    * boundary grams cross the shuffle, never documents. */
+  def fragmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    require(k >= 1, s"boundary width must be >= 1: $k")
+    val t = docs.select(col(idCol).as("_id"), tokens(col(textCol)).as("_w"))
+      .where(size(col("_w")) >= 2 * k)
+    val hb = t.select(col("_id"),
+      concat_ws(" ", slice(col("_w"), 1, k)).as("_head"),
+      concat_ws(" ", slice(col("_w"), -k, k)).as("_tail"))
+    hb.select(col("_id").as("doc_a"), col("_tail"),
+        xxhash64(col("_tail")).as("_hk"))
+      .join(hb.select(col("_id").as("doc_b"), col("_head"),
+        xxhash64(col("_head")).as("_hk")), "_hk")
+      .where(col("doc_a") =!= col("doc_b") && col("_tail") === col("_head"))
+      .select(col("doc_a"), col("doc_b"), col("_tail").as("boundary"))
+  }
+
   /** Canonical selection over near-dup clusters — keep-BEST, not
     * keep-first: given [[nearDupClusters]]' labels and a per-doc quality
     * score, the surviving representative of each cluster is its

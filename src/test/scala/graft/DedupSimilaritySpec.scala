@@ -1180,6 +1180,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.isEmpty, "minhash banding must miss the embedding")
   }
 
+  test("fragmentPairs stitches tail-to-head continuations, never itself") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // tail "d e f"
+      (2L, "d e f g h i"),        // head "d e f" -> continues doc 1
+      (3L, "x y z"),              // < 2k tokens: excluded
+      (4L, "p q r p q r")         // own tail == own head: must NOT self-pair
+    ).toDF("doc_id", "text")
+    val out = Dedup.fragmentPairs(docs, "doc_id", "text", 3)
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set((1L, 2L, "d e f")), s"got $out")
+  }
+
   test("keepBestPerCluster keeps the highest-scoring member, not the min id") {
     // cluster {1,2,3} via explicit pairs; scores make doc 3 the best —
     // keep-first would keep doc 1
