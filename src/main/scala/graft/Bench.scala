@@ -115,27 +115,42 @@ object Bench {
     // dominated by the date-partitioned fact layout — ~2400 tiny partition
     // dirs at this SF, the correct pruning layout at 100 TB), so sweeping
     // them at 2 reps would triple the bench's wall time for numbers the
-    // dedicated detail phase below already produces. They run ONCE there,
-    // and their single-sample totals are merged into the timings dict
+    // dedicated detail phase below already produces. They run cold+warm
+    // there, and the WARM totals are merged into the timings dict
     // (spread 0 by construction — document, not measurement).
     val pipelineQueryNames = Set("pipeline_report", "corpus_report")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => pipelineQueryNames(kv._1))
     var samples = Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
     var errors = Vector.empty[(String, String)]
-    (1 to reps).foreach { _ =>
+    // Self-interference diagnostics (r13 showed a uniform ~1.6x artifact
+    // inflation the bracketing calibration probes did not capture): the
+    // per-PASS sums expose whether the sweep slows itself down across
+    // passes inside ONE JVM (GC/memory growth, codegen-cache pressure),
+    // and a calibration probe BETWEEN passes samples host speed at the
+    // moment the later passes actually ran — pass_sums trending up while
+    // calib_mid stays flat means self-interference; both moving together
+    // means host jitter.
+    var passSums = Vector.empty[Double]
+    var calibMids = Vector.empty[Double]
+    (1 to reps).foreach { p =>
+      var passSum = 0.0
       names.foreach { case (name, fn) =>
         if (!errors.exists(_._1 == name)) {
           try {
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            samples += name -> (samples(name) :+ (System.nanoTime() - t0) / 1e9)
+            val dt = (System.nanoTime() - t0) / 1e9
+            samples += name -> (samples(name) :+ dt)
+            passSum += dt
           } catch {
             case e: Throwable =>
               errors :+= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
           }
         }
       }
+      passSums :+= passSum
+      if (p < reps) calibMids ++= calibrate(spark, 1)
     }
     val sweepTimings = names.collect { case (n, _) if samples(n).nonEmpty && !errors.exists(_._1 == n) =>
       n -> samples(n).min
@@ -179,23 +194,37 @@ object Bench {
     // after the JSON line below or it falls out of the capture window).
     // The whole-run totals are merged into the timings dict as the two
     // queries' single-sample entries.
+    // Each pipeline runs TWICE: the first (cold) run pays first-touch costs
+    // (zone-dir creation, committer warmup, codegen for the write shapes)
+    // that a long-lived cluster session pays once, the SECOND (warm) run is
+    // the steady-state per-stage record — reproducible across rounds, the
+    // same convention as the sweep's interleaved min. Both totals are kept
+    // (cold_sec documents the gap); the WARM total merges into the timings
+    // dict. The zone reruns overwrite the same fixed per-(flavor, sf) dirs
+    // idempotently, so the warm run measures the same work.
     var pipelineTimings = Vector.empty[(String, Double)]
+    var pipelineCurrent = "pipeline_report"
     val pipelineJson: String = try {
       def run(queryName: String, jsonKey: String,
               df: => org.apache.spark.sql.DataFrame): String = {
-        val t0 = System.nanoTime()
-        val st = df.collect().map(r =>
-          s"""{"stage":${q(r.getString(0))},"rows":${r.getLong(1)},"sec":${r3(r.getDouble(2))}}""")
-        val total = (System.nanoTime() - t0) / 1e9
-        pipelineTimings :+= (queryName -> total)
-        s"""${q(jsonKey)}:{"total_sec":${r3(total)},"stages":[${st.mkString(",")}]}"""
+        pipelineCurrent = queryName
+        def once(): (Double, Array[String]) = {
+          val t0 = System.nanoTime()
+          val st = df.collect().map(r =>
+            s"""{"stage":${q(r.getString(0))},"rows":${r.getLong(1)},"sec":${r3(r.getDouble(2))}}""")
+          ((System.nanoTime() - t0) / 1e9, st)
+        }
+        val (cold, _) = once()
+        val (warm, st) = once()
+        pipelineTimings :+= (queryName -> warm)
+        s"""${q(jsonKey)}:{"total_sec":${r3(warm)},"cold_sec":${r3(cold)},"stages":[${st.mkString(",")}]}"""
       }
       "{" + run("pipeline_report", "dwh", SparkEntry.runDwhPipeline(spark, sfDir)) + "," +
         run("corpus_report", "corpus", SparkEntry.runCorpusPipeline(spark, sfDir)) +
         s""","sf":${q(sfDir)}}"""
     } catch {
       case e: Exception =>
-        errors :+= ("pipeline_report" ->
+        errors :+= (pipelineCurrent ->
           Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
         s"""{"error":${q(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))}}"""
     }
@@ -210,10 +239,15 @@ object Bench {
     def dictOf(entries: Seq[(String, Double)], r: Double => Double): String =
       entries.map { case (k, v) => s"${q(k)}:${r(v)}" }.mkString("{", ",", "}")
     val asc = timings.sortBy(_._2)
-    val calibPart =
+    // calib_mid: the between-pass probes (see the sweep loop); pass_sums:
+    // whole-pass sums, the in-JVM A/B for self-interference vs host jitter.
+    val calibMidPart =
+      if (calibMids.isEmpty) ""
+      else s""""calib_mid":[${calibMids.map(r2).mkString(",")}],"""
+    val calibPart = calibMidPart +
       s""""calib_sec":${r2(calibSec)},"calib_min":${r2(calibMin)},"calib_spread":${r2(calibSpread)}}"""
     val prefix =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"spread_total":${r3(totalSpread)},"spread_top5":$sp,"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"pass_sums":[${passSums.map(r2).mkString(",")}],"spread_total":${r3(totalSpread)},"spread_top5":$sp,"""
     // 2000 artifact chars minus the trailing sbt line minus this line's own
     // newline; the prefix spends part of it, the tail segment gets the rest.
     val tailBudget = 1922 - prefix.length
@@ -236,8 +270,11 @@ object Bench {
     // tail capture — written next to the repo's per-round artifacts so the
     // complete numbers are always recoverable even if the line above is cut.
     try {
+      val fullMid =
+        if (calibMids.isEmpty) ""
+        else s""""calib_mid":[${calibMids.map(r3).mkString(",")}],"""
       val full = prefix +
-        s""""queries":${dictOf(timings, r3)},"calib_sec":${r3(calibSec)},"calib_min":${r3(calibMin)},"calib_spread":${r3(calibSpread)}}"""
+        s""""queries":${dictOf(timings, r3)},$fullMid"calib_sec":${r3(calibSec)},"calib_min":${r3(calibMin)},"calib_spread":${r3(calibSpread)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Exception => () }

@@ -245,7 +245,7 @@ object SparkEntry {
     val cols = Seq(col("vec_id"), col("embedding").cast("array<double>").as("embedding")) ++
       (if (withLabel) Seq(col("label")) else Nil)
     val e = Tables.embeddings(s, dir).select(cols: _*)
-    val keep = e.columns.drop(1).map(col)
+    val keep = e.columns.drop(1).toIndexedSeq.map(col)
     val copies = e.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 100000).as("vec_id") +: keep: _*)
     val perturbed = e.filter(col("vec_id") % 10 === 5)
@@ -2014,8 +2014,12 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 17 <> 0
         |  UNION ALL
         |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 19 = 0),
-        |o AS (SELECT doc_id, md5(text) AS oh FROM documents),
-        |n AS (SELECT doc_id, md5(text) AS nh FROM v2)
+        |o AS (SELECT doc_id, md5(CASE WHEN text IS NULL THEN 'N'
+        |  ELSE 'V' || CAST(strlen(text) AS VARCHAR) || ':' || text END) AS oh
+        |  FROM documents),
+        |n AS (SELECT doc_id, md5(CASE WHEN text IS NULL THEN 'N'
+        |  ELSE 'V' || CAST(strlen(text) AS VARCHAR) || ':' || text END) AS nh
+        |  FROM v2)
         |SELECT doc_id,
         |  CASE WHEN oh IS NULL THEN 'added'
         |       WHEN nh IS NULL THEN 'removed'

@@ -198,12 +198,6 @@ case class BloomMightContainExpr(child: Expression, bfBc: Broadcast[BloomFilter]
   override def prettyName: String = "bloom_might_contain"
 }
 
-/** MinHash signature of an array<string> shingle set: for each of the
-  * `numHashes` seeded affine permutations h -> (a*h + b) mod P, the minimum
-  * over the shingles' xxhash64 values. Output: array<bigint>(numHashes).
-  * Equivalent to the declarative transform/aggregate formulation, ~500x
-  * faster (compiled loop vs interpreted HOF tree).
-  */
 /** Per-element Spark `xxhash64` (seed 42 — bit-identical to the builtin, so
   * these values can join against `xxhash64(string)` keys) of an
   * array<string>, DEDUPLICATED and sorted: the 8-byte carrier of a shingle
@@ -253,6 +247,12 @@ case class ArrayXxhash64Expr(child: Expression)
   override def prettyName: String = "xxhash64_array"
 }
 
+/** MinHash signature of an array<string> shingle set: for each of the
+  * `numHashes` seeded affine permutations h -> (a*h + b) mod P, the minimum
+  * over the shingles' xxhash64 values. Output: array<bigint>(numHashes).
+  * Equivalent to the declarative transform/aggregate formulation, ~500x
+  * faster (compiled loop vs interpreted HOF tree).
+  */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
   import NativeExprs._

@@ -100,8 +100,12 @@ object Events {
     * per-round joins and sums over the dimension-sized graph, each round
     * `localCheckpoint`ed (the iterative-graph discipline of
     * [[graft.operators.Dedup.nearDupClusters]]: no unbounded lineage).
-    * p6 ≤ 10^6 and rank ≤ `scale` bound every product below 2^63 at ANY
-    * corpus size. Output: (event_type, pagerank) in `scale` units. */
+    * The edge-probability step widens the raw transition count through
+    * DECIMAL(38,0) before the ×10^6 (a LONG product would overflow — and
+    * under ANSI, throw — once one (from,to) pair exceeds ~9.2e12
+    * occurrences); after that, p6 ≤ 10^6 and rank ≤ `scale` ≤ 10^12 bound
+    * every iteration product below 10^18 < 2^63 at ANY corpus size.
+    * Output: (event_type, pagerank) in `scale` units. */
   def pageRank(events: DataFrame, iters: Int = 8,
                scale: Long = 1000000000000L): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
@@ -115,7 +119,7 @@ object Events {
     val out = counts.groupBy(col("from_type")).agg(sum(col("n")).as("out_n"))
     val edges = counts.join(out, "from_type")
       .select(col("from_type"), col("to_type"),
-        expr("(n * 1000000L) div out_n").as("p6"))
+        expr("(cast(n as decimal(38,0)) * 1000000) div out_n").as("p6"))
       .localCheckpoint()
     val nodes = events.select(col("event_type").as("node")).distinct()
       .localCheckpoint()

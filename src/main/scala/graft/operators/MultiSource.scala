@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multi-source merge, reconciliation, and per-source aggregation.
@@ -50,17 +50,47 @@ object MultiSource {
     * text — never cross the shuffle; only 8-byte ids and 32-hex digests
     * do). One full-outer join on the key is the whole plan: dataset
     * versioning at 100 TB costs one id-keyed co-partitioned pass.
+    *
+    * The hashed encoding is INJECTIVE over the payload tuple: each value
+    * is tagged and length-prefixed (`N` for NULL, `V<bytes>:<value>`
+    * otherwise), so a NULL→'' transition or a would-be separator byte
+    * inside a value can never alias a different payload to the same
+    * digest (a plain separator-joined concat hashes both identically and
+    * silently misreports 'changed' rows as 'unchanged').
+    *
     * Output: (keyCol, status). Assumes `keyCol` is unique within each
     * snapshot (the corpus invariant every upstream dedup stage enforces);
-    * duplicate keys would fan the join out row-multiplicatively. */
+    * duplicate keys would fan the join out row-multiplicatively, counting
+    * phantom changed/unchanged rows. Pass `failOnDuplicateKeys = true` to
+    * make that loud: each snapshot gains a key-partitioned count window
+    * (the SAME partitioning the join needs, so no extra exchange) and the
+    * first duplicate key raises instead of fanning out. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
-                   payloadCols: Seq[String]): DataFrame = {
+                   payloadCols: Seq[String],
+                   failOnDuplicateKeys: Boolean = false): DataFrame = {
     require(payloadCols.nonEmpty, "snapshotDiff needs payload columns")
-    def digest(df: DataFrame, as: String) = df.select(col(keyCol).as("_id"),
-      md5(concat_ws("\u0001",
-        payloadCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)).as(as))
-    val o = digest(oldDf, "_oh")
-    val n = digest(newDf, "_nh")
+    def enc(c: String): Column = {
+      val s = col(c).cast("string")
+      when(s.isNull, lit("N"))
+        .otherwise(concat(lit("V"), octet_length(s).cast("string"), lit(":"), s))
+    }
+    def digest(df: DataFrame, tag: String, as: String) = {
+      val base = df.select(col(keyCol).as("_id"),
+        md5(concat(payloadCols.map(enc): _*)).as(as))
+      if (!failOnDuplicateKeys) base
+      else {
+        val cnt = count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_id")))
+        // the guard rides inside the digest column so pruning can't drop it
+        base.select(col("_id"),
+          when(cnt > 1, raise_error(concat(
+            lit(s"snapshotDiff: duplicate $keyCol in $tag snapshot: "),
+            col("_id").cast("string"))))
+            .otherwise(col(as)).as(as))
+      }
+    }
+    val o = digest(oldDf, "old", "_oh")
+    val n = digest(newDf, "new", "_nh")
     o.join(n, Seq("_id"), "full_outer")
       .select(col("_id").as(keyCol),
         when(col("_oh").isNull, "added")

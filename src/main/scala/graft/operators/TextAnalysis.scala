@@ -952,7 +952,10 @@ object TextAnalysis {
     * buckets — too big for a plan literal) the carrier switches to a
     * BROADCAST bucket→weight join over exploded features + one id-keyed
     * per-doc sum; with dyadic weights the two carriers are bit-identical
-    * (spec-pinned). Per-row cost is O(tokens) either way.
+    * (spec-pinned). Per-row cost is O(tokens) either way. Docs with NO
+    * features (NULL text → NULL gram array) are dropped by BOTH carriers
+    * — the explode carrier structurally, the literal carrier by an
+    * explicit filter — so carrier choice never changes the row set.
     * Output: (id, n_feats, logit, kept).
     *
     * Determinism: with dyadic weights (k/2^32-style, the pinned-artifact
@@ -983,7 +986,13 @@ object TextAnalysis {
       // references it three times (size twice, the fold once), and
       // CollapseProject keeps a multi-referenced non-trivial alias in its
       // own projection rather than inlining three tokenize+ngram passes.
+      // Featureless docs (NULL text → NULL gram array) are DROPPED, exactly
+      // matching the broadcast carrier (explode drops them structurally)
+      // and the oracle's per-doc group-by — without the filter this path
+      // would keep a NULL-text doc with NULL n_feats/logit/kept while the
+      // other carrier dropped it.
       docs.select((col(idCol) +: carryCols) :+ grams.as("_grams"): _*)
+        .where(size(col("_grams")) > 0)
         .select((col(idCol) +: carryCols) ++ Seq(
           size(col("_grams")).cast("long").as("n_feats"),
           (lit(bias) + aggregate(col("_grams"), lit(0.0), (acc, g) => acc + w(g))

@@ -84,7 +84,7 @@ final class FileTopicBroker(root: String) extends Broker {
 final class KafkaBroker(bootstrapServers: String) extends Broker {
 
   override def publish(df: DataFrame, topic: String): Unit =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       .write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)

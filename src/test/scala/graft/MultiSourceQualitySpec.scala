@@ -40,6 +40,46 @@ class MultiSourceQualitySpec extends SparkSpec {
       .as[(Long, String)].collect().head._2 == "changed")
   }
 
+  test("snapshotDiff encoding is injective: NULL vs '' and separator bytes") {
+    // NULL -> '' is a real content change (the N / V0: tags differ)
+    val na = Seq((1L, Option.empty[String])).toDF("id", "x")
+    val nb = Seq((1L, Option(""))).toDF("id", "x")
+    assert(MultiSource.snapshotDiff(na, nb, "id", Seq("x"))
+      .as[(Long, String)].collect().head._2 == "changed")
+    // a control byte inside a value can't shift content across the column
+    // boundary: ("ab", "") vs ("a", "b") must differ
+    val sa = Seq((1L, "ab", "")).toDF("id", "x", "y")
+    val sb = Seq((1L, "a", "b")).toDF("id", "x", "y")
+    assert(MultiSource.snapshotDiff(sa, sb, "id", Seq("x", "y"))
+      .as[(Long, String)].collect().head._2 == "changed")
+    // identical payloads still hash identically through the encoding
+    assert(MultiSource.snapshotDiff(sa, sa, "id", Seq("x", "y"))
+      .as[(Long, String)].collect().head._2 == "unchanged")
+  }
+
+  test("snapshotDiff duplicate keys: loud under the flag, fan-out documented") {
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "payload")
+    val clean = Seq((1L, "a"), (2L, "c")).toDF("id", "payload")
+    // default (flag off): the documented row-multiplicative fan-out — the
+    // duplicate key contributes one output row per (old, new) hash pair
+    val rows = MultiSource.snapshotDiff(dup, clean, "id", Seq("payload"))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(rows == Seq((1L, "changed"), (1L, "unchanged"), (2L, "unchanged")))
+    // flag on: the first duplicate key raises instead of fanning out
+    val e = intercept[Exception] {
+      MultiSource.snapshotDiff(dup, clean, "id", Seq("payload"),
+        failOnDuplicateKeys = true).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate id in old snapshot")), e)
+    // flag on with unique keys: plain pass-through
+    assert(MultiSource.snapshotDiff(clean, clean, "id", Seq("payload"),
+        failOnDuplicateKeys = true)
+      .as[(Long, String)].collect().forall(_._2 == "unchanged"))
+  }
+
   test("reconOnlyIn is a null-safe anti join") {
     assert(MultiSource.reconOnlyIn(left, right, "id").select("id").as[Int].collect().toSeq == Seq(1))
     assert(MultiSource.reconOnlyIn(right, left, "id").select("id").as[Int].collect().toSeq == Seq(4))

@@ -622,15 +622,21 @@ class TextIngestMultimodalSpec extends SparkSpec {
     val weights = Array.tabulate(64) { b =>
       ((b.toLong * 2654435761L) % 4294967296L).toDouble / 4294967296.0 - 0.5
     }
+    // doc 4 has NULL text (no gram array): BOTH carriers must drop it —
+    // the broadcast carrier structurally (explode), the literal carrier
+    // via its explicit featureless-doc filter
     val docs = Seq((1L, "alpha beta gamma"), (2L, "delta"),
-      (3L, "epsilon zeta eta theta iota")).toDF("doc_id", "text")
+      (3L, "epsilon zeta eta theta iota"), (4L, null: String))
+      .toDF("doc_id", "text")
     def rows(budget: Int) =
       TextAnalysis.hashClassifier(docs, "doc_id", "text", weights,
           literalBudget = budget)
         .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
     // budget 1 forces the broadcast-join carrier; dyadic weights make the
     // per-doc sum order-independent, so the logits must match BITWISE
-    assert(rows(8192) == rows(1))
+    val lit8k = rows(8192)
+    assert(lit8k == rows(1))
+    assert(lit8k.map(_._1) == Seq(1L, 2L, 3L), "NULL-text doc must be absent")
   }
 
   test("domainGate keeps big mostly-clean sources, drops small or dirty ones") {
