@@ -1000,6 +1000,16 @@ object SparkEntry {
       Similarity.exactTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10)
     }),
+    // §2.2 row L24g — binary (sign-bit) Hamming ANN (round 14): 8-byte
+    // sign signatures scanned with XOR+popcount, exact-cosine re-rank of
+    // the Hamming-top-50 shortlist. Fully replayable: the sign fold, both
+    // 32-bit words, the (hamming, id) shortlist order, and the rerank
+    // re-derive in SQL bit-for-bit.
+    "ann_hamming" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hammingTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", 10)
+    }),
     // §2.2 row 24 — LSH-bucketed ANN, FULL top-k table row-hash-oracled:
     // numPlanes pinned at 8 (the adaptive default at this SF) so the
     // oracle SQL can inline the fixed-seed hyperplane constants and
@@ -1242,6 +1252,11 @@ object SparkEntry {
         .select(col("label"), col("n_vecs"), col("pos"), col("col").as("c"))),
     // §2.2 row 29b — corpus vocabulary (token frequencies)
     "vocab_top" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d), "text", 30)),
+    // §2.2 row L29y — Count-Min Sketch frequency estimation (round 14):
+    // one-pass depth×width sketch (salted-md5 buckets, the hashed-
+    // classifier convention), probed at the exact top-30 tokens; the
+    // min-over-rows estimate and its one-sided overcount replay in SQL.
+    "cms_counts" -> ((s, d) => TextAnalysis.cmsCounts(Tables.documents(s, d), "text")),
     // §2.2 row 31 — BPE tokenizer training (Sennrich word-frequency
     // formulation: ONE corpus pass builds the word table, then — vocab
     // being far under Bpe.DriverVocabBound — the merge loop runs
@@ -2984,6 +2999,42 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""".stripMargin,
+    // Sign fold replay: both engines set bit i iff component i+1 > 0; the
+    // two 32-bit words stay below 2^32 so no signed-compare trap applies,
+    // and XOR+popcount is sign-free by construction. Shortlist order
+    // (hamming asc, id asc) and the exact-cosine rerank mirror the Spark
+    // operator's TopKAgg orderings exactly.
+    "ann_hamming" ->
+      """WITH q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |    FROM embeddings WHERE vec_id < 5),
+        |c0 AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |    FROM embeddings WHERE vec_id >= 5),
+        |qs AS (SELECT query_id,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN qv[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS qlo,
+        |    CAST(list_sum(list_transform(range(32, 64), i ->
+        |      CASE WHEN qv[i+1] > 0 THEN (1::BIGINT << (i-32)) ELSE 0 END)) AS BIGINT) AS qhi
+        |  FROM q0),
+        |cs AS (SELECT neighbor_id,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN cv[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS clo,
+        |    CAST(list_sum(list_transform(range(32, 64), i ->
+        |      CASE WHEN cv[i+1] > 0 THEN (1::BIGINT << (i-32)) ELSE 0 END)) AS BIGINT) AS chi
+        |  FROM c0),
+        |h AS (SELECT query_id, neighbor_id,
+        |    CAST(bit_count(xor(qlo, clo)) AS INT) + CAST(bit_count(xor(qhi, chi)) AS INT) AS ham
+        |  FROM qs, cs),
+        |sh AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS hr FROM h),
+        |rr AS (SELECT s.query_id, s.neighbor_id,
+        |    list_cosine_similarity(q0.qv, c0.cv) AS sim
+        |  FROM sh s
+        |  JOIN q0 ON q0.query_id = s.query_id
+        |  JOIN c0 ON c0.neighbor_id = s.neighbor_id
+        |  WHERE s.hr <= 50),
+        |f AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM rr)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM f WHERE rank <= 10""".stripMargin,
     "embedding_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         |  round(sqrt(list_aggregate([x*x for x in CAST(embedding AS DOUBLE[])], 'sum')), 4) AS l2_norm,
@@ -3176,6 +3227,23 @@ object SparkEntry {
         |ranked AS (SELECT token, CAST(n AS BIGINT) AS n,
         |    CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank FROM counts)
         |SELECT token, n, rank FROM ranked WHERE rank <= 30""".stripMargin,
+    "cms_counts" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cells AS (SELECT r,
+        |    ('0x' || substr(md5('cms' || r || ':' || token), 1, 8))::BIGINT % 1024 AS b,
+        |    count(*) AS cell
+        |  FROM tok, rs GROUP BY r, b),
+        |exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY token
+        |  ORDER BY exact_n DESC, token LIMIT 30),
+        |probes AS (SELECT token, exact_n, r,
+        |    ('0x' || substr(md5('cms' || r || ':' || token), 1, 8))::BIGINT % 1024 AS b
+        |  FROM exact, rs)
+        |SELECT p.token, CAST(p.exact_n AS BIGINT) AS exact_n,
+        |  CAST(min(c.cell) AS BIGINT) AS cms_n,
+        |  CAST(min(c.cell) - p.exact_n AS BIGINT) AS overcount
+        |FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+        |GROUP BY p.token, p.exact_n""".stripMargin,
     "profile_columns" ->
       """SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

@@ -888,6 +888,42 @@ object Similarity {
              vecCol: String, k: Int, m: Int = 8, ksub: Int = 16): DataFrame =
     pqTopKWith(queries, corpus, idCol, vecCol, k, pqTrain(corpus, idCol, vecCol, m, ksub))
 
+  /** Binary (sign-bit) Hamming search — the fourth ANN tier next to LSH /
+    * IVF / PQ, the binary-embedding production shape (faiss
+    * IndexBinaryFlat + refine): each vector compresses to its SIGN BITS
+    * packed into two 32-bit words, so the index scan scores a candidate
+    * with two XOR+popcount word ops over 8 bytes instead of a d-dim float
+    * dot over 4d bytes — the cheapest quantization that still correlates
+    * with cosine (sign agreement ≈ angle), and the one modern embedding
+    * APIs ship as "binary embeddings". The exact-cosine re-rank
+    * ([[pqTopKWith]]'s correction stage, shared `adcRerank` tail) corrects
+    * the top-`shortlist` to the final k, so sign-quantization error
+    * affects recall only through shortlist membership.
+    *
+    * The two words are built by one compiled fold per vector (no shuffle);
+    * each stays below 2^32, so the arithmetic is sign-free in any engine.
+    * Dims past 64 are ignored by the SIGNATURE (the re-rank still sees the
+    * full vector) — wider embeddings extend the word count, same packing.
+    * Approximate ordering: Hamming ascending, neighbor id ascending.
+    * Output: (query_id, neighbor_id, rank). */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int, shortlist: Int = 50): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"hammingTopK needs shortlist >= k >= 1; got k=$k shortlist=$shortlist")
+    val lo = expr("aggregate(transform(_v, (x, i) -> IF(x > 0.0D AND i < 32, " +
+      "shiftleft(1L, i), 0L)), 0L, (a, s) -> a + s)")
+    val hi = expr("aggregate(transform(_v, (x, i) -> IF(x > 0.0D AND i >= 32 " +
+      "AND i < 64, shiftleft(1L, i - 32), 0L)), 0L, (a, s) -> a + s)")
+    def sigs(df: DataFrame, idAs: String, pfx: String): DataFrame = df
+      .select(col(idCol).as(idAs), toDouble(col(vecCol)).as("_v"))
+      .select(col(idAs), lo.as(pfx + "lo"), hi.as(pfx + "hi"))
+    val scored = sigs(corpus, "neighbor_id", "_c")
+      .crossJoin(broadcast(sigs(queries, "query_id", "_q")))
+      .withColumn("_sim",
+        -(expr("bit_count(_clo ^ _qlo) + bit_count(_chi ^ _qhi)").cast("double")))
+    adcRerank(queries, corpus, idCol, vecCol, scored, shortlist, k)
+  }
+
   /** IVF-PQ — the two scale paths COMPOSED, the billion-vector production
     * shape (faiss's IVFxx,PQyy with global codebooks): IVF routing bounds
     * WHICH rows each query touches (nprobe cells instead of the whole

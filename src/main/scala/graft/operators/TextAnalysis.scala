@@ -113,6 +113,49 @@ object TextAnalysis {
         round(col("n_occ").cast("double") / col("_n_total"), 6).as("share"))
   }
 
+  /** Count-Min Sketch token-frequency estimation (Cormode–Muthukrishnan) —
+    * the bounded-memory point-query sketch next to [[heavyHitters]]'
+    * Misra-Gries (exact top set) and HLL (distinct count): `depth` salted
+    * md5 hash rows × `width` buckets, each cell the count of tokens
+    * hashing to it; a token's estimate is the MIN over its `depth` cells,
+    * which can only OVERCOUNT (collisions add, never subtract) — the
+    * one-sided error bound is what makes CMS composable under union and
+    * safe for keep/drop thresholds at corpus scale, where the exact
+    * vocabulary groupBy (billions of distinct tokens) can't run.
+    *
+    * The sketch is ONE corpus pass: map-side combine collapses every
+    * partition to <= depth×width cells before the (row, bucket)-keyed
+    * exchange, so shuffle volume is sketch-sized regardless of corpus
+    * size, and sketches from separate corpora/days merge by cell-wise sum.
+    * The probe side here re-counts the exact top-`topN` tokens purely as
+    * the verification surface (production probes arbitrary keys against
+    * the sketch without any exact pass). The md5 bucket derivation is the
+    * hashed-classifier convention, replayable in SQL.
+    * Output: (token, exact_n, cms_n, overcount), cms_n >= exact_n always. */
+  def cmsCounts(docs: DataFrame, textCol: String, depth: Int = 4,
+                width: Int = 1024, topN: Int = 30): DataFrame = {
+    require(depth >= 1 && width >= 2 && topN >= 1,
+      s"cmsCounts needs depth >= 1, width >= 2, topN >= 1; got d=$depth w=$width topN=$topN")
+    val tok = docs.select(explode(tokens(col(textCol))).as("token"))
+    def bucket(r: Int, t: Column): Column =
+      conv(substring(md5(concat(lit(s"cms$r:"), t)), 1, 8), 16, 10)
+        .cast("long") % width
+    def rowBuckets(t: Column): Column =
+      array((0 until depth).map(r => bucket(r, t)): _*)
+    val sketch = tok
+      .select(posexplode(rowBuckets(col("token"))).as(Seq("_r", "_b")))
+      .groupBy(col("_r"), col("_b")).agg(count(lit(1)).as("_cell"))
+    val probes = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token")).limit(topN) // TakeOrdered
+      .select(col("token"), col("exact_n"),
+        posexplode(rowBuckets(col("token"))).as(Seq("_r", "_b")))
+    probes.join(broadcast(sketch), Seq("_r", "_b"))
+      .groupBy(col("token"), col("exact_n"))
+      .agg(min(col("_cell")).as("cms_n"))
+      .select(col("token"), col("exact_n"), col("cms_n"),
+        (col("cms_n") - col("exact_n")).as("overcount"))
+  }
+
   /** Winnowing-style fingerprint: the minimum md5 over the document's word
     * n-gram shingles. Identical token streams ⇒ identical fingerprints. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =

@@ -310,6 +310,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfR >= 0.9, f"IVF recall@10 $ivfR%.3f below the 0.9 gate")
   }
 
+  test("hammingTopK: two-stage semantics, brute-force parity, recall gate") {
+    // (1) the Hamming shortlist genuinely PRUNES: E has a better cosine
+    // than A but the same Hamming distance and a larger id, so at
+    // shortlist=2 the (hamming asc, id asc) cut keeps {B, A} and E never
+    // reaches the re-rank — the two-stage contract, pinned.
+    val q = Seq((0L, Seq(1f, 1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (10L, Seq(1f, 1f, 1f, -1f)),     // A: ham 1, cos ~0.5
+      (11L, Seq(0.1f, 0.1f, 0.1f, 0.1f)), // B: ham 0, cos 1.0
+      (12L, Seq(-1f, -1f, -1f, -1f)),  // C: ham 4
+      (13L, Seq(1f, 1f, 1f, -0.01f))   // E: ham 1 (ties A, larger id), cos ~0.86
+    ).toDF("vec_id", "embedding")
+    val two = Similarity.hammingTopK(q, c, "vec_id", "embedding", 2, shortlist = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._3).toSeq
+    assert(two == Seq((0L, 11L, 1), (0L, 10L, 2)),
+      s"shortlist=2 must keep {B, A} by (hamming, id) and re-rank by cosine; got $two")
+    // (2) shortlist >= |corpus| degrades to the exact search: row-for-row
+    // parity with exactTopK (the rerank sees everything)
+    val rnd = new java.util.Random(11L)
+    val dim = 32
+    def vec(): Seq[Float] = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val cdf = (0L until 200L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val qdf = (1000L until 1005L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val exact = Similarity.exactTopK(qdf, cdf, "vec_id", "embedding", 10)
+      .as[(Long, Long, Int)].collect().toSet
+    val full = Similarity.hammingTopK(qdf, cdf, "vec_id", "embedding", 10,
+        shortlist = 200)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full == exact, "full-shortlist Hamming search must equal exactTopK")
+    // (3) recall gate on the clustered geometry (sign bits preserve
+    // cluster identity: members flip only low-|x| components)
+    val centers = Array.fill(30) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def jit(cn: Array[Double]): Seq[Float] =
+      cn.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq
+    val corpus = (for { (cn, ci) <- centers.zipWithIndex.toSeq; m <- 0 until 20 }
+      yield ((ci * 20 + m).toLong, jit(cn))).toDF("vec_id", "embedding")
+    val queries = centers.zipWithIndex.toSeq.map { case (cn, ci) =>
+      (10000L + ci, jit(cn)) }.toDF("vec_id", "embedding")
+    val truth = Similarity.exactTopK(queries, corpus, "vec_id", "embedding", 10)
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+      .map { case (qq, rs) => qq -> rs.map(_._2).toSet }
+    val got = Similarity.hammingTopK(queries, corpus, "vec_id", "embedding", 10)
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+      .map { case (qq, rs) => qq -> rs.map(_._2).toSet }
+    val rec = truth.map { case (qq, t) =>
+      got.getOrElse(qq, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+    val recall = rec.sum / rec.size
+    info(f"hamming recall@10 over ${truth.size} queries: $recall%.3f")
+    assert(recall >= 0.9, f"Hamming recall@10 $recall%.3f below the 0.9 gate")
+  }
+
   test("PQ: recall@10 >= 0.9 with re-rank, bounded codes, deterministic training") {
     // Same clustered geometry as the LSH/IVF gate (30 clusters x 20
     // members, sigma=0.05 jitter at dim 32) — PQ quantization error is

@@ -55,9 +55,10 @@ class SourceGuardSpec extends AnyFunSpec {
     "graft/operators/TextAnalysis.scala" -> 7,
     // ... except pqTopKWith's corpus x QUERY-BATCH join (the flat-PQ ADC
     // scan: every index row scores against every query's broadcast LUT
-    // — bounded by the query batch, the intended shape) and one 1-row
-    // stats join
-    "graft/operators/Similarity.scala" -> 2)
+    // — bounded by the query batch, the intended shape), one 1-row
+    // stats join, and hammingTopK's 8-byte-signature x query-batch scan
+    // (same bounded shape, 2 longs per corpus row)
+    "graft/operators/Similarity.scala" -> 3)
 
   private val windowOrderByBudget = Map(
     // vocab_top ranks a 30-row post-limit output, samplePriority ranks

@@ -667,6 +667,37 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out("A")._3 == (9 + 11 + 13).toDouble / 3)
   }
 
+  test("cmsCounts: exact local CMS replay, one-sided overcount, topN order") {
+    val docs = Seq(
+      "aa aa aa bb bb cc",
+      "aa bb cc dd",
+      "aa aa ee"
+    ).toDF("text")
+    // exact: aa=6 bb=3 cc=2 aa... dd=1 ee=1
+    val exact = Map("aa" -> 6L, "bb" -> 3L, "cc" -> 2L, "dd" -> 1L, "ee" -> 1L)
+    def bucket(r: Int, t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cms$r:$t".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 1024).toInt
+    }
+    // local CMS: cell value = sum of counts of tokens hashing there
+    def est(t: String): Long = (0 until 4).map { r =>
+      val b = bucket(r, t)
+      exact.collect { case (u, n) if bucket(r, u) == b => n }.sum
+    }.min
+    val out = TextAnalysis.cmsCounts(docs, "text", depth = 4, width = 1024, topN = 30)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == exact.keySet, "topN=30 must surface every token")
+    for ((t, n) <- exact) {
+      val (_, exactN, cmsN, over) = out(t)
+      assert(exactN == n, s"$t exact")
+      assert(cmsN == est(t), s"$t estimate must equal the local CMS replay")
+      assert(cmsN >= exactN && over == cmsN - exactN,
+        s"$t: CMS may only OVERcount ($cmsN vs $exactN)")
+    }
+  }
+
   test("pmiCollocations: planted collocation scores ln(chance ratio) exactly") {
     // 6 identical docs: each bigram occurs 6x, each unigram 6x, 24 tokens
     // -> pmi = round(ln((6/6) * (24/6)), 6) for all three bigrams;
