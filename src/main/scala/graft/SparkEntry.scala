@@ -987,6 +987,11 @@ object SparkEntry {
     // just the ScalaTest parity spec.
     "source_overlap_hashed" -> ((s, d) =>
       Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", 2, hashKeys = true)),
+    // §2.2 row L22h — bottom-k MinHash overlap sketch (round 14): the
+    // k-bounded estimator tier above the exact matrix; deterministic
+    // (the md5 hash IS the permutation), fully SQL-replayable.
+    "source_overlap_sketch" -> ((s, d) =>
+      Dedup.sourceOverlapSketch(Tables.documents(s, d), "source", "text", 2)),
     // §2.2 row 22 — n-gram Jaccard over an explicit pair set
     "ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -2914,6 +2919,27 @@ object SparkEntry {
         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "source_overlap" -> SourceOverlapSql,
+    // Bottom-k replay: per-source k smallest distinct gram md5s via a
+    // source-partitioned row_number, then pure list arithmetic — the
+    // union's bottom-k, its overlap with the intersection, one division.
+    "source_overlap_sketch" ->
+      """WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT source, md5(g) AS h
+        |  FROM toks, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS t(g)
+        |  WHERE len(w) >= 2),
+        |bk AS (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh),
+        |sk AS (SELECT source, list_sort(list(h)) AS bl FROM bk WHERE rn <= 64 GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b, a.bl AS la, b.bl AS lb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |e AS (SELECT source_a, source_b,
+        |    list_slice(list_sort(list_distinct(list_concat(la, lb))), 1, 64) AS u,
+        |    list_intersect(la, lb) AS comm
+        |  FROM p)
+        |SELECT source_a, source_b,
+        |  CAST(len(list_intersect(u, comm)) AS BIGINT) AS n_common_sk,
+        |  round(CAST(len(list_intersect(u, comm)) AS DOUBLE) / len(u), 6) AS est_jaccard
+        |FROM e""".stripMargin,
     // Same oracle verbatim: hashKeys only changes the join-key
     // representation (8-byte xxhash64 vs raw n-gram string); the output
     // matrix is identical modulo ~2^-64 collision probability, so the

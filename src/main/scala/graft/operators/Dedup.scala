@@ -541,6 +541,47 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
   }
 
+  /** Bottom-k MinHash estimate of every source pair's shingle-set Jaccard —
+    * the SKETCH tier above [[sourceOverlap]]'s exact join (Broder's
+    * min-wise estimator in its bottom-k form, Cohen/Kaplan): each source
+    * keeps only its k SMALLEST distinct shingle md5s, and a pair's Jaccard
+    * is estimated as |B_k(A∪B) ∩ A ∩ B| / |B_k(A∪B)| — the fraction of
+    * the union's k smallest hashes that both sets contain. Deterministic
+    * (no sampling randomness: the hash IS the permutation), mergeable
+    * (a union's bottom-k is the bottom-k of concatenated sketches), and
+    * k-bounded per source regardless of vocabulary size — the estimator
+    * that still runs when [[sourceOverlap]]'s exact gram self-join
+    * (full-vocabulary shuffle per pair) cannot.
+    *
+    * Scale: one gram explode → distinct (the same first shuffle the exact
+    * path pays), then a source-partitioned window over the distinct-hash
+    * frame cuts each source to k rows; everything pairwise happens on
+    * |sources| k-length arrays (broadcast self-join, array ops in one
+    * projection). Unlike the exact operator, EVERY pair is emitted, with
+    * n_common_sk = 0 for disjoint sketches.
+    * Output: (source_a, source_b, n_common_sk, est_jaccard 6dp). */
+  def sourceOverlapSketch(docs: DataFrame, srcCol: String, textCol: String,
+                          n: Int, k: Int = 64): DataFrame = {
+    require(k >= 1, s"sourceOverlapSketch needs k >= 1; got $k")
+    val sh = docs
+      .select(col(srcCol).as("source"), explode(shingles(col(textCol), n)).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    val sk = sh.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("_bl"))
+    val pairs = sk.select(col("source").as("source_a"), col("_bl").as("_la"))
+      .join(broadcast(sk.select(col("source").as("source_b"), col("_bl").as("_lb"))),
+        col("source_a") < col("source_b"))
+    val u = slice(array_sort(array_union(col("_la"), col("_lb"))), 1, k)
+    val num = size(array_intersect(u, array_intersect(col("_la"), col("_lb"))))
+    pairs.select(col("source_a"), col("source_b"),
+      num.cast("long").as("n_common_sk"),
+      round(num.cast("double") / size(u), 6).as("est_jaccard"))
+  }
+
   /** Exact set-similarity self-join — AllPairs/PPJoin prefix filtering
     * (Bayardo et al. WWW'07 "Scaling Up All Pairs Similarity Search";
     * Xiao et al. WWW'08 PPJoin): EVERY pair of documents whose shingle-set

@@ -578,6 +578,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(("A", "B", 3L, 2L, 1L, 0.25))) // 1/(3+2-1)
   }
 
+  test("sourceOverlapSketch: exact at k >= vocab, all pairs emitted, accurate below") {
+    // three sources sharing a structured bigram overlap; source C disjoint
+    val docs = Seq(
+      ("A", "w1 w2 w3 w4 w5"),         // bigrams: 12 23 34 45
+      ("B", "w1 w2 w3 x1 x2"),         // bigrams: 12 23 3x1 x1x2
+      ("C", "z1 z2 z3")                // bigrams: z12 z23
+    ).toDF("source", "text")
+    // k >= every union's vocabulary -> bottom-k IS the set, and the
+    // estimator degenerates to the EXACT Jaccard
+    val out = Dedup.sourceOverlapSketch(docs, "source", "text", 2, k = 64)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")),
+      "every source pair must be emitted, including disjoint ones")
+    // J(A,B): common {12, 23} = 2, union 4+4-2 = 6
+    val ab = out(("A", "B"))
+    assert(ab._3 == 2L && ab._4 == BigDecimal(2.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(("A", "C"))._3 == 0L && out(("A", "C"))._4 == 0.0)
+    // exact agreement with sourceOverlap on the overlapping pair
+    val exact = Dedup.sourceOverlap(docs, "source", "text", 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._6).toMap
+    assert(ab._4 == exact(("A", "B")))
+    // below-vocab k: a planted 50%-overlap pair of 200-gram sources —
+    // the deterministic estimate must land near the true value
+    val big = Seq(
+      ("P", (0 until 200).map(i => s"p$i").mkString(" ")),
+      ("Q", ((100 until 200) ++ (1000 until 1100)).map(i => s"p$i").mkString(" "))
+    ).toDF("source", "text")
+    // unigram-level construction is awkward with bigrams; just gate the
+    // estimator against the exact operator's value on the same input
+    val estPQ = Dedup.sourceOverlapSketch(big, "source", "text", 2, k = 64)
+      .as[(String, String, Long, Double)].collect().head._4
+    val truePQ = Dedup.sourceOverlap(big, "source", "text", 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().head._6
+    assert(math.abs(estPQ - truePQ) <= 0.15,
+      s"bottom-64 estimate $estPQ too far from exact $truePQ")
+  }
+
   test("sourceOverlap hashKeys: identical matrix, shuffles 8-byte keys instead of shingles") {
     // Same corpus through both paths must agree exactly (collisions are a
     // 2^-64-scale event, impossible on a test vocabulary), and the hashed
