@@ -1176,6 +1176,12 @@ object SparkEntry {
     "embedding_matryoshka" -> ((s, d) =>
       Similarity.matryoshkaNorms(Tables.embeddings(s, d), "vec_id",
         "embedding", Seq(16, 32))),
+    // §2.2 row L25g — Johnson–Lindenstrauss random projection (round 14):
+    // data-oblivious 64→16 reduction under pinned seed-19 Gaussian planes;
+    // order-pinned folds + the exact dyadic 1/√16 scale make every rounded
+    // component and the norm-ratio diagnostic replay in SQL.
+    "embedding_jl" -> ((s, d) =>
+      Similarity.jlProject(Tables.embeddings(s, d), "vec_id", "embedding")),
     // §2.2 row 25e — component covariance matrix (PCA/whitening input):
     // the explode carrier (pure built-in Catalyst, independently planned),
     // kept under the oracle as the cross-check of the default aggregate
@@ -3081,6 +3087,24 @@ object SparkEntry {
         |  norm_16, norm_16 / norm_full AS retained_16,
         |  norm_32, norm_32 / norm_full AS retained_32
         |FROM n""".stripMargin,
+    // JL replay: the SAME seed-19 16×64 Gaussian planes inline as list
+    // literals; each component is an index-ascending list_reduce fold
+    // (≡ Spark's aggregate left fold) × the exact dyadic 0.25 scale,
+    // rounded once; norm_ratio folds over the ROUNDED components so both
+    // engines square identical inputs.
+    "embedding_jl" -> {
+      val comps = graft.operators.Similarity.jlPlanes(16, 64).map { p =>
+        s"round(list_reduce(list_transform(range(1, 65), i -> " +
+          s"coalesce(v[i], 0.0) * ([${p.mkString(", ")}])[i]), " +
+          "(a, b) -> a + b) * 0.25, 6)"
+      }.mkString(",\n        |    ").stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id, v, [$comps] AS proj FROM e)
+        |SELECT vec_id, proj,
+        |  round(sqrt(list_reduce([x*x for x in proj], (a, b) -> a + b)) /
+        |    sqrt(list_reduce([x*x for x in v], (a, b) -> a + b)), 6) AS norm_ratio
+        |FROM p""".stripMargin
+    },
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -734,6 +734,50 @@ object Similarity {
           (col(s"norm_$d") / col("norm_full")).as(s"retained_$d")))): _*)
   }
 
+  /** Fixed-seed Gaussian JL planes (deterministic across JVMs — the
+    * [[hyperplanes]] discipline under its own seed, so the DuckDB oracle
+    * re-derives every projection from the same literals). */
+  private[graft] def jlPlanes(outDim: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(19L)
+    Seq.fill(outDim)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Johnson–Lindenstrauss random projection — DATA-OBLIVIOUS dimension
+    * reduction: y = (1/√outDim) · R·x with R fixed Gaussian. Unlike
+    * [[embeddingCovariance]]+PCA (which needs a training pass and an
+    * eigensolve over corpus statistics), JL needs NOTHING from the data —
+    * the projection of row N is identical whether the corpus has 10³ or
+    * 10¹² rows, which makes it the 100 TB-safe coarse stage for ANN
+    * funnels and the only reducer that composes with streaming ingest
+    * (no model to retrain as data arrives). The JL lemma bounds pairwise
+    * distance distortion by the OUTPUT dimension alone.
+    *
+    * Pure projection, zero shuffles; the outDim×dim plane matrix rides
+    * into codegen as literals (1k doubles at 16×64 — far under the
+    * classifier's audited 8192-literal budget). Every component is an
+    * order-pinned ascending fold × an exact dyadic scale (1/√16 = 0.25),
+    * rounded once to 6dp; `norm_ratio` (‖y‖/‖x‖, the per-vector JL
+    * distortion diagnostic) folds over the ROUNDED components so both
+    * engines see identical inputs. Output: (id, proj, norm_ratio). */
+  def jlProject(vecs: DataFrame, idCol: String, vecCol: String,
+                outDim: Int = 16, dim: Int = 64): DataFrame = {
+    require(outDim >= 1 && dim >= 1, s"bad dims: outDim=$outDim dim=$dim")
+    val planes = jlPlanes(outDim, dim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = planes.map { p =>
+      round(aggregate(
+        zip_with(col("_v"), typedLit(p),
+          (x, w) => coalesce(x, lit(0.0)) * coalesce(w, lit(0.0))),
+        lit(0.0), (a, b) => a + b) * scale, 6)
+    }
+    vecs.select(col(idCol), toDouble(col(vecCol)).as("_v"))
+      .select(col(idCol), col("_v"), array(comps: _*).as("proj"))
+      .select(col(idCol), col("proj"),
+        round(sqrt(aggregate(col("proj"), lit(0.0), (a, x) => a + x * x)) /
+          sqrt(aggregate(col("_v"), lit(0.0), (a, x) => a + x * x)), 6)
+          .as("norm_ratio"))
+  }
+
   /** Train product-quantization codebooks (Jégou et al. 2011): the vector
     * space splits into `m` equal subspaces, each with its own `ksub`-entry
     * L2 codebook, so a d-dim float vector compresses to m small code ids —

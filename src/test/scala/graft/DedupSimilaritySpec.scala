@@ -310,6 +310,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfR >= 0.9, f"IVF recall@10 $ivfR%.3f below the 0.9 gate")
   }
 
+  test("jlProject: exact local replay, zero shuffles, norm concentration") {
+    val rnd = new java.util.Random(23L)
+    val data = (0L until 100L).map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val vecs = data.toDF("vec_id", "embedding")
+    val q = Similarity.jlProject(vecs, "vec_id", "embedding")
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+      "JL projection must be a pure projection (no shuffle)")
+    val planes = Similarity.jlPlanes(16, 64)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def replay(v: Seq[Float]): (Seq[Double], Double) = {
+      val vd = v.map(_.toDouble)
+      // same fold order as the engine: index-ascending, 0.0-seeded
+      val proj = planes.map(p =>
+        r6(vd.zip(p).map { case (x, w) => x * w }.foldLeft(0.0)(_ + _) * 0.25))
+      val ratio = r6(math.sqrt(proj.map(x => x * x).foldLeft(0.0)(_ + _)) /
+        math.sqrt(vd.map(x => x * x).foldLeft(0.0)(_ + _)))
+      (proj, ratio)
+    }
+    val local = data.map { case (i, v) => i -> replay(v) }.toMap
+    val out = q.as[(Long, Seq[Double], Double)].collect()
+    assert(out.length == 100)
+    out.foreach { case (id, proj, ratio) =>
+      assert(proj == local(id)._1, s"vec $id projection must replay bitwise")
+      assert(ratio == local(id)._2, s"vec $id norm_ratio must replay bitwise")
+    }
+    // JL norm preservation: ratios concentrate around 1 (E[ratio^2] = 1)
+    val mean = out.map(_._3).sum / out.length
+    assert(mean > 0.8 && mean < 1.2, s"mean norm_ratio $mean off the JL bound")
+  }
+
   test("hammingTopK: two-stage semantics, brute-force parity, recall gate") {
     // (1) the Hamming shortlist genuinely PRUNES: E has a better cosine
     // than A but the same Hamming distance and a larger id, so at
