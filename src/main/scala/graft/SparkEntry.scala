@@ -1247,6 +1247,12 @@ object SparkEntry {
     // mean log P(w_i | w_{i-1}) under the corpus's own MLE bigram model)
     "lm_bigram" -> ((s, d) =>
       TextAnalysis.lmBigram(Tables.documents(s, d), "doc_id", "text")),
+    // §2.2 row L27l — interpolated Kneser–Ney bigram scoring (round 14):
+    // continuation-probability smoothing over the same two corpus
+    // shuffles as lm_bigram; D=0.75 dyadic, identical parenthesization
+    // both engines, 6dp DECIMAL weighted sums.
+    "lm_kneser_ney" -> ((s, d) =>
+      TextAnalysis.lmKneserNey(Tables.documents(s, d), "doc_id", "text")),
     // §2.2 row 27g — per-doc token-distribution entropy + ratio to max
     // (the repetitive/templated-text signal)
     "token_entropy" -> ((s, d) =>
@@ -3184,6 +3190,31 @@ object SparkEntry {
         |  FROM vb JOIN vc ON split_part(bigram, ' ', 1) = ctx)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
         |  round(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
+        |FROM tf JOIN probs USING (bigram) GROUP BY doc_id""".stripMargin,
+    // Kneser-Ney replay: the probability expression is parenthesized
+    // EXACTLY as the Spark side computes it — (c-D)/cv + D*n1f/cv *
+    // (n1b/N) — so every FP step is the same correctly-rounded op.
+    "lm_kneser_ney" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |bi AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram FROM tok),
+        |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bi GROUP BY doc_id, bigram),
+        |vb AS (SELECT bigram, SUM(tf) AS cnt_bi FROM tf GROUP BY bigram),
+        |vc AS (SELECT split_part(bigram, ' ', 1) AS ctx, SUM(cnt_bi) AS cnt_ctx,
+        |    count(*) AS n1_fwd FROM vb GROUP BY 1),
+        |vw AS (SELECT split_part(bigram, ' ', 2) AS wrd, count(*) AS n1_back
+        |  FROM vb GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_types FROM vb),
+        |probs AS (SELECT bigram,
+        |    CAST(round(ln(
+        |      (cnt_bi - 0.75) / cnt_ctx +
+        |      0.75 * n1_fwd / cnt_ctx * (CAST(n1_back AS DOUBLE) / n_types)), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM vb
+        |  JOIN vc ON split_part(bigram, ' ', 1) = ctx
+        |  JOIN vw ON split_part(bigram, ' ', 2) = wrd
+        |  CROSS JOIN nt)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6) AS avg_logprob_kn
         |FROM tf JOIN probs USING (bigram) GROUP BY doc_id""".stripMargin,
     "token_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),

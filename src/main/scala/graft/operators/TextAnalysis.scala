@@ -113,6 +113,61 @@ object TextAnalysis {
         round(col("n_occ").cast("double") / col("_n_total"), 6).as("share"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1998's benchmark winner — the smoothing KenLM/CCNet-class
+    * corpus LMs actually use): P(w|v) = (c(vw) − D)/c(v) +
+    * D·N1+(v,·)/c(v) · N1+(·,w)/N1+(··). The continuation probability
+    * scores a word by how many DISTINCT contexts it follows, not raw
+    * frequency — the "San Francisco" correction: 'Francisco' is frequent
+    * but predictable, so plain MLE ([[lmBigram]]) overrates docs that
+    * lean on frozen collocations; KN is the perplexity signal that
+    * doesn't. Only observed bigrams are scored (every doc bigram is in
+    * the corpus by construction), so with D < 1 every probability is
+    * strictly positive with no backoff branch.
+    *
+    * Scale: the same two shuffles as [[lmBigram]] (per-doc tf, bigram
+    * vocabulary agg); the three KN statistics are two partitioned windows
+    * over the VOCABULARY-sized type table (context totals + fan-out on
+    * the same partitioning, fan-in on the second word) plus the audited
+    * 1-row type-count broadcast. Determinism: D = 0.75 is dyadic, the
+    * probability expression is parenthesized IDENTICALLY in both engines
+    * (every step one correctly-rounded op), per-bigram log-probs round
+    * to 6dp into DECIMAL(18,6) so the per-doc weighted sum is exact.
+    * Output: (id, n_bigrams, avg_logprob_kn). */
+  def lmKneserNey(docs: DataFrame, idCol: String, textCol: String,
+                  discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"Kneser-Ney discount must be in (0,1); got $discount")
+    val toks = tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    val tf = docs.select(col(idCol).as("_id"), explode(bigrams).as("bigram"))
+      .groupBy(col("_id"), col("bigram")).agg(count(lit(1)).as("tf"))
+    val wCtx = org.apache.spark.sql.expressions.Window
+      .partitionBy(split(col("bigram"), " ").getItem(0))
+    val wW = org.apache.spark.sql.expressions.Window
+      .partitionBy(split(col("bigram"), " ").getItem(1))
+    val types = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cnt_bi"))
+    val nbb = broadcast(types.agg(count(lit(1)).as("n_types")))
+    val probs = types
+      .withColumn("cnt_ctx", sum(col("cnt_bi")).over(wCtx))
+      .withColumn("n1_fwd", count(lit(1)).over(wCtx))
+      .withColumn("n1_back", count(lit(1)).over(wW))
+      .crossJoin(nbb)
+      .select(col("bigram"), round(log(
+        (col("cnt_bi") - lit(discount)) / col("cnt_ctx") +
+          lit(discount) * col("n1_fwd") / col("cnt_ctx") *
+            (col("n1_back").cast("double") / col("n_types"))), 6)
+        .cast("decimal(18,6)").as("_lp"))
+    tf.join(probs, "bigram")
+      .groupBy(col("_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("tf") * col("_lp")).as("_sum_lp"))
+      .select(col("_id").as(idCol), col("n_bigrams"),
+        round(col("_sum_lp").cast("double") / col("n_bigrams"), 6)
+          .as("avg_logprob_kn"))
+  }
+
   /** Count-Min Sketch token-frequency estimation (Cormode–Muthukrishnan) —
     * the bounded-memory point-query sketch next to [[heavyHitters]]'
     * Misra-Gries (exact top set) and HLL (distinct count): `depth` salted

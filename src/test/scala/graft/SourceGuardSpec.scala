@@ -52,7 +52,8 @@ class SourceGuardSpec extends AnyFunSpec {
     // (nt/nr over the <=nBuckets-row bucket table) + waterfillBudget's
     // 1-row (total, n) totals join onto the |sources|-row capacity table
     // + pmiCollocations' 1-row token-total join onto the bigram counts
-    "graft/operators/TextAnalysis.scala" -> 7,
+    // + lmKneserNey's 1-row bigram-type-count join onto the vocabulary
+    "graft/operators/TextAnalysis.scala" -> 8,
     // ... except pqTopKWith's corpus x QUERY-BATCH join (the flat-PQ ADC
     // scan: every index row scores against every query's broadcast LUT
     // — bounded by the query batch, the intended shape), one 1-row

@@ -667,6 +667,50 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out("A")._3 == (9 + 11 + 13).toDouble / 3)
   }
 
+  test("lmKneserNey: exact local replay of the interpolated-KN formula") {
+    val data = Seq(
+      (1L, "san francisco is big"),
+      (2L, "san francisco is nice"),
+      (3L, "the city is big"),
+      (4L, "a city is nice and big"))
+    val docs = data.toDF("doc_id", "text")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // local replay of the exact engine arithmetic, same parenthesization
+    val perDoc = data.map { case (id, t) =>
+      id -> t.split("\\s+").toSeq.sliding(2).map(_.mkString(" ")).toSeq
+    }.toMap
+    val tf: Map[(Long, String), Long] = perDoc.toSeq
+      .flatMap { case (id, bs) => bs.map(b => (id, b)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cntBi = tf.toSeq.groupBy(_._1._2).map { case (b, v) => b -> v.map(_._2).sum }
+    val cntCtx = cntBi.toSeq.groupBy(_._1.split(" ")(0))
+      .map { case (c, v) => c -> v.map(_._2).sum }
+    val n1Fwd = cntBi.keys.toSeq.groupBy(_.split(" ")(0)).map { case (c, v) => c -> v.size }
+    val n1Back = cntBi.keys.toSeq.groupBy(_.split(" ")(1)).map { case (w, v) => w -> v.size }
+    val nTypes = cntBi.size
+    def lp(b: String): Double = {
+      val Array(c, w) = b.split(" ")
+      r6(math.log((cntBi(b) - 0.75) / cntCtx(c) +
+        0.75 * n1Fwd(c) / cntCtx(c) * (n1Back(w).toDouble / nTypes)))
+    }
+    val expected = perDoc.map { case (id, _) =>
+      val rows = tf.collect { case ((i, b), n) if i == id => (b, n) }.toSeq
+      val nb = rows.map(_._2).sum
+      val sum = rows.map { case (b, n) =>
+        BigDecimal(lp(b)).setScale(6) * n }.sum
+      id -> (nb, r6(sum.toDouble / nb))
+    }
+    val out = TextAnalysis.lmKneserNey(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == expected.keySet)
+    for ((id, (nb, avg)) <- expected) {
+      assert(out(id)._2 == nb, s"doc $id bigram count")
+      assert(out(id)._3 == avg, s"doc $id KN avg must replay exactly")
+      assert(out(id)._3 < 0.0, "log-probs of proper probabilities are negative")
+    }
+  }
+
   test("cmsCounts: exact local CMS replay, one-sided overcount, topN order") {
     val docs = Seq(
       "aa aa aa bb bb cc",
