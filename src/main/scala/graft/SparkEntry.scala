@@ -1253,6 +1253,11 @@ object SparkEntry {
     // both engines, 6dp DECIMAL weighted sums.
     "lm_kneser_ney" -> ((s, d) =>
       TextAnalysis.lmKneserNey(Tables.documents(s, d), "doc_id", "text")),
+    // §2.2 row L27m — Zipf-fit corpus diagnostic (round 14): OLS of
+    // ln(freq) on ln(rank) over the top-1000 vocabulary head; DECIMAL
+    // sums + identically-parenthesized double closed forms replay in SQL.
+    "zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d), "text")),
     // §2.2 row 27g — per-doc token-distribution entropy + ratio to max
     // (the repetitive/templated-text signal)
     "token_entropy" -> ((s, d) =>
@@ -3216,6 +3221,29 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
         |  round(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6) AS avg_logprob_kn
         |FROM tf JOIN probs USING (bigram) GROUP BY doc_id""".stripMargin,
+    // Zipf replay: ln values round to 6dp DECIMAL so the five sums are
+    // exact; the OLS closed forms then run in doubles with the SAME
+    // parenthesization as the Scala side — each step one correctly-
+    // rounded op (the rounded slope is re-derived inside intercept
+    // exactly as the engine recomputes the column expression).
+    "zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |vocab AS (SELECT token, count(*) AS n FROM tok GROUP BY token
+        |  ORDER BY n DESC, token LIMIT 1000),
+        |ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM vocab),
+        |xy AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y FROM ranked),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y*y) AS DOUBLE) AS syy FROM xy)
+        |SELECT n_ranks,
+        |  round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 6) AS slope,
+        |  round((sy - round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 6) * sx)
+        |    / n_ranks, 6) AS intercept,
+        |  round(((n_ranks * sxy - sx * sy) * (n_ranks * sxy - sx * sy))
+        |    / ((n_ranks * sxx - sx * sx) * (n_ranks * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin,
     "token_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),

@@ -113,6 +113,49 @@ object TextAnalysis {
         round(col("n_occ").cast("double") / col("_n_total"), 6).as("share"))
   }
 
+  /** Zipf-fit corpus diagnostic: OLS of ln(freq) on ln(rank) over the
+    * vocabulary's top-`topK` tokens. A natural-language corpus follows
+    * Zipf's law with slope ≈ −1; template/boilerplate floods flatten the
+    * head (slope → 0 over the duplicated tokens) and synthetic or
+    * truncated-vocabulary text bends the tail — so (slope, r2) is the
+    * one-row corpus-health gate data QA runs per ingest batch, cheap
+    * enough to compute on every snapshot and trend.
+    *
+    * Scale: one vocabulary aggregate, a distributed TakeOrdered head
+    * (never a full-vocabulary sort), rank via a window over the ≤ topK
+    * post-limit rows (the vocab_top discipline), and one global fold of
+    * five DECIMAL sums. Determinism: ln values round to 6dp into
+    * DECIMAL(18,6) so every Σ is exact; the OLS closed forms then run in
+    * doubles with IDENTICAL parenthesization in both engines (each step
+    * one correctly-rounded op). Output: one row
+    * (n_ranks, slope, intercept, r2). */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
+    require(topK >= 3, s"zipfFit needs topK >= 3; got $topK")
+    val head = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topK) // TakeOrdered head
+      .withColumn("rank", row_number().over( // window over <= topK rows
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token"))))
+    val x = round(log(col("rank").cast("double")), 6).cast("decimal(18,6)")
+    val y = round(log(col("n").cast("double")), 6).cast("decimal(18,6)")
+    val sums = head.select(x.as("_x"), y.as("_y"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("_x")).cast("double").as("_sx"),
+        sum(col("_y")).cast("double").as("_sy"),
+        sum(col("_x") * col("_y")).cast("double").as("_sxy"),
+        sum(col("_x") * col("_x")).cast("double").as("_sxx"),
+        sum(col("_y") * col("_y")).cast("double").as("_syy"))
+    val n = col("n_ranks").cast("double")
+    val num = n * col("_sxy") - col("_sx") * col("_sy")
+    val dx = n * col("_sxx") - col("_sx") * col("_sx")
+    val dy = n * col("_syy") - col("_sy") * col("_sy")
+    val slope = round(num / dx, 6)
+    sums.select(col("n_ranks"),
+      slope.as("slope"),
+      round((col("_sy") - slope * col("_sx")) / n, 6).as("intercept"),
+      round((num * num) / (dx * dy), 6).as("r2"))
+  }
+
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
     * Goodman 1998's benchmark winner — the smoothing KenLM/CCNet-class
     * corpus LMs actually use): P(w|v) = (c(vw) − D)/c(v) +

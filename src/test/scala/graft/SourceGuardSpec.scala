@@ -64,11 +64,11 @@ class SourceGuardSpec extends AnyFunSpec {
   private val windowOrderByBudget = Map(
     // vocab_top ranks a 30-row post-limit output, samplePriority ranks
     // its ≤ k+1-row post-limit top set, waterfillBudget's rank window
-    // runs over the |sources|-row capacity aggregate, and
-    // pmiCollocations ranks its ≤ k-row post-limit top set — all
-    // unpartitioned windows over driver-bounded / dimension-sized
-    // results, never the corpus
-    "graft/operators/TextAnalysis.scala" -> 4)
+    // runs over the |sources|-row capacity aggregate, pmiCollocations
+    // ranks its ≤ k-row post-limit top set, and zipfFit ranks its
+    // ≤ topK-row post-limit vocabulary head — all unpartitioned windows
+    // over driver-bounded / dimension-sized results, never the corpus
+    "graft/operators/TextAnalysis.scala" -> 5)
 
   private val mapPartitionsBudget = Map(
     // opaque-binary decode: no Catalyst expression form exists

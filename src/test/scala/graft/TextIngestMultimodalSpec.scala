@@ -667,6 +667,38 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out("A")._3 == (9 + 11 + 13).toDouble / 3)
   }
 
+  test("zipfFit: exact local OLS replay; geometric corpus fits with slope < 0") {
+    // token t_k appears 2^(8-k) times -> freq halves every rank step:
+    // ln f = ln 256 - (rank-1) ln 2, strongly Zipf-like in shape
+    val text = (0 until 8).flatMap(k => Seq.fill(1 << (8 - k))(s"t$k")).mkString(" ")
+    val docs = Seq(text).toDF("text")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // local replay: same rounding, DECIMAL-exact sums, same closed forms
+    val freqs = (0 until 8).map(k => (1 << (8 - k)).toLong) // rank order
+    val xs = freqs.indices.map(i => BigDecimal(r6(math.log(i + 1.0))).setScale(6))
+    val ys = freqs.map(f => BigDecimal(r6(math.log(f.toDouble))).setScale(6))
+    val n = freqs.size.toDouble
+    val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+    val sxx = xs.map(a => a * a).sum.toDouble
+    val syy = ys.map(b => b * b).sum.toDouble
+    val num = n * sxy - sx * sy
+    val dx = n * sxx - sx * sx
+    val dy = n * syy - sy * sy
+    val slope = r6(num / dx)
+    val intercept = r6((sy - slope * sx) / n)
+    val r2 = r6((num * num) / (dx * dy))
+    val out = TextAnalysis.zipfFit(docs, "text", topK = 1000)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(out.length == 1)
+    val (nr, s, ic, rr) = out.head
+    assert(nr == 8L)
+    assert(s == slope && ic == intercept && rr == r2,
+      s"engine ($s, $ic, $rr) must replay local ($slope, $intercept, $r2)")
+    assert(s < 0.0 && rr > 0.9, "geometric frequencies fit a negative slope well")
+  }
+
   test("lmKneserNey: exact local replay of the interpolated-KN formula") {
     val data = Seq(
       (1L, "san francisco is big"),
