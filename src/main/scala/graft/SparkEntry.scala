@@ -511,6 +511,23 @@ object SparkEntry {
     }),
     "merged_union" -> ((s, d) =>
       MultiSource.mergedUnion(Map("CSV" -> srcA(s, d), "SQL" -> srcB(s, d)))),
+    // §2.1 row 12b — fuzzy record linkage (round 14): blocked pairwise
+    // Levenshtein above recon's exact-key compare. The dirty side adds a
+    // single-char deletion (dist 1, links) on top of srcB's case
+    // mutation (dist 7, correctly excluded at maxDist 2); the block key
+    // is nation + the name's last-6-digit suffix (deletion- and
+    // case-stable), so candidates are block-local — never all-pairs.
+    "recon_fuzzy" -> ((s, d) => {
+      def blk(df: DataFrame): DataFrame = df.withColumn("_blk",
+        concat(col("c_nationkey").cast("string"), lit(":"),
+          expr("right(c_name, 6)")))
+      val dirty = srcB(s, d).withColumn("c_name",
+        when(col("c_custkey") % 7 === 0,
+          concat(substring(col("c_name"), 1, 4), substring(col("c_name"), 6, 1000)))
+          .otherwise(col("c_name")))
+      MultiSource.fuzzyLinkage(blk(srcA(s, d)), blk(dirty),
+        "c_custkey", "c_name", "_blk", 2)
+    }),
     // §2.1 row 12 — reconciliation
     "recon_inner" -> ((s, d) =>
       MultiSource.reconInner(srcA(s, d), srcB(s, d), "c_custkey", Seq("c_name", "c_acctbal"))),
@@ -2068,6 +2085,19 @@ object SparkEntry {
         |SELECT 'CSV' AS source, * FROM src_a
         |UNION ALL
         |SELECT 'SQL' AS source, * FROM src_b""".stripMargin),
+    "recon_fuzzy" -> (SrcCte +
+      """,
+        |a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+        |    CAST(c_nationkey AS VARCHAR) || ':' || right(c_name, 6) AS blk FROM src_a),
+        |b0 AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0
+        |      THEN substr(c_name, 1, 4) || substr(c_name, 6, 1000) ELSE c_name END AS c_name,
+        |    c_nationkey FROM src_b),
+        |b AS (SELECT c_custkey AS id_b, c_name AS name_b,
+        |    CAST(c_nationkey AS VARCHAR) || ':' || right(c_name, 6) AS blk FROM b0)
+        |SELECT id_a, id_b, name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS INT) AS dist
+        |FROM a JOIN b USING (blk)
+        |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin),
     "recon_inner" -> (SrcCte +
       """
         |SELECT a.c_custkey AS c_custkey,

@@ -99,6 +99,36 @@ object MultiSource {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Fuzzy record linkage — BLOCKED pairwise edit-distance matching, the
+    * data-integration step above [[reconInner]]'s exact-key compare: when
+    * two sources disagree on (or lack) a shared business key, records
+    * link by name similarity instead. Candidates form ONLY inside blocks
+    * (`blockCol`, a cheap recall-preserving key both sides compute —
+    * phonetic code, zip, suffix digits), so the O(|name|²) Levenshtein
+    * runs on block-local pairs and the all-pairs cross product never
+    * exists — the same candidate-generation discipline as the LSH/prefix
+    * dedup family, applied to entity resolution. Pairs keep when
+    * levenshtein ≤ `maxDist` (0 = exact dupes across sources; small
+    * positive = typos/truncations; case mutations and real differences
+    * score past any small threshold and drop).
+    *
+    * Scale: one block-keyed equi-join (both sides shuffle on the block
+    * key; skewed blocks are visible in [[graft.operators.Analytics]]'
+    * skew profile and salt like any hot join key). Output:
+    * (id_a, id_b, name_a, name_b, dist). */
+  def fuzzyLinkage(left: DataFrame, right: DataFrame, idCol: String,
+                   nameCol: String, blockCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"fuzzyLinkage needs maxDist >= 0; got $maxDist")
+    val l = left.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      col(blockCol).as("_blk"))
+    val r = right.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      col(blockCol).as("_blk"))
+    l.join(r, "_blk")
+      .where(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("int").as("dist"))
+  }
+
   /** Per-group record counts with per-source breakdown
     * (create_merged_views.sql:172-202 `COUNT(*)` + `SUM(CASE WHEN source…)`).
     * Partial aggregation (map-side combine) applies automatically. */

@@ -40,6 +40,21 @@ class MultiSourceQualitySpec extends SparkSpec {
       .as[(Long, String)].collect().head._2 == "changed")
   }
 
+  test("fuzzyLinkage links block-local near-names only") {
+    val l = Seq((1L, "alice smith", "b1"), (2L, "bob jones", "b2"),
+      (3L, "carol wu", "b3")).toDF("id", "name", "blk")
+    val r = Seq(
+      (11L, "alice smyth", "b1"), // dist 1 -> links
+      (12L, "ALICE SMITH", "b1"), // case mutation, dist 10 -> excluded
+      (13L, "bob jones", "b2"),   // dist 0 -> links (cross-source dupe)
+      (14L, "alice smith", "b9")  // exact name but WRONG block -> never a candidate
+    ).toDF("id", "name", "blk")
+    val out = MultiSource.fuzzyLinkage(l, r, "id", "name", "blk", 2)
+      .as[(Long, Long, String, String, Int)].collect()
+      .map(t => (t._1, t._2, t._5)).toSet
+    assert(out == Set((1L, 11L, 1), (2L, 13L, 0)))
+  }
+
   test("snapshotDiff encoding is injective: NULL vs '' and separator bytes") {
     // NULL -> '' is a real content change (the N / V0: tags differ)
     val na = Seq((1L, Option.empty[String])).toDF("id", "x")
