@@ -230,19 +230,36 @@ object TextAnalysis {
     * the sketch without any exact pass). The md5 bucket derivation is the
     * hashed-classifier convention, replayable in SQL.
     * Output: (token, exact_n, cms_n, overcount), cms_n >= exact_n always. */
+  private def cmsBucket(r: Int, width: Int, t: Column): Column =
+    conv(substring(md5(concat(lit(s"cms$r:"), t)), 1, 8), 16, 10)
+      .cast("long") % width
+
+  /** The bare CMS cell table of [[cmsCounts]] — (row, bucket, cell count),
+    * <= depth×width rows. Exposed because the sketch's MERGE LAW is
+    * cell-wise sum: `cmsSketch(A ∪ B)` is row-identical to summing
+    * `cmsSketch(A)` and `cmsSketch(B)` cell by cell (counts are sums —
+    * no approximation enters at merge time), which is what lets per-day /
+    * per-shard sketches roll up without touching the token streams again.
+    * Spec-pinned exactly (CmsMergeLaw in TextIngestMultimodalSpec). */
+  def cmsSketch(docs: DataFrame, textCol: String, depth: Int = 4,
+                width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"cmsSketch needs depth >= 1, width >= 2; got d=$depth w=$width")
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .select(posexplode(array((0 until depth)
+        .map(r => cmsBucket(r, width, col("token"))): _*)).as(Seq("_r", "_b")))
+      .groupBy(col("_r"), col("_b")).agg(count(lit(1)).as("_cell"))
+  }
+
   def cmsCounts(docs: DataFrame, textCol: String, depth: Int = 4,
                 width: Int = 1024, topN: Int = 30): DataFrame = {
     require(depth >= 1 && width >= 2 && topN >= 1,
       s"cmsCounts needs depth >= 1, width >= 2, topN >= 1; got d=$depth w=$width topN=$topN")
     val tok = docs.select(explode(tokens(col(textCol))).as("token"))
-    def bucket(r: Int, t: Column): Column =
-      conv(substring(md5(concat(lit(s"cms$r:"), t)), 1, 8), 16, 10)
-        .cast("long") % width
+    def bucket(r: Int, t: Column): Column = cmsBucket(r, width, t)
     def rowBuckets(t: Column): Column =
       array((0 until depth).map(r => bucket(r, t)): _*)
-    val sketch = tok
-      .select(posexplode(rowBuckets(col("token"))).as(Seq("_r", "_b")))
-      .groupBy(col("_r"), col("_b")).agg(count(lit(1)).as("_cell"))
+    val sketch = cmsSketch(docs, textCol, depth, width)
     val probes = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("token")).limit(topN) // TakeOrdered
       .select(col("token"), col("exact_n"),

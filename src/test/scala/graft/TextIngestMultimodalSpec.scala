@@ -667,6 +667,20 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(out("A")._3 == (9 + 11 + 13).toDouble / 3)
   }
 
+  test("CMS merge law: sketch(A union B) == cell-wise sum of the two sketches") {
+    val a = Seq("aa aa bb cc", "dd aa").toDF("text")
+    val b = Seq("bb cc cc ee", "aa ff ff").toDF("text")
+    val ab = a.unionByName(b)
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      TextAnalysis.cmsSketch(df, "text").as[(Int, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val ca = cells(a); val cb = cells(b)
+    val merged = (ca.keySet ++ cb.keySet).map(k =>
+      k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    assert(cells(ab) == merged,
+      "CMS cells must merge by EXACT cell-wise sum — no approximation at merge")
+  }
+
   test("zipfFit: exact local OLS replay; geometric corpus fits with slope < 0") {
     // token t_k appears 2^(8-k) times -> freq halves every rank step:
     // ln f = ln 256 - (rank-1) ln 2, strongly Zipf-like in shape
