@@ -312,6 +312,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamingCms folds batch sketches into the exact whole-stream sketch") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup.Doc
+    val root = java.nio.file.Files.createTempDirectory("graft_scms").toFile.getAbsolutePath
+    val inDir = new java.io.File(s"$root/incoming"); inDir.mkdirs()
+    def dropFile(name: String, docs: Seq[Doc]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scmsd").toFile.getAbsolutePath
+      docs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new java.io.File(inDir, name).toPath)
+    }
+    val b1 = Seq(Doc(1, "aa aa bb cc"), Doc(2, "dd aa"))
+    val b2 = Seq(Doc(3, "bb cc cc ee"), Doc(4, "aa ff ff"))
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      df.as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val q = graft.streaming.StreamingCms.run(spark, inDir.getAbsolutePath, s"$root/out")
+    try {
+      dropFile("b1.parquet", b1)
+      q.processAllAvailable()
+      assert(cells(spark.read.parquet(s"$root/out/sketch")) ==
+        cells(graft.operators.TextAnalysis.cmsSketch(b1.toDF(), "text")),
+        "after one batch the streamed sketch IS the batch sketch")
+      dropFile("b2.parquet", b2)
+      q.processAllAvailable()
+      // the exact merge law: accumulated state == batch sketch of EVERYTHING
+      assert(cells(spark.read.parquet(s"$root/out/sketch")) ==
+        cells(graft.operators.TextAnalysis.cmsSketch((b1 ++ b2).toDF(), "text")),
+        "streamed fold must be row-identical to the whole-corpus batch sketch")
+    } finally q.stop()
+  }
+
   test("StreamingDedup suppresses near-dups within a batch, across batches, and on replay") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
