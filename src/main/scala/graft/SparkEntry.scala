@@ -3139,7 +3139,8 @@ object SparkEntry {
           s"coalesce(v[i], 0.0) * ([${p.mkString(", ")}])[i]), " +
           "(a, b) -> a + b) * 0.25, 6)"
       }.mkString(",\n        |    ").stripMargin
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |p AS (SELECT vec_id, v, [$comps] AS proj FROM e)
         |SELECT vec_id, proj,
         |  round(sqrt(list_reduce([x*x for x in proj], (a, b) -> a + b)) /

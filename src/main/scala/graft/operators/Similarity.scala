@@ -758,7 +758,10 @@ object Similarity {
     * order-pinned ascending fold × an exact dyadic scale (1/√16 = 0.25),
     * rounded once to 6dp; `norm_ratio` (‖y‖/‖x‖, the per-vector JL
     * distortion diagnostic) folds over the ROUNDED components so both
-    * engines see identical inputs. Output: (id, proj, norm_ratio). */
+    * engines see identical inputs. NULL vectors are dropped — the ANN
+    * family's degenerate-vector policy (a malformed row has no
+    * projection; keeping it would diverge NULL-array vs zero-vector
+    * semantics across engines). Output: (id, proj, norm_ratio). */
   def jlProject(vecs: DataFrame, idCol: String, vecCol: String,
                 outDim: Int = 16, dim: Int = 64): DataFrame = {
     require(outDim >= 1 && dim >= 1, s"bad dims: outDim=$outDim dim=$dim")
@@ -771,6 +774,7 @@ object Similarity {
         lit(0.0), (a, b) => a + b) * scale, 6)
     }
     vecs.select(col(idCol), toDouble(col(vecCol)).as("_v"))
+      .where(col("_v").isNotNull)
       .select(col(idCol), col("_v"), array(comps: _*).as("proj"))
       .select(col(idCol), col("proj"),
         round(sqrt(aggregate(col("proj"), lit(0.0), (a, x) => a + x * x)) /

@@ -127,7 +127,10 @@ object TextAnalysis {
     * five DECIMAL sums. Determinism: ln values round to 6dp into
     * DECIMAL(18,6) so every Σ is exact; the OLS closed forms then run in
     * doubles with IDENTICAL parenthesization in both engines (each step
-    * one correctly-rounded op). Output: one row
+    * one correctly-rounded op). A degenerate vocabulary (< 2 distinct
+    * tokens) has no rank structure to fit — the variance denominators are
+    * 0 and the fit is undefined (IEEE NaN/Inf), which IS the honest
+    * answer for such a corpus. Output: one row
     * (n_ranks, slope, intercept, r2). */
   def zipfFit(docs: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
     require(topK >= 3, s"zipfFit needs topK >= 3; got $topK")

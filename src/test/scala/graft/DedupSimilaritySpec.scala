@@ -313,7 +313,9 @@ class DedupSimilaritySpec extends SparkSpec {
   test("jlProject: exact local replay, zero shuffles, norm concentration") {
     val rnd = new java.util.Random(23L)
     val data = (0L until 100L).map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    // a NULL vector must be DROPPED (the ANN degenerate-vector policy)
     val vecs = data.toDF("vec_id", "embedding")
+      .unionByName(Seq((999L, null: Seq[Float])).toDF("vec_id", "embedding"))
     val q = Similarity.jlProject(vecs, "vec_id", "embedding")
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
       "JL projection must be a pure projection (no shuffle)")
