@@ -1275,6 +1275,10 @@ object SparkEntry {
     // sums + identically-parenthesized double closed forms replay in SQL.
     "zipf_fit" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d), "text")),
+    // §2.2 row L27m (per-source form): one (slope, r2) row per source so
+    // a boilerplate-flooded source reads non-Zipfian next to its peers.
+    "zipf_by_source" -> ((s, d) =>
+      TextAnalysis.zipfFitBySource(Tables.documents(s, d), "source", "text")),
     // §2.2 row 27g — per-doc token-distribution entropy + ratio to max
     // (the repetitive/templated-text signal)
     "token_entropy" -> ((s, d) =>
@@ -3269,6 +3273,26 @@ object SparkEntry {
         |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx,
         |    CAST(SUM(y*y) AS DOUBLE) AS syy FROM xy)
         |SELECT n_ranks,
+        |  round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 6) AS slope,
+        |  round((sy - round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 6) * sx)
+        |    / n_ranks, 6) AS intercept,
+        |  round(((n_ranks * sxy - sx * sy) * (n_ranks * sxy - sx * sy))
+        |    / ((n_ranks * sxx - sx * sx) * (n_ranks * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin,
+    "zipf_by_source" ->
+      """WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |vocab AS (SELECT source, token, count(*) AS n FROM tok GROUP BY source, token),
+        |ranked AS (SELECT source, n,
+        |    row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rank FROM vocab),
+        |xy AS (SELECT source,
+        |    CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM ranked WHERE rank <= 1000),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y*y) AS DOUBLE) AS syy FROM xy GROUP BY source)
+        |SELECT source, n_ranks,
         |  round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 6) AS slope,
         |  round((sy - round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 6) * sx)
         |    / n_ranks, 6) AS intercept,

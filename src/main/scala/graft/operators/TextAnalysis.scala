@@ -132,6 +132,36 @@ object TextAnalysis {
     * 0 and the fit is undefined (IEEE NaN/Inf), which IS the honest
     * answer for such a corpus. Output: one row
     * (n_ranks, slope, intercept, r2). */
+  // ln values rounded to 6dp DECIMAL — makes the five OLS sums exact
+  private def zipfX: Column =
+    round(log(col("rank").cast("double")), 6).cast("decimal(18,6)")
+  private def zipfY: Column =
+    round(log(col("n").cast("double")), 6).cast("decimal(18,6)")
+
+  private def olsSums(xy: DataFrame, keys: Seq[String]): DataFrame =
+    xy.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("_x")).cast("double").as("_sx"),
+        sum(col("_y")).cast("double").as("_sy"),
+        sum(col("_x") * col("_y")).cast("double").as("_sxy"),
+        sum(col("_x") * col("_x")).cast("double").as("_sxx"),
+        sum(col("_y") * col("_y")).cast("double").as("_syy"))
+
+  /** OLS closed forms over [[olsSums]]' exact sums — every double step one
+    * correctly-rounded op in a FIXED parenthesization (the SQL replay
+    * mirrors it verbatim). */
+  private def olsFit(sums: DataFrame, keys: Seq[String]): DataFrame = {
+    val n = col("n_ranks").cast("double")
+    val num = n * col("_sxy") - col("_sx") * col("_sy")
+    val dx = n * col("_sxx") - col("_sx") * col("_sx")
+    val dy = n * col("_syy") - col("_sy") * col("_sy")
+    val slope = round(num / dx, 6)
+    sums.select(keys.map(col) ++ Seq(col("n_ranks"),
+      slope.as("slope"),
+      round((col("_sy") - slope * col("_sx")) / n, 6).as("intercept"),
+      round((num * num) / (dx * dy), 6).as("r2")): _*)
+  }
+
   def zipfFit(docs: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
     require(topK >= 3, s"zipfFit needs topK >= 3; got $topK")
     val head = docs.select(explode(tokens(col(textCol))).as("token"))
@@ -139,24 +169,29 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token")).limit(topK) // TakeOrdered head
       .withColumn("rank", row_number().over( // window over <= topK rows
         org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token"))))
-    val x = round(log(col("rank").cast("double")), 6).cast("decimal(18,6)")
-    val y = round(log(col("n").cast("double")), 6).cast("decimal(18,6)")
-    val sums = head.select(x.as("_x"), y.as("_y"))
-      .agg(count(lit(1)).as("n_ranks"),
-        sum(col("_x")).cast("double").as("_sx"),
-        sum(col("_y")).cast("double").as("_sy"),
-        sum(col("_x") * col("_y")).cast("double").as("_sxy"),
-        sum(col("_x") * col("_x")).cast("double").as("_sxx"),
-        sum(col("_y") * col("_y")).cast("double").as("_syy"))
-    val n = col("n_ranks").cast("double")
-    val num = n * col("_sxy") - col("_sx") * col("_sy")
-    val dx = n * col("_sxx") - col("_sx") * col("_sx")
-    val dy = n * col("_syy") - col("_sy") * col("_sy")
-    val slope = round(num / dx, 6)
-    sums.select(col("n_ranks"),
-      slope.as("slope"),
-      round((col("_sy") - slope * col("_sx")) / n, 6).as("intercept"),
-      round((num * num) / (dx * dy), 6).as("r2"))
+    olsFit(olsSums(head.select(zipfX.as("_x"), zipfY.as("_y")), Nil), Nil)
+  }
+
+  /** Per-source [[zipfFit]] — the form a corpus monitor actually runs:
+    * one (slope, r2) row PER SOURCE, so a boilerplate-flooded or
+    * synthetic source reads non-Zipfian next to its healthy peers
+    * instead of being averaged away in the global fit. The per-source
+    * head ranks inside a source-PARTITIONED window over the
+    * vocabulary-sized (source, token) frame; everything downstream is
+    * |sources|-rows. Same exact-sum/fixed-parenthesization determinism
+    * as the global fit. Output: (source, n_ranks, slope, intercept, r2). */
+  def zipfFitBySource(docs: DataFrame, srcCol: String, textCol: String,
+                      topK: Int = 1000): DataFrame = {
+    require(topK >= 3, s"zipfFitBySource needs topK >= 3; got $topK")
+    val vocab = docs
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n").desc, col("token"))
+    val head = vocab.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+    olsFit(olsSums(head.select(col("source"), zipfX.as("_x"), zipfY.as("_y")),
+      Seq("source")), Seq("source"))
   }
 
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &

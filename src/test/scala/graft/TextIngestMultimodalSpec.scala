@@ -713,6 +713,29 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(s < 0.0 && rr > 0.9, "geometric frequencies fit a negative slope well")
   }
 
+  test("zipfFitBySource: each source row equals the global fit on its slice") {
+    val geo = (0 until 8).flatMap(k => Seq.fill(1 << (8 - k))(s"g$k")).mkString(" ")
+    // near-flat head (freqs 4,4,4,3): the boilerplate-flood signature
+    val flat = (Seq.fill(4)("f0") ++ Seq.fill(4)("f1") ++ Seq.fill(4)("f2") ++
+      Seq.fill(3)("f3")).mkString(" ")
+    val docs = Seq(("A", geo), ("B", flat)).toDF("source", "text")
+    val by = TextAnalysis.zipfFitBySource(docs, "source", "text")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(by.keySet == Set("A", "B"))
+    // parity law: the per-source row IS the (replay-pinned) global
+    // operator applied to that source's slice
+    for (src <- Seq("A", "B")) {
+      val g = TextAnalysis.zipfFit(docs.where(col("source") === src), "text")
+        .as[(Long, Double, Double, Double)].collect().head
+      assert((by(src)._2, by(src)._3, by(src)._4, by(src)._5) == g,
+        s"source $src must equal the global fit on its slice")
+    }
+    assert(by("A")._3 < -0.5, "geometric source fits steeply negative")
+    assert(by("B")._3 < 0.0 && by("B")._3 > -0.5,
+      "near-flat source fits shallow — flagged next to its healthy peer")
+  }
+
   test("lmKneserNey: exact local replay of the interpolated-KN formula") {
     val data = Seq(
       (1L, "san francisco is big"),
