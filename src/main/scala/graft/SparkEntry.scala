@@ -1196,9 +1196,16 @@ object SparkEntry {
     // §2.2 row L25g — Johnson–Lindenstrauss random projection (round 14):
     // data-oblivious 64→16 reduction under pinned seed-19 Gaussian planes;
     // order-pinned folds + the exact dyadic 1/√16 scale make every rounded
-    // component and the norm-ratio diagnostic replay in SQL.
+    // component and the norm-ratio diagnostic replay in SQL. Emitted
+    // EXPLODED to (vec_id, component_idx, value, norm_ratio) scalar rows —
+    // the embedding_pca precedent: a raw array<double> column crashes the
+    // driver comparator's pandas sort (r14 red row).
     "embedding_jl" -> ((s, d) =>
-      Similarity.jlProject(Tables.embeddings(s, d), "vec_id", "embedding")),
+      Similarity.jlProject(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("norm_ratio"),
+          posexplode(col("proj")).as(Seq("component_idx", "value")))
+        .select(col("vec_id"), col("component_idx"), col("value"),
+          col("norm_ratio"))),
     // §2.2 row 25e — component covariance matrix (PCA/whitening input):
     // the explode carrier (pure built-in Catalyst, independently planned),
     // kept under the oracle as the cross-check of the default aggregate
@@ -3145,11 +3152,17 @@ object SparkEntry {
       }.mkString(",\n        |    ").stripMargin
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE embedding IS NOT NULL),
-        |p AS (SELECT vec_id, v, [$comps] AS proj FROM e)
-        |SELECT vec_id, proj,
-        |  round(sqrt(list_reduce([x*x for x in proj], (a, b) -> a + b)) /
-        |    sqrt(list_reduce([x*x for x in v], (a, b) -> a + b)), 6) AS norm_ratio
-        |FROM p""".stripMargin
+        |p AS (SELECT vec_id, v, [$comps] AS proj FROM e),
+        |n AS (SELECT vec_id, proj,
+        |    round(sqrt(list_reduce([x*x for x in proj], (a, b) -> a + b)) /
+        |      sqrt(list_reduce([x*x for x in v], (a, b) -> a + b)), 6) AS norm_ratio
+        |  FROM p),
+        |u AS (SELECT vec_id, norm_ratio,
+        |    unnest([{'ci': i - 1, 'val': proj[i]} for i in range(1, len(proj) + 1)]) AS c
+        |  FROM n)
+        |SELECT vec_id, CAST(c.ci AS INT) AS component_idx, c.val AS value,
+        |  norm_ratio
+        |FROM u""".stripMargin
     },
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,

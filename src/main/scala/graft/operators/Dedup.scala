@@ -554,11 +554,17 @@ object Dedup {
     * (full-vocabulary shuffle per pair) cannot.
     *
     * Scale: one gram explode → distinct (the same first shuffle the exact
-    * path pays), then a source-partitioned window over the distinct-hash
-    * frame cuts each source to k rows; everything pairwise happens on
-    * |sources| k-length arrays (broadcast self-join, array ops in one
-    * projection). Unlike the exact operator, EVERY pair is emitted, with
-    * n_common_sk = 0 for disjoint sketches.
+    * path pays), then the bottom-k selection is a BOUNDED-HEAP AGGREGATE
+    * ([[graft.functions.TopKAgg]] with a constant ord, so the id ordering
+    * keeps the k SMALLEST hashes): each map task holds at most k hashes
+    * per source and only those k-bounded partials cross the shuffle —
+    * never a per-source sort of the vocabulary (the round-14 window
+    * formulation funneled every source's ENTIRE distinct vocabulary
+    * through one task to keep 64 rows — the exact shape this sketch tier
+    * exists to avoid). Everything pairwise happens on |sources| k-length
+    * arrays (broadcast self-join, array ops in one projection). Unlike
+    * the exact operator, EVERY pair is emitted, with n_common_sk = 0 for
+    * disjoint sketches.
     * Output: (source_a, source_b, n_common_sk, est_jaccard 6dp). */
   def sourceOverlapSketch(docs: DataFrame, srcCol: String, textCol: String,
                           n: Int, k: Int = 64): DataFrame = {
@@ -567,11 +573,13 @@ object Dedup {
       .select(col(srcCol).as("source"), explode(shingles(col(textCol), n)).as("g"))
       .select(col("source"), md5(col("g")).as("h"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("h"))
-    val sk = sh.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
-      .groupBy(col("source"))
-      .agg(sort_array(collect_list(col("h"))).as("_bl"))
+    // TopKPairsAgg keeps the k best (ord desc, id asc) pairs; with ord
+    // pinned to 0.0 "best" degenerates to SMALLEST id — a bottom-k heap
+    // over the distinct hashes, emitted best-first = ascending, exactly
+    // the sort_array(collect_list) the window formulation produced.
+    val sk = sh.groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topKPairs(struct(lit(0.0), col("h")), k).as("_tk"))
+      .select(col("source"), transform(col("_tk"), e => e("id")).as("_bl"))
     val pairs = sk.select(col("source").as("source_a"), col("_bl").as("_la"))
       .join(broadcast(sk.select(col("source").as("source_b"), col("_bl").as("_lb"))),
         col("source_a") < col("source_b"))

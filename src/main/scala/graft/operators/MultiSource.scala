@@ -123,10 +123,18 @@ object MultiSource {
       col(blockCol).as("_blk"))
     val r = right.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
       col(blockCol).as("_blk"))
+    // Single evaluation per candidate pair: `dist` is emitted through a
+    // one-element explode, so it is a GENERATOR OUTPUT — Catalyst cannot
+    // push the `dist <= maxDist` filter below the Generate (a plain
+    // projected alias gets substituted into the pushed predicate and the
+    // O(|name|²) levenshtein re-evaluates per pair in the join condition
+    // AND the projection — the round-14 double-compute, same class as the
+    // classifier's size(_grams) regression). Plan-pinned in the spec.
     l.join(r, "_blk")
-      .where(levenshtein(col("name_a"), col("name_b")) <= maxDist)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("int").as("dist"))
+        explode(array(levenshtein(col("name_a"), col("name_b")).cast("int")))
+          .as("dist"))
+      .where(col("dist") <= maxDist)
   }
 
   /** Per-group record counts with per-source breakdown

@@ -1182,13 +1182,19 @@ object TextAnalysis {
       // references it three times (size twice, the fold once), and
       // CollapseProject keeps a multi-referenced non-trivial alias in its
       // own projection rather than inlining three tokenize+ngram passes.
-      // Featureless docs (NULL text → NULL gram array) are DROPPED, exactly
-      // matching the broadcast carrier (explode drops them structurally)
-      // and the oracle's per-doc group-by — without the filter this path
-      // would keep a NULL-text doc with NULL n_feats/logit/kept while the
-      // other carrier dropped it.
-      docs.select((col(idCol) +: carryCols) :+ grams.as("_grams"): _*)
-        .where(size(col("_grams")) > 0)
+      // Featureless docs are exactly the NULL-text docs — Spark's split
+      // returns >= 1 element for ANY non-null input, so
+      // size(_grams) > 0 <=> text IS NOT NULL — and the filter MUST be
+      // this cheap pre-projection predicate: filtering on size(_grams)
+      // AFTER the projection gets predicate-pushed below it with the
+      // alias substituted, re-deriving the whole tokenize+ngram
+      // expression per row in a non-fused Filter (round-14's 7×/4.8×
+      // quality_classify/domain_gate regression). IsNotNull also pushes
+      // into the parquet scan for free. Dropping NULL-text docs matches
+      // the broadcast carrier (explode drops them structurally) and the
+      // oracle's per-doc group-by.
+      docs.where(col(textCol).isNotNull)
+        .select((col(idCol) +: carryCols) :+ grams.as("_grams"): _*)
         .select((col(idCol) +: carryCols) ++ Seq(
           size(col("_grams")).cast("long").as("n_feats"),
           (lit(bias) + aggregate(col("_grams"), lit(0.0), (acc, g) => acc + w(g))

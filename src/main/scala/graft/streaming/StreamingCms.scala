@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -17,12 +17,16 @@ import graft.operators.TextAnalysis
   * never retained). Point queries read the sketch dir at any time with
   * the usual min-over-rows estimate and one-sided overcount bound.
   *
-  * Failure semantics: a replayed batch would double-count (sums are not
-  * idempotent by content), so the fold relies on foreachBatch's
-  * checkpointed exactly-once batch ids — the
-  * [[StreamingPipeline]] discipline, unlike [[StreamingDedup]]'s
-  * content-keyed idempotence. The merged frame materializes
-  * (`localCheckpoint`) before overwriting the dir it was read from. */
+  * Failure semantics: foreachBatch is AT-LEAST-ONCE (a crash between the
+  * sketch overwrite and the checkpoint commit replays the batch), and
+  * cell-wise sum is not idempotent by content — so the fold carries its
+  * own replay guard: every sketch row records the last-applied `_bid`,
+  * and a batch whose id is ≤ the stored one is SKIPPED. Guard and cells
+  * land in the SAME atomic parquet overwrite, so every crash point
+  * resolves correctly: crash before the write replays and folds (never
+  * applied), crash after the write replays and skips (already applied).
+  * The merged frame materializes (`localCheckpoint`) before overwriting
+  * the dir it was read from. */
 object StreamingCms {
 
   private def pathExists(s: SparkSession, path: String): Boolean = {
@@ -30,9 +34,34 @@ object StreamingCms {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Fold one micro-batch into the sketch at `sketchPath` — IDEMPOTENT per
+    * batchId: replaying an already-applied id is a no-op (the
+    * StreamingDedup replay discipline, adapted to non-idempotent sums).
+    * Exposed so the replay spec can drive it directly. */
+  private[graft] def foldBatch(batch: DataFrame, batchId: Long,
+                               sketchPath: String, depth: Int, width: Int): Unit = {
+    val s = batch.sparkSession
+    val bs = TextAnalysis.cmsSketch(batch, "text", depth, width)
+      .withColumn("_bid", lit(batchId))
+    val merged =
+      if (pathExists(s, sketchPath)) {
+        val prior = s.read.parquet(sketchPath)
+        // bounded driver pull: one MAX over the ≤ depth×width-row sketch
+        // (null when a prior batch was empty → nothing applied yet)
+        val lastApplied = Option(prior.agg(max(col("_bid"))).first().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+        if (batchId <= lastApplied) return // replayed batch: already folded
+        prior.unionByName(bs)
+          .groupBy(col("_r"), col("_b")).agg(sum(col("_cell")).as("_cell"))
+          .withColumn("_bid", lit(batchId))
+      } else bs
+    // materialize before overwriting the dir the left side was read from
+    merged.localCheckpoint().write.mode("overwrite").parquet(sketchPath)
+  }
+
   /** Start the sketch consumer over a watched directory of
     * [[StreamingDedup.Doc]] parquet files; the running sketch lives at
-    * `outRoot/sketch` as (_r, _b, _cell) parquet. */
+    * `outRoot/sketch` as (_r, _b, _cell, _bid) parquet. */
   def run(spark: SparkSession, watchDir: String, outRoot: String,
           depth: Int = 4, width: Int = 1024): StreamingQuery = {
     val sketchPath = s"$outRoot/sketch"
@@ -41,16 +70,8 @@ object StreamingCms {
       .parquet(watchDir)
     stream.writeStream
       .option("checkpointLocation", s"$outRoot/cp")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val bs = TextAnalysis.cmsSketch(batch, "text", depth, width)
-        val merged =
-          if (pathExists(s, sketchPath))
-            s.read.parquet(sketchPath).unionByName(bs)
-              .groupBy(col("_r"), col("_b")).agg(sum(col("_cell")).as("_cell"))
-          else bs
-        // materialize before overwriting the dir the left side was read from
-        merged.localCheckpoint().write.mode("overwrite").parquet(sketchPath)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, sketchPath, depth, width)
       }
       .start()
   }

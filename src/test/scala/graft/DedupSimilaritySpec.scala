@@ -620,7 +620,17 @@ class DedupSimilaritySpec extends SparkSpec {
     ).toDF("source", "text")
     // k >= every union's vocabulary -> bottom-k IS the set, and the
     // estimator degenerates to the EXACT Jaccard
-    val out = Dedup.sourceOverlapSketch(docs, "source", "text", 2, k = 64)
+    val q = Dedup.sourceOverlapSketch(docs, "source", "text", 2, k = 64)
+    // Plan pin (round-15): the bottom-k is a bounded-heap AGGREGATE — the
+    // plan must carry no Window and no per-source SortExec (the r14
+    // row_number formulation sorted every source's entire vocabulary in
+    // one task; only k-bounded heap partials may cross the shuffle).
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bottom-k must not be a window")
+    assert(!plan.linesIterator.exists(l => l.contains("Sort ") || l.contains("SortExec")),
+      "bottom-k must not sort the vocabulary")
+    assert(plan.contains("top_k_pairs"), "bottom-k must be the bounded-heap aggregate")
+    val out = q
       .as[(String, String, Long, Double)].collect()
       .map(r => (r._1, r._2) -> r).toMap
     assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")),

@@ -49,7 +49,15 @@ class MultiSourceQualitySpec extends SparkSpec {
       (13L, "bob jones", "b2"),   // dist 0 -> links (cross-source dupe)
       (14L, "alice smith", "b9")  // exact name but WRONG block -> never a candidate
     ).toDF("id", "name", "blk")
-    val out = MultiSource.fuzzyLinkage(l, r, "id", "name", "blk", 2)
+    val q = MultiSource.fuzzyLinkage(l, r, "id", "name", "blk", 2)
+    // Plan pin (round-15): ONE levenshtein per candidate pair — the dist
+    // filter rides on a generator output, so predicate pushdown cannot
+    // substitute the alias and re-derive the O(|name|²) distance in a
+    // second site (the classifier size(_grams) regression class).
+    val nLev = "levenshtein".r
+      .findAllIn(q.queryExecution.executedPlan.toString).length
+    assert(nLev == 1, s"expected exactly one levenshtein in the plan, got $nLev")
+    val out = q
       .as[(Long, Long, String, String, Int)].collect()
       .map(t => (t._1, t._2, t._5)).toSet
     assert(out == Set((1L, 11L, 1), (2L, 13L, 0)))

@@ -190,7 +190,11 @@ class SourceGuardSpec extends AnyFunSpec {
       check("toLocalIterator", "\\btoLocalIterator\\b", Map.empty)
     }
     it("no DataFrame first()/head() pulls in library code") {
-      check(".first()/.head(", "\\.first\\(\\)|\\.head\\(", Map.empty)
+      // StreamingCms.foldBatch: one MAX(_bid) over the ≤ depth×width-row
+      // lake sketch — the replay-guard probe, bounded by the sketch size
+      // (never corpus-sized) and loud on a missing column.
+      check(".first()/.head(", "\\.first\\(\\)|\\.head\\(",
+        Map("graft/streaming/StreamingCms.scala" -> 1))
     }
     it(".take( only at the audited non-DataFrame Array/Seq sites") {
       check(".take(", "\\.take\\(", takeBudget)

@@ -326,8 +326,11 @@ class StreamingSpec extends SparkSpec {
     }
     val b1 = Seq(Doc(1, "aa aa bb cc"), Doc(2, "dd aa"))
     val b2 = Seq(Doc(3, "bb cc cc ee"), Doc(4, "aa ff ff"))
+    // project the cell columns: the lake sketch carries a _bid replay
+    // guard alongside them
     def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
-      df.as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      df.select("_r", "_b", "_cell")
+        .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     val q = graft.streaming.StreamingCms.run(spark, inDir.getAbsolutePath, s"$root/out")
     try {
       dropFile("b1.parquet", b1)
@@ -342,6 +345,42 @@ class StreamingSpec extends SparkSpec {
         cells(graft.operators.TextAnalysis.cmsSketch((b1 ++ b2).toDF(), "text")),
         "streamed fold must be row-identical to the whole-corpus batch sketch")
     } finally q.stop()
+  }
+
+  test("StreamingCms replay guard: re-folding an applied batchId is a no-op") {
+    // foreachBatch is at-least-once: a crash between the sketch overwrite
+    // and the checkpoint commit replays the batch. Cell sums are not
+    // idempotent by content, so the fold must skip already-applied ids —
+    // drive foldBatch directly with a duplicated id (the StreamingDedup
+    // replay-spec pattern) and assert the sketch is unchanged.
+    import spark.implicits._
+    import graft.streaming.StreamingDedup.Doc
+    val root = java.nio.file.Files.createTempDirectory("graft_scmsr").toFile.getAbsolutePath
+    val sketch = s"$root/sketch"
+    def cells(): Map[(Int, Long), Long] =
+      spark.read.parquet(sketch).select("_r", "_b", "_cell")
+        .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val b1 = Seq(Doc(1, "aa aa bb cc"), Doc(2, "dd aa")).toDF()
+    val b2 = Seq(Doc(3, "bb cc cc ee"), Doc(4, "aa ff ff")).toDF()
+    graft.streaming.StreamingCms.foldBatch(b1, 0L, sketch, 4, 1024)
+    val afterB1 = cells()
+    // replayed batch 0 (same id, same content — the crash-before-commit
+    // case): must be skipped, not summed again
+    graft.streaming.StreamingCms.foldBatch(b1, 0L, sketch, 4, 1024)
+    assert(cells() == afterB1, "replayed batchId must not double-count")
+    graft.streaming.StreamingCms.foldBatch(b2, 1L, sketch, 4, 1024)
+    val afterB2 = cells()
+    assert(afterB2 == cells2(b1.unionByName(b2)),
+      "fresh id still folds after a skipped replay")
+    // late replay of an OLD id after newer batches applied: still a no-op
+    graft.streaming.StreamingCms.foldBatch(b1, 0L, sketch, 4, 1024)
+    assert(cells() == afterB2, "stale batchId replay must not re-fold")
+  }
+
+  private def cells2(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] = {
+    import df.sparkSession.implicits._
+    graft.operators.TextAnalysis.cmsSketch(df, "text").select("_r", "_b", "_cell")
+      .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
   }
 
   test("StreamingDedup suppresses near-dups within a batch, across batches, and on replay") {

@@ -597,8 +597,18 @@ class TextIngestMultimodalSpec extends SparkSpec {
     val docs = Seq((1L, "alpha"), (2L, "alpha beta"),
       (3L, "gamma delta epsilon gamma")).toDF("doc_id", "text")
     val q = TextAnalysis.hashClassifier(docs, "doc_id", "text", weights)
-    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
       "classifier inference must be a pure projection (no shuffle)")
+    // Round-14 regression class: a featureless-doc filter expressed on the
+    // projected _grams alias gets predicate-pushed below the projection
+    // and re-derives the full tokenize+ngram expression in a non-fused
+    // Filter (7× quality_classify). Pin: any Filter node in the plan must
+    // be the cheap IsNotNull form, never a tokenizer re-derivation.
+    plan.linesIterator.filter(_.contains("Filter")).foreach { l =>
+      assert(!l.contains("split("),
+        s"Filter re-derives the tokenizer (pushed-alias regression): $l")
+    }
     val out = q.as[(Long, Long, Double, Boolean)].collect()
       .map(r => r._1 -> r).toMap
     def bucket(g: String): Int = {

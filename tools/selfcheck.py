@@ -28,6 +28,24 @@ def duckdb_version_banner() -> str:
             "float-summation-order-sensitive oracles (ann_lsh, PQ/IVF re-ranks) "
             "may drift — triage as engine drift before suspecting Spark")
 
+def reject_non_scalar(df: pd.DataFrame, side: str) -> None:
+    """The DRIVER's comparator sorts raw and pandas crashes on array cells
+    (unhashable ndarray) — r14's embedding_jl red. This local gate used to
+    stringify-before-sort, silently passing what the driver rejects; now a
+    non-scalar cell in any oracled output is a loud local failure."""
+    import numpy as np
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            bad = s.map(lambda v: isinstance(v, (list, tuple, set, dict, np.ndarray)))
+            if bad.any():
+                raise TypeError(
+                    f"non-scalar {side} column '{c}' (e.g. "
+                    f"{type(s[bad.idxmax()]).__name__}) — the driver comparator "
+                    "crashes on array cells; explode to scalar rows "
+                    "(embedding_pca precedent)")
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -62,6 +80,8 @@ def main():
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
             duck_df = con.execute(sql).df()
+            reject_non_scalar(spark_df, "spark")
+            reject_non_scalar(duck_df, "oracle")
             a, b = canon(spark_df), canon(duck_df)
             if list(a.columns) != list(b.columns):
                 print(f"FAIL {name}: columns spark={list(a.columns)} oracle={list(b.columns)}")
