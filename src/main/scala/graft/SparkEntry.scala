@@ -847,6 +847,26 @@ object SparkEntry {
         Events.hourlyAgg(Tables.events(s, d))
           .select(col("hour"), col("event_type"), col("n_events")),
         Seq(col("event_type")), col("n_events"), 2.0)),
+    // §2.1 row 17k — robust median/MAD outlier docs per source (round 15):
+    // lower-median convention keeps every number an actual data value, so
+    // the whole chain replays in SQL with no interpolation anywhere
+    "anomaly_mad" -> ((s, d) =>
+      Analytics.madOutliers(
+        Tables.documents(s, d).where(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", 3.0)),
+    // §2.1 row 17l — exact two-sample KS drift statistic (round 15)
+    // between the even- and odd-id corpus halves' token-count
+    // distributions (the decontaminate split convention): identical
+    // halves of one corpus ⇒ a small D, a drifted re-crawl ⇒ large
+    "ks_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      Analytics.ksTwoSample(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "n_tokens")
+    }),
     // §2.1 rows 3, 18 — event routing / sessionization / windowed agg
     "event_route" -> ((s, d) => Events.routeStats(Tables.events(s, d))),
     "sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d), 1800L)),
@@ -1307,6 +1327,17 @@ object SparkEntry {
     // classifier convention), probed at the exact top-30 tokens; the
     // min-over-rows estimate and its one-sided overcount replay in SQL.
     "cms_counts" -> ((s, d) => TextAnalysis.cmsCounts(Tables.documents(s, d), "text")),
+    // §2.2 row L29z — HyperLogLog cardinality sketch (round 15): 256
+    // one-byte registers over the raw token stream (no distinct anywhere —
+    // max is idempotent), register-wise-max merge law, and the corrected
+    // estimate; both replay exactly in SQL (bin() is unpadded in both
+    // engines, the 2^-r sum is dyadic-exact order-free). The first
+    // ORACLED cardinality sketch — approx_stats stays the built-in
+    // (non-replayable HLL++) tier.
+    "hll_registers" -> ((s, d) =>
+      TextAnalysis.hllRegisters(Tables.documents(s, d), "text")),
+    "hll_estimate" -> ((s, d) =>
+      TextAnalysis.hllEstimate(Tables.documents(s, d), "text")),
     // §2.2 row 31 — BPE tokenizer training (Sennrich word-frequency
     // formulation: ONE corpus pass builds the word table, then — vocab
     // being far under Bpe.DriverVocabBound — the merge loop runs
@@ -1362,6 +1393,14 @@ object SparkEntry {
         .withColumn("fertility",
           col("n_pieces").cast("double") / col("n_words"))
     }),
+    // §2.2 row L31c — unigram-LM (SentencePiece-style) Viterbi
+    // segmentation (round 15): globally optimal min-cost split of every
+    // distinct word under the pinned integer-cost piece inventory; the
+    // combined cost·1024+pieces DP integer makes the whole operator
+    // float-free and the SQL replay a recursive CTE over the same DP.
+    "unigram_segment" -> ((s, d) =>
+      Bpe.unigramSegment(Tables.documents(s, d), "doc_id", "text",
+        Bpe.pinnedPieces)),
     // §2.1 row 17b — single-pass column profiling
     // (spread: the 4-column exact-distinct profile Expands the input 4x,
     // all fused into the single-row-group scan without it)
@@ -2002,6 +2041,37 @@ object SparkEntry {
         |    AS fertility
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |GROUP BY d.lang""".stripMargin,
+    // The SAME integer Viterbi DP as Bpe.unigramSegment, as a recursive
+    // CTE over word prefixes: state = cost·1024+pieces combined integers
+    // (one per prefix), piece lookups via a generated CASE chain from the
+    // pinned inventory, list_min skipping not-in-inventory NULLs exactly
+    // as Spark's array_min does. Float-free end to end.
+    "unigram_segment" -> {
+      val pieceCase = graft.operators.Bpe.pinnedPieces
+        .map { case (p, c) => s"WHEN '$p' THEN $c" }.mkString(" ")
+      s"""WITH d0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |tw AS (SELECT doc_id, u AS w FROM
+        |    (SELECT doc_id, unnest(toks) AS u FROM d0) WHERE u <> ''),
+        |w0 AS (SELECT DISTINCT w FROM tw),
+        |dp AS (
+        |  WITH RECURSIVE st(w, i, best) AS (
+        |    SELECT w, 0, [CAST(0 AS BIGINT)] FROM w0
+        |    UNION ALL
+        |    SELECT w, i + 1,
+        |      best || [list_min([best[j+1] +
+        |        (CASE WHEN i + 1 - j = 1
+        |              THEN coalesce(CASE substr(w, j+1, 1) $pieceCase END, 6)
+        |              ELSE CASE substr(w, j+1, i+1-j) $pieceCase END END) * 1024 + 1
+        |        for j in range(greatest(0, i + 1 - 4), i + 1)])]
+        |    FROM st WHERE i < length(w))
+        |  SELECT w, best[length(w) + 1] AS fin FROM st WHERE i = length(w)),
+        |seg AS (SELECT w, fin % 1024 AS np,
+        |    CAST((fin - fin % 1024) / 1024 AS BIGINT) AS cost FROM dp)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
+        |  CAST(sum(s.cost) AS BIGINT) AS total_cost
+        |FROM tw t JOIN seg s USING (w) GROUP BY t.doc_id""".stripMargin
+    },
     // ann_lsh re-derived end-to-end: the SAME 8×64 hyperplane constants
     // (java.util.Random(7) — deterministic across JVMs) rebuild every
     // signature as a bit-int; the multiprobe candidate set (query bucket
@@ -2638,6 +2708,48 @@ object SparkEntry {
         |  round((n_events - m) / nullif(sd, 0), 6) AS z,
         |  coalesce(abs(round((n_events - m) / nullif(sd, 0), 6)) > 2.0, false) AS is_anomaly
         |FROM s""".stripMargin,
+    // Lower-median convention on BOTH sides: row_number over (value, id)
+    // then the ⌈n/2⌉ rank — actual data values, no interpolation, so the
+    // dev/rscore doubles replay exactly.
+    "anomaly_mad" ->
+      """WITH base AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |medr AS (SELECT source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n FROM base),
+        |med AS (SELECT source, v AS med FROM medr WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT b.doc_id, b.source, b.v, m.med, abs(b.v - m.med) AS d
+        |  FROM base b JOIN med m USING (source)),
+        |madr AS (SELECT source, d,
+        |    row_number() OVER (PARTITION BY source ORDER BY d, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n FROM dev),
+        |mad AS (SELECT source, d AS mad FROM madr WHERE rn = (n + 1) // 2)
+        |SELECT dev.doc_id, dev.source, dev.v AS n_tokens, dev.med, mad.mad,
+        |  round((dev.v - dev.med) / mad.mad, 6) AS rscore
+        |FROM dev JOIN mad USING (source)
+        |WHERE mad.mad > 0.0 AND dev.d > 3.0 * mad.mad""".stripMargin,
+    // Each per-point double is the same two correctly-rounded ops from
+    // identical integers in both engines, so the MAX is engine-exact.
+    "ks_drift" ->
+      """WITH base AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |ca AS (SELECT v, count(*) AS ca FROM base WHERE doc_id % 2 = 0 GROUP BY v),
+        |cb AS (SELECT v, count(*) AS cb FROM base WHERE doc_id % 2 = 1 GROUP BY v),
+        |u AS (SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |c AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM u)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_points,
+        |  round(max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS d_stat
+        |FROM c""".stripMargin,
     "pivot_status" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS year,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
@@ -3421,6 +3533,36 @@ object SparkEntry {
         |  CAST(min(c.cell) - p.exact_n AS BIGINT) AS overcount
         |FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
         |GROUP BY p.token, p.exact_n""".stripMargin,
+    // HLL registers: bucket = first 2 md5 hex digits, ρ = 33 − len(bin(w))
+    // over the next 8 (33 for w = 0) — bin() is unpadded in both engines,
+    // so the register table is a pure integer computation.
+    "hll_registers" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |rw AS (SELECT ('0x' || substr(md5(t), 1, 2))::BIGINT AS bucket,
+        |    ('0x' || substr(md5(t), 3, 8))::BIGINT AS w FROM tok)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |  CAST(max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS INT) AS r
+        |FROM rw GROUP BY bucket""".stripMargin,
+    // Estimate chain: 2^-r terms are dyadic (power() exact), the 256-term
+    // sum spans 41 exponent bits (< 53) so it is exact in any order, and
+    // the α·m²/s + linear-counting branch is identically parenthesized.
+    "hll_estimate" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |rw AS (SELECT ('0x' || substr(md5(t), 1, 2))::BIGINT AS bucket,
+        |    ('0x' || substr(md5(t), 3, 8))::BIGINT AS w FROM tok),
+        |reg AS (SELECT bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS r
+        |  FROM rw GROUP BY bucket),
+        |a AS (SELECT count(*) AS nb, sum(power(2.0, -r)) AS s FROM reg),
+        |e AS (SELECT nb,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / (s + CAST(256 - nb AS DOUBLE)) AS raw
+        |  FROM a)
+        |SELECT CAST(256 AS INT) AS m, CAST(nb AS INT) AS n_buckets,
+        |  CAST(256 - nb AS INT) AS n_zero,
+        |  round(raw, 4) AS raw_est,
+        |  round(CASE WHEN raw <= 640.0 AND 256 - nb > 0
+        |    THEN 256.0 * ln(256.0 / CAST(256 - nb AS DOUBLE)) ELSE raw END, 4) AS est
+        |FROM e""".stripMargin,
     "profile_columns" ->
       """SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

@@ -178,6 +178,87 @@ object Analytics {
       .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
   }
 
+  /** Robust per-group outliers by median/MAD — the heavy-tail-safe
+    * complement of [[zScoreAnomalies]]: one extreme document shifts a mean
+    * and inflates a stddev enough to mask itself (z-scores break down
+    * exactly on the corpora that need outlier gates), while the median and
+    * the median absolute deviation have a 50% breakdown point. Convention
+    * is the LOWER MEDIAN (the element at rank ⌈n/2⌉ in value order) for
+    * both passes — an actual data value, no interpolation, so every
+    * downstream double is a single correctly-rounded op away from exact
+    * integers and the whole chain replays cross-engine bit for bit.
+    * `rscore` = (x − med)/mad rounded 6dp (NULL when mad = 0, i.e. a
+    * majority-constant group); a row is an outlier when
+    * |x − med| > k·mad with mad > 0.
+    *
+    * Scale: two group-partitioned window passes (rank in value order, rank
+    * in deviation order) + two group-keyed joins of the |groups|-row
+    * median/MAD tables — the [[graft.operators.TextAnalysis]] deciles
+    * discipline; no global sort, no unpartitioned window, groups hash
+    * independently. Output: outlier rows only —
+    * (idCol, groupCol, valueCol, med, mad, rscore). */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+                  valueCol: String, k: Double): DataFrame = {
+    require(k > 0, s"madOutliers needs k > 0; got $k")
+    val v = col(valueCol).cast("double")
+    val base = df.select(col(groupCol), col(idCol), v.as("_v"))
+      .where(col("_v").isNotNull)
+    val wg = Window.partitionBy(col(groupCol))
+    def lowerMedian(in: DataFrame, ord: Column, out: String): DataFrame =
+      in.withColumn("_rn", row_number().over(
+          Window.partitionBy(col(groupCol)).orderBy(ord, col(idCol))))
+        .withColumn("_n", count(lit(1)).over(wg))
+        .where(col("_rn") === expr("(_n + 1) div 2")) // integer ⌈n/2⌉ — the lower-median rank
+        .select(col(groupCol), ord.as(out))
+    val med = lowerMedian(base, col("_v"), "med")
+    val dev = base.join(med, groupCol)
+      .withColumn("_dev", abs(col("_v") - col("med")))
+    val mad = lowerMedian(dev, col("_dev"), "mad")
+    dev.join(mad, groupCol)
+      .where(col("mad") > 0.0 && col("_dev") > lit(k) * col("mad"))
+      .select(col(idCol), col(groupCol), col("_v").as(valueCol), col("med"),
+        col("mad"), round((col("_v") - col("med")) / col("mad"), 6).as("rscore"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the
+    * distribution-drift gate between two corpus slices (old vs new crawl,
+    * one source vs the rest): D = max over the union of observed values of
+    * |F̂_a − F̂_b|, the strongest nonparametric "did the distribution
+    * move" signal, sensitive where mean/stddev monitors
+    * ([[zScoreAnomalies]], schema_drift's profile deltas) are blind.
+    * Every per-row double is the same two correctly-rounded ops in both
+    * engines (cum/n, subtraction) from identical integers, so the MAX is
+    * engine-exact; d_stat rounds once at 6dp.
+    *
+    * Scale: both sides pre-aggregate to (value, count) — one map-side
+    *-combined shuffle each, output bounded by the VALUE DOMAIN (distinct
+    * metric values: token counts, score buckets), never the corpus. The
+    * cumulative window that follows is ordered-unpartitioned but runs on
+    * that domain-bounded frame (the vocab_top discipline); a continuous
+    * metric should be bucketed first, which is standard KS-on-binned
+    * practice. Output: one row (n_a, n_b, n_points, d_stat). */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def cnt(df: DataFrame, out: String) =
+      df.select(col(valueCol).as("v")).where(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as(out))
+    val u = cnt(a, "_ca").join(cnt(b, "_cb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    // domain-bounded frame (post-aggregation): cumulative + totals share
+    // one ordered window partition — audited in SourceGuardSpec
+    val wc = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    u.select(col("v"),
+        sum(col("_ca")).over(wc).as("_cuma"), sum(col("_cb")).over(wc).as("_cumb"),
+        sum(col("_ca")).over(wt).as("_na"), sum(col("_cb")).over(wt).as("_nb"))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        count(lit(1)).as("n_points"),
+        round(max(abs(col("_cuma").cast("double") / col("_na").cast("double") -
+          col("_cumb").cast("double") / col("_nb").cast("double"))), 6).as("d_stat"))
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 pointTs: Column, startTs: Column, endTs: Column,
                 keys: Seq[String], bucketSec: Long): DataFrame = {

@@ -309,6 +309,58 @@ object TextAnalysis {
         (col("cms_n") - col("exact_n")).as("overcount"))
   }
 
+  /** HyperLogLog register table (Flajolet et al. 2007) over the corpus's
+    * token stream — the CARDINALITY sketch beside [[cmsSketch]]'s frequency
+    * sketch: 256 one-byte registers estimate the vocabulary size of any
+    * corpus in fixed state, where an exact `distinct` shuffles the whole
+    * vocabulary. Register j keeps the max over its tokens of
+    * ρ = 1 + leading-zeros of a 32-bit hash word — here derived from md5
+    * (bucket = first 2 hex digits, word = next 8), so every register is an
+    * exact integer both engines reproduce: `bin()` is unpadded in Spark
+    * and DuckDB alike, making ρ = 33 − len(bin(w)) (33 for w = 0) a pure
+    * string-length computation — the first ORACLED cardinality sketch here
+    * (approx_count_distinct's HLL++ internals are not replayable; that row
+    * stays as the built-in tier).
+    *
+    * Scale: no distinct anywhere — max is idempotent, so the groupBy
+    * partial-aggregates map-side and at most 256 rows per task cross the
+    * shuffle regardless of corpus size; the MERGE LAW is register-wise max
+    * (spec-pinned), so per-shard sketches roll up like [[cmsSketch]] cells.
+    * Output: (bucket, r), ≤ 256 rows, absent buckets = empty. */
+  def hllRegisters(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("t"))
+      .select(md5(col("t")).as("h"))
+      .select(conv(substring(col("h"), 1, 2), 16, 10).cast("int").as("bucket"),
+        conv(substring(col("h"), 3, 8), 16, 10).cast("long").as("_w"))
+      .select(col("bucket"),
+        when(col("_w") === 0L, lit(33))
+          .otherwise(lit(33) - length(bin(col("_w")))).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).cast("int").as("r"))
+
+  /** The HLL cardinality estimate from [[hllRegisters]] — raw estimator
+    * α·m²/Σ2^(−M_j) (empty registers contribute 2⁰) with the standard
+    * small-range linear-counting correction (m·ln(m/V) when raw ≤ 2.5m and
+    * V empty registers remain). Engine-exact by construction: every
+    * 2^(−M_j) is a dyadic double, the 256-term sum spans 41 bits of
+    * exponent (< 53) so it is EXACT regardless of order, and the remaining
+    * chain is identically-parenthesized single ops rounded once at 4dp.
+    * Output: one row (m, n_buckets, n_zero, raw_est, est). */
+  def hllEstimate(docs: DataFrame, textCol: String): DataFrame = {
+    val m = 256
+    hllRegisters(docs, textCol)
+      .agg(count(lit(1)).as("_nb"),
+        sum(pow(lit(2.0), -col("r").cast("double"))).as("_s"))
+      .select(lit(m).as("m"), col("_nb").cast("int").as("n_buckets"),
+        (lit(m) - col("_nb")).cast("int").as("n_zero"),
+        ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) /
+          (col("_s") + (lit(m) - col("_nb")).cast("double"))).as("_raw"))
+      .select(col("m"), col("n_buckets"), col("n_zero"),
+        round(col("_raw"), 4).as("raw_est"),
+        round(when(col("_raw") <= lit(640.0) && col("n_zero") > 0,
+          lit(256.0) * log(lit(256.0) / col("n_zero").cast("double")))
+          .otherwise(col("_raw")), 4).as("est"))
+  }
+
   /** Winnowing-style fingerprint: the minimum md5 over the document's word
     * n-gram shingles. Identical token streams ⇒ identical fingerprints. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =

@@ -25,6 +25,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.length == 3 + 2 + 1)
   }
 
+  test("madOutliers: lower-median exact replay; robust where z-score is masked") {
+    // group A: one wild value among a tight spread — med = 10 (rank 3/5),
+    // devs sorted [0,1,1,2,90] -> mad = 1 -> only the 100 flags (90 > 3*1)
+    // group B: even n, values [1,2,3,100] -> lower median = rank 2 = 2,
+    // devs sorted [0,1,1,98] -> mad = 1 -> only the 100 flags
+    // group C: majority-constant -> mad = 0 -> NO outliers by convention
+    val df = Seq(
+      ("A", 1L, 8L), ("A", 2L, 9L), ("A", 3L, 10L), ("A", 4L, 11L), ("A", 5L, 100L),
+      ("B", 6L, 1L), ("B", 7L, 2L), ("B", 8L, 3L), ("B", 9L, 100L),
+      ("C", 10L, 5L), ("C", 11L, 5L), ("C", 12L, 5L), ("C", 13L, 999L)
+    ).toDF("g", "id", "v")
+    val out = Analytics.madOutliers(df, "g", "id", "v", 3.0)
+      .as[(Long, String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(5L, 9L), s"got ${out.keySet}")
+    assert(out(5L) == ((5L, "A", 100.0, 10.0, 1.0, 90.0)))
+    assert(out(9L) == ((9L, "B", 100.0, 2.0, 1.0, 98.0)))
+    // the same A-group outlier is MASKED by the classic z-score at 2.0:
+    // the 100 inflates the stddev it is judged against
+    val z = Analytics.zScoreAnomalies(df.where(col("g") === "A"),
+      Seq(col("g")), col("v"), 2.0)
+      .where(col("is_anomaly")).count()
+    assert(z == 0L, "z-score should mask the outlier that MAD catches")
+  }
+
+  test("ksTwoSample: exact D on planted counts, zero for identical samples") {
+    val a = Seq(1L, 1L, 2L, 3L).toDF("v")
+    val b = Seq(1L, 2L, 2L, 4L).toDF("v")
+    // union points 1,2,3,4: cumA/4 = .5,.75,1,1; cumB/4 = .25,.75,.75,1
+    // -> D = 0.25 at v=1 (and v=3)
+    val out = Analytics.ksTwoSample(a, b, "v")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(out == ((4L, 4L, 4L, 0.25)))
+    val self = Analytics.ksTwoSample(a, a, "v")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(self == ((4L, 4L, 3L, 0.0)), "identical samples must read D = 0")
+  }
+
   test("asOfPrior attaches the most recent strictly-prior matching value") {
     val df = Seq((1, 10, "x"), (1, 20, "err"), (1, 30, "x"), (1, 40, "err"), (1, 50, "x"))
       .toDF("u", "t", "kind")

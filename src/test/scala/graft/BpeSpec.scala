@@ -242,4 +242,51 @@ class BpeSpec extends SparkSpec {
     assert(out("en") == (("en", 3L, 4L, 4.0 / 3)))
     assert(out("zh") == (("zh", 2L, 2L, 1.0)))
   }
+
+  test("unigramSegment: exact local Viterbi replay, fallback-only words, determinism") {
+    import org.apache.spark.sql.functions.col
+    val pieces = Seq("the" -> 4, "fil" -> 4, "ter" -> 4, "ng" -> 3, "a" -> 2)
+    val fallback = 6
+    // local reference Viterbi over the SAME combined cost*1024+pieces metric
+    def ref(w: String): (Long, Long) = {
+      val best = Array.fill(w.length + 1)(Long.MaxValue); best(0) = 0L
+      for (i <- 1 to w.length; j <- math.max(0, i - 4) until i if best(j) != Long.MaxValue) {
+        val p = w.substring(j, i)
+        val c = pieces.toMap.get(p)
+          .orElse(if (p.length == 1) Some(fallback) else None)
+        c.foreach(cc => best(i) = math.min(best(i), best(j) + cc * 1024L + 1L))
+      }
+      (best(w.length) % 1024L, (best(w.length) - best(w.length) % 1024L) / 1024L)
+    }
+    // one doc per word + one multi-word doc with repeated tokens
+    val docs = Seq(
+      (1L, "the"),          // whole-word piece: 1 piece, cost 4
+      (2L, "filter"),       // fil+ter beats chars: 2 pieces, cost 8
+      (3L, "zz"),           // fallback-only: 2 pieces, cost 12
+      (4L, "angng"),        // a+ng+ng: combination of pieces
+      (5L, "the filter the")// multiplicity: sums over token occurrences
+    ).toDF("doc_id", "text")
+    val out = Bpe.unigramSegment(docs, "doc_id", "text", pieces, fallback, 4)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def exp(id: Long, ws: Seq[String]): (Long, Long, Long, Long) = {
+      val rs = ws.map(ref)
+      (id, ws.size.toLong, rs.map(_._1).sum, rs.map(_._2).sum)
+    }
+    assert(out(1L) == exp(1L, Seq("the")) && out(1L)._3 == 1L && out(1L)._4 == 4L)
+    assert(out(2L) == exp(2L, Seq("filter")) && out(2L)._3 == 2L && out(2L)._4 == 8L)
+    assert(out(3L) == exp(3L, Seq("zz")) && out(3L)._3 == 2L && out(3L)._4 == 12L)
+    assert(out(4L) == exp(4L, Seq("angng")))
+    assert(out(5L) == exp(5L, Seq("the", "filter", "the")))
+    // determinism: a second run is row-identical
+    val again = Bpe.unigramSegment(docs, "doc_id", "text", pieces, fallback, 4)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+    // the pinned production inventory segments the corpus vocabulary:
+    // every word gets >= 1 piece and cost <= len * fallback
+    val corpus = Seq((1L, "customer window stream vector unknownzzz"))
+      .toDF("doc_id", "text")
+    val c = Bpe.unigramSegment(corpus, "doc_id", "text", Bpe.pinnedPieces)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(c._2 == 5L && c._3 >= 5L && c._4 > 0L)
+  }
 }

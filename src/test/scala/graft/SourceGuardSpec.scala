@@ -68,7 +68,12 @@ class SourceGuardSpec extends AnyFunSpec {
     // ranks its ≤ k-row post-limit top set, and zipfFit ranks its
     // ≤ topK-row post-limit vocabulary head — all unpartitioned windows
     // over driver-bounded / dimension-sized results, never the corpus
-    "graft/operators/TextAnalysis.scala" -> 5)
+    "graft/operators/TextAnalysis.scala" -> 5,
+    // ksTwoSample's cumulative + totals windows run on the POST-AGGREGATION
+    // (value, count) union frame — bounded by the metric's value domain
+    // (token counts, score buckets), never the corpus; continuous metrics
+    // are bucketed first per the scaladoc
+    "graft/operators/Analytics.scala" -> 2)
 
   private val mapPartitionsBudget = Map(
     // opaque-binary decode: no Catalyst expression form exists

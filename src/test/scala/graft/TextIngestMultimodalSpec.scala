@@ -691,6 +691,34 @@ class TextIngestMultimodalSpec extends SparkSpec {
       "CMS cells must merge by EXACT cell-wise sum — no approximation at merge")
   }
 
+  test("HLL: register merge law, duplicate-insensitivity, estimate error bound") {
+    def regs(df: org.apache.spark.sql.DataFrame): Map[Int, Int] =
+      TextAnalysis.hllRegisters(df, "text").as[(Int, Int)].collect().toMap
+    val a = Seq("aa bb cc dd", "ee aa").toDF("text")
+    val b = Seq("bb ff gg", "hh ii aa").toDF("text")
+    // merge law: registers(A ∪ B) == register-wise max — the roll-up
+    // property that lets per-shard sketches combine without re-reading
+    val ra = regs(a); val rb = regs(b)
+    val merged = (ra.keySet ++ rb.keySet).map(k =>
+      k -> math.max(ra.getOrElse(k, 0), rb.getOrElse(k, 0))).toMap
+    assert(regs(a.unionByName(b)) == merged)
+    // cardinality sketches must ignore multiplicity: max is idempotent
+    val dups = Seq("aa aa aa bb", "bb aa bb cc dd dd", "ee ee aa").toDF("text")
+    assert(regs(dups) == regs(Seq("aa bb cc dd ee").toDF("text")))
+    // every register in range; ρ = 33 only possible for w = 0
+    assert(regs(dups).values.forall(r => r >= 1 && r <= 33))
+    // estimate: 3000 planted distinct tokens; HLL at m=256 has relative
+    // σ ≈ 1.04/16 ≈ 6.5% — gate at ~3.5σ
+    val k = 3000
+    val big = (0 until k).grouped(50)
+      .map(g => g.map(i => s"tok$i").mkString(" ")).toSeq.toDF("text")
+    val est = TextAnalysis.hllEstimate(big, "text")
+      .as[(Int, Int, Int, Double, Double)].collect().head
+    assert(est._1 == 256 && est._2 + est._3 == 256)
+    assert(math.abs(est._5 - k) / k.toDouble <= 0.25,
+      s"HLL estimate ${est._5} too far from true $k")
+  }
+
   test("zipfFit: exact local OLS replay; geometric corpus fits with slope < 0") {
     // token t_k appears 2^(8-k) times -> freq halves every rank step:
     // ln f = ln 256 - (rank-1) ln 2, strongly Zipf-like in shape
