@@ -855,7 +855,7 @@ object SparkEntry {
         Tables.documents(s, d).where(col("text").isNotNull)
           .select(col("doc_id"), col("source"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
-        "source", "doc_id", "n_tokens", 3.0)),
+        "source", "doc_id", "n_tokens", 2.0)),
     // §2.1 row 17l — exact two-sample KS drift statistic (round 15)
     // between the even- and odd-id corpus halves' token-count
     // distributions (the decontaminate split convention): identical
@@ -2728,7 +2728,7 @@ object SparkEntry {
         |SELECT dev.doc_id, dev.source, dev.v AS n_tokens, dev.med, mad.mad,
         |  round((dev.v - dev.med) / mad.mad, 6) AS rscore
         |FROM dev JOIN mad USING (source)
-        |WHERE mad.mad > 0.0 AND dev.d > 3.0 * mad.mad""".stripMargin,
+        |WHERE mad.mad > 0.0 AND dev.d > 2.0 * mad.mad""".stripMargin,
     // Each per-point double is the same two correctly-rounded ops from
     // identical integers in both engines, so the MAX is engine-exact.
     "ks_drift" ->
