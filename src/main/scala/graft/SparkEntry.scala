@@ -528,6 +528,14 @@ object SparkEntry {
       MultiSource.fuzzyLinkage(blk(srcA(s, d)), blk(dirty),
         "c_custkey", "c_name", "_blk", 2)
     }),
+    // §2.1 row 12c — EXACT edit-distance self-join (round 15): every
+    // supplier-name pair within Levenshtein 1, COMPLETE (Ed-Join q-gram
+    // prefix filtering — no blocking key to lose a pair through; the
+    // oracle is the literal all-pairs definition)
+    "edit_join" -> ((s, d) =>
+      MultiSource.editJoin(
+        Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+        "s_suppkey", "s_name", 1)),
     // §2.1 row 12 — reconciliation
     "recon_inner" -> ((s, d) =>
       MultiSource.reconInner(srcA(s, d), srcB(s, d), "c_custkey", Seq("c_name", "c_acctbal"))),
@@ -1338,6 +1346,10 @@ object SparkEntry {
       TextAnalysis.hllRegisters(Tables.documents(s, d), "text")),
     "hll_estimate" -> ((s, d) =>
       TextAnalysis.hllEstimate(Tables.documents(s, d), "text")),
+    // the grouped form — per-source vocabulary-richness monitor
+    // (|sources|×256 rows of state at any corpus size)
+    "hll_by_source" -> ((s, d) =>
+      TextAnalysis.hllEstimateBy(Tables.documents(s, d), Seq("source"), "text")),
     // §2.2 row 31 — BPE tokenizer training (Sennrich word-frequency
     // formulation: ONE corpus pass builds the word table, then — vocab
     // being far under Bpe.DriverVocabBound — the merge loop runs
@@ -2179,6 +2191,16 @@ object SparkEntry {
         |  CAST(levenshtein(name_a, name_b) AS INT) AS dist
         |FROM a JOIN b USING (blk)
         |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin),
+    // The literal definition: brute-force all pairs under the length
+    // prefilter — completeness is exactly what the Spark side's prefix
+    // filtering must reproduce.
+    "edit_join" ->
+      """WITH s AS (SELECT s_suppkey AS id, s_name AS name FROM supplier)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM s a JOIN s b ON a.id < b.id
+        |  AND abs(length(a.name) - length(b.name)) <= 1
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
     "recon_inner" -> (SrcCte +
       """
         |SELECT a.c_custkey AS c_custkey,
@@ -3558,6 +3580,24 @@ object SparkEntry {
         |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / (s + CAST(256 - nb AS DOUBLE)) AS raw
         |  FROM a)
         |SELECT CAST(256 AS INT) AS m, CAST(nb AS INT) AS n_buckets,
+        |  CAST(256 - nb AS INT) AS n_zero,
+        |  round(raw, 4) AS raw_est,
+        |  round(CASE WHEN raw <= 640.0 AND 256 - nb > 0
+        |    THEN 256.0 * ln(256.0 / CAST(256 - nb AS DOUBLE)) ELSE raw END, 4) AS est
+        |FROM e""".stripMargin,
+    "hll_by_source" ->
+      """WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |rw AS (SELECT source, ('0x' || substr(md5(t), 1, 2))::BIGINT AS bucket,
+        |    ('0x' || substr(md5(t), 3, 8))::BIGINT AS w FROM tok),
+        |reg AS (SELECT source, bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS r
+        |  FROM rw GROUP BY source, bucket),
+        |a AS (SELECT source, count(*) AS nb, sum(power(2.0, -r)) AS s
+        |  FROM reg GROUP BY source),
+        |e AS (SELECT source, nb,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / (s + CAST(256 - nb AS DOUBLE)) AS raw
+        |  FROM a)
+        |SELECT source, CAST(256 AS INT) AS m, CAST(nb AS INT) AS n_buckets,
         |  CAST(256 - nb AS INT) AS n_zero,
         |  round(raw, 4) AS raw_est,
         |  round(CASE WHEN raw <= 640.0 AND 256 - nb > 0

@@ -137,6 +137,85 @@ object MultiSource {
       .where(col("dist") <= maxDist)
   }
 
+  /** EXACT edit-distance self-join (Ed-Join, Xiao et al. VLDB'08 —
+    * q-gram prefix filtering for edit similarity): EVERY pair of records
+    * whose string's Levenshtein distance is ≤ `d`, with a COMPLETENESS
+    * GUARANTEE — the tier above [[fuzzyLinkage]], whose blocking key
+    * trades recall for locality (a typo IN the blocking key silently
+    * loses the pair). Output: (id_a, id_b, dist), id_a < id_b.
+    *
+    * Candidate generation, never all-pairs:
+    *  - q-gram prefix path: each edit destroys ≤ q of a string's
+    *    positional q-grams, so ed(a,b) ≤ d ⟹ the gram multisets overlap
+    *    in ≥ max(|Gₐ|,|G_b|) − q·d grams; whenever that bound is ≥ 1 the
+    *    classic prefix principle applies — order gram OCCURRENCES by
+    *    ascending corpus frequency (rarest first, ties (gram, pos)) and
+    *    any qualifying pair must share a gram among each string's first
+    *    q·d + 1 occurrences. Join keys are therefore the RAREST grams;
+    *    the hot grams that would explode a naive gram join are exactly
+    *    the ones excluded (the [[graft.operators.Dedup.setSimJoin]]
+    *    df-ascending discipline, re-derived for edit distance).
+    *  - short-string path: when BOTH strings have ≤ q·d grams (length
+    *    ≤ q·d + q − 1) the overlap bound is vacuous and they may share
+    *    no gram at all; that class pairs through a LENGTH-bucketed equi
+    *    join instead (each short string probes the lengths within ±d —
+    *    never a global cartesian). Its output is inherently dense (all
+    *    1-char strings are pairwise within ed 2), which is a property of
+    *    the PROBLEM, not the plan.
+    *    Pairs of a short and a long string need no special path: either
+    *    the length filter kills them (gramless vs >q·d-gram strings) or
+    *    the long side's bound ≥ 1 re-enables the prefix principle and
+    *    the short side's prefix is its whole gram list.
+    *  - every candidate then passes |len(a) − len(b)| ≤ d and ONE exact
+    *    `levenshtein` verification (the Generate-barrier single-eval
+    *    shape from [[fuzzyLinkage]]).
+    *
+    * Shuffle inventory: one gram-keyed df aggregate, one id-partitioned
+    * window (per-string occurrence rank — strings are short, partitions
+    * are per-record), one gram-keyed prefix self-join whose two sides
+    * are the same subtree, one short-class length join, one pair
+    * distinct, two id-keyed verify joins. */
+  def editJoin(df: DataFrame, idCol: String, strCol: String,
+               d: Int, q: Int = 2): DataFrame = {
+    require(d >= 0 && q >= 2, s"editJoin needs d >= 0, q >= 2; got d=$d q=$q")
+    val s0 = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
+      .where(col("_s").isNotNull)
+    val prefixLen = q * d + 1
+    val shortLen = q * d + q - 1 // both-sides-short ⇒ vacuous overlap bound
+    // positional q-gram occurrences
+    val grams = s0.where(length(col("_s")) >= q)
+      .select(col("_id"),
+        posexplode(transform(sequence(lit(1), length(col("_s")) - (q - 1)),
+          i => col("_s").substr(i, lit(q)))).as(Seq("_pos", "_g")))
+    val dfc = grams.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_df"), col("_g"), col("_pos"))
+    val prefix = grams.join(dfc, "_g")
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") <= prefixLen)
+      .select(col("_id"), col("_g"))
+    val gramCand = prefix.select(col("_id").as("id_a"), col("_g"))
+      .join(prefix.select(col("_id").as("id_b"), col("_g")), "_g")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val shorts = s0.where(length(col("_s")) <= shortLen)
+    val shortProbe = shorts.select(col("_id").as("id_a"),
+      explode(sequence(greatest(lit(0), length(col("_s")) - d),
+        length(col("_s")) + d)).as("_lk"))
+    val shortCand = shortProbe
+      .join(shorts.select(col("_id").as("id_b"), length(col("_s")).as("_lk")), "_lk")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val verify = gramCand.unionByName(shortCand).distinct()
+      .join(s0.select(col("_id").as("id_a"), col("_s").as("_sa")), "id_a")
+      .join(s0.select(col("_id").as("id_b"), col("_s").as("_sb")), "id_b")
+      .where(abs(length(col("_sa")) - length(col("_sb"))) <= d)
+    // Generate barrier: one levenshtein per candidate (see fuzzyLinkage)
+    verify
+      .select(col("id_a"), col("id_b"),
+        explode(array(levenshtein(col("_sa"), col("_sb")).cast("int"))).as("dist"))
+      .where(col("dist") <= d)
+  }
+
   /** Per-group record counts with per-source breakdown
     * (create_merged_views.sql:172-202 `COUNT(*)` + `SUM(CASE WHEN source…)`).
     * Partial aggregation (map-side combine) applies automatically. */

@@ -328,14 +328,25 @@ object TextAnalysis {
     * (spec-pinned), so per-shard sketches roll up like [[cmsSketch]] cells.
     * Output: (bucket, r), ≤ 256 rows, absent buckets = empty. */
   def hllRegisters(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(tokens(col(textCol))).as("t"))
-      .select(md5(col("t")).as("h"))
-      .select(conv(substring(col("h"), 1, 2), 16, 10).cast("int").as("bucket"),
-        conv(substring(col("h"), 3, 8), 16, 10).cast("long").as("_w"))
-      .select(col("bucket"),
+    hllRegistersBy(docs, Nil, textCol)
+
+  /** Grouped register tables — one ≤ 256-row sketch per group key (the
+    * per-domain/per-source vocabulary-richness monitor); `hllRegisters`
+    * is the Nil-group case. State is |groups|·256 rows — a dimension-
+    * sized aggregate at any corpus size. */
+  def hllRegistersBy(docs: DataFrame, groupCols: Seq[String],
+                     textCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    docs.select(g :+ explode(tokens(col(textCol))).as("t"): _*)
+      .select(g :+ md5(col("t")).as("h"): _*)
+      .select(g ++ Seq(
+        conv(substring(col("h"), 1, 2), 16, 10).cast("int").as("bucket"),
+        conv(substring(col("h"), 3, 8), 16, 10).cast("long").as("_w")): _*)
+      .select(g ++ Seq(col("bucket"),
         when(col("_w") === 0L, lit(33))
-          .otherwise(lit(33) - length(bin(col("_w")))).as("rho"))
-      .groupBy(col("bucket")).agg(max(col("rho")).cast("int").as("r"))
+          .otherwise(lit(33) - length(bin(col("_w")))).as("rho")): _*)
+      .groupBy(g :+ col("bucket"): _*).agg(max(col("rho")).cast("int").as("r"))
+  }
 
   /** The HLL cardinality estimate from [[hllRegisters]] — raw estimator
     * α·m²/Σ2^(−M_j) (empty registers contribute 2⁰) with the standard
@@ -345,20 +356,33 @@ object TextAnalysis {
     * exponent (< 53) so it is EXACT regardless of order, and the remaining
     * chain is identically-parenthesized single ops rounded once at 4dp.
     * Output: one row (m, n_buckets, n_zero, raw_est, est). */
-  def hllEstimate(docs: DataFrame, textCol: String): DataFrame = {
+  def hllEstimate(docs: DataFrame, textCol: String): DataFrame =
+    hllEstimateBy(docs, Nil, textCol)
+
+  /** Per-group estimates from [[hllRegistersBy]] — one row per group:
+    * (groupCols..., m, n_buckets, n_zero, raw_est, est). */
+  def hllEstimateBy(docs: DataFrame, groupCols: Seq[String],
+                    textCol: String): DataFrame = {
     val m = 256
-    hllRegisters(docs, textCol)
-      .agg(count(lit(1)).as("_nb"),
-        sum(pow(lit(2.0), -col("r").cast("double"))).as("_s"))
-      .select(lit(m).as("m"), col("_nb").cast("int").as("n_buckets"),
+    val g = groupCols.map(col)
+    val agg0 = hllRegistersBy(docs, groupCols, textCol)
+    val agged =
+      if (groupCols.isEmpty)
+        agg0.agg(count(lit(1)).as("_nb"),
+          sum(pow(lit(2.0), -col("r").cast("double"))).as("_s"))
+      else
+        agg0.groupBy(g: _*).agg(count(lit(1)).as("_nb"),
+          sum(pow(lit(2.0), -col("r").cast("double"))).as("_s"))
+    agged
+      .select(g ++ Seq(lit(m).as("m"), col("_nb").cast("int").as("n_buckets"),
         (lit(m) - col("_nb")).cast("int").as("n_zero"),
         ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) /
-          (col("_s") + (lit(m) - col("_nb")).cast("double"))).as("_raw"))
-      .select(col("m"), col("n_buckets"), col("n_zero"),
+          (col("_s") + (lit(m) - col("_nb")).cast("double"))).as("_raw")): _*)
+      .select(g ++ Seq(col("m"), col("n_buckets"), col("n_zero"),
         round(col("_raw"), 4).as("raw_est"),
         round(when(col("_raw") <= lit(640.0) && col("n_zero") > 0,
           lit(256.0) * log(lit(256.0) / col("n_zero").cast("double")))
-          .otherwise(col("_raw")), 4).as("est"))
+          .otherwise(col("_raw")), 4).as("est")): _*)
   }
 
   /** Winnowing-style fingerprint: the minimum md5 over the document's word

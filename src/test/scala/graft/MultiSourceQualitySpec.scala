@@ -63,6 +63,41 @@ class MultiSourceQualitySpec extends SparkSpec {
     assert(out == Set((1L, 11L, 1), (2L, 13L, 0)))
   }
 
+  test("editJoin is COMPLETE vs brute force at d=0,1,2 incl. the short-string class") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    // planted typos, an exact duplicate (ed 0), a dense short-string
+    // class exercising the length-bucket path (incl. the empty string),
+    // and unpaired controls
+    val rows = Seq(
+      1L -> "alice", 2L -> "alicx", 3L -> "alive", 4L -> "alice",
+      5L -> "bob", 6L -> "bpb",
+      7L -> "a", 8L -> "b", 9L -> "ab", 10L -> "",
+      11L -> "carolinexyz", 12L -> "unrelatedname")
+    val df = rows.toDF("id", "name")
+    val byId = rows.toMap
+    for (d <- Seq(0, 1, 2)) {
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && lev(sa, sb) <= d
+      } yield (ia, ib)).toSet
+      val got = MultiSource.editJoin(df, "id", "name", d)
+        .as[(Long, Long, Int)].collect()
+      assert(got.map(t => (t._1, t._2)).toSet == want,
+        s"d=$d: pair-set mismatch (completeness broken)")
+      got.foreach { case (a, b, dist) =>
+        assert(dist == lev(byId(a), byId(b)), s"d=$d dist wrong for ($a,$b)") }
+      assert(got.map(t => (t._1, t._2)).distinct.length == got.length,
+        s"d=$d: duplicate pairs emitted")
+    }
+  }
+
   test("snapshotDiff encoding is injective: NULL vs '' and separator bytes") {
     // NULL -> '' is a real content change (the N / V0: tags differ)
     val na = Seq((1L, Option.empty[String])).toDF("id", "x")

@@ -57,6 +57,36 @@ class PlanAuditSpec extends SparkSpec {
       || p.toLowerCase.contains("partial"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("hll_registers partial-aggregates map-side: <= 256 rows per task cross the shuffle") {
+    val p = planOf("hll_registers")
+    // one partial HashAggregate below the bucket exchange, final above —
+    // the whole point of the sketch: shuffle volume is register-count-
+    // bounded at any corpus size
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial/final agg pair:\n$p")
+    assert(p.toLowerCase.contains("partial_max") || p.toLowerCase.contains("partial max")
+      || p.toLowerCase.contains("partial"), s"no map-side partial max:\n$p")
+    assert(!p.contains("SortAggregate"), s"register max must hash-aggregate:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text") && !read.contains("source") && !read.contains("lang"),
+      s"scan reads unused columns: $read")
+  }
+
+  test("unigram_segment runs the Viterbi DP once per DISTINCT word, then joins back") {
+    val p = planOf("unigram_segment")
+    // the DP rides in the result expressions of the DISTINCT-WORD
+    // aggregate (HashAggregate keys=[_w...] — the plan string elides
+    // result expressions, so pin the structure): dictionary distinct,
+    // equi-join back to the token stream, doc-keyed final aggregate
+    assert(p.contains("HashAggregate(keys=[_w"),
+      s"no distinct-word aggregate (DP must run per dictionary word):\n$p")
+    assert(p.contains("HashAggregate(keys=[doc_id"),
+      s"no doc-keyed final aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"token/dictionary join degenerated:\n$p")
+    // the per-doc sums must arrive map-side combined
+    assert(p.contains("partial_sum"), s"no map-side partial sum:\n$p")
+  }
+
   test("ANN paths re-rank via the bounded-heap aggregate, never a per-query window") {
     for (q <- Seq("ann_topk", "ann_lsh", "ann_ivf")) {
       val p = planOf(q)

@@ -377,6 +377,33 @@ class StreamingSpec extends SparkSpec {
     assert(cells() == afterB2, "stale batchId replay must not re-fold")
   }
 
+  test("StreamingHll folds to the whole-stream sketch; replay is a no-op WITHOUT a guard") {
+    // max-merge is idempotent by content — the contrast with StreamingCms,
+    // whose cell sums need the _bid guard. Drive foldBatch directly:
+    // batch identity, whole-stream identity, and a guard-free replay.
+    import spark.implicits._
+    import graft.streaming.StreamingDedup.Doc
+    val root = java.nio.file.Files.createTempDirectory("graft_shll").toFile.getAbsolutePath
+    val sketch = s"$root/sketch"
+    def regs(): Map[Int, Int] =
+      spark.read.parquet(sketch).as[(Int, Int)].collect().toMap
+    def batchRegs(df: org.apache.spark.sql.DataFrame): Map[Int, Int] =
+      graft.operators.TextAnalysis.hllRegisters(df, "text")
+        .as[(Int, Int)].collect().toMap
+    val b1 = Seq(Doc(1, "aa aa bb cc"), Doc(2, "dd aa")).toDF()
+    val b2 = Seq(Doc(3, "bb cc cc ee"), Doc(4, "aa ff ff")).toDF()
+    graft.streaming.StreamingHll.foldBatch(b1, sketch)
+    assert(regs() == batchRegs(b1), "after one batch the stream sketch IS the batch sketch")
+    graft.streaming.StreamingHll.foldBatch(b2, sketch)
+    val whole = regs()
+    assert(whole == batchRegs(b1.unionByName(b2)),
+      "streamed max-fold must equal the whole-corpus register table")
+    // replayed batch (at-least-once crash window): max is idempotent, so
+    // NO batch-id bookkeeping is needed for correctness
+    graft.streaming.StreamingHll.foldBatch(b1, sketch)
+    assert(regs() == whole, "replaying an applied batch must be a content-level no-op")
+  }
+
   private def cells2(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] = {
     import df.sparkSession.implicits._
     graft.operators.TextAnalysis.cmsSketch(df, "text").select("_r", "_b", "_cell")

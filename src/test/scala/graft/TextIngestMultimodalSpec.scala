@@ -717,6 +717,19 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(est._1 == 256 && est._2 + est._3 == 256)
     assert(math.abs(est._5 - k) / k.toDouble <= 0.25,
       s"HLL estimate ${est._5} too far from true $k")
+    // grouped form: each source's row equals the global estimate of its
+    // slice (the zipf_by_source parity contract)
+    val mixed = Seq(("A", "aa bb cc"), ("A", "dd aa"), ("B", "xx yy"),
+      ("B", "yy zz aa")).toDF("source", "text")
+    val bySrc = TextAnalysis.hllEstimateBy(mixed, Seq("source"), "text")
+      .as[(String, Int, Int, Int, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    for (src <- Seq("A", "B")) {
+      val slice = TextAnalysis.hllEstimate(
+        mixed.where(col("source") === src), "text")
+        .as[(Int, Int, Int, Double, Double)].collect().head
+      assert(bySrc(src) == slice, s"per-source $src != global-on-slice")
+    }
   }
 
   test("zipfFit: exact local OLS replay; geometric corpus fits with slope < 0") {
