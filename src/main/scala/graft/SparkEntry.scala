@@ -1350,6 +1350,11 @@ object SparkEntry {
     // (|sources|×256 rows of state at any corpus size)
     "hll_by_source" -> ((s, d) =>
       TextAnalysis.hllEstimateBy(Tables.documents(s, d), Seq("source"), "text")),
+    // sketch ALGEBRA: per-pair union (exact via max merge law) +
+    // inclusion–exclusion intersection — the cross-source vocabulary
+    // overlap monitor in |sources|·256 rows of state
+    "hll_set_ops" -> ((s, d) =>
+      TextAnalysis.hllSetOps(Tables.documents(s, d), "source", "text")),
     // §2.2 row 31 — BPE tokenizer training (Sennrich word-frequency
     // formulation: ONE corpus pass builds the word table, then — vocab
     // being far under Bpe.DriverVocabBound — the merge loop runs
@@ -3603,6 +3608,45 @@ object SparkEntry {
         |  round(CASE WHEN raw <= 640.0 AND 256 - nb > 0
         |    THEN 256.0 * ln(256.0 / CAST(256 - nb AS DOUBLE)) ELSE raw END, 4) AS est
         |FROM e""".stripMargin,
+    // Union registers via per-pair bucket max (≡ the Spark side's dense
+    // zip_with(greatest) — the max merge law makes both EXACTLY the
+    // union's sketch); per-side and union estimates share the pinned
+    // α/ln chain; est_intersect is one subtraction of rounded estimates.
+    "hll_set_ops" ->
+      """WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |rw AS (SELECT source, ('0x' || substr(md5(t), 1, 2))::BIGINT AS bucket,
+        |    ('0x' || substr(md5(t), 3, 8))::BIGINT AS w FROM tok),
+        |reg AS (SELECT source, bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS r
+        |  FROM rw GROUP BY source, bucket),
+        |src AS (SELECT DISTINCT source FROM reg),
+        |sides AS (SELECT source, count(*) AS nb, sum(power(2.0, -r)) AS sp
+        |  FROM reg GROUP BY source),
+        |se AS (SELECT source,
+        |    round(CASE WHEN raw <= 640.0 AND nz > 0
+        |      THEN 256.0 * ln(256.0 / CAST(nz AS DOUBLE)) ELSE raw END, 4) AS est
+        |  FROM (SELECT source,
+        |      (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |        / (sp + CAST(256 - nb AS DOUBLE)) AS raw,
+        |      256 - nb AS nz FROM sides)),
+        |pairs AS (SELECT a.source AS sa, b.source AS sb
+        |  FROM src a JOIN src b ON a.source < b.source),
+        |ureg AS (SELECT p.sa, p.sb, r.bucket, max(r.r) AS ur
+        |  FROM pairs p JOIN reg r ON r.source = p.sa OR r.source = p.sb
+        |  GROUP BY p.sa, p.sb, r.bucket),
+        |ua AS (SELECT sa, sb, count(*) AS nb, sum(power(2.0, -ur)) AS sp
+        |  FROM ureg GROUP BY sa, sb),
+        |ue AS (SELECT sa, sb,
+        |    round(CASE WHEN raw <= 640.0 AND nz > 0
+        |      THEN 256.0 * ln(256.0 / CAST(nz AS DOUBLE)) ELSE raw END, 4) AS est_union
+        |  FROM (SELECT sa, sb,
+        |      (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |        / (sp + CAST(256 - nb AS DOUBLE)) AS raw,
+        |      256 - nb AS nz FROM ua))
+        |SELECT u.sa AS source_a, u.sb AS source_b, ea.est AS est_a,
+        |  eb.est AS est_b, u.est_union,
+        |  round(ea.est + eb.est - u.est_union, 4) AS est_intersect
+        |FROM ue u JOIN se ea ON ea.source = u.sa JOIN se eb ON eb.source = u.sb""".stripMargin,
     "profile_columns" ->
       """SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

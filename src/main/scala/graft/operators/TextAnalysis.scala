@@ -385,6 +385,53 @@ object TextAnalysis {
           .otherwise(col("_raw")), 4).as("est")): _*)
   }
 
+  /** HLL sketch ALGEBRA over sources — the set-operation layer on
+    * [[hllRegistersBy]]: a pair's UNION cardinality comes free from the
+    * max merge law (union registers ARE the union's sketch, exactly —
+    * spec-pinned), and INTERSECTION follows by inclusion–exclusion
+    * (est_a + est_b − est_union, the standard HLL intersection estimator;
+    * error grows as the true intersection shrinks relative to the union —
+    * a documented property of the estimator, not of this implementation).
+    * The cross-source vocabulary-overlap monitor that needs only
+    * |sources|·256 rows of state where [[graft.operators.Dedup.sourceOverlap]]
+    * joins full vocabularies and its bottom-k sketch keeps k hashes.
+    *
+    * Scale: per-source registers densify to 256-slot vectors (one
+    * dimension-sized aggregate), every pair is array arithmetic on two
+    * 256-int vectors inside a broadcast self-join — the
+    * sourceOverlapSketch pairwise discipline. Engine-exact: the 2^−r
+    * folds are dyadic sums (order-free exact), the estimate chain is the
+    * [[hllEstimate]] parenthesization, and est_intersect is one
+    * subtraction of already-rounded estimates.
+    * Output: (source_a, source_b, est_a, est_b, est_union,
+    * est_intersect), all 4dp. */
+  def hllSetOps(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val m = 256
+    val dense = hllRegistersBy(docs, Seq(srcCol), textCol)
+      .groupBy(col(srcCol).as("source"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("r")))).as("_m"))
+      .select(col("source"),
+        transform(sequence(lit(0), lit(m - 1)),
+          b => coalesce(element_at(col("_m"), b), lit(0))).as("_regs"))
+    def est(arr: Column): Column = {
+      val s = aggregate(arr, lit(0.0),
+        (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
+      val nz = size(filter(arr, r => r === 0))
+      val raw = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
+        lit(65536.0) / s
+      round(when(raw <= lit(640.0) && nz > 0,
+        lit(256.0) * log(lit(256.0) / nz.cast("double"))).otherwise(raw), 4)
+    }
+    dense.select(col("source").as("source_a"), col("_regs").as("_ra"))
+      .join(broadcast(dense.select(col("source").as("source_b"), col("_regs").as("_rb"))),
+        col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        est(col("_ra")).as("est_a"), est(col("_rb")).as("est_b"),
+        est(zip_with(col("_ra"), col("_rb"), (x, y) => greatest(x, y))).as("est_union"))
+      .withColumn("est_intersect",
+        round(col("est_a") + col("est_b") - col("est_union"), 4))
+  }
+
   /** Winnowing-style fingerprint: the minimum md5 over the document's word
     * n-gram shingles. Identical token streams ⇒ identical fingerprints. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =

@@ -732,6 +732,31 @@ class TextIngestMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("hllSetOps: union == union-slice estimate (merge law), intersection tracks overlap") {
+    def mk(r: Range, src: String): Seq[(String, String)] =
+      r.grouped(50).map(g => (src, g.map(i => s"t$i").mkString(" "))).toSeq
+    // A = t0..t999, B = t500..t1499 → true ∩ = 500, ∪ = 1500
+    val docs = (mk(0 until 1000, "A") ++ mk(500 until 1500, "B")).toDF("source", "text")
+    val out = TextAnalysis.hllSetOps(docs, "source", "text")
+      .as[(String, String, Double, Double, Double, Double)].collect()
+    assert(out.length == 1)
+    val (sa, sb, ea, eb, eu, ei) = out.head
+    assert(sa == "A" && sb == "B")
+    // the max merge law makes the pair's union registers EXACTLY the
+    // union slice's sketch — the estimates must be EQUAL, not close
+    def globalEst(df: org.apache.spark.sql.DataFrame): Double =
+      TextAnalysis.hllEstimate(df, "text").select("est").as[Double].collect().head
+    assert(eu == globalEst(docs), "union estimate must equal the union slice's")
+    assert(ea == globalEst(docs.where(col("source") === "A")))
+    assert(eb == globalEst(docs.where(col("source") === "B")))
+    // inclusion–exclusion identity and estimator accuracy on the plant
+    assert(ei == BigDecimal(ea + eb - eu)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(ea - 1000) / 1000.0 <= 0.25 && math.abs(eu - 1500) / 1500.0 <= 0.25)
+    assert(math.abs(ei - 500) <= 250,
+      s"intersection estimate $ei too far from the planted 500")
+  }
+
   test("zipfFit: exact local OLS replay; geometric corpus fits with slope < 0") {
     // token t_k appears 2^(8-k) times -> freq halves every rank step:
     // ln f = ln 256 - (rank-1) ln 2, strongly Zipf-like in shape
