@@ -875,6 +875,15 @@ object SparkEntry {
       Analytics.ksTwoSample(docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1), "n_tokens")
     }),
+    // §2.1 row 17l grouped form — each source's token-count distribution
+    // vs the REST of the corpus, one set-based plan (spec-pinned equal to
+    // the two-sample statistic per source)
+    "ks_by_source" -> ((s, d) =>
+      Analytics.ksBySource(
+        Tables.documents(s, d).where(col("text").isNotNull)
+          .select(col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "source", "n_tokens")),
     // §2.1 rows 3, 18 — event routing / sessionization / windowed agg
     "event_route" -> ((s, d) => Events.routeStats(Tables.events(s, d))),
     "sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d), 1800L)),
@@ -2777,6 +2786,29 @@ object SparkEntry {
         |  round(max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
         |    - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS d_stat
         |FROM c""".stripMargin,
+    "ks_by_source" ->
+      """WITH base AS (SELECT source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |cnt AS (SELECT source, v, count(*) AS c FROM base GROUP BY source, v),
+        |gv AS (SELECT v, count(*) AS g FROM base GROUP BY v),
+        |srcs AS (SELECT DISTINCT source FROM cnt),
+        |grid AS (SELECT s.source, gv.v, gv.g, coalesce(c.c, 0) AS c
+        |  FROM srcs s CROSS JOIN gv
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.v = gv.v),
+        |cum AS (SELECT source,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cin,
+        |    sum(g - c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crest,
+        |    sum(c) OVER (PARTITION BY source) AS nin,
+        |    sum(g - c) OVER (PARTITION BY source) AS nrest
+        |  FROM grid)
+        |SELECT source, CAST(max(nin) AS BIGINT) AS n_in,
+        |  CAST(max(nrest) AS BIGINT) AS n_rest,
+        |  round(max(abs(CAST(cin AS DOUBLE) / CAST(nin AS DOUBLE)
+        |    - CAST(crest AS DOUBLE) / CAST(nullif(nrest, 0) AS DOUBLE))), 6) AS d_stat
+        |FROM cum GROUP BY source""".stripMargin,
     "pivot_status" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS year,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,

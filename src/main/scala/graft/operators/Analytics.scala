@@ -259,6 +259,45 @@ object Analytics {
           col("_cumb").cast("double") / col("_nb").cast("double"))), 6).as("d_stat"))
   }
 
+  /** Per-source KS drift — [[ksTwoSample]] run as ONE set-based plan for
+    * every source against the REST of the corpus (the fleet monitor: which
+    * domain's length/quality distribution has wandered from the pool).
+    * Semantics per source are EXACTLY the two-sample statistic on
+    * (slice, complement) — spec-pinned against [[ksTwoSample]] row by row.
+    *
+    * Scale: counts pre-aggregate per (source, value) and per value (both
+    * map-side combined, value-domain-bounded outputs); the |sources| ×
+    * |values| evaluation grid is a cross of those two DIMENSION-SIZED
+    * aggregates (audited — never a corpus cross), and every cumulative
+    * runs in a source-PARTITIONED window. A source holding the whole
+    * corpus reads d_stat NULL (empty complement) rather than NaN.
+    * Output: (source, n_in, n_rest, d_stat 6dp). */
+  def ksBySource(df: DataFrame, srcCol: String, valueCol: String): DataFrame = {
+    val base = df.select(col(srcCol).as("source"), col(valueCol).as("v"))
+      .where(col("v").isNotNull)
+    val cnt = base.groupBy(col("source"), col("v")).agg(count(lit(1)).as("_c"))
+    val gv = base.groupBy(col("v")).agg(count(lit(1)).as("_g"))
+    val grid = cnt.select(col("source")).distinct()
+      .crossJoin(gv) // dimension-sized × value-domain-sized, see scaladoc
+      .join(cnt, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), col("_g"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val wc = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("source"))
+    grid.select(col("source"),
+        sum(col("_c")).over(wc).as("_cin"),
+        sum(col("_g") - col("_c")).over(wc).as("_crest"),
+        sum(col("_c")).over(wt).as("_nin"),
+        sum(col("_g") - col("_c")).over(wt).as("_nrest"))
+      .groupBy(col("source"))
+      .agg(max(col("_nin")).as("n_in"), max(col("_nrest")).as("n_rest"),
+        round(max(abs(col("_cin").cast("double") / col("_nin").cast("double") -
+          col("_crest").cast("double") /
+            when(col("_nrest") === 0L, lit(null)).otherwise(col("_nrest")).cast("double"))),
+          6).as("d_stat"))
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 pointTs: Column, startTs: Column, endTs: Column,
                 keys: Seq[String], bucketSec: Long): DataFrame = {

@@ -63,6 +63,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(self == ((4L, 4L, 3L, 0.0)), "identical samples must read D = 0")
   }
 
+  test("ksBySource: every row equals the two-sample statistic on (slice, rest)") {
+    val df = Seq(
+      ("A", 1L), ("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 5L), ("B", 6L), ("B", 6L),
+      ("C", 1L), ("C", 5L)).toDF("source", "v")
+    val got = Analytics.ksBySource(df, "source", "v")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("A", "B", "C"))
+    for (src <- got.keySet) {
+      val two = Analytics.ksTwoSample(
+        df.where(col("source") === src), df.where(col("source") =!= src), "v")
+        .as[(Long, Long, Long, Double)].collect().head
+      assert(got(src) == ((src, two._1, two._2, Some(two._4))),
+        s"per-source $src != two-sample on (slice, rest)")
+    }
+    // a source holding the whole corpus: empty complement reads NULL, not NaN
+    val solo = Analytics.ksBySource(Seq(("A", 1L), ("A", 2L)).toDF("source", "v"),
+      "source", "v").as[(String, Long, Long, Option[Double])].collect().head
+    assert(solo == (("A", 2L, 0L, None)))
+  }
+
   test("asOfPrior attaches the most recent strictly-prior matching value") {
     val df = Seq((1, 10, "x"), (1, 20, "err"), (1, 30, "x"), (1, 40, "err"), (1, 50, "x"))
       .toDF("u", "t", "kind")

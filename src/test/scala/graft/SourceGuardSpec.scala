@@ -41,8 +41,10 @@ class SourceGuardSpec extends AnyFunSpec {
     "graft/operators/Star.scala" -> 1)
 
   private val crossJoinBudget = Map(
-    // all 1-row broadcast stats/corpus-total joins ...
-    "graft/operators/Analytics.scala" -> 1,
+    // all 1-row broadcast stats/corpus-total joins ... plus ksBySource's
+    // evaluation grid: |sources| (dimension-sized distinct) × |values|
+    // (value-domain-bounded aggregate) — never a corpus cross
+    "graft/operators/Analytics.scala" -> 2,
     // pageRank's two node ⋈ 1-row-count joins (init + per-round base
     // share) — the audited broadcast-stats pattern on a |types|-row frame
     "graft/operators/Events.scala" -> 2,
