@@ -1323,6 +1323,12 @@ object SparkEntry {
     // a boilerplate-flooded source reads non-Zipfian next to its peers.
     "zipf_by_source" -> ((s, d) =>
       TextAnalysis.zipfFitBySource(Tables.documents(s, d), "source", "text")),
+    // §2.2 row L27m (robust form, round 15): Theil–Sen median of
+    // pairwise slopes over the SAME head — a 29.3% breakdown point where
+    // one corrupted head frequency drags the OLS slope arbitrarily;
+    // lower-median convention keeps the whole chain engine-exact.
+    "zipf_theil_sen" -> ((s, d) =>
+      TextAnalysis.zipfTheilSen(Tables.documents(s, d), "text")),
     // §2.2 row 27g — per-doc token-distribution entropy + ratio to max
     // (the repetitive/templated-text signal)
     "token_entropy" -> ((s, d) =>
@@ -3445,6 +3451,30 @@ object SparkEntry {
     // parenthesization as the Scala side — each step one correctly-
     // rounded op (the rounded slope is re-derived inside intercept
     // exactly as the engine recomputes the column expression).
+    // Theil-Sen: the pairwise-slope frame is the SAME post-limit ranked
+    // head; each slope is two subtractions + one division of identical
+    // 6dp-rounded doubles, the median is the LOWER-MEDIAN convention
+    // over (slope, ra, rb), and residuals re-derive the ROUNDED slope.
+    "zipf_theil_sen" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |vocab AS (SELECT token, count(*) AS n FROM tok GROUP BY token
+        |  ORDER BY n DESC, token LIMIT 1000),
+        |ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM vocab),
+        |pts AS (SELECT rank, round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+        |    round(ln(CAST(n AS DOUBLE)), 6) AS y FROM ranked),
+        |pr AS (SELECT a.rank AS ra, b.rank AS rb, (b.y - a.y) / (b.x - a.x) AS s
+        |  FROM pts a JOIN pts b ON a.rank < b.rank AND a.x <> b.x),
+        |sm AS (SELECT round(s, 6) AS slope, n AS npairs FROM
+        |    (SELECT s, row_number() OVER (ORDER BY s, ra, rb) AS rn,
+        |       count(*) OVER () AS n FROM pr)
+        |  WHERE rn = (n + 1) // 2),
+        |res AS (SELECT sm.slope, sm.npairs, p.rank, p.y - sm.slope * p.x AS r
+        |  FROM pts p CROSS JOIN sm)
+        |SELECT CAST(np AS BIGINT) AS n_points, CAST(npairs AS BIGINT) AS n_pairs,
+        |  slope, round(r, 6) AS intercept
+        |FROM (SELECT slope, npairs, r, row_number() OVER (ORDER BY r, rank) AS rn,
+        |    count(*) OVER () AS np FROM res)
+        |WHERE rn = (np + 1) // 2""".stripMargin,
     "zipf_fit" ->
       """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |vocab AS (SELECT token, count(*) AS n FROM tok GROUP BY token

@@ -172,6 +172,71 @@ object TextAnalysis {
     olsFit(olsSums(head.select(zipfX.as("_x"), zipfY.as("_y")), Nil), Nil)
   }
 
+  /** Theil–Sen robust fit of the Zipf log-log head — the
+    * median-of-pairwise-slopes estimator (Theil 1950, Sen 1968; 29.3%
+    * breakdown point) beside [[zipfFit]]'s OLS: one corrupted head
+    * frequency (a boilerplate token, a tokenizer artifact) drags the OLS
+    * slope arbitrarily but moves the slope MEDIAN barely at all — the
+    * [[graft.operators.Analytics.madOutliers]] robustness discipline
+    * applied to the corpus diagnostic (spec demonstrates the contrast on
+    * a planted corruption).
+    *
+    * Exactness: x/y are the 6dp-rounded log points both engines share;
+    * each pairwise slope is two subtractions and one division of
+    * identical doubles (correctly rounded each ⇒ identical), the median
+    * is the LOWER-MEDIAN convention over (slope, rank_a, rank_b) — an
+    * actual slope value, no interpolation — and the intercept is the
+    * lower median of residuals against the ROUNDED slope (the zipfFit
+    * re-derive-the-rounded-slope precedent). Equal-x pairs (possible
+    * only when adjacent log-ranks collide at 6dp, i.e. heads beyond
+    * ~500k ranks) carry no slope information and drop, standard TS.
+    *
+    * Scale: everything pairwise happens AFTER the TakeOrdered head —
+    * ≤ topK(topK−1)/2 bounded rows; the two median rank windows are
+    * unpartitioned but run on those post-limit frames (budget-audited),
+    * never the corpus. Output: one row
+    * (n_points, n_pairs, slope, intercept). */
+  def zipfTheilSen(docs: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
+    require(topK >= 3, s"zipfTheilSen needs topK >= 3; got $topK")
+    val head = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topK) // TakeOrdered head
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token"))))
+    val pts = head.select(col("rank"),
+      round(log(col("rank").cast("double")), 6).as("_x"),
+      round(log(col("n").cast("double")), 6).as("_y"))
+    val pairs = pts.select(col("rank").as("_ra"), col("_x").as("_xa"), col("_y").as("_ya"))
+      .join(broadcast(pts.select(col("rank").as("_rb"), col("_x").as("_xb"), col("_y").as("_yb"))),
+        col("_ra") < col("_rb") && col("_xa") =!= col("_xb")) // bounded head² pairwise
+      .select(col("_ra"), col("_rb"),
+        ((col("_yb") - col("_ya")) / (col("_xb") - col("_xa"))).as("_s"))
+    // lower-median rank over the bounded post-limit pair frame
+    val wS = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_s"), col("_ra"), col("_rb"))
+    val slopeRow = pairs
+      .select(col("_s"), row_number().over(wS).as("_rn"),
+        count(lit(1)).over(wS.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)).as("_npairs"))
+      .where(col("_rn") === expr("(_npairs + 1) div 2"))
+      .select(round(col("_s"), 6).as("_slope"), col("_npairs"))
+    val resid = pts.crossJoin(broadcast(slopeRow)) // audited 1-row stats join
+      .select(col("_slope"), col("_npairs"), col("rank"),
+        (col("_y") - col("_slope") * col("_x")).as("_r"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_r"), col("rank"))
+    resid
+      .select(col("_slope"), col("_npairs"), col("_r"),
+        row_number().over(wR).as("_rn"),
+        count(lit(1)).over(wR.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)).as("_np"))
+      .where(col("_rn") === expr("(_np + 1) div 2"))
+      .select(col("_np").as("n_points"), col("_npairs").as("n_pairs"),
+        col("_slope").as("slope"), round(col("_r"), 6).as("intercept"))
+  }
+
   /** Per-source [[zipfFit]] — the form a corpus monitor actually runs:
     * one (slope, r2) row PER SOURCE, so a boilerplate-flooded or
     * synthetic source reads non-Zipfian next to its healthy peers

@@ -55,7 +55,8 @@ class SourceGuardSpec extends AnyFunSpec {
     // 1-row (total, n) totals join onto the |sources|-row capacity table
     // + pmiCollocations' 1-row token-total join onto the bigram counts
     // + lmKneserNey's 1-row bigram-type-count join onto the vocabulary
-    "graft/operators/TextAnalysis.scala" -> 8,
+    // + zipfTheilSen's 1-row median-slope join onto the ≤ topK-row head
+    "graft/operators/TextAnalysis.scala" -> 9,
     // ... except pqTopKWith's corpus x QUERY-BATCH join (the flat-PQ ADC
     // scan: every index row scores against every query's broadcast LUT
     // — bounded by the query batch, the intended shape), one 1-row
@@ -67,10 +68,13 @@ class SourceGuardSpec extends AnyFunSpec {
     // vocab_top ranks a 30-row post-limit output, samplePriority ranks
     // its ≤ k+1-row post-limit top set, waterfillBudget's rank window
     // runs over the |sources|-row capacity aggregate, pmiCollocations
-    // ranks its ≤ k-row post-limit top set, and zipfFit ranks its
-    // ≤ topK-row post-limit vocabulary head — all unpartitioned windows
-    // over driver-bounded / dimension-sized results, never the corpus
-    "graft/operators/TextAnalysis.scala" -> 5,
+    // ranks its ≤ k-row post-limit top set, zipfFit ranks its
+    // ≤ topK-row post-limit vocabulary head, and zipfTheilSen adds three:
+    // its own post-limit head rank plus two median windows on the head's
+    // ≤ topK²/2 pair frame and the ≤ topK-row residual frame — all
+    // unpartitioned windows over driver-bounded / dimension-sized
+    // results, never the corpus
+    "graft/operators/TextAnalysis.scala" -> 8,
     // ksTwoSample's cumulative + totals windows run on the POST-AGGREGATION
     // (value, count) union frame — bounded by the metric's value domain
     // (token counts, score buckets), never the corpus; continuous metrics

@@ -757,6 +757,52 @@ class TextIngestMultimodalSpec extends SparkSpec {
       s"intersection estimate $ei too far from the planted 500")
   }
 
+  test("zipfTheilSen: exact local median-of-slopes replay; robust where OLS is dragged") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // local reference: same rounded points, same lower-median conventions
+    def ref(freqs: Seq[Long]): (Double, Double) = {
+      val pts = freqs.zipWithIndex.map { case (f, i) =>
+        (i + 1, r6(math.log(i + 1.0)), r6(math.log(f.toDouble))) }
+      val slopes = (for {
+        (ra, xa, ya) <- pts; (rb, xb, yb) <- pts
+        if ra < rb && xa != xb
+      } yield ((yb - ya) / (xb - xa), ra, rb))
+        .sortBy(t => (t._1, t._2, t._3))
+      val slope = r6(slopes((slopes.size + 1) / 2 - 1)._1)
+      val res = pts.map { case (r, x, y) => (y - slope * x, r) }
+        .sortBy(identity)
+      (slope, r6(res((pts.size + 1) / 2 - 1)._1))
+    }
+    def run(freqs: Seq[Long]): (Long, Long, Double, Double) = {
+      val text = freqs.zipWithIndex
+        .flatMap { case (f, k) => Seq.fill(f.toInt)(s"t$k") }.mkString(" ")
+      TextAnalysis.zipfTheilSen(Seq(text).toDF("text"), "text")
+        .as[(Long, Long, Double, Double)].collect().head
+    }
+    // geometric corpus (the zipfFit spec's shape): exact replay
+    val freqs = (0 until 8).map(k => (1L << (8 - k)))
+    val clean = run(freqs)
+    val (s0, i0) = ref(freqs)
+    assert(clean._1 == 8L && clean._2 == 28L)
+    assert(clean._3 == s0 && clean._4 == i0, s"got $clean want ($s0, $i0)")
+    // robustness: one corrupted head frequency (a boilerplate token at
+    // 100× its Zipf weight) barely moves the slope MEDIAN while the OLS
+    // slope is dragged — the estimator's reason to exist
+    val dirty = freqs.updated(2, 6400L).sortBy(-_)
+    val tsDirty = run(dirty)._3
+    def ols(fs: Seq[Long]): Double = {
+      val text = fs.zipWithIndex
+        .flatMap { case (f, k) => Seq.fill(f.toInt)(s"t$k") }.mkString(" ")
+      TextAnalysis.zipfFit(Seq(text).toDF("text"), "text")
+        .select("slope").as[Double].collect().head
+    }
+    val olsShift = math.abs(ols(dirty) - ols(freqs))
+    val tsShift = math.abs(tsDirty - clean._3)
+    assert(tsShift < olsShift,
+      s"Theil–Sen shift $tsShift should be under the OLS shift $olsShift")
+  }
+
   test("zipfFit: exact local OLS replay; geometric corpus fits with slope < 0") {
     // token t_k appears 2^(8-k) times -> freq halves every rank step:
     // ln f = ln 256 - (rank-1) ln 2, strongly Zipf-like in shape
