@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * library surface; excluded from SparkEntry). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -17,66 +17,36 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = spark
-    Tables.documents(s, d).count()
-
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"  $label%-34s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
-    }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
-
+    import s.implicits._
     import operators.Dedup
-    val docs = Tables.documents(s, d)
-    // candidate volume diagnostics: how many prefix postings, raw join
-    // matches, distinct candidates, verified pairs
-    val sh = docs.select(col("doc_id").as("_id"), Dedup.shingles(col("text"), 3).as("_sh"))
-      .where(size(col("_sh")) > 0)
-    val grams = sh.select(col("_id"), explode(col("_sh")).as("_g"))
-    val dfq = grams.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_id")).orderBy(col("_df"), col("_g"))
-    val full = byDoc.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val a = col("_s") * 1 + lit(1)
-    val ceilTs = ((a - pmod(a, lit(2))) / 2).cast("long")
-    val pfx = grams.join(dfq, "_g")
-      .select(col("_id"), col("_g"),
-        row_number().over(byDoc).as("_rn"),
-        count(lit(1)).over(full).as("_s"))
-      .where(col("_rn") <= col("_s") - ceilTs + 1)
-    println("docs=" + sh.count() + " grams=" + grams.count() +
-      " distinct_grams=" + dfq.count() + " prefix_postings=" + pfx.count())
-    val raw = pfx.as("x").join(pfx.as("y"),
-      col("x._g") === col("y._g") && col("x._id") < col("y._id") &&
-        least(col("x._s"), col("y._s")) * 2 >= greatest(col("x._s"), col("y._s")) * 1)
-    println("raw_matches=" + raw.count())
-    val pos = raw.where((lit(1) + least(col("x._s") - col("x._rn"),
-      col("y._s") - col("y._rn"))) * 3 >= (col("x._s") + col("y._s")) * 1)
-    println("pos_filtered_matches=" + pos.count())
-    println("cand_distinct=" + raw.select(col("x._id"), col("y._id")).distinct().count())
-    println("cand_pos_distinct=" + pos.select(col("x._id"), col("y._id")).distinct().count())
 
-    val posPfx = pfx.select(col("_id"), col("_g"), col("_rn"), col("_s"))
-    val cand2 = posPfx.as("x").join(posPfx.as("y"),
-        col("x._g") === col("y._g") && col("x._id") < col("y._id") &&
-        least(col("x._s"), col("y._s")) * 2 >= greatest(col("x._s"), col("y._s")) &&
-        (lit(1) + least(col("x._s") - col("x._rn"), col("y._s") - col("y._rn"))) * 3 >=
-          (col("x._s") + col("y._s")))
-      .select(col("x._id").as("doc_a"), col("y._id").as("doc_b")).distinct()
-    (1 to 3).foreach { round =>
-      println(s"--- round $round")
-      time("stage: pfx only") { noop(posPfx) }
-      time("stage: cand distinct") { noop(cand2) }
-      time("stage: verify only") {
-        noop(Dedup.ngramJaccard(cand2, docs.withColumnRenamed("doc_id", "did"), "did", "text", 3)
-          .where(col("jaccard") >= 0.5))
-      }
-      time("setsim_join") { noop(SparkEntry.queries("setsim_join")(s, d)) }
-      time("setsim_join_hashed") { noop(SparkEntry.queries("setsim_join_hashed")(s, d)) }
-      time("dsir_weights") { noop(SparkEntry.queries("dsir_weights")(s, d)) }
+    // planted semantics check
+    val P = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 $P b1 b2 b3 b4 b5"),
+      (2L, s"c1 c2 c3 c4 c5 c6 c7 $P d1 d2 d3"),
+      (3L, "e1 e2 e3 e4 e5 e6 e7 e8 e9"), // clean, shorter
+      (4L, "x x x x x x x x x x x x x x x x x x x x"), // self-repeat
+      (5L, "short doc")
+    ).toDF("doc_id", "text")
+    for (md5h <- Seq(false, true)) {
+      println(s"=== md5Hash=$md5h")
+      Dedup.substrDedup(docs, "doc_id", "text", 8, md5h)
+        .orderBy("doc_id").collect().foreach(println)
     }
+    // corpus scale + non-vacuity probe on the dedup corpus
+    val dd = Tables.documents(s, d)
+    val corpus = dd.unionByName(dd.filter(col("doc_id") % 20 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000))
+    def probe(label: String, md5h: Boolean): Unit = {
+      val t0 = System.nanoTime()
+      val out = Dedup.substrDedup(corpus, "doc_id", "text", 8, md5h)
+      val agg = out.agg(count(lit(1)), sum(col("n_dropped")),
+        sum(when(col("n_dropped") > 0, 1).otherwise(0))).collect().head
+      println(f"$label rows=${agg.getLong(0)} dropped_tokens=${agg.getLong(1)} docs_cut=${agg.getLong(2)} in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    probe("xxh", md5h = false)
+    probe("md5", md5h = true)
     spark.stop()
   }
 }

@@ -188,6 +188,11 @@ object SparkEntry {
 
   // Dedup corpus: documents plus shifted duplicate copies, so exact-dedup has
   // non-trivial clusters (driver data is duplicate-free by construction).
+  /** dedup_substr's minimum duplicated-run length in tokens — interpolated
+    * into BOTH the Spark call and the DuckDB replay (the Bpe shared-
+    * constant discipline). */
+  private val SubstrRun = 8
+
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     d.unionByName(d.filter(col("doc_id") % 20 === 0)
@@ -908,6 +913,15 @@ object SparkEntry {
     // miss class. MD5 token hash => the rolling chain replays in DuckDB.
     "dedup_cdc" -> ((s, d) =>
       Dedup.cdcDedup(dedupCorpus(s, d), "doc_id", "text", 4, 5, md5Hash = true)),
+    // §2.2 row 19e — arbitrary-offset EXACT-SUBSTRING dedup (the true
+    // ExactSubstr tier, Lee et al. 2022): ANY duplicated run >= 8 tokens
+    // is cut at ANY offset — no span grid (dedup_span's miss), no
+    // chunk-boundary requirement (dedup_cdc's miss). Overlapping 8-gram
+    // md5 keys, first-occurrence keep, interval-merge gap reassembly;
+    // md5 => every cut replays verbatim in DuckDB.
+    "dedup_substr" -> ((s, d) =>
+      Dedup.substrDedup(dedupCorpus(s, d), "doc_id", "text", SubstrRun,
+        md5Hash = true)),
     // §2.2 row 19d — boilerplate scrub: CDC chunks at the ~4-token scale
     // occurring in >= 3 DISTINCT docs are template noise and drop from
     // EVERY doc (no canonical first copy — the CCNet/RefinedWeb
@@ -1428,8 +1442,10 @@ object SparkEntry {
     // §2.2 row L31c — unigram-LM (SentencePiece-style) Viterbi
     // segmentation (round 15): globally optimal min-cost split of every
     // distinct word under the pinned integer-cost piece inventory; the
-    // combined cost·1024+pieces DP integer makes the whole operator
-    // float-free and the SQL replay a recursive CTE over the same DP.
+    // combined cost·PieceScoreBase+pieces DP integer makes the whole
+    // operator float-free and the SQL replay a recursive CTE over the
+    // same DP (base/fallback/maxPieceLen interpolated from Bpe into BOTH
+    // sides — ADVICE r15).
     "unigram_segment" -> ((s, d) =>
       Bpe.unigramSegment(Tables.documents(s, d), "doc_id", "text",
         Bpe.pinnedPieces)),
@@ -2081,9 +2097,16 @@ object SparkEntry {
     "unigram_segment" -> {
       val pieceCase = graft.operators.Bpe.pinnedPieces
         .map { case (p, c) => s"WHEN '$p' THEN $c" }.mkString(" ")
+      // shared DP constants interpolated from Bpe — a default change there
+      // reaches this CTE automatically (ADVICE r15: no silent desync)
+      val base = graft.operators.Bpe.PieceScoreBase
+      val maxW = graft.operators.Bpe.MaxWordLen
+      val fb = graft.operators.Bpe.DefaultFallbackCost
+      val mpl = graft.operators.Bpe.DefaultMaxPieceLen
       s"""WITH d0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         |tw AS (SELECT doc_id, u AS w FROM
-        |    (SELECT doc_id, unnest(toks) AS u FROM d0) WHERE u <> ''),
+        |    (SELECT doc_id, unnest(toks) AS u FROM d0)
+        |  WHERE u <> '' AND length(u) < $maxW),
         |w0 AS (SELECT DISTINCT w FROM tw),
         |dp AS (
         |  WITH RECURSIVE st(w, i, best) AS (
@@ -2092,13 +2115,13 @@ object SparkEntry {
         |    SELECT w, i + 1,
         |      best || [list_min([best[j+1] +
         |        (CASE WHEN i + 1 - j = 1
-        |              THEN coalesce(CASE substr(w, j+1, 1) $pieceCase END, 6)
-        |              ELSE CASE substr(w, j+1, i+1-j) $pieceCase END END) * 1024 + 1
-        |        for j in range(greatest(0, i + 1 - 4), i + 1)])]
+        |              THEN coalesce(CASE substr(w, j+1, 1) $pieceCase END, $fb)
+        |              ELSE CASE substr(w, j+1, i+1-j) $pieceCase END END) * $base + 1
+        |        for j in range(greatest(0, i + 1 - $mpl), i + 1)])]
         |    FROM st WHERE i < length(w))
         |  SELECT w, best[length(w) + 1] AS fin FROM st WHERE i = length(w)),
-        |seg AS (SELECT w, fin % 1024 AS np,
-        |    CAST((fin - fin % 1024) / 1024 AS BIGINT) AS cost FROM dp)
+        |seg AS (SELECT w, fin % $base AS np,
+        |    CAST((fin - fin % $base) / $base AS BIGINT) AS cost FROM dp)
         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
         |  CAST(sum(s.cost) AS BIGINT) AS total_cost
@@ -2927,6 +2950,35 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(max(n_total) - count(*) AS BIGINT) AS n_dropped
         |FROM kept GROUP BY doc_id""".stripMargin),
+    // ExactSubstr replay — token-level restatement of the SAME semantics:
+    // a token is cut iff SOME overlapping L-gram covering it is a
+    // non-first occurrence of its md5'd content (first = smallest doc_id,
+    // then position — the dedup_span ranking verbatim). The Spark side
+    // evaluates this via interval merge + gap slicing; here the coverage
+    // test is a direct position-range join (fine at oracle SF), so the
+    // two sides agree only if the interval algebra is exactly right.
+    "dedup_substr" -> {
+      val l = SubstrRun
+      s"""${CorpusCte},
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+        |t0 AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+        |g AS (SELECT doc_id, CAST(p AS INT) AS pos,
+        |    md5(array_to_string(w[p+1 : p+$l], ' ')) AS h
+        |  FROM (SELECT doc_id, w, unnest(range(n - $l + 1)) AS p FROM t0 WHERE n >= $l)),
+        |dup AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM g) WHERE rn >= 2),
+        |tok AS (SELECT doc_id, CAST(t - 1 AS INT) AS ti, w[t] AS tk, n
+        |  FROM (SELECT doc_id, w, n, unnest(range(1, n + 1)) AS t FROM t0)),
+        |cov AS (SELECT DISTINCT t.doc_id, t.ti FROM tok t JOIN dup d
+        |  ON t.doc_id = d.doc_id AND t.ti BETWEEN d.pos AND d.pos + $l - 1),
+        |kept AS (SELECT t.doc_id, t.ti, t.tk, t.n FROM tok t LEFT JOIN cov c
+        |  ON t.doc_id = c.doc_id AND t.ti = c.ti WHERE c.ti IS NULL)
+        |SELECT doc_id, string_agg(tk, ' ' ORDER BY ti) AS text_dedup,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(max(n) - count(*) AS BIGINT) AS n_dropped
+        |FROM kept GROUP BY doc_id""".stripMargin
+    },
     // Boilerplate scrub: same CDC chain at the ~4-token chunk scale over
     // plain documents; chunks in >= 3 distinct docs drop from EVERY doc.
     "boilerplate_scrub" -> ("WITH " + cdcChainCtes("documents", 4) + """,

@@ -250,13 +250,19 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wt = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // empty-side guard (ADVICE r15): one empty input makes cum/n read
+    // 0/0 = NaN (which would also dominate the max) — the nullif-style
+    // guard used for _nrest in ksBySource maps an empty side to a NULL
+    // d_stat instead, the same "no complement, no statistic" semantics
+    def nz(c: Column): Column =
+      when(c === 0L, lit(null)).otherwise(c).cast("double")
     u.select(col("v"),
         sum(col("_ca")).over(wc).as("_cuma"), sum(col("_cb")).over(wc).as("_cumb"),
         sum(col("_ca")).over(wt).as("_na"), sum(col("_cb")).over(wt).as("_nb"))
       .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
         count(lit(1)).as("n_points"),
-        round(max(abs(col("_cuma").cast("double") / col("_na").cast("double") -
-          col("_cumb").cast("double") / col("_nb").cast("double"))), 6).as("d_stat"))
+        round(max(abs(col("_cuma").cast("double") / nz(col("_na")) -
+          col("_cumb").cast("double") / nz(col("_nb")))), 6).as("d_stat"))
   }
 
   /** Per-source KS drift — [[ksTwoSample]] run as ONE set-based plan for

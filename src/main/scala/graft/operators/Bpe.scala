@@ -339,6 +339,17 @@ object Bpe {
       .toDF("rank", "merge_left", "merge_right")
   }
 
+  /** Shared Viterbi-DP constants — interpolated into BOTH the Spark plan
+    * and the generated DuckDB oracle CTE so a default change cannot
+    * silently desync the two sides. `PieceScoreBase` is the packing radix
+    * of the combined `cost·base + n_pieces` DP score: 2^20 holds the piece
+    * count of any word shorter than [[MaxWordLen]] chars without wrapping
+    * into the cost field. */
+  val PieceScoreBase: Long = 1L << 20
+  val MaxWordLen: Long = PieceScoreBase // n_pieces ≤ word length < base
+  val DefaultFallbackCost: Int = 6
+  val DefaultMaxPieceLen: Int = 4
+
   /** Segment each document into subword pieces under a trained merge list —
     * one compiled map-side expression, zero shuffles. */
   def segment(docs: DataFrame, idCol: String, textCol: String,
@@ -356,11 +367,17 @@ object Bpe {
     * globally optimal segmentation of every word.
     *
     * Engine-exact by construction: the DP state is ONE integer per prefix —
-    * `score = cost·1024 + n_pieces` — so minimizing the combined integer
-    * minimizes (cost, n_pieces) lexicographically with a deterministic
-    * tie-break and zero floating point anywhere; the same DP replays as a
-    * DuckDB recursive CTE. Bounded: cost ≤ len·fallback, so the combined
-    * score stays far under 2^63 for any realistic token.
+    * `score = cost·[[PieceScoreBase]] + n_pieces` — so minimizing the
+    * combined integer minimizes (cost, n_pieces) lexicographically with a
+    * deterministic tie-break and zero floating point anywhere; the same DP
+    * replays as a DuckDB recursive CTE (the oracle interpolates the SAME
+    * [[PieceScoreBase]]/[[DefaultFallbackCost]]/[[DefaultMaxPieceLen]]
+    * constants, so the two sides cannot silently desync). Bounded: the
+    * 2^20 base holds n_pieces for any word under [[MaxWordLen]] chars —
+    * longer tokens (base64 blobs, data URLs) would wrap the piece count
+    * into the cost field, so they are FILTERED OUT on both sides by the
+    * same `length < MaxWordLen` predicate rather than scored wrongly —
+    * and total cost ≤ len·511 < 2^29 keeps cost·2^20 far under 2^63.
     *
     * Scale: the DP runs once per DISTINCT word (the dictionary, Zipf-tiny
     * vs the corpus — the BPE-train word-table discipline) as one compiled
@@ -369,8 +386,8 @@ object Bpe {
     * word-keyed join back to the token stream and one doc-keyed aggregate.
     * Output: (idCol, n_words, n_pieces, total_cost). */
   def unigramSegment(docs: DataFrame, idCol: String, textCol: String,
-                     pieces: Seq[(String, Int)], fallbackCost: Int = 6,
-                     maxPieceLen: Int = 4): DataFrame = {
+                     pieces: Seq[(String, Int)], fallbackCost: Int = DefaultFallbackCost,
+                     maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
     require(pieces.nonEmpty, "unigramSegment needs a piece inventory")
     require(fallbackCost > 0 && fallbackCost < 512, s"bad fallback: $fallbackCost")
     require(pieces.forall { case (p, c) =>
@@ -379,7 +396,7 @@ object Bpe {
     val vocab = typedLit(pieces.toMap)
     val w = col("_w")
     val tw = docs.select(col(idCol), explode(tokens(col(textCol))).as("_w"))
-      .where(w =!= "")
+      .where(w =!= "" && length(w) < MaxWordLen)
     // cost of the candidate piece w[j+1 .. i]: inventory lookup, with the
     // single-char fallback guaranteeing every prefix stays reachable
     def pieceCost(j: Column, i: Column): Column = {
@@ -393,11 +410,12 @@ object Bpe {
       (acc, i) => concat(acc, array(array_min(
         transform(sequence(greatest(lit(0), i - maxPieceLen), i - 1),
           j => element_at(acc, j + 1) +
-            (pieceCost(j, i).cast("long") * 1024L + 1L))))))
+            (pieceCost(j, i).cast("long") * PieceScoreBase + 1L))))))
     val dp = tw.select(w).distinct()
       .select(w, element_at(best, length(w) + 1).as("_fin"))
-      .select(w, (col("_fin") % 1024L).as("_np"),
-        ((col("_fin") - col("_fin") % 1024L) / 1024L).cast("long").as("_cost"))
+      .select(w, (col("_fin") % PieceScoreBase).as("_np"),
+        ((col("_fin") - col("_fin") % PieceScoreBase) / PieceScoreBase)
+          .cast("long").as("_cost"))
     tw.join(dp, "_w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("_np")).as("n_pieces"),

@@ -491,6 +491,106 @@ object Dedup {
       "text_clean")
   }
 
+  /** Arbitrary-offset EXACT-SUBSTRING dedup — the true ExactSubstr tier
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better") above [[spanDedup]]'s grid spans and [[cdcDedup]]'s
+    * content-defined chunks: ANY duplicated token run of at least `minRun`
+    * tokens is detected at ANY offset — no alignment grid, no
+    * chunk-boundary requirement. spanDedup misses a shifted passage
+    * (different span cuts); cdcDedup misses a repeat too short to span
+    * two content-defined boundaries; this operator misses neither
+    * (spec-pinned with a planted repeat BOTH siblings provably pass by).
+    *
+    * Detection is EXACT, not sampled: a token run of length m >= L shared
+    * between two positions shares all of its m−L+1 overlapping L-grams,
+    * and conversely one duplicated L-gram IS a shared L-token run — so
+    * "token sits inside a duplicated run >= L" is EXACTLY "some L-gram
+    * covering the token is a non-first occurrence of its content", and no
+    * suffix array is needed. Keep-first semantics per gram content
+    * (smallest doc id, then earliest position — the [[spanDedup]]
+    * convention): the canonical occurrence survives; every later
+    * occurrence's covered tokens are cut; documents reassemble from the
+    * surviving gaps. Output: (doc_id, text_dedup, n_kept, n_dropped) with
+    * counts in TOKENS (the span/cdc outputs count chunks); fully-covered
+    * docs vanish.
+    *
+    * Scale: L-grams materialize map-side as HASHES only — the
+    * first-occurrence window shuffles (hash, id, pos) rows, ~20 bytes per
+    * corpus token, never gram strings (spanDedup ships span text; this
+    * ships less per token despite L× overlap). Non-first rows collapse to
+    * per-doc position lists in one doc-keyed aggregate (bounded by
+    * duplicated positions only), rejoin the corpus on doc id, and
+    * interval-merge + gap reassembly run as compiled higher-order
+    * expressions per row — no per-token join, no driver state, never
+    * all-pairs. Two corpus shuffles total, the spanDedup discipline.
+    *
+    * `md5Hash = true` is the cross-engine oracle carrier (md5 gram keys
+    * replay verbatim in DuckDB — the [[cdcDedup]] convention); the
+    * xxhash64 default shuffles 8-byte keys, accepting the documented
+    * ~G²/2^65 collision expectation (the [[sourceOverlap]]
+    * `hashKeys = true` adjudication — a collision can at most merge two
+    * distinct grams and mis-cut one run). */
+  def substrDedup(docs: DataFrame, idCol: String, textCol: String,
+                  minRun: Int = 8, md5Hash: Boolean = false): DataFrame = {
+    require(minRun >= 2, s"substrDedup needs minRun >= 2, got $minRun")
+    val L = minRun
+    val base = docs
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_w"))
+      .where(size(col("_w")) > 0)
+    def gramKey(g: Column): Column = if (md5Hash) md5(g) else xxhash64(g)
+    val grams = base
+      .where(size(col("_w")) >= L)
+      .select(col("_id"), posexplode(org.apache.spark.sql.functions.transform(
+        sequence(lit(0), size(col("_w")) - L),
+        i => gramKey(concat_ws(" ", slice(col("_w"), i + 1, lit(L)))))))
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_h")
+    val firstWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_h")).orderBy(col("_id"), col("_pos"))
+    val dupPos = grams
+      .withColumn("_rn", row_number().over(firstWin))
+      .where(col("_rn") >= 2)
+      .groupBy(col("_id")).agg(sort_array(collect_list(col("_pos"))).as("_ps"))
+    // merge the sorted dup-gram positions into disjoint covered intervals
+    // [s, e] (0-based token indexes): position p covers [p, p+L-1] and
+    // merges when it touches/overlaps the previous interval's end + 1
+    val emptyIv = array().cast("array<struct<s:int,e:int>>")
+    val mergedIv = aggregate(
+      coalesce(col("_ps"), array().cast("array<int>")), emptyIv,
+      (acc, p) => {
+        // try_element_at: ANSI mode throws on element_at(-1) of an empty
+        // accumulator; NULL here just means "no interval yet" -> no merge
+        val last = try_element_at(acc, lit(-1))
+        val ext = coalesce(p <= last.getField("e") + 1, lit(false))
+        when(ext,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("s").as("s"), (p + lit(L) - 1).as("e")))))
+          .otherwise(concat(acc,
+            array(struct(p.as("s"), (p + lit(L) - 1).as("e")))))
+      })
+    // walk the gaps between covered intervals, slicing surviving token
+    // segments in order; the finisher appends the tail past the last cut
+    val walk = aggregate(
+      col("_iv"),
+      struct(lit(0).as("nx"), array().cast("array<string>").as("parts")),
+      (acc, r) => struct(
+        (r.getField("e") + 1).as("nx"),
+        concat(acc.getField("parts"),
+          slice(col("_w"), acc.getField("nx") + 1,
+            r.getField("s") - acc.getField("nx"))).as("parts")),
+      acc => concat(acc.getField("parts"),
+        slice(col("_w"), acc.getField("nx") + 1,
+          size(col("_w")) - acc.getField("nx"))))
+    val dropped = aggregate(col("_iv"), lit(0),
+      (a, r) => a + (r.getField("e") - r.getField("s") + 1))
+    base.join(dupPos, Seq("_id"), "left")
+      .withColumn("_iv", mergedIv)
+      .select(col("_id").as("doc_id"),
+        concat_ws(" ", walk).as("text_dedup"),
+        (size(col("_w")) - dropped).cast("long").as("n_kept"),
+        dropped.cast("long").as("n_dropped"))
+      .where(col("n_kept") > 0)
+  }
+
   /** Cross-source n-gram overlap matrix — the corpus-curation diagnostic
     * behind mixture design and leakage checks: for every pair of sources,
     * the EXACT Jaccard of their distinct shingle vocabularies (how much of

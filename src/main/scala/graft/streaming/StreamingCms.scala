@@ -18,21 +18,17 @@ import graft.operators.TextAnalysis
   * the usual min-over-rows estimate and one-sided overcount bound.
   *
   * Failure semantics: foreachBatch is AT-LEAST-ONCE (a crash between the
-  * sketch overwrite and the checkpoint commit replays the batch), and
+  * sketch write and the checkpoint commit replays the batch), and
   * cell-wise sum is not idempotent by content — so the fold carries its
   * own replay guard: every sketch row records the last-applied `_bid`,
   * and a batch whose id is ≤ the stored one is SKIPPED. Guard and cells
-  * land in the SAME atomic parquet overwrite, so every crash point
-  * resolves correctly: crash before the write replays and folds (never
-  * applied), crash after the write replays and skips (already applied).
-  * The merged frame materializes (`localCheckpoint`) before overwriting
-  * the dir it was read from. */
+  * land in one [[SketchStore]] swap-write (full write to a temp dir, then
+  * atomic renames — never a delete-then-write over the live dir), so
+  * every crash point resolves to exactly-once: crash before the promote
+  * rolls back to the complete prior sketch and re-folds, crash after it
+  * replays into a bid-guarded skip. There is no window where a PARTIAL
+  * cell table carries the new `_bid` (the ADVICE r15 overwrite hazard). */
 object StreamingCms {
-
-  private def pathExists(s: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
 
   /** Fold one micro-batch into the sketch at `sketchPath` — IDEMPOTENT per
     * batchId: replaying an already-applied id is a no-op (the
@@ -44,7 +40,7 @@ object StreamingCms {
     val bs = TextAnalysis.cmsSketch(batch, "text", depth, width)
       .withColumn("_bid", lit(batchId))
     val merged =
-      if (pathExists(s, sketchPath)) {
+      if (SketchStore.exists(s, sketchPath)) {
         val prior = s.read.parquet(sketchPath)
         // bounded driver pull: one MAX over the ≤ depth×width-row sketch
         // (null when a prior batch was empty → nothing applied yet)
@@ -55,8 +51,7 @@ object StreamingCms {
           .groupBy(col("_r"), col("_b")).agg(sum(col("_cell")).as("_cell"))
           .withColumn("_bid", lit(batchId))
       } else bs
-    // materialize before overwriting the dir the left side was read from
-    merged.localCheckpoint().write.mode("overwrite").parquet(sketchPath)
+    SketchStore.swapWrite(merged, sketchPath)
   }
 
   /** Start the sketch consumer over a watched directory of

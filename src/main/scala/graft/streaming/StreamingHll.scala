@@ -22,24 +22,22 @@ import graft.operators.TextAnalysis
   * HLL registers are maxes and don't have to. */
 object StreamingHll {
 
-  private def pathExists(s: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
-
   /** Fold one micro-batch into the register table at `sketchPath` —
     * idempotent by CONTENT (max-merge), no replay bookkeeping needed.
+    * Written under the [[SketchStore]] swap protocol: even though a
+    * replayed max-merge is harmless, a crash MID-overwrite could still
+    * lose registers of the prior sketch (delete-then-write) — the swap
+    * write closes that window here too (ADVICE r15).
     * Exposed so the replay spec can drive it directly. */
   private[graft] def foldBatch(batch: DataFrame, sketchPath: String): Unit = {
     val s = batch.sparkSession
     val bs = TextAnalysis.hllRegisters(batch, "text")
     val merged =
-      if (pathExists(s, sketchPath))
+      if (SketchStore.exists(s, sketchPath))
         s.read.parquet(sketchPath).unionByName(bs)
           .groupBy(col("bucket")).agg(max(col("r")).cast("int").as("r"))
       else bs
-    // materialize before overwriting the dir the left side was read from
-    merged.localCheckpoint().write.mode("overwrite").parquet(sketchPath)
+    SketchStore.swapWrite(merged, sketchPath)
   }
 
   /** Start the cardinality-sketch consumer over a watched directory of

@@ -61,6 +61,13 @@ class AnalyticsSpec extends SparkSpec {
     val self = Analytics.ksTwoSample(a, a, "v")
       .as[(Long, Long, Long, Double)].collect().head
     assert(self == ((4L, 4L, 3L, 0.0)), "identical samples must read D = 0")
+    // empty-side guard (ADVICE r15): an empty input reads d_stat NULL —
+    // the ksBySource empty-complement semantics — never 0/0 = NaN
+    val empty = Seq.empty[Long].toDF("v")
+    val oneEmpty = Analytics.ksTwoSample(a, empty, "v")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(oneEmpty == ((4L, 0L, 3L, None)),
+      s"empty side must read d_stat NULL, got $oneEmpty")
   }
 
   test("ksBySource: every row equals the two-sample statistic on (slice, rest)") {

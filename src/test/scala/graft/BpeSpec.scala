@@ -247,16 +247,17 @@ class BpeSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val pieces = Seq("the" -> 4, "fil" -> 4, "ter" -> 4, "ng" -> 3, "a" -> 2)
     val fallback = 6
-    // local reference Viterbi over the SAME combined cost*1024+pieces metric
+    val base = Bpe.PieceScoreBase
+    // local reference Viterbi over the SAME combined cost*base+pieces metric
     def ref(w: String): (Long, Long) = {
       val best = Array.fill(w.length + 1)(Long.MaxValue); best(0) = 0L
       for (i <- 1 to w.length; j <- math.max(0, i - 4) until i if best(j) != Long.MaxValue) {
         val p = w.substring(j, i)
         val c = pieces.toMap.get(p)
           .orElse(if (p.length == 1) Some(fallback) else None)
-        c.foreach(cc => best(i) = math.min(best(i), best(j) + cc * 1024L + 1L))
+        c.foreach(cc => best(i) = math.min(best(i), best(j) + cc * base + 1L))
       }
-      (best(w.length) % 1024L, (best(w.length) - best(w.length) % 1024L) / 1024L)
+      (best(w.length) % base, (best(w.length) - best(w.length) % base) / base)
     }
     // one doc per word + one multi-word doc with repeated tokens
     val docs = Seq(
@@ -288,5 +289,18 @@ class BpeSpec extends SparkSpec {
     val c = Bpe.unigramSegment(corpus, "doc_id", "text", Bpe.pinnedPieces)
       .as[(Long, Long, Long, Long)].collect().head
     assert(c._2 == 5L && c._3 >= 5L && c._4 > 0L)
+    // MaxWordLen guard (ADVICE r15): a token at/above the packing radix
+    // would wrap n_pieces into the cost field — it is FILTERED, not scored
+    // wrongly, and both engines apply the identical length predicate. A
+    // word just under any realistic length still scores (n_pieces == len
+    // under fallback-only segmentation — no wrap).
+    val monster = "z" * 4096 // fallback-only: n_pieces = 4096 > old 1024 radix
+    val guarded = Seq((9L, s"the $monster")).toDF("doc_id", "text")
+    val g = Bpe.unigramSegment(guarded, "doc_id", "text", Bpe.pinnedPieces)
+      .as[(Long, Long, Long, Long)].collect().head
+    // both words survive (4096 < MaxWordLen); the monster's 4096 pieces
+    // would have aliased to 0 pieces + corrupted cost under a 2^10 radix
+    assert(g._2 == 2L && g._3 == 4097L,
+      s"expected 2 words / 4097 pieces (no radix wrap), got $g")
   }
 }

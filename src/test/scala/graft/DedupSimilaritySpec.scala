@@ -1220,6 +1220,78 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.contains(3L), "the first occurrence survives")
   }
 
+  test("substrDedup cuts the short shifted repeat that BOTH spanDedup and cdcDedup miss") {
+    val rnd = new scala.util.Random(13)
+    def words(n: Int, tag: String) = Array.tabulate(n)(i => s"$tag${rnd.nextInt(1000)}x$i")
+    // 12-token passage: >= minRun 8, but (a) planted at offsets 10 vs 7 it
+    // never aligns to the 20-token span grid, and (b) it is far shorter
+    // than two expected CDC chunks (k=4, maskBits=4 => ~16 tokens), so its
+    // interior cannot span the >= 2 content-defined boundaries cdcDedup
+    // needs — the documented miss class of EACH sibling at once
+    val passage = words(12, "p")
+    val pre1 = words(10, "a"); val suf1 = words(6, "z")
+    val pre2 = words(7, "b"); val suf2 = words(9, "q")
+    val docs = Seq(
+      (1L, (pre1 ++ passage ++ suf1).mkString(" ")),
+      (2L, (pre2 ++ passage ++ suf2).mkString(" "))).toDF("doc_id", "text")
+    val span = Dedup.spanDedup(docs, "doc_id", "text", 20)
+      .where(col("doc_id") === 2).select(col("n_dropped")).as[Long].head()
+    assert(span == 0, "span grid must miss the plant for the test to bite")
+    for (md5 <- Seq(false, true)) {
+      val cdc = Dedup.cdcDedup(docs, "doc_id", "text", 4, 4, md5)
+        .where(col("doc_id") === 2).select(col("n_dropped")).as[Long].head()
+      assert(cdc == 0, s"cdc (md5=$md5) must miss the short repeat for the test to bite")
+      val sub = Dedup.substrDedup(docs, "doc_id", "text", 8, md5)
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      // doc 1 is canonical and fully intact; doc 2 loses EXACTLY the
+      // 12 passage tokens and reassembles prefix + suffix seamlessly
+      assert(sub(1L)._2 == (pre1 ++ passage ++ suf1).mkString(" ") && sub(1L)._4 == 0)
+      assert(sub(2L)._2 == (pre2 ++ suf2).mkString(" "),
+        s"md5=$md5: doc 2 must reassemble to prefix+suffix, got '${sub(2L)._2}'")
+      assert(sub(2L)._3 == 16L && sub(2L)._4 == 12L)
+    }
+  }
+
+  test("substrDedup: exact >= minRun boundary, keep-first, self-repeat, full copy vanishes") {
+    val rnd = new scala.util.Random(17)
+    def words(n: Int, tag: String) = Array.tabulate(n)(i => s"$tag${rnd.nextInt(1000)}y$i")
+    // boundary exactness in BOTH directions: a shared run of exactly
+    // minRun tokens is cut; one of minRun - 1 is untouchable
+    val run8 = words(8, "r"); val run7 = words(7, "s")
+    val docsAt = Seq(
+      (1L, (words(5, "a") ++ run8 ++ words(4, "b") ++ run7 ++ words(3, "c")).mkString(" ")),
+      (2L, (words(6, "d") ++ run8 ++ words(5, "e") ++ run7 ++ words(2, "f")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.substrDedup(docsAt, "doc_id", "text", 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == 0L, "canonical doc intact")
+    assert(out(2L)._4 == 8L, "exactly the 8-token run is cut; the 7-token run survives")
+    assert(out(2L)._2.contains(run7.mkString(" ")) && !out(2L)._2.contains(run8.mkString(" ")))
+    // within-doc self repeat: 20 identical tokens collapse onto the first
+    // gram's first occurrence (interval [1, 19] merges into one cut)
+    val self = Dedup.substrDedup(
+      Seq((7L, Array.fill(20)("x").mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", 8).as[(Long, String, Long, Long)].collect().head
+    assert(self == ((7L, "x", 1L, 19L)))
+    // docs shorter than minRun can never be cut and pass through
+    // whitespace-normalized; a FULL duplicate of a long doc vanishes
+    val base = words(30, "g").mkString(" ")
+    val mix = Seq((1L, base), (2L, "tiny doc here"), (3L, "  tiny   doc	here "),
+      (1001L, base)).toDF("doc_id", "text")
+    val got = Dedup.substrDedup(mix, "doc_id", "text", 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(1001L), "the full copy loses every token and vanishes")
+    assert(got(1L)._2 == base && got(1L)._4 == 0L)
+    assert(got(2L)._2 == "tiny doc here" && got(3L)._2 == "tiny doc here",
+      "short docs pass through whitespace-normalized (the 3-token repeat is < minRun)")
+    // the two hash carriers are row-identical on this corpus
+    val a = Dedup.substrDedup(mix, "doc_id", "text", 8, md5Hash = false)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.substrDedup(mix, "doc_id", "text", 8, md5Hash = true)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "xxhash64 and md5 carriers must agree (no collisions here)")
+  }
+
   test("boilerplateScrub drops >=maxDf-doc chunks from EVERY doc, keeps the rest") {
     val rnd = new scala.util.Random(11)
     def words(n: Int, tag: String) = Array.tabulate(n)(i => s"$tag${rnd.nextInt(1000)}v$i")

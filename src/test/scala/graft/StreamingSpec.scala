@@ -377,6 +377,66 @@ class StreamingSpec extends SparkSpec {
     assert(cells() == afterB2, "stale batchId replay must not re-fold")
   }
 
+  test("SketchStore swap protocol: every crash window resolves to exactly-once") {
+    // The ADVICE r15 hazard: mode("overwrite") is delete-then-write, so a
+    // crash mid-overwrite could leave a PARTIAL sketch carrying the new
+    // _bid (replay skips against incomplete cells) or no sketch at all.
+    // Simulate each crash point of the swap protocol by hand-arranging the
+    // live/.swap.prev/.swap.tmp dirs, then assert the next fold lands on
+    // the exact whole-stream sketch.
+    import spark.implicits._
+    import graft.streaming.StreamingDedup.Doc
+    val fsconf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p("/").getFileSystem(fsconf)
+    val b1 = Seq(Doc(1, "aa aa bb cc"), Doc(2, "dd aa")).toDF()
+    val b2 = Seq(Doc(3, "bb cc cc ee"), Doc(4, "aa ff ff")).toDF()
+    def cellsOf(path: String): Map[(Int, Long), Long] =
+      spark.read.parquet(path).select("_r", "_b", "_cell")
+        .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+
+    // crash point A: between retire (live -> .prev) and promote (.tmp ->
+    // live) while folding batch 1 — live missing, .prev = complete prior
+    // sketch, .tmp = complete new sketch. recover() must roll back to the
+    // prior state and the at-least-once replay of batch 1 must then fold
+    // it exactly once.
+    val rootA = java.nio.file.Files.createTempDirectory("graft_swapA").toFile.getAbsolutePath
+    val skA = s"$rootA/sketch"
+    graft.streaming.StreamingCms.foldBatch(b1, 0L, skA, 4, 1024)
+    fs.rename(p(skA), p(skA + ".swap.prev")) // simulate: retired, not promoted
+    graft.streaming.StreamingCms.foldBatch(b2, 1L, skA, 4, 1024) // the replay
+    assert(cellsOf(skA) == cells2(b1.unionByName(b2)),
+      "crash between retire and promote: rollback + replay must fold exactly once")
+    assert(!fs.exists(p(skA + ".swap.prev")), "recover consumed .prev")
+
+    // crash point B: after promote, before .prev cleanup — live = new
+    // sketch, .prev stale. The replayed batch must skip (bid guard) and
+    // the stale .prev must not resurrect or block the next fold.
+    val rootB = java.nio.file.Files.createTempDirectory("graft_swapB").toFile.getAbsolutePath
+    val skB = s"$rootB/sketch"
+    graft.streaming.StreamingCms.foldBatch(b1, 0L, skB, 4, 1024)
+    graft.streaming.StreamingCms.foldBatch(b2, 1L, skB, 4, 1024)
+    fs.mkdirs(p(skB + ".swap.prev")) // simulate a stale, half-deleted .prev
+    graft.streaming.StreamingCms.foldBatch(b2, 1L, skB, 4, 1024) // replay: skip
+    assert(cellsOf(skB) == cells2(b1.unionByName(b2)),
+      "crash after promote: replay skips, stale .prev is inert")
+    val b3 = Seq(Doc(5, "gg aa")).toDF()
+    graft.streaming.StreamingCms.foldBatch(b3, 2L, skB, 4, 1024) // clears stale .prev
+    assert(cellsOf(skB) == cells2(b1.unionByName(b2).unionByName(b3)) &&
+      !fs.exists(p(skB + ".swap.prev")),
+      "next fresh fold replaces the stale .prev and lands the full stream")
+
+    // crash point C: mid-write of .tmp (partial temp dir) — live sketch
+    // intact; the next fold overwrites .tmp and completes normally.
+    val rootC = java.nio.file.Files.createTempDirectory("graft_swapC").toFile.getAbsolutePath
+    val skC = s"$rootC/sketch"
+    graft.streaming.StreamingCms.foldBatch(b1, 0L, skC, 4, 1024)
+    fs.mkdirs(p(skC + ".swap.tmp")) // simulate a partial tmp write
+    graft.streaming.StreamingCms.foldBatch(b2, 1L, skC, 4, 1024)
+    assert(cellsOf(skC) == cells2(b1.unionByName(b2)),
+      "partial .tmp from a crashed write must be overwritten, not promoted")
+  }
+
   test("StreamingHll folds to the whole-stream sketch; replay is a no-op WITHOUT a guard") {
     // max-merge is idempotent by content — the contrast with StreamingCms,
     // whose cell sums need the _bid guard. Drive foldBatch directly:
