@@ -880,6 +880,17 @@ object SparkEntry {
       Analytics.ksTwoSample(docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1), "n_tokens")
     }),
+    // §2.1 row 17l CONTINUOUS form (round 16): events.value is a raw
+    // double — exactly the metric whose value domain would make
+    // ksTwoSample's ordered frame corpus-sized — so both sides grid onto
+    // 1024 shared integer bins from one combined-min/max broadcast first
+    // (purchase events vs the rest of the stream).
+    "ks_binned" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Analytics.ksBinned(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") =!= "purchase"), "value", 1024)
+    }),
     // §2.1 row 17l grouped form — each source's token-count distribution
     // vs the REST of the corpus, one set-based plan (spec-pinned equal to
     // the two-sample statistic per source)
@@ -1328,6 +1339,12 @@ object SparkEntry {
     // both engines, 6dp DECIMAL weighted sums.
     "lm_kneser_ney" -> ((s, d) =>
       TextAnalysis.lmKneserNey(Tables.documents(s, d), "doc_id", "text")),
+    // §2.2 row L27l (round 16): interpolated KN one model order up —
+    // trigram top level, continuation-count middle order on the distinct
+    // (w2,w3) pair table, pair-continuation base; same oracle contract
+    // (dyadic D, identical parenthesization, 6dp DECIMAL weighted sums).
+    "lm_kn_trigram" -> ((s, d) =>
+      TextAnalysis.lmKneserNeyTrigram(Tables.documents(s, d), "doc_id", "text")),
     // §2.2 row L27m — Zipf-fit corpus diagnostic (round 14): OLS of
     // ln(freq) on ln(rank) over the top-1000 vocabulary head; DECIMAL
     // sums + identically-parenthesized double closed forms replay in SQL.
@@ -1384,6 +1401,19 @@ object SparkEntry {
     // overlap monitor in |sources|·256 rows of state
     "hll_set_ops" -> ((s, d) =>
       TextAnalysis.hllSetOps(Tables.documents(s, d), "source", "text")),
+    // §2.2 row L29aa — deterministic mergeable quantile sketch (round 16,
+    // Agarwal et al. 2012 with md5 coins): ≤ k uniform-by-hash survivors
+    // at the smallest admissible halving level; order statistics of the
+    // survivors estimate the quantiles; EXACT merge law (union+
+    // re-threshold), fully replayable — the quantile tier approx_
+    // percentile's non-replayable GK internals can't provide.
+    "quantile_sketch" -> ((s, d) =>
+      QuantileSketch.estimates(Tables.orders(s, d), None, "o_orderkey",
+        "o_totalprice", 256, Seq(10, 100, 250, 500, 750, 900, 990))),
+    // the grouped form — per-source document-length quantile monitor
+    "quantile_sketch_by" -> ((s, d) =>
+      QuantileSketch.estimates(Tables.documents(s, d), Some("source"),
+        "doc_id", "n_chars", 128, Seq(250, 500, 750, 900))),
     // §2.2 row 31 — BPE tokenizer training (Sennrich word-frequency
     // formulation: ONE corpus pass builds the word table, then — vocab
     // being far under Bpe.DriverVocabBound — the merge loop runs
@@ -2815,6 +2845,35 @@ object SparkEntry {
         |  round(max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
         |    - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS d_stat
         |FROM c""".stripMargin,
+    // Binned-KS replay: the bin index is floor((v − lo)/(hi − lo)·1024)
+    // clamped to 1023 — each step one correctly-rounded double op,
+    // parenthesized identically to the Column expression, so the integer
+    // grid (and everything after it, the ks_drift tail) is engine-exact.
+    "ks_binned" ->
+      """WITH v0 AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT min(v) AS lo, max(v) AS hi FROM v0),
+        |ba AS (SELECT CAST(CASE WHEN hi = lo THEN 0
+        |      ELSE least(floor((v - lo) / (hi - lo) * 1024), 1023) END AS INT) AS v
+        |  FROM v0, st WHERE event_type = 'purchase'),
+        |bb AS (SELECT CAST(CASE WHEN hi = lo THEN 0
+        |      ELSE least(floor((v - lo) / (hi - lo) * 1024), 1023) END AS INT) AS v
+        |  FROM v0, st WHERE event_type <> 'purchase'),
+        |ca AS (SELECT v, count(*) AS ca FROM ba GROUP BY v),
+        |cb AS (SELECT v, count(*) AS cb FROM bb GROUP BY v),
+        |u AS (SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |c AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM u)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_points,
+        |  round(max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS d_stat
+        |FROM c""".stripMargin,
     "ks_by_source" ->
       """WITH base AS (SELECT source,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
@@ -3498,6 +3557,47 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
         |  round(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6) AS avg_logprob_kn
         |FROM tf JOIN probs USING (bigram) GROUP BY doc_id""".stripMargin,
+    // Trigram KN replay — the bigram oracle one order up: the five KN
+    // statistics come from GROUP BY restatements of the Spark side's
+    // partitioned windows (identical values), the distinct (w2,w3) pair
+    // table carries the continuation counts, and the probability chain is
+    // parenthesized IDENTICALLY to the Column expression.
+    "lm_kn_trigram" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |tri AS (SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS trigram
+        |  FROM tok),
+        |tf AS (SELECT doc_id, trigram, count(*) AS tf FROM tri GROUP BY doc_id, trigram),
+        |vt AS (SELECT trigram, SUM(tf) AS cnt_tri FROM tf GROUP BY trigram),
+        |vc AS (SELECT split_part(trigram, ' ', 1) AS c1, split_part(trigram, ' ', 2) AS c2,
+        |    SUM(cnt_tri) AS cnt_ctx, count(*) AS n1_fwd FROM vt GROUP BY 1, 2),
+        |vm AS (SELECT split_part(trigram, ' ', 2) AS m2, split_part(trigram, ' ', 3) AS m3,
+        |    count(*) AS n1_mid FROM vt GROUP BY 1, 2),
+        |vd AS (SELECT split_part(trigram, ' ', 2) AS d2, count(*) AS n1_dot2dot
+        |  FROM vt GROUP BY 1),
+        |pr AS (SELECT DISTINCT split_part(trigram, ' ', 2) AS p2,
+        |    split_part(trigram, ' ', 3) AS p3 FROM vt),
+        |p2s AS (SELECT p2, count(*) AS n1_w2dot FROM pr GROUP BY 1),
+        |p3s AS (SELECT p3, count(*) AS n1_back FROM pr GROUP BY 1),
+        |np AS (SELECT count(*) AS n_pairs FROM pr),
+        |probs AS (SELECT trigram,
+        |    CAST(round(ln(
+        |      (cnt_tri - 0.75) / cnt_ctx +
+        |      0.75 * n1_fwd / cnt_ctx *
+        |      ((n1_mid - 0.75) / n1_dot2dot +
+        |       0.75 * n1_w2dot / n1_dot2dot *
+        |       (CAST(n1_back AS DOUBLE) / n_pairs))), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM vt
+        |  JOIN vc ON split_part(trigram, ' ', 1) = c1 AND split_part(trigram, ' ', 2) = c2
+        |  JOIN vm ON split_part(trigram, ' ', 2) = m2 AND split_part(trigram, ' ', 3) = m3
+        |  JOIN vd ON split_part(trigram, ' ', 2) = d2
+        |  JOIN p2s ON split_part(trigram, ' ', 2) = p2
+        |  JOIN p3s ON split_part(trigram, ' ', 3) = p3
+        |  CROSS JOIN np)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+        |  round(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6) AS avg_logprob_kn3
+        |FROM tf JOIN probs USING (trigram) GROUP BY doc_id""".stripMargin,
     // Zipf replay: ln values round to 6dp DECIMAL so the five sums are
     // exact; the OLS closed forms then run in doubles with the SAME
     // parenthesization as the Scala side — each step one correctly-
@@ -3761,6 +3861,53 @@ object SparkEntry {
         |  eb.est AS est_b, u.est_union,
         |  round(ea.est + eb.est - u.est_union, 4) AS est_intersect
         |FROM ue u JOIN se ea ON ea.source = u.sa JOIN se eb ON eb.source = u.sb""".stripMargin,
+    // Quantile sketch replay — the whole construction is integer/string
+    // ops both engines share: v60 = 15 md5 hex digits (the cms/hll
+    // convention), level = 60 − len(bin(v60)) (bin() unpadded in both),
+    // the level choice a ≤ 61-candidate aggregate, and the estimate an
+    // order statistic of the sorted survivor values at the all-integer
+    // rank (p·m + 999) div 1000 — no floating arithmetic anywhere, so
+    // row hashes match exactly.
+    "quantile_sketch" ->
+      """WITH r AS (SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS v60,
+        |    CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_totalprice IS NOT NULL),
+        |rl AS (SELECT v60, v,
+        |    CASE WHEN v60 = 0 THEN 60 ELSE 60 - length(bin(v60)) END AS lmax FROM r),
+        |hist AS (SELECT lmax, count(*) AS c FROM rl GROUP BY lmax),
+        |cand AS (SELECT cl, SUM(c) AS n
+        |  FROM hist, (SELECT unnest(range(0, 61)) AS cl) cls
+        |  WHERE lmax >= cl GROUP BY cl),
+        |ls AS (SELECT CAST(min(cl) AS INT) AS level FROM cand WHERE n <= 256),
+        |nr AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows FROM hist),
+        |sv AS (SELECT list_sort(list(v)) AS vals, CAST(count(*) AS BIGINT) AS n_survivors
+        |  FROM rl, ls WHERE lmax >= level),
+        |ps AS (SELECT unnest([10, 100, 250, 500, 750, 900, 990]) AS p)
+        |SELECT CAST(p AS INT) AS p_permille,
+        |  vals[CAST((p * n_survivors + 999) // 1000 AS INT)] AS est,
+        |  ls.level, sv.n_survivors, nr.n_rows
+        |FROM ps, sv, ls, nr""".stripMargin,
+    "quantile_sketch_by" ->
+      """WITH r AS (SELECT source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS v60,
+        |    CAST(n_chars AS DOUBLE) AS v FROM documents WHERE n_chars IS NOT NULL),
+        |rl AS (SELECT source, v60, v,
+        |    CASE WHEN v60 = 0 THEN 60 ELSE 60 - length(bin(v60)) END AS lmax FROM r),
+        |hist AS (SELECT source, lmax, count(*) AS c FROM rl GROUP BY source, lmax),
+        |cand AS (SELECT source, cl, SUM(c) AS n
+        |  FROM hist, (SELECT unnest(range(0, 61)) AS cl) cls
+        |  WHERE lmax >= cl GROUP BY source, cl),
+        |ls AS (SELECT source, CAST(min(cl) AS INT) AS level FROM cand
+        |  WHERE n <= 128 GROUP BY source),
+        |nr AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_rows FROM hist GROUP BY source),
+        |sv AS (SELECT rl.source, ls.level, list_sort(list(v)) AS vals,
+        |    CAST(count(*) AS BIGINT) AS n_survivors
+        |  FROM rl JOIN ls ON rl.source = ls.source WHERE lmax >= level
+        |  GROUP BY rl.source, ls.level),
+        |ps AS (SELECT unnest([250, 500, 750, 900]) AS p)
+        |SELECT sv.source, CAST(p AS INT) AS p_permille,
+        |  vals[CAST((p * n_survivors + 999) // 1000 AS INT)] AS est,
+        |  sv.level, sv.n_survivors, nr.n_rows
+        |FROM ps, sv JOIN nr ON sv.source = nr.source""".stripMargin,
     "profile_columns" ->
       """SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

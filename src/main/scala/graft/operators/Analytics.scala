@@ -234,9 +234,12 @@ object Analytics {
     *-combined shuffle each, output bounded by the VALUE DOMAIN (distinct
     * metric values: token counts, score buckets), never the corpus. The
     * cumulative window that follows is ordered-unpartitioned but runs on
-    * that domain-bounded frame (the vocab_top discipline); a continuous
-    * metric should be bucketed first, which is standard KS-on-binned
-    * practice. Output: one row (n_a, n_b, n_points, d_stat). */
+    * that domain-bounded frame (the vocab_top discipline). A CONTINUOUS
+    * metric (raw doubles: prices, scores, latencies) makes that frame
+    * corpus-sized — route it through [[ksBinned]], which grids both sides
+    * onto ≤ nBins integer bins first; calling this directly is only
+    * correct for metrics whose value domain is intrinsically bounded.
+    * Output: one row (n_a, n_b, n_points, d_stat). */
   def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def cnt(df: DataFrame, out: String) =
       df.select(col(valueCol).as("v")).where(col("v").isNotNull)
@@ -302,6 +305,39 @@ object Analytics {
           col("_crest").cast("double") /
             when(col("_nrest") === 0L, lit(null)).otherwise(col("_nrest")).cast("double"))),
           6).as("d_stat"))
+  }
+
+  /** KS drift for CONTINUOUS metrics — closes [[ksTwoSample]]'s
+    * documented footgun: its cumulative window is bounded only by the
+    * VALUE DOMAIN, fine for integer metrics (token counts, buckets) but
+    * corpus-sized the day someone passes a raw double. Here both sides
+    * first bin onto a shared integer grid — `nBins` equal-width bins
+    * between the COMBINED min/max, from ONE 1-row broadcast (the zorder
+    * bucketing discipline) — and the exact two-sample statistic runs on
+    * bin indexes, so the ordered frame is ≤ nBins rows no matter what the
+    * metric is. This is standard KS-on-binned practice: D on the binned
+    * CDFs underestimates continuous D by at most the largest per-bin mass.
+    * Bin arithmetic is floor((v − lo)/(hi − lo)·nBins) clamped to
+    * nBins−1 — each step one correctly-rounded double op, identically
+    * parenthesized in the oracle, so indexes are engine-exact; a
+    * degenerate hi = lo maps everything to bin 0 (D = 0).
+    * Output: one row (n_a, n_b, n_points, d_stat), [[ksTwoSample]]'s. */
+  def ksBinned(a: DataFrame, b: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 65536, s"ksBinned needs 2 <= nBins <= 65536, got $nBins")
+    def side(df: DataFrame) = df.select(col(valueCol).cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+    val va = side(a)
+    val vb = side(b)
+    // 1-row combined min/max broadcast — the audited 1-row-stats crossJoin
+    val stats = broadcast(va.unionByName(vb)
+      .agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi")))
+    def binned(df: DataFrame) = df.crossJoin(stats).select(
+      when(col("_hi") === col("_lo"), lit(0L))
+        .otherwise(least(
+          floor((col("_v") - col("_lo")) / (col("_hi") - col("_lo")) * nBins),
+          lit((nBins - 1).toLong)))
+        .cast("int").as("bin"))
+    ksTwoSample(binned(va), binned(vb), "bin")
   }
 
   def rangeJoin(points: DataFrame, intervals: DataFrame,

@@ -314,6 +314,82 @@ object TextAnalysis {
           .as("avg_logprob_kn"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM scoring — [[lmKneserNey]] one model
+    * order up (Chen & Goodman 1999's interpolated form with continuation
+    * counts at every lower order):
+    * P(w3|w1w2) = (c(w1w2w3)−D)/c(w1w2) + D·N1+(w1w2·)/c(w1w2) · P(w3|w2),
+    * where the MIDDLE order runs on continuation counts —
+    * P(w3|w2) = (N1+(·w2w3)−D)/N1+(·w2·) + D·N1+(w2·)/N1+(·w2·) · P(w3)
+    * with N1+(w2·) = distinct continuations of w2 among observed
+    * (w2,w3) pairs — and the base P(w3) = N1+(·w3)/N1+(··) over the same
+    * distinct-pair table. Only observed trigrams are scored (every doc
+    * trigram is in the corpus by construction), so with D < 1 every term
+    * is strictly positive: c ≥ 1 and N1+(·w2w3) ≥ 1 beat the discount,
+    * no max(·,0) branch anywhere.
+    *
+    * Scale: the same two corpus shuffles as [[lmBigram]]/[[lmKneserNey]]
+    * (per-doc tf, trigram vocabulary agg); the five KN statistics are
+    * three partitioned windows over the VOCABULARY-sized type table
+    * ((w1,w2) totals+fan-out, (w2,w3) fan-in, w2 middle totals) plus one
+    * distinct-(w2,w3) pair table whose two grouped counts join back
+    * vocabulary-sized and whose total rides the audited 1-row broadcast.
+    * Determinism: the [[lmKneserNey]] oracle contract verbatim — D = 0.75
+    * dyadic, every step one correctly-rounded op with IDENTICAL
+    * parenthesization in both engines, per-trigram log-probs rounded 6dp
+    * into DECIMAL(18,6) so per-doc weighted sums are exact.
+    * Output: (idCol, n_trigrams, avg_logprob_kn3); docs with < 3 tokens
+    * have no trigram and vanish. */
+  def lmKneserNeyTrigram(docs: DataFrame, idCol: String, textCol: String,
+                         discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"Kneser-Ney discount must be in (0,1); got $discount")
+    val toks = tokens(col(textCol))
+    val n2 = greatest(size(toks) - 2, lit(0))
+    val trigrams = zip_with(
+      zip_with(slice(toks, lit(1), n2), slice(toks, lit(2), n2),
+        (a, b) => concat_ws(" ", a, b)),
+      slice(toks, lit(3), n2),
+      (ab, c) => concat_ws(" ", ab, c))
+    val tf = docs.select(col(idCol).as("_id"), explode(trigrams).as("trigram"))
+      .groupBy(col("_id"), col("trigram")).agg(count(lit(1)).as("tf"))
+    val types = tf.groupBy(col("trigram")).agg(sum(col("tf")).as("cnt_tri"))
+      .withColumn("_w1", split(col("trigram"), " ").getItem(0))
+      .withColumn("_w2", split(col("trigram"), " ").getItem(1))
+      .withColumn("_w3", split(col("trigram"), " ").getItem(2))
+    val wCtx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_w1"), col("_w2"))
+    val wMid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_w2"), col("_w3"))
+    val wDot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_w2"))
+    val pairs = types.select(col("_w2").as("_p2"), col("_w3").as("_p3")).distinct()
+    val p2s = pairs.groupBy(col("_p2")).agg(count(lit(1)).as("n1_w2dot"))
+    val p3s = pairs.groupBy(col("_p3")).agg(count(lit(1)).as("n1_back"))
+    val np = broadcast(pairs.agg(count(lit(1)).as("n_pairs")))
+    val d = lit(discount)
+    val probs = types
+      .withColumn("cnt_ctx", sum(col("cnt_tri")).over(wCtx))
+      .withColumn("n1_fwd", count(lit(1)).over(wCtx))
+      .withColumn("n1_mid", count(lit(1)).over(wMid))
+      .withColumn("n1_dot2dot", count(lit(1)).over(wDot))
+      .join(p2s, col("_w2") === col("_p2"))
+      .join(p3s, col("_w3") === col("_p3"))
+      .crossJoin(np)
+      .select(col("trigram"), round(log(
+        (col("cnt_tri") - d) / col("cnt_ctx") +
+          d * col("n1_fwd") / col("cnt_ctx") *
+            ((col("n1_mid") - d) / col("n1_dot2dot") +
+              d * col("n1_w2dot") / col("n1_dot2dot") *
+                (col("n1_back").cast("double") / col("n_pairs")))), 6)
+        .cast("decimal(18,6)").as("_lp"))
+    tf.join(probs, "trigram")
+      .groupBy(col("_id"))
+      .agg(sum(col("tf")).as("n_trigrams"), sum(col("tf") * col("_lp")).as("_sum_lp"))
+      .select(col("_id").as(idCol), col("n_trigrams"),
+        round(col("_sum_lp").cast("double") / col("n_trigrams"), 6)
+          .as("avg_logprob_kn3"))
+  }
+
   /** Count-Min Sketch token-frequency estimation (Cormode–Muthukrishnan) —
     * the bounded-memory point-query sketch next to [[heavyHitters]]'
     * Misra-Gries (exact top set) and HLL (distinct count): `depth` salted

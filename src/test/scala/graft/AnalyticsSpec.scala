@@ -1,10 +1,56 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Quality, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Quality, QuantileSketch, Similarity, TextAnalysis}
 
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("quantile sketch: exact merge law, content idempotence, n<=k exactness, rank error") {
+    // disjoint shards with unique row keys (the md5-coin source)
+    val a = (1 to 3000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val b = (3001 to 5000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val k = 64
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    // MERGE LAW: merge(sketch(A), sketch(B)) == sketch(A ∪ B) EXACTLY —
+    // survivor set AND re-chosen level (no approximation enters at merge)
+    val sa = QuantileSketch.sketch(a, "id", "v", k)
+    val sb = QuantileSketch.sketch(b, "id", "v", k)
+    val direct = QuantileSketch.sketch(a.unionByName(b), "id", "v", k)
+    assert(rows(QuantileSketch.merge(sa, sb, k)) == rows(direct),
+      "merge law must reproduce the direct sketch row-for-row")
+    val m = direct.count()
+    assert(m >= 1 && m <= k, s"survivor count $m must be in [1, k]")
+    // content idempotence (the streaming replay law): re-merging a sketch
+    // with itself changes nothing — the HLL side of the guard family
+    assert(rows(QuantileSketch.merge(sa, sa, k)) == rows(sa))
+    // n <= k: the sketch holds EVERYTHING (level 0) and estimates are
+    // exact order statistics at rank (p·n + 999) div 1000
+    val small = (1 to 40).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val est = QuantileSketch.estimates(small, None, "id", "v", 64, Seq(250, 500, 1000))
+      .as[(Int, Double, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(est(250) == ((250, 10.0, 0, 40L, 40L)))
+    assert(est(500)._2 == 20.0 && est(1000)._2 == 40.0)
+    // sample rank error on uniform 1..5000: a ~200-survivor uniform
+    // sample's quantile sits within a few n/√m of the true one (hashes
+    // are fixed, so this is a deterministic regression pin, not a flake)
+    val q = QuantileSketch.estimates(a.unionByName(b), None, "id", "v", 256,
+      Seq(100, 500, 900)).as[(Int, Double, Int, Long, Long)].collect()
+    q.foreach { case (p, e, _, ms, n) =>
+      assert(math.abs(e - p * n / 1000.0) <= 4.0 * n / math.sqrt(ms.toDouble),
+        s"p=$p est=$e n=$n m=$ms drifted beyond the sample rank-error bound")
+    }
+    // grouped form: every group row equals the scalar estimate on its slice
+    val g = a.withColumn("g", (col("id") % 3).cast("string"))
+    val grouped = QuantileSketch.estimates(g, Some("g"), "id", "v", 64, Seq(500))
+      .as[(String, Int, Double, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for (gv <- Seq("0", "1", "2")) {
+      val solo = QuantileSketch.estimates(g.where(col("g") === gv), None, "id", "v",
+        64, Seq(500)).as[(Int, Double, Int, Long, Long)].collect().head
+      assert(grouped(gv) == ((gv, solo._1, solo._2, solo._3, solo._4, solo._5)),
+        s"group $gv must equal the scalar sketch of its slice")
+    }
+  }
 
   test("topNPerGroup keeps n rows per group with deterministic ties") {
     val df = Seq(("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("a", 4, 30.0),
@@ -68,6 +114,29 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Double])].collect().head
     assert(oneEmpty == ((4L, 0L, 3L, None)),
       s"empty side must read d_stat NULL, got $oneEmpty")
+  }
+
+  test("ksBinned: equals the exact statistic when bins out-resolve the values") {
+    // distinct values {1,2,3,4} map to distinct bins at nBins=1024 (the
+    // grid out-resolves the data), so binned D == exact D, including the
+    // clamp landing max(v) in bin nBins-1 rather than off the end
+    val a = Seq(1.0, 1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(1.0, 2.0, 2.0, 4.0).toDF("v")
+    val exact = Analytics.ksTwoSample(a, b, "v")
+      .as[(Long, Long, Long, Double)].collect().head
+    val binned = Analytics.ksBinned(a, b, "v", 1024)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(binned._1 == 4L && binned._2 == 4L && binned._4 == exact._4,
+      s"out-resolving bins must preserve D exactly: $binned vs $exact")
+    // identical samples read zero through the binning too
+    val self = Analytics.ksBinned(a, a, "v", 16)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(self._4 == 0.0)
+    // degenerate constant metric: hi = lo maps everything to bin 0
+    val c = Seq(5.0, 5.0).toDF("v")
+    val const = Analytics.ksBinned(c, c, "v", 8)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(const == ((2L, 2L, 1L, 0.0)))
   }
 
   test("ksBySource: every row equals the two-sample statistic on (slice, rest)") {

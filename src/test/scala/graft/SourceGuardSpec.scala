@@ -43,8 +43,9 @@ class SourceGuardSpec extends AnyFunSpec {
   private val crossJoinBudget = Map(
     // all 1-row broadcast stats/corpus-total joins ... plus ksBySource's
     // evaluation grid: |sources| (dimension-sized distinct) × |values|
-    // (value-domain-bounded aggregate) — never a corpus cross
-    "graft/operators/Analytics.scala" -> 2,
+    // (value-domain-bounded aggregate) — never a corpus cross — plus
+    // ksBinned's 1-row combined-min/max broadcast onto both sides
+    "graft/operators/Analytics.scala" -> 3,
     // pageRank's two node ⋈ 1-row-count joins (init + per-round base
     // share) — the audited broadcast-stats pattern on a |types|-row frame
     "graft/operators/Events.scala" -> 2,
@@ -56,13 +57,17 @@ class SourceGuardSpec extends AnyFunSpec {
     // + pmiCollocations' 1-row token-total join onto the bigram counts
     // + lmKneserNey's 1-row bigram-type-count join onto the vocabulary
     // + zipfTheilSen's 1-row median-slope join onto the ≤ topK-row head
-    "graft/operators/TextAnalysis.scala" -> 9,
+    // + lmKneserNeyTrigram's 1-row pair-total join onto the vocabulary
+    "graft/operators/TextAnalysis.scala" -> 10,
     // ... except pqTopKWith's corpus x QUERY-BATCH join (the flat-PQ ADC
     // scan: every index row scores against every query's broadcast LUT
     // — bounded by the query batch, the intended shape), one 1-row
     // stats join, and hammingTopK's 8-byte-signature x query-batch scan
     // (same bounded shape, 2 longs per corpus row)
-    "graft/operators/Similarity.scala" -> 3)
+    "graft/operators/Similarity.scala" -> 3,
+    // QuantileSketch.merge: the ≤ 61-row level histogram ⋈ the 1-row
+    // level floor — sketch-sized × 1, the audited 1-row-stats class
+    "graft/operators/QuantileSketch.scala" -> 1)
 
   private val windowOrderByBudget = Map(
     // vocab_top ranks a 30-row post-limit output, samplePriority ranks

@@ -464,6 +464,31 @@ class StreamingSpec extends SparkSpec {
     assert(regs() == whole, "replaying an applied batch must be a content-level no-op")
   }
 
+  test("StreamingQuantile folds to the whole-stream sketch; replay is a content no-op") {
+    // the THIRD member of the guard family: the merge's distinct on
+    // (v60, value) makes the fold idempotent by content — like HLL's max,
+    // unlike CMS's guarded sums — and the exact merge law makes the
+    // accumulated state row-identical to the batch sketch of everything.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_squant").toFile.getAbsolutePath
+    val sketch = s"$root/sketch"
+    val k = 32
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    def lake() = rows(spark.read.parquet(sketch))
+    def batchSketch(df: org.apache.spark.sql.DataFrame) =
+      rows(graft.operators.QuantileSketch.sketch(df, "doc_id", "n_chars", k))
+    val b1 = (1 to 500).map(i => (i.toLong, (i * 7 % 997).toDouble)).toDF("doc_id", "n_chars")
+    val b2 = (501 to 1200).map(i => (i.toLong, (i * 13 % 997).toDouble)).toDF("doc_id", "n_chars")
+    graft.streaming.StreamingQuantile.foldBatch(b1, sketch, "doc_id", "n_chars", k)
+    assert(lake() == batchSketch(b1), "after one batch the stream sketch IS the batch sketch")
+    graft.streaming.StreamingQuantile.foldBatch(b2, sketch, "doc_id", "n_chars", k)
+    val whole = lake()
+    assert(whole == batchSketch(b1.unionByName(b2)),
+      "streamed merge-fold must equal the whole-corpus sketch")
+    graft.streaming.StreamingQuantile.foldBatch(b1, sketch, "doc_id", "n_chars", k)
+    assert(lake() == whole, "replaying an applied batch must be a content-level no-op")
+  }
+
   private def cells2(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] = {
     import df.sparkSession.implicits._
     graft.operators.TextAnalysis.cmsSketch(df, "text").select("_r", "_b", "_cell")

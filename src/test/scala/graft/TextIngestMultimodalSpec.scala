@@ -902,6 +902,58 @@ class TextIngestMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("lmKneserNeyTrigram: exact local replay of the interpolated trigram-KN chain") {
+    val data = Seq(
+      (1L, "san francisco is big and wide"),
+      (2L, "san francisco is nice today"),
+      (3L, "the city is big and loud"),
+      (4L, "a city is nice and big"),
+      (5L, "hi there")) // < 3 tokens: no trigram, vanishes
+    val docs = data.toDF("doc_id", "text")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perDoc = data.map { case (id, t) =>
+      id -> t.split("\\s+").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+    }.toMap
+    val tf: Map[(Long, String), Long] = perDoc.toSeq
+      .flatMap { case (id, ts) => ts.map(g => (id, g)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cntTri = tf.toSeq.groupBy(_._1._2).map { case (g, v) => g -> v.map(_._2).sum }
+    def parts(g: String) = g.split(" ")
+    val cntCtx = cntTri.toSeq.groupBy(t => (parts(t._1)(0), parts(t._1)(1)))
+      .map { case (c, v) => c -> v.map(_._2).sum }
+    val n1Fwd = cntTri.keys.toSeq.groupBy(g => (parts(g)(0), parts(g)(1)))
+      .map { case (c, v) => c -> v.size }
+    val n1Mid = cntTri.keys.toSeq.groupBy(g => (parts(g)(1), parts(g)(2)))
+      .map { case (c, v) => c -> v.size }
+    val n1Dot = cntTri.keys.toSeq.groupBy(g => parts(g)(1)).map { case (c, v) => c -> v.size }
+    val pairSet = cntTri.keys.map(g => (parts(g)(1), parts(g)(2))).toSet
+    val n1W2dot = pairSet.toSeq.groupBy(_._1).map { case (c, v) => c -> v.size }
+    val n1Back = pairSet.toSeq.groupBy(_._2).map { case (c, v) => c -> v.size }
+    val nPairs = pairSet.size
+    def lp(g: String): Double = {
+      val Array(w1, w2, w3) = parts(g)
+      r6(math.log((cntTri(g) - 0.75) / cntCtx((w1, w2)) +
+        0.75 * n1Fwd((w1, w2)) / cntCtx((w1, w2)) *
+          ((n1Mid((w2, w3)) - 0.75) / n1Dot(w2) +
+            0.75 * n1W2dot(w2) / n1Dot(w2) * (n1Back(w3).toDouble / nPairs))))
+    }
+    val expected = perDoc.collect { case (id, ts) if ts.nonEmpty =>
+      val rows = tf.collect { case ((i, g), n) if i == id => (g, n) }.toSeq
+      val nb = rows.map(_._2).sum
+      val sum = rows.map { case (g, n) => BigDecimal(lp(g)).setScale(6) * n }.sum
+      id -> ((nb, r6(sum.toDouble / nb)))
+    }
+    val out = TextAnalysis.lmKneserNeyTrigram(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == expected.keySet, "docs with < 3 tokens must vanish")
+    for ((id, (nb, avg)) <- expected) {
+      assert(out(id)._2 == nb, s"doc $id trigram count")
+      assert(out(id)._3 == avg, s"doc $id trigram-KN avg must replay exactly")
+      assert(out(id)._3 < 0.0, "log-probs of proper probabilities are negative")
+    }
+  }
+
   test("cmsCounts: exact local CMS replay, one-sided overcount, topN order") {
     val docs = Seq(
       "aa aa aa bb bb cc",
