@@ -133,7 +133,7 @@ object Bench {
     // means host jitter.
     var passSums = Vector.empty[Double]
     var calibMids = Vector.empty[Double]
-    (1 to reps).foreach { p =>
+    def sweepOnce(): Unit = {
       var passSum = 0.0
       names.foreach { case (name, fn) =>
         if (!errors.exists(_._1 == name)) {
@@ -150,7 +150,30 @@ object Bench {
         }
       }
       passSums :+= passSum
+    }
+    (1 to reps).foreach { p =>
+      sweepOnce()
       if (p < reps) calibMids ++= calibrate(spark, 1)
+    }
+    // Contended-pass rerun (VERDICT r15 #4): two rounds running, one pass
+    // of the driver artifact was externally contended, and with reps=2 a
+    // single bad pass corrupts per-query minima and manufactures phantom
+    // >2x flags. Contention only ADDS time, so the check is whether TWO
+    // passes agree: while the two SMALLEST pass sums disagree beyond 15%,
+    // sweep again (up to 2 extra passes), each preceded by a mid
+    // calibration probe so the artifact records the host state it ran
+    // under. The JSON self-documents via "extra_passes" plus the longer
+    // pass_sums/calib_mid arrays; per-query minima then draw from at
+    // least two mutually-confirming passes.
+    var extraPasses = 0
+    def smallestTwoDisagree: Boolean = {
+      val s = passSums.sorted
+      s.size >= 2 && s(0) > 0 && s(1) / s(0) > 1.15
+    }
+    while (smallestTwoDisagree && extraPasses < 2) {
+      extraPasses += 1
+      calibMids ++= calibrate(spark, 1)
+      sweepOnce()
     }
     val sweepTimings = names.collect { case (n, _) if samples(n).nonEmpty && !errors.exists(_._1 == n) =>
       n -> samples(n).min
@@ -247,7 +270,7 @@ object Bench {
     val calibPart = calibMidPart +
       s""""calib_sec":${r2(calibSec)},"calib_min":${r2(calibMin)},"calib_spread":${r2(calibSpread)}}"""
     val prefix =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"pass_sums":[${passSums.map(r2).mkString(",")}],"spread_total":${r3(totalSpread)},"spread_top5":$sp,"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"extra_passes":$extraPasses,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"pass_sums":[${passSums.map(r2).mkString(",")}],"spread_total":${r3(totalSpread)},"spread_top5":$sp,"""
     // 2000 artifact chars minus the trailing sbt line minus this line's own
     // newline; the prefix spends part of it, the tail segment gets the rest.
     val tailBudget = 1922 - prefix.length

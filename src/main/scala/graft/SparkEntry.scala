@@ -1199,6 +1199,25 @@ object SparkEntry {
         e.filter(col("vec_id") >= 5),
         "vec_id", "embedding", 10, ivfCentroids(s, d), pqResBooks(s, d))
     }),
+    // §2.2 row L24h — persisted + incrementally-maintained ANN index
+    // (round 16): build the IVF-PQ zone on the %4!=0 training slice under
+    // the PINNED artifacts, APPEND the %4==0 slice map-side against the
+    // frozen centroids/codebooks (no rebuild — the faiss IndexIVF.add
+    // contract), then the staleness gate: exact weighted KS between the
+    // frozen training-time cell occupancy and the zone's current one.
+    // Zone lands at the fixed per-sf tmpdir root (the pipeline-zone
+    // idempotence convention — reruns overwrite).
+    "ann_index_stale" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.seededCentroids(16, 64)
+      val books = Similarity.seededBooks(8, 16, 8)
+      val path = zoneRoot("annindex", d)
+      AnnIndex.build(e.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        cents, books, path)
+      AnnIndex.append(e.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        cents, books, path)
+      AnnIndex.staleness(s, path, 0.1)
+    }),
     // §2.2 row 19 — embedding-cosine near-dup (banded + multiprobed +
     // verified) over a corpus with planted exact and perturbed duplicates
     "neardup_embedding" -> ((s, d) =>
@@ -2747,6 +2766,40 @@ object SparkEntry {
     // to lowest cell id), probes = each query's top-4 cells, candidates =
     // corpus rows in probed cells, then exact cosine top-10 as in ann_topk.
     "ann_ivf_fixed" -> ivfFixedSql("vec_id >= 5"),
+    // Index-staleness replay: cell assignment re-derives from the SAME
+    // pinned centroid literals (the ivfFixedSql idiom), occupancy counts
+    // group the assignments, and the weighted-KS tail is the ks_drift
+    // machinery over the cell-id axis; stale compares the ROUNDED d.
+    "ann_index_stale" -> {
+      val centRows = graft.operators.Similarity.seededCentroids(16, 64)
+        .map { case (cid, v) => s"($cid, [${v.mkString(", ")}])" }
+        .mkString(",\n        ")
+      s"""WITH cents(cid, cv) AS (VALUES
+        |        $centRows),
+        |c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (vec_id % 4 = 0) AS isnew FROM embeddings),
+        |asg AS (SELECT vec_id, isnew, cid FROM (
+        |    SELECT vec_id, isnew, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+        |    FROM c0, cents) WHERE rn = 1),
+        |base AS (SELECT cid AS v, count(*) AS ca FROM asg WHERE NOT isnew GROUP BY 1),
+        |cur AS (SELECT cid AS v, count(*) AS cb FROM asg GROUP BY 1),
+        |u AS (SELECT coalesce(base.v, cur.v) AS v,
+        |    coalesce(base.ca, 0) AS ca, coalesce(cur.cb, 0) AS cb
+        |  FROM base FULL OUTER JOIN cur ON base.v = cur.v),
+        |c AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM u),
+        |agg AS (SELECT CAST(max(na) AS BIGINT) AS n_train,
+        |    CAST(max(nb) AS BIGINT) AS n_now,
+        |    CAST(count(*) AS BIGINT) AS n_cells,
+        |    round(max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS d_stat
+        |  FROM c)
+        |SELECT n_train, n_now, n_cells, d_stat, d_stat > 0.1 AS stale FROM agg""".stripMargin
+    },
     // Filtered vector search: the SAME pinned-centroid IVF replay with the
     // metadata predicate pushed into the corpus scan (pre-filtering — the
     // index sees only qualifying rows, so top-k can never starve).

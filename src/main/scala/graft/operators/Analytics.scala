@@ -244,7 +244,19 @@ object Analytics {
     def cnt(df: DataFrame, out: String) =
       df.select(col(valueCol).as("v")).where(col("v").isNotNull)
         .groupBy(col("v")).agg(count(lit(1)).as(out))
-    val u = cnt(a, "_ca").join(cnt(b, "_cb"), Seq("v"), "full_outer")
+    ksTwoSampleCounts(cnt(a, "_ca"), cnt(b, "_cb"))
+  }
+
+  /** [[ksTwoSample]]'s counts-based core, public for inputs that ARRIVE
+    * as (value, count) histograms — an index's cell-occupancy table
+    * ([[AnnIndex.staleness]]), a pre-aggregated day/bucket profile —
+    * where expanding counts back to rows just to re-count them would be
+    * wasted shuffle. `a` is (v, _ca), `b` is (v, _cb), one row per
+    * distinct value each; semantics and output are exactly
+    * [[ksTwoSample]]'s (the row form IS this on its per-side
+    * aggregates). */
+  def ksTwoSampleCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    val u = a.join(b, Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
         coalesce(col("_cb"), lit(0L)).as("_cb"))
     // domain-bounded frame (post-aggregation): cumulative + totals share

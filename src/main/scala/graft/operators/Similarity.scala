@@ -899,7 +899,7 @@ object Similarity {
     * the same discipline as the residual path's exact `_vnorm`: the norm
     * walk depends only on the codes, so evaluating it inside the
     * (index row × query) score would repeat it per probing query. */
-  private def reconNorm(books: Array[Array[Array[Double]]]): Column = {
+  private[operators] def reconNorm(books: Array[Array[Array[Double]]]): Column = {
     val norm2: Seq[Seq[Double]] =
       books.map(_.map(cent => cent.map(x => x * x).sum).toSeq).toSeq
     sqrt(graft.functions.NativeExprs.adcSum(typedLit(norm2), col("_codes")))
@@ -909,7 +909,7 @@ object Similarity {
     * dot from the per-query LUT via the fused
     * [[graft.functions.AdcSumExpr]] kernel — the per-(index row × query)
     * hot loop is exactly one m-code table walk and a divide. */
-  private def adcCosine: Column =
+  private[operators] def adcCosine: Column =
     graft.functions.NativeExprs.adcSum(col("_lut"), col("_codes")) /
       (col("_qnorm") * col("_vnormr"))
 
@@ -917,7 +917,7 @@ object Similarity {
     * bounded-heap top-`cShort` of the approximate scores, then a broadcast
     * semi-join vector fetch (at scale an id-pruned scan of the vector
     * store) re-ranked by true cosine to the final k. */
-  private def adcRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+  private[operators] def adcRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
                         vecCol: String, scored: DataFrame,
                         cShort: Int, k: Int): DataFrame = {
     val short = topKRank(scored, cShort).select(col("query_id"), col("neighbor_id"))

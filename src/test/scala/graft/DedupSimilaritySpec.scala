@@ -1292,6 +1292,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a == b, "xxhash64 and md5 carriers must agree (no collisions here)")
   }
 
+  test("AnnIndex: append-then-search parity with a fresh build; staleness gate") {
+    import graft.operators.AnnIndex
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    def vecs(ids: Range) = ids.map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    val cents = Similarity.seededCentroids(4, dim)
+    val books = Similarity.seededBooks(4, 8, 4)
+    val a = vecs(1 to 60).toDF("vec_id", "embedding")
+    val b = vecs(61 to 80).toDF("vec_id", "embedding")
+    val q = vecs(1001 to 1003).toDF("vec_id", "embedding")
+    // parity: zone built on A, appended with B, searched == the in-memory
+    // search over A ∪ B under the same frozen artifacts — the zone IS the
+    // in-memory index frame (frozen artifacts make rows a pure per-row
+    // function), so persistence and append must change NOTHING
+    val p1 = java.nio.file.Files.createTempDirectory("graft_annix1").toFile.getAbsolutePath
+    AnnIndex.build(a, "vec_id", "embedding", cents, books, p1)
+    AnnIndex.append(b, "vec_id", "embedding", cents, books, p1)
+    val viaZone = AnnIndex.search(spark, p1, q, "vec_id", "embedding", 5,
+      cents, books, nprobe = 2).collect().map(_.toSeq).toSet
+    val fresh = Similarity.ivfPqTopKWith(q, a.unionByName(b), "vec_id", "embedding",
+      5, cents, books, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(viaZone == fresh, "append-then-search must equal a fresh build's search")
+    // the occupancy baseline is FROZEN at build: append must not touch it
+    val baseOcc = spark.read.parquet(s"$p1/occupancy")
+      .as[(Int, Long)].collect().toMap
+    assert(baseOcc.values.sum == 60L, "baseline records the TRAINING slice only")
+    // staleness: an append distributed exactly like the training data
+    // (the same vectors, re-keyed) keeps every cell proportion identical
+    // -> D == 0, not stale
+    val p2 = java.nio.file.Files.createTempDirectory("graft_annix2").toFile.getAbsolutePath
+    AnnIndex.build(a, "vec_id", "embedding", cents, books, p2)
+    AnnIndex.append(a.withColumn("vec_id", col("vec_id") + 500L),
+      "vec_id", "embedding", cents, books, p2)
+    val same = AnnIndex.staleness(spark, p2)
+      .as[(Long, Long, Long, Double, Boolean)].collect().head
+    assert(same == ((60L, 120L, same._3, 0.0, false)),
+      s"distribution-preserving appends must read D = 0, got $same")
+    // a drifted feed piling into one cell pushes D past the gate
+    val p3 = java.nio.file.Files.createTempDirectory("graft_annix3").toFile.getAbsolutePath
+    AnnIndex.build(a, "vec_id", "embedding", cents, books, p3)
+    val drift = (901 to 960).map(i => (i.toLong, cents(0)._2.toSeq))
+      .toDF("vec_id", "embedding")
+    AnnIndex.append(drift, "vec_id", "embedding", cents, books, p3)
+    val moved = AnnIndex.staleness(spark, p3)
+      .as[(Long, Long, Long, Double, Boolean)].collect().head
+    assert(moved._4 > 0.1 && moved._5,
+      s"a one-cell drifted append must trip the gate, got $moved")
+  }
+
   test("boilerplateScrub drops >=maxDf-doc chunks from EVERY doc, keeps the rest") {
     val rnd = new scala.util.Random(11)
     def words(n: Int, tag: String) = Array.tabulate(n)(i => s"$tag${rnd.nextInt(1000)}v$i")
