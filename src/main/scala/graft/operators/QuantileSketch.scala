@@ -141,15 +141,25 @@ object QuantileSketch {
       s"psPermille must be in [1, 1000], got $psPermille")
     val rl = leveled(df, groupCol, keyCol, valueCol)
     val hist = rl.groupBy(col("_grp"), col("_lmax")).agg(count(lit(1)).as("_c"))
-    val ls = levelOf(hist, k, lit(0))
-    val nrows = hist.groupBy(col("_grp")).agg(sum(col("_c")).as("n_rows"))
+    // ONE candidates aggregate yields both the level and the group total
+    // (cnt at candidate 0 IS n, every row having lmax >= 0) — a separate
+    // n_rows histogram would re-scan the corpus and re-pay the md5 chain
+    // (plan-read: it showed up as a third full scan)
+    val ls = hist
+      .select(col("_grp"), col("_lmax"), col("_c"),
+        explode(sequence(lit(0), lit(Levels))).as("_cl"))
+      .where(col("_lmax") >= col("_cl"))
+      .groupBy(col("_grp"), col("_cl")).agg(sum(col("_c")).as("_n"))
+      .groupBy(col("_grp")).agg(
+        min(when(col("_n") <= k, col("_cl"))).as("level"),
+        max(when(col("_cl") === 0, col("_n"))).as("n_rows"))
+      .where(col("level").isNotNull)
     val packed = rl.join(broadcast(ls), Seq("_grp"))
       .where(col("_lmax") >= col("level"))
-      .groupBy(col("_grp"), col("level"))
+      .groupBy(col("_grp"), col("level"), col("n_rows"))
       // bounded collect: ≤ k survivors per group by the level choice
       .agg(sort_array(collect_list(col("value"))).as("_vals"),
         count(lit(1)).as("n_survivors"))
-      .join(broadcast(nrows), Seq("_grp"))
     val est = packed
       .select(col("_grp"), col("level"), col("n_survivors"), col("n_rows"),
         col("_vals"), explode(typedLit(psPermille)).as("p_permille"))
