@@ -1344,6 +1344,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", 5)
     }),
+    // §2.2 row L19e (cross-corpus form, round 16) — ExactSubstr as
+    // DECONTAMINATION, the Lee et al. deployment: every training run
+    // >= 8 tokens appearing ANYWHERE in the benchmark half is CUT from
+    // every training occurrence (no canonical keep — the benchmark is
+    // canonical; decontam_ngram flags docs, this EDITS them), docs
+    // reassembled from the surviving gaps.
+    "decontam_substr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.substrScrub(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", SubstrRun, md5Hash = true)
+    }),
     // §2.2 row 27d — unigram LM quality score (mean per-token log-prob
     // under the corpus's own unigram distribution — the perplexity gate)
     "lm_score" -> ((s, d) =>
@@ -3087,6 +3099,31 @@ object SparkEntry {
         |kept AS (SELECT t.doc_id, t.ti, t.tk, t.n FROM tok t LEFT JOIN cov c
         |  ON t.doc_id = c.doc_id AND t.ti = c.ti WHERE c.ti IS NULL)
         |SELECT doc_id, string_agg(tk, ' ' ORDER BY ti) AS text_dedup,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(max(n) - count(*) AS BIGINT) AS n_dropped
+        |FROM kept GROUP BY doc_id""".stripMargin
+    },
+    // Cross-corpus ExactSubstr scrub replay: bench = the odd half's
+    // DISTINCT gram-hash set; a training gram is cut iff its hash is in
+    // that set (no first-occurrence ranking — the benchmark is
+    // canonical); the coverage/reassembly tail is dedup_substr's.
+    "decontam_substr" -> {
+      val l = SubstrRun
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        |t0 AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+        |g AS (SELECT doc_id, CAST(p AS INT) AS pos,
+        |    md5(array_to_string(w[p+1 : p+$l], ' ')) AS h
+        |  FROM (SELECT doc_id, w, unnest(range(n - $l + 1)) AS p FROM t0 WHERE n >= $l)),
+        |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 2 = 1),
+        |dup AS (SELECT g.doc_id, g.pos FROM g JOIN bench USING (h) WHERE g.doc_id % 2 = 0),
+        |tok AS (SELECT doc_id, CAST(t - 1 AS INT) AS ti, w[t] AS tk, n
+        |  FROM (SELECT doc_id, w, n, unnest(range(1, n + 1)) AS t FROM t0)
+        |  WHERE doc_id % 2 = 0),
+        |cov AS (SELECT DISTINCT t.doc_id, t.ti FROM tok t JOIN dup d
+        |  ON t.doc_id = d.doc_id AND t.ti BETWEEN d.pos AND d.pos + $l - 1),
+        |kept AS (SELECT t.doc_id, t.ti, t.tk, t.n FROM tok t LEFT JOIN cov c
+        |  ON t.doc_id = c.doc_id AND t.ti = c.ti WHERE c.ti IS NULL)
+        |SELECT doc_id, string_agg(tk, ' ' ORDER BY ti) AS text_clean,
         |  CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(max(n) - count(*) AS BIGINT) AS n_dropped
         |FROM kept GROUP BY doc_id""".stripMargin

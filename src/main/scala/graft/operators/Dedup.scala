@@ -534,22 +534,75 @@ object Dedup {
                   minRun: Int = 8, md5Hash: Boolean = false): DataFrame = {
     require(minRun >= 2, s"substrDedup needs minRun >= 2, got $minRun")
     val L = minRun
-    val base = docs
-      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_w"))
-      .where(size(col("_w")) > 0)
-    def gramKey(g: Column): Column = if (md5Hash) md5(g) else xxhash64(g)
-    val grams = base
-      .where(size(col("_w")) >= L)
-      .select(col("_id"), posexplode(org.apache.spark.sql.functions.transform(
-        sequence(lit(0), size(col("_w")) - L),
-        i => gramKey(concat_ws(" ", slice(col("_w"), i + 1, lit(L)))))))
-      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_h")
+    val base = tokenized(docs, idCol, textCol)
+    val grams = gramsOf(base, L, md5Hash)
     val firstWin = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_h")).orderBy(col("_id"), col("_pos"))
     val dupPos = grams
       .withColumn("_rn", row_number().over(firstWin))
       .where(col("_rn") >= 2)
       .groupBy(col("_id")).agg(sort_array(collect_list(col("_pos"))).as("_ps"))
+    cutCovered(base, dupPos, L, "text_dedup")
+  }
+
+  /** Cross-corpus EXACT-SUBSTRING decontamination — [[substrDedup]]'s
+    * machinery pointed at a BENCHMARK set (the actual Lee et al. 2022
+    * deployment: scrub eval overlap out of training data at substring
+    * grain): every training-doc token run ≥ `minRun` tokens that appears
+    * ANYWHERE in `bench` is cut — from EVERY training occurrence, no
+    * canonical keep (the benchmark is the canonical copy; contrast
+    * [[substrDedup]]'s first-occurrence survival and [[decontamNgram]]'s
+    * doc-level flagging, which reports but does not edit). Training docs
+    * reassemble from the surviving gaps. Output:
+    * (doc_id, text_clean, n_kept, n_dropped) in tokens; a fully-echoed
+    * doc vanishes.
+    *
+    * Scale: the bench side collapses to its DISTINCT gram-hash set
+    * map-side (benchmark-sized — tiny next to the training corpus); the
+    * training grams semi-join it on the 8-byte hash (broadcastable at
+    * real benchmark sizes, Spark's choice), so the training corpus never
+    * shuffles gram strings and never self-joins; the coverage cut is the
+    * shared interval-merge + gap reassembly. Carrier semantics
+    * (`md5Hash`, collisions) as in [[substrDedup]] — here a collision
+    * could cut one extra innocent run, the conservative direction for
+    * decontamination. */
+  def substrScrub(train: DataFrame, bench: DataFrame, idCol: String,
+                  textCol: String, minRun: Int = 8,
+                  md5Hash: Boolean = false): DataFrame = {
+    require(minRun >= 2, s"substrScrub needs minRun >= 2, got $minRun")
+    val L = minRun
+    val base = tokenized(train, idCol, textCol)
+    val benchGrams = gramsOf(tokenized(bench, idCol, textCol), L, md5Hash)
+      .select(col("_h")).distinct()
+    val dupPos = gramsOf(base, L, md5Hash)
+      .join(benchGrams, "_h") // semi on the gram hash: _h is distinct there
+      .groupBy(col("_id")).agg(sort_array(collect_list(col("_pos"))).as("_ps"))
+    cutCovered(base, dupPos, L, "text_clean")
+  }
+
+  /** (_id, _w) token table shared by the exact-substring operators. */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("_id"), tokens(col(textCol)).as("_w"))
+      .where(size(col("_w")) > 0)
+
+  /** Overlapping L-gram keys per position, hashed MAP-SIDE — the window/
+    * join shuffles only (hash, id, pos) rows, never gram strings. */
+  private def gramsOf(base: DataFrame, L: Int, md5Hash: Boolean): DataFrame = {
+    def gramKey(g: Column): Column = if (md5Hash) md5(g) else xxhash64(g)
+    base
+      .where(size(col("_w")) >= L)
+      .select(col("_id"), posexplode(org.apache.spark.sql.functions.transform(
+        sequence(lit(0), size(col("_w")) - L),
+        i => gramKey(concat_ws(" ", slice(col("_w"), i + 1, lit(L)))))))
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_h")
+  }
+
+  /** Shared coverage cut: given per-doc sorted lists of cut-gram start
+    * positions (each covering [p, p+L-1]), interval-merge and reassemble
+    * every doc from the surviving gaps —
+    * (doc_id, `outCol`, n_kept, n_dropped); fully-covered docs vanish. */
+  private def cutCovered(base: DataFrame, dupPos: DataFrame, L: Int,
+                         outCol: String): DataFrame = {
     // merge the sorted dup-gram positions into disjoint covered intervals
     // [s, e] (0-based token indexes): position p covers [p, p+L-1] and
     // merges when it touches/overlaps the previous interval's end + 1
@@ -585,7 +638,7 @@ object Dedup {
     base.join(dupPos, Seq("_id"), "left")
       .withColumn("_iv", mergedIv)
       .select(col("_id").as("doc_id"),
-        concat_ws(" ", walk).as("text_dedup"),
+        concat_ws(" ", walk).as(outCol),
         (size(col("_w")) - dropped).cast("long").as("n_kept"),
         dropped.cast("long").as("n_dropped"))
       .where(col("n_kept") > 0)

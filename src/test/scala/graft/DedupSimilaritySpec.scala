@@ -1292,6 +1292,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a == b, "xxhash64 and md5 carriers must agree (no collisions here)")
   }
 
+  test("substrScrub cuts benchmark-echoed runs from EVERY training doc, no canonical keep") {
+    val rnd = new scala.util.Random(19)
+    def words(n: Int, tag: String) = Array.tabulate(n)(i => s"$tag${rnd.nextInt(1000)}w$i")
+    val evalFrag = words(10, "ev") // a benchmark passage >= minRun 8
+    val bench = Seq((100L, (words(4, "bp") ++ evalFrag ++ words(3, "bs")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val pre1 = words(6, "a"); val suf1 = words(5, "b")
+    val pre2 = words(9, "c"); val suf2 = words(2, "d")
+    val short7 = evalFrag.take(7) // < minRun overlap: untouchable
+    val train = Seq(
+      (1L, (pre1 ++ evalFrag ++ suf1).mkString(" ")), // echo at offset 6
+      (2L, (pre2 ++ evalFrag ++ suf2).mkString(" ")), // echo at offset 9 — ALSO cut
+      (3L, (words(5, "e") ++ short7 ++ words(4, "f")).mkString(" ")), // 7-token overlap
+      (4L, evalFrag.mkString(" "))) // pure echo: vanishes
+      .toDF("doc_id", "text")
+    for (md5 <- Seq(false, true)) {
+      val out = Dedup.substrScrub(train, bench, "doc_id", "text", 8, md5)
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      // BOTH echoes are cut — no first-occurrence survival among training
+      // docs (the keep-first contrast with substrDedup)
+      assert(out(1L)._2 == (pre1 ++ suf1).mkString(" ") && out(1L)._4 == 10L,
+        s"md5=$md5 doc 1 must lose exactly the echoed passage")
+      assert(out(2L)._2 == (pre2 ++ suf2).mkString(" ") && out(2L)._4 == 10L,
+        s"md5=$md5 doc 2 must lose the echo too — the benchmark is canonical")
+      assert(out(3L)._4 == 0L, "a 7-token overlap is below minRun and survives")
+      assert(!out.contains(4L), "a pure benchmark echo vanishes entirely")
+    }
+    // substrDedup on the same train corpus keeps doc 1's copy (first
+    // occurrence) — the semantic difference, pinned side by side
+    val dd = Dedup.substrDedup(train, "doc_id", "text", 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(dd(1L)._4 == 0L && dd(2L)._4 == 10L,
+      "substrDedup keeps the first training occurrence; substrScrub must not")
+  }
+
   test("AnnIndex: append-then-search parity with a fresh build; staleness gate") {
     import graft.operators.AnnIndex
     val rnd = new scala.util.Random(23)

@@ -87,6 +87,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"no map-side partial sum:\n$p")
   }
 
+  test("dedup_substr shuffles gram HASHES only, windows partitioned by them") {
+    val p = planOf("dedup_substr")
+    // the first-occurrence window must partition on the gram key (high-
+    // cardinality md5/xxhash), never run unpartitioned, and the exchange
+    // feeding it must hash-partition on that key — the (hash, id, pos)
+    // ~20-bytes-per-token shuffle is the operator's scale claim
+    assert(p.contains("hashpartitioning(_h"),
+      s"first-occurrence exchange no longer keyed on the gram hash:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dup-position join degenerated:\n$p")
+    // reassembly joins back on doc id and aggregates per doc
+    assert(p.contains("hashpartitioning(_id"),
+      s"no doc-keyed reassembly exchange:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("source"),
+      s"scan reads unused columns: $read")
+  }
+
+  test("quantile_sketch is window-free and scans the corpus exactly twice") {
+    val p = planOf("quantile_sketch")
+    // the sketch's whole design: a <= 61-rows-per-task histogram shuffle
+    // plus one survivor pass — no ranking window anywhere, and the fused
+    // level/total aggregate keeps the corpus at TWO scans (a third
+    // showed up before the r16 fusion; this pin keeps it out)
+    assert(!p.contains("Window"), s"quantile sketch must not rank via windows:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected exactly 2 corpus scans, got $scans:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"histogram not map-side combined:\n$p")
+  }
+
+  test("lm_kn_trigram windows are vocabulary-partitioned, joins never degenerate") {
+    val p = planOf("lm_kn_trigram")
+    // three KN statistics ride PARTITIONED windows over the trigram type
+    // table — the unpartitioned-window audit must stay clean here
+    assert(p.contains("windowspecdefinition(_w2"),
+      s"KN windows lost their vocabulary partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a pair-stats join degenerated to a cartesian product:\n$p")
+    assert(p.contains("partial_sum"), s"per-doc sums not map-side combined:\n$p")
+  }
+
   test("ANN paths re-rank via the bounded-heap aggregate, never a per-query window") {
     for (q <- Seq("ann_topk", "ann_lsh", "ann_ivf")) {
       val p = planOf(q)
