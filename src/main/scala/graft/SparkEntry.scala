@@ -891,6 +891,12 @@ object SparkEntry {
         ev.where(col("event_type") === "purchase"),
         ev.where(col("event_type") =!= "purchase"), "value", 1024)
     }),
+    // §2.1 row 17l continuous GROUPED form (round 16): ksBySource has the
+    // same value-domain exposure the two-sample form had — bin once on
+    // the global min/max grid, then every event type's value distribution
+    // vs the rest of the stream on a ≤ |types|×1024 grid.
+    "ks_binned_by_source" -> ((s, d) =>
+      Analytics.ksBinnedBySource(Tables.events(s, d), "event_type", "value", 1024)),
     // §2.1 row 17l grouped form — each source's token-count distribution
     // vs the REST of the corpus, one set-based plan (spec-pinned equal to
     // the two-sample statistic per source)
@@ -2939,6 +2945,34 @@ object SparkEntry {
         |  round(max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
         |    - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS d_stat
         |FROM c""".stripMargin,
+    // Grouped binned-KS replay: ks_binned's grid prelude (identical
+    // parenthesization) feeding ks_by_source's set-based per-source tail.
+    "ks_binned_by_source" ->
+      """WITH v0 AS (SELECT event_type AS source, CAST(value AS DOUBLE) AS v0v
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT min(v0v) AS lo, max(v0v) AS hi FROM v0),
+        |base AS (SELECT source, CAST(CASE WHEN hi = lo THEN 0
+        |      ELSE least(floor((v0v - lo) / (hi - lo) * 1024), 1023) END AS INT) AS v
+        |  FROM v0, st),
+        |cnt AS (SELECT source, v, count(*) AS c FROM base GROUP BY source, v),
+        |gv AS (SELECT v, count(*) AS g FROM base GROUP BY v),
+        |srcs AS (SELECT DISTINCT source FROM cnt),
+        |grid AS (SELECT s.source, gv.v, gv.g, coalesce(c.c, 0) AS c
+        |  FROM srcs s CROSS JOIN gv
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.v = gv.v),
+        |cum AS (SELECT source,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cin,
+        |    sum(g - c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crest,
+        |    sum(c) OVER (PARTITION BY source) AS nin,
+        |    sum(g - c) OVER (PARTITION BY source) AS nrest
+        |  FROM grid)
+        |SELECT source, CAST(max(nin) AS BIGINT) AS n_in,
+        |  CAST(max(nrest) AS BIGINT) AS n_rest,
+        |  round(max(abs(CAST(cin AS DOUBLE) / CAST(nin AS DOUBLE)
+        |    - CAST(crest AS DOUBLE) / CAST(nullif(nrest, 0) AS DOUBLE))), 6) AS d_stat
+        |FROM cum GROUP BY source""".stripMargin,
     "ks_by_source" ->
       """WITH base AS (SELECT source,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v

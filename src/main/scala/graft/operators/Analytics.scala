@@ -352,6 +352,32 @@ object Analytics {
     ksTwoSample(binned(va), binned(vb), "bin")
   }
 
+  /** [[ksBySource]] for CONTINUOUS metrics — the grouped form has the
+    * same value-domain exposure the two-sample form had (its
+    * |sources|×|values| grid and source-partitioned cumulatives are
+    * bounded only by the metric's domain): bin once on the GLOBAL
+    * min/max grid (one 1-row broadcast — shared edges keep every
+    * source's CDF comparable), then run the set-based per-source drift
+    * on bin indexes, ≤ |sources|×nBins grid regardless of the metric.
+    * Bin arithmetic is [[ksBinned]]'s, oracle-parenthesized.
+    * Output: (source, n_in, n_rest, d_stat 6dp). */
+  def ksBinnedBySource(df: DataFrame, srcCol: String, valueCol: String,
+                       nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 65536,
+      s"ksBinnedBySource needs 2 <= nBins <= 65536, got $nBins")
+    val base = df.select(col(srcCol).as("source"), col(valueCol).cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+    val stats = broadcast(base.agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi")))
+    val binned = base.crossJoin(stats) // 1-row stats broadcast, the ksBinned class
+      .select(col("source"),
+        when(col("_hi") === col("_lo"), lit(0L))
+          .otherwise(least(
+            floor((col("_v") - col("_lo")) / (col("_hi") - col("_lo")) * nBins),
+            lit((nBins - 1).toLong)))
+          .cast("int").as("bin"))
+    ksBySource(binned, "source", "bin")
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 pointTs: Column, startTs: Column, endTs: Column,
                 keys: Seq[String], bucketSec: Long): DataFrame = {

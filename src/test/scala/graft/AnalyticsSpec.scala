@@ -137,6 +137,17 @@ class AnalyticsSpec extends SparkSpec {
     val const = Analytics.ksBinned(c, c, "v", 8)
       .as[(Long, Long, Long, Double)].collect().head
     assert(const == ((2L, 2L, 1L, 0.0)))
+    // grouped form: when bins out-resolve the values, every source row
+    // equals the UNBINNED per-source statistic on the raw metric
+    val g = Seq(("A", 1.5), ("A", 1.5), ("A", 2.25), ("A", 3.0),
+      ("B", 1.5), ("B", 2.25), ("B", 2.25), ("B", 4.125),
+      ("C", 1.5), ("C", 4.125)).toDF("source", "v")
+    val binnedBy = Analytics.ksBinnedBySource(g, "source", "v", 4096)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val rawBy = Analytics.ksBySource(g, "source", "v")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(binnedBy == rawBy,
+      s"out-resolving grouped bins must preserve every per-source D:\n$binnedBy\n$rawBy")
   }
 
   test("ksBySource: every row equals the two-sample statistic on (slice, rest)") {

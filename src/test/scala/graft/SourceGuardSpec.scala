@@ -44,8 +44,9 @@ class SourceGuardSpec extends AnyFunSpec {
     // all 1-row broadcast stats/corpus-total joins ... plus ksBySource's
     // evaluation grid: |sources| (dimension-sized distinct) × |values|
     // (value-domain-bounded aggregate) — never a corpus cross — plus
-    // ksBinned's 1-row combined-min/max broadcast onto both sides
-    "graft/operators/Analytics.scala" -> 3,
+    // ksBinned's 1-row combined-min/max broadcast onto both sides and
+    // ksBinnedBySource's (same 1-row global-grid stats class)
+    "graft/operators/Analytics.scala" -> 4,
     // pageRank's two node ⋈ 1-row-count joins (init + per-round base
     // share) — the audited broadcast-stats pattern on a |types|-row frame
     "graft/operators/Events.scala" -> 2,

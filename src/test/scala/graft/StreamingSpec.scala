@@ -464,6 +464,37 @@ class StreamingSpec extends SparkSpec {
     assert(regs() == whole, "replaying an applied batch must be a content-level no-op")
   }
 
+  test("StreamingQuantile end-to-end: the file-source stream accumulates the batch sketch") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup.Doc
+    val root = java.nio.file.Files.createTempDirectory("graft_squante").toFile.getAbsolutePath
+    val inDir = new java.io.File(s"$root/incoming"); inDir.mkdirs()
+    def dropFile(name: String, docs: Seq[Doc]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_squantd").toFile.getAbsolutePath
+      docs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new java.io.File(inDir, name).toPath)
+    }
+    val b1 = (1 to 80).map(i => Doc(i.toLong, "x" * (i * 3 % 97)))
+    val b2 = (81 to 200).map(i => Doc(i.toLong, "x" * (i * 11 % 97)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    def batchSketch(docs: Seq[Doc]) = rows(graft.operators.QuantileSketch.sketch(
+      docs.toDF().selectExpr("doc_id", "length(text) AS n_chars"),
+      "doc_id", "n_chars", 64))
+    val q = graft.streaming.StreamingQuantile.run(spark, inDir.getAbsolutePath, s"$root/out")
+    try {
+      dropFile("b1.parquet", b1)
+      q.processAllAvailable()
+      assert(rows(spark.read.parquet(s"$root/out/sketch")) == batchSketch(b1),
+        "after one batch the streamed sketch IS the batch sketch")
+      dropFile("b2.parquet", b2)
+      q.processAllAvailable()
+      assert(rows(spark.read.parquet(s"$root/out/sketch")) == batchSketch(b1 ++ b2),
+        "streamed merge-fold must equal the whole-corpus sketch")
+    } finally q.stop()
+  }
+
   test("StreamingQuantile folds to the whole-stream sketch; replay is a content no-op") {
     // the THIRD member of the guard family: the merge's distinct on
     // (v60, value) makes the fold idempotent by content — like HLL's max,
