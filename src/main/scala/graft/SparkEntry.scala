@@ -1397,6 +1397,14 @@ object SparkEntry {
     // lower-median convention keeps the whole chain engine-exact.
     "zipf_theil_sen" -> ((s, d) =>
       TextAnalysis.zipfTheilSen(Tables.documents(s, d), "text")),
+    // §2.2 row L22j — Self-BLEU clipped n-gram precision, source vs rest
+    // (round 16; Papineni 2002 / Zhu 2018): the MULTISET redundancy
+    // monitor beside source_overlap's set Jaccard — c_rest = c_total −
+    // c_src, so no pair join ever forms (the ksBySource discipline);
+    // exact integer clip/total pairs per order + the 6dp-decimal
+    // geometric-mean log precision.
+    "self_bleu" -> ((s, d) =>
+      TextAnalysis.selfBleu(Tables.documents(s, d), "source", "text")),
     // §2.2 row 27g — per-doc token-distribution entropy + ratio to max
     // (the repetitive/templated-text signal)
     "token_entropy" -> ((s, d) =>
@@ -1418,6 +1426,25 @@ object SparkEntry {
     // classifier convention), probed at the exact top-30 tokens; the
     // min-over-rows estimate and its one-sided overcount replay in SQL.
     "cms_counts" -> ((s, d) => TextAnalysis.cmsCounts(Tables.documents(s, d), "text")),
+    // §2.2 row L29bb — AMS F2 / self-join-size sketch (round 16, Alon–
+    // Matias–Szegedy tug-of-war): 128 signed sums from the 128 md5 bits of
+    // each key estimate Σf² — the exact self-join size of lineitem on
+    // l_orderkey, the number a planner needs to size the shuffle BEFORE
+    // joining; ≤ 128 longs per task cross the exchange at any stream
+    // size, and the median-of-means chain is integer/dyadic throughout so
+    // the whole estimator replays bit-for-bit. Exact F2 runs beside it as
+    // the verification surface (the cmsCounts probe discipline).
+    "f2_sketch" -> ((s, d) =>
+      F2Sketch.f2Diagnostics(Tables.lineitem(s, d), Nil, "l_orderkey")),
+    // the grouped form — per-source token F2 (the repetition/skew monitor:
+    // F2/n² rises when few tokens dominate a source); state is
+    // |sources|×128 longs at any corpus size
+    "f2_by_source" -> ((s, d) =>
+      F2Sketch.f2Diagnostics(
+        Tables.documents(s, d)
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .where(col("token") =!= ""),
+        Seq("source"), "token")),
     // §2.2 row L29z — HyperLogLog cardinality sketch (round 15): 256
     // one-byte registers over the raw token stream (no distinct anywhere —
     // max is idempotent), register-wise-max merge law, and the corrected
@@ -1573,6 +1600,30 @@ object SparkEntry {
           concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 6)).as("qtext"))
       Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         queries, "qid", "qtext", 10)
+    }),
+    // §2.2 row L23e — hybrid retrieval via reciprocal-rank fusion (round
+    // 16, Cormack et al. 2009): the SAME query ids drive both rankers —
+    // BM25 over the doc's first-6-token probe and exact-cosine ANN over
+    // its embedding (vec_id aligns with doc_id in the testdata) — and RRF
+    // fuses the two top-10 lists rank-only (no cross-ranker score
+    // calibration), 1/(60+rank) contributions decimal-summed. Every stage
+    // is bounded by |queries|·k, so the fusion adds NO corpus-sized work
+    // on top of its rankers. The query doc itself stays in both lists
+    // (self-retrieval sanity: it should fuse to rank 1).
+    "hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val queries = docs
+        .where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 6)).as("qtext"))
+      val sparse = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Similarity.exactTopK(e.where(col("vec_id") % 97 === 0), e,
+        "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(sparse, dense), 10)
     }),
     // §2.1 row 19b — sequential funnel over the event stream (view → click →
     // purchase, each step strictly after the user's previous-step time)
@@ -3789,6 +3840,40 @@ object SparkEntry {
         |  round(((n_ranks * sxy - sx * sy) * (n_ranks * sxy - sx * sy))
         |    / ((n_ranks * sxx - sx * sx) * (n_ranks * syy - sy * sy)), 6) AS r2
         |FROM s""".stripMargin,
+    // Self-BLEU: exact integer clip/total per order (c_rest = total − c
+    // needs no pair join); each ln rounds to 6dp DECIMAL (the bm25
+    // convention), the 4-term sum is exact decimal, /4 after one double
+    // cast; NULL when any order has zero clipped overlap.
+    "self_bleu" ->
+      """WITH t AS (SELECT source,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (SELECT source, 1 AS n, unnest(w) AS g FROM t
+        |  UNION ALL SELECT source, 2, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) FROM t
+        |  UNION ALL SELECT source, 3, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) FROM t
+        |  UNION ALL SELECT source, 4, unnest(list_transform(range(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) FROM t),
+        |counts AS (SELECT source, n, g, count(*) AS c FROM g GROUP BY source, n, g),
+        |tot AS (SELECT n, g, SUM(c) AS tt FROM counts GROUP BY n, g),
+        |ps AS (SELECT source, n, SUM(c) AS total, SUM(least(c, tt - c)) AS clip
+        |  FROM counts JOIN tot USING (n, g) GROUP BY source, n),
+        |pl AS (SELECT source, n, total, clip,
+        |    CASE WHEN clip > 0 THEN CAST(round(ln(CAST(clip AS DOUBLE) / total), 6)
+        |      AS DECIMAL(18,6)) END AS logp
+        |  FROM ps)
+        |SELECT source,
+        |  CAST(max(CASE WHEN n = 1 THEN total END) AS BIGINT) AS tot1,
+        |  CAST(max(CASE WHEN n = 1 THEN clip END) AS BIGINT) AS clip1,
+        |  CAST(max(CASE WHEN n = 2 THEN total END) AS BIGINT) AS tot2,
+        |  CAST(max(CASE WHEN n = 2 THEN clip END) AS BIGINT) AS clip2,
+        |  CAST(max(CASE WHEN n = 3 THEN total END) AS BIGINT) AS tot3,
+        |  CAST(max(CASE WHEN n = 3 THEN clip END) AS BIGINT) AS clip3,
+        |  CAST(max(CASE WHEN n = 4 THEN total END) AS BIGINT) AS tot4,
+        |  CAST(max(CASE WHEN n = 4 THEN clip END) AS BIGINT) AS clip4,
+        |  CASE WHEN count(logp) = 4 THEN CAST(SUM(logp) AS DOUBLE) / 4 END AS log_p_geo
+        |FROM pl GROUP BY source""".stripMargin,
     "token_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
@@ -3898,6 +3983,57 @@ object SparkEntry {
         |  CAST(min(c.cell) - p.exact_n AS BIGINT) AS overcount
         |FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
         |GROUP BY p.token, p.exact_n""".stripMargin,
+    // AMS F2: the full median-of-means chain replays — 128 ±1 signs from
+    // the four 32-bit md5 words (below 2^63 throughout), Z sums are
+    // integers, group means divide by 16 (dyadic-exact) and the even
+    // median averages two order statistics (one correctly-rounded op);
+    // rel_err is identically parenthesized on both sides.
+    "f2_sketch" ->
+      """WITH r AS (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL),
+        |w AS (SELECT ('0x' || substr(h, 1, 8))::BIGINT AS w0,
+        |    ('0x' || substr(h, 9, 8))::BIGINT AS w1,
+        |    ('0x' || substr(h, 17, 8))::BIGINT AS w2,
+        |    ('0x' || substr(h, 25, 8))::BIGINT AS w3 FROM r),
+        |z AS (SELECT i, SUM(1 - 2 * (((CASE i // 32 WHEN 0 THEN w0 WHEN 1 THEN w1
+        |      WHEN 2 THEN w2 ELSE w3 END) >> CAST(i % 32 AS INT)) & 1)) AS z
+        |  FROM w, (SELECT unnest(range(0, 128)) AS i) est GROUP BY i),
+        |m AS (SELECT i // 16 AS g, CAST(SUM(z * z) AS DOUBLE) / 16 AS mean
+        |  FROM z GROUP BY i // 16),
+        |med AS (SELECT list_sort(list(mean)) AS ms FROM m),
+        |est AS (SELECT (ms[4] + ms[5]) / 2 AS f2_est FROM med),
+        |ex AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(c * c) AS BIGINT) AS f2_exact
+        |  FROM (SELECT count(*) AS c FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey))
+        |SELECT n_rows, n_keys, f2_exact, f2_est,
+        |  round((f2_est - f2_exact) / f2_exact, 6) AS rel_err
+        |FROM ex, est""".stripMargin,
+    "f2_by_source" ->
+      """WITH tok0 AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents),
+        |tok AS (SELECT source, token FROM tok0 WHERE token <> ''),
+        |r AS (SELECT source, md5(token) AS h FROM tok),
+        |w AS (SELECT source, ('0x' || substr(h, 1, 8))::BIGINT AS w0,
+        |    ('0x' || substr(h, 9, 8))::BIGINT AS w1,
+        |    ('0x' || substr(h, 17, 8))::BIGINT AS w2,
+        |    ('0x' || substr(h, 25, 8))::BIGINT AS w3 FROM r),
+        |z AS (SELECT source, i, SUM(1 - 2 * (((CASE i // 32 WHEN 0 THEN w0 WHEN 1 THEN w1
+        |      WHEN 2 THEN w2 ELSE w3 END) >> CAST(i % 32 AS INT)) & 1)) AS z
+        |  FROM w, (SELECT unnest(range(0, 128)) AS i) est GROUP BY source, i),
+        |m AS (SELECT source, i // 16 AS g, CAST(SUM(z * z) AS DOUBLE) / 16 AS mean
+        |  FROM z GROUP BY source, i // 16),
+        |med AS (SELECT source, list_sort(list(mean)) AS ms FROM m GROUP BY source),
+        |est AS (SELECT source, (ms[4] + ms[5]) / 2 AS f2_est FROM med),
+        |ex AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(c * c) AS BIGINT) AS f2_exact
+        |  FROM (SELECT source, token, count(*) AS c FROM tok GROUP BY source, token)
+        |  GROUP BY source)
+        |SELECT ex.source, n_rows, n_keys, f2_exact, f2_est,
+        |  round((f2_est - f2_exact) / f2_exact, 6) AS rel_err
+        |FROM ex JOIN est ON ex.source = est.source""".stripMargin,
     // HLL registers: bucket = first 2 md5 hex digits, ρ = 33 − len(bin(w))
     // over the next 8 (33 for w = 0) — bin() is unpadded in both engines,
     // so the register table is a pure integer computation.
@@ -4133,6 +4269,50 @@ object SparkEntry {
         |    ORDER BY score DESC, doc_id) AS rn FROM scored)
         |SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank
         |FROM ranked WHERE rn <= 10""".stripMargin,
+    // Hybrid RRF: both rankers replay end-to-end (the bm25_topk and
+    // ann_topk oracle chains verbatim, same query ids), then the fusion —
+    // 1/(60+rank) rounded to 6dp, DECIMAL-summed, re-ranked (score desc,
+    // doc asc). Only RANKS cross from the rankers into the fusion, so
+    // last-ulp cosine differences cannot reach the fused hash.
+    "hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |lens AS (SELECT doc_id, len(w) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+        |post AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM post GROUP BY doc_id, term),
+        |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(w[1:6])) AS term
+        |  FROM toks WHERE doc_id % 97 = 0),
+        |dfq AS (SELECT t.term, count(*) AS df FROM tf t
+        |  WHERE t.term IN (SELECT DISTINCT term FROM qt) GROUP BY t.term),
+        |contrib AS (SELECT qt.query_id, t.doc_id,
+        |    CAST(round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+        |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)), 6)
+        |      AS DECIMAL(18,6)) AS c
+        |  FROM tf t JOIN qt ON t.term = qt.term JOIN dfq d ON t.term = d.term
+        |  JOIN lens l ON t.doc_id = l.doc_id CROSS JOIN stats s),
+        |scored AS (SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |sranked AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rn FROM scored),
+        |sparse AS (SELECT query_id, doc_id, CAST(rn AS INT) AS rank FROM sranked WHERE rn <= 10),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 97 = 0),
+        |cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (SELECT query_id, doc_id, list_cosine_similarity(qv, v) AS sim FROM q, cv),
+        |dranked AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, doc_id) AS rn FROM sims),
+        |dense AS (SELECT query_id, doc_id, CAST(rn AS INT) AS rank FROM dranked WHERE rn <= 10),
+        |u AS (SELECT query_id, doc_id, rank FROM sparse
+        |  UNION ALL SELECT query_id, doc_id, rank FROM dense),
+        |fc AS (SELECT query_id, doc_id,
+        |    CAST(round(CAST(1 AS DOUBLE) / (60 + rank), 6) AS DECIMAL(18,6)) AS c FROM u),
+        |fused AS (SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_lists,
+        |    CAST(SUM(c) AS DOUBLE) AS rrf_score FROM fc GROUP BY query_id, doc_id),
+        |fr AS (SELECT query_id, doc_id, n_lists, rrf_score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn
+        |  FROM fused)
+        |SELECT query_id, doc_id, n_lists, rrf_score, CAST(rn AS INT) AS rank
+        |FROM fr WHERE rn <= 10""".stripMargin,
     // Funnel: per-user milestone times computed sequentially; comparisons run
     // on microsecond-truncated timestamps on BOTH sides (Spark's converted
     // events ts is micros; DuckDB raw parquet ts is nanos).

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** AMS "tug-of-war" second-frequency-moment sketch (Alon–Matias–Szegedy
+  * 1996) — the JOIN-SIZE / skew sketch beside the frequency
+  * ([[TextAnalysis.cmsSketch]]), cardinality ([[TextAnalysis.hllRegisters]]),
+  * quantile ([[QuantileSketch]]) and overlap ([[Dedup.sourceOverlapSketch]])
+  * sketches: F2 = Σ_k f_k² is EXACTLY the self-join size of the stream on
+  * its key (and a·b-style sketches estimate binary equi-join sizes the same
+  * way), the quantity a distributed planner needs to size shuffles and pick
+  * broadcast-vs-exchange BEFORE running the join. The exact computation is
+  * a full vocabulary groupBy (billions of distinct keys at corpus scale);
+  * this sketch answers in 128 longs.
+  *
+  * Construction (derandomized the md5 way — the L29i/L29o convention): each
+  * key VALUE draws 128 ±1 signs from the 128 bits of md5(key) (four 32-bit
+  * hex words, one bit per estimator — so every occurrence of a key pulls
+  * the same sign on any engine/partitioning/retry), and estimator i keeps
+  * the running signed sum Z_i = Σ_k f_k·s_i(k). E[Z²] = F2 and
+  * Var(Z²) ≤ 2·F2², so averaging 16 estimators and taking the median of
+  * the 8 group means concentrates the estimate (the paper's
+  * median-of-means). Every Z_i is an INTEGER sum; group means divide by 16
+  * and the even-median averages two doubles — all dyadic, single-op,
+  * engine-exact, so the whole estimator replays bit-for-bit in SQL.
+  *
+  * Scale: the sign projection is map-side (one md5 + four word extracts
+  * per row); the 128 sums partial-aggregate per task, so ≤ 128 longs per
+  * task cross the shuffle — ONE corpus pass, state O(1) regardless of key
+  * cardinality. MERGE LAW: the sketch is LINEAR, so cells merge by
+  * estimator-wise SUM exactly like [[TextAnalysis.cmsSketch]] cells
+  * (spec-pinned) — per-shard/per-day sketches roll up without re-reading
+  * the stream, and a STREAMING fold would need the CMS-style `_bid` replay
+  * guard (sums are not idempotent), the documented contrast with HLL's
+  * max / the quantile sketch's distinct.
+  *
+  * NULL keys are dropped (a null never joins, so it contributes nothing
+  * to a join size).
+  */
+object F2Sketch {
+
+  /** 8 groups × 16 estimators — means are /16 (dyadic-exact) and the
+    * median of 8 averages two order statistics (dyadic-exact). */
+  val Groups = 8
+  val PerGroup = 16
+  val Estimators: Int = Groups * PerGroup // 128 = md5's bit width
+
+  /** The 128 ±1 signs of one key, from its md5 bits: word j = hex digits
+    * [8j+1, 8j+8) (each < 2^32 — the below-2^63 hash-arith rule), sign of
+    * estimator i = 1 − 2·bit(i) with bit i read from word i/32 at offset
+    * i%32. */
+  private def signExprs(key: Column): Seq[Column] = {
+    val h = md5(key.cast("string"))
+    val words = (0 until 4).map(j =>
+      conv(substring(h, 8 * j + 1, 8), 16, 10).cast("long"))
+    (0 until Estimators).map { i =>
+      lit(1L) - lit(2L) * (shiftright(words(i / 32), i % 32) % 2L)
+    }
+  }
+
+  /** The mergeable cell table: (groupCols..., _e, z) with _e in [0, 128) —
+    * ≤ 128 rows per group at ANY stream size. One whole-stage-codegen
+    * aggregate: 128 signed sums per group, then a bounded posexplode of
+    * the single result row reshapes to rows (merge = sum over `z` grouped
+    * by (group, _e) — see the object scaladoc's merge law). */
+  def f2Cells(df: DataFrame, groupCols: Seq[String], keyCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val signs = signExprs(col(keyCol))
+    val sums = signs.zipWithIndex.map { case (s, i) => sum(s).as(s"_z$i") }
+    val wide = df.where(col(keyCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(sums.head, sums.tail: _*)
+    wide.select(g :+ posexplode(array((0 until Estimators)
+        .map(i => col(s"_z$i")): _*)).as(Seq("_e", "z")): _*)
+  }
+
+  /** Median-of-means estimate from a cell table: mean of Z² within each of
+    * the 8 estimator groups (exact /16), median of the 8 means (exact
+    * average of the 4th and 5th order statistics). Output:
+    * (groupCols..., f2_est). */
+  def f2EstimateFromCells(cells: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    cells
+      .groupBy(g :+ (col("_e") / lit(PerGroup)).cast("int").as("_g"): _*)
+      .agg((sum(col("z") * col("z")).cast("double") / lit(PerGroup)).as("_mean"))
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(col("_mean"))).as("_ms")) // bounded: 8 doubles
+      .select(g :+ ((element_at(col("_ms"), Groups / 2)
+        + element_at(col("_ms"), Groups / 2 + 1)) / 2.0).as("f2_est"): _*)
+  }
+
+  /** The verification surface (the [[TextAnalysis.cmsCounts]] probe
+    * discipline): sketch estimate beside the EXACT F2 from a full
+    * vocabulary pass — production reads the sketch alone; the exact pass
+    * exists to measure it. Output: (groupCols..., n_rows, n_keys,
+    * f2_exact, f2_est, rel_err) with rel_err = round((est−exact)/exact, 6),
+    * identically parenthesized in the SQL replay. */
+  def f2Diagnostics(df: DataFrame, groupCols: Seq[String], keyCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val est = f2EstimateFromCells(f2Cells(df, groupCols, keyCol), groupCols)
+    val exact = df.where(col(keyCol).isNotNull)
+      .groupBy(g :+ col(keyCol).as("_k"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(g: _*)
+      .agg(sum(col("_c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(col("_c") * col("_c")).as("f2_exact"))
+    val joined =
+      if (groupCols.isEmpty) exact.crossJoin(est) // 1 row × 1 row
+      else exact.join(est, groupCols)
+    joined.select(g ++ Seq(col("n_rows"), col("n_keys"), col("f2_exact"),
+      col("f2_est"),
+      round((col("f2_est") - col("f2_exact")) / col("f2_exact"), 6)
+        .as("rel_err")): _*)
+  }
+}

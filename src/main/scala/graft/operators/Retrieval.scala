@@ -216,4 +216,43 @@ object Retrieval {
           6).cast("decimal(18,6)").as("c"))
     rank(contrib, k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of several
+    * per-query rankings — the standard HYBRID-retrieval combiner: each
+    * ranker contributes 1/(kRrf + rank) for the documents on its top-k
+    * list (documents missing from a list contribute nothing), and the
+    * fused score needs no score calibration across rankers because only
+    * RANKS enter — which is exactly why RRF is the production default for
+    * fusing BM25's unbounded tf-idf scale with cosine's [−1, 1]
+    * (see [[bm25TopK]] / [[Similarity.exactTopK]]).
+    *
+    * Inputs are (query_id, doc_id, rank) tables — ALREADY top-k-bounded
+    * per query by their rankers — so every stage here is dimension-sized:
+    * the union holds ≤ |rankings|·k rows per query, the fuse groupBy is a
+    * bounded aggregate, and the final window's frame is ≤ |rankings|·k
+    * rows (the funnel-class bounded-window argument; no TopKAgg needed
+    * because the candidate set can't grow with the corpus). Per-list
+    * contributions round to 6dp and sum as DECIMAL(18,6) — the bm25TopK
+    * discipline — so the fused score is accumulation-order independent
+    * and engine-exact. Output: (query_id, doc_id, n_lists, rrf_score,
+    * rank), top `k` per query by (rrf_score desc, doc_id asc). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1 && kRrf >= 0, s"rrfFuse needs k >= 1, kRrf >= 0; got k=$k kRrf=$kRrf")
+    val u = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_.unionByName(_))
+    val fused = u
+      .select(col("query_id"), col("doc_id"),
+        round(lit(1).cast("double") / (lit(kRrf) + col("rank")), 6)
+          .cast("decimal(18,6)").as("_c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_lists"),
+        sum(col("_c")).cast("double").as("rrf_score"))
+    fused
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))).cast("int"))
+      .where(col("rank") <= k)
+  }
 }

@@ -1516,4 +1516,75 @@ object TextAnalysis {
         (col("_nk").cast("double") / col("n_docs")).as("keep_rate"))
       .withColumn("src_kept",
         col("n_docs") >= minDocs && col("keep_rate") > minKeepRate)
+
+  /** Self-BLEU-style clipped n-gram precision of each source against the
+    * REST of the corpus (Papineni et al. 2002's modified precision; Zhu et
+    * al. 2018's Self-BLEU as a DIVERSITY metric) — the eval-family
+    * complement to [[graft.operators.Dedup.sourceOverlap]]'s set Jaccard:
+    * Jaccard sees vocabulary overlap, this sees MULTISET production
+    * overlap, so a source that re-emits common n-grams at high volume
+    * scores high (redundant with the corpus) even when its vocabulary
+    * looks ordinary. p_n = Σ_g min(c_src(g), c_rest(g)) / Σ_g c_src(g)
+    * for n = 1..maxN, reported as exact integer clip/total pairs plus the
+    * geometric-mean log precision.
+    *
+    * Scale — the ksBySource source-vs-rest discipline: c_rest(g) =
+    * c_total(g) − c_src(g), so NO pair join ever forms; the plan is one
+    * (source, n, gram) count aggregate, one (n, gram) total re-aggregate
+    * joined back on the gram key, and a |sources|-row final — linear in
+    * the corpus, never |sources|² anything. Brevity penalty is omitted
+    * (it compares parallel candidate/reference lengths; against a 19×
+    * bigger rest it is pure noise). FP discipline: each ln(clip/total)
+    * rounds to 6dp into DECIMAL(18,6) (the bm25 convention), the 4-term
+    * sum is exact decimal, and the /maxN happens after one exact double
+    * cast — engine-exact throughout. log_p_geo is NULL when any order has
+    * zero clipped overlap (log 0) or an empty total (a source whose every
+    * doc is shorter than maxN tokens).
+    * Output: (source, n, total, clip, log_p) per order plus the rollup
+    * ([[selfBleu]] returns the per-source rollup: source, tot1..totN,
+    * clip1..clipN, log_p_geo). */
+  def selfBleu(docs: DataFrame, srcCol: String, textCol: String,
+               maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"selfBleu needs 1 <= maxN <= 6, got $maxN")
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    // n-grams of order n as space-joined strings; empty array when the doc
+    // is shorter than n tokens (sequence() would run DESCENDING on a
+    // negative span — guard with when, the lmKneserNeyTrigram discipline)
+    def grams(n: Int): Column = {
+      if (n == 1) col("_w")
+      else {
+        val m = size(col("_w")) - (n - 1)
+        when(m >= 1, transform(sequence(lit(1), m),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("_w"), i + j)): _*)))
+          .otherwise(array())
+      }
+    }
+    val perOrder = (1 to maxN).map { n =>
+      docs.select(col(srcCol).as("_src"), toks.as("_w"))
+        .select(col("_src"), lit(n).as("_n"), explode(grams(n)).as("_g"))
+    }.reduce(_.unionByName(_))
+    val counts = perOrder.groupBy(col("_src"), col("_n"), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy(col("_n"), col("_g"))
+      .agg(sum(col("_c")).as("_tot"))
+    val perSrc = counts.join(totals, Seq("_n", "_g"))
+      .groupBy(col("_src"), col("_n"))
+      .agg(sum(col("_c")).as("_total"),
+        sum(least(col("_c"), col("_tot") - col("_c"))).as("_clip"))
+      .withColumn("_logp",
+        when(col("_clip") > 0,
+          round(log(col("_clip").cast("double") / col("_total")), 6)
+            .cast("decimal(18,6)")))
+    val aggs = (1 to maxN).flatMap { n =>
+      Seq(max(when(col("_n") === n, col("_total"))).as(s"tot$n"),
+        max(when(col("_n") === n, col("_clip"))).as(s"clip$n"))
+    } :+ sum(col("_logp")).as("_lsum") :+
+      count(col("_logp")).as("_nl")
+    perSrc.groupBy(col("_src"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col("_src").as(srcCol) +:
+        (1 to maxN).flatMap(n => Seq(col(s"tot$n"), col(s"clip$n")))) :+
+        when(col("_nl") === maxN,
+          col("_lsum").cast("double") / maxN).as("log_p_geo"): _*)
+  }
 }

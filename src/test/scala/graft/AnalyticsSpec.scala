@@ -1,10 +1,43 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Quality, QuantileSketch, Similarity, TextAnalysis}
+import graft.operators.{Analytics, F2Sketch, Quality, QuantileSketch, Similarity, TextAnalysis}
 
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("F2 sketch: linear merge law, exact diagnostics, estimate bound, grouped == per-slice") {
+    // planted key stream: key i repeated i times, i = 1..40 →
+    // n = Σi = 820, keys = 40, F2 = Σi² = 22140
+    val a = (1 to 40).flatMap(i => Seq.fill(i)(i.toLong)).toDF("k")
+    val d = F2Sketch.f2Diagnostics(a, Nil, "k")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(d._1 == 820L && d._2 == 40L && d._3 == 22140L)
+    // deterministic md5 signs → this is a regression pin, not a flake:
+    // the median-of-means concentrates within ~sd = sqrt(2/16)·F2
+    assert(math.abs(d._5) <= 0.75, s"rel_err ${d._5} outside the MoM bound")
+    // MERGE LAW: the sketch is linear — cells(A ⊎ B) == cell-wise sum
+    // (the CMS discipline; a streaming fold would need the _bid guard)
+    val b = (30 to 60).flatMap(i => Seq.fill(3)(i.toLong)).toDF("k")
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      F2Sketch.f2Cells(df, Nil, "k").as[(Int, Long)].collect().toMap
+    val ca = cells(a); val cb = cells(b)
+    assert(cells(a.unionByName(b)) ==
+      (ca.keySet ++ cb.keySet).map(e => e -> (ca.getOrElse(e, 0L) + cb.getOrElse(e, 0L))).toMap,
+      "F2 cells must merge by EXACT estimator-wise sum")
+    // null keys contribute nothing (a null never joins)
+    val withNull = a.unionByName(Seq(Option.empty[Long]).toDF("k"))
+    assert(cells(withNull) == ca)
+    // grouped form == the scalar sketch of each slice
+    val g = a.withColumn("g", (col("k") % 2).cast("string"))
+    val grouped = F2Sketch.f2Diagnostics(g, Seq("g"), "k")
+      .as[(String, Long, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    for (gv <- Seq("0", "1")) {
+      val solo = F2Sketch.f2Diagnostics(g.where(col("g") === gv), Nil, "k")
+        .as[(Long, Long, Long, Double, Double)].collect().head
+      assert(grouped(gv) == ((gv, solo._1, solo._2, solo._3, solo._4, solo._5)))
+    }
+  }
 
   test("quantile sketch: exact merge law, content idempotence, n<=k exactness, rank error") {
     // disjoint shards with unique row keys (the md5-coin source)

@@ -72,6 +72,62 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
 
+  test("rrfFuse: exact reciprocal-rank arithmetic, cross-list boost, tie-break, k cut") {
+    val sparse = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 20L, 1), (1L, 40L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), 10)
+      .as[(Long, Long, Int, Double, Int)].collect().sortBy(_._5)
+    // contributions are round(1/(60+r), 6) decimal-summed: doc 20 appears
+    // on BOTH lists (1/61 + 1/62) and must beat every single-list doc
+    def c(r: Int): BigDecimal = BigDecimal(1.0 / (60 + r))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(out.map(r => (r._2, r._3)).toSeq ==
+      Seq((20L, 2), (10L, 1), (40L, 1), (30L, 1)))
+    assert(out.head._4 == (c(2) + c(1)).toDouble)
+    assert(out(1)._4 == c(1).toDouble && out(3)._4 == c(3).toDouble)
+    // tie-break: equal fused scores order by doc_id asc — ranks 1 on two
+    // disjoint lists tie exactly (same rounded contribution)
+    val l1 = Seq((7L, 5L, 1)).toDF("query_id", "doc_id", "rank")
+    val l2 = Seq((7L, 3L, 1)).toDF("query_id", "doc_id", "rank")
+    val tied = graft.operators.Retrieval.rrfFuse(Seq(l1, l2), 10)
+      .as[(Long, Long, Int, Double, Int)].collect().sortBy(_._5)
+    assert(tied.map(_._2).toSeq == Seq(3L, 5L))
+    // k cut keeps the fused top-k only
+    assert(graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), 2).count() == 2)
+  }
+
+  test("selfBleu: clipped source-vs-rest precision, identical-source saturation, unique-source NULL") {
+    // X = "a a b", Y = "a b b": unigrams — X: min(2, tot(a)−2=1)=1 for a,
+    // min(1, 2)=1 for b → clip 2/3; bigrams — X has {"a a","a b"},
+    // tot("a b")=2 → clip 1/2
+    val docs = Seq(("X", "a a b"), ("Y", "a b b")).toDF("src", "text")
+    val out = TextAnalysis.selfBleu(docs, "src", "text", maxN = 2)
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("X") == (("X", 3L, 2L, 2L, 1L,
+      Some((BigDecimal(math.log(2.0 / 3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        + BigDecimal(math.log(1.0 / 2)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .toDouble / 2))))
+    // two identical sources: every n-gram's rest count >= own count →
+    // clip == total at every order → log_p_geo == 0 exactly
+    val twin = Seq(("A", "p q r s t"), ("B", "p q r s t")).toDF("src", "text")
+    val sat = TextAnalysis.selfBleu(twin, "src", "text", maxN = 4)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(sat("A")._10.contains(0.0) && sat("B")._10.contains(0.0))
+    assert(sat("A")._2 == 5L && sat("A")._3 == 5L && sat("A")._8 == 2L && sat("A")._9 == 2L)
+    // a source sharing NO vocabulary with the rest: clips are 0, log is
+    // undefined → NULL (and a short doc leaves high orders NULL too)
+    val mixed = Seq(("U", "zz yy xx ww vv"), ("A", "p q r s t"), ("B", "p q r s t"))
+      .toDF("src", "text")
+    val u = TextAnalysis.selfBleu(mixed, "src", "text", maxN = 4)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(u("U")._3 == 0L && u("U")._9 == 0L && u("U")._10.isEmpty)
+  }
+
   test("sampleWeighted keeps per-stratum fractions deterministically") {
     val docs = spark.range(0, 4000)
       .select(col("id").as("doc_id"),
