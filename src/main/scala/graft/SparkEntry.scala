@@ -1427,10 +1427,10 @@ object SparkEntry {
     // min-over-rows estimate and its one-sided overcount replay in SQL.
     "cms_counts" -> ((s, d) => TextAnalysis.cmsCounts(Tables.documents(s, d), "text")),
     // §2.2 row L29bb — AMS F2 / self-join-size sketch (round 16, Alon–
-    // Matias–Szegedy tug-of-war): 128 signed sums from the 128 md5 bits of
+    // Matias–Szegedy tug-of-war): 96 signed sums from the md5 bits of
     // each key estimate Σf² — the exact self-join size of lineitem on
     // l_orderkey, the number a planner needs to size the shuffle BEFORE
-    // joining; ≤ 128 longs per task cross the exchange at any stream
+    // joining; ≤ 96 longs per task cross the exchange at any stream
     // size, and the median-of-means chain is integer/dyadic throughout so
     // the whole estimator replays bit-for-bit. Exact F2 runs beside it as
     // the verification surface (the cmsCounts probe discipline).
@@ -1438,7 +1438,7 @@ object SparkEntry {
       F2Sketch.f2Diagnostics(Tables.lineitem(s, d), Nil, "l_orderkey")),
     // the grouped form — per-source token F2 (the repetition/skew monitor:
     // F2/n² rises when few tokens dominate a source); state is
-    // |sources|×128 longs at any corpus size
+    // |sources|×96 longs at any corpus size
     "f2_by_source" -> ((s, d) =>
       F2Sketch.f2Diagnostics(
         Tables.documents(s, d)
@@ -3983,9 +3983,9 @@ object SparkEntry {
         |  CAST(min(c.cell) - p.exact_n AS BIGINT) AS overcount
         |FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
         |GROUP BY p.token, p.exact_n""".stripMargin,
-    // AMS F2: the full median-of-means chain replays — 128 ±1 signs from
-    // the four 32-bit md5 words (below 2^63 throughout), Z sums are
-    // integers, group means divide by 16 (dyadic-exact) and the even
+    // AMS F2: the full median-of-means chain replays — 96 ±1 signs from
+    // the first three 32-bit md5 words (below 2^63 throughout), Z sums
+    // are integers, group means divide by 16 (dyadic-exact) and the even
     // median averages two order statistics (one correctly-rounded op);
     // rel_err is identically parenthesized on both sides.
     "f2_sketch" ->
@@ -3993,15 +3993,14 @@ object SparkEntry {
         |    WHERE l_orderkey IS NOT NULL),
         |w AS (SELECT ('0x' || substr(h, 1, 8))::BIGINT AS w0,
         |    ('0x' || substr(h, 9, 8))::BIGINT AS w1,
-        |    ('0x' || substr(h, 17, 8))::BIGINT AS w2,
-        |    ('0x' || substr(h, 25, 8))::BIGINT AS w3 FROM r),
+        |    ('0x' || substr(h, 17, 8))::BIGINT AS w2 FROM r),
         |z AS (SELECT i, SUM(1 - 2 * (((CASE i // 32 WHEN 0 THEN w0 WHEN 1 THEN w1
-        |      WHEN 2 THEN w2 ELSE w3 END) >> CAST(i % 32 AS INT)) & 1)) AS z
-        |  FROM w, (SELECT unnest(range(0, 128)) AS i) est GROUP BY i),
+        |      ELSE w2 END) >> CAST(i % 32 AS INT)) & 1)) AS z
+        |  FROM w, (SELECT unnest(range(0, 96)) AS i) est GROUP BY i),
         |m AS (SELECT i // 16 AS g, CAST(SUM(z * z) AS DOUBLE) / 16 AS mean
         |  FROM z GROUP BY i // 16),
         |med AS (SELECT list_sort(list(mean)) AS ms FROM m),
-        |est AS (SELECT (ms[4] + ms[5]) / 2 AS f2_est FROM med),
+        |est AS (SELECT (ms[3] + ms[4]) / 2 AS f2_est FROM med),
         |ex AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
         |    CAST(count(*) AS BIGINT) AS n_keys,
         |    CAST(SUM(c * c) AS BIGINT) AS f2_exact
@@ -4017,15 +4016,14 @@ object SparkEntry {
         |r AS (SELECT source, md5(token) AS h FROM tok),
         |w AS (SELECT source, ('0x' || substr(h, 1, 8))::BIGINT AS w0,
         |    ('0x' || substr(h, 9, 8))::BIGINT AS w1,
-        |    ('0x' || substr(h, 17, 8))::BIGINT AS w2,
-        |    ('0x' || substr(h, 25, 8))::BIGINT AS w3 FROM r),
+        |    ('0x' || substr(h, 17, 8))::BIGINT AS w2 FROM r),
         |z AS (SELECT source, i, SUM(1 - 2 * (((CASE i // 32 WHEN 0 THEN w0 WHEN 1 THEN w1
-        |      WHEN 2 THEN w2 ELSE w3 END) >> CAST(i % 32 AS INT)) & 1)) AS z
-        |  FROM w, (SELECT unnest(range(0, 128)) AS i) est GROUP BY source, i),
+        |      ELSE w2 END) >> CAST(i % 32 AS INT)) & 1)) AS z
+        |  FROM w, (SELECT unnest(range(0, 96)) AS i) est GROUP BY source, i),
         |m AS (SELECT source, i // 16 AS g, CAST(SUM(z * z) AS DOUBLE) / 16 AS mean
         |  FROM z GROUP BY source, i // 16),
         |med AS (SELECT source, list_sort(list(mean)) AS ms FROM m GROUP BY source),
-        |est AS (SELECT source, (ms[4] + ms[5]) / 2 AS f2_est FROM med),
+        |est AS (SELECT source, (ms[3] + ms[4]) / 2 AS f2_est FROM med),
         |ex AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_rows,
         |    CAST(count(*) AS BIGINT) AS n_keys,
         |    CAST(SUM(c * c) AS BIGINT) AS f2_exact

@@ -12,21 +12,21 @@ import org.apache.spark.sql.functions._
   * way), the quantity a distributed planner needs to size shuffles and pick
   * broadcast-vs-exchange BEFORE running the join. The exact computation is
   * a full vocabulary groupBy (billions of distinct keys at corpus scale);
-  * this sketch answers in 128 longs.
+  * this sketch answers in 96 longs.
   *
   * Construction (derandomized the md5 way — the L29i/L29o convention): each
-  * key VALUE draws 128 ±1 signs from the 128 bits of md5(key) (four 32-bit
-  * hex words, one bit per estimator — so every occurrence of a key pulls
-  * the same sign on any engine/partitioning/retry), and estimator i keeps
-  * the running signed sum Z_i = Σ_k f_k·s_i(k). E[Z²] = F2 and
+  * key VALUE draws 96 ±1 signs from the first 96 bits of md5(key) (three
+  * 32-bit hex words, one bit per estimator — so every occurrence of a key
+  * pulls the same sign on any engine/partitioning/retry), and estimator i
+  * keeps the running signed sum Z_i = Σ_k f_k·s_i(k). E[Z²] = F2 and
   * Var(Z²) ≤ 2·F2², so averaging 16 estimators and taking the median of
-  * the 8 group means concentrates the estimate (the paper's
+  * the 6 group means concentrates the estimate (the paper's
   * median-of-means). Every Z_i is an INTEGER sum; group means divide by 16
   * and the even-median averages two doubles — all dyadic, single-op,
   * engine-exact, so the whole estimator replays bit-for-bit in SQL.
   *
-  * Scale: the sign projection is map-side (one md5 + four word extracts
-  * per row); the 128 sums partial-aggregate per task, so ≤ 128 longs per
+  * Scale: the sign projection is map-side (one md5 + three word extracts
+  * per row); the 96 sums partial-aggregate per task, so ≤ 96 longs per
   * task cross the shuffle — ONE corpus pass, state O(1) regardless of key
   * cardinality. MERGE LAW: the sketch is LINEAR, so cells merge by
   * estimator-wise SUM exactly like [[TextAnalysis.cmsSketch]] cells
@@ -40,44 +40,51 @@ import org.apache.spark.sql.functions._
   */
 object F2Sketch {
 
-  /** 8 groups × 16 estimators — means are /16 (dyadic-exact) and the
-    * median of 8 averages two order statistics (dyadic-exact). */
-  val Groups = 8
+  /** 6 groups × 16 estimators — means are /16 (dyadic-exact) and the
+    * median of 6 averages two order statistics (dyadic-exact). 96 total,
+    * NOT md5's full 128 bits: the sums run as ONE wide whole-stage-codegen
+    * aggregate, and 96 sum columns (+ group keys) stays under Spark's
+    * spark.sql.codegen.maxFields = 100 — at 128 the stage drops to the
+    * interpreted path and the scan goes ~8× slower (measured at sf0.1;
+    * the explode-to-narrow-agg alternative was worse still: the Generate
+    * materializes |rows|·128 tuples). */
+  val Groups = 6
   val PerGroup = 16
-  val Estimators: Int = Groups * PerGroup // 128 = md5's bit width
+  val Estimators: Int = Groups * PerGroup // 96 of md5's 128 bits
 
-  /** The 128 ±1 signs of one key, from its md5 bits: word j = hex digits
-    * [8j+1, 8j+8) (each < 2^32 — the below-2^63 hash-arith rule), sign of
-    * estimator i = 1 − 2·bit(i) with bit i read from word i/32 at offset
-    * i%32. */
-  private def signExprs(key: Column): Seq[Column] = {
-    val h = md5(key.cast("string"))
-    val words = (0 until 4).map(j =>
-      conv(substring(h, 8 * j + 1, 8), 16, 10).cast("long"))
-    (0 until Estimators).map { i =>
-      lit(1L) - lit(2L) * (shiftright(words(i / 32), i % 32) % 2L)
-    }
-  }
-
-  /** The mergeable cell table: (groupCols..., _e, z) with _e in [0, 128) —
-    * ≤ 128 rows per group at ANY stream size. One whole-stage-codegen
-    * aggregate: 128 signed sums per group, then a bounded posexplode of
-    * the single result row reshapes to rows (merge = sum over `z` grouped
-    * by (group, _e) — see the object scaladoc's merge law). */
+  /** The mergeable cell table: (groupCols..., _e, z) with _e in [0, 96) —
+    * ≤ 96 rows per group at ANY stream size: ONE wide whole-stage-codegen
+    * aggregate of 96 signed sums, then a bounded posexplode of the
+    * per-group result row reshapes to cells (merge = sum over `z` grouped
+    * by (group, _e) — the object scaladoc's merge law).
+    *
+    * The md5 and its three 32-bit words (hex digits [8j+1, 8j+8), each
+    * < 2^63) materialize in their OWN projections before the aggregate:
+    * inlining them into the 96 sign expressions re-evaluates the hash 96
+    * times per row (no CSE across aggregate inputs — measured ~8× slower
+    * at sf0.1), and CollapseProject keeps the split because a non-cheap
+    * producer referenced more than once doesn't collapse. Sign of
+    * estimator i = 1 − 2·bit(i), bit i read from word i/32 at offset
+    * i%32 — per-row cost is one md5, three convs, and 96 shift-ands. */
   def f2Cells(df: DataFrame, groupCols: Seq[String], keyCol: String): DataFrame = {
     val g = groupCols.map(col)
-    val signs = signExprs(col(keyCol))
-    val sums = signs.zipWithIndex.map { case (s, i) => sum(s).as(s"_z$i") }
-    val wide = df.where(col(keyCol).isNotNull)
-      .groupBy(g: _*)
-      .agg(sums.head, sums.tail: _*)
+    val nWords = Estimators / 32
+    val withHash = df.where(col(keyCol).isNotNull)
+      .select(g :+ md5(col(keyCol).cast("string")).as("_h"): _*)
+    val withWords = withHash.select(g ++ (0 until nWords).map(j =>
+      conv(substring(col("_h"), 8 * j + 1, 8), 16, 10).cast("long").as(s"_w$j")): _*)
+    val sums = (0 until Estimators).map { i =>
+      sum(lit(1L) - lit(2L) *
+        (shiftright(col(s"_w${i / 32}"), i % 32) % 2L)).as(s"_z$i")
+    }
+    val wide = withWords.groupBy(g: _*).agg(sums.head, sums.tail: _*)
     wide.select(g :+ posexplode(array((0 until Estimators)
         .map(i => col(s"_z$i")): _*)).as(Seq("_e", "z")): _*)
   }
 
   /** Median-of-means estimate from a cell table: mean of Z² within each of
-    * the 8 estimator groups (exact /16), median of the 8 means (exact
-    * average of the 4th and 5th order statistics). Output:
+    * the 6 estimator groups (exact /16), median of the 6 means (exact
+    * average of the 3rd and 4th order statistics). Output:
     * (groupCols..., f2_est). */
   def f2EstimateFromCells(cells: DataFrame, groupCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
@@ -85,7 +92,7 @@ object F2Sketch {
       .groupBy(g :+ (col("_e") / lit(PerGroup)).cast("int").as("_g"): _*)
       .agg((sum(col("z") * col("z")).cast("double") / lit(PerGroup)).as("_mean"))
       .groupBy(g: _*)
-      .agg(sort_array(collect_list(col("_mean"))).as("_ms")) // bounded: 8 doubles
+      .agg(sort_array(collect_list(col("_mean"))).as("_ms")) // bounded: 6 doubles
       .select(g :+ ((element_at(col("_ms"), Groups / 2)
         + element_at(col("_ms"), Groups / 2 + 1)) / 2.0).as("f2_est"): _*)
   }
