@@ -1362,6 +1362,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", SubstrRun, md5Hash = true)
     }),
+    // §2.2 row L29cc — first-class ORACLED Bloom filter (round 16): the
+    // membership sketch decontaminate() uses opaquely, rebuilt here as a
+    // verifiable word table (k=4 salted-md5 positions over 8192 bits,
+    // 32-bit lanes in BIGINT words so bit_or/shift probes are sign-free
+    // in both engines); build over the benchmark slice, probe the whole
+    // corpus, report the Bloom verdict beside the exact membership join —
+    // no false negatives by construction, realized FPR measurable.
+    "bloom_decontam" -> ((s, d) =>
+      BloomSketch.bloomDiagnostics(Tables.documents(s, d), "doc_id", "text",
+        col("doc_id") % 97 === 0)),
     // §2.2 row 27d — unigram LM quality score (mean per-token log-prob
     // under the corpus's own unigram distribution — the perplexity gate)
     "lm_score" -> ((s, d) =>
@@ -3686,6 +3696,29 @@ object SparkEntry {
         |SELECT train_id, CAST(count(*) AS BIGINT) AS n_hit_grams,
         |  min(gram) AS first_hit
         |FROM hits GROUP BY train_id""".stripMargin,
+    // Bloom: every coordinate replays — salted-md5 positions, 32-bit
+    // lanes packed into BIGINT words by bit_or, probes via (bits >> bit)
+    // & 1 on a LEFT join (absent word = unset), bool_and over the k
+    // probes; the exact side is the same distinct-member left join.
+    "bloom_decontam" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |hs AS (SELECT unnest(range(0, 4)) AS h),
+        |bp AS (SELECT ('0x' || substr(md5('bf' || h || ':' || text), 1, 8))::BIGINT % 8192 AS pos
+        |  FROM (SELECT text FROM d WHERE doc_id % 97 = 0) m, hs),
+        |w AS (SELECT CAST(pos // 32 AS INT) AS widx,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+        |  FROM bp GROUP BY pos // 32),
+        |pp AS (SELECT doc_id, ('0x' || substr(md5('bf' || h || ':' || text), 1, 8))::BIGINT % 8192 AS pos
+        |  FROM d, hs),
+        |ph AS (SELECT doc_id,
+        |    COALESCE(((w.bits >> CAST(pos % 32 AS INT)) & 1) = 1, FALSE) AS hit
+        |  FROM pp LEFT JOIN w ON CAST(pos // 32 AS INT) = w.widx),
+        |bl AS (SELECT doc_id, bool_and(hit) AS bloom_hit FROM ph GROUP BY doc_id),
+        |b AS (SELECT DISTINCT text FROM d WHERE doc_id % 97 = 0),
+        |ex AS (SELECT d.doc_id, (b.text IS NOT NULL) AS exact_hit
+        |  FROM d LEFT JOIN b ON d.text = b.text)
+        |SELECT bl.doc_id, bloom_hit, exact_hit
+        |FROM bl JOIN ex ON bl.doc_id = ex.doc_id""".stripMargin,
     "lm_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),

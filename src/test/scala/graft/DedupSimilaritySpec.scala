@@ -112,6 +112,44 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missed=${(expected -- out).take(5)} extra=${(out -- expected).take(5)}")
   }
 
+  test("BloomSketch: no false negatives, OR merge law + idempotence, measured FPR, absent-word miss") {
+    import graft.operators.BloomSketch
+    val members = (1 to 60).map(i => (i.toLong, s"member text $i")).toDF("doc_id", "text")
+    val probes = members.unionByName(
+      (1001 to 1400).map(i => (i.toLong, s"outside probe $i")).toDF("doc_id", "text"))
+    val out = BloomSketch.bloomDiagnostics(probes, "doc_id", "text",
+        col("doc_id") <= 60).as[(Long, Boolean, Boolean)].collect()
+    // NO false negatives: every exact member reads bloom_hit = true
+    assert(out.filter(_._3).forall(_._2), "a Bloom filter must never miss a member")
+    assert(out.count(_._3) == 60)
+    // realized FPR on 400 non-members stays near the (1-e^(-kn/m))^k
+    // design point (~6e-5 at k=4, n=60, m=8192) — deterministic hashes,
+    // so this is a regression pin, not a flake
+    val fps = out.filter(r => r._2 && !r._3)
+    assert(fps.length <= 2, s"false positives ${fps.length} beyond the design rate")
+    // MERGE LAW: word-wise OR equals the filter of the union, and OR is
+    // idempotent (re-merging a shard is a no-op) — the streaming-guard
+    // argument for StreamingBloom
+    def words(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      BloomSketch.bloomWords(df, "text").as[(Int, Long)].collect().toMap
+    val a = members.where(col("doc_id") <= 30)
+    val b = members.where(col("doc_id") > 30)
+    def mergeMap(x: Map[Int, Long], y: Map[Int, Long]): Map[Int, Long] =
+      (x.keySet ++ y.keySet).map(k => k -> (x.getOrElse(k, 0L) | y.getOrElse(k, 0L))).toMap
+    assert(words(members) == mergeMap(words(a), words(b)))
+    assert(mergeMap(words(a), words(a)) == words(a))
+    val viaMerge = BloomSketch.merge(
+      BloomSketch.bloomWords(a, "text"), BloomSketch.bloomWords(b, "text"))
+      .as[(Int, Long)].collect().toMap
+    assert(viaMerge == words(members))
+    // probing an empty-ish filter: keys whose words are absent read false
+    val tiny = BloomSketch.bloomWords(members.limit(1), "text")
+    val missed = BloomSketch.bloomProbe(
+      (2001 to 2050).map(i => (i.toLong, s"far away $i")).toDF("doc_id", "text"),
+      "doc_id", "text", tiny).as[(Long, Boolean)].collect()
+    assert(missed.forall(!_._2))
+  }
+
   test("decontamNgram flags exactly the docs sharing a verbatim n-gram") {
     // bench doc 1 contains "p q r s t"; train doc 0 embeds it verbatim,
     // train doc 2 shares only a 4-gram ("q r s t" then u), doc 4 nothing.

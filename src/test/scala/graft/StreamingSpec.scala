@@ -464,6 +464,37 @@ class StreamingSpec extends SparkSpec {
     assert(regs() == whole, "replaying an applied batch must be a content-level no-op")
   }
 
+  test("StreamingBloom folds to the whole-stream filter; replay is a no-op by OR-idempotence") {
+    // the FOURTH streaming-guard family member: CMS sums carry _bid,
+    // HLL maxes and the quantile distinct are idempotent by content,
+    // and OR is idempotent ALGEBRAICALLY — drive foldBatch directly.
+    import spark.implicits._
+    import graft.streaming.StreamingDedup.Doc
+    val root = java.nio.file.Files.createTempDirectory("graft_sbloom").toFile.getAbsolutePath
+    val sketch = s"$root/sketch"
+    def words(): Map[Int, Long] =
+      spark.read.parquet(sketch).as[(Int, Long)].collect().toMap
+    def batchWords(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      graft.operators.BloomSketch.bloomWords(df, "text")
+        .as[(Int, Long)].collect().toMap
+    val b1 = Seq(Doc(1, "alpha beta"), Doc(2, "gamma")).toDF()
+    val b2 = Seq(Doc(3, "delta epsilon"), Doc(4, "alpha beta")).toDF()
+    graft.streaming.StreamingBloom.foldBatch(b1, "text", sketch)
+    assert(words() == batchWords(b1), "after one batch the stream filter IS the batch filter")
+    graft.streaming.StreamingBloom.foldBatch(b2, "text", sketch)
+    val whole = words()
+    assert(whole == batchWords(b1.unionByName(b2)),
+      "streamed OR-fold must equal the whole-corpus word table")
+    // every ingested key must probe positive against the folded filter
+    val hits = graft.operators.BloomSketch.bloomProbe(
+      b1.unionByName(b2), "doc_id", "text", spark.read.parquet(sketch))
+      .as[(Long, Boolean)].collect()
+    assert(hits.length == 4 && hits.forall(_._2))
+    // replayed batch (at-least-once crash window): x | x = x
+    graft.streaming.StreamingBloom.foldBatch(b1, "text", sketch)
+    assert(words() == whole, "replaying an applied batch must be a content-level no-op")
+  }
+
   test("StreamingQuantile end-to-end: the file-source stream accumulates the batch sketch") {
     import spark.implicits._
     import graft.streaming.StreamingDedup.Doc
