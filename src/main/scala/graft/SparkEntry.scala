@@ -1553,6 +1553,15 @@ object SparkEntry {
     "unigram_segment" -> ((s, d) =>
       Bpe.unigramSegment(Tables.documents(s, d), "doc_id", "text",
         Bpe.pinnedPieces)),
+    // §2.2 row L31d — WordPiece greedy longest-match segmentation (round
+    // 16, the BERT tokenizer's runtime algorithm): FOURTH tokenizer tier;
+    // per DISTINCT word an integer/boolean greedy automaton (no FP, fixed
+    // candidate order), ##-continuations, whole-word [UNK] on a stranded
+    // remainder; fully replayable as a recursive CTE over the SAME pinned
+    // vocabulary (interpolated into both sides).
+    "wordpiece_segment" -> ((s, d) =>
+      Bpe.wordpieceSegment(Tables.documents(s, d), "doc_id", "text",
+        Bpe.pinnedWordPieces)),
     // §2.1 row 17b — single-pass column profiling
     // (spread: the 4-column exact-distinct profile Expands the input 4x,
     // all fused into the single-row-group scan without it)
@@ -2254,6 +2263,42 @@ object SparkEntry {
         |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
         |  CAST(sum(s.cost) AS BIGINT) AS total_cost
         |FROM tw t JOIN seg s USING (w) GROUP BY t.doc_id""".stripMargin
+    },
+    // WordPiece: the greedy automaton replays as a recursive CTE — state
+    // (pos, np, unk) advances by the longest in-vocab match (list_max
+    // over the j candidates, ##-prefixed past position 0); a NULL best
+    // sets unk and halts (pos goes NULL, failing the recursion guard);
+    // final rows are exactly (unk OR pos = L). Vocabulary and maxPieceLen
+    // interpolate from Bpe.pinnedWordPieces / DefaultMaxPieceLen — the
+    // unigram_segment no-desync rule.
+    "wordpiece_segment" -> {
+      val vocabList = graft.operators.Bpe.pinnedWordPieces
+        .map(p => s"'$p'").mkString(", ")
+      val mpl = graft.operators.Bpe.DefaultMaxPieceLen
+      val js = (1 to mpl).mkString(", ")
+      val maxW = graft.operators.Bpe.MaxWordLen
+      s"""WITH d0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |tw AS (SELECT doc_id, u AS w FROM
+        |    (SELECT doc_id, unnest(toks) AS u FROM d0)
+        |  WHERE u <> '' AND length(u) < $maxW),
+        |w0 AS (SELECT DISTINCT w FROM tw),
+        |fin AS (
+        |  WITH RECURSIVE st(w, L, pos, np, unk) AS (
+        |    SELECT w, CAST(length(w) AS INT), 0, CAST(0 AS BIGINT), FALSE FROM w0
+        |    UNION ALL
+        |    SELECT w, L, CAST(pos + b AS INT), np + 1, b IS NULL FROM (
+        |      SELECT w, L, pos, np,
+        |        list_max([CASE WHEN pos + j <= L AND list_contains([$vocabList],
+        |            CASE WHEN pos = 0 THEN substr(w, 1, j)
+        |                 ELSE '##' || substr(w, pos + 1, j) END)
+        |          THEN j END for j in [$js]]) AS b
+        |      FROM st WHERE pos < L AND NOT unk) q)
+        |  SELECT w, CASE WHEN unk THEN CAST(1 AS BIGINT) ELSE np END AS np, unk
+        |  FROM st WHERE unk OR pos = L)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(f.np) AS BIGINT) AS n_pieces,
+        |  CAST(sum(CASE WHEN f.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+        |FROM tw t JOIN fin f USING (w) GROUP BY t.doc_id""".stripMargin
     },
     // ann_lsh re-derived end-to-end: the SAME 8×64 hyperplane constants
     // (java.util.Random(7) — deterministic across JVMs) rebuild every

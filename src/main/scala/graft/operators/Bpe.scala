@@ -422,6 +422,84 @@ object Bpe {
         sum(col("_cost")).as("total_cost"))
   }
 
+  /** WordPiece greedy longest-match-first segmentation (Wu et al. 2016;
+    * the BERT tokenizer's runtime algorithm) — the FOURTH tokenizer tier
+    * beside whitespace counting, BPE merges, and unigram-LM Viterbi: at
+    * each position take the LONGEST vocabulary piece that matches
+    * (continuations carry the "##" prefix); if NO piece matches, the
+    * whole word becomes one [UNK] token. Greedy is NOT globally optimal —
+    * a longest first piece can strand the remainder (spec-pinned with a
+    * planted trap word the Viterbi tier segments fine) — but it is what
+    * BERT-family tokenizers actually run, so fertility/UNK-rate audits of
+    * such tokenizers need THIS algorithm, not an idealization.
+    *
+    * Engine-exact: the greedy automaton folds over `length(w)` steps with
+    * an integer/boolean state (pos, n_pieces, unk) — no floating point,
+    * no ordering ambiguity (longest match is an integer argmax with
+    * fixed candidate order), so the same machine replays as a DuckDB
+    * recursive CTE over the SAME pinned vocabulary list (interpolated
+    * from [[pinnedWordPieces]] into both sides — the ADVICE r15
+    * no-silent-desync rule). Words at [[MaxWordLen]]+ chars are filtered
+    * on both sides (the unigramSegment bound — the fold would otherwise
+    * iterate per character of arbitrarily long blobs).
+    *
+    * Scale: the automaton runs once per DISTINCT word (the dictionary
+    * discipline) as one compiled higher-order expression; the vocabulary
+    * rides as a map literal (O(1) lookups). One word-keyed join back,
+    * one doc-keyed aggregate. Output: (idCol, n_words, n_pieces, n_unk) —
+    * an [UNK] word counts 1 piece. */
+  def wordpieceSegment(docs: DataFrame, idCol: String, textCol: String,
+                       vocab: Seq[String],
+                       maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
+    require(vocab.nonEmpty, "wordpieceSegment needs a vocabulary")
+    val stripped = vocab.map(p => if (p.startsWith("##")) p.drop(2) else p)
+    require(stripped.forall(p => p.nonEmpty && p.length <= maxPieceLen),
+      s"vocab pieces must be 1..$maxPieceLen chars after the ## strip")
+    val vmap = typedLit(vocab.map(_ -> 1).toMap)
+    val w = col("_w")
+    val tw = docs.select(col(idCol), explode(tokens(col(textCol))).as("_w"))
+      .where(w =!= "" && length(w) < MaxWordLen)
+    def st(s: Column, f: String): Column = s.getField(f)
+    // longest j whose piece (##-prefixed past position 0) is in-vocab;
+    // array_max skips the NULLs of non-matching candidates
+    def bestLen(s: Column): Column = array_max(array((1 to maxPieceLen).map { j =>
+      val piece = when(st(s, "pos") === 0, w.substr(st(s, "pos") + 1, lit(j)))
+        .otherwise(concat(lit("##"), w.substr(st(s, "pos") + 1, lit(j))))
+      when(st(s, "pos") + j <= length(w) &&
+        element_at(vmap, piece).isNotNull, lit(j))
+    }: _*))
+    val state0 = struct(lit(0).as("pos"), lit(0L).as("np"), lit(false).as("unk"))
+    val fold = aggregate(sequence(lit(1), length(w)), state0, (s, _) => {
+      val b = bestLen(s)
+      when(st(s, "unk") || st(s, "pos") >= length(w), s)
+        .otherwise(when(b.isNull,
+          struct(st(s, "pos").as("pos"), st(s, "np").as("np"), lit(true).as("unk")))
+        .otherwise(struct((st(s, "pos") + b).cast("int").as("pos"),
+          (st(s, "np") + 1L).as("np"), lit(false).as("unk"))))
+    })
+    val dp = tw.select(w).distinct()
+      .select(w, fold.as("_st"))
+      .select(w, when(col("_st.unk"), 1L).otherwise(col("_st.np")).as("_np"),
+        col("_st.unk").as("_unk"))
+    tw.join(dp, "_w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_np")).as("n_pieces"),
+        sum(when(col("_unk"), 1L).otherwise(0L)).as("n_unk"))
+  }
+
+  /** Pinned WordPiece vocabulary for `wordpiece_segment` — the
+    * pinnedPieces discipline (artifact pinned, machinery real): initial
+    * pieces plus ##-continuations chosen a priori to cover most of the
+    * testdata's word shapes through genuine multi-piece splits, with the
+    * remainder falling to [UNK]. */
+  val pinnedWordPieces: Seq[String] = Seq(
+    "the", "a", "join", "hash", "row", "scan", "slow", "fast", "key",
+    "agg", "part", "big", "sort", "val", "##ue", "tab", "##le", "col",
+    "##umn", "cust", "##omer", "fil", "##ter", "win", "##dow", "bat",
+    "##ch", "mer", "##ge", "ord", "##er", "str", "##eam", "gr", "##oup",
+    "sm", "##all", "li", "##ne", "da", "##ta", "sp", "##ark", "que",
+    "##ry", "vec", "##tor")
+
   /** Pinned piece inventory for `unigram_segment` — chosen a priori
     * against the testdata's word shapes (the pinnedMerges discipline:
     * artifacts pinned, the Viterbi machinery real), with deliberate

@@ -303,4 +303,70 @@ class BpeSpec extends SparkSpec {
     assert(g._2 == 2L && g._3 == 4097L,
       s"expected 2 words / 4097 pieces (no radix wrap), got $g")
   }
+
+  test("wordpieceSegment: exact local greedy replay, longest-match trap, UNK semantics") {
+    import org.apache.spark.sql.functions.col
+    // local reference of the SAME greedy automaton
+    def ref(w: String, vocab: Set[String], mpl: Int): (Long, Boolean) = {
+      var pos = 0; var np = 0L
+      while (pos < w.length) {
+        val best = (1 to mpl).filter { j =>
+          pos + j <= w.length && {
+            val cand = w.substring(pos, pos + j)
+            vocab.contains(if (pos == 0) cand else "##" + cand)
+          }
+        }.lastOption
+        best match {
+          case Some(j) => pos += j; np += 1
+          case None => return (1L, true)
+        }
+      }
+      (np, false)
+    }
+    val vocab = Seq("ab", "abc", "##cd", "##d", "the", "##q", "que", "##ue", "##ry", "a")
+    val docs = Seq(
+      (1L, "theque"),   // the + ##q + ##ue: greedy takes longest at each pos
+      (2L, "abcd"),     // trap resolved: abc + ##d (both exist here)
+      (3L, "zz"),       // no initial piece: [UNK]
+      (4L, "a abcd a"), // multiplicity
+      (5L, "abq")       // ab matches, then ##q... q: "##q" in vocab -> ab+##q
+    ).toDF("doc_id", "text")
+    val out = Bpe.wordpieceSegment(docs, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def exp(id: Long, ws: Seq[String]): (Long, Long, Long, Long) = {
+      val rs = ws.map(ref(_, vocab.toSet, 4))
+      (id, ws.size.toLong, rs.map(_._1).sum, rs.count(_._2).toLong)
+    }
+    for (id <- 1L to 5L) {
+      val words = docs.where(col("doc_id") === id).collect().head.getString(1)
+        .split(" ").toSeq
+      assert(out(id) == exp(id, words), s"doc $id diverged from the local greedy")
+    }
+    assert(out(1L)._3 == 3L && out(1L)._4 == 0L)
+    assert(out(3L)._3 == 1L && out(3L)._4 == 1L) // [UNK] counts one piece
+    // THE GREEDY TRAP (why WordPiece != Viterbi): without "##d", greedy
+    // takes the longest first piece "abc" and strands "d" -> [UNK], even
+    // though ab + ##cd covers the word — the unigram tier (costed pieces)
+    // finds that split; this tier faithfully reproduces BERT's behavior
+    val trapVocab = Seq("ab", "abc", "##cd")
+    val trap = Bpe.wordpieceSegment(Seq((1L, "abcd")).toDF("doc_id", "text"),
+      "doc_id", "text", trapVocab)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(trap == ((1L, 1L, 1L, 1L)), s"greedy must strand abcd -> UNK, got $trap")
+    val viterbi = Bpe.unigramSegment(Seq((1L, "abcd")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("ab" -> 3, "abc" -> 3, "cd" -> 3), fallbackCost = 400)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(viterbi._3 == 2L, s"the costed tier finds ab+cd where greedy fails: $viterbi")
+    // pinned production vocabulary covers the corpus's multi-piece words
+    val prod = Bpe.wordpieceSegment(
+      Seq((1L, "customer window stream the zzunknownzz")).toDF("doc_id", "text"),
+      "doc_id", "text", Bpe.pinnedWordPieces)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(prod == ((1L, 5L, 1L + 2L * 3L + 1L, 1L)),
+      s"cust+##omer / win+##dow / str+##eam / the / UNK expected, got $prod")
+    // determinism: a second run is row-identical
+    val again = Bpe.wordpieceSegment(docs, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
 }
