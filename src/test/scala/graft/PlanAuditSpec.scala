@@ -117,6 +117,67 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("partial"), s"histogram not map-side combined:\n$p")
   }
 
+  test("f2_sketch evaluates ONE md5 per row and stays window-free") {
+    val p = planOf("f2_sketch")
+    // the hash and its words live in their own projections — inlined into
+    // the 96 sum expressions the hash re-evaluates per estimator (the
+    // measured 8x cliff); and the 96-sum aggregate must arrive map-side
+    // combined (<= 96 longs per task cross the exchange)
+    val md5s = "md5\\(".r.findAllIn(p).length
+    assert(md5s == 1, s"expected exactly 1 md5 site, got $md5s:\n$p")
+    assert(!p.contains("Window"), s"F2 must not rank via windows:\n$p")
+    assert(p.contains("partial_sum"), s"sign sums not map-side combined:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected sketch pass + exact pass = 2 scans, got $scans:\n$p")
+  }
+
+  test("hybrid_rrf adds only bounded work above its rankers") {
+    val p = planOf("hybrid_rrf")
+    // the fusion window partitions by query_id over the <= |rankers|*k
+    // union — never an unpartitioned rank; the rankers keep their shapes
+    // (bm25's bounded-heap ObjectHashAggregate; the dense side's
+    // broadcast corpus x query-batch scan is the audited ann shape)
+    assert(p.contains("windowspecdefinition(query_id"),
+      s"fusion rank lost its query_id partitioning:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"bm25's bounded-heap re-rank disappeared:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a fusion join degenerated to a cartesian product:\n$p")
+  }
+
+  test("self_bleu derives rest-counts without a pair join and aggregates map-side") {
+    val p = planOf("self_bleu")
+    // c_rest = total - c_src: the totals side re-aggregates the counts
+    // table — same scan+explode+aggregate prefix, canonically equal, so
+    // the adaptive stage cache materializes the corpus stage once (the
+    // bm25 dfq precedent); what must NEVER appear is a source x source
+    // pairing
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"self_bleu must never pair sources:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"gram counts not map-side combined:\n$p")
+    val gens = "Generate".r.findAllIn(p).length
+    assert(gens <= 2, s"n-gram orders must explode once per branch, got $gens Generates:\n$p")
+  }
+
+  test("wordpiece_segment runs the greedy automaton once per DISTINCT word") {
+    val p = planOf("wordpiece_segment")
+    assert(p.contains("HashAggregate(keys=[_w"),
+      s"no distinct-word aggregate (greedy must run per dictionary word):\n$p")
+    assert(p.contains("HashAggregate(keys=[doc_id"),
+      s"no doc-keyed final aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"token/dictionary join degenerated:\n$p")
+  }
+
+  test("bloom_decontam probes via broadcast joins, never a corpus shuffle join") {
+    val p = planOf("bloom_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"word-table/member probes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a KB-sized filter must never sort-merge with the corpus:\n$p")
+  }
+
   test("lm_kn_trigram windows are vocabulary-partitioned, joins never degenerate") {
     val p = planOf("lm_kn_trigram")
     // three KN statistics ride PARTITIONED windows over the trigram type
