@@ -1455,6 +1455,14 @@ object SparkEntry {
           .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
           .where(col("token") =!= ""),
         Seq("source"), "token")),
+    // the INNER-PRODUCT form — E[Z_a·Z_b] = Σ f_a·f_b = |A ⋈ B| on the
+    // key: estimate the many×many events⋈orders fan-out (≈67 events/user
+    // × ≈10 orders/cust) from two independently-built 96-long sketches,
+    // BEFORE any join runs; exact Σ c_a·c_b rides as the verification
+    // surface
+    "join_size_est" -> ((s, d) =>
+      F2Sketch.joinSizeDiagnostics(Tables.events(s, d), "user_id",
+        Tables.orders(s, d), "o_custkey")),
     // §2.2 row L29z — HyperLogLog cardinality sketch (round 15): 256
     // one-byte registers over the raw token stream (no distinct anywhere —
     // max is idempotent), register-wise-max merge law, and the corrected
@@ -4086,6 +4094,38 @@ object SparkEntry {
         |    WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey))
         |SELECT n_rows, n_keys, f2_exact, f2_est,
         |  round((f2_est - f2_exact) / f2_exact, 6) AS rel_err
+        |FROM ex, est""".stripMargin,
+    "join_size_est" ->
+      """WITH ra AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+        |    WHERE user_id IS NOT NULL),
+        |wa AS (SELECT ('0x' || substr(h, 1, 8))::BIGINT AS w0,
+        |    ('0x' || substr(h, 9, 8))::BIGINT AS w1,
+        |    ('0x' || substr(h, 17, 8))::BIGINT AS w2 FROM ra),
+        |za AS (SELECT i, SUM(1 - 2 * (((CASE i // 32 WHEN 0 THEN w0 WHEN 1 THEN w1
+        |      ELSE w2 END) >> CAST(i % 32 AS INT)) & 1)) AS zva
+        |  FROM wa, (SELECT unnest(range(0, 96)) AS i) e GROUP BY i),
+        |rb AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+        |    WHERE o_custkey IS NOT NULL),
+        |wb AS (SELECT ('0x' || substr(h, 1, 8))::BIGINT AS w0,
+        |    ('0x' || substr(h, 9, 8))::BIGINT AS w1,
+        |    ('0x' || substr(h, 17, 8))::BIGINT AS w2 FROM rb),
+        |zb AS (SELECT i, SUM(1 - 2 * (((CASE i // 32 WHEN 0 THEN w0 WHEN 1 THEN w1
+        |      ELSE w2 END) >> CAST(i % 32 AS INT)) & 1)) AS zvb
+        |  FROM wb, (SELECT unnest(range(0, 96)) AS i) e GROUP BY i),
+        |m AS (SELECT i // 16 AS g, CAST(SUM(zva * zvb) AS DOUBLE) / 16 AS mean
+        |  FROM za JOIN zb USING (i) GROUP BY i // 16),
+        |med AS (SELECT list_sort(list(mean)) AS ms FROM m),
+        |est AS (SELECT (ms[3] + ms[4]) / 2 AS join_est FROM med),
+        |ea AS (SELECT user_id AS k, count(*) AS ca FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY user_id),
+        |eb AS (SELECT o_custkey AS k, count(*) AS cb FROM orders
+        |  WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+        |ex AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(coalesce(SUM(ca * cb), 0) AS BIGINT) AS join_exact
+        |  FROM ea FULL JOIN eb USING (k))
+        |SELECT n_a, n_b, join_exact, join_est,
+        |  CASE WHEN join_exact > 0
+        |       THEN round((join_est - join_exact) / join_exact, 6) END AS rel_err
         |FROM ex, est""".stripMargin,
     "f2_by_source" ->
       """WITH tok0 AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -97,6 +97,47 @@ object F2Sketch {
         + element_at(col("_ms"), Groups / 2 + 1)) / 2.0).as("f2_est"): _*)
   }
 
+  /** AMS INNER-PRODUCT join-size estimate (the second half of the
+    * tug-of-war paper): because the sign of a key value is the same on
+    * BOTH sides, E[Z_a·Z_b] = Σ_k f_a(k)·f_b(k) — EXACTLY the output
+    * cardinality of A ⋈ B on that key, the number that decides
+    * broadcast-vs-shuffle and flags fan-out blowups BEFORE the join
+    * runs. Each side is its own [[f2Cells]] table (96 longs, built
+    * independently — per-table sketches are reusable planner statistics,
+    * computed once and joined pairwise at negligible cost); the
+    * median-of-means chain is [[f2EstimateFromCells]]'s with products in
+    * place of squares. The verification surface pairs it with the exact
+    * Σ c_a·c_b from two vocabulary passes. Output: one row (n_a, n_b,
+    * join_exact, join_est, rel_err). */
+  def joinSizeDiagnostics(a: DataFrame, keyA: String,
+                          b: DataFrame, keyB: String): DataFrame = {
+    val ca = f2Cells(a.select(col(keyA).as("_k")), Nil, "_k")
+      .withColumnRenamed("z", "_za")
+    val cb = f2Cells(b.select(col(keyB).as("_k")), Nil, "_k")
+      .withColumnRenamed("z", "_zb")
+    val est = ca.join(cb, "_e") // 96 rows x 96 rows on the estimator key
+      .groupBy((col("_e") / lit(PerGroup)).cast("int").as("_g"))
+      .agg((sum(col("_za") * col("_zb")).cast("double") / lit(PerGroup)).as("_mean"))
+      .agg(sort_array(collect_list(col("_mean"))).as("_ms")) // bounded: 6 doubles
+      .select(((element_at(col("_ms"), Groups / 2)
+        + element_at(col("_ms"), Groups / 2 + 1)) / 2.0).as("join_est"))
+    val ea = a.where(col(keyA).isNotNull)
+      .groupBy(col(keyA).as("_k")).agg(count(lit(1)).as("_ca"))
+    val eb = b.where(col(keyB).isNotNull)
+      .groupBy(col(keyB).as("_k")).agg(count(lit(1)).as("_cb"))
+    val stats = ea.join(eb, Seq("_k"), "outer")
+      .agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
+        coalesce(sum(col("_ca") * col("_cb")), lit(0L)).as("join_exact"))
+    stats.crossJoin(est) // 1 row x 1 row — the audited 1-row-stats class
+      .select(col("n_a"), col("n_b"), col("join_exact"), col("join_est"),
+        // NULL on an empty exact join (0/0 has no meaningful ratio; the
+        // estimate is a signed double near zero — only the EXACT side
+        // should gate on emptiness)
+        when(col("join_exact") > 0,
+          round((col("join_est") - col("join_exact")) / col("join_exact"), 6))
+          .as("rel_err"))
+  }
+
   /** The verification surface (the [[TextAnalysis.cmsCounts]] probe
     * discipline): sketch estimate beside the EXACT F2 from a full
     * vocabulary pass — production reads the sketch alone; the exact pass

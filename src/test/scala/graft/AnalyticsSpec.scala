@@ -37,6 +37,19 @@ class AnalyticsSpec extends SparkSpec {
         .as[(Long, Long, Long, Double, Double)].collect().head
       assert(grouped(gv) == ((gv, solo._1, solo._2, solo._3, solo._4, solo._5)))
     }
+    // INNER PRODUCT: E[Z_a·Z_b] = Σ f_a·f_b = |A ⋈ B| — planted fan-out:
+    // key i appears i times in A and 2 times in B for i in 20..40
+    // → join size = Σ 2i = 1260; n_a includes keys B lacks
+    val jb = (20 to 40).flatMap(i => Seq.fill(2)(i.toLong)).toDF("k")
+    val j = F2Sketch.joinSizeDiagnostics(a, "k", jb, "k")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(j._1 == 820L && j._2 == 42L && j._3 == (20 to 40).map(2L * _).sum)
+    assert(math.abs(j._5) <= 0.9, s"join-size rel_err ${j._5} outside the MoM bound")
+    // disjoint key sets → exact 0 with a NULL rel_err (no 0/0 ratio)
+    val disj = (1001 to 1010).map(_.toLong).toDF("k")
+    val z = F2Sketch.joinSizeDiagnostics(a, "k", disj, "k")
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    assert(z._3 == 0L && z._5.isEmpty)
   }
 
   test("quantile sketch: exact merge law, content idempotence, n<=k exactness, rank error") {

@@ -69,9 +69,10 @@ class SourceGuardSpec extends AnyFunSpec {
     // QuantileSketch.merge: the ≤ 61-row level histogram ⋈ the 1-row
     // level floor — sketch-sized × 1, the audited 1-row-stats class
     "graft/operators/QuantileSketch.scala" -> 1,
-    // f2Diagnostics' ungrouped tail: the 1-row exact-F2 aggregate ⋈ the
-    // 1-row median-of-means estimate — 1×1, the audited 1-row-stats class
-    "graft/operators/F2Sketch.scala" -> 1)
+    // f2Diagnostics' ungrouped tail (1-row exact-F2 aggregate ⋈ 1-row
+    // median-of-means estimate) and joinSizeDiagnostics' identical
+    // 1-row stats ⋈ 1-row estimate tail — both the audited 1-row class
+    "graft/operators/F2Sketch.scala" -> 2)
 
   private val windowOrderByBudget = Map(
     // vocab_top ranks a 30-row post-limit output, samplePriority ranks
