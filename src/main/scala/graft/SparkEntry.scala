@@ -1764,6 +1764,17 @@ object SparkEntry {
         col("value"), 7)
         .select(col("key").as("event_type"), col("day"), col("n_events"),
           col("day_value"), col("win_sum"), col("win_avg"))),
+    // §2.1 row 17m — EWMA smoothing + spike flags (round 16): the
+    // recency-weighted companion to moving_avg — dyadic 2^-(k+1) lag
+    // weights over the same gap-filled spine (power-of-two scaling is
+    // EXACT on doubles; the left-assoc term chain replays in order), the
+    // start renormalized by present weights, spike = today > 4x
+    // yesterday's EWMA.
+    "ewma_daily" -> ((s, d) =>
+      Analytics.ewmaDaily(Tables.events(s, d), col("event_type"), col("ts"),
+        col("value"), 16)
+        .select(col("key").as("event_type"), col("day"), col("n_events"),
+          col("day_value"), col("ewma"), col("spike"))),
     // §2.2 row 27i — CCNet-style perplexity bucketing: the corpus's own
     // unigram LM score (row 27d) cut into per-language terciles by the
     // exact-NTILE operator (row 29r) — bucket 3 = highest avg_logprob =
@@ -4848,6 +4859,38 @@ object SparkEntry {
         |  CAST(rev AS DOUBLE) AS day_value, CAST(wsum AS DOUBLE) AS win_sum,
         |  round(CAST(wsum AS DOUBLE) / wn, 6) AS win_avg
         |FROM w""".stripMargin,
+    // EWMA: the generated term chain is IDENTICAL on both sides — each
+    // lag scaled by an exact power-of-two literal, summed left-assoc,
+    // renormalized by the (exactly-summed dyadic) present-weight total;
+    // the spike compare is one exact multiply.
+    "ewma_daily" -> {
+      val W = 16
+      def wt(k: Int) = math.pow(2.0, -(k + 1)).toString
+      val num = (0 until W)
+        .map(k => s"coalesce(lag(xv, $k) OVER wspec * ${wt(k)}, 0)").mkString(" + ")
+      val den = (0 until W)
+        .map(k => s"coalesce(CASE WHEN lag(xv, $k) OVER wspec IS NOT NULL THEN ${wt(k)} END, 0)")
+        .mkString(" + ")
+      s"""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS rev, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT event_type, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |filled AS (SELECT s.event_type, s.day,
+        |    CAST(coalesce(d.rev, CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS xv,
+        |    CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
+        |  FROM spine s LEFT JOIN daily d USING (event_type, day)),
+        |e AS (SELECT event_type, day, n_events, xv,
+        |    ($num) / ($den) AS ewma
+        |  FROM filled WINDOW wspec AS (PARTITION BY event_type ORDER BY day)),
+        |p AS (SELECT event_type, day, n_events, xv, ewma,
+        |    lag(ewma, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM e)
+        |SELECT event_type, day, n_events, xv AS day_value, ewma,
+        |  coalesce(xv > 4.0 * prev, FALSE) AS spike
+        |FROM p""".stripMargin
+    },
     "ppl_buckets" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),

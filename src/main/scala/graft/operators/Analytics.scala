@@ -529,4 +529,60 @@ object Analytics {
         col("_wsum").cast("double").as("win_sum"),
         round(col("_wsum").cast("double") / col("_wn"), 6).as("win_avg"))
   }
+
+  /** Exponentially-weighted moving average over the gap-filled day spine —
+    * the recency-weighted companion to [[movingAvg]]'s uniform window (the
+    * monitoring smoother that reacts to level shifts a flat mean lags
+    * behind): weight of lag k is 2^−(k+1), truncated at `windowDays` lags
+    * (2^−17 of the mass at the default 16 — negligible) and renormalized
+    * by the weights actually present so the series start is unbiased.
+    *
+    * Engine-exact WITHOUT the decimal trick: scaling a double by a power
+    * of two is EXACT (exponent arithmetic only), the term sum is a fixed
+    * left-associated chain of correctly-rounded additions replayed in the
+    * same order by the SQL, the weight denominator is a sum of distinct
+    * dyadics (exact), and the final division rounds once. The spike flag
+    * compares today against `spikeFactor`× yesterday's EWMA (one exact
+    * multiply + compare); NULL on day one.
+    *
+    * Scale: one daily aggregate (map-side combined), a dimension-sized
+    * spine explode, and ONE key-partitioned window pass evaluating all
+    * `windowDays` lags (a second pass lags the computed EWMA) — the
+    * movingAvg shuffle discipline. Output: (key, day, n_events,
+    * day_value, ewma, spike). */
+  def ewmaDaily(events: DataFrame, keyCol: Column, tsCol: Column,
+                valCol: Column, windowDays: Int = 16,
+                spikeFactor: Double = 4.0): DataFrame = {
+    require(windowDays >= 2 && windowDays <= 32,
+      s"ewmaDaily needs 2 <= windowDays <= 32, got $windowDays")
+    val daily = events
+      .groupBy(keyCol.as("key"), to_date(tsCol).as("day"))
+      .agg(sum(valCol.cast("decimal(18,4)")).as("_rev"), count(lit(1)).as("n_events"))
+    val spine = daily.groupBy(col("key"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col("key"), explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = spine.join(daily, Seq("key", "day"), "left")
+      .select(col("key"), col("day"),
+        coalesce(col("_rev"), lit(0).cast("decimal(18,4)")).as("_rev"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+    val x = col("_rev").cast("double")
+    val terms = (0 until windowDays).map { k =>
+      (lag(x, k).over(w), math.pow(2.0, -(k + 1)))
+    }
+    val num = terms.map { case (c, wk) => coalesce(c * wk, lit(0.0)) }
+      .reduceLeft(_ + _)
+    val den = terms.map { case (c, wk) =>
+      coalesce(when(c.isNotNull, lit(wk)), lit(0.0)) }.reduceLeft(_ + _)
+    val base = filled.select(col("key"), col("day"), col("n_events"),
+      x.as("day_value"), (num / den).as("ewma"))
+    base
+      .withColumn("_prev", lag(col("ewma"), 1).over(w))
+      .select(col("key"), col("day"), col("n_events"), col("day_value"),
+        col("ewma"),
+        // day one has no baseline — FALSE, not NULL (a nullable boolean
+        // renders differently across the two gate readers)
+        coalesce(col("day_value") > lit(spikeFactor) * col("_prev"),
+          lit(false)).as("spike"))
+  }
 }

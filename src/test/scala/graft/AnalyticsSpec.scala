@@ -98,6 +98,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ewmaDaily: exact dyadic-weight replay, gap fill, start renormalization, spike flag") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // day 3 is missing -> gap-fills to 0; day 4 jumps 32 (a spike vs the
+    // low EWMA baseline)
+    val events = Seq(("k", ts(1), 8.0), ("k", ts(2), 4.0), ("k", ts(4), 32.0))
+      .toDF("key", "ts", "v")
+    val out = Analytics.ewmaDaily(events, col("key"), col("ts"), col("v"), 16)
+      .orderBy(col("day"))
+      .as[(String, java.sql.Date, Long, Double, Double, Boolean)].collect()
+    // local replay of the SAME left-associated term chain (k ascending,
+    // exact power-of-two weights, renormalized by present weights)
+    val series = Seq(8.0, 4.0, 0.0, 32.0)
+    def ref(t: Int): Double = {
+      var num = 0.0; var den = 0.0
+      for (k <- 0 until 16) {
+        val w = math.pow(2.0, -(k + 1))
+        if (t - k >= 0) { num = num + series(t - k) * w; den = den + w }
+        else { num = num + 0.0; den = den + 0.0 }
+      }
+      num / den
+    }
+    assert(out.length == 4)
+    assert(out.map(_._4).toSeq == series, "gap day must fill to 0")
+    for (t <- 0 until 4)
+      assert(out(t)._5 == ref(t), s"day $t ewma ${out(t)._5} != local ${ref(t)}")
+    // day 1 has no baseline -> false; day 4: 32 > 4x the low EWMA -> spike
+    assert(out.map(_._6).toSeq == Seq(false, false, false, true))
+    assert(out.map(_._3).toSeq == Seq(1L, 1L, 0L, 1L))
+  }
+
   test("topNPerGroup keeps n rows per group with deterministic ties") {
     val df = Seq(("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("a", 4, 30.0),
       ("b", 5, 1.0)).toDF("g", "id", "v")
