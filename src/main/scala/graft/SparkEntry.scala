@@ -1415,6 +1415,12 @@ object SparkEntry {
     // geometric-mean log precision.
     "self_bleu" -> ((s, d) =>
       TextAnalysis.selfBleu(Tables.documents(s, d), "source", "text")),
+    // §2.2 row L27n — Heaps'-law vocabulary-growth fit (round 16): V =
+    // K·n^beta over the per-source (tokens, vocab) points — the growth
+    // dual of zipf_fit's frequency decay; same 6dp-ln DECIMAL sums +
+    // fixed-parenthesization OLS.
+    "heaps_law" -> ((s, d) =>
+      TextAnalysis.heapsLaw(Tables.documents(s, d), "source", "text")),
     // §2.2 row 27g — per-doc token-distribution entropy + ratio to max
     // (the repetitive/templated-text signal)
     "token_entropy" -> ((s, d) =>
@@ -3971,6 +3977,24 @@ object SparkEntry {
         |  CAST(max(CASE WHEN n = 4 THEN clip END) AS BIGINT) AS clip4,
         |  CASE WHEN count(logp) = 4 THEN CAST(SUM(logp) AS DOUBLE) / 4 END AS log_p_geo
         |FROM pl GROUP BY source""".stripMargin,
+    // Heaps: the zipf_by_source OLS replay over |sources| log-log points
+    "heaps_law" ->
+      """WITH tok0 AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |tok AS (SELECT source, t FROM tok0 WHERE t <> ''),
+        |vc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+        |pts AS (SELECT source, SUM(c) AS n_tokens, count(*) AS n_vocab FROM vc GROUP BY source),
+        |xy AS (SELECT CAST(round(ln(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(CAST(n_vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y FROM pts),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(x*y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy FROM xy)
+        |SELECT n AS n_sources,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+        |  round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) * sx)
+        |    / n, 6) AS log_k,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin,
     "token_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),

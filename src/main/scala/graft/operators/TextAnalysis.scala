@@ -162,6 +162,47 @@ object TextAnalysis {
       round((num * num) / (dx * dy), 6).as("r2")): _*)
   }
 
+  /** Heaps'-law fit (Heaps 1978): V = K·nᵝ — vocabulary size as a power
+    * of corpus size — fitted in log-log space over the per-source
+    * (n_tokens, n_vocab) points, the vocabulary-GROWTH companion to
+    * [[zipfFit]]'s frequency-decay diagnostic (the two laws are duals:
+    * β ≈ 1/zipf-slope-magnitude for a zipfian corpus). Deviations flag
+    * corpus pathologies the Zipf head can miss — a source whose vocab
+    * grows too slowly is templated/repetitive; too fast is noisy (OCR
+    * junk, random ids). Same exactness discipline as zipfFit: 6dp-rounded
+    * ln points into exact DECIMAL sums, [[olsFit]]'s fixed
+    * parenthesization. Scale: one corpus pass to (source, token) counts,
+    * a |sources|-row point table, a 1-row fit. Output: one row
+    * (n_sources, beta, log_k, r2). */
+  def heapsLaw(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val pts = docs
+      .select(col(srcCol).as("_src"), explode(tokens(col(textCol))).as("_t"))
+      .where(col("_t") =!= "")
+      .groupBy(col("_src"), col("_t")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("_src"))
+      .agg(sum(col("_c")).as("n_tokens"), count(lit(1)).as("n_vocab"))
+    val xy = pts.select(
+      round(log(col("n_tokens").cast("double")), 6).cast("decimal(18,6)").as("_x"),
+      round(log(col("n_vocab").cast("double")), 6).cast("decimal(18,6)").as("_y"))
+    // DEGENERATE-VARIANCE guard (unlike the Zipf head, both axes here can
+    // collapse: a saturated vocabulary makes every y identical, so the
+    // variance denominators are EXACTLY 0 — ANSI Spark throws on the
+    // division where DuckDB reads NULL): try_divide gives NULL on both
+    // sides, the honest "no growth to fit" answer. Can't reuse olsFit —
+    // its plain divisions are safe only where a denominator can't vanish
+    // (the Zipf head's ranks are distinct by construction).
+    val s = olsSums(xy, Nil)
+    val n = col("n_ranks").cast("double")
+    val num = n * col("_sxy") - col("_sx") * col("_sy")
+    val dx = n * col("_sxx") - col("_sx") * col("_sx")
+    val dy = n * col("_syy") - col("_sy") * col("_sy")
+    val beta = round(try_divide(num, dx), 6)
+    s.select(col("n_ranks").as("n_sources"),
+      beta.as("beta"),
+      round(try_divide(col("_sy") - beta * col("_sx"), n), 6).as("log_k"),
+      round(try_divide(num * num, dx * dy), 6).as("r2"))
+  }
+
   def zipfFit(docs: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
     require(topK >= 3, s"zipfFit needs topK >= 3; got $topK")
     val head = docs.select(explode(tokens(col(textCol))).as("token"))

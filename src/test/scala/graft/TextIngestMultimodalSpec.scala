@@ -72,6 +72,35 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
 
+  test("heapsLaw: exact local OLS replay on a planted power law") {
+    // three sources on an exact V = n^0.5 line: (100, 10), (400, 20),
+    // (1600, 40) — distinct tokens each repeated to the target count
+    def src(name: String, vocab: Int, reps: Int): Seq[(String, String)] =
+      Seq((name, (0 until vocab).flatMap(v => Seq.fill(reps)(s"$name$v")).mkString(" ")))
+    val docs = (src("a", 10, 10) ++ src("b", 20, 20) ++ src("c", 40, 40))
+      .toDF("source", "text")
+    val out = TextAnalysis.heapsLaw(docs, "source", "text")
+      .as[(Long, Double, Double, Double)].collect().head
+    // local replay of the same chain: 6dp-rounded ln points, exact
+    // decimal sums, fixed-parenthesization OLS with the rounded slope
+    def r6(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val pts = Seq((100, 10), (400, 20), (1600, 40))
+      .map { case (nt, nv) => (r6(math.log(nt)), r6(math.log(nv))) }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val syy = pts.map(p => p._2 * p._2).sum.toDouble
+    val num = n * sxy - sx * sy; val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+    val beta = r6(num / dx).toDouble
+    val logK = r6((sy - beta * sx) / n).toDouble
+    val r2 = r6((num * num) / (dx * dy)).toDouble
+    assert(out == ((3L, beta, logK, r2)), s"got $out, local ($beta, $logK, $r2)")
+    // the planted law is recovered: beta ~ 0.5, near-perfect fit
+    assert(math.abs(out._2 - 0.5) < 1e-3 && out._4 > 0.9999)
+  }
+
   test("rrfFuse: exact reciprocal-rank arithmetic, cross-list boost, tie-break, k cut") {
     val sparse = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
       .toDF("query_id", "doc_id", "rank")
