@@ -897,6 +897,41 @@ object SparkEntry {
     // vs the rest of the stream on a ≤ |types|×1024 grid.
     "ks_binned_by_source" -> ((s, d) =>
       Analytics.ksBinnedBySource(Tables.events(s, d), "event_type", "value", 1024)),
+    // §2.1 row 17n — Mann–Whitney U rank-sum drift (round 16, third
+    // session): the LOCATION companion to ks_drift's shape statistic on
+    // the SAME even/odd corpus split — tie-exact integer midranks off the
+    // (value, count) histogram, tie-corrected normal z
+    "mann_whitney" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      Analytics.mannWhitneyU(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "n_tokens")
+    }),
+    // §2.1 row 17o — Population Stability Index (round 16, third
+    // session): the production scorecard-drift metric on the ks_binned
+    // grid (purchase events' value distribution vs the rest), Jeffreys
+    // add-1/2 smoothing over the occupied-union bins
+    "psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Analytics.psiBinned(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") =!= "purchase"), "value", 64)
+    }),
+    // §2.1 row 17o grouped form — every event type's value distribution
+    // vs the rest in ONE set-based plan (the ksBySource discipline)
+    "psi_by_source" -> ((s, d) =>
+      Analytics.psiBinnedBySource(Tables.events(s, d), "event_type", "value", 64)),
+    // §2.1 row 17p — daily-series autocorrelation (round 16, third
+    // session): r_1..r_14 of the gap-filled daily event-value totals —
+    // the weekly-seasonality diagnostic (lag 7) the smoothers can't give
+    "acf_daily" -> ((s, d) =>
+      Analytics.acfDaily(Tables.events(s, d), col("ts"), col("value"), 14)),
+    // §2.1 row 17q — CUSUM level-shift localization (round 16, third
+    // session): argmax |Σ(x−x̄)| over the same daily series + the
+    // normalized max statistic (Brownian-bridge bound)
+    "cusum_daily" -> ((s, d) =>
+      Analytics.cusumDaily(Tables.events(s, d), col("ts"), col("value"))),
     // §2.1 row 17l grouped form — each source's token-count distribution
     // vs the REST of the corpus, one set-based plan (spec-pinned equal to
     // the two-sample statistic per source)
@@ -1421,6 +1456,18 @@ object SparkEntry {
     // fixed-parenthesization OLS.
     "heaps_law" -> ((s, d) =>
       TextAnalysis.heapsLaw(Tables.documents(s, d), "source", "text")),
+    // §2.2 row L27o — Yule's K lexical diversity (round 16, third
+    // session): the length-robust repeat-rate constant + TTR + hapax
+    // ratio per source — the third corpus-health axis beside Zipf decay
+    // and Heaps growth
+    "yule_k" -> ((s, d) =>
+      TextAnalysis.lexicalDiversity(Tables.documents(s, d), "source", "text")),
+    // §2.2 row L27p — Jensen–Shannon divergence, source vs rest (round
+    // 16, third session): the bounded symmetric distributional distance
+    // mixture design uses — count-weighted form, rest = total − slice,
+    // no pair join
+    "js_divergence" -> ((s, d) =>
+      TextAnalysis.jsDivergence(Tables.documents(s, d), "source", "text")),
     // §2.2 row 27g — per-doc token-distribution entropy + ratio to max
     // (the repetitive/templated-text signal)
     "token_entropy" -> ((s, d) =>
@@ -1581,6 +1628,16 @@ object SparkEntry {
     // all fused into the single-row-group scan without it)
     "profile_columns" -> ((s, d) => Quality.profileColumns(Tables.spread(s, d, "orders", Tables.orders(s, d)),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    // §2.1 row 8c — Benford first-digit conformance (round 16, third
+    // session): the forensic data-quality gate for organic positive
+    // amounts — digit histogram with per-digit χ² contributions over
+    // order totals, expected probabilities as pinned 6dp literals
+    "benford_digits" -> ((s, d) =>
+      Quality.benfordDigits(Tables.orders(s, d), "o_totalprice")),
+    // §2.1 row 8c rolled to the one-row verdict: χ² (df=8, 1% critical
+    // value pinned) + Nigrini's MAD
+    "benford_stat" -> ((s, d) =>
+      Quality.benfordStat(Tables.orders(s, d), "o_totalprice")),
     // §2.2 row 27 — Unicode NFC normalization (pre-dedup canonicalization)
     "unicode_norm" -> ((s, d) => {
       val nfc = graft.functions.NativeExprs.nfcNormalize(col("text"))
@@ -3104,6 +3161,152 @@ object SparkEntry {
         |  round(max(abs(CAST(cin AS DOUBLE) / CAST(nin AS DOUBLE)
         |    - CAST(crest AS DOUBLE) / CAST(nullif(nrest, 0) AS DOUBLE))), 6) AS d_stat
         |FROM cum GROUP BY source""".stripMargin,
+    // Mann–Whitney replay: integer midranks (2·mr = 2·|below| + t + 1) off
+    // the same (value, count) histogram, then the identically-parenthesized
+    // u/z chain — every double step one correctly-rounded op (IEEE sqrt
+    // included), so z is engine-exact before its display round.
+    "mann_whitney" ->
+      """WITH base AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |ca AS (SELECT v, count(*) AS ca FROM base WHERE doc_id % 2 = 0 GROUP BY v),
+        |cb AS (SELECT v, count(*) AS cb FROM base WHERE doc_id % 2 = 1 GROUP BY v),
+        |u AS (SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |r AS (SELECT ca, cb, ca + cb AS t,
+        |    2 * (sum(ca + cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (ca + cb))
+        |      + (ca + cb) + 1 AS mr2
+        |  FROM u),
+        |a AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(sum(ca * mr2) AS BIGINT) AS r2a,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS t3 FROM r),
+        |f AS (SELECT na, nb,
+        |    (CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)) / 2.0 AS u_stat,
+        |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+        |      ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(t3 AS DOUBLE)
+        |        / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0))) AS sig2
+        |  FROM a)
+        |SELECT na AS n_a, nb AS n_b, u_stat,
+        |  CASE WHEN sig2 > 0 THEN round((u_stat
+        |    - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) / sqrt(sig2), 6) END AS z_stat
+        |FROM f""".stripMargin,
+    // PSI replay: the ks_binned 64-bin grid, Jeffreys add-1/2 smoothing
+    // over the occupied-union bins, ln 6dp-DECIMAL per the lmScore
+    // convention, order-free DECIMAL term sum.
+    "psi_drift" ->
+      """WITH v0 AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT min(v) AS lo, max(v) AS hi FROM v0),
+        |ba AS (SELECT CAST(CASE WHEN hi = lo THEN 0
+        |      ELSE least(floor((v - lo) / (hi - lo) * 64), 63) END AS INT) AS bin
+        |  FROM v0, st WHERE event_type = 'purchase'),
+        |bb AS (SELECT CAST(CASE WHEN hi = lo THEN 0
+        |      ELSE least(floor((v - lo) / (hi - lo) * 64), 63) END AS INT) AS bin
+        |  FROM v0, st WHERE event_type <> 'purchase'),
+        |ca AS (SELECT bin, count(*) AS ca FROM ba GROUP BY bin),
+        |cb AS (SELECT bin, count(*) AS cb FROM bb GROUP BY bin),
+        |u AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS k FROM u),
+        |pq AS (SELECT na, nb, k,
+        |    (CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + CAST(k AS DOUBLE) * 0.5) AS p,
+        |    (CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + CAST(k AS DOUBLE) * 0.5) AS q
+        |  FROM u, tot),
+        |terms AS (SELECT na, nb, k,
+        |    CAST(round((p - q) * CAST(CAST(round(ln(p / q), 6) AS DECIMAL(18,6))
+        |      AS DOUBLE), 6) AS DECIMAL(18,6)) AS term
+        |  FROM pq)
+        |SELECT max(na) AS n_a, max(nb) AS n_b, max(k) AS n_bins,
+        |  CAST(sum(term) AS DOUBLE) AS psi
+        |FROM terms""".stripMargin,
+    // Grouped PSI replay: psi_drift's smoothing over the ks_by_source
+    // source-vs-rest grid (global occupied-bin support).
+    "psi_by_source" ->
+      """WITH v0 AS (SELECT event_type AS source, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT min(v) AS lo, max(v) AS hi FROM v0),
+        |base AS (SELECT source, CAST(CASE WHEN hi = lo THEN 0
+        |      ELSE least(floor((v - lo) / (hi - lo) * 64), 63) END AS INT) AS bin
+        |  FROM v0, st),
+        |cnt AS (SELECT source, bin, count(*) AS c FROM base GROUP BY source, bin),
+        |gv AS (SELECT bin, count(*) AS g FROM base GROUP BY bin),
+        |srcs AS (SELECT DISTINCT source FROM cnt),
+        |grid AS (SELECT s.source, gv.g, coalesce(c.c, 0) AS c
+        |  FROM srcs s CROSS JOIN gv
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.bin = gv.bin),
+        |wt AS (SELECT source, g, c,
+        |    sum(c) OVER (PARTITION BY source) AS nin,
+        |    sum(g - c) OVER (PARTITION BY source) AS nrest,
+        |    count(*) OVER (PARTITION BY source) AS k
+        |  FROM grid),
+        |pq AS (SELECT source, nin, nrest,
+        |    (CAST(c AS DOUBLE) + 0.5) / (CAST(nin AS DOUBLE) + CAST(k AS DOUBLE) * 0.5) AS p,
+        |    (CAST(g - c AS DOUBLE) + 0.5) / (CAST(nrest AS DOUBLE) + CAST(k AS DOUBLE) * 0.5) AS q
+        |  FROM wt),
+        |terms AS (SELECT source, nin, nrest,
+        |    CAST(round((p - q) * CAST(CAST(round(ln(p / q), 6) AS DECIMAL(18,6))
+        |      AS DOUBLE), 6) AS DECIMAL(18,6)) AS term
+        |  FROM pq)
+        |SELECT source, CAST(max(nin) AS BIGINT) AS n_in,
+        |  CAST(max(nrest) AS BIGINT) AS n_rest,
+        |  CASE WHEN max(nrest) > 0 THEN CAST(sum(term) AS DOUBLE) END AS psi
+        |FROM terms GROUP BY source""".stripMargin,
+    // ACF replay: the moving_avg daily/spine prelude (global series), mean
+    // off the exact DECIMAL daily sum, demeaned products 6dp-DECIMAL so
+    // numerator/denominator sums are order-free, lag pairs by date+k join.
+    "acf_daily" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS rev FROM events GROUP BY 1),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |filled AS (SELECT s.day, coalesce(d.rev, CAST(0 AS DECIMAL(18,4))) AS rev
+        |  FROM spine s LEFT JOIN daily d USING (day)),
+        |st AS (SELECT SUM(rev) AS sm, CAST(count(*) AS BIGINT) AS n FROM filled),
+        |dev AS (SELECT day, CAST(rev AS DOUBLE) - CAST(sm AS DOUBLE) / n AS d
+        |  FROM filled, st),
+        |den AS (SELECT SUM(CAST(round(d * d, 6) AS DECIMAL(18,6))) AS den FROM dev),
+        |pairs AS (SELECT l.lag, a.d AS d1, b.d AS d2
+        |  FROM dev a CROSS JOIN (SELECT CAST(unnest(range(1, 15)) AS INT) AS lag) l
+        |  JOIN dev b ON b.day = a.day + l.lag),
+        |num AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    SUM(CAST(round(d1 * d2, 6) AS DECIMAL(18,6))) AS num
+        |  FROM pairs GROUP BY lag)
+        |SELECT CAST(lag AS INT) AS lag, n_pairs,
+        |  CASE WHEN den > 0 THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS acf
+        |FROM num, den""".stripMargin,
+    // CUSUM replay: demeaned terms round to 6dp DECIMAL before the
+    // cumulative (association-free), argmax tie-breaks to earliest day,
+    // the m-statistic chain identically parenthesized.
+    "cusum_daily" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS rev FROM events GROUP BY 1),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |filled AS (SELECT s.day, coalesce(d.rev, CAST(0 AS DECIMAL(18,4))) AS rev
+        |  FROM spine s LEFT JOIN daily d USING (day)),
+        |st AS (SELECT SUM(rev) AS sm, CAST(count(*) AS BIGINT) AS n FROM filled),
+        |dev AS (SELECT day, n, CAST(rev AS DOUBLE) - CAST(sm AS DOUBLE) / n AS d
+        |  FROM filled, st),
+        |r0 AS (SELECT day, n, CAST(round(d * d, 6) AS DECIMAL(18,6)) AS sq,
+        |    sum(CAST(round(d, 6) AS DECIMAL(18,6))) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dev),
+        |r1 AS (SELECT day, n, sq, abs(cum) AS ab FROM r0),
+        |st2 AS (SELECT max(ab) AS smax, SUM(sq) AS ssq FROM r1),
+        |one AS (SELECT CAST(max(n) AS BIGINT) AS n_days,
+        |    min(CASE WHEN ab = smax THEN day END) AS cp_day,
+        |    max(smax) AS smax, max(ssq) AS ssq
+        |  FROM r1, st2)
+        |SELECT n_days, cp_day, CAST(smax AS DOUBLE) AS s_max,
+        |  CASE WHEN ssq > 0 THEN round(CAST(smax AS DOUBLE) /
+        |    (sqrt(CAST(ssq AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |      * sqrt(CAST(n_days AS DOUBLE))), 6) END AS m_stat
+        |FROM one""".stripMargin,
     "ks_by_source" ->
       """WITH base AS (SELECT source,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
@@ -3995,6 +4198,53 @@ object SparkEntry {
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM s""".stripMargin,
+    // Yule's K replay: every statistic is integer sums down to one or two
+    // correctly-rounded double ops, identically parenthesized.
+    "yule_k" ->
+      """WITH tok0 AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |tok AS (SELECT source, t FROM tok0 WHERE t <> ''),
+        |tf AS (SELECT source, t, count(*) AS tf FROM tok GROUP BY source, t),
+        |agg AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_vocab,
+        |    CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |    CAST(SUM(tf * tf) AS BIGINT) AS f2 FROM tf GROUP BY source)
+        |SELECT source, n_tokens, n_vocab, n_hapax,
+        |  round(CAST(n_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+        |  round(CAST(n_hapax AS DOUBLE) / CAST(n_vocab AS DOUBLE), 6) AS hapax_ratio,
+        |  round(10000.0 * CAST(f2 - n_tokens AS DOUBLE)
+        |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS yule_k
+        |FROM agg""".stripMargin,
+    // JSD replay: count-weighted form over the source-vs-rest grid —
+    // integer weights × 6dp-DECIMAL ln factors (order-free sums), p/q/m
+    // fixed-parenthesization single-op chains.
+    "js_divergence" ->
+      """WITH tok0 AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |tok AS (SELECT source, t FROM tok0 WHERE t <> ''),
+        |cnt AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+        |gv AS (SELECT t, SUM(c) AS g FROM cnt GROUP BY t),
+        |srcs AS (SELECT DISTINCT source FROM cnt),
+        |grid AS (SELECT s.source, gv.g, coalesce(c.c, 0) AS c
+        |  FROM srcs s CROSS JOIN gv
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.t = gv.t),
+        |wt AS (SELECT source, c, g - c AS r,
+        |    sum(c) OVER (PARTITION BY source) AS nin,
+        |    sum(g - c) OVER (PARTITION BY source) AS nrest
+        |  FROM grid),
+        |pq AS (SELECT source, c, r, nin, nrest,
+        |    CAST(c AS DOUBLE) / CAST(nin AS DOUBLE) AS p,
+        |    CASE WHEN nrest > 0 THEN CAST(r AS DOUBLE) / CAST(nrest AS DOUBLE)
+        |      ELSE 0.0 END AS q
+        |  FROM wt),
+        |m AS (SELECT source, c, r, nin, nrest, p, q, (p + q) / 2.0 AS mm FROM pq),
+        |terms AS (SELECT source, nin, nrest,
+        |    CASE WHEN c > 0 THEN c * CAST(round(ln(p / mm), 6) AS DECIMAL(18,6)) END AS ta,
+        |    CASE WHEN r > 0 THEN r * CAST(round(ln(q / mm), 6) AS DECIMAL(18,6)) END AS tb
+        |  FROM m)
+        |SELECT source, CAST(max(nin) AS BIGINT) AS n_in,
+        |  CAST(max(nrest) AS BIGINT) AS n_rest,
+        |  CASE WHEN max(nrest) > 0 THEN round((CAST(sum(ta) AS DOUBLE) / CAST(max(nin) AS DOUBLE)
+        |    + CAST(sum(tb) AS DOUBLE) / CAST(max(nrest) AS DOUBLE)) / 2.0, 6) END AS jsd
+        |FROM terms GROUP BY source""".stripMargin,
     "token_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
@@ -4340,6 +4590,58 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders""".stripMargin,
+    // Benford replay: the first significant digit comes off the
+    // DECIMAL(18,6) canonical string on BOTH engines (fixed-scale render,
+    // no float formatting), expected probabilities are the SAME pinned 6dp
+    // literals, and the p_obs/χ² chains are identically parenthesized.
+    "benford_digits" ->
+      """WITH s0 AS (SELECT CAST(CAST(abs(o_totalprice) AS DECIMAL(18,6)) AS VARCHAR) AS s
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |d0 AS (SELECT regexp_extract(s, '[1-9]', 0) AS d FROM s0),
+        |obs AS (SELECT CAST(d AS INT) AS digit, count(*) AS c FROM d0
+        |  WHERE d IS NOT NULL AND d <> '' GROUP BY 1),
+        |grid AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+        |pb AS (SELECT digit, CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+        |    WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181
+        |    WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |    ELSE 0.045757 END AS DOUBLE) AS p_benford FROM grid),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM obs),
+        |j AS (SELECT pb.digit, pb.p_benford, CAST(coalesce(obs.c, 0) AS BIGINT) AS n_obs
+        |  FROM pb LEFT JOIN obs USING (digit))
+        |SELECT digit, n_obs,
+        |  round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_obs, p_benford,
+        |  round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p_benford)
+        |    * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p_benford)
+        |    / (CAST(n AS DOUBLE) * p_benford), 6) AS chi_term
+        |FROM j, tot""".stripMargin,
+    // Rolled verdict: 6dp-rounded per-digit terms sum in DECIMAL
+    // (order-free), the χ² critical value and MAD /9 pinned both sides.
+    "benford_stat" ->
+      """WITH s0 AS (SELECT CAST(CAST(abs(o_totalprice) AS DECIMAL(18,6)) AS VARCHAR) AS s
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |d0 AS (SELECT regexp_extract(s, '[1-9]', 0) AS d FROM s0),
+        |obs AS (SELECT CAST(d AS INT) AS digit, count(*) AS c FROM d0
+        |  WHERE d IS NOT NULL AND d <> '' GROUP BY 1),
+        |grid AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+        |pb AS (SELECT digit, CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+        |    WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181
+        |    WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |    ELSE 0.045757 END AS DOUBLE) AS p_benford FROM grid),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM obs),
+        |j AS (SELECT pb.digit, pb.p_benford, CAST(coalesce(obs.c, 0) AS BIGINT) AS n_obs
+        |  FROM pb LEFT JOIN obs USING (digit)),
+        |dd AS (SELECT n_obs, p_benford,
+        |    round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_obs,
+        |    round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p_benford)
+        |      * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p_benford)
+        |      / (CAST(n AS DOUBLE) * p_benford), 6) AS chi_term
+        |  FROM j, tot),
+        |f AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_values,
+        |    CAST(sum(CAST(chi_term AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+        |    round(CAST(sum(CAST(round(abs(p_obs - p_benford), 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) / 9.0, 6) AS mad
+        |  FROM dd)
+        |SELECT n_values, chi2, mad, chi2 > 20.090 AS reject_1pct FROM f""".stripMargin,
     "unicode_norm" ->
       """SELECT doc_id, CAST(length(nfc_normalize(text)) AS INT) AS len_nfc,
         |  nfc_normalize(text) = text AS unchanged

@@ -378,6 +378,245 @@ object Analytics {
     ksBySource(binned, "source", "bin")
   }
 
+  /** Mann–Whitney U rank-sum drift test — the nonparametric LOCATION
+    * companion to [[ksTwoSample]]'s shape statistic (KS asks "is the
+    * distribution different", this asks "has the typical value SHIFTED",
+    * and it keeps power under heavy tails where a t-test drowns).
+    * Tie-exact: ranks come from the (value, count) histogram as midranks —
+    * 2·midrank(v) = 2·|{u < v}| + t(v) + 1 stays INTEGER, so the rank sum
+    * R_a, U = R_a − n_a(n_a+1)/2, and the tie-corrected normal
+    * approximation z = (U − n_a·n_b/2) / σ with
+    * σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))) are engine-exact: the
+    * integer sums are order-free and every double step (incl. sqrt, which
+    * IEEE 754 requires correctly rounded) is a single correctly-rounded op
+    * on identical operands, identically parenthesized in the oracle.
+    *
+    * Scale: both sides pre-aggregate to (value, count) — the [[ksTwoSample]]
+    * discipline — so the one ordered window runs on a VALUE-DOMAIN-bounded
+    * frame, never the corpus (continuous metrics bin first, the
+    * [[ksBinned]] route). All-tied or empty inputs read z_stat NULL
+    * (σ = 0 — no test). Output: one row (n_a, n_b, u_stat, z_stat 6dp). */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def cnt(df: DataFrame, out: String) =
+      df.select(col(valueCol).as("v")).where(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as(out))
+    val u = cnt(a, "_ca").join(cnt(b, "_cb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+      .withColumn("_t", col("_ca") + col("_cb"))
+    // domain-bounded ordered frame (post-aggregation) — the ksTwoSample
+    // window class, audited in SourceGuardSpec
+    val wc = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = u.select(col("_ca"), col("_cb"), col("_t"),
+      (lit(2L) * (sum(col("_t")).over(wc) - col("_t")) + col("_t") + lit(1L))
+        .as("_mr2"))
+    val agg0 = ranked.agg(
+      sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"),
+      sum(col("_ca") * col("_mr2")).as("_r2a"),
+      sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_t3"))
+    val naD = col("_na").cast("double")
+    val nbD = col("_nb").cast("double")
+    val base = agg0.select(col("_na"), col("_nb"), col("_t3"),
+      ((col("_r2a").cast("double") - naD * (naD + lit(1.0))) / lit(2.0))
+        .as("u_stat"))
+    val nD = (col("_na") + col("_nb")).cast("double")
+    val sig2 = naD * nbD / lit(12.0) *
+      ((nD + lit(1.0)) - col("_t3").cast("double") / (nD * (nD - lit(1.0))))
+    base.select(col("_na").as("n_a"), col("_nb").as("n_b"), col("u_stat"),
+      when(sig2 > 0,
+        round((col("u_stat") - naD * nbD / lit(2.0)) / sqrt(sig2), 6))
+        .as("z_stat"))
+  }
+
+  /** Population Stability Index — THE production scorecard/feature-drift
+    * metric beside [[ksBinned]]'s KS (PSI weights tail divergence KS's
+    * single-supremum misses; conventional read: < 0.1 stable, 0.1–0.25
+    * drifting, > 0.25 action). Both sides grid onto `nBins` shared
+    * equal-width bins from ONE combined-min/max 1-row broadcast (the
+    * [[ksBinned]] grid, so raw continuous metrics are safe), then
+    * PSI = Σ (p_i − q_i)·ln(p_i/q_i) over the OCCUPIED-union bins with
+    * Jeffreys add-½ smoothing — p_i = (c_i + ½)/(n + k/2) over the k
+    * occupied bins, so empty-on-one-side bins contribute finite mass and
+    * both smoothed vectors still sum to 1 across the support.
+    * Engine-exact: counts + ½ and n + k·0.5 are exact doubles, each
+    * division/product one correctly-rounded op, ln 6dp-rounded DECIMAL
+    * (the lmScore convention), terms 6dp-DECIMAL so the final sum is
+    * order-free. Output: one row (n_a, n_b, n_bins, psi). */
+  def psiBinned(a: DataFrame, b: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 65536, s"psiBinned needs 2 <= nBins <= 65536, got $nBins")
+    def side(df: DataFrame) = df.select(col(valueCol).cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+    val va = side(a)
+    val vb = side(b)
+    // 1-row combined min/max broadcast — the audited 1-row-stats crossJoin
+    val stats = broadcast(va.unionByName(vb)
+      .agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi")))
+    def binned(df: DataFrame) = df.crossJoin(stats).select(
+      when(col("_hi") === col("_lo"), lit(0L))
+        .otherwise(least(
+          floor((col("_v") - col("_lo")) / (col("_hi") - col("_lo")) * nBins),
+          lit((nBins - 1).toLong)))
+        .cast("int").as("bin"))
+    val ca = binned(va).groupBy(col("bin")).agg(count(lit(1)).as("_ca"))
+    val cb = binned(vb).groupBy(col("bin")).agg(count(lit(1)).as("_cb"))
+    val u = ca.join(cb, Seq("bin"), "full_outer")
+      .select(coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    // 1-row totals broadcast onto the ≤ nBins-row union — audited class
+    val tot = broadcast(u.agg(sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"),
+      count(lit(1)).as("_k")))
+    val kHalf = col("_k").cast("double") * lit(0.5)
+    val terms = u.crossJoin(tot).select(col("_na"), col("_nb"), col("_k"),
+        ((col("_ca").cast("double") + lit(0.5)) / (col("_na").cast("double") + kHalf)).as("_p"),
+        ((col("_cb").cast("double") + lit(0.5)) / (col("_nb").cast("double") + kHalf)).as("_q"))
+      .select(col("_na"), col("_nb"), col("_k"),
+        round((col("_p") - col("_q")) *
+            round(log(col("_p") / col("_q")), 6).cast("decimal(18,6)").cast("double"), 6)
+          .cast("decimal(18,6)").as("_term"))
+    terms.agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+      max(col("_k")).as("n_bins"),
+      sum(col("_term")).cast("double").as("psi"))
+  }
+
+  /** Per-source PSI — [[psiBinned]] run as ONE set-based plan for every
+    * source against the REST (the [[ksBySource]] discipline: counts
+    * pre-aggregate, rest = global − slice, the |sources| × ≤ nBins grid is
+    * a cross of two dimension-sized aggregates, never a corpus pair join).
+    * The smoothing support k is the GLOBAL occupied-bin count (a slice and
+    * its complement share the union support by construction). A source
+    * holding the whole corpus reads psi NULL (empty complement).
+    * Output: (source, n_in, n_rest, psi). */
+  def psiBinnedBySource(df: DataFrame, srcCol: String, valueCol: String,
+                        nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 65536,
+      s"psiBinnedBySource needs 2 <= nBins <= 65536, got $nBins")
+    val base = df.select(col(srcCol).as("source"), col(valueCol).cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+    val stats = broadcast(base.agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi")))
+    val binned = base.crossJoin(stats) // 1-row stats broadcast, the ksBinned class
+      .select(col("source"),
+        when(col("_hi") === col("_lo"), lit(0L))
+          .otherwise(least(
+            floor((col("_v") - col("_lo")) / (col("_hi") - col("_lo")) * nBins),
+            lit((nBins - 1).toLong)))
+          .cast("int").as("bin"))
+    val cnt = binned.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("_c"))
+    val gv = binned.groupBy(col("bin")).agg(count(lit(1)).as("_g"))
+    val grid = cnt.select(col("source")).distinct()
+      .crossJoin(gv) // dimension-sized × ≤ nBins — the ksBySource grid class
+      .join(cnt, Seq("source", "bin"), "left")
+      .select(col("source"), col("_g"), coalesce(col("_c"), lit(0L)).as("_c"))
+    val wt = Window.partitionBy(col("source"))
+    val withTot = grid.select(col("source"), col("_g"), col("_c"),
+      sum(col("_c")).over(wt).as("_nin"),
+      sum(col("_g") - col("_c")).over(wt).as("_nrest"),
+      count(lit(1)).over(wt).as("_k"))
+    val kHalf = col("_k").cast("double") * lit(0.5)
+    val terms = withTot.select(col("source"), col("_nin"), col("_nrest"),
+        ((col("_c").cast("double") + lit(0.5)) / (col("_nin").cast("double") + kHalf)).as("_p"),
+        (((col("_g") - col("_c")).cast("double") + lit(0.5)) / (col("_nrest").cast("double") + kHalf)).as("_q"))
+      .select(col("source"), col("_nin"), col("_nrest"),
+        round((col("_p") - col("_q")) *
+            round(log(col("_p") / col("_q")), 6).cast("decimal(18,6)").cast("double"), 6)
+          .cast("decimal(18,6)").as("_term"))
+    terms.groupBy(col("source"))
+      .agg(max(col("_nin")).as("n_in"), max(col("_nrest")).as("n_rest"),
+        when(max(col("_nrest")) > 0, sum(col("_term")).cast("double")).as("psi"))
+  }
+
+  /** Autocorrelation function of the gap-filled daily total series — the
+    * seasonality diagnostic the smoothing pair ([[movingAvg]]/[[ewmaDaily]])
+    * can't give: a weekly cycle spikes r at lag 7, a trend keeps every lag
+    * positive, white noise sits near 0. r_k = Σ d_t·d_{t+k} / Σ d_t² over
+    * demeaned daily totals d_t = x_t − x̄.
+    *
+    * Engine-exact: daily totals are DECIMAL sums (order-free), x̄ is one
+    * division of that exact sum, each demeaned product rounds to 6dp
+    * DECIMAL before the order-free numerator/denominator sums, and r_k is
+    * one final rounded division. Scale: everything after the one map-side-
+    * combined daily aggregate is DAYS-sized — the spine join for lag pairs
+    * carries ≤ |days|·maxLag rows, the mean and denominator ride audited
+    * 1-row broadcasts; no corpus-sized node above the daily aggregate.
+    * A constant series (zero variance) reads acf NULL.
+    * Output: (lag, n_pairs, acf 6dp), one row per lag 1..maxLag. */
+  def acfDaily(events: DataFrame, tsCol: Column, valCol: Column,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"acfDaily needs 1 <= maxLag <= 64, got $maxLag")
+    val daily = events.groupBy(to_date(tsCol).as("day"))
+      .agg(sum(valCol.cast("decimal(18,4)")).as("_rev"))
+    val spine = daily.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("_rev"), lit(0).cast("decimal(18,4)")).as("_rev"))
+    // 1-row mean broadcast onto the days-sized frame — audited class
+    val st = broadcast(filled.agg(sum(col("_rev")).as("_s"), count(lit(1)).as("_n")))
+    val dev = filled.crossJoin(st).select(col("day"),
+      (col("_rev").cast("double") - col("_s").cast("double") / col("_n")).as("_d"))
+    // 1-row denominator broadcast (Σ d² as exact 6dp-DECIMAL sum)
+    val den = broadcast(dev.agg(
+      sum(round(col("_d") * col("_d"), 6).cast("decimal(18,6)")).as("_den")))
+    val lags = dev.select(explode(sequence(lit(1), lit(maxLag))).as("lag"),
+      col("day"), col("_d"))
+    val pairs = lags.join(
+      dev.select(col("day").as("_day2"), col("_d").as("_d2")),
+      col("_day2") === date_add(col("day"), col("lag")))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("_d") * col("_d2"), 6).cast("decimal(18,6)")).as("_num"))
+      .crossJoin(den) // 1-row denominator — audited class
+      .select(col("lag").cast("int").as("lag"), col("n_pairs"),
+        when(col("_den") > 0,
+          round(col("_num").cast("double") / col("_den").cast("double"), 6)).as("acf"))
+  }
+
+  /** CUSUM level-shift localization over the gap-filled daily series —
+    * WHERE the mean changed, which [[ewmaDaily]]'s spike flag (single-day
+    * outliers) and [[ksTwoSample]] (needs the split given) can't answer:
+    * the argmax of |S_t|, S_t = Σ_{i≤t}(x_i − x̄), is the classic
+    * changepoint estimate, and M = max|S_t|/(σ̂√n) its normalized
+    * statistic (≳ 1.36 rejects stability at 5% — the Kolmogorov bound,
+    * since under H₀ the CUSUM bridge behaves Brownian).
+    *
+    * Engine-exact: demeaned terms round to 6dp DECIMAL so the cumulative
+    * sum is exact and order-association-free (a raw double running sum
+    * would depend on the window implementation's association), |S| compares
+    * in DECIMAL, the argmax tie-breaks to the EARLIEST day, and σ̂ / M are
+    * fixed-parenthesization single-op chains. Scale: days-sized after the
+    * one daily aggregate; the ordered cumulative window runs on the day
+    * spine (domain-bounded — the ksTwoSample window class); mean and
+    * max-|S| ride audited 1-row broadcasts. A constant series reads
+    * m_stat NULL. Output: one row (n_days, cp_day, s_max, m_stat). */
+  def cusumDaily(events: DataFrame, tsCol: Column, valCol: Column): DataFrame = {
+    val daily = events.groupBy(to_date(tsCol).as("day"))
+      .agg(sum(valCol.cast("decimal(18,4)")).as("_rev"))
+    val spine = daily.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("_rev"), lit(0).cast("decimal(18,4)")).as("_rev"))
+    val st = broadcast(filled.agg(sum(col("_rev")).as("_s"), count(lit(1)).as("_n")))
+    val dev = filled.crossJoin(st).select(col("day"), col("_n"),
+      (col("_rev").cast("double") - col("_s").cast("double") / col("_n")).as("_d"))
+    // day-spine ordered cumulative — domain-bounded, the ksTwoSample class
+    val wc = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = dev.select(col("day"), col("_n"),
+        round(col("_d") * col("_d"), 6).cast("decimal(18,6)").as("_sq"),
+        sum(round(col("_d"), 6).cast("decimal(18,6)")).over(wc).as("_cum"))
+      .select(col("day"), col("_n"), col("_sq"), abs(col("_cum")).as("_abs"))
+    val st2 = broadcast(rows.agg(max(col("_abs")).as("_smax"), sum(col("_sq")).as("_ssq")))
+    val one = rows.crossJoin(st2).agg(
+      max(col("_n")).as("n_days"),
+      min(when(col("_abs") === col("_smax"), col("day"))).as("cp_day"),
+      max(col("_smax")).as("_smax"), max(col("_ssq")).as("_ssq"))
+    val nD = col("n_days").cast("double")
+    one.select(col("n_days"), col("cp_day"),
+      col("_smax").cast("double").as("s_max"),
+      when(col("_ssq") > 0,
+        round(col("_smax").cast("double") /
+          (sqrt(col("_ssq").cast("double") / nD) * sqrt(nD)), 6)).as("m_stat"))
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 pointTs: Column, startTs: Column, endTs: Column,
                 keys: Seq[String], bucketSec: Long): DataFrame = {

@@ -283,6 +283,76 @@ object Quality {
       .groupBy(col("m.metric").as("metric"), col("m.key").as("key"))
       .agg(count(lit(1)).cast("double").as("value"))
 
+  /** Benford's-law first-significant-digit probabilities as pinned 6dp
+    * literals — log10(1 + 1/d) for d = 1..9, rounded to 6dp (they sum to
+    * exactly 1.000000 at this rounding), inlined IDENTICALLY into the
+    * Spark plan and the oracle SQL so no engine ever evaluates log10. */
+  private[graft] val BenfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+
+  /** Benford's-law first-digit conformance test (Benford 1938; Nigrini's
+    * forensic-accounting staple) — the data-QUALITY gate for naturally-
+    * generated positive amounts: organic multi-scale quantities (prices,
+    * populations, file sizes) follow P(d) = log10(1+1/d), while fabricated,
+    * truncated, or default-filled columns don't — a spike at one leading
+    * digit is the classic symptom of synthetic rows, capped fields, or a
+    * unit mix-up. The digit histogram with per-digit χ² contributions;
+    * [[benfordStat]] rolls it to the one-row verdict.
+    *
+    * Engine-exact: the first significant digit is extracted from the
+    * DECIMAL(18,6) canonical string (both engines render the same fixed-
+    * scale form — no float formatting), expected probabilities are pinned
+    * 6dp literals (see [[BenfordP]]), and p_obs / χ² terms are fixed-
+    * parenthesization single-op chains rounded to 6dp. Zero/NULL values
+    * carry no leading digit and drop (documented: Benford applies to
+    * nonzero magnitudes). Scale: one map-side digit projection + a 9-row
+    * aggregate; the total rides an audited 1-row broadcast onto the 9-row
+    * grid. Output: (digit, n_obs, p_obs, p_benford, chi_term), 9 rows. */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val obs = df
+      .select(abs(col(valueCol)).cast("decimal(18,6)").cast("string").as("_s"))
+      .where(col("_s").isNotNull)
+      .select(regexp_extract(col("_s"), "[1-9]", 0).as("_d"))
+      .where(col("_d") =!= "") // zero values have no significant digit
+      .groupBy(col("_d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("_c"))
+    val spark = df.sparkSession
+    val grid = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+      .withColumn("p_benford",
+        BenfordP.foldLeft(lit(null).cast("double")) { case (acc, (d, p)) =>
+          when(col("digit") === d, lit(p)).otherwise(acc) })
+    val tot = broadcast(obs.agg(sum(col("_c")).as("_n")))
+    val joined = grid.join(obs, Seq("digit"), "left")
+      .select(col("digit"), col("p_benford"),
+        coalesce(col("_c"), lit(0L)).as("n_obs"))
+      .crossJoin(tot) // 1-row total onto the 9-row grid — audited class
+    val e = col("_n").cast("double") * col("p_benford")
+    joined.select(col("digit"), col("n_obs"),
+      round(col("n_obs").cast("double") / col("_n").cast("double"), 6).as("p_obs"),
+      col("p_benford"),
+      round((col("n_obs").cast("double") - e) * (col("n_obs").cast("double") - e) / e, 6)
+        .as("chi_term"))
+  }
+
+  /** [[benfordDigits]] rolled to the one-row verdict: χ² = Σ chi_term
+    * (8 degrees of freedom — reject conformance at 1% past 20.09, the
+    * pinned critical value), and Nigrini's MAD = mean |p_obs − p_benford|
+    * (his thresholds: < 0.006 close conformance, > 0.015 nonconformance).
+    * The 6dp-rounded per-digit terms sum in DECIMAL (order-free), so both
+    * statistics and the boolean are engine-exact.
+    * Output: one row (n_values, chi2, mad, reject_1pct). */
+  def benfordStat(df: DataFrame, valueCol: String): DataFrame = {
+    val d = benfordDigits(df, valueCol)
+    val chi2 = sum(col("chi_term").cast("decimal(18,6)")).cast("double")
+    val mad = (sum(round(abs(col("p_obs") - col("p_benford")), 6)
+      .cast("decimal(18,6)")).cast("double") / lit(9.0))
+    d.agg(sum(col("n_obs")).as("n_values"), chi2.as("chi2"),
+        round(mad, 6).as("mad"))
+      .withColumn("reject_1pct", col("chi2") > lit(20.090))
+  }
+
   /** Per-entity rule CATALOGS — the reference's "106 rules" registry
     * (STEP3_QUALITY_ENGINE.py:7, rule_registry.validate_row per entity;
     * the registry module itself ships only as an import, so the catalogs

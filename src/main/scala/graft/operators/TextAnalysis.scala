@@ -1633,4 +1633,96 @@ object TextAnalysis {
         when(col("_nl") === maxN,
           col("_lsum").cast("double") / maxN).as("log_p_geo"): _*)
   }
+
+  /** Per-source lexical diversity: Yule's K (Yule 1944 — the repeat-rate
+    * characteristic K = 10⁴·(Σ_f f²·V_f − N)/N², i.e. 10⁴·(Σ tf² − N)/N²),
+    * type-token ratio, and hapax ratio. K is the LENGTH-ROBUST diversity
+    * constant (TTR decays with corpus size by Heaps' law — [[heapsLaw]] —
+    * so comparing sources by TTR alone punishes the big ones; K is scale-
+    * stable): templated/boilerplate sources read high K (few types carry
+    * the mass), natural prose sits ~100–200, random-id junk reads near 0
+    * with hapax_ratio ≈ 1. The third corpus-health axis beside [[zipfFit]]
+    * (decay shape) and [[heapsLaw]] (growth rate).
+    *
+    * Engine-exact: every statistic is INTEGER sums (N, V, V1, Σtf²) down
+    * to one or two final correctly-rounded double ops, identically
+    * parenthesized in the oracle. Scale: one (source, token) count
+    * aggregate (map-side combined), then a |sources|-row rollup — the
+    * corpus never shuffles twice. Output: (source, n_tokens, n_vocab,
+    * n_hapax, ttr 6dp, hapax_ratio 6dp, yule_k 6dp). */
+  def lexicalDiversity(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+    val tf = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("_tf"))
+    val agg0 = tf.groupBy(col("source")).agg(
+      sum(col("_tf")).as("n_tokens"),
+      count(lit(1)).as("n_vocab"),
+      sum(when(col("_tf") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+      sum(col("_tf") * col("_tf")).as("_f2"))
+    val nD = col("n_tokens").cast("double")
+    agg0.select(col("source"), col("n_tokens"), col("n_vocab"), col("n_hapax"),
+      round(col("n_vocab").cast("double") / nD, 6).as("ttr"),
+      round(col("n_hapax").cast("double") / col("n_vocab").cast("double"), 6)
+        .as("hapax_ratio"),
+      round(lit(10000.0) * (col("_f2") - col("n_tokens")).cast("double") /
+        (nD * nD), 6).as("yule_k"))
+  }
+
+  /** Jensen–Shannon divergence between each source's unigram distribution
+    * and the REST of the corpus — the symmetric, always-finite
+    * distributional distance mixture design actually uses (KL explodes on
+    * disjoint support; JSD is bounded by ln 2 ≈ 0.693): near 0 the source
+    * reads like the pool, near ln 2 it is lexically alien. The
+    * DISTRIBUTION-level companion to [[selfBleu]]'s multiset redundancy
+    * and the set-Jaccard overlap matrix. JSD(p‖q) = ½KL(p‖m) + ½KL(q‖m),
+    * m = (p+q)/2, evaluated in count-weighted form
+    * ½·(Σ c_i·ln(p_i/m_i))/n_in + ½·(Σ r_i·ln(q_i/m_i))/n_rest so the
+    * per-term weights stay INTEGER and the ln factors ride the 6dp-DECIMAL
+    * convention (order-free sums — the lmScore discipline); p/q/m are
+    * fixed-parenthesization single-op chains from identical integers.
+    *
+    * Scale: the rest side is g − c off the global count table — NO
+    * source × source pair join exists (the [[selfBleu]]/ksBySource
+    * discipline); the |sources| × |vocab| evaluation grid is a cross of
+    * two dimension-sized aggregates (absent tokens must still feed the
+    * q-side sum), and the totals ride source-partitioned windows. A source
+    * holding the whole corpus reads jsd NULL. Output: (source, n_in,
+    * n_rest, jsd 6dp). */
+  def jsDivergence(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+    val cnt = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("_c"))
+    val gv = cnt.groupBy(col("t")).agg(sum(col("_c")).as("_g"))
+    val grid = cnt.select(col("source")).distinct()
+      .crossJoin(gv) // dimension-sized × vocabulary — the ksBySource grid class
+      .join(cnt, Seq("source", "t"), "left")
+      .select(col("source"), col("_g"), coalesce(col("_c"), lit(0L)).as("_c"))
+      .withColumn("_r", col("_g") - col("_c"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val withTot = grid.select(col("source"), col("_c"), col("_r"),
+      sum(col("_c")).over(wt).as("_nin"),
+      sum(col("_r")).over(wt).as("_nrest"))
+    val pd = col("_c").cast("double") / col("_nin").cast("double")
+    val qd = when(col("_nrest") > 0,
+      col("_r").cast("double") / col("_nrest").cast("double")).otherwise(lit(0.0))
+    val terms = withTot
+      .select(col("source"), col("_c"), col("_r"), col("_nin"), col("_nrest"),
+        pd.as("_p"), qd.as("_q"))
+      .withColumn("_m", (col("_p") + col("_q")) / lit(2.0))
+      .select(col("source"), col("_nin"), col("_nrest"),
+        when(col("_c") > 0, col("_c") *
+            round(log(col("_p") / col("_m")), 6).cast("decimal(18,6)"))
+          .as("_ta"),
+        when(col("_r") > 0, col("_r") *
+            round(log(col("_q") / col("_m")), 6).cast("decimal(18,6)"))
+          .as("_tb"))
+    terms.groupBy(col("source"))
+      .agg(max(col("_nin")).as("n_in"), max(col("_nrest")).as("n_rest"),
+        when(max(col("_nrest")) > 0,
+          round((sum(col("_ta")).cast("double") / max(col("_nin")).cast("double") +
+            sum(col("_tb")).cast("double") / max(col("_nrest")).cast("double")) / lit(2.0), 6))
+          .as("jsd"))
+  }
 }

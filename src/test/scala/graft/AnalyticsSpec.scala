@@ -632,4 +632,165 @@ class AnalyticsSpec extends SparkSpec {
     // including within the null group (whose bounds row matches via <=>)
     assert(out.select("v", "w").as[(Double, Double)].collect().forall { case (v, w) => v == w })
   }
+
+  test("mannWhitneyU: exact tie-corrected replay, symmetry, degenerate NULL") {
+    // a = [1,1,2,3], b = [2,3,3,5]: midranks 1.5/3.5/6/8 →
+    // R_a = 2·1.5 + 3.5 + 6 = 12.5, U = 12.5 − 10 = 2.5
+    val a = Seq(1L, 1L, 2L, 3L).toDF("v")
+    val b = Seq(2L, 3L, 3L, 5L).toDF("v")
+    val out = Analytics.mannWhitneyU(a, b, "v")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(out._1 == 4L && out._2 == 4L && out._3 == 2.5)
+    // local replay of the exact z chain (t³−t over t = [2,2,3,1] → 36)
+    val (naD, nbD, nD, t3D) = (4.0, 4.0, 8.0, 36.0)
+    val sig2 = naD * nbD / 12.0 * ((nD + 1.0) - t3D / (nD * (nD - 1.0)))
+    val z = BigDecimal((2.5 - naD * nbD / 2.0) / math.sqrt(sig2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._4 == z, s"z ${out._4} != local replay $z")
+    // identical samples: U = n²/2, z = 0
+    val self = Analytics.mannWhitneyU(a, a, "v")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(self._3 == 8.0 && self._4 == 0.0)
+    // a fully shifted sample: every a-rank below every b-rank → U = 0
+    val shifted = Analytics.mannWhitneyU(a,
+      Seq(11L, 12L, 13L, 14L).toDF("v"), "v")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(shifted._3 == 0.0 && shifted._4 < -2.0)
+    // all-tied inputs: σ = 0 → z NULL (no test), not NaN/∞
+    val c = Seq(7L, 7L).toDF("v")
+    val tied = Analytics.mannWhitneyU(c, c, "v")
+      .as[(Long, Long, Double, Option[Double])].collect().head
+    assert(tied._4.isEmpty, s"all-tied z must be NULL, got $tied")
+  }
+
+  test("psiBinned: exact smoothed replay, zero on identical sides, grouped == per-slice") {
+    // nBins=2 on [0,1]: a = 3×bin0 + 1×bin1, b = 1×bin0 + 3×bin1
+    val a = Seq(0.0, 0.0, 0.0, 1.0).toDF("v")
+    val b = Seq(0.0, 1.0, 1.0, 1.0).toDF("v")
+    val out = Analytics.psiBinned(a, b, "v", 2)
+      .as[(Long, Long, Long, Double)].collect().head
+    def r6(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // local replay: p/q Jeffreys-smoothed over k=2 occupied bins,
+    // ln 6dp-DECIMAL, (p−q)·ln rounded to 6dp, exact sum
+    def term(ca: Long, cb: Long): BigDecimal = {
+      val p = (ca + 0.5) / (4.0 + 2.0 * 0.5)
+      val q = (cb + 0.5) / (4.0 + 2.0 * 0.5)
+      r6((p - q) * r6(math.log(p / q)).toDouble)
+    }
+    val psi = (term(3, 1) + term(1, 3)).toDouble
+    assert(out == ((4L, 4L, 2L, psi)), s"got $out, replay psi $psi")
+    assert(psi > 0.6, "strongly swapped masses must read a drifting PSI")
+    // identical sides: p == q per bin → every term ln(1) = 0 → psi = 0
+    val self = Analytics.psiBinned(a, a, "v", 16)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(self._4 == 0.0)
+    // degenerate constant metric: one bin, psi = 0
+    val c = Seq(5.0, 5.0).toDF("v")
+    val const = Analytics.psiBinned(c, c, "v", 8)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(const == ((2L, 2L, 1L, 0.0)))
+    // grouped form == the two-sample on (slice, rest): the slice/rest
+    // union IS the corpus, so the global grid and occupied-bin support
+    // coincide exactly
+    val g = Seq(("A", 1.5), ("A", 1.5), ("A", 2.25), ("A", 3.0),
+      ("B", 1.5), ("B", 2.25), ("B", 2.25), ("B", 4.125),
+      ("C", 1.5), ("C", 4.125)).toDF("source", "v")
+    val grouped = Analytics.psiBinnedBySource(g, "source", "v", 64)
+      .as[(String, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    for (src <- grouped.keySet) {
+      val two = Analytics.psiBinned(
+        g.where(col("source") === src), g.where(col("source") =!= src), "v", 64)
+        .as[(Long, Long, Long, Double)].collect().head
+      assert(grouped(src) == ((src, two._1, two._2, Some(two._4))),
+        s"per-source $src != two-sample on (slice, rest)")
+    }
+    // a source holding the whole corpus reads psi NULL
+    val solo = Analytics.psiBinnedBySource(
+      Seq(("A", 1.0), ("A", 2.0)).toDF("source", "v"), "source", "v", 8)
+      .as[(String, Long, Long, Option[Double])].collect().head
+    assert(solo == (("A", 2L, 0L, None)))
+  }
+
+  test("acfDaily: exact replay on an alternating series, gap fill, constant NULL") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    // alternating [1,3,1,3,1,3] → mean 2, d = ±1: r1 = −5/6, r2 = 4/6
+    val ev = (0 until 6).map(i => (ts(i), if (i % 2 == 0) 1.0 else 3.0))
+      .toDF("ts", "value")
+    val out = Analytics.acfDaily(ev, col("ts"), col("value"), 3)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1, 5L), (2, 4L), (3, 3L)))
+    assert(out.map(_._3).toSeq == Seq(
+      BigDecimal(-5.0 / 6.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(4.0 / 6.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      -0.5))
+    // a calendar gap participates as a 0-valued day: days {0,2} of value 3
+    // → spine [3,0,3], mean 2, d = [1,−2,1] → r1 = (−2−2)/6 = −0.666667
+    val gap = Seq((ts(0), 3.0), (ts(2), 3.0)).toDF("ts", "value")
+    val g = Analytics.acfDaily(gap, col("ts"), col("value"), 1)
+      .as[(Int, Long, Double)].collect().head
+    assert(g == ((1, 2L, -0.666667)))
+    // constant series: zero variance → acf NULL, never 0/0
+    val const = (0 until 4).map(i => (ts(i), 2.0)).toDF("ts", "value")
+    val cr = Analytics.acfDaily(const, col("ts"), col("value"), 2)
+      .as[(Int, Long, Option[Double])].collect()
+    assert(cr.length == 2 && cr.forall(_._3.isEmpty))
+  }
+
+  test("cusumDaily: localizes a planted level shift; constant series reads NULL") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00")
+    // [0,0,0,6,6,6]: mean 3, S = [−3,−6,−9,−6,−3,0] → |S| max 9 at day 3
+    // (the last pre-shift day), σ̂ = 3, M = 9/(3·√6) = √1.5
+    val ev = (0 until 6).map(i => (ts(i), if (i < 3) 0.0 else 6.0))
+      .toDF("ts", "value")
+    val out = Analytics.cusumDaily(ev, col("ts"), col("value"))
+      .as[(Long, java.sql.Date, Double, Double)].collect().head
+    assert(out._1 == 6L && out._2 == java.sql.Date.valueOf("2024-03-03"))
+    assert(out._3 == 9.0)
+    val m = BigDecimal(9.0 / (math.sqrt(54.0 / 6.0) * math.sqrt(6.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._4 == m, s"m_stat ${out._4} != local replay $m")
+    // constant series: every S_t = 0 → s_max 0, argmax ties to the FIRST
+    // day, σ = 0 → m_stat NULL
+    val const = (0 until 4).map(i => (ts(i), 5.0)).toDF("ts", "value")
+    val c = Analytics.cusumDaily(const, col("ts"), col("value"))
+      .as[(Long, java.sql.Date, Double, Option[Double])].collect().head
+    assert(c == ((4L, java.sql.Date.valueOf("2024-03-01"), 0.0, None)))
+  }
+
+  test("benford: exact digit extraction + χ²/MAD replay; zeros and NULLs drop") {
+    // first significant digits: 1.5→1, 19→1, 0.002→2, −300→3 (abs),
+    // 9999.25→9; 0.0 and NULL carry no digit and drop
+    val vals = Seq(Some(1.5), Some(19.0), Some(0.002), Some(-300.0),
+      Some(9999.25), Some(0.0), None).toDF("v")
+    val out = Quality.benfordDigits(vals, "v")
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.length == 9)
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 0L, 5 -> 0L, 6 -> 0L,
+        7 -> 0L, 8 -> 0L, 9 -> 1L))
+    def r6(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // replay digit 1's row: n=5, e = 5·0.301030
+    val e1 = 5.0 * 0.301030
+    assert(out.head._3 == 0.4 && out.head._4 == 0.301030 &&
+      out.head._5 == r6((2.0 - e1) * (2.0 - e1) / e1).toDouble)
+    // the rolled verdict: chi2 = exact DECIMAL sum of the 6dp terms,
+    // MAD = exact sum of 6dp |p_obs − p| / 9
+    val stat = Quality.benfordStat(vals, "v")
+      .as[(Long, Double, Double, Boolean)].collect().head
+    val chi2 = out.map(r => r6(r._5)).sum.toDouble
+    val mad = r6(out.map(r => r6(math.abs(r._3 - r._4))).sum.toDouble / 9.0).toDouble
+    assert(stat == ((5L, chi2, mad, chi2 > 20.090)), s"got $stat vs ($chi2, $mad)")
+    // a Benford-conforming-ish digit mix keeps χ² under the 1% cut
+    val ok = (0 until 100).flatMap { i =>
+      val d = Seq(1, 1, 1, 1, 1, 1, 2, 2, 2, 3,
+        3, 3, 4, 4, 5, 5, 6, 7, 8, 9)(i % 20)
+      Seq(d * 10.0 + (i % 7))
+    }.toDF("v")
+    val okStat = Quality.benfordStat(ok, "v")
+      .as[(Long, Double, Double, Boolean)].collect().head
+    assert(okStat._1 == 100L && !okStat._4,
+      s"near-Benford mix must not reject: $okStat")
+  }
 }

@@ -131,6 +131,97 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 2, s"expected sketch pass + exact pass = 2 scans, got $scans:\n$p")
   }
 
+  test("mann_whitney ranks POST-aggregation: one window on the value-domain frame") {
+    val p = planOf("mann_whitney")
+    // the midrank cumulative must run on the (value, count) union — the
+    // ksTwoSample discipline — never on corpus rows
+    val wins = "Window".r.findAllIn(p).length
+    assert(wins == 1, s"expected exactly 1 post-aggregation window, got $wins:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"histogram not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("psi_drift stays window-free: smoothing totals ride 1-row broadcasts") {
+    val p = planOf("psi_drift")
+    assert(!p.contains("Window"), s"PSI must not rank via windows:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"bin counts not map-side combined:\n$p")
+    // grid min/max under each side + the totals join — all the audited
+    // 1-row-stats broadcast class, and nothing else may cross-join. The
+    // static print shows 5 sites because the totals subtree REPLANS the
+    // bin-count union (its two stats crosses repeat); the duplicated
+    // subtrees are canonically equal, so AQE's stage cache materializes
+    // each once at runtime (the self_bleu/bm25 precedent).
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 5, s"expected <= 5 one-row stats crosses, got $bnlj:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("psi_by_source windows partition on source over the bounded grid") {
+    val p = planOf("psi_by_source")
+    assert(p.contains("windowspecdefinition(source"),
+      s"per-source totals lost their source partitioning:\n$p")
+    // one grid cross + the global-stats cross, whose subtree the static
+    // print replans under cnt/gv/grid (canonically equal → one runtime
+    // stage; the psi_drift note)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 4, s"expected stats + grid crosses only, got $bnlj:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("acf_daily: everything above the daily aggregate is days-sized broadcast work") {
+    val p = planOf("acf_daily")
+    // the corpus collapses map-side to (day, decimal) before ANY join;
+    // lag pairs, mean, and denominator all join broadcast — a
+    // SortMergeJoin would mean a days-frame grew a real shuffle
+    assert(!p.contains("Window"), s"ACF must not use windows:\n$p")
+    assert(p.contains("partial_sum"), s"daily sums not map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"days-sized frames must join broadcast:\n$p")
+  }
+
+  test("cusum_daily: one day-spine cumulative window, broadcast stats only") {
+    val p = planOf("cusum_daily")
+    // count window FUNCTIONS, not the substring "Window" (which also
+    // matches inside windowspecdefinition expression text); the static
+    // print shows the ONE cumulative window twice because the max-|S|
+    // stats branch replans the cumsum subtree (canonically equal → one
+    // runtime stage, the psi_drift note)
+    val wins = "windowspecdefinition\\(".r.findAllIn(p).length
+    assert(wins <= 2, s"expected only the cumulative window, got $wins:\n$p")
+    assert(p.contains("partial_sum"), s"daily sums not map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"days-sized frames must join broadcast:\n$p")
+  }
+
+  test("yule_k is one scan and two aggregate levels — no join, no window") {
+    val p = planOf("yule_k")
+    assert(!p.contains("Join"), s"lexical diversity needs no join:\n$p")
+    assert(!p.contains("Window"), s"lexical diversity needs no window:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"tf counts not map-side combined:\n$p")
+  }
+
+  test("js_divergence: rest = total − slice off the grid; totals partition on source") {
+    val p = planOf("js_divergence")
+    assert(p.contains("windowspecdefinition(source"),
+      s"per-source totals lost their source partitioning:\n$p")
+    // exactly ONE dimension-cross: the |sources| × |vocab| grid (absent
+    // tokens must feed the rest-side sum); a second would mean a pair join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj == 1, s"expected only the sources × vocab grid cross, got $bnlj:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("benford_digits: map-side digit projection, broadcast-only joins") {
+    val p = planOf("benford_digits")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 9-row grid must join broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected obs + total scans at most, got $scans:\n$p")
+  }
+
   test("hybrid_rrf adds only bounded work above its rankers") {
     val p = planOf("hybrid_rrf")
     // the fusion window partitions by query_id over the <= |rankers|*k

@@ -45,8 +45,13 @@ class SourceGuardSpec extends AnyFunSpec {
     // evaluation grid: |sources| (dimension-sized distinct) × |values|
     // (value-domain-bounded aggregate) — never a corpus cross — plus
     // ksBinned's 1-row combined-min/max broadcast onto both sides and
-    // ksBinnedBySource's (same 1-row global-grid stats class)
-    "graft/operators/Analytics.scala" -> 4,
+    // ksBinnedBySource's (same 1-row global-grid stats class); round 16
+    // adds eight more in the same two audited classes: psiBinned (grid
+    // stats + 1-row totals onto the ≤ nBins union), psiBinnedBySource
+    // (grid stats + the |sources| × ≤ nBins ksBySource-grid cross),
+    // acfDaily (1-row mean + 1-row denominator onto the days-sized
+    // spine), cusumDaily (1-row mean + 1-row max-|S| stats)
+    "graft/operators/Analytics.scala" -> 12,
     // pageRank's two node ⋈ 1-row-count joins (init + per-round base
     // share) — the audited broadcast-stats pattern on a |types|-row frame
     "graft/operators/Events.scala" -> 2,
@@ -59,7 +64,10 @@ class SourceGuardSpec extends AnyFunSpec {
     // + lmKneserNey's 1-row bigram-type-count join onto the vocabulary
     // + zipfTheilSen's 1-row median-slope join onto the ≤ topK-row head
     // + lmKneserNeyTrigram's 1-row pair-total join onto the vocabulary
-    "graft/operators/TextAnalysis.scala" -> 10,
+    // + jsDivergence's |sources| × |vocab| evaluation grid (the audited
+    //   ksBySource dimension-cross class — absent tokens must feed the
+    //   rest-side sum, so the grid is the correct frame, never a pair join)
+    "graft/operators/TextAnalysis.scala" -> 11,
     // ... except pqTopKWith's corpus x QUERY-BATCH join (the flat-PQ ADC
     // scan: every index row scores against every query's broadcast LUT
     // — bounded by the query batch, the intended shape), one 1-row
@@ -72,7 +80,10 @@ class SourceGuardSpec extends AnyFunSpec {
     // f2Diagnostics' ungrouped tail (1-row exact-F2 aggregate ⋈ 1-row
     // median-of-means estimate) and joinSizeDiagnostics' identical
     // 1-row stats ⋈ 1-row estimate tail — both the audited 1-row class
-    "graft/operators/F2Sketch.scala" -> 2)
+    "graft/operators/F2Sketch.scala" -> 2,
+    // benfordDigits: the 1-row value-count total onto the 9-row digit
+    // grid — the audited 1-row-stats class
+    "graft/operators/Quality.scala" -> 1)
 
   private val windowOrderByBudget = Map(
     // vocab_top ranks a 30-row post-limit output, samplePriority ranks
@@ -88,8 +99,10 @@ class SourceGuardSpec extends AnyFunSpec {
     // ksTwoSample's cumulative + totals windows run on the POST-AGGREGATION
     // (value, count) union frame — bounded by the metric's value domain
     // (token counts, score buckets), never the corpus; continuous metrics
-    // are bucketed first per the scaladoc
-    "graft/operators/Analytics.scala" -> 2)
+    // are bucketed first per the scaladoc; round 16 adds mannWhitneyU's
+    // midrank cumulative (the same post-aggregation value-domain frame)
+    // and cusumDaily's day-spine cumulative (bounded by the calendar)
+    "graft/operators/Analytics.scala" -> 4)
 
   private val mapPartitionsBudget = Map(
     // opaque-binary decode: no Catalyst expression form exists
@@ -213,9 +226,11 @@ class SourceGuardSpec extends AnyFunSpec {
     it("no DataFrame first()/head() pulls in library code") {
       // StreamingCms.foldBatch: one MAX(_bid) over the ≤ depth×width-row
       // lake sketch — the replay-guard probe, bounded by the sketch size
-      // (never corpus-sized) and loud on a missing column.
+      // (never corpus-sized) and loud on a missing column. StreamingF2
+      // (round 16): the same guard probe over its 96-row sketch.
       check(".first()/.head(", "\\.first\\(\\)|\\.head\\(",
-        Map("graft/streaming/StreamingCms.scala" -> 1))
+        Map("graft/streaming/StreamingCms.scala" -> 1,
+          "graft/streaming/StreamingF2.scala" -> 1))
     }
     it(".take( only at the audited non-DataFrame Array/Seq sites") {
       check(".take(", "\\.take\\(", takeBudget)

@@ -464,6 +464,53 @@ class StreamingSpec extends SparkSpec {
     assert(regs() == whole, "replaying an applied batch must be a content-level no-op")
   }
 
+  test("StreamingF2 folds estimator sums with a _bid guard; replay is skipped, not doubled") {
+    // the FIFTH streaming-guard family member, on the GUARDED side with
+    // CMS: the F2 merge law is LINEAR (estimator-wise sum), so an
+    // at-least-once replay would double every Z and inflate F2 ≈ 4× —
+    // drive foldBatch directly: batch identity, whole-stream identity,
+    // and the bid-guarded replay skip.
+    import spark.implicits._
+    import graft.streaming.StreamingDedup.Doc
+    val root = java.nio.file.Files.createTempDirectory("graft_sf2").toFile.getAbsolutePath
+    val sketch = s"$root/sketch"
+    def cells(): Map[Int, Long] =
+      spark.read.parquet(sketch).select("_e", "z").as[(Int, Long)].collect().toMap
+    def batchCells(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      graft.operators.F2Sketch.f2Cells(
+        df.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+          .where(col("t") =!= ""), Nil, "t")
+        .as[(Int, Long)].collect().toMap
+    val b1 = Seq(Doc(1, "aa aa bb cc"), Doc(2, "dd aa")).toDF()
+    val b2 = Seq(Doc(3, "bb cc cc ee"), Doc(4, "aa ff ff")).toDF()
+    graft.streaming.StreamingF2.foldBatch(b1, 0L, sketch)
+    val afterB1 = cells()
+    assert(afterB1 == batchCells(b1),
+      "after one batch the stream sketch IS the batch sketch")
+    // replayed batch 0 (crash between write and checkpoint commit): the
+    // linear fold MUST skip it — summing again would double every Z
+    graft.streaming.StreamingF2.foldBatch(b1, 0L, sketch)
+    assert(cells() == afterB1, "replayed batchId must not double-fold")
+    graft.streaming.StreamingF2.foldBatch(b2, 1L, sketch)
+    val whole = cells()
+    assert(whole == batchCells(b1.unionByName(b2)),
+      "streamed linear fold must equal the whole-corpus estimator sums")
+    // stale replay after newer batches: still a no-op
+    graft.streaming.StreamingF2.foldBatch(b1, 0L, sketch)
+    assert(cells() == whole, "stale batchId replay must not re-fold")
+    // the estimate read runs the batch median-of-means tail on the
+    // accumulated cells — identical to the direct batch estimate
+    val est = graft.streaming.StreamingF2.estimate(spark, sketch)
+      .as[Double].collect().head
+    val direct = graft.operators.F2Sketch.f2EstimateFromCells(
+      b1.unionByName(b2)
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+        .transform(df => graft.operators.F2Sketch.f2Cells(df, Nil, "t")), Nil)
+      .as[Double].collect().head
+    assert(est == direct, "estimate off the lake sketch must equal the batch estimate")
+  }
+
   test("StreamingBloom folds to the whole-stream filter; replay is a no-op by OR-idempotence") {
     // the FOURTH streaming-guard family member: CMS sums carry _bid,
     // HLL maxes and the quantile distinct are idempotent by content,

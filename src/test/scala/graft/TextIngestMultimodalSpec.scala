@@ -101,6 +101,50 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(math.abs(out._2 - 0.5) < 1e-3 && out._4 > 0.9999)
   }
 
+  test("lexicalDiversity: exact Yule's K / TTR / hapax on planted counts") {
+    // "a a a b b c": N=6, V=3, V1=1, Σtf² = 9+4+1 = 14
+    // → K = 10⁴·(14−6)/36 = 2222.222222, TTR = 0.5, hapax = 1/3
+    val docs = Seq(("s1", "a a a b b c"), ("s2", "x y"))
+      .toDF("source", "text")
+    val out = TextAnalysis.lexicalDiversity(docs, "source", "text")
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("s1") == (("s1", 6L, 3L, 1L, 0.5, 0.333333, 2222.222222)))
+    // all-hapax source: Σtf² = N → K = 0, TTR = hapax = 1
+    assert(out("s2") == (("s2", 2L, 2L, 2L, 1.0, 1.0, 0.0)))
+    // NULL/empty texts contribute nothing; repeats split across docs of
+    // one source still pool into one vocabulary
+    val pooled = TextAnalysis.lexicalDiversity(
+      Seq(("s", "a a"), ("s", "a b"), ("s", ""), (null, null))
+        .toDF("source", "text"), "source", "text")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+      .filter(_._1 == "s").head
+    assert(pooled._2 == 4L && pooled._3 == 2L && pooled._4 == 1L)
+  }
+
+  test("jsDivergence: zero on matching distributions, ln 2 on disjoint, solo NULL") {
+    // identical unigram distributions → p = q = m → jsd = 0 exactly
+    val same = TextAnalysis.jsDivergence(
+      Seq(("A", "x y"), ("B", "x y x y")).toDF("source", "text"),
+      "source", "text")
+      .as[(String, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(same("A") == (("A", 2L, 4L, Some(0.0))))
+    assert(same("B") == (("B", 4L, 2L, Some(0.0))))
+    // disjoint vocabularies → the ln 2 ceiling (6dp-rounded per term)
+    val disj = TextAnalysis.jsDivergence(
+      Seq(("A", "x x"), ("B", "y y")).toDF("source", "text"),
+      "source", "text")
+      .as[(String, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(disj("A") == (("A", 2L, 2L, Some(ln2))))
+    // a source holding the whole corpus: empty complement reads NULL
+    val solo = TextAnalysis.jsDivergence(
+      Seq(("A", "x y z")).toDF("source", "text"), "source", "text")
+      .as[(String, Long, Long, Option[Double])].collect().head
+    assert(solo == (("A", 3L, 0L, None)))
+  }
+
   test("rrfFuse: exact reciprocal-rank arithmetic, cross-list boost, tie-break, k cut") {
     val sparse = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
       .toDF("query_id", "doc_id", "rank")
