@@ -1456,6 +1456,22 @@ object SparkEntry {
     // fixed-parenthesization OLS.
     "heaps_law" -> ((s, d) =>
       TextAnalysis.heapsLaw(Tables.documents(s, d), "source", "text")),
+    // §2.2 row L27q — stupid-backoff trigram scoring (round 16, third
+    // session): the Brants et al. distributed production LM, trained on
+    // even doc ids and scoring the odd ones so the backoff chain
+    // actually fires (the held-out LM-eval shape)
+    "lm_stupid_backoff" -> ((s, d) =>
+      TextAnalysis.lmStupidBackoff(Tables.documents(s, d), "doc_id", "text")),
+    // §2.2 row L27r — token burstiness (round 16, third session): VMR
+    // index of dispersion for the top-30 tokens — separates topical
+    // content words (VMR >> 1) from once-per-page template words
+    "token_burstiness" -> ((s, d) =>
+      TextAnalysis.tokenBurstiness(Tables.documents(s, d), "doc_id", "text", 30)),
+    // §2.2 row L27s — vocabulary-concentration Gini per source (round
+    // 16, third session): exact from the frequency spectrum, never a
+    // per-type sort
+    "vocab_gini" -> ((s, d) =>
+      TextAnalysis.vocabGini(Tables.documents(s, d), "source", "text")),
     // §2.2 row L27o — Yule's K lexical diversity (round 16, third
     // session): the length-robust repeat-rate constant + TTR + hapax
     // ratio per source — the third corpus-health axis beside Zipf decay
@@ -4198,6 +4214,84 @@ object SparkEntry {
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM s""".stripMargin,
+    // Stupid-backoff replay: model counts off the even half, test
+    // trigrams off the odd half, the three-branch CASE with identical
+    // ratios, 0.4 / 0.16 pinned literals, ln 6dp-DECIMAL doc sums.
+    "lm_stupid_backoff" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '') AS w FROM documents WHERE text IS NOT NULL),
+        |mtok AS (SELECT unnest(w) AS t FROM tok WHERE doc_id % 2 = 0),
+        |t1 AS (SELECT t, count(*) AS c FROM mtok GROUP BY t),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mtok),
+        |m2 AS (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS g FROM tok WHERE doc_id % 2 = 0),
+        |t2 AS (SELECT g, count(*) AS c FROM m2 GROUP BY g),
+        |m3 AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM tok WHERE doc_id % 2 = 0),
+        |t3 AS (SELECT g, count(*) AS c FROM m3 GROUP BY g),
+        |test AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri
+        |  FROM tok WHERE doc_id % 2 = 1),
+        |tf AS (SELECT doc_id, tri, count(*) AS tf FROM test GROUP BY doc_id, tri),
+        |parts AS (SELECT doc_id, tri, tf, string_split(tri, ' ') AS p FROM tf),
+        |sc AS (SELECT doc_id, tf,
+        |    CASE WHEN t3.c IS NOT NULL THEN CAST(t3.c AS DOUBLE) / c12.c
+        |         WHEN c23.c IS NOT NULL THEN 0.4 * (CAST(c23.c AS DOUBLE) / c2.c)
+        |         ELSE 0.16 * (CAST(greatest(coalesce(c3.c, 0), 1) AS DOUBLE) / n)
+        |    END AS s,
+        |    CASE WHEN t3.c IS NOT NULL THEN 3
+        |         WHEN c23.c IS NOT NULL THEN 2 ELSE 1 END AS b
+        |  FROM parts
+        |  LEFT JOIN t3 ON t3.g = tri
+        |  LEFT JOIN t2 c12 ON c12.g = p[1] || ' ' || p[2]
+        |  LEFT JOIN t2 c23 ON c23.g = p[2] || ' ' || p[3]
+        |  LEFT JOIN t1 c2 ON c2.t = p[2]
+        |  LEFT JOIN t1 c3 ON c3.t = p[3], nn)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(tf * CAST(round(ln(s), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_logscore,
+        |  CAST(SUM(CASE WHEN b = 3 THEN tf ELSE 0 END) AS BIGINT) AS n_tri_hit,
+        |  CAST(SUM(CASE WHEN b = 2 THEN tf ELSE 0 END) AS BIGINT) AS n_bi_hit,
+        |  CAST(SUM(CASE WHEN b = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_uni_hit
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    // Burstiness replay: deterministic (count desc, token) top-30, then
+    // the identical VMR chain off integer sums.
+    "token_burstiness" ->
+      """WITH tok0 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, t, count(*) AS x FROM tok0 WHERE t <> '' GROUP BY doc_id, t),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM documents WHERE text IS NOT NULL),
+        |top AS (SELECT t, CAST(SUM(x) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS n_docs_with,
+        |    CAST(SUM(x * x) AS BIGINT) AS sx2
+        |  FROM tf GROUP BY t ORDER BY n_total DESC, t LIMIT 30),
+        |st AS (SELECT t AS token, n_total, n_docs_with,
+        |    CAST(n_total AS DOUBLE) / CAST(ndocs AS DOUBLE) AS mean,
+        |    CAST(sx2 AS DOUBLE) / CAST(ndocs AS DOUBLE) AS ex2,
+        |    CAST(n_docs_with AS DOUBLE) / CAST(ndocs AS DOUBLE) AS dr
+        |  FROM top, nd)
+        |SELECT token, n_total, n_docs_with, round(dr, 6) AS doc_ratio,
+        |  round((ex2 - mean * mean) / mean, 6) AS vmr
+        |FROM st""".stripMargin,
+    // Gini replay: the same spectrum construction — integer
+    // position-weighted sum (shift-halved triangular term), two final
+    // divisions identically parenthesized.
+    "vocab_gini" ->
+      """WITH tok0 AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |tf AS (SELECT source, t, count(*) AS f FROM tok0 WHERE t <> '' GROUP BY source, t),
+        |spec AS (SELECT source, f, count(*) AS vf FROM tf GROUP BY source, f),
+        |c AS (SELECT source, f, vf,
+        |    sum(vf) OVER (PARTITION BY source ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - vf AS cumex
+        |  FROM spec),
+        |agg AS (SELECT source, CAST(SUM(f * vf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(vf) AS BIGINT) AS n_vocab,
+        |    CAST(SUM(f * (vf * cumex + ((vf * (vf + 1)) >> 1))) AS BIGINT) AS s
+        |  FROM c GROUP BY source)
+        |SELECT source, n_tokens, n_vocab,
+        |  round(2.0 * CAST(s AS DOUBLE) / (CAST(n_vocab AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |    - (CAST(n_vocab AS DOUBLE) + 1.0) / CAST(n_vocab AS DOUBLE), 6) AS gini
+        |FROM agg""".stripMargin,
     // Yule's K replay: every statistic is integer sums down to one or two
     // correctly-rounded double ops, identically parenthesized.
     "yule_k" ->

@@ -1634,6 +1634,182 @@ object TextAnalysis {
           col("_lsum").cast("double") / maxN).as("log_p_geo"): _*)
   }
 
+  /** Stupid-backoff trigram scoring (Brants et al. 2007 "Large Language
+    * Models in Machine Translation" — the DISTRIBUTED production LM:
+    * no discounting, no normalization passes, designed explicitly for
+    * MapReduce-scale count tables where Kneser–Ney's continuation
+    * bookkeeping is the bottleneck; scores are intentionally
+    * unnormalized "S", not probabilities). S(w3|w1w2) = c123/c12 when
+    * the trigram is observed, else α·c23/c2, else α²·max(c3,1)/N — the
+    * add-one OOV floor keeps ln finite; α = 0.4 (the paper's constant;
+    * α² is PINNED as the literal 0.16 on both engines — 0.4·0.4 in
+    * doubles is NOT 0.16).
+    *
+    * Unlike [[lmScore]]/[[lmKneserNey]] — which score the corpus on
+    * itself, so every n-gram is observed and backoff would never fire —
+    * the model trains on the EVEN doc ids and scores the ODD ones (the
+    * decontaminate split convention): the held-out shape an LM eval
+    * needs anyway, and the one where the backoff chain actually runs.
+    * Engine-exact: integer counts, each ratio one correctly-rounded
+    * division, ln 6dp-DECIMAL per trigram, order-free doc sums.
+    *
+    * Scale: three model count tables are postings-sized map-side-combined
+    * aggregates; the test side joins them on gram keys (vocabulary-sized
+    * shuffles — the lm_bigram discipline); N rides the audited 1-row
+    * broadcast. Docs under 3 tokens vanish (no trigram to score).
+    * Output: (doc_id, n_trigrams, sum_logscore, n_tri_hit, n_bi_hit,
+    * n_uni_hit) — the EXACT 6dp-DECIMAL sum is emitted rather than the
+    * per-doc average: dividing an exact 6dp sum by an integer count can
+    * land the true quotient EXACTLY on a 6dp rounding boundary that no
+    * double represents (observed at sf0.1: −282.237891/78 =
+    * −3.6184345 exactly — Spark's BigDecimal round and DuckDB's round
+    * disagreed on the nearest-double's last ulp), while the sum itself
+    * converts exactly. Consumers divide by n_trigrams. The hit split is
+    * the model-coverage diagnostic (a held-out set scoring mostly
+    * through the α² floor means the model doesn't cover the domain). */
+  def lmStupidBackoff(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    def grams(n: Int) = {
+      val m = greatest(size(toks) - (n - 1), lit(0))
+      if (n == 1) toks
+      else if (n == 2) zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (a, b) => concat_ws(" ", a, b))
+      else zip_with(
+        zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+          (a, b) => concat_ws(" ", a, b)),
+        slice(toks, lit(3), m), (ab, c) => concat_ws(" ", ab, c))
+    }
+    val model = docs.where(col(idCol) % 2 === 0)
+    def cnt(n: Int, key: String, out: String) =
+      model.select(explode(grams(n)).as(key))
+        .groupBy(col(key)).agg(count(lit(1)).as(out))
+    val t3 = cnt(3, "_g3", "_c123")
+    val t2a = cnt(2, "_g12", "_c12")
+    val t2b = cnt(2, "_g23", "_c23")
+    val t1a = cnt(1, "_w2", "_c2")
+    val t1b = cnt(1, "_w3", "_c3")
+    val nTot = broadcast(model.select(explode(toks).as("_t"))
+      .agg(count(lit(1)).as("_n")))
+    val tf = docs.where(col(idCol) % 2 === 1)
+      .select(col(idCol).as("_id"), explode(grams(3)).as("tri"))
+      .groupBy(col("_id"), col("tri")).agg(count(lit(1)).as("tf"))
+    val p = split(col("tri"), " ")
+    val joined = tf
+      .withColumn("_k12", concat_ws(" ", p.getItem(0), p.getItem(1)))
+      .withColumn("_k23", concat_ws(" ", p.getItem(1), p.getItem(2)))
+      .withColumn("_kw2", p.getItem(1))
+      .withColumn("_kw3", p.getItem(2))
+      .join(t3, col("tri") === col("_g3"), "left")
+      .join(t2a, col("_k12") === col("_g12"), "left")
+      .join(t2b, col("_k23") === col("_g23"), "left")
+      .join(t1a, col("_kw2") === col("_w2"), "left")
+      .join(t1b, col("_kw3") === col("_w3"), "left")
+      .crossJoin(nTot) // 1-row model-token total — audited class
+    // an observed trigram implies its observed w1w2 prefix (and an
+    // observed w2w3 its observed w2), so each branch's denominator is
+    // non-null whenever the branch fires
+    val s = when(col("_c123").isNotNull,
+        col("_c123").cast("double") / col("_c12"))
+      .when(col("_c23").isNotNull,
+        lit(0.4) * (col("_c23").cast("double") / col("_c2")))
+      .otherwise(lit(0.16) *
+        (greatest(coalesce(col("_c3"), lit(0L)), lit(1L)).cast("double") / col("_n")))
+    val b = when(col("_c123").isNotNull, lit(3))
+      .when(col("_c23").isNotNull, lit(2)).otherwise(lit(1))
+    joined
+      .select(col("_id"), col("tf"),
+        round(log(s), 6).cast("decimal(18,6)").as("_lp"), b.as("_b"))
+      .groupBy(col("_id"))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(col("tf") * col("_lp")).as("_slp"),
+        sum(when(col("_b") === 3, col("tf")).otherwise(0L)).as("n_tri_hit"),
+        sum(when(col("_b") === 2, col("tf")).otherwise(0L)).as("n_bi_hit"),
+        sum(when(col("_b") === 1, col("tf")).otherwise(0L)).as("n_uni_hit"))
+      .select(col("_id").as(idCol), col("n_trigrams"),
+        col("_slp").cast("double").as("sum_logscore"),
+        col("n_tri_hit"), col("n_bi_hit"), col("n_uni_hit"))
+  }
+
+  /** Corpus-wide token BURSTINESS: variance-to-mean ratio of each top
+    * token's per-document counts (the index of dispersion). Poisson
+    * scatter reads VMR ≈ 1; topical/bursty tokens concentrate in few
+    * documents and read VMR ≫ 1; boilerplate injected once per page
+    * reads VMR < 1 (more regular than chance) — the signal that
+    * separates a frequent CONTENT word from a frequent TEMPLATE word,
+    * which raw frequency (vocab_top) cannot do.
+    *
+    * Exact over the whole corpus: E[x] = Σx/n_docs and E[x²] = Σx²/n_docs
+    * come from integer sums over the (doc, token) count table (absent
+    * docs contribute 0 to both, so no dense grid is needed), VMR =
+    * (E[x²] − E[x]²)/E[x] is a fixed single-op double chain. The top-k
+    * cut is the deterministic (count desc, token) distributed
+    * TakeOrdered — the vocab_top discipline, no full-vocabulary sort.
+    * Output: (token, n_total, n_docs_with, doc_ratio 6dp, vmr 6dp). */
+  def tokenBurstiness(docs: DataFrame, idCol: String, textCol: String,
+                      topK: Int = 30): DataFrame = {
+    require(topK >= 1 && topK <= 1000, s"tokenBurstiness needs 1 <= topK <= 1000, got $topK")
+    val base = docs.where(col(textCol).isNotNull)
+    val tf = base.select(col(idCol).as("_id"),
+        explode(tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("_id"), col("t")).agg(count(lit(1)).as("_x"))
+    val nd = broadcast(base.agg(count(lit(1)).as("_nd")))
+    val top = tf.groupBy(col("t"))
+      .agg(sum(col("_x")).as("n_total"), count(lit(1)).as("n_docs_with"),
+        sum(col("_x") * col("_x")).as("_sx2"))
+      .orderBy(col("n_total").desc, col("t")).limit(topK)
+    val withStats = top.crossJoin(nd) // 1-row doc count — audited class
+      .select(col("t").as("token"), col("n_total"), col("n_docs_with"),
+        (col("n_total").cast("double") / col("_nd").cast("double")).as("_mean"),
+        (col("_sx2").cast("double") / col("_nd").cast("double")).as("_ex2"),
+        (col("n_docs_with").cast("double") / col("_nd").cast("double")).as("_dr"))
+    withStats.select(col("token"), col("n_total"), col("n_docs_with"),
+      round(col("_dr"), 6).as("doc_ratio"),
+      round((col("_ex2") - col("_mean") * col("_mean")) / col("_mean"), 6).as("vmr"))
+  }
+
+  /** Per-source vocabulary CONCENTRATION: the Gini coefficient of the
+    * token-frequency distribution, computed EXACTLY from the frequency
+    * SPECTRUM (f, V_f) — never a per-type sort. Near 1 a handful of
+    * types carry the mass (boilerplate floods, templated text); near 0
+    * every type is equally frequent (random-id junk); natural prose
+    * sits high (~0.7–0.9, Zipf implies concentration) — the inequality
+    * summary beside [[zipfFit]]'s decay shape and
+    * [[lexicalDiversity]]'s repeat rate.
+    *
+    * For frequencies sorted ascending, G = 2·Σᵢ i·xᵢ/(V·N) − (V+1)/V;
+    * a spectrum run of V_f types at frequency f contributes
+    * f·(V_f·cumV₍₋₎ + V_f(V_f+1)/2) to the position-weighted sum — ALL
+    * INTEGER (the halving is a shift: V_f(V_f+1) is even), so the only
+    * doubles are the two final divisions, identically parenthesized.
+    * Scale: one (source, token) count, one (source, f) spectrum
+    * aggregate (Zipf-bounded: distinct frequencies ≪ vocabulary), a
+    * source-PARTITIONED cumulative over the spectrum, a |sources|-row
+    * rollup. Output: (source, n_tokens, n_vocab, gini 6dp). */
+  def vocabGini(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("_f"))
+    val spec = tf.groupBy(col("source"), col("_f")).agg(count(lit(1)).as("_vf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("_f"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val rows = spec.select(col("source"), col("_f"), col("_vf"),
+      (sum(col("_vf")).over(w) - col("_vf")).as("_cumex"))
+    val agg0 = rows.groupBy(col("source")).agg(
+      sum(col("_f") * col("_vf")).as("n_tokens"),
+      sum(col("_vf")).as("n_vocab"),
+      sum(col("_f") * (col("_vf") * col("_cumex") +
+        shiftright(col("_vf") * (col("_vf") + lit(1L)), 1))).as("_s"))
+    val vD = col("n_vocab").cast("double")
+    val nD = col("n_tokens").cast("double")
+    agg0.select(col("source"), col("n_tokens"), col("n_vocab"),
+      round(lit(2.0) * col("_s").cast("double") / (vD * nD) -
+        (vD + lit(1.0)) / vD, 6).as("gini"))
+  }
+
   /** Per-source lexical diversity: Yule's K (Yule 1944 — the repeat-rate
     * characteristic K = 10⁴·(Σ_f f²·V_f − N)/N², i.e. 10⁴·(Σ tf² − N)/N²),
     * type-token ratio, and hapax ratio. K is the LENGTH-ROBUST diversity

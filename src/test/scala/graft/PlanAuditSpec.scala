@@ -193,6 +193,35 @@ class PlanAuditSpec extends SparkSpec {
       s"days-sized frames must join broadcast:\n$p")
   }
 
+  test("lm_stupid_backoff joins gram-keyed model tables; no cartesian, map-side counts") {
+    val p = planOf("lm_stupid_backoff")
+    assert(!p.contains("CartesianProduct"),
+      s"model lookups must join on gram keys:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"model counts not map-side combined:\n$p")
+    // the only cross is the audited 1-row model-token total
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"expected only the 1-row N broadcast, got $bnlj:\n$p")
+  }
+
+  test("token_burstiness cuts top-k via distributed TakeOrdered, never a vocab sort") {
+    val p = planOf("token_burstiness")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k cut lost its bounded-heap shape:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"expected only the 1-row doc-count broadcast, got $bnlj:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
+  test("vocab_gini cumulates over the source-partitioned spectrum only") {
+    val p = planOf("vocab_gini")
+    assert(p.contains("windowspecdefinition(source"),
+      s"spectrum cumulative lost its source partitioning:\n$p")
+    assert(!p.contains("Join"), s"the spectrum chain needs no join:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$p")
+  }
+
   test("yule_k is one scan and two aggregate levels — no join, no window") {
     val p = planOf("yule_k")
     assert(!p.contains("Join"), s"lexical diversity needs no join:\n$p")

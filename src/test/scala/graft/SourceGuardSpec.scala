@@ -67,7 +67,9 @@ class SourceGuardSpec extends AnyFunSpec {
     // + jsDivergence's |sources| × |vocab| evaluation grid (the audited
     //   ksBySource dimension-cross class — absent tokens must feed the
     //   rest-side sum, so the grid is the correct frame, never a pair join)
-    "graft/operators/TextAnalysis.scala" -> 11,
+    // + lmStupidBackoff's 1-row model-token total and tokenBurstiness's
+    //   1-row doc count — both the audited 1-row-stats class
+    "graft/operators/TextAnalysis.scala" -> 13,
     // ... except pqTopKWith's corpus x QUERY-BATCH join (the flat-PQ ADC
     // scan: every index row scores against every query's broadcast LUT
     // — bounded by the query batch, the intended shape), one 1-row

@@ -101,6 +101,76 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(math.abs(out._2 - 0.5) < 1e-3 && out._4 > 0.9999)
   }
 
+  test("lmStupidBackoff: each backoff branch fires and replays exactly") {
+    // model = even ids: doc 0 "a b c a b c", doc 2 "a b d".
+    // model counts: N=9; unigrams a:3 b:3 c:2 d:1;
+    // bigrams: "a b":3, "b c":2, "c a":1, "b d":1; trigrams:
+    // "a b c":2, "b c a":1, "c a b":1, "a b d":1.
+    // test = doc 1 "a b c d x": trigrams "a b c" (tri branch: 2/3),
+    // "b c d" (bi branch via "c d"? c d unseen; w2w3 = "c d" unseen →
+    // uni branch: 0.16·c(d)=1/9), "c d x" (uni: c(x)=0 → floor 0.16·1/9)
+    val docs = Seq(
+      (0L, "a b c a b c"), (2L, "a b d"), (1L, "a b c d x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmStupidBackoff(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Long, Long, Long)].collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r._1 == 1L && r._2 == 3L)
+    assert((r._4, r._5, r._6) == ((1L, 0L, 2L)),
+      s"branch hits wrong: $r")
+    def r6(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val lp = r6(math.log(2.0 / 3)) +
+      r6(math.log(0.16 * (1.0 / 9))) + r6(math.log(0.16 * (1.0 / 9)))
+    assert(r._3 == lp.toDouble,
+      s"sum_logscore ${r._3} != replay ${lp.toDouble}")
+    // a bigram-branch case: test trigram "b c a" seen? it IS in the
+    // model — use "x b c": "x b c" unseen, w2w3 "b c" seen → bi branch
+    val docs2 = Seq((0L, "a b c a b c"), (1L, "x b c"))
+      .toDF("doc_id", "text")
+    val r2 = TextAnalysis.lmStupidBackoff(docs2, "doc_id", "text")
+      .as[(Long, Long, Double, Long, Long, Long)].collect().head
+    assert((r2._4, r2._5, r2._6) == ((0L, 1L, 0L)))
+    assert(r2._3 == r6(math.log(0.4 * (2.0 / 2))).toDouble,
+      s"bi-branch sum ${r2._3}") // one trigram: sum == its lp; c("b c")=2, c(b)=2
+  }
+
+  test("tokenBurstiness: exact VMR on planted counts; template vs bursty") {
+    // 4 docs; "tpl" once per doc (VMR = 0 — perfectly regular);
+    // "hot" 4 times in one doc (bursty: mean 1, E[x²] = 4, VMR = 3)
+    val docs = Seq(
+      (1L, "tpl hot hot hot hot"), (2L, "tpl z"), (3L, "tpl z"), (4L, "tpl"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenBurstiness(docs, "doc_id", "text", 10)
+      .as[(String, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("tpl") == (("tpl", 4L, 4L, 1.0, 0.0)))
+    assert(out("hot") == (("hot", 4L, 1L, 0.25, 3.0)))
+    assert(out("z") == (("z", 2L, 2L, 0.5, 0.5)))
+    // top-k cut is deterministic (count desc, token): k=1 keeps the
+    // alphabetically-first of the tied leaders
+    val top1 = TextAnalysis.tokenBurstiness(docs, "doc_id", "text", 1)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(top1.map(_._1).toSeq == Seq("hot"))
+  }
+
+  test("vocabGini: exact spectrum Gini; uniform 0, concentrated high") {
+    // s1 frequencies ascending [1,1,2]: G = 2·9/(3·4) − 4/3 = 1/6
+    val docs = Seq(("s1", "a b c c"), ("s2", "x x y y"))
+      .toDF("source", "text")
+    val out = TextAnalysis.vocabGini(docs, "source", "text")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("s1") == (("s1", 4L, 3L, 0.166667)))
+    // all-equal frequencies → G = 0 exactly
+    assert(out("s2") == (("s2", 4L, 2L, 0.0)))
+    // heavy concentration: one type carries almost everything
+    val heavy = Seq(("h", ("w " * 96 + "a b c d").trim)).toDF("source", "text")
+    val g = TextAnalysis.vocabGini(heavy, "source", "text")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(g._2 == 100L && g._3 == 5L && g._4 > 0.7,
+      s"concentrated corpus must read high gini: $g")
+  }
+
   test("lexicalDiversity: exact Yule's K / TTR / hapax on planted counts") {
     // "a a a b b c": N=6, V=3, V1=1, Σtf² = 9+4+1 = 14
     // → K = 10⁴·(14−6)/36 = 2222.222222, TTR = 0.5, hapax = 1/3
