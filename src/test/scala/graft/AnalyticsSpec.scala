@@ -633,6 +633,85 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.select("v", "w").as[(Double, Double)].collect().forall { case (v, w) => v == w })
   }
 
+  test("fd_sketch: FD spectral bound, merge-tree robustness, small-n exactness, top direction") {
+    import graft.functions.FdSketchAgg
+    val d = 24; val n = 400; val ell = 8
+    // deterministic planted matrix: strong rank-2 structure + bounded
+    // hash noise (no RNG — rerun-identical)
+    def row(i: Int): Array[Double] = {
+      val u = Array.tabulate(d)(j => if (j < d / 2) 1.0 else -1.0)
+      val w = Array.tabulate(d)(j => if (j % 2 == 0) 1.0 else 0.5)
+      val a = 6.0 * math.cos(i * 0.1); val b = 3.0 * math.sin(i * 0.17)
+      Array.tabulate(d)(j => a * u(j) + b * w(j) +
+        (((i * 31 + j * 17) % 97) / 97.0 - 0.5))
+    }
+    val rows = (0 until n).map(row)
+    def gram(m: Seq[Array[Double]]): Array[Array[Double]] = {
+      val g = Array.ofDim[Double](d, d)
+      for (r <- m; i <- 0 until d; j <- 0 until d) g(i)(j) += r(i) * r(j)
+      g
+    }
+    val ata = gram(rows)
+    val frob2 = rows.map(r => r.map(x => x * x).sum).sum
+    def sketchOf(parts: Int): Seq[Array[Double]] = {
+      val df = rows.zipWithIndex.map { case (r, i) => (i.toLong, r.toSeq) }
+        .toDF("id", "v").repartition(parts)
+      df.agg(FdSketchAgg.fdSketch(col("v"), ell).as("sk"))
+        .select(explode(col("sk")).as("s")).select(col("s.row"))
+        .as[Seq[Double]].collect().map(_.toArray).toSeq
+    }
+    // spectral-norm estimate of the symmetric deficit via power iteration
+    def specNorm(m: Array[Array[Double]]): Double = {
+      var v = Array.tabulate(d)(j => 1.0 / math.sqrt(d.toDouble))
+      var lam = 0.0
+      for (_ <- 0 until 60) {
+        val nv = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+        val nn = math.sqrt(nv.map(x => x * x).sum)
+        lam = nn
+        if (nn > 0) v = nv.map(_ / nn)
+      }
+      lam
+    }
+    for (parts <- Seq(1, 8)) {
+      val b = sketchOf(parts)
+      assert(b.size <= ell, s"sketch must hold <= ell rows, got ${b.size}")
+      val btb = gram(b)
+      val deficit = Array.tabulate(d, d)((i, j) => ata(i)(j) - btb(i)(j))
+      // FD guarantee: ||AtA - BtB||_2 <= ||A||F^2 / ell, any merge tree
+      val bound = frob2 / ell
+      val nrm = specNorm(deficit)
+      assert(nrm <= bound * 1.0001,
+        s"FD bound violated at $parts partitions: $nrm > $bound")
+      // one-sidedness: AtA - BtB is PSD (probe a few fixed directions)
+      for (seed <- 1 to 5) {
+        val x = Array.tabulate(d)(j => ((seed * 13 + j * 7) % 11) - 5.0)
+        val q = (0 until d).flatMap(i => (0 until d).map(j => x(i) * deficit(i)(j) * x(j))).sum
+        assert(q >= -1e-6 * frob2, s"deficit not PSD at $parts parts: $q")
+      }
+      // the planted dominant direction survives in the sketch's span:
+      // its energy under BtB is within the additive bound of AtA's
+      val u = Array.tabulate(d)(j => (if (j < d / 2) 1.0 else -1.0) / math.sqrt(d.toDouble))
+      val eA = (0 until d).flatMap(i => (0 until d).map(j => u(i) * ata(i)(j) * u(j))).sum
+      val eB = (0 until d).flatMap(i => (0 until d).map(j => u(i) * btb(i)(j) * u(j))).sum
+      assert(eB >= eA - bound * 1.0001 && eB <= eA + 1e-6 * frob2,
+        s"dominant-direction energy outside the FD window: $eB vs $eA (bound $bound)")
+    }
+    // n <= ell: nothing ever shrinks — BtB == AtA exactly (same doubles)
+    val small = rows.take(ell)
+    val smallDf = small.zipWithIndex.map { case (r, i) => (i.toLong, r.toSeq) }
+      .toDF("id", "v")
+    val bSmall = smallDf.agg(FdSketchAgg.fdSketch(col("v"), ell).as("sk"))
+      .select(explode(col("sk")).as("s")).select(col("s.row"))
+      .as[Seq[Double]].collect().map(_.toArray).toSeq
+    assert(bSmall.size == ell)
+    assert(bSmall.map(_.toSeq).toSet == small.map(_.toSeq).toSet,
+      "n <= ell sketch must be the input rows themselves, bit-exact")
+    // Jacobi sanity on a known matrix: [[2,1],[1,2]] -> eigenvalues 3, 1
+    val (lam, u2) = FdSketchAgg.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(lam(0) - 3.0) < 1e-12 && math.abs(lam(1) - 1.0) < 1e-12)
+    assert(math.abs(math.abs(u2(0)(0)) - math.sqrt(0.5)) < 1e-9)
+  }
+
   test("mannWhitneyU: exact tie-corrected replay, symmetry, degenerate NULL") {
     // a = [1,1,2,3], b = [2,3,3,5]: midranks 1.5/3.5/6/8 →
     // R_a = 2·1.5 + 3.5 + 6 = 12.5, U = 12.5 − 10 = 2.5
