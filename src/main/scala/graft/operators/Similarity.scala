@@ -1456,6 +1456,86 @@ object Similarity {
     (means, eig.take(k), vecs.take(k))
   }
 
+  /** SKETCHED top-k subspace training — the dimension regime
+    * [[pcaTrain]] refuses: its exact path collects the d(d+1)/2
+    * covariance triangle and eigensolves a dense d×d matrix on the
+    * driver, gated at [[PcaRandomizedDimBound]] = 8192 because past that
+    * the MATRIX no longer belongs on the driver. This path never forms
+    * anything d×d: one corpus pass folds rows into the Frequent-
+    * Directions sketch ([[graft.functions.FdSketchAgg]] — mergeable,
+    * 2·ell·d buffer, LINEAR in d), the driver collects the ≤ ell sketch
+    * rows (ell·d doubles, require-bounded), and the eigensolve runs on
+    * the SMALL ell×ell Gram matrix BBᵀ; the top-k directions come back
+    * as v_k = BᵀU_k/√λ_k. The FD guarantee transfers: every direction's
+    * energy under BᵀB is within ‖A‖F²/ell of its energy under AᵀA, so
+    * with a spectral gap wider than that additive error the top-k
+    * subspace is recovered (spec-pinned against the exact path on a
+    * zero-mean planted corpus).
+    *
+    * UNCENTERED by design: this is the second-moment (Gram) subspace,
+    * not covariance PCA — at the widths this path exists for, embedding
+    * pipelines either work with normalized vectors or center map-side
+    * upstream; a means pass would be a second corpus scan. The sketch
+    * (and therefore the basis) depends on the partition/merge order —
+    * deterministic GUARANTEES, not deterministic bytes (the FdSketchAgg
+    * adjudication) — which is why no oracle query fronts this method.
+    * Returns (approxEigenvalues descending, top-k unit directions). */
+  def pcaTrainSketched(vectors: DataFrame, vecCol: String, k: Int,
+                       ell: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    require(k >= 1 && k <= ell / 2,
+      s"pcaTrainSketched: need 1 <= k <= ell/2 (FD deflation kills the tail), got k=$k ell=$ell")
+    val sk = vectors
+      .agg(graft.functions.FdSketchAgg.fdSketch(toDouble(col(vecCol)), ell).as("sk"))
+      .select(explode(col("sk")).as("s")).select(col("s.row").as("row"))
+      // bounded collect: <= ell rows of the corpus' dimension — the FD
+      // buffer the executors already held, require-bounded below
+      .collect()
+    require(sk.nonEmpty, "pcaTrainSketched: empty corpus")
+    val b = sk.map(_.getSeq[Double](0).toArray)
+    val d = b.map(_.length).max
+    require(ell.toLong * d <= (32L << 20),
+      s"pcaTrainSketched: ell*d = ${ell.toLong * d} exceeds the 32M-double " +
+        "driver budget; lower ell")
+    val r = b.length
+    val g = Array.ofDim[Double](r, r)
+    var i = 0
+    while (i < r) {
+      var j = i
+      while (j < r) {
+        var s = 0.0
+        var c = 0
+        val len = math.min(b(i).length, b(j).length)
+        while (c < len) { s += b(i)(c) * b(j)(c); c += 1 }
+        g(i)(j) = s; g(j)(i) = s
+        j += 1
+      }
+      i += 1
+    }
+    val (lam, u) = graft.functions.FdSketchAgg.jacobiEigen(g)
+    val kk = math.min(k, r)
+    val basis = (0 until kk).toArray.flatMap { c =>
+      if (lam(c) <= 1e-12) None
+      else {
+        val w = new Array[Double](d)
+        var j = 0
+        while (j < r) {
+          val coef = u(j)(c)
+          if (coef != 0.0) {
+            val src = b(j)
+            var x = 0
+            while (x < src.length) { w(x) += coef * src(x); x += 1 }
+          }
+          j += 1
+        }
+        val inv = 1.0 / math.sqrt(lam(c))
+        var x = 0
+        while (x < d) { w(x) *= inv; x += 1 }
+        Some(signFix(w))
+      }
+    }
+    (lam.take(basis.length), basis)
+  }
+
   /** Project (and optionally whiten) an embedding corpus onto its top-k
     * principal components — the dimensionality-reduction / whitening step
     * run before ANN indexing or SemDeDup when raw embedding components

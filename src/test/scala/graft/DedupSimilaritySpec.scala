@@ -1160,6 +1160,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(proj.toSeq == proj2.toSeq)
   }
 
+  test("pcaTrainSketched recovers the exact top-k subspace on a zero-mean gapped corpus") {
+    // symmetric (r, −r) pairs make the corpus exactly zero-mean, so the
+    // exact CENTERED pcaTrain and the sketched UNCENTERED second-moment
+    // subspace target the same matrix; strong rank-2 plant keeps the
+    // spectral gap far above the FD additive error ‖A‖F²/ell
+    val d = 16
+    val base = (0 until 150).map { r =>
+      val a = math.sin(r * 1.7) * 6
+      val b = math.cos(r * 0.9) * 3
+      (0 until d).map(i =>
+        (if (i < 8) a else b) + 0.01 * ((r * 31 + i * 17) % 7 - 3)).toArray
+    }
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((2L * i, v.map(_.toFloat).toSeq), (2L * i + 1, v.map(x => (-x).toFloat).toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(6)
+    val (eigS, basisS) = Similarity.pcaTrainSketched(df, "embedding", 2, ell = 16)
+    val (_, eigE, basisE) = Similarity.pcaTrain(df, "embedding", 2)
+    assert(basisS.length == 2 && basisS.forall(_.length == d))
+    for (c <- 0 until 2) {
+      val cos = math.abs((0 until d).map(i => basisS(c)(i) * basisE(c)(i)).sum)
+      assert(cos > 0.995, s"sketched direction $c misaligned: |cos| = $cos")
+    }
+    // eigenvalue estimates sit within the FD additive window of the
+    // exact second-moment eigenvalues (here n·covEig since mean = 0):
+    // λ_exact − ‖A‖F²/ell ≤ λ_sketch ≤ λ_exact (one-sided deflation)
+    val n = rows.size.toDouble
+    val frob2 = rows.map(_._2.map(x => x.toDouble * x).sum).sum
+    val bound = frob2 / 16
+    for (c <- 0 until 2) {
+      val exact = eigE(c) * n // covariance eig → second-moment eig at mean 0
+      assert(eigS(c) <= exact * 1.02 + 1e-6 &&
+        eigS(c) >= exact - bound * 1.02,
+        s"sketched eigenvalue $c = ${eigS(c)} outside [${exact - bound}, $exact]")
+    }
+    // n <= ell: the sketch holds the rows themselves — the subspace is
+    // the exact SVD's (numerics only, no FD deflation error)
+    val small = rows.take(12).toDF("vec_id", "embedding")
+    val (_, basisSm) = Similarity.pcaTrainSketched(small, "embedding", 2, ell = 16)
+    val (_, _, basisSmE) = Similarity.pcaTrain(small, "embedding", 2)
+    for (c <- 0 until 2) {
+      val cos = math.abs((0 until d).map(i => basisSm(c)(i) * basisSmE(c)(i)).sum)
+      assert(cos > 0.9999, s"small-n sketched direction $c misaligned: $cos")
+    }
+  }
+
   /** Deterministic mid-similarity corpus for the set-similarity join tests:
     * overlapping word windows over a small vocabulary produce a dense
     * spread of pairwise Jaccards (including the 0.5-0.7 band where 32x4

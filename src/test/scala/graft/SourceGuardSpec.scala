@@ -34,9 +34,11 @@ class SourceGuardSpec extends AnyFunSpec {
     // >1000-term distributed fallback
     "graft/operators/Retrieval.scala" -> 2,
     // Similarity: bounded TakeOrdered training samples (ivf seeds, pq
-    // sample), seededCentroids' sample-seed collect, and the
-    // require-bounded (dim <= 8192) covariance-row collect in pcaTrain
-    "graft/operators/Similarity.scala" -> 4,
+    // sample), seededCentroids' sample-seed collect, the require-bounded
+    // (dim <= 8192) covariance-row collect in pcaTrain, and
+    // pcaTrainSketched's <= ell FD-sketch rows (ell*d require-bounded
+    // at 32M doubles — the executors' own FD buffer size)
+    "graft/operators/Similarity.scala" -> 5,
     // Star: 64-key pivot-value collect with a loud limit
     "graft/operators/Star.scala" -> 1)
 
@@ -116,7 +118,8 @@ class SourceGuardSpec extends AnyFunSpec {
     * DataFrame `.take(n)` is a driver pull and needs the same bounded-
     * collect justification as `.collect()`). */
   private val takeBudget = Map(
-    "graft/operators/Similarity.scala" -> 6,
+    // incl. pcaTrainSketched's Array take of the <= ell eigenvalue list
+    "graft/operators/Similarity.scala" -> 7,
     "graft/functions/NativeExprs.scala" -> 1,
     // streaming priority sampler: Scala-List truncations of the per-stratum
     // state inside flatMapGroupsWithState — top-(k+1) then the k-sample;
