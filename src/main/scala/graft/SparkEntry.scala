@@ -932,6 +932,21 @@ object SparkEntry {
     // normalized max statistic (Brownian-bridge bound)
     "cusum_daily" -> ((s, d) =>
       Analytics.cusumDaily(Tables.events(s, d), col("ts"), col("value"))),
+    // §2.1 row 17r — delete-one-group jackknife (round 16, third
+    // session): the corpus mean token count WITH its error bar — groups
+    // (sources) are the exchangeable unit of a crawled corpus, so
+    // delete-a-group is the honest replication estimator
+    "jackknife_mean" -> ((s, d) =>
+      Analytics.jackknifeMean(
+        Tables.documents(s, d).where(col("text").isNotNull)
+          .select(col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "source", "n_tokens")),
+    // §2.1 row 17s — day-of-week seasonal profile (round 16, third
+    // session): the calendar structure acf_daily detects (the lag-7
+    // spike) made legible — per-ISO-weekday mean daily value and share
+    "dow_profile" -> ((s, d) =>
+      Analytics.dowProfile(Tables.events(s, d), col("ts"), col("value"))),
     // §2.1 row 17l grouped form — each source's token-count distribution
     // vs the REST of the corpus, one set-based plan (spec-pinned equal to
     // the two-sample statistic per source)
@@ -3270,6 +3285,56 @@ object SparkEntry {
         |  CAST(max(nrest) AS BIGINT) AS n_rest,
         |  CASE WHEN max(nrest) > 0 THEN CAST(sum(term) AS DOUBLE) END AS psi
         |FROM terms GROUP BY source""".stripMargin,
+    // Jackknife replay: integer group sums, the same single-op loo/var
+    // chains, θ and squared deviations 6dp-DECIMAL for order-free
+    // cross-group sums; mean/se/ci emitted UNROUNDED (every step one
+    // correctly-rounded op — no display-rounding boundary to disagree on).
+    "jackknife_mean" ->
+      """WITH base AS (SELECT source AS g,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |grp AS (SELECT g, count(*) AS n, SUM(v) AS s FROM base GROUP BY g),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
+        |    CAST(count(*) AS BIGINT) AS gg FROM grp),
+        |loo AS (SELECT nn, ss, gg,
+        |    CAST(round(CAST(ss - s AS DOUBLE) / CAST(nullif(nn - n, 0) AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS t6
+        |  FROM grp, tot),
+        |a0 AS (SELECT nn, ss, gg, SUM(t6) AS tsum, CAST(count(t6) AS BIGINT) AS gok
+        |  FROM loo GROUP BY nn, ss, gg),
+        |dev AS (SELECT l.nn, l.ss, l.gg, a0.gok,
+        |    CAST(round((CAST(t6 AS DOUBLE) - CAST(tsum AS DOUBLE) / CAST(gok AS DOUBLE))
+        |      * (CAST(t6 AS DOUBLE) - CAST(tsum AS DOUBLE) / CAST(gok AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS d2
+        |  FROM loo l JOIN a0 USING (nn, ss, gg)),
+        |f AS (SELECT nn, ss, gg, gok, SUM(d2) AS d2sum FROM dev GROUP BY nn, ss, gg, gok),
+        |r AS (SELECT gg AS n_groups, nn AS n_rows,
+        |    CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS mean,
+        |    CASE WHEN gok >= 2 THEN sqrt((CAST(gok AS DOUBLE) - 1.0) / CAST(gok AS DOUBLE)
+        |      * CAST(d2sum AS DOUBLE)) END AS se_jack
+        |  FROM f)
+        |SELECT n_groups, n_rows, mean, se_jack,
+        |  mean - 1.96 * se_jack AS ci_lo, mean + 1.96 * se_jack AS ci_hi
+        |FROM r""".stripMargin,
+    // DOW replay: the daily/spine prelude, ISO weekday on both engines
+    // (Spark weekday()+1 == DuckDB isodow — their dayofweek defaults
+    // disagree on Sunday), unrounded single-division outputs.
+    "dow_profile" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS rev FROM events GROUP BY 1),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |filled AS (SELECT CAST(isodow(s.day) AS INT) AS dow,
+        |    coalesce(d.rev, CAST(0 AS DECIMAL(18,4))) AS rev
+        |  FROM spine s LEFT JOIN daily d USING (day)),
+        |bydow AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days, SUM(rev) AS sm
+        |  FROM filled GROUP BY dow),
+        |tot AS (SELECT SUM(sm) AS tt FROM bydow)
+        |SELECT dow, n_days, CAST(sm AS DOUBLE) AS dow_total,
+        |  CAST(sm AS DOUBLE) / CAST(n_days AS DOUBLE) AS dow_mean,
+        |  CAST(sm AS DOUBLE) / CAST(tt AS DOUBLE) AS share
+        |FROM bydow, tot""".stripMargin,
     // ACF replay: the moving_avg daily/spine prelude (global series), mean
     // off the exact DECIMAL daily sum, demeaned products 6dp-DECIMAL so
     // numerator/denominator sums are order-free, lag pairs by date+k join.

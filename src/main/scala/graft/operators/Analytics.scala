@@ -617,6 +617,90 @@ object Analytics {
           (sqrt(col("_ssq").cast("double") / nD) * sqrt(nD)), 6)).as("m_stat"))
   }
 
+  /** Delete-one-GROUP jackknife for the corpus mean of an integer metric
+    * (Quenouille/Tukey; the survey-statistics replication estimator) —
+    * the missing piece on every corpus dashboard: a mean token count
+    * without an error bar can't tell a real drift from source-mix noise.
+    * Groups (sources/domains) are the natural exchangeable unit of a
+    * crawled corpus — documents within a source are correlated, so a
+    * per-row bootstrap UNDERSTATES the variance; delete-a-group is the
+    * standard fix. θ₍₋g₎ = (S − S_g)/(N − n_g); the classic estimator
+    * var = (G−1)/G · Σ(θ₍₋g₎ − θ̄)².
+    *
+    * Engine-exact WITHOUT display rounding: S, N, S_g, n_g are integer
+    * sums; every remaining step is a single correctly-rounded double op
+    * on identical operands (division, subtraction, square, IEEE sqrt),
+    * EXCEPT the two cross-group sums, which ride the 6dp-DECIMAL
+    * convention (θ₍₋g₎ and the squared deviations round to 6dp so the
+    * sums are order-free). The 1.96 normal quantile is a pinned literal.
+    *
+    * Scale: one group-keyed integer aggregate (map-side combined), then
+    * a ǀgroupsǀ-row frame with a 1-row totals broadcast. Fewer than two
+    * groups → se/ci NULL. Output: one row (n_groups, n_rows, mean,
+    * se_jack, ci_lo, ci_hi). */
+  def jackknifeMean(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+      .where(col("_g").isNotNull && col("_v").isNotNull)
+      .groupBy(col("_g")).agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s"))
+    val tot = broadcast(g.agg(sum(col("_n")).as("_nn"), sum(col("_s")).as("_ss"),
+      count(lit(1)).as("_gg")))
+    val loo = g.crossJoin(tot) // 1-row totals onto the |groups| frame — audited
+      .select(col("_nn"), col("_ss"), col("_gg"),
+        round((col("_ss") - col("_s")).cast("double") /
+          when(col("_nn") - col("_n") === 0L, lit(null))
+            .otherwise(col("_nn") - col("_n")).cast("double"), 6)
+          .cast("decimal(18,6)").as("_t6"))
+    val agg0 = loo.groupBy(col("_nn"), col("_ss"), col("_gg"))
+      .agg(sum(col("_t6")).as("_tsum"), count(col("_t6")).as("_gok"))
+    val thetaBar = col("_tsum").cast("double") / col("_gok").cast("double")
+    val dev = loo.join(broadcast(agg0), Seq("_nn", "_ss", "_gg"))
+      .select(col("_nn"), col("_ss"), col("_gg"), col("_gok"),
+        round((col("_t6").cast("double") - thetaBar) *
+          (col("_t6").cast("double") - thetaBar), 6)
+          .cast("decimal(18,6)").as("_d2"))
+    val gD = col("_gok").cast("double")
+    val se = sqrt((gD - lit(1.0)) / gD * col("_d2sum").cast("double"))
+    dev.groupBy(col("_nn"), col("_ss"), col("_gg"), col("_gok"))
+      .agg(sum(col("_d2")).as("_d2sum"))
+      .select(col("_gg").as("n_groups"), col("_nn").as("n_rows"),
+        (col("_ss").cast("double") / col("_nn").cast("double")).as("mean"),
+        when(col("_gok") >= 2, se).as("se_jack"))
+      .withColumn("ci_lo", col("mean") - lit(1.96) * col("se_jack"))
+      .withColumn("ci_hi", col("mean") + lit(1.96) * col("se_jack"))
+  }
+
+  /** Day-of-week seasonal profile of the daily total series — the
+    * calendar structure [[acfDaily]] detects (a lag-7 spike) made
+    * legible: per-ISO-weekday mean daily total and share of mass, over
+    * the gap-filled spine (absent days are real 0-days; excluding them
+    * would inflate quiet weekdays). ISO numbering (1 = Monday) on both
+    * engines — Spark `weekday()+1` ≡ DuckDB `isodow()` (their default
+    * `dayofweek`s disagree on Sunday).
+    *
+    * Engine-exact without display rounding: daily totals are DECIMAL
+    * sums, per-dow rollups stay DECIMAL, and each output double is one
+    * correctly-rounded division of exactly-converted operands. Scale:
+    * one map-side daily aggregate, then a ≤ 7-row rollup with the total
+    * on an audited 1-row broadcast. Output: (dow, n_days, dow_total,
+    * dow_mean, share), 7 rows. */
+  def dowProfile(events: DataFrame, tsCol: Column, valCol: Column): DataFrame = {
+    val daily = events.groupBy(to_date(tsCol).as("day"))
+      .agg(sum(valCol.cast("decimal(18,4)")).as("_rev"))
+    val spine = daily.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      .select((weekday(col("day")) + lit(1)).as("dow"),
+        coalesce(col("_rev"), lit(0).cast("decimal(18,4)")).as("_rev"))
+    val byDow = filled.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("_rev")).as("_sum"))
+    val tot = broadcast(byDow.agg(sum(col("_sum")).as("_tot")))
+    byDow.crossJoin(tot) // 1-row total onto the 7-row frame — audited
+      .select(col("dow"), col("n_days"),
+        col("_sum").cast("double").as("dow_total"),
+        (col("_sum").cast("double") / col("n_days").cast("double")).as("dow_mean"),
+        (col("_sum").cast("double") / col("_tot").cast("double")).as("share"))
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 pointTs: Column, startTs: Column, endTs: Column,
                 keys: Seq[String], bucketSec: Long): DataFrame = {

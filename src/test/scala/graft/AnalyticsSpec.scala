@@ -837,6 +837,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(c == ((4L, java.sql.Date.valueOf("2024-03-01"), 0.0, None)))
   }
 
+  test("jackknifeMean: exact delete-one-group replay; single group reads NULL se") {
+    // groups A=[1,2,3], B=[4,5], C=[6]: N=6, S=21, mean=3.5;
+    // leave-one-out means 5, 3, 3
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 4L), ("B", 5L), ("C", 6L))
+      .toDF("g", "v")
+    val out = Analytics.jackknifeMean(df, "g", "v")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(out._1 == 3L && out._2 == 6L && out._3 == 3.5)
+    def r6(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // local replay of the exact chain: 6dp thetas, order-free sums,
+    // single-op var/se
+    val t6 = Seq(5.0, 3.0, 3.0).map(r6)
+    val tBar = t6.sum.toDouble / 3.0
+    val d2 = t6.map(t => r6((t.toDouble - tBar) * (t.toDouble - tBar))).sum.toDouble
+    val se = math.sqrt((3.0 - 1.0) / 3.0 * d2)
+    assert(out._4 == se, s"se ${out._4} != replay $se")
+    assert(out._5 == 3.5 - 1.96 * se && out._6 == 3.5 + 1.96 * se)
+    // a single group carries no replication information: se/ci NULL
+    val solo = Analytics.jackknifeMean(
+      Seq(("A", 1L), ("A", 5L)).toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(solo == ((1L, 2L, 3.0, None, None, None)))
+  }
+
+  test("dowProfile: ISO weekdays, exact per-dow means, zero-filled gap days") {
+    // 2024-01-01 is a MONDAY; 14 consecutive days valued 1..14 → each
+    // ISO dow d holds days d and d+7: total 2d+7, mean (2d+7)/2,
+    // share (2d+7)/105
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    val ev = (0 until 14).map(i => (ts(i), (i + 1).toDouble)).toDF("ts", "value")
+    val out = Analytics.dowProfile(ev, col("ts"), col("value"))
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1 to 7))
+    for (d <- 1 to 7) {
+      val r = out(d - 1)
+      assert(r._2 == 2L && r._3 == (2 * d + 7).toDouble)
+      assert(r._4 == (2 * d + 7).toDouble / 2.0 && r._5 == (2 * d + 7).toDouble / 105.0)
+    }
+    // a calendar gap participates as a zero day: Mon=10, (skip Tue), Wed=20
+    val gap = Seq((ts(0), 10.0), (ts(2), 20.0)).toDF("ts", "value")
+    val g = Analytics.dowProfile(gap, col("ts"), col("value"))
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(g.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1, 1L, 10.0), (2, 1L, 0.0), (3, 1L, 20.0)))
+  }
+
   test("benford: exact digit extraction + χ²/MAD replay; zeros and NULLs drop") {
     // first significant digits: 1.5→1, 19→1, 0.002→2, −300→3 (abs),
     // 9999.25→9; 0.0 and NULL carry no digit and drop

@@ -168,6 +168,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("jackknife_mean: one group aggregate, broadcast stats, no window") {
+    val p = planOf("jackknife_mean")
+    assert(!p.contains("Window"), s"jackknife needs no window:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"group sums not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("dow_profile: days-sized broadcast work above the daily aggregate") {
+    val p = planOf("dow_profile")
+    assert(!p.contains("Window"), s"dow profile needs no window:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"days-sized frames must join broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"daily sums not map-side combined:\n$p")
+  }
+
   test("acf_daily: everything above the daily aggregate is days-sized broadcast work") {
     val p = planOf("acf_daily")
     // the corpus collapses map-side to (day, decimal) before ANY join;

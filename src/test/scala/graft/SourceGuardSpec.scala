@@ -52,8 +52,10 @@ class SourceGuardSpec extends AnyFunSpec {
     // stats + 1-row totals onto the ≤ nBins union), psiBinnedBySource
     // (grid stats + the |sources| × ≤ nBins ksBySource-grid cross),
     // acfDaily (1-row mean + 1-row denominator onto the days-sized
-    // spine), cusumDaily (1-row mean + 1-row max-|S| stats)
-    "graft/operators/Analytics.scala" -> 12,
+    // spine), cusumDaily (1-row mean + 1-row max-|S| stats),
+    // jackknifeMean (1-row totals onto the |groups| frame), dowProfile
+    // (1-row total onto the 7-row rollup)
+    "graft/operators/Analytics.scala" -> 14,
     // pageRank's two node ⋈ 1-row-count joins (init + per-round base
     // share) — the audited broadcast-stats pattern on a |types|-row frame
     "graft/operators/Events.scala" -> 2,
