@@ -942,6 +942,16 @@ object SparkEntry {
           .select(col("source"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
         "source", "n_tokens")),
+    // §2.1 row 17t — Poissonized bootstrap CI (round 16, third session):
+    // the resampling companion to the jackknife — md5-coin Poisson(1)
+    // multiplier weights, exact order-statistic CI, fully oracled
+    // despite being "random"
+    "bootstrap_ci" -> ((s, d) =>
+      Analytics.bootstrapMeanCi(
+        Tables.documents(s, d).where(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", 40)),
     // §2.1 row 17s — day-of-week seasonal profile (round 16, third
     // session): the calendar structure acf_daily detects (the lag-7
     // spike) made legible — per-ISO-weekday mean daily value and share
@@ -3316,6 +3326,35 @@ object SparkEntry {
         |SELECT n_groups, n_rows, mean, se_jack,
         |  mean - 1.96 * se_jack AS ci_lo, mean + 1.96 * se_jack AS ci_hi
         |FROM r""".stripMargin,
+    // Bootstrap replay: the SAME md5 coins (52-bit dyadic u — the
+    // sample_priority idiom), the SAME pinned Poisson(1) CDF literals,
+    // unrounded replicate means into exact order statistics.
+    "bootstrap_ci" ->
+      """WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |ex AS (SELECT id, v, CAST(unnest(range(1, 41)) AS INT) AS rep FROM base),
+        |uu AS (SELECT rep, v,
+        |    (CAST(('0x' || substr(md5(id || ':' || CAST(rep AS VARCHAR)), 1, 13))::UBIGINT
+        |      AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+        |  FROM ex),
+        |ww AS (SELECT rep, v,
+        |    CASE WHEN u <= 0.3678794412 THEN 0 WHEN u <= 0.7357588823 THEN 1
+        |         WHEN u <= 0.9196986029 THEN 2 WHEN u <= 0.9810118431 THEN 3
+        |         WHEN u <= 0.9963401532 THEN 4 WHEN u <= 0.9994058152 THEN 5
+        |         WHEN u <= 0.9999167589 THEN 6 WHEN u <= 0.9999897508 THEN 7
+        |         WHEN u <= 0.9999988748 THEN 8 ELSE 9 END AS w
+        |  FROM uu),
+        |r AS (SELECT rep, CASE WHEN SUM(w) > 0
+        |    THEN CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) END AS m
+        |  FROM ww GROUP BY rep),
+        |tot AS (SELECT CAST(SUM(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM base),
+        |ms AS (SELECT list_sort(list(m)) AS ms, CAST(count(m) AS BIGINT) AS b FROM r)
+        |SELECT CAST(b AS INT) AS n_reps,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  CASE WHEN b > 0 THEN ms[CAST(ceil(0.025 * CAST(b AS DOUBLE)) AS INT)] END AS boot_lo,
+        |  CASE WHEN b > 0 THEN ms[CAST(ceil(0.975 * CAST(b AS DOUBLE)) AS INT)] END AS boot_hi
+        |FROM ms, tot""".stripMargin,
     // DOW replay: the daily/spine prelude, ISO weekday on both engines
     // (Spark weekday()+1 == DuckDB isodow — their dayofweek defaults
     // disagree on Sunday), unrounded single-division outputs.

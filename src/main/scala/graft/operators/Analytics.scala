@@ -669,6 +669,75 @@ object Analytics {
       .withColumn("ci_hi", col("mean") + lit(1.96) * col("se_jack"))
   }
 
+  /** Cumulative Poisson(1) probabilities as pinned 10dp literals —
+    * P(X ≤ k), k = 0..8 (the k = 9 tail carries ~1.1e-7 mass and is
+    * absorbed into the last bucket). Inlined IDENTICALLY into the Spark
+    * plan and the oracle SQL, so neither engine ever evaluates exp(). */
+  private[graft] val Poisson1Cdf: Seq[Double] = Seq(
+    0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+    0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508,
+    0.9999988748)
+
+  /** Poissonized bootstrap confidence interval for the corpus mean — the
+    * RESAMPLING companion to [[jackknifeMean]] (which respects group
+    * structure; this one answers the i.i.d.-rows question and needs no
+    * grouping column). Classic multiplier bootstrap: each replicate
+    * re-weights every row by an independent Poisson(1) draw — the
+    * with-replacement resample's occupancy distribution — and the CI is
+    * the ⌈0.025·B⌉ / ⌈0.975·B⌉ ORDER STATISTICS of the B replicate means
+    * (exact ranks, no interpolation — the lower-median convention).
+    *
+    * The draws are md5 COINS, not RNG (the L29i/L29o convention): per
+    * (id, rep), u = (52-bit md5 prefix + 0.5)/2^52 is dyadic-EXACT, and
+    * the weight is u's bucket among the PINNED [[Poisson1Cdf]] literals —
+    * identical on every engine/run/retry/partitioning, so the "random"
+    * CI is bit-reproducible and fully oracled. Replicate means are
+    * UNROUNDED single divisions (exact — they feed a SORT, not a sum;
+    * the terminal-division rule), the point mean likewise.
+    *
+    * Scale: the explode multiplies the corpus ×B MAP-SIDE (the
+    * mix_epochs blow-up discipline — no join, no shuffle grows), the
+    * B-group sums combine map-side so 2·B longs cross the exchange, and
+    * the order statistics run on a B-length collected array (bounded by
+    * the declared rep count, require-capped). Output: one row (n_reps,
+    * mean, boot_lo, boot_hi). */
+  def bootstrapMeanCi(df: DataFrame, idCol: String, valueCol: String,
+                      reps: Int = 40): DataFrame = {
+    require(reps >= 8 && reps <= 256, s"bootstrapMeanCi needs 8 <= reps <= 256, got $reps")
+    val base = df.select(col(idCol).cast("string").as("_id"),
+        col(valueCol).cast("long").as("_v"))
+      .where(col("_id").isNotNull && col("_v").isNotNull)
+    val expanded = base.select(col("_id"), col("_v"),
+      explode(sequence(lit(1), lit(reps))).as("rep"))
+    val h52 = conv(substring(md5(
+        concat(col("_id"), lit(":"), col("rep").cast("string")).cast("binary")),
+      1, 13), 16, 10).cast("long").cast("double")
+    val u = (h52 + lit(0.5)) / lit(4503599627370496.0) // 2^52, dyadic-exact
+    val w = Poisson1Cdf.zipWithIndex
+      .foldRight(lit(9): Column) { case ((t, k), acc) =>
+        when(u <= t, lit(k)).otherwise(acc) }
+    val rep = expanded.select(col("rep"), col("_v"), w.as("_w"))
+      .groupBy(col("rep"))
+      .agg(sum(col("_w") * col("_v")).as("_sw"), sum(col("_w")).as("_nw"))
+      .select(when(col("_nw") > 0,
+        col("_sw").cast("double") / col("_nw").cast("double")).as("_m"))
+    val tot = broadcast(base.agg(sum(col("_v")).as("_s"), count(lit(1)).as("_n")))
+    // ranks against the ACTUAL replicate count (a degenerate corpus can
+    // drop a replicate to all-zero weights; a static rank would then be
+    // out of range, which ANSI element_at turns into a crash), in DOUBLE
+    // arithmetic mirrored by the oracle
+    val bD = col("_b").cast("double")
+    val loR = ceil(lit(0.025) * bD).cast("int")
+    val hiR = ceil(lit(0.975) * bD).cast("int")
+    rep.agg(sort_array(collect_list(col("_m"))).as("_ms"),
+        count(col("_m")).as("_b"))
+      .crossJoin(tot) // 1-row point-estimate totals — audited class
+      .select(col("_b").cast("int").as("n_reps"),
+        (col("_s").cast("double") / col("_n").cast("double")).as("mean"),
+        when(col("_b") > 0, element_at(col("_ms"), loR)).as("boot_lo"),
+        when(col("_b") > 0, element_at(col("_ms"), hiR)).as("boot_hi"))
+  }
+
   /** Day-of-week seasonal profile of the daily total series — the
     * calendar structure [[acfDaily]] detects (a lag-7 spike) made
     * legible: per-ISO-weekday mean daily total and share of mass, over

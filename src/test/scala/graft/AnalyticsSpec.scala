@@ -863,6 +863,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(solo == ((1L, 2L, 3.0, None, None, None)))
   }
 
+  test("bootstrapMeanCi: exact local md5-coin replay; constant corpus collapses the CI") {
+    // full local replay of the coin chain on a tiny corpus: md5("id:rep")
+    // 52-bit dyadic u -> pinned Poisson(1) CDF bucket -> replicate means
+    // -> exact order statistics
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 60L)).toDF("id", "v")
+    val out = Analytics.bootstrapMeanCi(docs, "id", "v", 8)
+      .as[(Int, Double, Double, Double)].collect().head
+    def u52(key: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(13), 16) + 0.5) / 4503599627370496.0
+    }
+    val cdf = Analytics.Poisson1Cdf
+    def w(key: String): Int = {
+      val u = u52(key)
+      val i = cdf.indexWhere(u <= _)
+      if (i < 0) 9 else i
+    }
+    val vals = Seq("1" -> 10L, "2" -> 20L, "3" -> 60L)
+    val means = (1 to 8).flatMap { rep =>
+      val ws = vals.map { case (id, v) => (w(s"$id:$rep"), v) }
+      val nw = ws.map(_._1).sum
+      if (nw > 0) Some(ws.map { case (k, v) => k.toLong * v }.sum.toDouble / nw)
+      else None
+    }.sorted
+    val b = means.size // a tiny corpus can drop all-zero-weight replicates
+    assert(out._1 == b && out._2 == 30.0)
+    val (loR, hiR) = (math.ceil(0.025 * b.toDouble).toInt, math.ceil(0.975 * b.toDouble).toInt)
+    assert(out._3 == means(loR - 1) && out._4 == means(hiR - 1),
+      s"CI (${out._3}, ${out._4}) != local replay (${means(loR - 1)}, ${means(hiR - 1)})")
+    // a constant-valued corpus: every replicate mean IS the value — the
+    // CI collapses exactly (weights cancel in the ratio)
+    val const = (1L to 50L).map((_, 7L)).toDF("id", "v")
+    val c = Analytics.bootstrapMeanCi(const, "id", "v", 16)
+      .as[(Int, Double, Double, Double)].collect().head
+    assert(c == ((16, 7.0, 7.0, 7.0)))
+    // determinism: the coins are content-addressed, not RNG
+    val again = Analytics.bootstrapMeanCi(docs.repartition(5), "id", "v", 8)
+      .as[(Int, Double, Double, Double)].collect().head
+    assert(again == out)
+  }
+
   test("dowProfile: ISO weekdays, exact per-dow means, zero-filled gap days") {
     // 2024-01-01 is a MONDAY; 14 consecutive days valued 1..14 → each
     // ISO dow d holds days d and d+7: total 2d+7, mean (2d+7)/2,

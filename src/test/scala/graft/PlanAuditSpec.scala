@@ -168,6 +168,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("bootstrap_ci: map-side rep explode, B-group partial sums, no window") {
+    val p = planOf("bootstrap_ci")
+    assert(!p.contains("Window"), s"bootstrap needs no window:\n$p")
+    assert(p.contains("partial_sum"), s"replicate sums not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // the rep blow-up is ONE Generate — never a join against a rep table
+    val gens = "Generate".r.findAllIn(p).length
+    assert(gens <= 1, s"expected one rep explode, got $gens:\n$p")
+  }
+
   test("jackknife_mean: one group aggregate, broadcast stats, no window") {
     val p = planOf("jackknife_mean")
     assert(!p.contains("Window"), s"jackknife needs no window:\n$p")

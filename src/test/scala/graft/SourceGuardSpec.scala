@@ -54,8 +54,9 @@ class SourceGuardSpec extends AnyFunSpec {
     // acfDaily (1-row mean + 1-row denominator onto the days-sized
     // spine), cusumDaily (1-row mean + 1-row max-|S| stats),
     // jackknifeMean (1-row totals onto the |groups| frame), dowProfile
-    // (1-row total onto the 7-row rollup)
-    "graft/operators/Analytics.scala" -> 14,
+    // (1-row total onto the 7-row rollup), bootstrapMeanCi (1-row
+    // point-estimate totals onto the 1-row order-statistics frame)
+    "graft/operators/Analytics.scala" -> 15,
     // pageRank's two node ⋈ 1-row-count joins (init + per-round base
     // share) — the audited broadcast-stats pattern on a |types|-row frame
     "graft/operators/Events.scala" -> 2,
