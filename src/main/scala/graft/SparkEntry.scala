@@ -1497,6 +1497,16 @@ object SparkEntry {
     // per-type sort
     "vocab_gini" -> ((s, d) =>
       TextAnalysis.vocabGini(Tables.documents(s, d), "source", "text")),
+    // §2.2 row L27u — source-token mutual information (round 16, third
+    // session): the template/leakage detector — U near 1 means tokens
+    // identify their source (headers, watermarks, markup)
+    "source_token_mi" -> ((s, d) =>
+      TextAnalysis.sourceTokenMi(Tables.documents(s, d), "source", "text")),
+    // §2.2 row L27v — Chao1 richness + Good–Turing coverage (round 16,
+    // third session): is this source mined out, or does more crawl buy
+    // more vocabulary
+    "chao1_richness" -> ((s, d) =>
+      TextAnalysis.chao1Richness(Tables.documents(s, d), "source", "text")),
     // §2.2 row L27o — Yule's K lexical diversity (round 16, third
     // session): the length-robust repeat-rate constant + TTR + hapax
     // ratio per source — the third corpus-health axis beside Zipf decay
@@ -4395,6 +4405,50 @@ object SparkEntry {
         |SELECT source, n_tokens, n_vocab,
         |  round(2.0 * CAST(s AS DOUBLE) / (CAST(n_vocab AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |    - (CAST(n_vocab AS DOUBLE) + 1.0) / CAST(n_vocab AS DOUBLE), 6) AS gini
+        |FROM agg""".stripMargin,
+    // MI replay: marginals via partitioned windows on the count table,
+    // ln args all integer-valued-double single-op chains, pair terms
+    // 6dp-DECIMAL (order-free), terminal divisions unrounded.
+    "source_token_mi" ->
+      """WITH tok0 AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |tok AS (SELECT source, t FROM tok0 WHERE t <> ''),
+        |cnt AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+        |marg AS (SELECT source, t, c,
+        |    sum(c) OVER (PARTITION BY source) AS cs,
+        |    sum(c) OVER (PARTITION BY t) AS ct
+        |  FROM cnt),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+        |pa AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    SUM(c * CAST(round(ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+        |      / (CAST(cs AS DOUBLE) * CAST(ct AS DOUBLE))), 6) AS DECIMAL(18,6))) AS misum
+        |  FROM marg, nn),
+        |sa AS (SELECT source, SUM(c) AS cs2 FROM cnt GROUP BY source),
+        |ha AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |    SUM(cs2 * CAST(round(ln(CAST(cs2 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) AS hsum
+        |  FROM sa, nn),
+        |f AS (SELECT n_pairs, n AS n_tokens, n_sources,
+        |    CAST(misum AS DOUBLE) / CAST(n AS DOUBLE) AS mi_nats,
+        |    0.0 - CAST(hsum AS DOUBLE) / CAST(n AS DOUBLE) AS h_source
+        |  FROM pa, ha)
+        |SELECT n_pairs, n_tokens, n_sources, mi_nats, h_source,
+        |  CASE WHEN h_source > 0 THEN mi_nats / h_source END AS uncertainty_coef
+        |FROM f""".stripMargin,
+    // Chao1/coverage replay: integer spectrum sums, single-op chains,
+    // unrounded outputs.
+    "chao1_richness" ->
+      """WITH tok0 AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |tok AS (SELECT source, t FROM tok0 WHERE t <> ''),
+        |tf AS (SELECT source, t, count(*) AS tf FROM tok GROUP BY source, t),
+        |agg AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_vocab,
+        |    CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |    CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_doubletons
+        |  FROM tf GROUP BY source)
+        |SELECT source, n_tokens, n_vocab, n_hapax, n_doubletons,
+        |  CAST(n_vocab AS DOUBLE) + CAST(n_hapax AS DOUBLE) * (CAST(n_hapax AS DOUBLE) - 1.0)
+        |    / (2.0 * (CAST(n_doubletons AS DOUBLE) + 1.0)) AS chao1,
+        |  1.0 - CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
         |FROM agg""".stripMargin,
     // Yule's K replay: every statistic is integer sums down to one or two
     // correctly-rounded double ops, identically parenthesized.

@@ -1810,6 +1810,91 @@ object TextAnalysis {
         (vD + lit(1.0)) / vD, 6).as("gini"))
   }
 
+  /** Mutual information between SOURCE and TOKEN (plus the uncertainty
+    * coefficient U = MI/H(source)) — the template/leakage detector: when
+    * tokens identify their source (boilerplate headers, injected
+    * watermarks, domain-specific markup), MI approaches H(source) and U
+    * approaches 1; a well-mixed corpus reads U near 0. The
+    * feature-selection view of the same number: how much source identity
+    * a bag-of-words model could recover — exactly what a dedup/mixture
+    * pipeline wants LOW after cleaning.
+    *
+    * Count-weighted form: MI = Σ c_st·ln(c_st·N/(c_s·c_t))/N over
+    * OBSERVED pairs only (absent pairs contribute 0). Engine-exact: all
+    * ln arguments are products/ratios of exact integer-valued doubles
+    * (single-op chains), ln rides the 6dp-DECIMAL convention so the
+    * pair sum is order-free, and the terminal divisions stay UNROUNDED.
+    * Scale: one (source, token) count (map-side combined), marginals via
+    * source-/token-PARTITIONED windows on that vocabulary-sized table,
+    * N on the audited 1-row broadcast; nothing corpus-sized above the
+    * first aggregate. Output: one row (n_pairs, n_tokens, n_sources,
+    * mi_nats, h_source, uncertainty_coef). */
+  def sourceTokenMi(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cnt = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("_c"))
+    val withMarg = cnt
+      .withColumn("_cs", sum(col("_c")).over(W.partitionBy(col("source"))))
+      .withColumn("_ct", sum(col("_c")).over(W.partitionBy(col("t"))))
+    val nTot = broadcast(cnt.agg(sum(col("_c")).as("_n")))
+    val cD = col("_c").cast("double")
+    val lnArg = cD * col("_n").cast("double") /
+      (col("_cs").cast("double") * col("_ct").cast("double"))
+    val pairAgg = withMarg.crossJoin(nTot) // 1-row total — audited class
+      .select(col("_n"),
+        (col("_c") * round(log(lnArg), 6).cast("decimal(18,6)")).as("_mi"))
+      .agg(max(col("_n")).as("_n"), count(lit(1)).as("n_pairs"),
+        sum(col("_mi")).as("_misum"))
+    val srcAgg = cnt.groupBy(col("source")).agg(sum(col("_c")).as("_cs2"))
+    val hAgg = srcAgg.crossJoin(nTot) // 1-row total — audited class
+      .select((col("_cs2") * round(log(col("_cs2").cast("double") /
+          col("_n").cast("double")), 6).cast("decimal(18,6)")).as("_h"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("_h")).as("_hsum"))
+    val nD = col("_n").cast("double")
+    pairAgg.crossJoin(broadcast(hAgg)) // 1-row × 1-row — audited class
+      .select(col("n_pairs"), col("_n").as("n_tokens"), col("n_sources"),
+        (col("_misum").cast("double") / nD).as("mi_nats"),
+        (lit(0.0) - col("_hsum").cast("double") / nD).as("h_source"))
+      .withColumn("uncertainty_coef",
+        when(col("h_source") > 0, col("mi_nats") / col("h_source")))
+  }
+
+  /** Chao1 vocabulary-richness estimate + Good–Turing sample coverage —
+    * the crawl-planning pair: Chao1 (Chao 1984/1987, bias-corrected
+    * form) estimates how many types EXIST including the unseen ones
+    * (V̂ = V + V₁(V₁−1)/(2(V₂+1)) — defined even with no doubletons),
+    * and Good–Turing coverage Ĉ = 1 − V₁/N estimates what fraction of
+    * the token mass the seen vocabulary already covers. Together they
+    * answer "is this source mined out, or does more crawl buy more
+    * vocabulary" — the operational question behind [[heapsLaw]]'s
+    * growth exponent.
+    *
+    * Engine-exact: V, V₁, V₂, N are integer sums; chao1 and coverage
+    * are single-op double chains emitted UNROUNDED. Scale: one
+    * (source, token) count + a ǀsourcesǀ-row rollup, no join, no
+    * window. Output: (source, n_tokens, n_vocab, n_hapax,
+    * n_doubletons, chao1, coverage). */
+  def chao1Richness(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("_tf"))
+    val agg0 = tf.groupBy(col("source")).agg(
+      sum(col("_tf")).as("n_tokens"),
+      count(lit(1)).as("n_vocab"),
+      sum(when(col("_tf") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+      sum(when(col("_tf") === 2L, 1L).otherwise(0L)).as("n_doubletons"))
+    val v1D = col("n_hapax").cast("double")
+    agg0.select(col("source"), col("n_tokens"), col("n_vocab"),
+      col("n_hapax"), col("n_doubletons"),
+      (col("n_vocab").cast("double") + v1D * (v1D - lit(1.0)) /
+        (lit(2.0) * (col("n_doubletons").cast("double") + lit(1.0)))).as("chao1"),
+      (lit(1.0) - col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+        .as("coverage"))
+  }
+
   /** Per-source lexical diversity: Yule's K (Yule 1944 — the repeat-rate
     * characteristic K = 10⁴·(Σ_f f²·V_f − N)/N², i.e. 10⁴·(Σ tf² − N)/N²),
     * type-token ratio, and hapax ratio. K is the LENGTH-ROBUST diversity

@@ -246,6 +246,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$p")
   }
 
+  test("source_token_mi: marginals via partitioned windows, 1-row stats crosses only") {
+    val p = planOf("source_token_mi")
+    assert(p.contains("windowspecdefinition(source") &&
+      p.contains("windowspecdefinition(t#"),
+      s"marginals lost their partitioned windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // the N broadcasts + the 1-row MI x H tail; the static print replans
+    // the count subtree under each reference (canonically equal → one
+    // runtime stage, the psi_drift note)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 6, s"expected only 1-row stats crosses, got $bnlj:\n$p")
+  }
+
+  test("chao1_richness is one scan and two aggregate levels — no join, no window") {
+    val p = planOf("chao1_richness")
+    assert(!p.contains("Join"), s"chao1 needs no join:\n$p")
+    assert(!p.contains("Window"), s"chao1 needs no window:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$p")
+  }
+
   test("yule_k is one scan and two aggregate levels — no join, no window") {
     val p = planOf("yule_k")
     assert(!p.contains("Join"), s"lexical diversity needs no join:\n$p")

@@ -74,7 +74,9 @@ class SourceGuardSpec extends AnyFunSpec {
     //   rest-side sum, so the grid is the correct frame, never a pair join)
     // + lmStupidBackoff's 1-row model-token total and tokenBurstiness's
     //   1-row doc count — both the audited 1-row-stats class
-    "graft/operators/TextAnalysis.scala" -> 13,
+    // + sourceTokenMi's three 1-row joins (N onto the pair table, N onto
+    //   the |sources| marginals, the 1-row MI ⋈ 1-row H tail)
+    "graft/operators/TextAnalysis.scala" -> 16,
     // ... except pqTopKWith's corpus x QUERY-BATCH join (the flat-PQ ADC
     // scan: every index row scores against every query's broadcast LUT
     // — bounded by the query batch, the intended shape), one 1-row

@@ -171,6 +171,50 @@ class TextIngestMultimodalSpec extends SparkSpec {
       s"concentrated corpus must read high gini: $g")
   }
 
+  test("sourceTokenMi: zero when independent, U -> 1 when tokens identify sources") {
+    // identical distributions: every ln argument is exactly 1 -> MI = 0
+    val indep = TextAnalysis.sourceTokenMi(
+      Seq(("A", "x y"), ("B", "x y")).toDF("source", "text"), "source", "text")
+      .as[(Long, Long, Long, Double, Double, Option[Double])].collect().head
+    assert(indep._4 == 0.0 && indep._6 == Some(0.0),
+      s"independent corpus must read MI = 0: $indep")
+    // disjoint vocabularies: tokens fully identify sources -> MI = H,
+    // U = 1 (up to the 6dp ln rounding); exact local replay
+    val sep = TextAnalysis.sourceTokenMi(
+      Seq(("A", "x x"), ("B", "y")).toDF("source", "text"), "source", "text")
+      .as[(Long, Long, Long, Double, Double, Option[Double])].collect().head
+    def r6(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // pairs: (A,x,c=2,cs=2,ct=2), (B,y,c=1,cs=1,ct=1); N=3
+    val mi = (BigDecimal(2) * r6(math.log(2.0 * 3.0 / (2.0 * 2.0))) +
+      BigDecimal(1) * r6(math.log(1.0 * 3.0 / (1.0 * 1.0)))).toDouble / 3.0
+    val h = 0.0 - (BigDecimal(2) * r6(math.log(2.0 / 3.0)) +
+      BigDecimal(1) * r6(math.log(1.0 / 3.0))).toDouble / 3.0
+    assert(sep._1 == 2L && sep._2 == 3L && sep._3 == 2L)
+    assert(sep._4 == mi && sep._5 == h, s"MI/H ${sep._4}/${sep._5} != replay $mi/$h")
+    assert(math.abs(sep._6.get - 1.0) < 1e-4,
+      s"separating tokens must read U ~ 1: ${sep._6}")
+    // a single source carries no identity information: H = 0 -> U NULL
+    val solo = TextAnalysis.sourceTokenMi(
+      Seq(("A", "x y z")).toDF("source", "text"), "source", "text")
+      .as[(Long, Long, Long, Double, Double, Option[Double])].collect().head
+    assert(solo._5 == 0.0 && solo._6.isEmpty)
+  }
+
+  test("chao1Richness: exact bias-corrected estimate and Good-Turing coverage") {
+    // spectrum a:1 b:1 c:2 d:5 -> V=4, V1=2, V2=1, N=9
+    // chao1 = 4 + 2*1/(2*2) = 4.5; coverage = 1 - 2/9
+    val docs = Seq(("s", "a b c c d d d d d"), ("h", "p q r")).toDF("source", "text")
+    val out = TextAnalysis.chao1Richness(docs, "source", "text")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("s") == (("s", 9L, 4L, 2L, 1L,
+      4.0 + 2.0 * (2.0 - 1.0) / (2.0 * (1.0 + 1.0)), 1.0 - 2.0 / 9.0)))
+    // all-hapax source (V2 = 0): the bias-corrected form stays defined —
+    // chao1 = 3 + 3*2/2 = 6, coverage = 0 (nothing re-seen yet)
+    assert(out("h") == (("h", 3L, 3L, 3L, 0L, 6.0, 0.0)))
+  }
+
   test("lexicalDiversity: exact Yule's K / TTR / hapax on planted counts") {
     // "a a a b b c": N=6, V=3, V1=1, Σtf² = 9+4+1 = 14
     // → K = 10⁴·(14−6)/36 = 2222.222222, TTR = 0.5, hapax = 1/3
