@@ -1497,6 +1497,11 @@ object SparkEntry {
     // per-type sort
     "vocab_gini" -> ((s, d) =>
       TextAnalysis.vocabGini(Tables.documents(s, d), "source", "text")),
+    // §2.2 row L27w — conditional bigram entropy rate (round 16, third
+    // session): corpus predictability in nats/token — templated text
+    // reads low, junk reads near the ceiling; h_bigram − h_rate = H(w1)
+    "entropy_rate" -> ((s, d) =>
+      TextAnalysis.entropyRate(Tables.documents(s, d), "text")),
     // §2.2 row L27u — source-token mutual information (round 16, third
     // session): the template/leakage detector — U near 1 means tokens
     // identify their source (headers, watermarks, markup)
@@ -4406,6 +4411,32 @@ object SparkEntry {
         |  round(2.0 * CAST(s AS DOUBLE) / (CAST(n_vocab AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |    - (CAST(n_vocab AS DOUBLE) + 1.0) / CAST(n_vocab AS DOUBLE), 6) AS gini
         |FROM agg""".stripMargin,
+    // Entropy-rate replay: context totals via the first-token-partitioned
+    // window, ln terms 6dp-DECIMAL, terminal divisions unrounded.
+    "entropy_rate" ->
+      """WITH tok AS (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '') AS w FROM documents WHERE text IS NOT NULL),
+        |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bigram FROM tok),
+        |cnt AS (SELECT bigram, count(*) AS c,
+        |    string_split(bigram, ' ')[1] AS w1
+        |  FROM bg GROUP BY bigram),
+        |ctx AS (SELECT bigram, c, w1,
+        |    sum(c) OVER (PARTITION BY w1) AS cctx
+        |  FROM cnt),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+        |a AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_bigram_types,
+        |    CAST(count(DISTINCT w1) AS BIGINT) AS n_contexts,
+        |    SUM(c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(cctx AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) AS hcsum,
+        |    SUM(c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) AS hbsum
+        |  FROM ctx, nn)
+        |SELECT n AS n_bigrams, n_bigram_types, n_contexts,
+        |  0.0 - CAST(hcsum AS DOUBLE) / CAST(n AS DOUBLE) AS h_rate_nats,
+        |  0.0 - CAST(hbsum AS DOUBLE) / CAST(n AS DOUBLE) AS h_bigram_nats
+        |FROM a""".stripMargin,
     // MI replay: marginals via partitioned windows on the count table,
     // ln args all integer-valued-double single-op chains, pair terms
     // 6dp-DECIMAL (order-free), terminal divisions unrounded.

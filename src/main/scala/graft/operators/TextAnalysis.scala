@@ -1810,6 +1810,50 @@ object TextAnalysis {
         (vD + lit(1.0)) / vD, 6).as("gini"))
   }
 
+  /** Conditional bigram entropy rate H(w₂ǀw₁) — corpus PREDICTABILITY in
+    * nats per token: templated/boilerplate text reads LOW (each token
+    * pins its successor), natural prose sits mid, random-id junk reads
+    * near the unigram ceiling. The sequence-structure companion to
+    * [[tokenEntropy]]'s bag-of-words per-doc entropy, and the
+    * information-theoretic face of what [[lmScore]]'s model scores:
+    * H(w₂ǀw₁) = −Σ_b c_b·ln(c_b/c_ctx)/N over observed bigrams (the MLE
+    * plug-in estimate, like every LM row here).
+    *
+    * Engine-exact: counts integer, ln args single-division chains, per-
+    * bigram terms 6dp-DECIMAL (order-free), terminal divisions UNROUNDED.
+    * Scale: one bigram count (map-side combined), context totals via a
+    * first-token-PARTITIONED window on the vocabulary-sized type table,
+    * N on the audited 1-row broadcast. Output: one row (n_bigrams,
+    * n_bigram_types, n_contexts, h_rate_nats, h_bigram_nats) —
+    * h_bigram − h_rate = H(w₁), so the pair carries the full chain-rule
+    * decomposition. */
+  def entropyRate(docs: DataFrame, textCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    val cnt = docs.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("_c"))
+      .withColumn("_w1", split(col("bigram"), " ").getItem(0))
+    val withCtx = cnt.withColumn("_cctx", sum(col("_c")).over(W.partitionBy(col("_w1"))))
+    val nTot = broadcast(cnt.agg(sum(col("_c")).as("_n")))
+    val cD = col("_c").cast("double")
+    val agg0 = withCtx.crossJoin(nTot) // 1-row total — audited class
+      .select(col("_n"), col("_w1"),
+        (col("_c") * round(log(cD / col("_cctx").cast("double")), 6)
+          .cast("decimal(18,6)")).as("_hc"),
+        (col("_c") * round(log(cD / col("_n").cast("double")), 6)
+          .cast("decimal(18,6)")).as("_hb"))
+      .agg(max(col("_n")).as("_n"), count(lit(1)).as("n_bigram_types"),
+        countDistinct(col("_w1")).as("n_contexts"),
+        sum(col("_hc")).as("_hcsum"), sum(col("_hb")).as("_hbsum"))
+    val nD = col("_n").cast("double")
+    agg0.select(col("_n").as("n_bigrams"), col("n_bigram_types"), col("n_contexts"),
+      (lit(0.0) - col("_hcsum").cast("double") / nD).as("h_rate_nats"),
+      (lit(0.0) - col("_hbsum").cast("double") / nD).as("h_bigram_nats"))
+  }
+
   /** Mutual information between SOURCE and TOKEN (plus the uncertainty
     * coefficient U = MI/H(source)) — the template/leakage detector: when
     * tokens identify their source (boilerplate headers, injected

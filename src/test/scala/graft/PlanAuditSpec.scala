@@ -246,6 +246,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$p")
   }
 
+  test("entropy_rate: context totals via the w1-partitioned window, no cartesian") {
+    val p = planOf("entropy_rate")
+    assert(p.contains("windowspecdefinition(_w1"),
+      s"context totals lost their w1 partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2, s"expected only the 1-row N broadcast, got $bnlj:\n$p")
+  }
+
   test("source_token_mi: marginals via partitioned windows, 1-row stats crosses only") {
     val p = planOf("source_token_mi")
     assert(p.contains("windowspecdefinition(source") &&

@@ -76,7 +76,8 @@ class SourceGuardSpec extends AnyFunSpec {
     //   1-row doc count — both the audited 1-row-stats class
     // + sourceTokenMi's three 1-row joins (N onto the pair table, N onto
     //   the |sources| marginals, the 1-row MI ⋈ 1-row H tail)
-    "graft/operators/TextAnalysis.scala" -> 16,
+    // + entropyRate's 1-row bigram total onto the type table
+    "graft/operators/TextAnalysis.scala" -> 17,
     // ... except pqTopKWith's corpus x QUERY-BATCH join (the flat-PQ ADC
     // scan: every index row scores against every query's broadcast LUT
     // — bounded by the query batch, the intended shape), one 1-row

@@ -171,6 +171,29 @@ class TextIngestMultimodalSpec extends SparkSpec {
       s"concentrated corpus must read high gini: $g")
   }
 
+  test("entropyRate: zero for deterministic sequences, exact replay for branching") {
+    def r6(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // "a b a b a b": every context has ONE successor -> H(w2|w1) = 0
+    val det = TextAnalysis.entropyRate(
+      Seq(Tuple1("a b a b a b")).toDF("text"), "text")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(det._1 == 5L && det._2 == 2L && det._3 == 2L && det._4 == 0.0)
+    // h_bigram carries the chain rule: H(w1,w2) with c = {a b: 3, b a: 2}
+    val hb = 0.0 - (BigDecimal(3) * r6(math.log(3.0 / 5.0)) +
+      BigDecimal(2) * r6(math.log(2.0 / 5.0))).toDouble / 5.0
+    assert(det._5 == hb, s"h_bigram ${det._5} != replay $hb")
+    // branching context: "x a x b" — x splits 50/50, a is deterministic
+    val br = TextAnalysis.entropyRate(
+      Seq(Tuple1("x a x b")).toDF("text"), "text")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    val hr = 0.0 - (BigDecimal(1) * r6(math.log(1.0 / 2.0)) +
+      BigDecimal(1) * r6(math.log(1.0 / 2.0)) +
+      BigDecimal(1) * r6(math.log(1.0 / 1.0))).toDouble / 3.0
+    assert(br._1 == 3L && br._2 == 3L && br._3 == 2L && br._4 == hr,
+      s"h_rate ${br._4} != replay $hr")
+  }
+
   test("sourceTokenMi: zero when independent, U -> 1 when tokens identify sources") {
     // identical distributions: every ln argument is exactly 1 -> MI = 0
     val indep = TextAnalysis.sourceTokenMi(
