@@ -3237,7 +3237,7 @@ object SparkEntry {
         |  FROM u),
         |a AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
         |    CAST(sum(ca * mr2) AS BIGINT) AS r2a,
-        |    CAST(sum(t * t * t - t) AS BIGINT) AS t3 FROM r),
+        |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS t3 FROM r),
         |f AS (SELECT na, nb,
         |    (CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)) / 2.0 AS u_stat,
         |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
@@ -3364,7 +3364,8 @@ object SparkEntry {
         |    THEN CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) END AS m
         |  FROM ww GROUP BY rep),
         |tot AS (SELECT CAST(SUM(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM base),
-        |ms AS (SELECT list_sort(list(m)) AS ms, CAST(count(m) AS BIGINT) AS b FROM r)
+        |ms AS (SELECT list_sort(list(m)) AS ms, CAST(count(m) AS BIGINT) AS b
+        |  FROM r WHERE m IS NOT NULL)
         |SELECT CAST(b AS INT) AS n_reps,
         |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
         |  CASE WHEN b > 0 THEN ms[CAST(ceil(0.025 * CAST(b AS DOUBLE)) AS INT)] END AS boot_lo,

@@ -414,7 +414,11 @@ object Analytics {
     val agg0 = ranked.agg(
       sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"),
       sum(col("_ca") * col("_mr2")).as("_r2a"),
-      sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_t3"))
+      // t cast to DECIMAL(38,0) before cubing: a single tied value with
+      // > ~2.1M rows makes t^3 overflow BIGINT and ANSI mode throws; the
+      // downstream use is a double anyway (oracle mirrors via HUGEINT)
+      sum(col("_t").cast("decimal(38,0)") * col("_t") * col("_t") - col("_t"))
+        .as("_t3"))
     val naD = col("_na").cast("double")
     val nbD = col("_nb").cast("double")
     val base = agg0.select(col("_na"), col("_nb"), col("_t3"),
@@ -729,7 +733,12 @@ object Analytics {
     val bD = col("_b").cast("double")
     val loR = ceil(lit(0.025) * bD).cast("int")
     val hiR = ceil(lit(0.975) * bD).cast("int")
-    rep.agg(sort_array(collect_list(col("_m"))).as("_ms"),
+    // NULL replicate means (all-zero Poisson weights on a degenerate
+    // corpus) are dropped EXPLICITLY on both sides: relying on Spark's
+    // collect_list null-drop vs DuckDB list()'s default nulls-last order
+    // would keep ranks aligned only by engine default, not construction
+    rep.where(col("_m").isNotNull)
+      .agg(sort_array(collect_list(col("_m"))).as("_ms"),
         count(col("_m")).as("_b"))
       .crossJoin(tot) // 1-row point-estimate totals — audited class
       .select(col("_b").cast("int").as("n_reps"),

@@ -38,6 +38,11 @@ object StreamingF2 {
     val toks = batch
       .select(explode(split(trim(col("text")), "\\s+")).as("t"))
       .where(col("t") =!= "")
+    // Empty first micro-batch guard: f2Cells' global agg over zero tokens
+    // emits 96 NULL-z rows, which would seed the sketch with NULLs and make
+    // estimate()'s median-of-means element_at go out of range under ANSI.
+    // A token-free batch is a content no-op for a linear fold — skip it.
+    if (toks.isEmpty) return
     val bs = F2Sketch.f2Cells(toks, Seq.empty, "t")
       .withColumn("_bid", lit(batchId))
     val merged =
