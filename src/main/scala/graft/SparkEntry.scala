@@ -560,6 +560,16 @@ object SparkEntry {
     "quality_errors" -> ((s, d) => Quality.errorZone(annotatedOrders(s, d))),
     "pipeline_stats" -> ((s, d) => Quality.zoneStats(annotatedOrders(s, d), "orders", "o_orderkey")),
     "error_audit" -> ((s, d) => Quality.ruleAudit(annotatedOrders(s, d))),
+    // §2.1 row 17u — the two dashboard drill-ins beyond monitor_feed's
+    // aggregates (dashboard.py:124-157 get_file_content, 207-224 get_logs):
+    // typed first-50 preview of the clean zone, last-50 rejected rows with
+    // reasons. (o_orderkey, src) is the zone's unique composite, so both
+    // top-N row SETS are deterministic; plans are TakeOrderedAndProject.
+    "zone_preview" -> ((s, d) =>
+      Quality.zonePreview(Quality.cleanZone(annotatedOrders(s, d)),
+        Seq("o_orderkey", "src"), 50)),
+    "audit_tail" -> ((s, d) =>
+      Quality.auditTail(annotatedOrders(s, d), Seq("o_orderkey", "src"), 50)),
     // §2.1 row 8b — the LITERAL per-entity rule catalogs (the reference's
     // "106 rules" registry shape): 23 rules over 4 §3 entities, each
     // catalog one aggregation pass, zero-violation rules included
@@ -2597,6 +2607,27 @@ object SparkEntry {
         |SELECT rule, CAST(count(*) AS BIGINT) AS n_violations FROM (
         |  SELECT unnest(string_split(_errors, ' | ')) AS rule
         |  FROM annotated WHERE _errors <> '') GROUP BY rule""".stripMargin),
+    // Preview replay: same deterministic top-50 under the (o_orderkey, src)
+    // unique composite, same long-format unpivot; double cells print via
+    // DECIMAL(18,2) on both engines (2dp-exact money values), dtype strings
+    // are Spark simpleString names pinned as literals.
+    "zone_preview" -> (DirtyCte + """,
+        |z AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, src
+        |  FROM annotated WHERE _errors = ''
+        |  ORDER BY o_orderkey, src LIMIT 50),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY o_orderkey, src) AS INT) AS rn, * FROM z)
+        |SELECT rn, 'o_orderkey' AS col_name, 'bigint' AS dtype,
+        |  CAST(o_orderkey AS VARCHAR) AS cell FROM r
+        |UNION ALL SELECT rn, 'o_custkey', 'bigint', CAST(o_custkey AS VARCHAR) FROM r
+        |UNION ALL SELECT rn, 'o_totalprice', 'double',
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) FROM r
+        |UNION ALL SELECT rn, 'o_orderstatus', 'string', o_orderstatus FROM r
+        |UNION ALL SELECT rn, 'src', 'int', CAST(src AS VARCHAR) FROM r""".stripMargin),
+    "audit_tail" -> (DirtyCte +
+      """
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, src, _errors
+        |FROM annotated WHERE _errors <> ''
+        |ORDER BY o_orderkey DESC, src DESC LIMIT 50""".stripMargin),
     "monitor_feed" -> (DirtyCte + "," + SrcCte.stripPrefix("WITH") + """,
         |pa AS (
         |  SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -283,6 +283,54 @@ object Quality {
       .groupBy(col("m.metric").as("metric"), col("m.key").as("key"))
       .agg(count(lit(1)).cast("double").as("value"))
 
+  /** Zone-file preview (dashboard.py:124-157 `get_file_content`): the
+    * first `n` rows of a zone table in LONG format — one output row per
+    * (row, column) cell as (rn, col_name, dtype, cell) — which is exactly
+    * the reference endpoint's payload (`columns` list + row dicts) as a
+    * relation instead of JSON. `dtype` pins the zone's schema into the
+    * preview (the reference returns the column list; a typed preview is
+    * strictly more useful and costs nothing).
+    *
+    * Determinism: "first N" is meaningless on a distributed table without
+    * an order, so rows are the TOP-N under `orderCols` (callers pass a
+    * unique composite — the driver's hash compare needs a deterministic
+    * row SET). Scale: orderBy+limit plans as TakeOrderedAndProject (per-
+    * partition top-N heaps, no global sort), the row_number window runs on
+    * the already-LIMITed n-row frame (bounded — the vocab_top precedent),
+    * and the per-cell explode multiplies n by the column count map-side.
+    * Float cells print via DECIMAL(18,2) so both engines format
+    * identically (testdata money columns are 2dp-exact doubles). */
+  def zonePreview(zone: DataFrame, orderCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1 && n <= 10000, s"zonePreview needs 1 <= n <= 10000, got $n")
+    val ord = orderCols.map(col)
+    val head = zone.orderBy(ord: _*).limit(n)
+      .withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
+    val cells = zone.schema.fields.toIndexedSeq.map { f =>
+      val cell = f.dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          col(f.name).cast("decimal(18,2)").cast("string")
+        case _ => col(f.name).cast("string")
+      }
+      struct(lit(f.name).as("col_name"),
+        lit(f.dataType.simpleString).as("dtype"), cell.as("cell"))
+    }
+    head.select(col("rn"), explode(array(cells: _*)).as("_c"))
+      .select(col("rn"), col("_c.col_name").as("col_name"),
+        col("_c.dtype").as("dtype"), col("_c.cell").as("cell"))
+  }
+
+  /** Error-audit tail (dashboard.py:207-224 `get_logs` over the reject
+    * log, by way of the error zone): the LAST `n` rejected rows by stable
+    * id — what a dashboard user tails after a run to see the newest
+    * failures with their reasons. `orderCols` descending must be a unique
+    * composite for a deterministic row set; plans as
+    * TakeOrderedAndProject, never a global sort. */
+  def auditTail(annotated: DataFrame, orderCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1 && n <= 10000, s"auditTail needs 1 <= n <= 10000, got $n")
+    errorZone(annotated).orderBy(orderCols.map(col(_).desc): _*).limit(n)
+  }
+
   /** Benford's-law first-significant-digit probabilities as pinned 6dp
     * literals — log10(1 + 1/d) for d = 1..9, rounded to 6dp (they sum to
     * exactly 1.000000 at this rounding), inlined IDENTICALLY into the

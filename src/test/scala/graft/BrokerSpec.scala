@@ -86,6 +86,84 @@ class BrokerSpec extends SparkSpec {
     } finally { q2C.stop(); q2O.stop() }
   }
 
+  test("AMQP daemon: unacked messages are redelivered; acks are monotonic and idempotent") {
+    val server = new graft.streaming.AmqpLite.Server
+    try {
+      val c = new graft.streaming.AmqpLite.Client("127.0.0.1", server.port)
+      c.queueDeclare("q")
+      c.queueDeclare("q") // idempotent declare (rabbitmq queue_declare)
+      assert(c.basicPublish("q", "m1") == 1L)
+      assert(c.basicPublish("q", "m2") == 2L)
+      // fetch does NOT advance the committed offset (unacked => requeued)
+      assert(c.fetch("q", "t", 10).map(_._2) == Vector("m1", "m2"))
+      // a crashed consumer: connection drops with no ack — a NEW connection
+      // under the same tag is redelivered both messages
+      c.close()
+      val c2 = new graft.streaming.AmqpLite.Client("127.0.0.1", server.port)
+      assert(c2.fetch("q", "t", 10).map(_._2) == Vector("m1", "m2"))
+      // bounded fetch respects max (the prefetch-window discipline)
+      assert(c2.fetch("q", "t", 1).map(_._2) == Vector("m1"))
+      assert(c2.basicAck("q", "t", 2L) == 2L)
+      assert(c2.fetch("q", "t", 10).isEmpty)
+      // replayed / backward ack can never rewind the ledger
+      assert(c2.basicAck("q", "t", 1L) == 2L)
+      // over-ack clamps to the log end
+      assert(c2.basicAck("q", "t", 99L) == 2L)
+      // an independent consumer tag has its own ledger over the same queue
+      assert(c2.fetch("q", "t2", 10).map(_._2) == Vector("m1", "m2"))
+      assert(c2.committed("q", "t") == 2L && c2.committed("q", "t2") == 0L)
+      c2.close()
+    } finally server.close()
+  }
+
+  test("live-broker path: socket produce → drain → ack; restart skips committed; parity with FileTopicBroker") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_amqp").toFile.getAbsolutePath
+    val server = new graft.streaming.AmqpLite.Server
+    try {
+      val broker = new graft.streaming.AmqpLite.AmqpBroker("127.0.0.1", server.port)
+      val batch1 = Seq(
+        Event(1, ts(1), 1, "customer_created", 1.0),
+        Event(2, ts(2), 2, "customer_created", 2.0),
+        Event(3, ts(3), 3, "order_placed", 3.0))
+      // produce from EXECUTORS: 2 partitions = 2 broker connections
+      broker.publish(batch1.toDF().repartition(2), "khach_hang")
+      val n1 = broker.drainTo(spark, "khach_hang", schema, "raw_loader",
+        s"$root/raw", "run_a1")
+      assert(n1 == 3)
+      // messages queued while the consumer is offline
+      broker.publish(Seq(Event(4, ts(4), 4, "order_placed", 4.0)).toDF(), "khach_hang")
+      // consumer RESTART (same tag): the daemon's ack ledger — not any
+      // local state — guarantees only the unacked message is delivered
+      val n2 = broker.drainTo(spark, "khach_hang", schema, "raw_loader",
+        s"$root/raw", "run_a2")
+      assert(n2 == 1)
+      // nothing pending after ack
+      assert(broker.drainTo(spark, "khach_hang", schema, "raw_loader",
+        s"$root/raw", "run_a3") == 0)
+      val raw = spark.read.parquet(s"$root/raw")
+      assert(raw.where($"_run_id" === "run_a1").select("event_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(raw.where($"_run_id" === "run_a2").select("event_id")
+        .as[Long].collect().toSeq == Seq(4L))
+      // parity with the FileTopicBroker transport: same rows in, same raw-
+      // zone shape out (staged metadata columns + _source naming)
+      val fb = new FileTopicBroker(s"$root/q")
+      fb.publish((batch1 :+ Event(4, ts(4), 4, "order_placed", 4.0)).toDF(), "khach_hang")
+      val q = fb.consume(spark, "khach_hang", schema,
+        s"$root/raw_fb", s"$root/cp_fb", "run_fb")
+      try q.processAllAvailable() finally q.stop()
+      val fraw = spark.read.parquet(s"$root/raw_fb")
+      assert(raw.columns.sorted.toSeq == fraw.columns.sorted.toSeq)
+      assert(raw.select("_source").distinct().as[String].collect().toSeq
+        == Seq("topic:khach_hang"))
+      val key = (df: org.apache.spark.sql.DataFrame) =>
+        df.select("event_id", "event_type", "value")
+          .as[(Long, String, Double)].collect().toSet
+      assert(key(raw) == key(fraw))
+    } finally server.close()
+  }
+
   test("transport flag: forUri picks the Kafka wiring or the file-topic queue") {
     assert(Broker.forUri("kafka:broker1:9092,broker2:9092").isInstanceOf[KafkaBroker])
     assert(Broker.forUri("/data/queues").isInstanceOf[FileTopicBroker])

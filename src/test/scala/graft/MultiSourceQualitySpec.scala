@@ -285,4 +285,41 @@ class MultiSourceQualitySpec extends SparkSpec {
       ("id", 0L, 0L, 0L, 0L, false, false),
       ("name", 0L, 0L, 0L, 0L, false, false)))
   }
+
+  test("zonePreview emits the typed first-N cell grid deterministically") {
+    val zone = Seq((3L, "c", 30.5), (1L, "a", 10.0), (2L, "b", 20.25),
+      (4L, "d", 40.0)).toDF("id", "name", "amt")
+    val p = Quality.zonePreview(zone, Seq("id"), 2)
+    // top-N must plan as TakeOrderedAndProject (per-partition heaps) —
+    // never a global Sort feeding a Limit
+    val plan = p.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val rows = p.as[(Int, String, String, String)].collect().toSet
+    // full 2x3 cell grid of the TWO SMALLEST ids, schema pinned per cell,
+    // doubles printed at exactly 2dp
+    assert(rows == Set(
+      (1, "id", "bigint", "1"), (1, "name", "string", "a"),
+      (1, "amt", "double", "10.00"),
+      (2, "id", "bigint", "2"), (2, "name", "string", "b"),
+      (2, "amt", "double", "20.25")))
+    // NULL cells survive as NULL (not the string "null")
+    val withNull = Seq((1L, Option.empty[String], 1.0)).toDF("id", "name", "amt")
+    val cells = Quality.zonePreview(withNull, Seq("id"), 1)
+      .where(col("col_name") === "name").select("cell")
+      .as[Option[String]].collect()
+    assert(cells.toSeq == Seq(None))
+  }
+
+  test("auditTail returns exactly the last-N error rows by stable id") {
+    val annotated = Seq(
+      (1L, "", "x"), (2L, "bad_a", "x"), (3L, "", "x"),
+      (4L, "bad_b", "x"), (5L, "bad_a | bad_b", "x"), (6L, "bad_c", "x")
+    ).toDF("id", Quality.ErrorsCol, "payload")
+      .select(col("id"), col("payload"), col(Quality.ErrorsCol))
+    val t = Quality.auditTail(annotated, Seq("id"), 2)
+    assert(t.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val ids = t.select("id", Quality.ErrorsCol).as[(Long, String)].collect().toSet
+    // ids 2 and 4 are errors too, but 5 and 6 are the LAST two
+    assert(ids == Set((6L, "bad_c"), (5L, "bad_a | bad_b")))
+  }
 }
