@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Bpe
+
+/** Round-log probe for the DISTRIBUTED BPE merge carrier — the
+  * > [[graft.operators.Bpe.DriverVocabBound]] branch that real corpora
+  * only hit past ~1M distinct words, so the per-round bench never times
+  * it. Forces the distributed loop over the sf documents table
+  * (`driverVocabBound = 0`), asserts the dispatch actually took it, and
+  * prints per-merge-round wall seconds plus the driver-kernel total on
+  * the SAME corpus — the scale path's cost model, measured (VERDICT r16
+  * #7). Usage: `tools/run.sh graft.BpeProbe <sfDir> [numMerges]`. */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val numMerges = if (args.length > 1) args(1).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    val t0 = System.nanoTime()
+    val dist = Bpe.train(docs, "text", numMerges,
+      memoize = false, driverVocabBound = 0L)
+    val distSec = (System.nanoTime() - t0) / 1e9
+    require(Bpe.lastTrainCarrier == "distributed",
+      s"expected the distributed carrier, took '${Bpe.lastTrainCarrier}'")
+    val rounds = {
+      import scala.jdk.CollectionConverters._
+      Bpe.lastRoundSecs.asScala.map(_.doubleValue).toVector
+    }
+    def f(v: Double): String = f"$v%.2f"
+    println(s"carrier=distributed merges=${dist.size} total_sec=${f(distSec)} " +
+      s"rounds=[${rounds.map(f).mkString(",")}] " +
+      s"round_min=${f(rounds.min)} round_med=${f(rounds.sorted.apply(rounds.size / 2))} " +
+      s"round_max=${f(rounds.max)}")
+
+    val t1 = System.nanoTime()
+    val drv = Bpe.train(docs, "text", numMerges, memoize = false)
+    val drvSec = (System.nanoTime() - t1) / 1e9
+    println(s"carrier=${Bpe.lastTrainCarrier} merges=${drv.size} total_sec=${f(drvSec)}")
+    println(s"merge_lists_equal=${dist == drv}")
+    spark.stop()
+  }
+}

@@ -82,6 +82,16 @@ object Bpe {
     * fits one machine. */
   val DriverVocabBound: Long = 1000000L
 
+  /** Probe instrumentation (BpeSpec / graft.BpeProbe only): which carrier
+    * the last non-memoized training run dispatched to ("driver" |
+    * "distributed"), and — for the distributed carrier — the wall seconds
+    * of each merge round (one vocabulary-table job per round). Exists so
+    * the carrier dispatch is ASSERTABLE and the scale path's per-round
+    * cost lands in the round log; never read by library code. */
+  @volatile private[graft] var lastTrainCarrier: String = ""
+  private[graft] val lastRoundSecs =
+    new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
+
   /** Train `numMerges` BPE merges on the corpus. Returns the ordered merge
     * list (rank order = training order). Rounds stop early when no
     * adjacent pair reaches `minPairCount` (merging hapax pairs only bloats
@@ -140,9 +150,13 @@ object Bpe {
       .localCheckpoint()
     // the checkpoint is already materialized, so this count is metadata-cheap
     if (words.count() <= driverVocabBound) {
+      lastTrainCarrier = "driver"
       val vocab = words.collect().map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
       trainDriver(vocab, numMerges, minPairCount)
-    } else trainDistributed(words, numMerges, minPairCount)
+    } else {
+      lastTrainCarrier = "distributed"
+      trainDistributed(words, numMerges, minPairCount)
+    }
   }
 
   /** Distributed merge rounds for vocabularies past the driver bound: one
@@ -154,7 +168,9 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var exhausted = false
+    lastRoundSecs.clear()
     while (!exhausted && round < numMerges) {
+      val roundT0 = System.nanoTime()
       val n1 = greatest(size(col("symbols")) - 1, lit(0))
       val best = words
         .select(col("freq"),
@@ -176,6 +192,7 @@ object Bpe {
         round += 1
         if (round % 4 == 0) words = words.localCheckpoint()
       }
+      lastRoundSecs.add((System.nanoTime() - roundT0) / 1e9)
     }
     merges.toSeq
   }

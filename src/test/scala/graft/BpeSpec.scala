@@ -80,7 +80,18 @@ class BpeSpec extends SparkSpec {
     val docs = corpus.toDF("doc_id", "text")
     // vocab far under the bound -> driver kernel; bound 0 -> distributed
     val fast = Bpe.train(docs, "text", 12, memoize = false)
+    // dispatch assertion (VERDICT r16 #7): the default bound on a small
+    // vocab must take the driver kernel...
+    assert(Bpe.lastTrainCarrier == "driver", Bpe.lastTrainCarrier)
     val dist = Bpe.train(docs, "text", 12, memoize = false, driverVocabBound = 0L)
+    // ...and bound 0 must actually take the DISTRIBUTED loop — otherwise
+    // this test would compare the driver kernel to itself and the scale
+    // path would be dead code that still reads as covered
+    assert(Bpe.lastTrainCarrier == "distributed", Bpe.lastTrainCarrier)
+    // the distributed carrier records one wall-time sample per merge round
+    // (the BpeProbe round-log instrumentation)
+    // (>=: the final exhausted-probe round also records a sample)
+    assert(Bpe.lastRoundSecs.size() >= dist.size, s"${Bpe.lastRoundSecs.size()}")
     assert(fast == dist, s"\ndriver: $fast\ndist:   $dist")
     assert(fast == refTrain(wordFreq(corpus.map(_._2)), 12))
   }
