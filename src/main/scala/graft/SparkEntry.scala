@@ -1074,6 +1074,19 @@ object SparkEntry {
           lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-01"),
           col("doc_id"), lit(" at 192.168.0."), pmod(col("doc_id"), lit(256))))
           .as("scrubbed"))),
+    // §2.2 row 27b (r17 tier 2) — Luhn-VALIDATED card detection: plants a
+    // valid PAN (%7), a checksum-broken twin (%11), and a spaced valid PAN
+    // (%13) so both verdicts + the separator path fire at every SF; the
+    // mod-10 HOF arithmetic is integer-exact on both engines
+    "pii_luhn" -> ((s, d) =>
+      TextAnalysis.luhnCandidates(
+        Tables.documents(s, d).where(col("text").isNotNull)
+          .select(col("doc_id"), concat(col("text"),
+            when(col("doc_id") % 7 === 0, lit(" card 4111111111111111"))
+              .when(col("doc_id") % 11 === 0, lit(" card 4111111111111112"))
+              .when(col("doc_id") % 13 === 0, lit(" card 4111 1111 1111 1111 ok"))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text")),
     // §2.2 row 29f — deterministic stratified sampling (corpus mixing)
     "sample_stratified" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d), "source", "doc_id", 5)
@@ -3756,6 +3769,30 @@ object SparkEntry {
         |  '${TextAnalysis.Ipv4Re}', '[IP]', 'g'),
         |  '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS scrubbed
         |FROM documents""".stripMargin),
+    // Luhn replay: identical RE2 candidate extraction, the same right-to-
+    // left double-every-second digit sum as integer list arithmetic.
+    "pii_luhn" -> (
+      s"""WITH d2 AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' card 4111111111111111'
+        |         WHEN doc_id % 11 = 0 THEN ' card 4111111111111112'
+        |         WHEN doc_id % 13 = 0 THEN ' card 4111 1111 1111 1111 ok'
+        |         ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |cand AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '${TextAnalysis.CardRe}')) AS candidate
+        |  FROM d2),
+        |dd AS (SELECT doc_id, candidate,
+        |    regexp_replace(candidate, '[ -]', '', 'g') AS digits FROM cand)
+        |SELECT doc_id, candidate, digits,
+        |  (length(digits) BETWEEN 13 AND 19 AND
+        |   CAST(list_sum(list_transform(range(1, length(digits) + 1), i ->
+        |     CASE WHEN (length(digits) - i) % 2 = 1
+        |          THEN CASE WHEN 2 * (ascii(substr(digits, i, 1)) - 48) > 9
+        |               THEN 2 * (ascii(substr(digits, i, 1)) - 48) - 9
+        |               ELSE 2 * (ascii(substr(digits, i, 1)) - 48) END
+        |          ELSE ascii(substr(digits, i, 1)) - 48 END)) AS BIGINT) % 10 = 0)
+        |  AS valid
+        |FROM dd""".stripMargin),
     "corpus_shuffle" ->
       """SELECT doc_id, CAST(row_number() OVER (
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR))

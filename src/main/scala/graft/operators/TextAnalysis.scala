@@ -638,6 +638,54 @@ object TextAnalysis {
     regexp_replace(noIp, PhoneRe, "[PHONE]")
   }
 
+  /** Card-number candidate: 13-19 digits, optionally single-space/dash
+    * separated (the PAN formats card networks issue). RE2-compatible — no
+    * lookarounds — so both engines extract IDENTICAL candidate spans:
+    * left-to-right greedy non-overlapping scans agree, and a >19-digit
+    * run yields one 19-digit candidate that the checksum then rejects
+    * (boundary lookarounds would need backrefs RE2 lacks). */
+  val CardRe = "[0-9](?:[ -]?[0-9]){12,18}"
+
+  /** Luhn mod-10 digit sum (ISO/IEC 7812; Luhn 1960, US patent 2,950,048):
+    * from the RIGHT, every second digit doubles (minus 9 past 9) before
+    * the sum. Pure HOF arithmetic over `sequence(1, len)` — codegen'd, no
+    * UDF, and each step is integer-exact on any engine. */
+  private def luhnSum(digits: Column): Column =
+    aggregate(sequence(lit(1), length(digits)), lit(0), (acc, i) => {
+      val dig = ascii(digits.substr(i, lit(1))) - lit(48)
+      val dbl = dig * lit(2)
+      acc + when(((length(digits) - i) % 2) === 1,
+        when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(dig)
+    })
+
+  /** True iff `digits` is a Luhn-VALID 13-19 digit PAN. */
+  private def luhnValid(digits: Column): Column =
+    length(digits).between(13, 19) && (luhnSum(digits) % 10 === 0)
+
+  /** Checksum-validated card-number detection — the PII tier a regex
+    * alone cannot express (the Presidio-class discipline): a 16-digit
+    * order id and a real PAN look identical to [[CardRe]]; only the Luhn
+    * mod-10 check separates them, so scrubbing on the regex alone
+    * mangles ids while skipping the check leaks cards. One row per
+    * candidate span with its digits and verdict — the audit grain a
+    * compliance review wants BEFORE committing to a scrub. Map-side only:
+    * extract + explode + integer HOF per candidate, no shuffle. */
+  def luhnCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(CardRe), lit(0))).as("candidate"))
+      .withColumn("digits", regexp_replace(col("candidate"), "[ -]", ""))
+      .withColumn("valid", luhnValid(col("digits")))
+
+  /** The scrub itself: replace only the Luhn-VALID candidates with
+    * `[CARD]` (invalid digit runs — ids, timestamps — survive). Fold of
+    * `replace` over the filtered candidate list, all codegen'd HOFs. */
+  def piiScrubCards(text: Column): Column =
+    aggregate(
+      filter(regexp_extract_all(text, lit(CardRe), lit(0)),
+        c => luhnValid(regexp_replace(c, "[ -]", ""))),
+      text,
+      (acc, c) => replace(acc, c, lit("[CARD]")))
+
   /** Weighted mixture sampling — the corpus-assembly primitive: keep each
     * document with its stratum's probability (e.g. upsample English, damp a
     * crawl-heavy source), deterministically. A doc is kept iff the first 8

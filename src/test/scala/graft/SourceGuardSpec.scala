@@ -112,7 +112,10 @@ class SourceGuardSpec extends AnyFunSpec {
     // are bucketed first per the scaladoc; round 16 adds mannWhitneyU's
     // midrank cumulative (the same post-aggregation value-domain frame)
     // and cusumDaily's day-spine cumulative (bounded by the calendar)
-    "graft/operators/Analytics.scala" -> 4)
+    "graft/operators/Analytics.scala" -> 4,
+    // zonePreview's rn window runs on its own LIMITed first-N frame
+    // (require-capped n <= 10000) — the vocab_top post-limit class
+    "graft/operators/Quality.scala" -> 1)
 
   private val mapPartitionsBudget = Map(
     // opaque-binary decode: no Catalyst expression form exists

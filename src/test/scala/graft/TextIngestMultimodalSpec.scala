@@ -477,6 +477,39 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(clean == "no personal data here at all")
   }
 
+  test("Luhn card tier: checksum separates PANs from lookalike digit runs; scrub hits only valid") {
+    val docs = Seq(
+      (1L, "pay with 4111111111111111 today"),          // valid Visa test PAN
+      (2L, "order id 4111111111111112 shipped"),        // checksum-broken twin
+      (3L, "card 4111 1111 1111 1111 on file"),         // spaced, valid
+      (4L, "amex 378282246310005 ok"),                  // 15-digit valid
+      (5L, "ref 12345678901234567890 long"),            // 20 digits: 19-digit prefix candidate, invalid
+      (6L, "call +1 555 0100 now"),                     // too short: no candidate
+      (7L, "5610591081018250 diners")                   // another valid vector
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.luhnCandidates(docs, "doc_id", "text")
+      .select("doc_id", "digits", "valid").as[(Long, String, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "4111111111111111", true),
+      (2L, "4111111111111112", false),
+      (3L, "4111111111111111", true),
+      (4L, "378282246310005", true),
+      (5L, "1234567890123456789", false),
+      (7L, "5610591081018250", true)))
+    // the scrub replaces ONLY Luhn-valid spans — the broken twin (an order
+    // id to a regex) survives verbatim, the spaced PAN is caught whole
+    val scrubbed = docs.select(col("doc_id"), TextAnalysis.piiScrubCards(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(scrubbed(1L) == "pay with [CARD] today")
+    assert(scrubbed(2L) == "order id 4111111111111112 shipped")
+    assert(scrubbed(3L) == "card [CARD] on file")
+    assert(scrubbed(4L) == "amex [CARD] ok")
+    assert(scrubbed(5L) == "ref 12345678901234567890 long")
+    assert(scrubbed(6L) == "call +1 555 0100 now")
+    assert(scrubbed(7L) == "[CARD] diners")
+  }
+
   test("sampleStratified draws exactly k per stratum, deterministically") {
     val docs = (1L to 40L).map(i => (i, if (i % 2 == 0) "web" else "book")).toDF("doc_id", "source")
     val s1 = TextAnalysis.sampleStratified(docs, "source", "doc_id", 3)
