@@ -57,6 +57,20 @@ class PlanAuditSpec extends SparkSpec {
       || p.toLowerCase.contains("partial"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("pii_luhn is entirely map-side: no keyed shuffle, zero joins") {
+    // (no WholeStageCodegen pin: lambda HOFs evaluate interpreted inside
+    // the Project — still per-row map-side work, just not janino'd; the
+    // loader's round-robin spread of the one-row-group testdata is the
+    // only permitted Exchange — it carries no key and exists only so
+    // local[n] parallelizes the scan)
+    val p = planOf("pii_luhn")
+    val keyedExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+      .toSeq
+    assert(keyedExchanges.isEmpty, s"the checksum scan must not shuffle on a key:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a per-row checksum:\n$p")
+  }
+
   test("hll_registers partial-aggregates map-side: <= 256 rows per task cross the shuffle") {
     val p = planOf("hll_registers")
     // one partial HashAggregate below the bucket exchange, final above —
