@@ -193,6 +193,20 @@ object SparkEntry {
     * constant discipline). */
   private val SubstrRun = 8
 
+  /** The C1 control planted for mojibake_gate's c1_cnt — U+0091 (cp1252
+    * left-quote read as Latin-1), deliberately NOT one of Java's line
+    * terminators (U+0085 would make `.` semantics diverge between Java
+    * regex and RE2). Interpolated into BOTH the Spark plant and the
+    * DuckDB oracle so the bytes are identical. */
+  private val MojiC1 = "\u0091"
+
+  /** mojibake_gate's planted artifact strings — shared constants so the
+    * Spark plant and the DuckDB oracle interpolate IDENTICAL bytes
+    * (explicit escapes; raw control chars in source are edit hazards). */
+  private val MojiPlant17 = " caf\u00c3\u00a9 d\u00c3\u00a9j\u00c3\u00a0 vu"
+  private val MojiPlant19 = " bad \ufffd\ufffd data"
+  private val MojiPlant23 = " quote \u00e2\u20ac\u2122 mark \u00c2 tail " + MojiC1 + "end"
+
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     d.unionByName(d.filter(col("doc_id") % 20 === 0)
@@ -1752,6 +1766,21 @@ object SparkEntry {
     }),
     // §2.2 rows 27-30 — text analysis
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d), "doc_id", "text")),
+    // §2.2 row L27x — encoding-artifact (mojibake) gate: plants all three
+    // artifact classes on doc_id moduli (digraphs %17, U+FFFD %19,
+    // â€/Â digraphs + a raw C1 NEL %23) so every counter and both keep
+    // verdicts fire at every SF; raw testdata carries NONE of these bytes
+    // (verified), so the Java-vs-RE2 dot/line-terminator edge never sees
+    // real data — plants keep artifact chars away from line terminators
+    "mojibake_gate" -> ((s, d) =>
+      TextAnalysis.mojibakeGate(
+        Tables.documents(s, d).where(col("text").isNotNull)
+          .select(col("doc_id"), concat(col("text"),
+            when(col("doc_id") % 17 === 0, lit(MojiPlant17))
+              .when(col("doc_id") % 19 === 0, lit(MojiPlant19))
+              .when(col("doc_id") % 23 === 0, lit(MojiPlant23))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text")),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
     "token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text", 3)),
@@ -3793,6 +3822,30 @@ object SparkEntry {
         |          ELSE ascii(substr(digits, i, 1)) - 48 END)) AS BIGINT) % 10 = 0)
         |  AS valid
         |FROM dd""".stripMargin),
+    // Mojibake replay: identical planted artifact strings (shared Scala
+    // constants interpolated into both engines), identical RE2 classes,
+    // bad_permille one terminal division (engine-exact, unrounded).
+    "mojibake_gate" -> (
+      s"""WITH d2 AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 17 = 0 THEN '$MojiPlant17'
+        |         WHEN doc_id % 19 = 0 THEN '$MojiPlant19'
+        |         WHEN doc_id % 23 = 0 THEN '$MojiPlant23'
+        |         ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '${TextAnalysis.MojibakeReplRe}')) AS INT) AS repl_cnt,
+        |    CAST(len(regexp_extract_all(text, '${TextAnalysis.MojibakeC1Re}')) AS INT) AS c1_cnt,
+        |    CAST(len(regexp_extract_all(text, '${TextAnalysis.MojibakeDigraphRe}')) AS INT) AS digraph_cnt
+        |  FROM d2),
+        |r AS (SELECT doc_id, n_chars, repl_cnt, c1_cnt, digraph_cnt,
+        |    CASE WHEN n_chars > 0
+        |      THEN CAST(repl_cnt + c1_cnt + digraph_cnt AS DOUBLE) * 1000.0
+        |           / CAST(n_chars AS DOUBLE)
+        |      ELSE 0.0 END AS bad_permille
+        |  FROM c)
+        |SELECT doc_id, n_chars, repl_cnt, c1_cnt, digraph_cnt, bad_permille,
+        |  bad_permille <= 2.0 AS keep
+        |FROM r""".stripMargin),
     "corpus_shuffle" ->
       """SELECT doc_id, CAST(row_number() OVER (
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR))

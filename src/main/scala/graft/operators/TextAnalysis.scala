@@ -39,6 +39,43 @@ object TextAnalysis {
         / nTok.cast("double"), 6).as("mean_token_len"))
   }
 
+  /** Encoding-artifact detector patterns — the three mojibake classes a
+    * web-crawl cleaning pass looks for (the ftfy/CCNet discipline):
+    * REPLACEMENT chars mean a decoder already gave up; C1 controls
+    * (U+0080-U+009F) are the signature of cp1252 bytes mislabeled as
+    * Latin-1/UTF-8; and the `Ã`/`Â`/`â€` digraphs are UTF-8 bytes decoded
+    * as Latin-1/cp1252 (é → Ã©, ’ → â€™, NBSP → Â ). All three are plain
+    * RE2-compatible classes so both engines count identical spans. */
+  val MojibakeReplRe = "�"
+  val MojibakeC1Re = "[\\x80-\\x9F]"
+  val MojibakeDigraphRe = "Ã.|Â.|â€."
+
+  /** Encoding-artifact (mojibake) quality gate: per-doc counts of the
+    * three artifact classes, an exact per-mille ratio, and the keep flag.
+    * A corpus-cleaning pass runs this BEFORE tokenization — a document
+    * full of `Ã©`/U+FFFD inflates vocabulary with garbage types and
+    * poisons dedup shingles, and no downstream gate sees the problem once
+    * the text is tokenized. Pure map-side regexp counting (one projection,
+    * no shuffle); `bad_permille` is ONE terminal division — engine-exact
+    * by the single-op rule, no rounding needed. */
+  def mojibakeGate(docs: DataFrame, idCol: String, textCol: String,
+                   maxPermille: Double = 2.0): DataFrame = {
+    val t = col(textCol)
+    def cnt(re: String) = size(regexp_extract_all(t, lit(re), lit(0)))
+    docs.select(
+        col(idCol),
+        length(t).as("n_chars"),
+        cnt(MojibakeReplRe).as("repl_cnt"),
+        cnt(MojibakeC1Re).as("c1_cnt"),
+        cnt(MojibakeDigraphRe).as("digraph_cnt"))
+      .withColumn("bad_permille",
+        when(col("n_chars") > 0,
+          (col("repl_cnt") + col("c1_cnt") + col("digraph_cnt")).cast("double")
+            * lit(1000.0) / col("n_chars").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("bad_permille") <= maxPermille)
+  }
+
   /** Stopword-count language heuristic with a deterministic precedence chain
     * (en > fr > de > es; no hits → "und"). Emits the per-language counts so
     * the decision is auditable. */

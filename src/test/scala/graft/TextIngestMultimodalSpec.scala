@@ -477,6 +477,30 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(clean == "no personal data here at all")
   }
 
+  test("mojibakeGate counts each artifact class and keeps clean text") {
+    val docs = Seq(
+      (1L, "clean english text with words"),
+      (2L, "caf\u00c3\u00a9 d\u00c3\u00a9j\u00c3\u00a0"), // 3 double-UTF8 digraphs
+      (3L, "lost \ufffd\ufffd bytes"),                    // 2 replacement chars
+      (4L, "cp1252 \u0091quote\u0092 here"),              // 2 C1 controls
+      (5L, "")                                          // empty: permille 0, keep
+    ).toDF("doc_id", "text")
+    val g = TextAnalysis.mojibakeGate(docs, "doc_id", "text")
+      .select("doc_id", "repl_cnt", "c1_cnt", "digraph_cnt", "keep")
+      .as[(Long, Int, Int, Int, Boolean)].collect().sortBy(_._1)
+    assert(g.toSeq == Seq(
+      (1L, 0, 0, 0, true),
+      (2L, 0, 0, 3, false), // 3 artifacts in 14 chars >> 2 permille
+      (3L, 2, 0, 0, false),
+      (4L, 0, 2, 0, false),
+      (5L, 0, 0, 0, true)))
+    // the permille is an exact single division (terminal-op rule)
+    val p = TextAnalysis.mojibakeGate(docs, "doc_id", "text")
+      .where(col("doc_id") === 3).select("bad_permille")
+      .as[Double].collect().head
+    assert(p == 2.0 * 1000.0 / 13.0) // "lost \ufffd\ufffd bytes" = 13 chars
+  }
+
   test("Luhn card tier: checksum separates PANs from lookalike digit runs; scrub hits only valid") {
     val docs = Seq(
       (1L, "pay with 4111111111111111 today"),          // valid Visa test PAN
