@@ -207,6 +207,15 @@ object SparkEntry {
   private val MojiPlant19 = " bad \ufffd\ufffd data"
   private val MojiPlant23 = " quote \u00e2\u20ac\u2122 mark \u00c2 tail " + MojiC1 + "end"
 
+  /** script_profile's planted script samples — Cyrillic / Han+digits /
+    * Arabic / accented-Latin, all code points whose script assignment
+    * predates Unicode 3.0 (stable across the engines' Unicode tables);
+    * shared constants so both engines see identical bytes. */
+  private val ScriptPlant29 = " Привет мир"
+  private val ScriptPlant31 = " 中文数据 123"
+  private val ScriptPlant37 = " مرحبا بالعالم"
+  private val ScriptPlant41 = " café déjà vu naïve"
+
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     d.unionByName(d.filter(col("doc_id") % 20 === 0)
@@ -1781,6 +1790,20 @@ object SparkEntry {
               .when(col("doc_id") % 23 === 0, lit(MojiPlant23))
               .otherwise(lit(""))).as("text")),
         "doc_id", "text")),
+    // §2.2 row L28b — per-source Unicode-script profile: plants Cyrillic
+    // (%29), Han+digits (%31), Arabic (%37), accented Latin (%41) on
+    // doc_id moduli so every script counter fires at every SF (raw
+    // testdata is pure ASCII — verified)
+    "script_profile" -> ((s, d) =>
+      TextAnalysis.scriptProfile(
+        Tables.documents(s, d).where(col("text").isNotNull)
+          .select(col("source"), concat(col("text"),
+            when(col("doc_id") % 29 === 0, lit(ScriptPlant29))
+              .when(col("doc_id") % 31 === 0, lit(ScriptPlant31))
+              .when(col("doc_id") % 37 === 0, lit(ScriptPlant37))
+              .when(col("doc_id") % 41 === 0, lit(ScriptPlant41))
+              .otherwise(lit(""))).as("text")),
+        "source", "text")),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
     "token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text", 3)),
@@ -3846,6 +3869,42 @@ object SparkEntry {
         |SELECT doc_id, n_chars, repl_cnt, c1_cnt, digraph_cnt, bad_permille,
         |  bad_permille <= 2.0 AS keep
         |FROM r""".stripMargin),
+    // Script-profile replay: same planted samples (shared constants), the
+    // RE2 spellings of the same script classes (\p{Latin} vs Java's
+    // \p{IsLatin}), exact integer sums, one terminal division.
+    "script_profile" -> {
+      def re2(name: String): String =
+        TextAnalysis.ScriptClasses.find(_._1 == name).get._3
+      s"""WITH d2 AS (SELECT source, text ||
+        |    CASE WHEN doc_id % 29 = 0 THEN '$ScriptPlant29'
+        |         WHEN doc_id % 31 = 0 THEN '$ScriptPlant31'
+        |         WHEN doc_id % 37 = 0 THEN '$ScriptPlant37'
+        |         WHEN doc_id % 41 = 0 THEN '$ScriptPlant41'
+        |         ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT source, CAST(length(text) AS BIGINT) AS n,
+        |    CAST(len(regexp_extract_all(text, '${re2("latin")}')) AS BIGINT) AS latin,
+        |    CAST(len(regexp_extract_all(text, '${re2("digit")}')) AS BIGINT) AS digit,
+        |    CAST(len(regexp_extract_all(text, '${re2("cyrillic")}')) AS BIGINT) AS cyr,
+        |    CAST(len(regexp_extract_all(text, '${re2("han")}')) AS BIGINT) AS han,
+        |    CAST(len(regexp_extract_all(text, '${re2("arabic")}')) AS BIGINT) AS arab,
+        |    CAST(len(regexp_extract_all(text, '${re2("space")}')) AS BIGINT) AS sp
+        |  FROM d2)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_chars,
+        |  CAST(SUM(latin) AS BIGINT) AS latin_cnt,
+        |  CAST(SUM(digit) AS BIGINT) AS digit_cnt,
+        |  CAST(SUM(cyr) AS BIGINT) AS cyrillic_cnt,
+        |  CAST(SUM(han) AS BIGINT) AS han_cnt,
+        |  CAST(SUM(arab) AS BIGINT) AS arabic_cnt,
+        |  CAST(SUM(sp) AS BIGINT) AS space_cnt,
+        |  CAST(SUM(n) - SUM(latin) - SUM(digit) - SUM(cyr) - SUM(han)
+        |    - SUM(arab) - SUM(sp) AS BIGINT) AS other_cnt,
+        |  CASE WHEN SUM(n) > 0
+        |    THEN CAST(SUM(n) - SUM(latin) - SUM(digit) - SUM(sp) AS DOUBLE)
+        |         * 1000.0 / CAST(SUM(n) AS DOUBLE)
+        |    ELSE 0.0 END AS non_latin_permille
+        |FROM c GROUP BY source""".stripMargin
+    },
     "corpus_shuffle" ->
       """SELECT doc_id, CAST(row_number() OVER (
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR))

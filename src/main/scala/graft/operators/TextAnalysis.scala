@@ -76,6 +76,53 @@ object TextAnalysis {
       .withColumn("keep", col("bad_permille") <= maxPermille)
   }
 
+  /** Unicode-script classes for [[scriptProfile]], as (name, javaRe,
+    * re2Re): Java regex names scripts `\p{IsLatin}`, RE2 `\p{Latin}` —
+    * same classes, different spellings, so both patterns are carried.
+    * `space` is an EXPLICIT char class because the engines' `\s` differ
+    * (Java includes U+000B, RE2 does not — the round-13 VT lesson). The
+    * five scripts are disjoint from each other and from digits/space
+    * (digits and whitespace are script=Common), so `other` is exact
+    * subtraction. */
+  val ScriptClasses: Seq[(String, String, String)] = Seq(
+    ("latin", "\\p{IsLatin}", "\\p{Latin}"),
+    ("digit", "\\p{Nd}", "\\p{Nd}"),
+    ("cyrillic", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
+    ("han", "\\p{IsHan}", "\\p{Han}"),
+    ("arabic", "\\p{IsArabic}", "\\p{Arabic}"),
+    ("space", "[ \\t\\n\\r\\f]", "[ \\t\\n\\r\\f]"))
+
+  /** Per-source Unicode-script distribution — the multilingual
+    * corpus-PLANNING diagnostic (what fraction of each source is Latin /
+    * CJK / Cyrillic / Arabic / digits), upstream of [[langId]]'s per-doc
+    * call: language ID tells you what a document is, the script profile
+    * tells you what a SOURCE is before you spend a tokenizer or a
+    * mixture weight on it. Char-class counts are map-side
+    * `regexp_extract_all` projections; per-source sums are exact
+    * integers; `non_latin_permille` (content signal: scripts outside
+    * Latin/digit/space) is ONE terminal division. Scale: one scan, one
+    * source-keyed aggregate with map-side combine. */
+  def scriptProfile(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val perDoc = docs.select(
+      (col(srcCol).as("source") +: length(t).cast("long").as("_n") +:
+        ScriptClasses.map { case (n, javaRe, _) =>
+          size(regexp_extract_all(t, lit(javaRe), lit(0))).cast("long").as(s"_$n")
+        }): _*)
+    val agg = perDoc.groupBy(col("source")).agg(
+      sum(col("_n")).as("n_chars"),
+      ScriptClasses.map { case (n, _, _) => sum(col(s"_$n")).as(s"${n}_cnt") }: _*)
+    val nonLatin = col("n_chars") - col("latin_cnt") - col("digit_cnt") - col("space_cnt")
+    agg
+      .withColumn("other_cnt",
+        col("n_chars") - col("latin_cnt") - col("digit_cnt") - col("cyrillic_cnt")
+          - col("han_cnt") - col("arabic_cnt") - col("space_cnt"))
+      .withColumn("non_latin_permille",
+        when(col("n_chars") > 0,
+          nonLatin.cast("double") * lit(1000.0) / col("n_chars").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Stopword-count language heuristic with a deterministic precedence chain
     * (en > fr > de > es; no hits → "und"). Emits the per-language counts so
     * the decision is auditable. */

@@ -477,6 +477,22 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(clean == "no personal data here at all")
   }
 
+  test("scriptProfile counts disjoint script classes per source; other is exact subtraction") {
+    val docs = Seq(
+      ("a", "hello world 42"),
+      ("a", "Привет 中文 مرحبا"), // cyr6 han2 arab5
+      ("b", "naïve café — ok") // accented latin; em-dash = other
+    ).toDF("source", "text")
+    val g = TextAnalysis.scriptProfile(docs, "source", "text")
+      .select("source", "n_chars", "latin_cnt", "digit_cnt", "cyrillic_cnt",
+        "han_cnt", "arabic_cnt", "space_cnt", "other_cnt", "non_latin_permille")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(g.toSeq == Seq(
+      ("a", 29L, 10L, 2L, 6L, 2L, 5L, 4L, 0L, 13L * 1000.0 / 29.0),
+      ("b", 15L, 11L, 0L, 0L, 0L, 0L, 3L, 1L, 1000.0 / 15.0)))
+  }
+
   test("mojibakeGate counts each artifact class and keeps clean text") {
     val docs = Seq(
       (1L, "clean english text with words"),
