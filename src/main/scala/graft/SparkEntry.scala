@@ -1938,6 +1938,17 @@ object SparkEntry {
     "quality_classify" -> ((s, d) =>
       TextAnalysis.hashClassifier(Tables.documents(s, d), "doc_id", "text",
         classifierWeights)),
+    // §2.2 row L27y — gate-agreement: Cohen's kappa between the heuristic
+    // composite gate (corpus_gate keep) and the trained-classifier gate
+    // (quality_classify kept) — does the classifier add information over
+    // the heuristics, or re-measure them?
+    "gate_agreement" -> ((s, d) => {
+      val g = TextAnalysis.corpusGate(Tables.documents(s, d), "doc_id", "text",
+        30, 0.05, 0.2).select(col("doc_id"), col("keep").as("_a"))
+      val c = TextAnalysis.hashClassifier(Tables.documents(s, d), "doc_id", "text",
+        classifierWeights).select(col("doc_id"), col("kept").as("_b"))
+      Analytics.cohenKappa(g.join(c, Seq("doc_id")), col("_a"), col("_b"))
+    }),
     // §2.2 row 27k — domain-level keep decision above the per-doc gate:
     // a source survives only when it's big enough to judge AND mostly
     // classifier-clean (the spam-domain wholesale drop)
@@ -5623,6 +5634,65 @@ object SparkEntry {
         |SELECT source, n_docs, mean_chars, keep_rate,
         |  n_docs >= 10 AND keep_rate > 0.5 AS src_kept
         |FROM g""".stripMargin,
+    // Kappa replay: the corpus_gate keep chain + the quality_classify
+    // kept chain joined per doc, the 2x2 contingency, and kappa in its
+    // cleared-denominator integer form carried in HUGEINT (products of
+    // two row counts overflow BIGINT past ~3B rows), one terminal
+    // division per output double.
+    "gate_agreement" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |q AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |    round(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+        |      AS DOUBLE) / len(w), 6) AS stop_ratio
+        |  FROM t),
+        |grams AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+        |  FROM t WHERE len(w) >= 2),
+        |per AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram),
+        |agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_grams FROM per GROUP BY doc_id),
+        |dupf AS (SELECT doc_id,
+        |    round(CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams, 6) AS df
+        |  FROM agg),
+        |ga AS (SELECT q.doc_id,
+        |    (concat_ws(' | ',
+        |      CASE WHEN q.n_tokens < 30 THEN 'too_short' END,
+        |      CASE WHEN q.stop_ratio < 0.05 THEN 'low_stopword_ratio' END,
+        |      CASE WHEN coalesce(dupf.df, 0.0) > 0.2 THEN 'repetitive' END) = '') AS a
+        |  FROM q LEFT JOIN dupf ON q.doc_id = dupf.doc_id),
+        |cfeats AS (
+        |  SELECT doc_id, unnest(w) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+        |  FROM t),
+        |cfk AS (SELECT doc_id,
+        |    ((('0x' || substr(md5(g), 1, 8))::BIGINT % 1024)
+        |      * 2654435761) % 4294967296 AS k
+        |  FROM cfeats),
+        |cagg AS (SELECT doc_id,
+        |    CAST(SUM(k) - count(*) * 2147483648 AS DOUBLE)
+        |      / 4294967296.0 / count(*) AS logit
+        |  FROM cfk GROUP BY doc_id),
+        |j AS (SELECT ga.a AS a, cagg.logit > 0.0 AS b
+        |  FROM ga JOIN cagg USING (doc_id)),
+        |x AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS yy,
+        |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS yn,
+        |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS ny,
+        |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        |  FROM j),
+        |f AS (SELECT n, yy, nn, yn, ny,
+        |    CAST(yy + yn AS HUGEINT) * (yy + ny)
+        |      + CAST(ny + nn AS HUGEINT) * (yn + nn) AS pe_num
+        |  FROM x)
+        |SELECT n, yy AS n_both_keep, nn AS n_both_drop,
+        |  yn AS n_only_a, ny AS n_only_b,
+        |  CAST(yy + nn AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+        |  CAST(pe_num AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS p_e,
+        |  CASE WHEN CAST(n AS HUGEINT) * n <> pe_num
+        |    THEN CAST(CAST(n AS HUGEINT) * (yy + nn) - pe_num AS DOUBLE)
+        |         / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE) END AS kappa
+        |FROM f""".stripMargin,
     "quality_deciles" ->
       """SELECT doc_id, source, n_chars,
         |  CAST(ntile(10) OVER (PARTITION BY source

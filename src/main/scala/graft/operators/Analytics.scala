@@ -747,6 +747,48 @@ object Analytics {
         when(col("_b") > 0, element_at(col("_ms"), hiR)).as("boot_hi"))
   }
 
+  /** Cohen's kappa agreement between two boolean verdict columns (Cohen
+    * 1960) — the GATE-CALIBRATION diagnostic: a corpus pipeline runs
+    * several keep gates (heuristic composite, trained classifier,
+    * domain rollup), and raw percent agreement flatters them whenever
+    * both mostly say "keep"; kappa subtracts the agreement two
+    * independent coin-flips with the same marginals would get, so
+    * "the classifier just re-measures doc length" shows up as κ ≈ 0
+    * while the 2x2 cells say WHERE they disagree.
+    *
+    * Engine-exact: the 2x2 contingency is integer; κ is computed in its
+    * cleared-denominator form κ = (n·(yy+nn) − Σ) / (n² − Σ) with
+    * Σ = (yy+yn)(yy+ny) + (ny+nn)(yn+nn) carried in DECIMAL(38,0)
+    * (HUGEINT on the oracle — products of two row counts overflow
+    * BIGINT past ~3B rows, the mannWhitneyU tie-cube lesson), then ONE
+    * terminal division of exactly-cast operands; p_o and p_e are each a
+    * single division too. Both-gates-constant-and-equal reads κ NULL
+    * (n² = Σ — chance agreement is total, no information to score).
+    * Scale: one aggregate over the joined verdicts, map-side combined;
+    * 5 longs cross the exchange. Output: one row (n, n_both_keep,
+    * n_both_drop, n_only_a, n_only_b, p_o, p_e, kappa). */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val agg0 = df.agg(
+      count(lit(1)).as("_n"),
+      sum(when(aCol && bCol, 1L).otherwise(0L)).as("_yy"),
+      sum(when(aCol && !bCol, 1L).otherwise(0L)).as("_yn"),
+      sum(when(!aCol && bCol, 1L).otherwise(0L)).as("_ny"),
+      sum(when(!aCol && !bCol, 1L).otherwise(0L)).as("_nn"))
+    val n = col("_n").cast("decimal(38,0)")
+    val peNum = (col("_yy") + col("_yn")).cast("decimal(38,0)") * (col("_yy") + col("_ny")) +
+      (col("_ny") + col("_nn")).cast("decimal(38,0)") * (col("_yn") + col("_nn"))
+    agg0.select(
+      col("_n").as("n"),
+      col("_yy").as("n_both_keep"), col("_nn").as("n_both_drop"),
+      col("_yn").as("n_only_a"), col("_ny").as("n_only_b"),
+      ((col("_yy") + col("_nn")).cast("double") / col("_n").cast("double")).as("p_o"),
+      (peNum.cast("double") / (n * n).cast("double")).as("p_e"),
+      when(n * n =!= peNum,
+        (n * (col("_yy") + col("_nn")) - peNum).cast("double")
+          / (n * n - peNum).cast("double"))
+        .as("kappa"))
+  }
+
   /** Day-of-week seasonal profile of the daily total series — the
     * calendar structure [[acfDaily]] detects (a lag-7 spike) made
     * legible: per-ISO-weekday mean daily total and share of mass, over

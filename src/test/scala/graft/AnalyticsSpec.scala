@@ -962,4 +962,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(okStat._1 == 100L && !okStat._4,
       s"near-Benford mix must not reject: $okStat")
   }
+
+  test("cohenKappa: exact 2x2 replay, perfect agreement, chance-total NULL") {
+    import spark.implicits._
+    // yy=3, yn=1, ny=2, nn=4: po = 0.7, pe = (4*5 + 6*5)/100 = 0.5,
+    // kappa = (10*7 - 50)/(100 - 50) = 0.4 — all exact doubles
+    val v = Seq((true, true), (true, true), (true, true), (true, false),
+      (false, true), (false, true),
+      (false, false), (false, false), (false, false), (false, false))
+      .toDF("a", "b")
+    val r = Analytics.cohenKappa(v, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect().head
+    assert(r == ((10L, 3L, 4L, 1L, 2L, 0.7, 0.5, 0.4)))
+    // perfect agreement with both classes present: kappa exactly 1
+    val perfect = Seq((true, true), (false, false), (true, true)).toDF("a", "b")
+    val p = Analytics.cohenKappa(perfect, col("a"), col("b"))
+      .select("kappa").as[Double].collect().head
+    assert(p == 1.0)
+    // both gates constant and equal: chance agreement is total (n² = Σ),
+    // kappa reads NULL rather than 0/0
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    val k = Analytics.cohenKappa(const, col("a"), col("b"))
+      .select("kappa").as[Option[Double]].collect().head
+    assert(k.isEmpty)
+    // independent coins with matched marginals: kappa exactly 0
+    // (yy=1, yn=1, ny=1, nn=1 → po = 0.5 = pe)
+    val coin = Seq((true, true), (true, false), (false, true), (false, false))
+      .toDF("a", "b")
+    val z = Analytics.cohenKappa(coin, col("a"), col("b"))
+      .select("kappa").as[Double].collect().head
+    assert(z == 0.0)
+  }
 }
