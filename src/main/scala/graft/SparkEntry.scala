@@ -1949,6 +1949,19 @@ object SparkEntry {
         classifierWeights).select(col("doc_id"), col("kept").as("_b"))
       Analytics.cohenKappa(g.join(c, Seq("doc_id")), col("_a"), col("_b"))
     }),
+    // §2.2 row L27z — Spearman ρ between doc length and the classifier
+    // score: the continuous form of L27y's question (is the quality
+    // score re-measuring length?), tie-exact midranks
+    "quality_length_corr" -> ((s, d) => {
+      val c = TextAnalysis.hashClassifier(Tables.documents(s, d), "doc_id", "text",
+        classifierWeights).select(col("doc_id"), col("logit"))
+      // shuffle_hash hint: broadcasting the classifier side re-executes
+      // its whole chain inside the one-task broadcast build (see
+      // spearmanCorr's merge-hint note) — 8.2 s vs 0.6 s measured
+      val j = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        .join(c.hint("shuffle_hash"), Seq("doc_id"))
+      Analytics.spearmanCorr(j, col("n_chars"), col("logit"))
+    }),
     // §2.2 row 27k — domain-level keep decision above the per-doc gate:
     // a source survives only when it's big enough to judge AND mostly
     // classifier-clean (the spam-domain wholesale drop)
@@ -5634,6 +5647,58 @@ object SparkEntry {
         |SELECT source, n_docs, mean_chars, keep_rate,
         |  n_docs >= 10 AND keep_rate > 0.5 AS src_kept
         |FROM g""".stripMargin,
+    // Spearman replay: the classifier logit chain, the mann_whitney
+    // doubled-midrank construction per variable, moment sums in HUGEINT,
+    // the identically-parenthesized double chain (IEEE sqrt included).
+    "quality_length_corr" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |feats AS (
+        |  SELECT doc_id, unnest(w) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+        |  FROM toks),
+        |fk AS (SELECT doc_id,
+        |    ((('0x' || substr(md5(g), 1, 8))::BIGINT % 1024)
+        |      * 2654435761) % 4294967296 AS k
+        |  FROM feats),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(k) - count(*) * 2147483648 AS DOUBLE)
+        |      / 4294967296.0 / count(*) AS logit
+        |  FROM fk GROUP BY doc_id),
+        |base AS (SELECT CAST(d.n_chars AS DOUBLE) AS x, a.logit AS y
+        |  FROM documents d JOIN agg a USING (doc_id)),
+        |pairs AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY x, y),
+        |cx AS (SELECT x, SUM(c) AS t FROM pairs GROUP BY x),
+        |rx AS (SELECT x, 2 * (sum(t) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS rxv
+        |  FROM cx),
+        |cy AS (SELECT y, SUM(c) AS t FROM pairs GROUP BY y),
+        |ry AS (SELECT y, 2 * (sum(t) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS ryv
+        |  FROM cy),
+        |wr AS (SELECT p.c, rx.rxv, ry.ryv
+        |  FROM pairs p JOIN rx USING (x) JOIN ry USING (y)),
+        |m AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(CAST(c AS HUGEINT) * rxv) AS sx,
+        |    SUM(CAST(c AS HUGEINT) * ryv) AS sy,
+        |    SUM(CAST(c AS HUGEINT) * rxv * rxv) AS sxx,
+        |    SUM(CAST(c AS HUGEINT) * ryv * ryv) AS syy,
+        |    SUM(CAST(c AS HUGEINT) * rxv * ryv) AS sxy
+        |  FROM wr)
+        |SELECT n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS rho
+        |FROM m""".stripMargin,
     // Kappa replay: the corpus_gate keep chain + the quality_classify
     // kept chain joined per doc, the 2x2 contingency, and kappa in its
     // cleared-denominator integer form carried in HUGEINT (products of

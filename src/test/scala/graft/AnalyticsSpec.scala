@@ -963,6 +963,28 @@ class AnalyticsSpec extends SparkSpec {
       s"near-Benford mix must not reject: $okStat")
   }
 
+  test("spearmanCorr: tie-exact midranks, monotone = ±1 exactly, constant side NULL") {
+    import spark.implicits._
+    // identical tie structure, perfect monotone: doubled midranks
+    // (2,5,5,8) on both sides -> rho exactly 1.0 (numerator == denominator)
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)).toDF("x", "y")
+    assert(Analytics.spearmanCorr(mono, col("x"), col("y"))
+      .select("rho").as[Double].collect().head == 1.0)
+    // anti-monotone with the same ties: exactly -1.0
+    val anti = Seq((1.0, 40.0), (2.0, 20.0), (2.0, 20.0), (3.0, 10.0)).toDF("x", "y")
+    assert(Analytics.spearmanCorr(anti, col("x"), col("y"))
+      .select("rho").as[Double].collect().head == -1.0)
+    // hand-computed middle case: ranks (2,4,6) vs (2,6,4) -> rho = 0.5
+    val mid = Seq((1.0, 10.0), (2.0, 30.0), (3.0, 20.0)).toDF("x", "y")
+    val r = Analytics.spearmanCorr(mid, col("x"), col("y"))
+      .as[(Long, Double)].collect().head
+    assert(r == ((3L, 0.5)))
+    // constant x: zero rank variance -> NULL, not NaN/divide-by-zero
+    val const = Seq((5.0, 1.0), (5.0, 2.0)).toDF("x", "y")
+    assert(Analytics.spearmanCorr(const, col("x"), col("y"))
+      .select("rho").as[Option[Double]].collect().head.isEmpty)
+  }
+
   test("cohenKappa: exact 2x2 replay, perfect agreement, chance-total NULL") {
     import spark.implicits._
     // yy=3, yn=1, ny=2, nn=4: po = 0.7, pe = (4*5 + 6*5)/100 = 0.5,

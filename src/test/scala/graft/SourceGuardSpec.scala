@@ -111,8 +111,11 @@ class SourceGuardSpec extends AnyFunSpec {
     // (token counts, score buckets), never the corpus; continuous metrics
     // are bucketed first per the scaladoc; round 16 adds mannWhitneyU's
     // midrank cumulative (the same post-aggregation value-domain frame)
-    // and cusumDaily's day-spine cumulative (bounded by the calendar)
-    "graft/operators/Analytics.scala" -> 4,
+    // and cusumDaily's day-spine cumulative (bounded by the calendar);
+    // round 17 adds spearmanCorr's shared midrank cumulative (one site,
+    // instantiated per variable over its (value, count) table — the same
+    // value-domain-bounded class)
+    "graft/operators/Analytics.scala" -> 5,
     // zonePreview's rn window runs on its own LIMITed first-N frame
     // (require-capped n <= 10000) — the vocab_top post-limit class
     "graft/operators/Quality.scala" -> 1)
