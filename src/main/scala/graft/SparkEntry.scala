@@ -216,6 +216,11 @@ object SparkEntry {
   private val ScriptPlant37 = " مرحبا بالعالم"
   private val ScriptPlant41 = " café déjà vu naïve"
 
+  /** χ²(0.95, df = 14) to 6dp — the ljung_box rejection bound, pinned as
+    * the SAME literal in the Spark plan and the DuckDB oracle so neither
+    * engine evaluates a chi-square quantile (the Benford convention). */
+  private val LjungBoxCrit14 = 23.684791
+
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     d.unionByName(d.filter(col("doc_id") % 20 === 0)
@@ -960,6 +965,12 @@ object SparkEntry {
     // the weekly-seasonality diagnostic (lag 7) the smoothers can't give
     "acf_daily" -> ((s, d) =>
       Analytics.acfDaily(Tables.events(s, d), col("ts"), col("value"), 14)),
+    // §2.1 row 17p (r17 tier 2) — Ljung-Box whiteness DECISION over the
+    // same 14-lag ACF; χ²(0.95, 14) pinned as a 6dp literal on both
+    // engines (the Benford convention — no engine evaluates a quantile)
+    "ljung_box" -> ((s, d) =>
+      Analytics.ljungBoxDaily(Tables.events(s, d), col("ts"), col("value"),
+        14, LjungBoxCrit14)),
     // §2.1 row 17q — CUSUM level-shift localization (round 16, third
     // session): argmax |Σ(x−x̄)| over the same daily series + the
     // normalized max statistic (Brownian-bridge bound)
@@ -3534,6 +3545,40 @@ object SparkEntry {
         |SELECT CAST(lag AS INT) AS lag, n_pairs,
         |  CASE WHEN den > 0 THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS acf
         |FROM num, den""".stripMargin,
+    // Ljung-Box replay: the acf chain, then the Q fold — per-term
+    // r²/n_pairs (n - k == n_pairs on the gap-filled spine) rounded to
+    // 6dp DECIMAL before the order-free sum, the (n·(n+2))·Σ chain
+    // identically parenthesized, the pinned χ² literal on both sides.
+    "ljung_box" -> (
+      s"""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS rev FROM events GROUP BY 1),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |filled AS (SELECT s.day, coalesce(d.rev, CAST(0 AS DECIMAL(18,4))) AS rev
+        |  FROM spine s LEFT JOIN daily d USING (day)),
+        |st AS (SELECT SUM(rev) AS sm, CAST(count(*) AS BIGINT) AS n FROM filled),
+        |dev AS (SELECT day, CAST(rev AS DOUBLE) - CAST(sm AS DOUBLE) / n AS d
+        |  FROM filled, st),
+        |den AS (SELECT SUM(CAST(round(d * d, 6) AS DECIMAL(18,6))) AS den FROM dev),
+        |pairs AS (SELECT l.lag, a.d AS d1, b.d AS d2
+        |  FROM dev a CROSS JOIN (SELECT CAST(unnest(range(1, 15)) AS INT) AS lag) l
+        |  JOIN dev b ON b.day = a.day + l.lag),
+        |num AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    SUM(CAST(round(d1 * d2, 6) AS DECIMAL(18,6))) AS num
+        |  FROM pairs GROUP BY lag),
+        |r AS (SELECT CAST(lag AS INT) AS lag, n_pairs,
+        |    CASE WHEN den > 0 THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS acf
+        |  FROM num, den),
+        |q AS (SELECT CAST(max(n_pairs + lag) AS BIGINT) AS n,
+        |    CAST(max(lag) AS INT) AS h,
+        |    SUM(CAST(round(acf * acf / n_pairs, 6) AS DECIMAL(18,6))) AS terms
+        |  FROM r)
+        |SELECT n AS n_days, h AS max_lag,
+        |  CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * CAST(terms AS DOUBLE) AS q_stat,
+        |  CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * CAST(terms AS DOUBLE)
+        |    > $LjungBoxCrit14 AS reject
+        |FROM q""".stripMargin),
     // CUSUM replay: demeaned terms round to 6dp DECIMAL before the
     // cumulative (association-free), argmax tie-breaks to earliest day,
     // the m-statistic chain identically parenthesized.

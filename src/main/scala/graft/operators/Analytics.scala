@@ -574,6 +574,37 @@ object Analytics {
           round(col("_num").cast("double") / col("_den").cast("double"), 6)).as("acf"))
   }
 
+  /** Ljung–Box portmanteau whiteness test over the daily series (Ljung &
+    * Box 1978) — the DECISION on top of [[acfDaily]]'s diagnostic: the
+    * ACF says which lags look correlated, Q = n(n+2)·Σ r_k²/(n−k) says
+    * whether the autocorrelation as a whole is distinguishable from
+    * white noise (Q ~ χ²_h under H₀; reject above the pinned critical
+    * value — the literal is interpolated into BOTH engines, the Benford
+    * convention, so neither evaluates a chi-square quantile).
+    *
+    * Exactness: on the gap-filled spine the pair count at lag k IS
+    * n − k, so each term is r_k²/n_pairs — two correctly-rounded ops on
+    * the 6dp-rounded r_k — rounded to 6dp DECIMAL before the cross-row
+    * sum (order-free), and Q is the fixed chain (n·(n+2))·Σ with n
+    * recovered exactly as max(n_pairs + lag). A constant series reads
+    * Q NULL (no ACF to test). Scale: [[acfDaily]]'s frame plus a 1-row
+    * fold. Output: one row (n_days, max_lag, q_stat, reject). */
+  def ljungBoxDaily(events: DataFrame, tsCol: Column, valCol: Column,
+                    maxLag: Int, critValue: Double): DataFrame = {
+    val acf = acfDaily(events, tsCol, valCol, maxLag)
+    acf.agg(
+        max(col("n_pairs") + col("lag")).as("_n"),
+        max(col("lag")).as("_h"),
+        sum(round(col("acf") * col("acf") / col("n_pairs").cast("double"), 6)
+          .cast("decimal(18,6)")).as("_terms"))
+      .select(
+        col("_n").cast("bigint").as("n_days"),
+        col("_h").cast("int").as("max_lag"),
+        (col("_n").cast("double") * (col("_n").cast("double") + lit(2.0))
+          * col("_terms").cast("double")).as("q_stat"))
+      .withColumn("reject", col("q_stat") > critValue)
+  }
+
   /** CUSUM level-shift localization over the gap-filled daily series —
     * WHERE the mean changed, which [[ewmaDaily]]'s spike flag (single-day
     * outliers) and [[ksTwoSample]] (needs the split given) can't answer:

@@ -816,6 +816,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(cr.length == 2 && cr.forall(_._3.isEmpty))
   }
 
+  test("ljungBoxDaily: exact Q from the acf spec's alternating series; constant NULL") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    // the acfDaily spec's series: n = 6, r = [round(-5/6), round(4/6), -0.5]
+    // with n_pairs = [5, 4, 3]; Q = 6*8 * Σ round(r_k²/n_pairs, 6)
+    val ev = (0 until 6).map(i => (ts(i), if (i % 2 == 0) 1.0 else 3.0))
+      .toDF("ts", "value")
+    val out = Analytics.ljungBoxDaily(ev, col("ts"), col("value"), 3, 7.814728)
+      .as[(Long, Int, Double, Boolean)].collect().head
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r1 = r6(-5.0 / 6.0); val r2 = r6(4.0 / 6.0); val r3 = -0.5
+    val terms = BigDecimal(r6(r1 * r1 / 5)) + BigDecimal(r6(r2 * r2 / 4)) +
+      BigDecimal(r6(r3 * r3 / 3))
+    val expectedQ = 6.0 * (6.0 + 2.0) * terms.toDouble
+    assert(out._1 == 6L && out._2 == 3)
+    assert(out._3 == expectedQ, s"q ${out._3} != local replay $expectedQ")
+    // this strongly alternating series must reject whiteness at χ²(.95, 3)
+    assert(out._4)
+    // constant series: no ACF to test → Q NULL, reject NULL (not false)
+    val const = (0 until 4).map(i => (ts(i), 2.0)).toDF("ts", "value")
+    val cr = Analytics.ljungBoxDaily(const, col("ts"), col("value"), 2, 5.991465)
+      .select("q_stat", "reject").as[(Option[Double], Option[Boolean])].collect().head
+    assert(cr._1.isEmpty && cr._2.isEmpty)
+  }
+
   test("cusumDaily: localizes a planted level shift; constant series reads NULL") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00")
     // [0,0,0,6,6,6]: mean 3, S = [−3,−6,−9,−6,−3,0] → |S| max 9 at day 3
