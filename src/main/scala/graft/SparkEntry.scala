@@ -971,6 +971,11 @@ object SparkEntry {
     "ljung_box" -> ((s, d) =>
       Analytics.ljungBoxDaily(Tables.events(s, d), col("ts"), col("value"),
         14, LjungBoxCrit14)),
+    // §2.1 row 17p (r17 tier 3) — Wald-Wolfowitz runs test: the
+    // SIGN-pattern randomness companion (clustering vs oscillation of
+    // above/below-median days)
+    "runs_test" -> ((s, d) =>
+      Analytics.runsTestDaily(Tables.events(s, d), col("ts"), col("value"))),
     // §2.1 row 17q — CUSUM level-shift localization (round 16, third
     // session): argmax |Σ(x−x̄)| over the same daily series + the
     // normalized max statistic (Brownian-bridge bound)
@@ -3579,6 +3584,43 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * CAST(terms AS DOUBLE)
         |    > $LjungBoxCrit14 AS reject
         |FROM q""".stripMargin),
+    // Runs-test replay: exact lower median via floor((n+1)/2) rank (a
+    // double->int CAST would round on DuckDB and truncate on Spark),
+    // median-equal days dropped, R = sign changes + 1 via lag, the
+    // mu/sigma/z chain identically parenthesized over 2*n1*n2 carried
+    // exactly.
+    "runs_test" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS rev FROM events GROUP BY 1),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |filled AS (SELECT s.day, coalesce(d.rev, CAST(0 AS DECIMAL(18,4))) AS rev
+        |  FROM spine s LEFT JOIN daily d USING (day)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nall FROM filled),
+        |rk AS (SELECT rev, row_number() OVER (ORDER BY rev, day) AS rk FROM filled),
+        |med AS (SELECT rev AS med FROM rk, tot WHERE rk = floor((nall + 1) / 2)),
+        |signed AS (SELECT day, CAST(rev > med AS INT) AS s
+        |  FROM filled, med WHERE rev <> med),
+        |marks AS (SELECT s,
+        |    CASE WHEN lag(s) OVER (ORDER BY day) IS NULL THEN 1
+        |         WHEN lag(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS newrun
+        |  FROM signed),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(s) AS BIGINT) AS n1, CAST(SUM(1 - s) AS BIGINT) AS n2,
+        |    CAST(SUM(newrun) AS BIGINT) AS r
+        |  FROM marks),
+        |f AS (SELECT n, n1, n2, r,
+        |    CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) * 2.0 AS p FROM agg)
+        |SELECT n AS n_days, n1 AS n_above, n2 AS n_below, r AS n_runs,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n > 1
+        |        AND p * (p - CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0
+        |    THEN round((CAST(r AS DOUBLE) - (p / CAST(n AS DOUBLE) + 1.0))
+        |      / sqrt(p * (p - CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+        |  END AS z_stat
+        |FROM f""".stripMargin,
     // CUSUM replay: demeaned terms round to 6dp DECIMAL before the
     // cumulative (association-free), argmax tie-breaks to earliest day,
     // the m-statistic chain identically parenthesized.

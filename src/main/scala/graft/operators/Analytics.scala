@@ -605,6 +605,64 @@ object Analytics {
       .withColumn("reject", col("q_stat") > critValue)
   }
 
+  /** Wald–Wolfowitz runs test over the daily series (Wald & Wolfowitz
+    * 1940) — the SIGN-pattern randomness check beside [[ljungBoxDaily]]'s
+    * magnitude test: too FEW runs of above/below-median days means
+    * clustering (regime persistence the ACF can under-weigh when
+    * magnitudes are noisy), too MANY means oscillation; both reject
+    * via z = (R − μ)/σ with μ = 2n₁n₂/n + 1 and
+    * σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)).
+    *
+    * Exactness: the median is the exact LOWER median of the DECIMAL
+    * daily totals (an order statistic, engine-identical); days equal to
+    * the median drop (the standard convention — they belong to neither
+    * side); n₁/n₂/R are integers (R counts sign changes + 1 via a lag
+    * over the day spine), and μ/σ/z are fixed-parenthesization chains of
+    * exactly-cast integers (2n₁n₂ ≤ n²/2 — DECIMAL(38,0) carries it past
+    * any calendar). Degenerate sides (n₁ = 0 or n₂ = 0, or n < 2) read
+    * z NULL. Scale: one map-side daily aggregate, then the day-spine
+    * frame (calendar-bounded ordered windows — the audited ksTwoSample
+    * class). Output: one row (n_days, n_above, n_below, n_runs, z_stat). */
+  def runsTestDaily(events: DataFrame, tsCol: Column, valCol: Column): DataFrame = {
+    val daily = events.groupBy(to_date(tsCol).as("day"))
+      .agg(sum(valCol.cast("decimal(18,4)")).as("_rev"))
+    val spine = daily.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("_rev"), lit(0).cast("decimal(18,4)")).as("_rev"))
+    // exact lower median: rank the day-spine frame (calendar-bounded)
+    val wRank = Window.orderBy(col("_rev"), col("day"))
+    val wTot = broadcast(filled.agg(count(lit(1)).as("_nAll")))
+    val med = broadcast(filled.withColumn("_rk", row_number().over(wRank))
+      .crossJoin(wTot) // 1-row total — audited class
+      // floor((n+1)/2), NOT a double->int cast: Spark's ANSI cast
+      // truncates but DuckDB's cast rounds — floor agrees everywhere
+      .where(col("_rk") === floor((col("_nAll") + lit(1)) / lit(2)))
+      .select(col("_rev").as("_med")))
+    val signed = filled.crossJoin(med) // 1-row median — audited class
+      .where(col("_rev") =!= col("_med"))
+      .select(col("day"), (col("_rev") > col("_med")).cast("int").as("_s"))
+    val wDay = Window.orderBy(col("day"))
+    val runs = signed
+      .select(col("_s"),
+        when(lag(col("_s"), 1).over(wDay).isNull, lit(1))
+          .when(lag(col("_s"), 1).over(wDay) =!= col("_s"), lit(1))
+          .otherwise(lit(0)).as("_newRun"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_s").cast("long")).as("_n1"),
+        sum((lit(1) - col("_s")).cast("long")).as("_n2"),
+        sum(col("_newRun").cast("long")).as("_r"))
+    val nD = col("_n").cast("double")
+    val p = (col("_n1").cast("decimal(38,0)") * col("_n2")).cast("double") * 2.0
+    val mu = p / nD + lit(1.0)
+    val sig2 = p * (p - nD) / (nD * nD * (nD - lit(1.0)))
+    runs.select(col("_n").cast("bigint").as("n_days"),
+      col("_n1").as("n_above"), col("_n2").as("n_below"),
+      col("_r").as("n_runs"),
+      when(col("_n1") > 0 && col("_n2") > 0 && col("_n") > 1 && sig2 > 0,
+        round((col("_r").cast("double") - mu) / sqrt(sig2), 6)).as("z_stat"))
+  }
+
   /** CUSUM level-shift localization over the gap-filled daily series —
     * WHERE the mean changed, which [[ewmaDaily]]'s spike flag (single-day
     * outliers) and [[ksTwoSample]] (needs the split given) can't answer:

@@ -841,6 +841,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(cr._1.isEmpty && cr._2.isEmpty)
   }
 
+  test("runsTestDaily: exact lower-median split, runs count, z replay; degenerates NULL") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-${day + 1}%02d 12:00:00")
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // [1,2,9,10]: lower median 2 (dropped) -> signed [0,1,1]: n=3, n1=2,
+    // n2=1, R=2; mu = 4/3+1, sig2 = 4(4-3)/(9*2)
+    val ev = Seq(1.0, 2.0, 9.0, 10.0).zipWithIndex
+      .map { case (v, i) => (ts(i), v) }.toDF("ts", "value")
+    val out = Analytics.runsTestDaily(ev, col("ts"), col("value"))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    val mu = 4.0 / 3.0 + 1.0
+    val sig2 = 4.0 * (4.0 - 3.0) / (3.0 * 3.0 * 2.0)
+    assert(out == ((3L, 2L, 1L, 2L, r6((2.0 - mu) / math.sqrt(sig2)))))
+    // clustered series [1,2,3,10,11,12]: median 3 dropped -> 00 111,
+    // R=2 of n=5 -> strongly negative z (too FEW runs)
+    val clus = Seq(1.0, 2.0, 3.0, 10.0, 11.0, 12.0).zipWithIndex
+      .map { case (v, i) => (ts(i), v) }.toDF("ts", "value")
+    val c = Analytics.runsTestDaily(clus, col("ts"), col("value"))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(c._1 == 5L && c._4 == 2L && c._5 < -1.5)
+    // constant series: every day equals the median -> all dropped,
+    // z NULL rather than 0/0
+    val const = (0 until 4).map(i => (ts(i), 2.0)).toDF("ts", "value")
+    val k = Analytics.runsTestDaily(const, col("ts"), col("value"))
+      .select("n_days", "z_stat").as[(Long, Option[Double])].collect().head
+    assert(k._1 == 0L && k._2.isEmpty)
+  }
+
   test("cusumDaily: localizes a planted level shift; constant series reads NULL") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00")
     // [0,0,0,6,6,6]: mean 3, S = [−3,−6,−9,−6,−3,0] → |S| max 9 at day 3

@@ -55,8 +55,11 @@ class SourceGuardSpec extends AnyFunSpec {
     // spine), cusumDaily (1-row mean + 1-row max-|S| stats),
     // jackknifeMean (1-row totals onto the |groups| frame), dowProfile
     // (1-row total onto the 7-row rollup), bootstrapMeanCi (1-row
-    // point-estimate totals onto the 1-row order-statistics frame)
-    "graft/operators/Analytics.scala" -> 15,
+    // point-estimate totals onto the 1-row order-statistics frame);
+    // round 17 adds runsTestDaily's two (1-row day-count onto the
+    // spine for the median rank, 1-row median onto the spine) — the
+    // same audited 1-row-stats class
+    "graft/operators/Analytics.scala" -> 17,
     // pageRank's two node ⋈ 1-row-count joins (init + per-round base
     // share) — the audited broadcast-stats pattern on a |types|-row frame
     "graft/operators/Events.scala" -> 2,
@@ -114,8 +117,10 @@ class SourceGuardSpec extends AnyFunSpec {
     // and cusumDaily's day-spine cumulative (bounded by the calendar);
     // round 17 adds spearmanCorr's shared midrank cumulative (one site,
     // instantiated per variable over its (value, count) table — the same
-    // value-domain-bounded class)
-    "graft/operators/Analytics.scala" -> 5,
+    // value-domain-bounded class) and runsTestDaily's two day-spine
+    // windows (the median rank and the lag over signed days — both
+    // calendar-bounded, the cusumDaily class)
+    "graft/operators/Analytics.scala" -> 7,
     // zonePreview's rn window runs on its own LIMITed first-N frame
     // (require-capped n <= 10000) — the vocab_top post-limit class
     "graft/operators/Quality.scala" -> 1)
