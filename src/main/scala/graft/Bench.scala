@@ -269,14 +269,18 @@ object Bench {
     // value with > 0.5 s absolute growth is flagged into the printed JSON
     // as stage_flags, so a stage-level blowup (r16's dedup stage at 63.9 s)
     // is self-reported by the bench rather than judge-discovered.
-    val stageFlags: Seq[(String, Double)] = try {
+    // None = the gate could not evaluate (a prior file for the SAME sf
+    // exists yet zero stages parsed from it — format drift would
+    // otherwise kill the 2x gate SILENTLY; ADVICE r17) → printed as
+    // stage_flags:null. Some(Seq.empty) = gate ran clean → {}.
+    val stageFlags: Option[Seq[(String, Double)]] = try {
       val p = java.nio.file.Paths.get("PIPELINE_BENCH.json")
-      if (!java.nio.file.Files.exists(p)) Seq.empty
+      if (!java.nio.file.Files.exists(p)) Some(Seq.empty)
       else {
         val old = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
         val sfRe = """"sf":"([^"]+)"""".r
-        if (!sfRe.findFirstMatchIn(old).map(_.group(1)).contains(sfDir)) Seq.empty
+        if (!sfRe.findFirstMatchIn(old).map(_.group(1)).contains(sfDir)) Some(Seq.empty)
         else {
           def stages(jsonStr: String, key: String): Map[String, Double] = {
             val start = jsonStr.indexOf("\"" + key + "\":")
@@ -292,19 +296,21 @@ object Bench {
                 .map(m => m.group(1) -> m.group(2).toDouble).toMap
             }
           }
-          Seq("dwh", "corpus").flatMap { key =>
+          val prevAll = Seq("dwh", "corpus").map(k => k -> stages(old, k)).toMap
+          if (prevAll.values.forall(_.isEmpty)) None // prior same-sf file, zero stages parse: dead gate
+          else Some(Seq("dwh", "corpus").flatMap { key =>
             val cur = stages(pipelineJson, key)
-            val prev = stages(old, key)
+            val prev = prevAll(key)
             cur.toSeq.flatMap { case (s, v) =>
               prev.get(s).collect {
                 case o if o > 0.05 && v > 2.0 * o && v - o > 0.5 =>
                   s"$key.$s" -> math.round(v / o * 10) / 10.0
               }
             }
-          }.sortBy(-_._2)
+          }.sortBy(-_._2))
         }
       }
-    } catch { case _: Exception => Seq.empty }
+    } catch { case _: Exception => Some(Seq.empty) }
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("PIPELINE_BENCH.json"),
         (pipelineJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -324,9 +330,14 @@ object Bench {
     val calibPart = calibMidPart +
       s""""calib_sec":${r2(calibSec)},"calib_min":${r2(calibMin)},"calib_spread":${r2(calibSpread)}}"""
     // stage_flags: bounded to the top 5 worst ratios so the line budget
-    // holds; empty object = no pipeline stage regressed > 2x vs last round.
-    val sfl = stageFlags.take(5)
-      .map { case (k, r) => s"${q(k)}:$r" }.mkString("{", ",", "}")
+    // holds; empty object = no pipeline stage regressed > 2x vs last
+    // round; null = the prior same-sf file parsed to ZERO stages (the
+    // gate is dead, visibly — ADVICE r17).
+    val sfl = stageFlags match {
+      case None => "null"
+      case Some(fl) =>
+        fl.take(5).map { case (k, r) => s"${q(k)}:$r" }.mkString("{", ",", "}")
+    }
     val prefix =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"extra_passes":$extraPasses,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"stage_flags":$sfl,"pass_sums":[${passSums.map(r2).mkString(",")}],"spread_total":${r3(totalSpread)},"spread_top5":$sp,"""
     // 2000 artifact chars minus the trailing sbt line minus this line's own

@@ -16,6 +16,10 @@ object BpeProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val numMerges = if (args.length > 1) args(1).toInt else 16
+    // Mirrors the library's argument guards (ADVICE r17): with zero
+    // merge rounds the per-round stats below (rounds.min / median)
+    // would throw an opaque UnsupportedOperationException instead.
+    require(numMerges >= 1, s"BpeProbe: numMerges must be >= 1, got $numMerges")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -762,13 +762,22 @@ object TextAnalysis {
 
   /** The scrub itself: replace only the Luhn-VALID candidates with
     * `[CARD]` (invalid digit runs — ids, timestamps — survive). Fold of
-    * `replace` over the filtered candidate list, all codegen'd HOFs. */
+    * anchored `regexp_replace` over the filtered candidate list, all
+    * codegen'd HOFs. Anchoring matters (ADVICE r17): a raw substring
+    * replace would mangle a LONGER non-candidate digit run elsewhere in
+    * the same document that merely starts with the valid PAN's digits
+    * (e.g. a 17-digit order id), so each candidate is bounded by
+    * non-digit/non-separator context — it only matches where
+    * [[CardRe]] itself delimited it. Candidates contain only digits,
+    * spaces and hyphens, so they are regex-literal-safe unquoted. */
   def piiScrubCards(text: Column): Column =
     aggregate(
       filter(regexp_extract_all(text, lit(CardRe), lit(0)),
         c => luhnValid(regexp_replace(c, "[ -]", ""))),
       text,
-      (acc, c) => replace(acc, c, lit("[CARD]")))
+      (acc, c) => regexp_replace(acc,
+        concat(lit("(?<![0-9][ -]?)"), c, lit("(?![ -]?[0-9])")),
+        lit("[CARD]")))
 
   /** Weighted mixture sampling — the corpus-assembly primitive: keep each
     * document with its stratum's probability (e.g. upsample English, damp a

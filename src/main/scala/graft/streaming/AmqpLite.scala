@@ -49,6 +49,22 @@ import org.apache.spark.sql.types.StructType
   * proven against a live daemon, not a directory convention. */
 object AmqpLite {
 
+  /** Byte length of `s` under `DataOutputStream.writeUTF`'s modified
+    * UTF-8 (JLS: U+0001..U+007F → 1 byte; U+0000 and U+0080..U+07FF →
+    * 2; everything else, including each surrogate half, → 3) — the
+    * exact quantity writeUTF checks against its 65535 cap, computed
+    * here so publishers can fail BEFORE the socket write. */
+  private[streaming] def modifiedUtf8Length(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      n += (if (c >= 0x0001 && c <= 0x007f) 1 else if (c <= 0x07ff) 2 else 3)
+      i += 1
+    }
+    n
+  }
+
   /** One queue: append-only log + per-consumer-tag committed offsets. */
   private final class Q {
     val log = mutable.ArrayBuffer.empty[String]
@@ -149,9 +165,21 @@ object AmqpLite {
 
     def queueDeclare(queue: String): Unit = expectOk(call(s"DECLARE $queue"))
 
-    /** Append one message; returns its (1-based) offset. */
-    def basicPublish(queue: String, payload: String): Long =
+    /** Append one message; returns its (1-based) offset. Fails BEFORE
+      * any socket write when the frame exceeds `writeUTF`'s hard 64 KB
+      * modified-UTF-8 limit (ADVICE r17): an unguarded oversized row
+      * would throw UTFDataFormatException mid-partition AFTER earlier
+      * rows were already published — a partial publish with an opaque
+      * error. The guard names the payload size and the limit instead. */
+    def basicPublish(queue: String, payload: String): Long = {
+      val frameBytes = AmqpLite.modifiedUtf8Length(s"PUBLISH $queue $payload")
+      require(frameBytes <= 65535,
+        s"basicPublish: frame is $frameBytes bytes in modified UTF-8 " +
+          s"(payload ${payload.length} chars, queue '$queue') but the " +
+          "writeUTF wire framing caps frames at 65535 bytes; chunk or " +
+          "truncate the row upstream")
       expectOk(call(s"PUBLISH $queue $payload"))
+    }
 
     /** Deliver up to `max` messages past `tag`'s committed offset — does
       * NOT advance it (redelivered until [[basicAck]]). */

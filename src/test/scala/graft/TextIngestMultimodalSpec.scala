@@ -525,7 +525,11 @@ class TextIngestMultimodalSpec extends SparkSpec {
       (4L, "amex 378282246310005 ok"),                  // 15-digit valid
       (5L, "ref 12345678901234567890 long"),            // 20 digits: 19-digit prefix candidate, invalid
       (6L, "call +1 555 0100 now"),                     // too short: no candidate
-      (7L, "5610591081018250 diners")                   // another valid vector
+      (7L, "5610591081018250 diners"),                  // another valid vector
+      // ADVICE r17: the valid PAN's digits ALSO prefix a longer 17-digit
+      // order id in the same document — an unanchored substring replace
+      // would mangle the id; the anchored scrub must leave it verbatim
+      (8L, "pan 4111111111111111 and id 41111111111111110 x")
     ).toDF("doc_id", "text")
     val got = TextAnalysis.luhnCandidates(docs, "doc_id", "text")
       .select("doc_id", "digits", "valid").as[(Long, String, Boolean)]
@@ -536,7 +540,9 @@ class TextIngestMultimodalSpec extends SparkSpec {
       (3L, "4111111111111111", true),
       (4L, "378282246310005", true),
       (5L, "1234567890123456789", false),
-      (7L, "5610591081018250", true)))
+      (7L, "5610591081018250", true),
+      (8L, "4111111111111111", true),
+      (8L, "41111111111111110", false)))
     // the scrub replaces ONLY Luhn-valid spans — the broken twin (an order
     // id to a regex) survives verbatim, the spaced PAN is caught whole
     val scrubbed = docs.select(col("doc_id"), TextAnalysis.piiScrubCards(col("text")).as("s"))
@@ -548,6 +554,9 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(scrubbed(5L) == "ref 12345678901234567890 long")
     assert(scrubbed(6L) == "call +1 555 0100 now")
     assert(scrubbed(7L) == "[CARD] diners")
+    // the anchored replace scrubs the standalone PAN but NOT the longer
+    // order id it prefixes (the unanchored-replace mangle, ADVICE r17)
+    assert(scrubbed(8L) == "pan [CARD] and id 41111111111111110 x")
   }
 
   test("sampleStratified draws exactly k per stratum, deterministically") {
