@@ -366,6 +366,64 @@ object SparkEntry {
       |    - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6) + 0.0 AS cov
       |FROM agg""".stripMargin
 
+  /** Bit-exact replay of Similarity.pcaPowerFixed (VERDICT r17 #1): the
+    * k×rounds fixed-point power-iteration steps unroll as chained CTEs
+    * over the integerized 6dp covariance (cov6 = round(cov·1e6) of the
+    * SAME covariance EmbeddingCovSql already gates), every step exact
+    * HUGEINT arithmetic with CASE-signed truncating division (DuckDB's
+    * bare `//` floors, Spark-side BigInt truncates — the signs differ on
+    * negative numerators, so every division decomposes through ABS; the
+    * event_pagerank discipline one tier up in width). Renormalization is
+    * max-|component| to exactly ±1e6 — no sqrt, no float after cov6. */
+  private val EmbeddingPcaSql: String = {
+    val (k, rounds) = (4, 12)
+    def sdiv(num: String, den: String): String =
+      s"CASE WHEN ($den) = 0 THEN CAST(0 AS HUGEINT) " +
+        s"WHEN ($num) >= 0 THEN ($num) // ($den) " +
+        s"ELSE -((-($num)) // ($den)) END"
+    val comps = (0 until k).map { c =>
+      val steps = (1 to rounds).map { r =>
+        s"""w_${c}_$r AS MATERIALIZED (SELECT m.i, SUM(m.c * v.v) AS w
+           |  FROM m_$c m JOIN v_${c}_${r - 1} v ON m.j = v.i GROUP BY m.i),
+           |v_${c}_$r AS MATERIALIZED (SELECT w.i,
+           |    CASE WHEN mx.mx = 0 THEN CAST(0 AS HUGEINT)
+           |      WHEN w.w >= 0 THEN (w.w * 1000000) // mx.mx
+           |      ELSE -((-(w.w) * 1000000) // mx.mx) END AS v
+           |  FROM w_${c}_$r w, (SELECT MAX(ABS(w)) AS mx FROM w_${c}_$r) mx)""".stripMargin
+      }.mkString(",\n")
+      val deflate =
+        if (c == k - 1) ""
+        else s""",
+           |m_${c + 1} AS MATERIALIZED (SELECT m.i, m.j,
+           |    m.c - ${sdiv("l.lam * vi.v * vj.v", "s.s")} AS c
+           |  FROM m_$c m JOIN v_${c}_$rounds vi ON vi.i = m.i
+           |    JOIN v_${c}_$rounds vj ON vj.i = m.j, lam_$c l, s_$c s)""".stripMargin
+      s"""v_${c}_0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM dims),
+         |$steps,
+         |wf_$c AS MATERIALIZED (SELECT m.i, SUM(m.c * v.v) AS w
+         |  FROM m_$c m JOIN v_${c}_$rounds v ON m.j = v.i GROUP BY m.i),
+         |s_$c AS MATERIALIZED (SELECT SUM(v * v) AS s FROM v_${c}_$rounds),
+         |n_$c AS MATERIALIZED (SELECT SUM(v.v * w.w) AS n
+         |  FROM v_${c}_$rounds v JOIN wf_$c w ON v.i = w.i),
+         |lam_$c AS MATERIALIZED (SELECT ${sdiv("n.n", "s.s")} AS lam FROM n_$c n, s_$c s)$deflate""".stripMargin
+    }.mkString(",\n")
+    val tail = (0 until k).map { c =>
+      s"""SELECT CAST($c AS INT) AS component, CAST(v.i AS INT) AS dim_idx,
+         |  CAST(v.v AS BIGINT) AS loading6, CAST(l.lam AS BIGINT) AS lambda6
+         |FROM v_${c}_$rounds v, lam_$c l""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cov AS MATERIALIZED (
+       |$EmbeddingCovSql
+       |),
+       |c6 AS MATERIALIZED (SELECT i, j,
+       |    CAST(CAST(round(cov * 1000000) AS BIGINT) AS HUGEINT) AS c FROM cov),
+       |m_0 AS MATERIALIZED (SELECT i, j, c FROM c6
+       |  UNION ALL SELECT j AS i, i AS j, c FROM c6 WHERE i <> j),
+       |dims AS MATERIALIZED (SELECT DISTINCT i FROM m_0),
+       |$comps
+       |$tail""".stripMargin
+  }
+
   /** IVF centroids trained once per testdata dir and shared across the
     * queries that search the embeddings corpus (`ann_ivf`, `ann_recall`) —
     * training is deterministic in (data, numCells), so caching by dir is
@@ -1427,18 +1485,15 @@ object SparkEntry {
     // are bit-identical by construction, so the driver gates both
     "embedding_cov_hd" -> ((s, d) =>
       Similarity.embeddingCovariance(Tables.embeddings(s, d), "embedding")),
-    // §2.2 row 25e — whitened top-8 PCA projection (rows-only: the basis
-    // comes from a driver eigensolve, not SQL; correctness spec-gated —
-    // orthonormal basis, descending eigenvalues, unit projected variance,
-    // in-memory parity — while the distributed pass is the oracled
-    // embedding_cov). Emitted EXPLODED to (vec_id, component_idx, value)
-    // scalar rows so the driver's comparator can sort/count the output
-    // (an array<double> column crashes its pandas sort — r10 red row).
-    "embedding_pca" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.pcaProject(e, "vec_id", "embedding", 8, whiten = true)
-        .select(col("vec_id"), posexplode(col("proj")).as(Seq("component_idx", "value")))
-    }),
+    // §2.2 row 25e — top-4 PCA eigensolve, ORACLED (round 18 — VERDICT
+    // r17 #1): engine-exact integer fixed-point power iteration with
+    // Hotelling deflation over the 6dp covariance (the event_pagerank
+    // unrolled-CTE discipline; see Similarity.pcaPowerFixed's scaladoc
+    // for the flat-spectrum adjudication). The float Jacobi path
+    // (pcaTrain/pcaProject — whitened projections) remains library
+    // surface, spec-gated as before.
+    "embedding_pca" -> ((s, d) =>
+      Similarity.pcaPowerFixed(Tables.embeddings(s, d), "embedding", k = 4)),
     // §2.2 row 26 — multimodal binary plumbing (metadata path)
     "multimodal_meta" -> ((s, d) =>
       Multimodal.metaTable(Multimodal.packBinary(Tables.documents(s, d), "doc_id", "text"))),
@@ -2028,9 +2083,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys (ingest_discovery, approx_stats,
-    * bpe_train, bpe_segment, embedding_pca) are non-SQL-expressible →
+    * bpe_train, bpe_segment) are non-SQL-expressible →
     * driver's weaker rows-only check (filesystem listing; approximate
-    * by construction; genuinely iterative training; eigensolve). The
+    * by construction; genuinely iterative training). The
     * ENTIRE ANN family is row-hash-oracled: pinned seeded artifacts
     * (`ann_lsh` planes, `ann_ivf_fixed` centroids, `ann_pq_fixed`
     * codebooks, `ann_ivfpq_fixed` composed) AND trained artifacts
@@ -2040,9 +2095,11 @@ object SparkEntry {
     * adaptive sizing are verified, not just search). BPE segmentation is
     * gated by `bpe_segment_fixed` (pinned merge list, recursive-CTE
     * replay) — only TRAINING is genuinely iterative. Winnowing is gated
-    * by `winnow_overlap` + the fully-oracled
-    * md5-variant `winnow_fingerprint`, and embedding_pca's
-    * distributed pass by the oracled `embedding_cov`. */
+    * by `winnow_overlap` + the fully-oracled md5-variant
+    * `winnow_fingerprint`. `embedding_pca` is HASH-oracled since round
+    * 18 (EmbeddingPcaSql's unrolled fixed-point power iteration); the
+    * float Jacobi/whitening path stays spec-gated library surface with
+    * its distributed pass covered by the oracled `embedding_cov`. */
   /** Pinned-centroid IVF search replay, parameterized by the corpus-scan
     * predicate — `ann_ivf_fixed` uses the plain split, `ann_filtered` adds
     * the metadata filter (pre-filtering: the index sees only qualifying
@@ -4351,6 +4408,7 @@ object SparkEntry {
         |FROM f""".stripMargin,
     "embedding_cov" -> EmbeddingCovSql,
     "embedding_cov_hd" -> EmbeddingCovSql,
+    "embedding_pca" -> EmbeddingPcaSql,
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v,

@@ -1160,6 +1160,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(proj.toSeq == proj2.toSeq)
   }
 
+  test("pcaPowerFixed: converges to the Jacobi basis on a gapped corpus; exact fixed-point invariants") {
+    // the planted rank-2 corpus from the pcaTrain test: spectral gap is
+    // wide (rank-2 structure + 1e-3 noise), so 12 power rounds converge
+    val d = 8
+    val rows = (0 until 200).map { r =>
+      val a = math.sin(r * 1.7) * 4
+      val b = math.cos(r * 0.9) * 2
+      (r.toLong, (0 until d).map(i =>
+        ((if (i < 4) a * 0.5 else b * 0.5) +
+          0.001 * ((r * 31 + i * 17) % 7 - 3)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.pcaPowerFixed(df, "embedding", k = 2)
+      .as[(Int, Int, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(got.length == 2 * d)
+    val (_, eig, basis) = Similarity.pcaTrain(df, "embedding", 2)
+    for (c <- 0 until 2) {
+      val comp = got.filter(_._1 == c)
+      val v = comp.map(_._3.toDouble)
+      // ∞-norm renormalization is EXACT: max |loading6| is 1e6 itself
+      assert(v.map(math.abs).max == 1e6, s"component $c max-abs ${v.map(math.abs).max}")
+      // direction matches the float Jacobi eigenvector (sign-agnostic)
+      val b0 = basis(c)
+      val cos = math.abs(v.zip(b0).map { case (x, y) => x * y }.sum) /
+        (math.sqrt(v.map(x => x * x).sum) * math.sqrt(b0.map(x => x * x).sum))
+      assert(cos > 0.999, s"component $c |cos| vs Jacobi = $cos")
+      // integer Rayleigh quotient lands on the eigenvalue (1e-4 fixed-
+      // point granularity + deflation drift at component 2)
+      val lam = comp.head._4 / 1e6
+      assert(math.abs(lam - eig(c)) < 0.02 * eig(0),
+        s"component $c lambda $lam vs jacobi ${eig(c)}")
+    }
+    // order-independence: the covariance is decimal-summed and every
+    // subsequent op is exact integer math, so a reversed corpus yields
+    // IDENTICAL rows (the oracle's engine-exactness, seen from Spark)
+    val got2 = Similarity.pcaPowerFixed(rows.reverse.toDF("vec_id", "embedding"),
+        "embedding", k = 2)
+      .as[(Int, Int, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(got.toSeq == got2.toSeq)
+  }
+
   test("pcaTrainSketched recovers the exact top-k subspace on a zero-mean gapped corpus") {
     // symmetric (r, −r) pairs make the corpus exactly zero-mean, so the
     // exact CENTERED pcaTrain and the sketched UNCENTERED second-moment

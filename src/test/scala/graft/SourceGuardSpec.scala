@@ -35,10 +35,12 @@ class SourceGuardSpec extends AnyFunSpec {
     "graft/operators/Retrieval.scala" -> 2,
     // Similarity: bounded TakeOrdered training samples (ivf seeds, pq
     // sample), seededCentroids' sample-seed collect, the require-bounded
-    // (dim <= 8192) covariance-row collect in pcaTrain, and
+    // (dim <= 8192) covariance-row collect in pcaTrain,
     // pcaTrainSketched's <= ell FD-sketch rows (ell*d require-bounded
-    // at 32M doubles — the executors' own FD buffer size)
-    "graft/operators/Similarity.scala" -> 5,
+    // at 32M doubles — the executors' own FD buffer size), and round
+    // 18's pcaPowerFixed covariance-triangle collect (the same
+    // dimension-bounded pcaTrain class, require-gated at d <= 1024)
+    "graft/operators/Similarity.scala" -> 6,
     // Star: 64-key pivot-value collect with a loud limit
     "graft/operators/Star.scala" -> 1)
 
