@@ -47,6 +47,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Broadcast-build pathology detector (VERDICT r17 #3 — the automated
+    // form of round 17's hand-run SparkListener diagnosis): every 1-task
+    // `withThreadLocalCaptured` stage above 1 s is recorded and, after
+    // the run, attributed to the query whose wall-clock window contains
+    // its submission time. Offenders land in the tail JSON as
+    // `pathology_flags` ({} on a clean run), so a re-introduced
+    // single-threaded broadcast build self-reports instead of hiding
+    // inside a query's total.
+    val pathology = new PathologyListener(1.0)
+    spark.sparkContext.addSparkListener(pathology)
+    var pathologyWindows = Vector.empty[(String, Long, Long)]
+
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -138,9 +150,11 @@ object Bench {
       names.foreach { case (name, fn) =>
         if (!errors.exists(_._1 == name)) {
           try {
+            val w0 = System.currentTimeMillis()
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
             val dt = (System.nanoTime() - t0) / 1e9
+            pathologyWindows :+= ((name, w0, System.currentTimeMillis()))
             samples += name -> (samples(name) :+ dt)
             passSum += dt
           } catch {
@@ -237,6 +251,7 @@ object Bench {
       def run(queryName: String, jsonKey: String,
               df: => org.apache.spark.sql.DataFrame): String = {
         pipelineCurrent = queryName
+        val w0 = System.currentTimeMillis()
         def once(): (Double, Array[String]) = {
           val t0 = System.nanoTime()
           val st = df.collect().map(r =>
@@ -251,6 +266,7 @@ object Bench {
         }
         while (!agreeing && warm.size < 3) warm :+= once()
         val (acceptedSec, acceptedStages) = warm.minBy(_._1)
+        pathologyWindows :+= ((queryName, w0, System.currentTimeMillis()))
         pipelineTimings :+= (queryName -> acceptedSec)
         s"""${q(jsonKey)}:{"total_sec":${r3(acceptedSec)},"cold_sec":${r3(cold)},"warm_samples":[${warm.map(w => r3(w._1)).mkString(",")}],"agree":$agreeing,"stages":[${acceptedStages.mkString(",")}]}"""
       }
@@ -338,8 +354,15 @@ object Bench {
       case Some(fl) =>
         fl.take(5).map { case (k, r) => s"${q(k)}:$r" }.mkString("{", ",", "}")
     }
+    // pathology_flags: per-query worst 1-task withThreadLocalCaptured
+    // stage seconds (top 5 — line budget). Listener-bus delivery is
+    // async, so give the final events a beat to land first (a missed
+    // event only under-reports a diagnostic; it cannot corrupt timings).
+    Thread.sleep(500)
+    val pfl = pathology.attribute(pathologyWindows).take(5)
+      .map { case (k, v) => s"${q(k)}:${r2(v)}" }.mkString("{", ",", "}")
     val prefix =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"extra_passes":$extraPasses,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"stage_flags":$sfl,"pass_sums":[${passSums.map(r2).mkString(",")}],"spread_total":${r3(totalSpread)},"spread_top5":$sp,"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"reps":$reps,"extra_passes":$extraPasses,"n_ok":${timings.size},"n_err":${errors.size},"errors":$es,"stage_flags":$sfl,"pathology_flags":$pfl,"pass_sums":[${passSums.map(r2).mkString(",")}],"spread_total":${r3(totalSpread)},"spread_top5":$sp,"""
     // 2000 artifact chars minus the trailing sbt line minus this line's own
     // newline; the prefix spends part of it, the tail segment gets the rest.
     val tailBudget = 1922 - prefix.length

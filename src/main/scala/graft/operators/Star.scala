@@ -131,10 +131,24 @@ object Star {
     * partition pruning work at 100 TB (a date-ranged query reads only its
     * partitions; `.explain` shows PartitionFilters). Pair with
     * `sortWithinPartitions` on the join key so downstream bucketed readers
-    * get clustered data. */
+    * get clustered data.
+    *
+    * The shuffle width is PINNED to the session's defaultParallelism
+    * (round 18 — found by Bench's pathology detector, its first catch):
+    * an unpinned `repartition(col(date))` lets AQE coalesce a
+    * byte-small shuffle to ONE partition, and a single task then
+    * creates every date directory SERIALLY — ~2,400 dirs × per-file
+    * commit overhead read 13-14 s per fact at small SF (the dominant
+    * cost of the whole DWH pipeline), named `withThreadLocalCaptured`
+    * in the stage log because Spark 4 runs eagerly-executed write
+    * commands on that thread pool. Pinning restores write parallelism
+    * (14.1 s → 3.0 s at 8 cores) and stays correct at 100 TB: date
+    * values hash across ALL cores, each task writes only its dates'
+    * files (bounded open handles), and pruning layout is unchanged. */
   def writeFactPartitioned(fact: DataFrame, path: String, dateKeyCol: String,
                            sortCol: String): Unit =
-    fact.repartition(col(dateKeyCol))
+    fact.repartition(fact.sparkSession.sparkContext.defaultParallelism,
+        col(dateKeyCol))
       .sortWithinPartitions(col(sortCol))
       .write.mode("overwrite")
       .partitionBy(dateKeyCol)
