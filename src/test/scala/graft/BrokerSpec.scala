@@ -171,5 +171,50 @@ class BrokerSpec extends SparkSpec {
     // its JSON encode plan on the publish side) must not require a broker
     val k = new KafkaBroker("localhost:9092")
     assert(k != null)
+    // option mapping: the kafka: prefix strips into the bootstrap servers
+    // the publish/subscribe wiring hands to the connector verbatim
+    assert(Broker.forUri("kafka:b1:9092,b2:9092")
+      .asInstanceOf[KafkaBroker].bootstrapServers == "b1:9092,b2:9092")
+  }
+
+  test("Kafka serialization parity: encode-decode round trip is the identity and matches the file transport (VERDICT r17 #5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // mixed types a staging row actually carries: long, string with JSON
+    // metacharacters, negative double, nullable timestamp, nullable string
+    val df = Seq(
+      (1L, "click", 2.5, Option("2026-01-01 08:30:00"), Option("plain")),
+      (2L, "view", -0.25, Option("2026-01-02 09:00:00"), None),
+      (3L, "bu\"y\\,:{}", 0.0, None, Option("q\"uo\\ted")))
+      .toDF("event_id", "event_type", "value", "ts_s", "note")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    def key(d: org.apache.spark.sql.DataFrame)
+        : Set[(Long, String, Double, Option[String], Option[java.sql.Timestamp])] =
+      d.select(col("event_id"), col("event_type"), col("value"),
+        col("note"), col("ts"))
+        .as[(Long, String, Double, Option[String], Option[java.sql.Timestamp])]
+        .collect().toSet
+    val want = key(df)
+    // 1) the wire payload is exactly ONE string column named value
+    val enc = graft.streaming.KafkaBroker.encode(df)
+    assert(enc.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+      Seq(("value", "string")))
+    // 2) decode(encode(df)) is the identity under the caller's schema —
+    // the broker-less proof of the Kafka value round trip (nulls survive
+    // to_json's omit-null-fields default; timestamps survive the ISO form)
+    val dec = graft.streaming.KafkaBroker.decode(enc, df.schema)
+    assert(dec.columns.toSeq == df.columns.toSeq)
+    assert(key(dec) == want)
+    // 3) Kafka's value column is BINARY, not string — decode must accept
+    // the bytes shape identically (the cast("string") seam)
+    val decBin = graft.streaming.KafkaBroker.decode(
+      enc.select(col("value").cast("binary").as("value")), df.schema)
+    assert(key(decBin) == want)
+    // 4) transport parity: the same rows through FileTopicBroker's parquet
+    // queue read back row-identical to the Kafka-value round trip
+    val root = java.nio.file.Files.createTempDirectory("kparity").toString
+    val f = new FileTopicBroker(root)
+    f.publish(df, "orders")
+    assert(key(spark.read.parquet(f.topicDir("orders"))) == want)
   }
 }
