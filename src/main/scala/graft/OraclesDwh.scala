@@ -838,6 +838,31 @@ private[graft] object OraclesDwh {
         |    AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.9)
         |SELECT p.vec_id, p.label AS cell, (d.vec_id IS NULL) AS keep
         |FROM emb_corpus p LEFT JOIN dup d ON p.vec_id = d.vec_id""".stripMargin),
+    // semantic_dedup_cells — the SCALE-PATH SemDeDup (round 18): clusters
+    // are the DERIVED occupancy-bounded IVF cells, so the oracle replays
+    // the full ann_ivf training chain (xxhash64 sample order, seeds, one
+    // fold-order-pinned k-means step, cosine-DESC/lowest-cid assignment of
+    // EVERY vector via cell_of) and then the within-cell pairwise keep
+    // decisions at the 6dp-rounded 0.9 threshold. q0 is an empty stub:
+    // ivfTrainCtes' probes CTE references it but nothing downstream here
+    // does, so it never executes.
+    "semantic_dedup_cells" ->
+      s"""WITH c0 AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |    FROM embeddings),
+        |q0 AS (SELECT neighbor_id AS query_id, cv AS qv FROM c0 WHERE false),
+        |${xxhash64Ctes("c0", "neighbor_id")},
+        |$ivfTrainCtes,
+        |dup AS (SELECT DISTINCT x.neighbor_id AS vec_id
+        |  FROM cell_of x JOIN cell_of y
+        |    ON x.cell = y.cell AND x.neighbor_id > y.neighbor_id
+        |  JOIN c0 cx ON cx.neighbor_id = x.neighbor_id
+        |  JOIN c0 cy ON cy.neighbor_id = y.neighbor_id
+        |  WHERE NOT isnan(list_cosine_similarity(cx.cv, cy.cv))
+        |    AND round(list_cosine_similarity(cx.cv, cy.cv), 6) >= 0.9)
+        |SELECT c.neighbor_id AS vec_id, CAST(co.cell AS INT) AS cell,
+        |  (d.vec_id IS NULL) AS keep
+        |FROM c0 c JOIN cell_of co USING (neighbor_id)
+        |LEFT JOIN dup d ON d.vec_id = c.neighbor_id""".stripMargin,
     // The oracle brute-forces the true nearest neighbor of each perturbed
     // query; both approximate paths must have retrieved exactly it.
     "ann_recall" ->

@@ -344,6 +344,17 @@ private[graft] object QueriesDedupAnn {
     "semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(embCorpus(s, d, withLabel = true),
         "vec_id", "embedding", 0.9, clusterCol = Some(col("label")))),
+    // §2.2 row 21e, SCALE-PATH variant (round 18 — from the scale-curve
+    // certification): the label-pinned query above grows quadratically
+    // within its CONSTANT cluster count by construction; this runs the
+    // library DEFAULT — clusters are DERIVED occupancy-bounded IVF cells
+    // from the adaptively-sized trained centroids (the ann_ivf trainer),
+    // so the whole scale path (hash sample, seeds, one k-means step,
+    // every vector's cell assignment, within-cell pairwise keep
+    // decisions) is itself hash-oracled via the ivfTrainCtes replay.
+    "semantic_dedup_cells" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d),
+        "vec_id", "embedding", 0.9)),
     // §2.2 row 21f — margin-based cross-side pair mining (Artetxe-Schwenk
     // ratio margin, the CCMatrix criterion) between the even- and odd-label
     // halves; planes pinned at 16 (4 bands x 4 bits) for the SQL replay

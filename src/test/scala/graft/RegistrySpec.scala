@@ -6,9 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * are now composed from per-family parts, and `++` would SILENTLY let a
   * later part shadow an earlier one's key — so this spec (a) asserts the
   * parts are pairwise key-disjoint, and (b) pins the composed key sets to
-  * the exact pre-split surface (204 queries / 200 oracles), so the split
-  * provably changed nothing and future additions are a conscious edit of
-  * the pinned lists. */
+  * the known surface (205 queries / 201 oracles — the 204/200 pre-split
+  * sets plus round 18's semantic_dedup_cells), so the split provably
+  * changed nothing and future additions are a conscious edit of the
+  * pinned lists. */
 class RegistrySpec extends AnyFunSuite {
 
   private val expectedQueries: Set[String] = Set(
@@ -52,7 +53,7 @@ class RegistrySpec extends AnyFunSuite {
     "recon_only_right", "rep_filter", "rollup_revenue", "runs_test",
     "salted_agg", "salted_join", "sample_priority", "sample_priority_strat",
     "sample_stratified", "sample_weighted", "scd2_dim", "scd2_merge",
-    "schema_drift", "script_profile", "self_bleu", "semantic_dedup",
+    "schema_drift", "script_profile", "self_bleu", "semantic_dedup", "semantic_dedup_cells",
     "seq_pack", "sessionize", "setsim_join", "setsim_join_hashed",
     "shard_assign", "skew_profile", "source_cap", "source_overlap",
     "source_overlap_hashed", "source_overlap_sketch", "source_token_mi",
@@ -105,7 +106,7 @@ class RegistrySpec extends AnyFunSuite {
     "recon_only_right", "rep_filter", "rollup_revenue", "runs_test",
     "salted_agg", "salted_join", "sample_priority", "sample_priority_strat",
     "sample_stratified", "sample_weighted", "scd2_dim", "scd2_merge",
-    "schema_drift", "script_profile", "self_bleu", "semantic_dedup",
+    "schema_drift", "script_profile", "self_bleu", "semantic_dedup", "semantic_dedup_cells",
     "seq_pack", "sessionize", "setsim_join", "setsim_join_hashed",
     "shard_assign", "skew_profile", "source_cap", "source_overlap",
     "source_overlap_hashed", "source_overlap_sketch", "source_token_mi",
@@ -131,11 +132,11 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
-  test("composed queries map equals the pre-split surface (204 keys)") {
+  test("composed queries map equals the pinned surface (205 keys)") {
     assert(SparkEntry.queries.keySet == expectedQueries)
   }
 
-  test("composed oracle map equals the pre-split surface (200 keys)") {
+  test("composed oracle map equals the pinned surface (201 keys)") {
     assert(SparkEntry.oracleSql.keySet == expectedOracles)
   }
 
