@@ -357,13 +357,11 @@ private[graft] object OraclesDwh {
     // The literal definition: brute-force all pairs under the length
     // prefilter — completeness is exactly what the Spark side's prefix
     // filtering must reproduce.
-    "edit_join" ->
-      """WITH s AS (SELECT s_suppkey AS id, s_name AS name FROM supplier)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
-        |FROM s a JOIN s b ON a.id < b.id
-        |  AND abs(length(a.name) - length(b.name)) <= 1
-        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
+    "edit_join" -> EditJoinSql,
+    // edit_join_wide (q = 3) answers to the IDENTICAL brute-force oracle:
+    // Ed-Join's q only prunes candidates, never matches (the r18
+    // scale-curve adjudication, certified here in the driver gate).
+    "edit_join_wide" -> EditJoinSql,
     "recon_inner" -> (SrcCte +
       """
         |SELECT a.c_custkey AS c_custkey,

@@ -135,6 +135,16 @@ private[graft] object QueriesDwh {
       MultiSource.editJoin(
         Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
         "s_suppkey", "s_name", 1)),
+    // §2.1 row 12c, SCALE-KNOB variant (round 18): Ed-Join's completeness
+    // is q-independent — only the candidate count changes — so the q=3
+    // shape (the one the r18 scale curve shows restoring ~linear growth
+    // on digit-heavy key domains; bench_logs/r18/SCALE_CURVE.md) is gated
+    // by the SAME brute-force oracle, proving result identity in the
+    // driver gate, not just in the probe.
+    "edit_join_wide" -> ((s, d) =>
+      MultiSource.editJoin(
+        Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+        "s_suppkey", "s_name", 1, q = 3)),
     // §2.1 row 12 — reconciliation
     "recon_inner" -> ((s, d) =>
       MultiSource.reconInner(srcA(s, d), srcB(s, d), "c_custkey", Seq("c_name", "c_acctbal"))),

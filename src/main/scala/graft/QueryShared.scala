@@ -772,6 +772,19 @@ private[graft] object QueryShared {
       |books AS (SELECT pseeds.j AS j, pseeds.c AS c, coalesce(pmean.mv, pseeds.sv) AS bv
       |    FROM pseeds LEFT JOIN pmean ON pmean.j = pseeds.j AND pmean.c = pseeds.c)""".stripMargin
 
+  /** Brute-force all-pairs levenshtein — the completeness oracle BOTH
+    * edit_join (q=2) and edit_join_wide (q=3) answer to: Ed-Join's q-gram
+    * prefix filter prunes candidates, never matches, so one oracle gates
+    * every q (the round-18 scale-curve adjudication — q is the scale
+    * knob on digit-heavy key domains, with byte-identical results). */
+  val EditJoinSql: String =
+    """WITH s AS (SELECT s_suppkey AS id, s_name AS name FROM supplier)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      |FROM s a JOIN s b ON a.id < b.id
+      |  AND abs(length(a.name) - length(b.name)) <= 1
+      |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin
+
   val annQcCtes: String =
     """q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       |    FROM embeddings WHERE vec_id < 5),

@@ -174,7 +174,15 @@ object MultiSource {
     * window (per-string occurrence rank — strings are short, partitions
     * are per-record), one gram-keyed prefix self-join whose two sides
     * are the same subtree, one short-class length join, one pair
-    * distinct, two id-keyed verify joins. */
+    * distinct, two id-keyed verify joins.
+    *
+    * Choosing q (the round-18 scale-curve finding): completeness is
+    * q-independent — q only sets candidate selectivity. On digit-heavy
+    * key domains (TPC-H-style "Supplier#000000NNN" names) every 2-gram's
+    * df grows linearly with n, so q=2 candidates grow ~quadratically
+    * past ~5k strings; q=3 restored ~linear growth at byte-identical
+    * matches (bench_logs/r18/SCALE_CURVE.md). Rule of thumb: q=2 below
+    * ~5k strings, 3 to ~500k, 4 above. */
   def editJoin(df: DataFrame, idCol: String, strCol: String,
                d: Int, q: Int = 2): DataFrame = {
     require(d >= 0 && q >= 2, s"editJoin needs d >= 0, q >= 2; got d=$d q=$q")

@@ -6,8 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * are now composed from per-family parts, and `++` would SILENTLY let a
   * later part shadow an earlier one's key — so this spec (a) asserts the
   * parts are pairwise key-disjoint, and (b) pins the composed key sets to
-  * the known surface (205 queries / 201 oracles — the 204/200 pre-split
-  * sets plus round 18's semantic_dedup_cells), so the split provably
+  * the known surface (206 queries / 202 oracles — the 204/200 pre-split
+  * sets plus round 18's semantic_dedup_cells and edit_join_wide), so the split provably
   * changed nothing and future additions are a conscious edit of the
   * pinned lists. */
 class RegistrySpec extends AnyFunSuite {
@@ -27,7 +27,7 @@ class RegistrySpec extends AnyFunSuite {
     "decontaminate", "dedup_cdc", "dedup_cluster", "dedup_exact",
     "dedup_keep_best", "dedup_span", "dedup_stats", "dedup_substr",
     "dim_date", "doc_fingerprint", "domain_gate", "dow_profile",
-    "dsir_weights", "dual_format_dispatch", "edit_join", "embedding_cov",
+    "dsir_weights", "dual_format_dispatch", "edit_join", "edit_join_wide", "embedding_cov",
     "embedding_cov_hd", "embedding_jl", "embedding_matryoshka",
     "embedding_norms", "embedding_pca", "embedding_quantize", "entropy_rate",
     "error_audit", "event_pagerank", "event_route", "event_transitions",
@@ -80,7 +80,7 @@ class RegistrySpec extends AnyFunSuite {
     "decontam_substr", "decontaminate", "dedup_cdc", "dedup_cluster",
     "dedup_exact", "dedup_keep_best", "dedup_span", "dedup_stats",
     "dedup_substr", "dim_date", "doc_fingerprint", "domain_gate",
-    "dow_profile", "dsir_weights", "dual_format_dispatch", "edit_join",
+    "dow_profile", "dsir_weights", "dual_format_dispatch", "edit_join", "edit_join_wide",
     "embedding_cov", "embedding_cov_hd", "embedding_jl",
     "embedding_matryoshka", "embedding_norms", "embedding_pca",
     "embedding_quantize", "entropy_rate", "error_audit", "event_pagerank",
@@ -132,11 +132,11 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
-  test("composed queries map equals the pinned surface (205 keys)") {
+  test("composed queries map equals the pinned surface (206 keys)") {
     assert(SparkEntry.queries.keySet == expectedQueries)
   }
 
-  test("composed oracle map equals the pinned surface (201 keys)") {
+  test("composed oracle map equals the pinned surface (202 keys)") {
     assert(SparkEntry.oracleSql.keySet == expectedOracles)
   }
 
