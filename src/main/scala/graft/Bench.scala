@@ -49,13 +49,20 @@ object Bench {
 
     // Broadcast-build pathology detector (VERDICT r17 #3 — the automated
     // form of round 17's hand-run SparkListener diagnosis): every 1-task
-    // `withThreadLocalCaptured` stage above 1 s is recorded and, after
-    // the run, attributed to the query whose wall-clock window contains
-    // its submission time. Offenders land in the tail JSON as
+    // `withThreadLocalCaptured` stage above the threshold is recorded
+    // and, after the run, attributed to the query whose wall-clock
+    // window contains its submission time; only RECURRING hits flag
+    // (PathologyListener.attribute). Offenders land in the tail JSON as
     // `pathology_flags` ({} on a clean run), so a re-introduced
     // single-threaded broadcast build self-reports instead of hiding
-    // inside a query's total.
-    val pathology = new PathologyListener(1.0)
+    // inside a query's total. Threshold 2.5 s: the class this hunts is
+    // multi-second serialized subtree re-execution (r17's 6.5 s
+    // classifier build, r18's 13.9 s coalesced fact write); ordinary
+    // broadcast builds end in a ~0.1-0.4 s one-task final-collect stage
+    // (benford_digits/join_size_est measured 0.36-0.42 s quiet), which
+    // host contention can stretch past 1 s — below 2.5 s is that benign
+    // class, not the pathology.
+    val pathology = new PathologyListener(2.5)
     spark.sparkContext.addSparkListener(pathology)
     var pathologyWindows = Vector.empty[(String, Long, Long)]
 
@@ -354,10 +361,12 @@ object Bench {
       case Some(fl) =>
         fl.take(5).map { case (k, r) => s"${q(k)}:$r" }.mkString("{", ",", "}")
     }
-    // pathology_flags: per-query worst 1-task withThreadLocalCaptured
-    // stage seconds (top 5 — line budget). Listener-bus delivery is
-    // async, so give the final events a beat to land first (a missed
-    // event only under-reports a diagnostic; it cannot corrupt timings).
+    // pathology_flags: queries whose 1-task withThreadLocalCaptured
+    // stages RECURRED across passes (min seconds per query, top 5 —
+    // line budget; one-pass contention blips don't flag, see
+    // PathologyListener.attribute). Listener-bus delivery is async, so
+    // give the final events a beat to land first (a missed event only
+    // under-reports a diagnostic; it cannot corrupt timings).
     Thread.sleep(500)
     val pfl = pathology.attribute(pathologyWindows).take(5)
       .map { case (k, v) => s"${q(k)}:${r2(v)}" }.mkString("{", ",", "}")
