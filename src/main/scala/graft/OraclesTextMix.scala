@@ -368,6 +368,20 @@ private[graft] object OraclesTextMix {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR)) AS INT) AS src_rank
         |  FROM documents)
         |SELECT doc_id, source, src_rank FROM r WHERE src_rank <= 10""".stripMargin,
+    // blocklist_gate — token-granularity replay of the same filter; the
+    // hit list, its length, and the sorted-distinct join are all
+    // integer/string ops, engine-exact by construction
+    "blocklist_gate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |h AS (SELECT doc_id,
+        |    list_filter(w, x -> x IN ('a', 'dup', 'slow', 'vile')) AS hits
+        |  FROM t)
+        |SELECT doc_id, CAST(len(hits) AS INT) AS n_blocked,
+        |  -- empty hit list: array_to_string yields NULL in DuckDB where
+        |  -- Spark's concat_ws yields '' — pin the clean-doc spelling
+        |  coalesce(array_to_string(list_sort(list_distinct(hits)), ','), '') AS blocked_terms,
+        |  (len(hits) = 0) AS keep
+        |FROM h""".stripMargin,
     "corpus_gate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |q AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,

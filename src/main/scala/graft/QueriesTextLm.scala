@@ -444,6 +444,13 @@ private[graft] object QueriesTextLm {
     "corpus_gate" -> ((s, d) =>
       TextAnalysis.corpusGate(Tables.documents(s, d), "doc_id", "text",
         30, 0.05, 0.2)),
+    // §2.2 row L27aa — C4-style word-blocklist gate: token-granularity
+    // (never substring — "a" in the list must NOT block "data"/"batch"
+    // docs), map-side literals, zero shuffles; "vile" exercises the
+    // never-present-term path
+    "blocklist_gate" -> ((s, d) =>
+      TextAnalysis.blocklistGate(Tables.documents(s, d), "doc_id", "text",
+        Seq("a", "dup", "slow", "vile"))),
     // §2.2 row 27h — top-5 TF-IDF keyword extraction per document
     "tfidf_top" -> ((s, d) =>
       TextAnalysis.tfidfTop(Tables.documents(s, d), "doc_id", "text", 5)),

@@ -1024,6 +1024,37 @@ object TextAnalysis {
         col("dup_fraction"), col("_reasons"), col("keep"))
   }
 
+  /** C4-style word-blocklist gate (Raffel et al. 2020 §2.2 — the "bad
+    * words" page filter; the reference's per-row drop-on-predicate rule
+    * discipline, STEP3_QUALITY_ENGINE.py:107-178, pointed at corpus text):
+    * flag every document containing a blocklisted WORD. Matching is at
+    * TOKEN granularity, never substring — the substring form over-blocks
+    * (the classic Scunthorpe failure: blocking "a" as a substring would
+    * kill every document containing "data"; token matching keeps them,
+    * spec-pinned). Entirely map-side: a real blocklist is KB-sized
+    * (C4's English list is ~400 words) so it rides the plan as literals
+    * — no join, no shuffle, no broadcast exchange; verdicts are a pure
+    * projection and the gate costs one corpus scan at any corpus size.
+    * The hit array lands in its own projection so the HOF filter runs
+    * once, not once per consumer (the F2 sign-projection discipline).
+    * Output: (id, n_blocked = blocklisted token OCCURRENCES,
+    * blocked_terms = sorted distinct matched words comma-joined — the
+    * audit trail, '' when clean, the error_audit reasons discipline),
+    * keep = n_blocked == 0. */
+  def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
+                    blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistGate: empty blocklist")
+    docs
+      .select(col(idCol),
+        filter(tokens(col(textCol)),
+          t => t.isin(blocklist.map(_.asInstanceOf[Any]): _*)).as("_hits"))
+      .select(col(idCol),
+        size(col("_hits")).as("n_blocked"),
+        concat_ws(",", array_sort(array_distinct(col("_hits"))))
+          .as("blocked_terms"),
+        (size(col("_hits")) === 0).as("keep"))
+  }
+
   /** Power-of-two token-length histogram — the sequence-length planning
     * input for packing/bucketed batching: how many documents (and how much
     * token mass) falls in each [2^k, 2^(k+1)) length band. Pure map-side

@@ -71,6 +71,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs in a per-row checksum:\n$p")
   }
 
+  test("blocklist_gate is entirely map-side: no keyed shuffle, zero joins") {
+    // same discipline as pii_luhn: the blocklist rides the plan as
+    // literals and verdicts are a pure projection — no join against a
+    // list table, no shuffle; the loader's round-robin spread is the
+    // only permitted Exchange. Scan must prune to (doc_id, text).
+    val p = planOf("blocklist_gate")
+    val keyedExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+      .toSeq
+    assert(keyedExchanges.isEmpty, s"the blocklist scan must not shuffle on a key:\n$p")
+    assert(!p.contains("Join"), s"a literal blocklist must not join:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text") && !read.contains("source") && !read.contains("lang"),
+      s"scan reads unused columns: $read")
+  }
+
   test("hll_registers partial-aggregates map-side: <= 256 rows per task cross the shuffle") {
     val p = planOf("hll_registers")
     // one partial HashAggregate below the bucket exchange, final above —

@@ -6,8 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * are now composed from per-family parts, and `++` would SILENTLY let a
   * later part shadow an earlier one's key — so this spec (a) asserts the
   * parts are pairwise key-disjoint, and (b) pins the composed key sets to
-  * the known surface (206 queries / 202 oracles — the 204/200 pre-split
-  * sets plus round 18's semantic_dedup_cells and edit_join_wide), so the split provably
+  * the known surface (207 queries / 203 oracles — the 204/200 pre-split
+  * sets plus round 18's semantic_dedup_cells, edit_join_wide, blocklist_gate), so the split provably
   * changed nothing and future additions are a conscious edit of the
   * pinned lists. */
 class RegistrySpec extends AnyFunSuite {
@@ -17,7 +17,7 @@ class RegistrySpec extends AnyFunSuite {
     "ann_ivf_fixed", "ann_ivfpq", "ann_ivfpq_fixed", "ann_ivfpq_res",
     "ann_lsh", "ann_pq", "ann_pq_fixed", "ann_recall", "ann_topk",
     "anomaly_mad", "anomaly_zscore", "approx_stats", "asof_last_error",
-    "audit_tail", "benford_digits", "benford_stat", "bloom_decontam",
+    "audit_tail", "benford_digits", "benford_stat", "blocklist_gate", "bloom_decontam",
     "bm25_topk", "boilerplate_scrub", "bootstrap_ci", "bpe_fertility",
     "bpe_segment", "bpe_segment_fixed", "bpe_train", "centroid_outliers",
     "chao1_richness", "chunk_docs", "cms_counts", "coerce_types",
@@ -71,8 +71,8 @@ class RegistrySpec extends AnyFunSuite {
     "ann_ivf_fixed", "ann_ivfpq", "ann_ivfpq_fixed", "ann_ivfpq_res",
     "ann_lsh", "ann_pq", "ann_pq_fixed", "ann_recall", "ann_topk",
     "anomaly_mad", "anomaly_zscore", "asof_last_error", "audit_tail",
-    "benford_digits", "benford_stat", "bloom_decontam", "bm25_topk",
-    "boilerplate_scrub", "bootstrap_ci", "bpe_fertility",
+    "benford_digits", "benford_stat", "blocklist_gate", "bloom_decontam",
+    "bm25_topk", "boilerplate_scrub", "bootstrap_ci", "bpe_fertility",
     "bpe_segment_fixed", "centroid_outliers", "chao1_richness", "chunk_docs",
     "cms_counts", "coerce_types", "cohort_retention", "containment_join",
     "containment_join_hashed", "corpus_diff", "corpus_gate", "corpus_report",
@@ -132,11 +132,11 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
-  test("composed queries map equals the pinned surface (206 keys)") {
+  test("composed queries map equals the pinned surface (207 keys)") {
     assert(SparkEntry.queries.keySet == expectedQueries)
   }
 
-  test("composed oracle map equals the pinned surface (202 keys)") {
+  test("composed oracle map equals the pinned surface (203 keys)") {
     assert(SparkEntry.oracleSql.keySet == expectedOracles)
   }
 

@@ -794,6 +794,29 @@ class TextIngestMultimodalSpec extends SparkSpec {
     assert(shared == out)
   }
 
+  test("blocklistGate matches tokens, never substrings (the Scunthorpe guard)") {
+    val docs = Seq(
+      (1L, "clean data batch table"),        // "a" inside data/batch/table only
+      (2L, "a data pipeline"),               // bare "a" token → blocked
+      (3L, "slow merge slow join dup"),      // occurrences count, terms dedup+sort
+      (4L, "")                               // empty doc → clean
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistGate(docs, "doc_id", "text",
+        Seq("a", "dup", "slow", "vile"))
+      .select("doc_id", "n_blocked", "blocked_terms", "keep")
+      .as[(Long, Int, String, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // the substring form would block doc 1 (three words CONTAIN "a");
+    // token matching keeps it — C4's gate is a word filter, not a grep
+    assert(out(1L) == ((0, "", true)))
+    assert(out(2L) == ((1, "a", false)))
+    // 3 = two "slow" + one "dup"; terms are distinct and sorted
+    assert(out(3L) == ((3, "dup,slow", false)))
+    assert(out(4L) == ((0, "", true)))
+    // "vile" never occurs: a listed-but-absent term flags nothing
+    assert(out.values.forall(!_._2.contains("vile")))
+  }
+
   test("tokenLengthHistogram bands docs by power-of-two token counts") {
     val docs = Seq("a", "a b c", "a b c d", "w x y z u v q r").toDF("text")
     // counts 1, 3, 4, 8 → buckets 0, 1, 2, 3
