@@ -413,14 +413,21 @@ object Similarity {
                     threshold: Double, numPlanes: Int = 0, dim: Int = 64,
                     numBands: Int = 4): DataFrame = {
     // numPlanes = 0 (default): derive the per-band width from the corpus
-    // count via adaptivePlanes (target occupancy 256 per band-bucket, floor
-    // 8 bits/band — the former fixed 32/4 shape), so band-bucket count grows
-    // with the corpus instead of within-bucket pairing growing QUADRATICALLY
-    // — the fixed-width failure mode for a near-dup self-join is worse than
-    // for ANN because every bucket pairs with itself.
+    // count via adaptivePlanes, so band-bucket count grows with the corpus
+    // instead of within-bucket pairing growing QUADRATICALLY — the
+    // fixed-width failure mode for a near-dup self-join is worse than for
+    // ANN because every bucket pairs with itself. Target occupancy 32, NOT
+    // ANN's 256: a query-join's per-bucket cost is linear in occupancy but
+    // a self-join's is occupancy² (≈ occ²/2 pairs), so the knee where the
+    // width starts growing must come ~8x earlier (≈ 8k vectors, not 65k).
+    // Measured at the r18 10x probe (48k vectors): the width this target
+    // reaches (wider bands) read 2x the wall and 2.6x less shuffle than
+    // the 256-target floor width, at −0.2% verified pairs
+    // (bench_logs/r18/SCALE_CURVE.md) — below the floor threshold the
+    // derived width is unchanged (8 bits/band).
     val planes =
       if (numPlanes > 0) numPlanes
-      else adaptivePlanes(memoizedCount(vectors), targetOccupancy = 256, minPlanes = 8) * numBands
+      else adaptivePlanes(memoizedCount(vectors), targetOccupancy = 32, minPlanes = 8) * numBands
     require(planes % numBands == 0, "numBands must divide numPlanes")
     val bandLen = planes / numBands
     val v = vectors.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
@@ -481,9 +488,12 @@ object Similarity {
                  k: Int = 4, minMargin: Double = 1.0,
                  numPlanes: Int = 0, dim: Int = 64, numBands: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // self-join occupancy target 32 (occ² pair cost), the cosineNearDup
+    // adjudication above — measured 2x wall / 2.6x shuffle at the r18 10x
+    // probe vs the 256-target floor width, −0.2% mined pairs
     val planes =
       if (numPlanes > 0) numPlanes
-      else adaptivePlanes(memoizedCount(vectors), targetOccupancy = 256, minPlanes = 8) * numBands
+      else adaptivePlanes(memoizedCount(vectors), targetOccupancy = 32, minPlanes = 8) * numBands
     require(planes % numBands == 0, "numBands must divide numPlanes")
     val bandLen = planes / numBands
     val v = vectors.select(col(sideCol).as("_side"), col(idCol).as("_id"),
