@@ -188,6 +188,13 @@ object ScaleProbe {
         graft.operators.Similarity.semanticDedup(
           QueryShared.embCorpus(s, d, withLabel = true),
           "vec_id", "embedding", 0.9))) :+
+      // cosineNearDup shares marginMine's banded self-join machinery and
+      // the same adaptive width derivation (self-join occupancy target 32
+      // after the r18 knee fix) — probed on the planted-duplicate corpus
+      // so verified pairs exist at every scale.
+      ("neardup_embedding_adaptive" -> ((s: SparkSession, d: String) =>
+        graft.operators.Similarity.cosineNearDup(
+          QueryShared.embCorpus(s, d), "vec_id", "embedding", 0.9))) :+
       // margin_mine at explicit 40 planes (10 bits/band): the signature
       // width the adaptive rule reaches past ~260k vectors, measured at
       // 10x to show the lever — occupancy (and so candidates) drops ~30x
