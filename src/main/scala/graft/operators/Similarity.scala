@@ -549,7 +549,21 @@ object Similarity {
     * Scale: pairing is CLUSTER-SCOPED — one cell-keyed hash self-join, so
     * candidate work is bounded by cluster occupancy (with derived IVF
     * cells, occupancy ≈ sqrt(N)) and never corpus-wide all-pairs; the
-    * exact-cosine check runs on cluster-mates only. NaN sims (zero-norm
+    * exact-cosine check runs on cluster-mates only. COST LAW, stated
+    * honestly: single-level derived-IVF semdedup is Θ(N^1.5·d) — brute
+    * nearest-centroid assignment costs N·cells·d and within-cell pairing
+    * costs cells·occ²≈N·occ, so sqrt-cells (occ ≈ sqrt(N)) is the OPTIMAL
+    * single-level split, and no cell-count choice makes this operator
+    * linear (fixed-occupancy cells push the N^1.5 into assignment
+    * instead; an angular-window refinement inside cells prunes nothing in
+    * high dim — concentration of measure puts every cell-mate's
+    * θ-to-centroid inside the acos(threshold) window). The r18 10x probe
+    * (exp(t) 0.20 at 2k→24k vectors) sits far below the asymptote; for
+    * corpora where N^1.5 bites, the linear-growth near-dup path is the
+    * LSH-banded [[cosineNearDup]] (occupancy-held band buckets), and
+    * SemDeDup's own deployment (Abbas et al. §3, fixed k on 5B
+    * embeddings) accepts the same within-cluster quadratic by capping
+    * cluster count. NaN sims (zero-norm
     * vectors) never mark a duplicate — the ANN paths' degenerate-vector
     * policy. Null cluster keys pair with nothing (kept), matching SQL
     * equi-join semantics.
