@@ -912,6 +912,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Similarity.adaptivePlanes(2L << 30, 64, 8) == 25) // +1 per doubling
     val widths = (10 to 40).map(b => Similarity.adaptivePlanes(1L << b, 64, 8))
     assert(widths == widths.sorted, "plane count must be monotone in corpus size")
+    // the SELF-JOIN target (cosineNearDup/marginMine derive with 32, not
+    // ANN's 256 — per-bucket pair cost is occupancy², the r18 knee fix):
+    // pin the knee at 32·2^8 = 8,192 vectors and the widths the r18
+    // probes measured, so a retune of the target is a conscious edit
+    assert(Similarity.adaptivePlanes(8192, 32, 8) == 8)   // at the knee: floor
+    assert(Similarity.adaptivePlanes(8193, 32, 8) == 9)   // first growth step
+    assert(Similarity.adaptivePlanes(2000, 32, 8) == 8)   // sf0.1 embeddings: floor
+    assert(Similarity.adaptivePlanes(20000, 32, 8) == 10) // 10x probe → 40 planes/4 bands
+    assert(Similarity.adaptivePlanes(60000, 32, 8) == 11) // 30x probe → 44 planes/4 bands
   }
 
   test("adaptive-width defaults reproduce the fixed-width results on a small corpus") {
