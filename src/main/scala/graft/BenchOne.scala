@@ -17,6 +17,15 @@ object BenchOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // local-fs chmod-fork removal (no libhadoop in this environment):
+      // see graft.sources.BareLocalFileSystem
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.sources.BareLocalFileSystem].getName)
+      // v2 output committer: task-parallel commit renames instead of the
+      // driver-serial job-commit merge — O(files) driver work removed from
+      // every partitioned write (zones are idempotent overwrite targets,
+      // so v2's weaker mid-job atomicity is safe here)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       // static conf: the default 100-entry codegen cache thrashes under a
       // 90-query sweep (~1500 distinct codegen units), recompiling every
       // stage on every run — sized to hold the whole library's units

@@ -25,6 +25,15 @@ object BpeProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // local-fs chmod-fork removal (no libhadoop in this environment):
+      // see graft.sources.BareLocalFileSystem
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.sources.BareLocalFileSystem].getName)
+      // v2 output committer: task-parallel commit renames instead of the
+      // driver-serial job-commit merge — O(files) driver work removed from
+      // every partitioned write (zones are idempotent overwrite targets,
+      // so v2's weaker mid-job atomicity is safe here)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

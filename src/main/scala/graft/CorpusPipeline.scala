@@ -89,10 +89,15 @@ object CorpusPipeline {
     }
     val raw = spark.read.parquet(s"$outRoot/raw/documents")
 
-    // 2. quality gate: keep/reject split with reasons
+    // 2. quality gate: keep/reject split with reasons. The gate verdict
+    // table is doc_id-sized — localCheckpoint materializes it ONCE so the
+    // rejected and gated writes don't each re-run the whole token-stats
+    // subtree (two full gate computes measured as twin stages in r19's
+    // per-job profile).
     timed("quality_gate") {
       val gate = TextAnalysis.corpusGate(raw, "doc_id", "text",
-        minTokens, minStopRatio, maxDupFraction)
+          minTokens, minStopRatio, maxDupFraction)
+        .select("doc_id", "keep", "_reasons").localCheckpoint()
       val keep = gate.where(col("keep")).select("doc_id")
       raw.join(gate.where(!col("keep")).select("doc_id", "_reasons"), "doc_id")
         .write.mode("overwrite").parquet(s"$outRoot/rejected/documents")
@@ -143,9 +148,13 @@ object CorpusPipeline {
 
     // 4. dedup: exact keep-min-id, then near-dup cluster representatives
     timed("dedup") {
+      // exact survivors feed THREE consumers (minhash pairs, cluster
+      // labels, the final write) — localCheckpoint materializes the
+      // exact-dedup join once instead of re-running the content-hash
+      // groupBy per consumer.
       val exactKeep = Dedup.exactDedupByHash(capped, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
-      val exact = capped.join(exactKeep, "doc_id")
+      val exact = capped.join(exactKeep, "doc_id").localCheckpoint()
       val pairs = Dedup.nearDupMinHash(exact, "doc_id", "text",
         shingleN = 3, threshold = nearDupThreshold)
       val reps = Dedup.nearDupClusters(exact, pairs, "doc_id")

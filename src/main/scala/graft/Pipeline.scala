@@ -78,6 +78,10 @@ object Pipeline {
         dupRule)
       Quality.annotate(addFk(addRn(raw)), rules)
         .drop("_rn_duplicate_key", "_fk_ok_fk_customer")
+        // clean and error zones both consume the annotated table:
+        // localCheckpoint runs the rule engine (window + FK broadcast)
+        // once instead of once per zone write
+        .localCheckpoint(false)
     }
     timed("quality") {
       IngestDiscovery.writeZone(Quality.cleanZone(annotated), outRoot, "clean", "orders")
@@ -86,7 +90,27 @@ object Pipeline {
     }
 
     // 3. transform & load: both star facts over the clean zone (order grain
-    // + line grain — the reference's two-fact DWH), partitioned by date_key
+    // + line grain — the reference's two-fact DWH), partitioned by date_key.
+    // Fact row counts are captured FROM the write itself (observe() metrics
+    // on the written plan — the production write-metrics pattern) instead
+    // of re-reading the freshly written date-partitioned dirs: a count-back
+    // re-listed ~2,400 partition dirs per fact (one listing task per dir)
+    // and re-read every footer, 2×5 s at sf0.1 and O(files) at any scale,
+    // for a number the write already knows. Fallback stays the honest
+    // read-back count in case an observation event is ever dropped.
+    def writtenRows(obs: org.apache.spark.sql.Observation, path: String): Long = {
+      // obs.get blocks until the (async) execution-listener event lands;
+      // bound the wait on a daemon thread so a lost event degrades to the
+      // honest read-back count instead of hanging the run.
+      val p = new java.util.concurrent.CompletableFuture[Long]()
+      val t = new Thread(() =>
+        try p.complete(obs.get("n").asInstanceOf[Long])
+        catch { case e: Throwable => p.completeExceptionally(e) })
+      t.setDaemon(true)
+      t.start()
+      try p.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: Exception => spark.read.parquet(path).count() }
+    }
     timed("transform_load") {
       val clean = spark.read.parquet(s"$outRoot/clean/orders")
 
@@ -99,9 +123,13 @@ object Pipeline {
       val custSnaps = spark.read.parquet(s"$outRoot/raw/customer")
         .select(col("c_custkey") +: scdAttrs.map(col) :+ col("_extract_time").as("_snap"): _*)
       val dimCust = {
+        // dimension-sized: localCheckpoint materializes the SCD2 window
+        // chain once — withSurrogateKey consumes `versions` three times
+        // (pivot sample, distinct+rank chain, attribute join-back)
         val versions = Star.scd2(custSnaps, "c_custkey", scdAttrs, "_snap")
           .withColumn("_vk", concat_ws("|", col("c_custkey"),
             date_format(col("valid_from"), "yyyyMMddHHmmss")))
+          .localCheckpoint()
         Star.withSurrogateKey(versions, "_vk", "customer_key").drop("_vk")
       }
       IngestDiscovery.writeZone(dimCust, outRoot, "dwh", "dim_customer")
@@ -116,12 +144,20 @@ object Pipeline {
         .where(col("is_current")).select(col("c_custkey"), col("customer_key"))
       val dateKey = (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
         dayofmonth(col("o_orderdate"))).as("date_key")
+      // ordersKeyed feeds BOTH facts (order grain directly, line grain via
+      // the o_orderkey join): localCheckpoint materializes the dim-resolved
+      // rows once, so the second fact neither re-scans the clean zone nor
+      // re-runs the broadcast lookup — and the checkpoint's exact size lets
+      // the planner pick the line-grain join strategy from real stats.
       val ordersKeyed = Star.lookupDim(
         clean.withColumnRenamed("o_custkey", "c_custkey"), dimC, "c_custkey", "customer_key")
+        .localCheckpoint()
       val factOrders = ordersKeyed
         .select(col("o_orderkey"), col("customer_key"), dateKey,
           col("o_totalprice"), col("o_orderstatus"))
-      Star.writeFactPartitioned(factOrders, s"$outRoot/dwh/fact_orders", "date_key", "o_orderkey")
+      val obsO = org.apache.spark.sql.Observation("fact_orders_rows")
+      Star.writeFactPartitioned(factOrders.observe(obsO, count(lit(1)).as("n")),
+        s"$outRoot/dwh/fact_orders", "date_key", "o_orderkey")
 
       val dimP = Star.withSurrogateKey(
         Tables.part(spark, sfDir).select(col("p_partkey")), "p_partkey", "part_key")
@@ -136,9 +172,11 @@ object Pipeline {
           col("customer_key"), col("part_key"), dateKey,
           col("l_quantity").as("quantity"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-      Star.writeFactPartitioned(factLine, s"$outRoot/dwh/fact_lineitem", "date_key", "l_orderkey")
-      spark.read.parquet(s"$outRoot/dwh/fact_orders").count() +
-        spark.read.parquet(s"$outRoot/dwh/fact_lineitem").count()
+      val obsL = org.apache.spark.sql.Observation("fact_lineitem_rows")
+      Star.writeFactPartitioned(factLine.observe(obsL, count(lit(1)).as("n")),
+        s"$outRoot/dwh/fact_lineitem", "date_key", "l_orderkey")
+      writtenRows(obsO, s"$outRoot/dwh/fact_orders") +
+        writtenRows(obsL, s"$outRoot/dwh/fact_lineitem")
     }
 
     // 4. report: per-zone stats + per-rule violations (the dashboard's

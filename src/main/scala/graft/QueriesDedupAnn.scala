@@ -333,7 +333,14 @@ private[graft] object QueriesDedupAnn {
       AnnIndex.staleness(s, path, 0.1)
     }),
     // §2.2 row 19 — embedding-cosine near-dup (banded + multiprobed +
-    // verified) over a corpus with planted exact and perturbed duplicates
+    // verified) over a corpus with planted exact and perturbed duplicates.
+    // ORACLE VALIDITY BOUND (ADVICE r18): the oracle is exact brute-force
+    // all-pairs at cos >= 0.9, but the library derives adaptive planes
+    // (self-join occupancy target 32, knee ~8k vectors) — completeness
+    // only holds while the verify corpus sits at/below the 8-bit floor
+    // width (~2k vectors at sf0.1; the r18 scale probe measured −0.2%
+    // pairs at 10x). A hash mismatch on a LARGER-SF verify run is this
+    // documented recall/scale trade, not a regression.
     "neardup_embedding" -> ((s, d) =>
       Similarity.cosineNearDup(embCorpus(s, d), "vec_id", "embedding", 0.9)),
     // §2.2 row 21e — SemDeDup semantic dedup over the planted-duplicate

@@ -20,7 +20,7 @@ class SourceGuardSpec extends AnyFunSpec {
   private val mainRoot = java.nio.file.Paths.get("src/main/scala/graft")
   private val exemptFiles = Set(
     "Bench.scala", "BenchOne.scala", "Verify.scala", "Plans.scala",
-    "PlanProbe.scala", "Scratch.scala")
+    "PlanProbe.scala", "Scratch.scala", "ProfileJobs.scala")
 
   /** Audited budgets: relative path -> expected count. A failure here
     * means a site was ADDED (audit it: is the collect bounded? is the
