@@ -135,6 +135,12 @@ object ScaleProbe {
       // every partitioned write (zones are idempotent overwrite targets,
       // so v2's weaker mid-job atomicity is safe here)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // AQE coalescing floor: the 1MB default collapses small-bytes but
+      // CPU-DENSE post-shuffle stages (similarity-join verify: 5.7MB of
+      // candidate pairs -> 5 tasks x 1.3s of array_intersect) to a handful
+      // of tasks. 256KB keeps such stages parallel; at production shuffle
+      // sizes bytes/parallelism >> 256KB so the floor never binds there.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256KB")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,15 +1,18 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Throwaway measurement scratchpad (exempt in SourceGuardSpec; never part
-  * of the query surface). Current experiment: where do the ~72 ms/file of
-  * non-CPU wait in the date-partitioned fact writes go, and which write
-  * configuration removes them. */
+  * of the query surface). Current experiment: AQE coalescing collapses
+  * small-bytes/CPU-dense verify stages (containment/setsim joins) to ~5
+  * tasks at sf0.1 — measure whether a lower coalesce minPartitionSize
+  * restores parallelism without hurting the small queries. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val queries = if (args.length > 1) args.drop(1).toSeq
+      else Seq("containment_join", "setsim_join", "lm_kn_trigram")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,67 +21,46 @@ object Scratch {
       // see graft.sources.BareLocalFileSystem
       .config("spark.hadoop.fs.file.impl",
         classOf[graft.sources.BareLocalFileSystem].getName)
-      // v2 output committer: task-parallel commit renames instead of the
-      // driver-serial job-commit merge — O(files) driver work removed from
-      // every partitioned write (zones are idempotent overwrite targets,
-      // so v2's weaker mid-job atomicity is safe here)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // AQE coalescing floor: the 1MB default collapses small-bytes but
+      // CPU-DENSE post-shuffle stages (similarity-join verify: 5.7MB of
+      // candidate pairs -> 5 tasks x 1.3s of array_intersect) to a handful
+      // of tasks. 256KB keeps such stages parallel; at production shuffle
+      // sizes bytes/parallelism >> 256KB so the floor never binds there.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256KB")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val root = System.getProperty("java.io.tmpdir") + "/graft_scratch_write"
 
-    def fact = spark.range(0L, 150000L, 1L, 32)
-      .select(col("id").as("o_orderkey"),
-        pmod(xxhash64(col("id")), lit(150000)).as("customer_key"),
-        (lit(19920101) + pmod(col("id"), lit(2405))).cast("int").as("date_key"),
-        (pmod(xxhash64(col("id"), lit(1)), lit(100000)).cast("double") / 100).as("o_totalprice"),
-        lit("O").as("o_orderstatus"))
-      .repartition(spark.sparkContext.defaultParallelism, col("date_key"))
-      .sortWithinPartitions(col("o_orderkey"))
-
-    def timed(label: String)(body: => Unit): Unit = {
-      // warm once, then two timed reps
+    def timeQ(q: String): Double = {
       val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
       }
-      println(f"$label%-60s ${ts.drop(1).min}%7.2f s  (cold ${ts.head}%7.2f)")
+      ts.min
     }
-
-    timed("noop (compute only)") {
-      fact.write.mode("overwrite").format("noop").save()
-    }
-    timed("parquet flat (no partitionBy)") {
-      fact.write.mode("overwrite").parquet(s"$root/flat")
-    }
-    timed("parquet partitionBy(date_key) v1 committer") {
-      fact.write.mode("overwrite").partitionBy("date_key").parquet(s"$root/p1")
-    }
-    spark.sparkContext.hadoopConfiguration
-      .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
-    timed("parquet partitionBy(date_key) v2 committer") {
-      fact.write.mode("overwrite").partitionBy("date_key").parquet(s"$root/p2")
-    }
-    spark.sparkContext.hadoopConfiguration
-      .setInt("mapreduce.fileoutputcommitter.algorithm.version", 1)
-    spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "64")
-    timed("parquet partitionBy(date_key) v1 + concurrent writers") {
-      fact.write.mode("overwrite").partitionBy("date_key").parquet(s"$root/p3")
-    }
-    spark.sparkContext.hadoopConfiguration
-      .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
-    timed("parquet partitionBy(date_key) v2 + concurrent writers") {
-      fact.write.mode("overwrite").partitionBy("date_key").parquet(s"$root/p4")
-    }
-    spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "0")
-    spark.conf.set("spark.hadoop.parquet.summary.metadata.level", "NONE")
-    timed("parquet partitionBy v2, no summary metadata") {
-      fact.write.mode("overwrite").partitionBy("date_key").parquet(s"$root/p5")
-    }
-    // read-back count cost (the Pipeline.scala:140 shape)
-    timed("count read-back of 2405-dir fact") {
-      println("  n=" + spark.read.parquet(s"$root/p2").count())
+    println("parquet codec default = " +
+      spark.conf.get("spark.sql.parquet.compression.codec"))
+    import org.apache.spark.sql.functions._
+    val root = System.getProperty("java.io.tmpdir") + "/graft_scratch_codec"
+    def fact = spark.range(0L, 150000L, 1L, 32)
+      .select(col("id").as("k"),
+        (lit(19920101) + pmod(col("id"), lit(2405))).cast("int").as("date_key"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(100000)).cast("double") / 100).as("v"),
+        lit("O").as("st"))
+      .repartition(spark.sparkContext.defaultParallelism, col("date_key"))
+      .sortWithinPartitions(col("k"))
+    for (codec <- Seq("zstd", "snappy", "lz4", "uncompressed", "snappy", "zstd")) {
+      spark.conf.set("spark.sql.parquet.compression.codec", codec)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fact.write.mode("overwrite").partitionBy("date_key").parquet(s"$root/$codec")
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"codec=$codec%-13s min=${ts.min}%6.2f s")
     }
     spark.stop()
   }

@@ -397,10 +397,12 @@ object TextAnalysis {
     * strictly positive with no backoff branch.
     *
     * Scale: the same two shuffles as [[lmBigram]] (per-doc tf, bigram
-    * vocabulary agg); the three KN statistics are two partitioned windows
+    * vocabulary agg); the three KN statistics are ONE partitioned window
     * over the VOCABULARY-sized type table (context totals + fan-out on
-    * the same partitioning, fan-in on the second word) plus the audited
-    * 1-row type-count broadcast. Determinism: D = 0.75 is dyadic, the
+    * the same partitioning), a grouped second-word count joined back
+    * (r19: replaces the fan-in window exchange with a strictly smaller
+    * aggregate — identical integers), plus the audited 1-row type-count
+    * broadcast. Determinism: D = 0.75 is dyadic, the
     * probability expression is parenthesized IDENTICALLY in both engines
     * (every step one correctly-rounded op), per-bigram log-probs round
     * to 6dp into DECIMAL(18,6) so the per-doc weighted sum is exact.
@@ -413,18 +415,29 @@ object TextAnalysis {
     val n1 = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (a, b) => concat_ws(" ", a, b))
+    // per-doc tf is consumed twice (type agg + final scoring join):
+    // localCheckpoint runs the corpus explode+agg pass once.
     val tf = docs.select(col(idCol).as("_id"), explode(bigrams).as("bigram"))
       .groupBy(col("_id"), col("bigram")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // localCheckpoint: the type table feeds the context window, the
+    // backward-fan aggregation, AND the 1-row type-count broadcast — the
+    // broadcast/stat builds replay a checkpoint scan, not the corpus agg
+    // (the r17 AQE broadcast-build lesson).
+    val types = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cnt_bi"))
+      .withColumn("_w2", split(col("bigram"), " ").getItem(1))
+      .localCheckpoint()
     val wCtx = org.apache.spark.sql.expressions.Window
       .partitionBy(split(col("bigram"), " ").getItem(0))
-    val wW = org.apache.spark.sql.expressions.Window
-      .partitionBy(split(col("bigram"), " ").getItem(1))
-    val types = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cnt_bi"))
+    // N1+(·w) = type count per second word — a grouped count of the type
+    // table joined back (r19: replaces a second full-type-table window
+    // exchange with a strictly smaller aggregate — identical integers).
+    val gW = types.groupBy(col("_w2")).agg(count(lit(1)).as("n1_back"))
     val nbb = broadcast(types.agg(count(lit(1)).as("n_types")))
     val probs = types
       .withColumn("cnt_ctx", sum(col("cnt_bi")).over(wCtx))
       .withColumn("n1_fwd", count(lit(1)).over(wCtx))
-      .withColumn("n1_back", count(lit(1)).over(wW))
+      .join(gW, Seq("_w2"))
       .crossJoin(nbb)
       .select(col("bigram"), round(log(
         (col("cnt_bi") - lit(discount)) / col("cnt_ctx") +
@@ -453,11 +466,13 @@ object TextAnalysis {
     * no max(·,0) branch anywhere.
     *
     * Scale: the same two corpus shuffles as [[lmBigram]]/[[lmKneserNey]]
-    * (per-doc tf, trigram vocabulary agg); the five KN statistics are
-    * three partitioned windows over the VOCABULARY-sized type table
-    * ((w1,w2) totals+fan-out, (w2,w3) fan-in, w2 middle totals) plus one
-    * distinct-(w2,w3) pair table whose two grouped counts join back
-    * vocabulary-sized and whose total rides the audited 1-row broadcast.
+    * (per-doc tf, trigram vocabulary agg); the five KN statistics are ONE
+    * partitioned window over the VOCABULARY-sized type table ((w1,w2)
+    * totals+fan-out) plus ONE (w2,w3) aggregation of it — n1_mid directly,
+    * re-aggregated per w2 for N1+(·w2·)/N1+(w2·) and per w3 for N1+(·w3),
+    * its row count riding the audited 1-row broadcast (r19: this replaces
+    * two further full-type-table window exchanges and a distinct-pair
+    * chain with strictly smaller grouped tables — identical integers).
     * Determinism: the [[lmKneserNey]] oracle contract verbatim — D = 0.75
     * dyadic, every step one correctly-rounded op with IDENTICAL
     * parenthesization in both engines, per-trigram log-probs rounded 6dp
@@ -475,30 +490,42 @@ object TextAnalysis {
         (a, b) => concat_ws(" ", a, b)),
       slice(toks, lit(3), n2),
       (ab, c) => concat_ws(" ", ab, c))
+    // The per-doc tf table is consumed twice (type aggregation + the final
+    // per-doc scoring join): localCheckpoint runs the corpus explode+agg
+    // pass once.
     val tf = docs.select(col(idCol).as("_id"), explode(trigrams).as("trigram"))
       .groupBy(col("_id"), col("trigram")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // The type table feeds the (w1,w2)-context window AND every
+    // continuation statistic: localCheckpoint materializes it once, so the
+    // small-stats broadcast builds replay a checkpoint scan instead of the
+    // whole corpus aggregation (the r17 AQE broadcast-build lesson).
     val types = tf.groupBy(col("trigram")).agg(sum(col("tf")).as("cnt_tri"))
       .withColumn("_w1", split(col("trigram"), " ").getItem(0))
       .withColumn("_w2", split(col("trigram"), " ").getItem(1))
       .withColumn("_w3", split(col("trigram"), " ").getItem(2))
+      .localCheckpoint()
     val wCtx = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_w1"), col("_w2"))
-    val wMid = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_w2"), col("_w3"))
-    val wDot = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_w2"))
-    val pairs = types.select(col("_w2").as("_p2"), col("_w3").as("_p3")).distinct()
-    val p2s = pairs.groupBy(col("_p2")).agg(count(lit(1)).as("n1_w2dot"))
-    val p3s = pairs.groupBy(col("_p3")).agg(count(lit(1)).as("n1_back"))
-    val np = broadcast(pairs.agg(count(lit(1)).as("n_pairs")))
+    // All four continuation counts derive from ONE (w2,w3) aggregation of
+    // the type table (r19: replaces two more full-type-table window
+    // exchanges + a distinct-pairs chain): n1_mid = types per (w2,w3);
+    // summing/counting that table per w2 gives N1+(·w2·) and N1+(w2·),
+    // counting per w3 gives N1+(·w3), and its row count is N1+(··) —
+    // identical integers, so the probability expression is bit-unchanged.
+    val g23 = types.groupBy(col("_w2"), col("_w3"))
+      .agg(count(lit(1)).as("n1_mid")).localCheckpoint()
+    val g2 = g23.groupBy(col("_w2"))
+      .agg(sum(col("n1_mid")).as("n1_dot2dot"), count(lit(1)).as("n1_w2dot"))
+    val g3 = g23.groupBy(col("_w3")).agg(count(lit(1)).as("n1_back"))
+    val np = broadcast(g23.agg(count(lit(1)).as("n_pairs")))
     val d = lit(discount)
     val probs = types
       .withColumn("cnt_ctx", sum(col("cnt_tri")).over(wCtx))
       .withColumn("n1_fwd", count(lit(1)).over(wCtx))
-      .withColumn("n1_mid", count(lit(1)).over(wMid))
-      .withColumn("n1_dot2dot", count(lit(1)).over(wDot))
-      .join(p2s, col("_w2") === col("_p2"))
-      .join(p3s, col("_w3") === col("_p3"))
+      .join(g23, Seq("_w2", "_w3"))
+      .join(g2, Seq("_w2"))
+      .join(g3, Seq("_w3"))
       .crossJoin(np)
       .select(col("trigram"), round(log(
         (col("cnt_tri") - d) / col("cnt_ctx") +
@@ -1825,10 +1852,13 @@ object TextAnalysis {
     * Engine-exact: integer counts, each ratio one correctly-rounded
     * division, ln 6dp-DECIMAL per trigram, order-free doc sums.
     *
-    * Scale: three model count tables are postings-sized map-side-combined
-    * aggregates; the test side joins them on gram keys (vocabulary-sized
-    * shuffles — the lm_bigram discipline); N rides the audited 1-row
-    * broadcast. Docs under 3 tokens vanish (no trigram to score).
+    * Scale: the model side is ONE corpus pass — all three gram orders
+    * explode order-tagged into a single map-side-combined aggregation
+    * (r19; previously six passes), from which the five lookup tables and
+    * the 1-row token total filter; the test side joins them on gram keys
+    * (vocabulary-sized shuffles — the lm_bigram discipline); N rides the
+    * audited 1-row broadcast. Docs under 3 tokens vanish (no trigram to
+    * score).
     * Output: (doc_id, n_trigrams, sum_logscore, n_tri_hit, n_bi_hit,
     * n_uni_hit) — the EXACT 6dp-DECIMAL sum is emitted rather than the
     * per-doc average: dividing an exact 6dp sum by an integer count can
@@ -1852,16 +1882,29 @@ object TextAnalysis {
         slice(toks, lit(3), m), (ab, c) => concat_ws(" ", ab, c))
     }
     val model = docs.where(col(idCol) % 2 === 0)
-    def cnt(n: Int, key: String, out: String) =
-      model.select(explode(grams(n)).as(key))
-        .groupBy(col(key)).agg(count(lit(1)).as(out))
-    val t3 = cnt(3, "_g3", "_c123")
-    val t2a = cnt(2, "_g12", "_c12")
-    val t2b = cnt(2, "_g23", "_c23")
-    val t1a = cnt(1, "_w2", "_c2")
-    val t1b = cnt(1, "_w3", "_c3")
-    val nTot = broadcast(model.select(explode(toks).as("_t"))
-      .agg(count(lit(1)).as("_n")))
+    // ONE model pass (r19; was six: per-order counts twice each + the
+    // token total): every order's grams explode order-tagged into a
+    // single aggregation, localCheckpointed because five lookup tables,
+    // and the 1-row total, filter from it. The bigram/unigram tables are
+    // literally the same counts joined under two keys, and the token
+    // total is the unigram counts' sum — identical integers throughout.
+    val counts = model.select(explode(concat(
+        transform(grams(3), g => struct(lit(3).as("o"), g.as("g"))),
+        transform(grams(2), g => struct(lit(2).as("o"), g.as("g"))),
+        transform(toks, g => struct(lit(1).as("o"), g.as("g"))))).as("u"))
+      .groupBy(col("u.o").as("_o"), col("u.g").as("_g"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    def orderSlice(o: Int, key: String, out: String) =
+      counts.where(col("_o") === o)
+        .select(col("_g").as(key), col("_c").as(out))
+    val t3 = orderSlice(3, "_g3", "_c123")
+    val t2a = orderSlice(2, "_g12", "_c12")
+    val t2b = orderSlice(2, "_g23", "_c23")
+    val t1a = orderSlice(1, "_w2", "_c2")
+    val t1b = orderSlice(1, "_w3", "_c3")
+    val nTot = broadcast(counts.where(col("_o") === 1)
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("_n")))
     val tf = docs.where(col(idCol) % 2 === 1)
       .select(col(idCol).as("_id"), explode(grams(3)).as("tri"))
       .groupBy(col("_id"), col("tri")).agg(count(lit(1)).as("tf"))

@@ -382,12 +382,14 @@ class PlanAuditSpec extends SparkSpec {
       s"a KB-sized filter must never sort-merge with the corpus:\n$p")
   }
 
-  test("lm_kn_trigram windows are vocabulary-partitioned, joins never degenerate") {
+  test("lm_kn_trigram context window is vocabulary-partitioned, joins never degenerate") {
     val p = planOf("lm_kn_trigram")
-    // three KN statistics ride PARTITIONED windows over the trigram type
-    // table — the unpartitioned-window audit must stay clean here
-    assert(p.contains("windowspecdefinition(_w2"),
-      s"KN windows lost their vocabulary partitioning:\n$p")
+    // the (w1,w2) context stats ride ONE partitioned window over the type
+    // table; the continuation counts are grouped aggregates of it (r19 —
+    // replaced the wMid/wDot full-type-table window exchanges). The
+    // unpartitioned-window audit must stay clean here.
+    assert(p.contains("windowspecdefinition(_w1"),
+      s"KN context window lost its vocabulary partitioning:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"a pair-stats join degenerated to a cartesian product:\n$p")
     assert(p.contains("partial_sum"), s"per-doc sums not map-side combined:\n$p")
