@@ -99,10 +99,13 @@ object CorpusPipeline {
           minTokens, minStopRatio, maxDupFraction)
         .select("doc_id", "keep", "_reasons").localCheckpoint()
       val keep = gate.where(col("keep")).select("doc_id")
-      raw.join(gate.where(!col("keep")).select("doc_id", "_reasons"), "doc_id")
-        .write.mode("overwrite").parquet(s"$outRoot/rejected/documents")
-      raw.join(keep, "doc_id")
-        .write.mode("overwrite").parquet(s"$outRoot/gated/documents")
+      // the reject/keep writes consume the materialized gate table and
+      // write disjoint zones — overlapped (guide §2.6)
+      Pipeline.inParallel(
+        () => raw.join(gate.where(!col("keep")).select("doc_id", "_reasons"), "doc_id")
+          .write.mode("overwrite").parquet(s"$outRoot/rejected/documents"),
+        () => raw.join(keep, "doc_id")
+          .write.mode("overwrite").parquet(s"$outRoot/gated/documents"))
       spark.read.parquet(s"$outRoot/gated/documents").count()
     }
     var gated = spark.read.parquet(s"$outRoot/gated/documents")

@@ -35,6 +35,24 @@ object Pipeline {
 
   final case class StageReport(stage: String, rows: Long, seconds: Double)
 
+  /** Run independent Spark ACTIONS (zone writes to disjoint paths)
+    * concurrently from driver threads — the optimization-guide §2.6
+    * overlap: Spark's FIFO scheduler backfills executors freed by one
+    * job's task tail with the next job's tasks, so two ~N-task writes
+    * cost ~max instead of sum. Exceptions propagate (first one rethrown);
+    * outputs are unchanged because the actions touch disjoint paths. */
+  private[graft] def inParallel(tasks: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = tasks.map { t =>
+      val th = new Thread(() => try t() catch { case e: Throwable => errs.add(e) })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   def runAll(spark: SparkSession, sfDir: String, outRoot: String,
              runId: String, extractTime: String = "2026-01-01 00:00:00"): DataFrame = {
     import spark.implicits._
@@ -53,14 +71,17 @@ object Pipeline {
     val orders = IngestDiscovery.staged(Tables.orders(spark, sfDir), "parquet", runId, extractTime)
     val customer = IngestDiscovery.staged(Tables.customer(spark, sfDir), "parquet", runId, extractTime)
     timed("stage_raw") {
-      IngestDiscovery.writeZone(orders, outRoot, "raw", "orders")
-      customer.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_run_id")
-        .parquet(s"$outRoot/raw/customer")
-      IngestDiscovery.writeZone(
-        IngestDiscovery.staged(Tables.lineitem(spark, sfDir), "parquet", runId, extractTime),
-        outRoot, "raw", "lineitem")
+      // three disjoint zone writes — overlapped (guide §2.6): the next
+      // write's tasks backfill executors freed by the previous one's tail
+      inParallel(
+        () => IngestDiscovery.writeZone(orders, outRoot, "raw", "orders"),
+        () => customer.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_run_id")
+          .parquet(s"$outRoot/raw/customer"),
+        () => IngestDiscovery.writeZone(
+          IngestDiscovery.staged(Tables.lineitem(spark, sfDir), "parquet", runId, extractTime),
+          outRoot, "raw", "lineitem"))
       spark.read.parquet(s"$outRoot/raw/orders").count()
     }
 
@@ -132,11 +153,15 @@ object Pipeline {
           .localCheckpoint()
         Star.withSurrogateKey(versions, "_vk", "customer_key").drop("_vk")
       }
-      IngestDiscovery.writeZone(dimCust, outRoot, "dwh", "dim_customer")
-
-      // dim_date over the clean fact's date domain
-      // (create_dwh_tables.sql:108-125).
-      IngestDiscovery.writeZone(Star.dimDate(clean, "o_orderdate"), outRoot, "dwh", "dim_date")
+      // the two dim writes touch disjoint paths — overlapped (guide §2.6);
+      // dim_customer must be fully written before dimC re-reads it below,
+      // which inParallel's join guarantees
+      inParallel(
+        () => IngestDiscovery.writeZone(dimCust, outRoot, "dwh", "dim_customer"),
+        // dim_date over the clean fact's date domain
+        // (create_dwh_tables.sql:108-125).
+        () => IngestDiscovery.writeZone(
+          Star.dimDate(clean, "o_orderdate"), outRoot, "dwh", "dim_date"))
 
       // Fact lookups resolve against the CURRENT version slice of the SCD2
       // dim — a fact loaded today points at today's version of the customer.
@@ -155,10 +180,6 @@ object Pipeline {
       val factOrders = ordersKeyed
         .select(col("o_orderkey"), col("customer_key"), dateKey,
           col("o_totalprice"), col("o_orderstatus"))
-      val obsO = org.apache.spark.sql.Observation("fact_orders_rows")
-      Star.writeFactPartitioned(factOrders.observe(obsO, count(lit(1)).as("n")),
-        s"$outRoot/dwh/fact_orders", "date_key", "o_orderkey")
-
       val dimP = Star.withSurrogateKey(
         Tables.part(spark, sfDir).select(col("p_partkey")), "p_partkey", "part_key")
       val line = spark.read.parquet(s"$outRoot/raw/lineitem")
@@ -172,9 +193,17 @@ object Pipeline {
           col("customer_key"), col("part_key"), dateKey,
           col("l_quantity").as("quantity"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      // the two fact writes are mutually independent (both consume the
+      // materialized ordersKeyed checkpoint and written dims) and write
+      // disjoint paths — overlapped (guide §2.6): ~max of the two
+      // partitioned-write tails instead of their sum
+      val obsO = org.apache.spark.sql.Observation("fact_orders_rows")
       val obsL = org.apache.spark.sql.Observation("fact_lineitem_rows")
-      Star.writeFactPartitioned(factLine.observe(obsL, count(lit(1)).as("n")),
-        s"$outRoot/dwh/fact_lineitem", "date_key", "l_orderkey")
+      inParallel(
+        () => Star.writeFactPartitioned(factOrders.observe(obsO, count(lit(1)).as("n")),
+          s"$outRoot/dwh/fact_orders", "date_key", "o_orderkey"),
+        () => Star.writeFactPartitioned(factLine.observe(obsL, count(lit(1)).as("n")),
+          s"$outRoot/dwh/fact_lineitem", "date_key", "l_orderkey"))
       writtenRows(obsO, s"$outRoot/dwh/fact_orders") +
         writtenRows(obsL, s"$outRoot/dwh/fact_lineitem")
     }
@@ -189,9 +218,11 @@ object Pipeline {
       val errorZ = spark.read.parquet(s"$outRoot/error/orders")
       val zones = cleanZ.select(col("o_orderkey"), col("_errors"))
         .unionByName(errorZ.select(col("o_orderkey"), col("_errors")))
-      IngestDiscovery.writeZone(
-        Quality.zoneStats(zones, "orders", "o_orderkey"), outRoot, "report", "zone_stats")
-      IngestDiscovery.writeZone(Quality.ruleAudit(errorZ), outRoot, "report", "rule_audit")
+      inParallel( // disjoint report sinks — overlapped (guide §2.6)
+        () => IngestDiscovery.writeZone(
+          Quality.zoneStats(zones, "orders", "o_orderkey"), outRoot, "report", "zone_stats"),
+        () => IngestDiscovery.writeZone(
+          Quality.ruleAudit(errorZ), outRoot, "report", "rule_audit"))
       spark.read.parquet(s"$outRoot/report/zone_stats").count()
     }
 

@@ -131,9 +131,15 @@ private[graft] object QueriesDwh {
     // supplier-name pair within Levenshtein 1, COMPLETE (Ed-Join q-gram
     // prefix filtering — no blocking key to lose a pair through; the
     // oracle is the literal all-pairs definition)
+    // supplier ships as ONE row group at every test SF, and Ed-Join's
+    // per-row work is heavy (q-gram explode + levenshtein verify): spread
+    // it (r19 — the final verify stage otherwise ran 1-task: the planner
+    // broadcasts the small candidate table and STREAMS the 1-partition
+    // scan; no-op on a well-split source)
     "edit_join" -> ((s, d) =>
       MultiSource.editJoin(
-        Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+        Tables.spread(s, d, "supplier",
+          Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
         "s_suppkey", "s_name", 1)),
     // §2.1 row 12c, SCALE-KNOB variant (round 18): Ed-Join's completeness
     // is q-independent — only the candidate count changes — so the q=3
@@ -143,7 +149,8 @@ private[graft] object QueriesDwh {
     // driver gate, not just in the probe.
     "edit_join_wide" -> ((s, d) =>
       MultiSource.editJoin(
-        Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+        Tables.spread(s, d, "supplier",
+          Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
         "s_suppkey", "s_name", 1, q = 3)),
     // §2.1 row 12 — reconciliation
     "recon_inner" -> ((s, d) =>

@@ -213,7 +213,14 @@ object MultiSource {
       .join(shorts.select(col("_id").as("id_b"), length(col("_s")).as("_lk")), "_lk")
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+    // Explicit-N respread of the candidate pairs (exempt from AQE
+    // coalescing): the pair table is BYTE-tiny (16 B/row) but each row
+    // costs an O(|s|²) levenshtein downstream, so AQE's byte-based
+    // coalesce otherwise collapses the verify to one task (measured
+    // 1.8 s single-task at sf0.1). One extra exchange of 16 B rows buys
+    // a guaranteed-parallel verify at every scale.
     val verify = gramCand.unionByName(shortCand).distinct()
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .join(s0.select(col("_id").as("id_a"), col("_s").as("_sa")), "id_a")
       .join(s0.select(col("_id").as("id_b"), col("_s").as("_sb")), "id_b")
       .where(abs(length(col("_sa")) - length(col("_sb"))) <= d)

@@ -1515,9 +1515,23 @@ object TextAnalysis {
       .select(col("_id"), col("_t"),
         (conv(substring(md5(col("_g")), 1, 8), 16, 10).cast("long")
           % nBuckets).as("_b"))
-    val stats = feats.groupBy(col("_b")).agg(
-      sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),
-      count(lit(1)).as("_cr"))
+    // ONE feature pass (r19; the model stats and the scoring join each
+    // re-ran the explode+md5 stream before): per-(doc, bucket)
+    // multiplicities aggregate first — map-side combine collapses repeated
+    // buckets within a doc, so this shuffles STRICTLY fewer bytes than the
+    // raw feature stream the per-doc sum shuffled before — and both the
+    // bucket model and the per-doc score derive from that table.
+    // Identical integers and sums: n_feats = Σ_k, Σ_lr = Σ k·_lr (long ×
+    // DECIMAL(18,6) products are exact).
+    val db = feats.groupBy(col("_id"), col("_t"), col("_b"))
+      .agg(count(lit(1)).as("_k"))
+      // the bucket-model broadcast build would otherwise re-run this
+      // whole subtree (AQE broadcast builds bypass exchange reuse — the
+      // r17 lesson); one checkpoint of the already-aggregated table
+      .localCheckpoint()
+    val stats = db.groupBy(col("_b")).agg(
+      sum(when(col("_t"), col("_k")).otherwise(0L)).as("_ct"),
+      sum(col("_k")).as("_cr"))
     val totals = stats.agg(sum(col("_ct")).as("_nt"), sum(col("_cr")).as("_nr"))
     // One double expression on both engines: log of the smoothed ratio,
     // with double division before multiplication so no integer product
@@ -1527,9 +1541,9 @@ object TextAnalysis {
         round(log(((col("_ct") + 1).cast("double") / (col("_nt") + nBuckets)) *
           ((col("_nr") + nBuckets).cast("double") / (col("_cr") + 1))), 6)
           .cast("decimal(18,6)").as("_lr"))
-    feats.join(broadcast(ratio), "_b")
+    db.join(broadcast(ratio), "_b")
       .groupBy(col("_id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("_lr")).as("_sum"))
+      .agg(sum(col("_k")).as("n_feats"), sum(col("_k") * col("_lr")).as("_sum"))
       .select(col("_id").as(idCol), col("n_feats"),
         round(col("_sum").cast("double"), 6).as("dsir_logw"))
   }
