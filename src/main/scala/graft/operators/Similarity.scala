@@ -496,9 +496,13 @@ object Similarity {
       else adaptivePlanes(memoizedCount(vectors), targetOccupancy = 32, minPlanes = 8) * numBands
     require(planes % numBands == 0, "numBands must divide numPlanes")
     val bandLen = planes / numBands
+    // signed vectors feed BOTH join sides (exact bands + probe balls):
+    // localCheckpoint runs the planes×dim signature pass once (r19 — the
+    // per-job profile showed the signature stage twice)
     val v = vectors.select(col(sideCol).as("_side"), col(idCol).as("_id"),
         toDouble(col(vecCol)).as("_v"))
       .withColumn("_sig", lshSignature(col("_v"), planes, dim))
+      .localCheckpoint()
     def bandAt(b: Int) = substring(col("_sig"), b * bandLen + 1, bandLen)
     val exact = v.select(col("_side"), col("_id"), col("_v"),
         posexplode(array((0 until numBands).map(bandAt): _*)))
@@ -522,9 +526,15 @@ object Similarity {
       .partitionBy(col("vec_a")).orderBy(col("cos_sim").desc, col("vec_b"))
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_b")).orderBy(col("cos_sim").desc, col("vec_a"))
+    // the ranked candidate table has THREE consumers (μ_a, μ_b, the
+    // best-match filter) and the μ broadcast builds would otherwise
+    // re-run the whole banded join + window chain (the r17 AQE
+    // broadcast-build lesson — measured as twin 12 MB candidate stages):
+    // one checkpoint of the candidate-sized table
     val ranked = cand
       .withColumn("_ra", row_number().over(wa))
       .withColumn("_rb", row_number().over(wb))
+      .localCheckpoint()
     val muA = ranked.where(col("_ra") <= k).groupBy(col("vec_a"))
       .agg((sum(col("cos_sim").cast("decimal(18,6)")).cast("double") / count(lit(1)))
         .as("_mu_a"))
