@@ -430,8 +430,12 @@ object Similarity {
       else adaptivePlanes(memoizedCount(vectors), targetOccupancy = 32, minPlanes = 8) * numBands
     require(planes % numBands == 0, "numBands must divide numPlanes")
     val bandLen = planes / numBands
+    // signed vectors feed BOTH join sides (exact bands + probe balls):
+    // localCheckpoint runs the planes×dim signature pass once (r19, the
+    // marginMine twin-stage finding)
     val v = vectors.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
       .withColumn("_sig", lshSignature(col("_v"), planes, dim))
+      .localCheckpoint()
     def bandAt(b: Int) = substring(col("_sig"), b * bandLen + 1, bandLen)
     val exact = v.select(col("_id"), col("_v"),
         posexplode(array((0 until numBands).map(bandAt): _*)))
