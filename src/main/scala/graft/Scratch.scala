@@ -42,10 +42,8 @@ object Scratch {
       }
       ts.min
     }
-    println("parquet codec default = " +
-      spark.conf.get("spark.sql.parquet.compression.codec"))
     import org.apache.spark.sql.functions._
-    val root = System.getProperty("java.io.tmpdir") + "/graft_scratch_codec"
+    val root = System.getProperty("java.io.tmpdir") + "/graft_scratch_crc"
     def fact = spark.range(0L, 150000L, 1L, 32)
       .select(col("id").as("k"),
         (lit(19920101) + pmod(col("id"), lit(2405))).cast("int").as("date_key"),
@@ -53,15 +51,20 @@ object Scratch {
         lit("O").as("st"))
       .repartition(spark.sparkContext.defaultParallelism, col("date_key"))
       .sortWithinPartitions(col("k"))
-    for (codec <- Seq("zstd", "snappy", "lz4", "uncompressed", "snappy", "zstd")) {
-      spark.conf.set("spark.sql.parquet.compression.codec", codec)
-      val ts = (1 to 3).map { _ =>
+    def run(tag: String): Unit = {
+      val ts = (1 to 4).map { _ =>
         val t0 = System.nanoTime()
-        fact.write.mode("overwrite").partitionBy("date_key").parquet(s"$root/$codec")
+        fact.write.mode("overwrite").partitionBy("date_key").parquet(s"$root/$tag")
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"codec=$codec%-13s min=${ts.min}%6.2f s")
+      println(f"$tag%-28s min=${ts.drop(1).min}%6.2f s")
     }
+    run("checksummed")
+    // flip the live FileSystem for file:// to the raw no-chmod fs
+    spark.sparkContext.hadoopConfiguration.set("fs.file.impl",
+      "graft.sources.BareRawLocalFileSystem")
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    run("raw-no-crc")
     spark.stop()
   }
 }
