@@ -179,9 +179,18 @@ object Bench {
             pathologyWindows :+= ((name, w0, System.currentTimeMillis()))
             samples += name -> (samples(name) :+ dt)
             passSum += dt
+            // Free this query's localCheckpoint blocks before the next
+            // query (guide §5 — unpersist what you won't reuse): across a
+            // 207-query × 2-3-pass sweep the blocks otherwise accumulate
+            // until the ContextCleaner GCs the DataFrame refs, and the
+            // mounting storage pressure surfaced as 30 s one-pass spreads
+            // on checkpoint-adjacent queries (VERDICT r19 #1). Outside the
+            // timed window: release is bookkeeping, not query work.
+            Ckpt.releaseTransient()
           } catch {
             case e: Throwable =>
               errors :+= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+              Ckpt.releaseTransient() // don't leak a failed query's blocks
           }
         }
       }
@@ -278,7 +287,9 @@ object Bench {
           val t0 = System.nanoTime()
           val st = df.collect().map(r =>
             s"""{"stage":${q(r.getString(0))},"rows":${r.getLong(1)},"sec":${r3(r.getDouble(2))}}""")
-          ((System.nanoTime() - t0) / 1e9, st)
+          val dt = (System.nanoTime() - t0) / 1e9
+          Ckpt.releaseTransient() // per-run pipeline checkpoints, see sweep loop
+          (dt, st)
         }
         val (cold, _) = once()
         var warm = Vector(once(), once())

@@ -61,7 +61,11 @@ object BenchOne {
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // free per-rep localCheckpoint blocks (the Bench sweep-loop
+        // rationale) — outside the timed window
+        Ckpt.releaseTransient()
+        dt
       }.sorted
       println(f"$name%-22s min=${ts.head}%6.2f med=${ts(ts.size / 2)}%6.2f reps=$reps")
     }

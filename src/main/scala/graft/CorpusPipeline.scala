@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CkptOps
+
 import graft.operators.{Dedup, TextAnalysis}
 import graft.sources.IngestDiscovery
 
@@ -79,13 +81,23 @@ object CorpusPipeline {
     }
 
     // 1. ingest: canonicalize + stage metadata -> raw zone
+    // Every stage's reported row count comes from the write's own
+    // observe() metric (r19 Finding 2 applied pipeline-wide): identical by
+    // construction to a re-read count, minus one re-list + footer-scan job
+    // per stage — the dominant slice of this pipeline's orchestration
+    // floor (the zones themselves are still written and re-read by the
+    // NEXT stage, the zone contract).
+    def obsCount(stage: String) =
+      org.apache.spark.sql.Observation(s"${stage}_rows")
     timed("ingest") {
       val canon = docs.withColumn("text",
         graft.functions.NativeExprs.nfcNormalize(col("text")))
+      val o = obsCount("ingest")
       IngestDiscovery.writeZone(
-        IngestDiscovery.staged(canon, "corpus", runId, extractTime),
+        IngestDiscovery.staged(canon, "corpus", runId, extractTime)
+          .observe(o, count(lit(1)).as("n")),
         outRoot, "raw", "documents")
-      spark.read.parquet(s"$outRoot/raw/documents").count()
+      Pipeline.writtenRows(spark, o, s"$outRoot/raw/documents")
     }
     val raw = spark.read.parquet(s"$outRoot/raw/documents")
 
@@ -97,16 +109,18 @@ object CorpusPipeline {
     timed("quality_gate") {
       val gate = TextAnalysis.corpusGate(raw, "doc_id", "text",
           minTokens, minStopRatio, maxDupFraction)
-        .select("doc_id", "keep", "_reasons").localCheckpoint()
+        .select("doc_id", "keep", "_reasons").ckptLocal()
       val keep = gate.where(col("keep")).select("doc_id")
       // the reject/keep writes consume the materialized gate table and
       // write disjoint zones — overlapped (guide §2.6)
+      val o = obsCount("quality_gate")
       Pipeline.inParallel(
         () => raw.join(gate.where(!col("keep")).select("doc_id", "_reasons"), "doc_id")
           .write.mode("overwrite").parquet(s"$outRoot/rejected/documents"),
         () => raw.join(keep, "doc_id")
+          .observe(o, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$outRoot/gated/documents"))
-      spark.read.parquet(s"$outRoot/gated/documents").count()
+      Pipeline.writtenRows(spark, o, s"$outRoot/gated/documents")
     }
     var gated = spark.read.parquet(s"$outRoot/gated/documents")
 
@@ -120,9 +134,11 @@ object CorpusPipeline {
       timed("model_gate") {
         val kept = TextAnalysis.hashClassifier(preGate, "doc_id", "text", w)
           .where(col("kept")).select("doc_id")
+        val o = obsCount("model_gate")
         preGate.join(kept, "doc_id")
+          .observe(o, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$outRoot/model_gated/documents")
-        spark.read.parquet(s"$outRoot/model_gated/documents").count()
+        Pipeline.writtenRows(spark, o, s"$outRoot/model_gated/documents")
       }
       gated = spark.read.parquet(s"$outRoot/model_gated/documents")
       domainMinKeepRate.foreach { minRate =>
@@ -131,9 +147,11 @@ object CorpusPipeline {
               preGate.withColumn("_len", length(col("text"))),
               "doc_id", "text", "source", "_len", w, domainMinDocs, minRate)
             .where(col("src_kept")).select("source")
+          val o = obsCount("domain_gate")
           gated.join(broadcast(srcKeep), "source")
+            .observe(o, count(lit(1)).as("n"))
             .write.mode("overwrite").parquet(s"$outRoot/domain_gated/documents")
-          spark.read.parquet(s"$outRoot/domain_gated/documents").count()
+          Pipeline.writtenRows(spark, o, s"$outRoot/domain_gated/documents")
         }
         gated = spark.read.parquet(s"$outRoot/domain_gated/documents")
       }
@@ -141,11 +159,13 @@ object CorpusPipeline {
 
     // 3. per-source cap (domain cap)
     timed("source_cap") {
+      val o = obsCount("source_cap")
       gated.join(
           TextAnalysis.sourceCap(gated, "doc_id", "source", capPerSource)
             .select("doc_id"), "doc_id")
+        .observe(o, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$outRoot/capped/documents")
-      spark.read.parquet(s"$outRoot/capped/documents").count()
+      Pipeline.writtenRows(spark, o, s"$outRoot/capped/documents")
     }
     val capped = spark.read.parquet(s"$outRoot/capped/documents")
 
@@ -157,14 +177,16 @@ object CorpusPipeline {
       // groupBy per consumer.
       val exactKeep = Dedup.exactDedupByHash(capped, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
-      val exact = capped.join(exactKeep, "doc_id").localCheckpoint()
+      val exact = capped.join(exactKeep, "doc_id").ckptLocal()
       val pairs = Dedup.nearDupMinHash(exact, "doc_id", "text",
         shingleN = 3, threshold = nearDupThreshold)
       val reps = Dedup.nearDupClusters(exact, pairs, "doc_id")
         .where(col("kept")).select(col("doc_id"))
+      val o = obsCount("dedup")
       exact.join(reps, "doc_id")
+        .observe(o, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$outRoot/deduped/documents")
-      spark.read.parquet(s"$outRoot/deduped/documents").count()
+      Pipeline.writtenRows(spark, o, s"$outRoot/deduped/documents")
     }
     var deduped = spark.read.parquet(s"$outRoot/deduped/documents")
 
@@ -172,6 +194,7 @@ object CorpusPipeline {
     // corpus-first occurrence of each aligned span (no rows dropped)
     spanScrub.foreach { spanTokens =>
       timed("span_scrub") {
+        val o = obsCount("span_scrub")
         val scrubbed = Dedup.spanDedup(deduped, "doc_id", "text", spanTokens)
           .select(col("doc_id"), col("text_dedup"))
         deduped.drop("text")
@@ -179,8 +202,9 @@ object CorpusPipeline {
           // all-empty docs yield no spanDedup row: keep them with empty text
           .withColumn("text", coalesce(col("text_dedup"), lit("")))
           .drop("text_dedup")
+          .observe(o, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$outRoot/span_scrubbed/documents")
-        spark.read.parquet(s"$outRoot/span_scrubbed/documents").count()
+        Pipeline.writtenRows(spark, o, s"$outRoot/span_scrubbed/documents")
       }
       deduped = spark.read.parquet(s"$outRoot/span_scrubbed/documents")
     }
@@ -193,9 +217,11 @@ object CorpusPipeline {
         val dropIds = graft.operators.Similarity
           .semanticDedup(survivorEmb, "doc_id", "embedding", semanticThreshold)
           .where(!col("keep")).select("doc_id")
+        val o = obsCount("semantic_dedup")
         deduped.join(dropIds, Seq("doc_id"), "left_anti")
+          .observe(o, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$outRoot/semantic/documents")
-        spark.read.parquet(s"$outRoot/semantic/documents").count()
+        Pipeline.writtenRows(spark, o, s"$outRoot/semantic/documents")
       }
       deduped = spark.read.parquet(s"$outRoot/semantic/documents")
     }
@@ -208,12 +234,14 @@ object CorpusPipeline {
         val merges = graft.operators.Bpe.train(deduped, "text", n)
         graft.operators.Bpe.mergesDF(spark, merges)
           .coalesce(1).write.mode("overwrite").parquet(s"$outRoot/tokenizer/merges")
+        val o = obsCount("tokenizer")
         deduped
           .withColumn("n_pieces",
             size(graft.functions.NativeExprs.bpeSegment(
               graft.operators.Bpe.tokens(col("text")), merges, "</w>")))
+          .observe(o, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$outRoot/tokenized/documents")
-        spark.read.parquet(s"$outRoot/tokenized/documents").count()
+        Pipeline.writtenRows(spark, o, s"$outRoot/tokenized/documents")
       }
       deduped = spark.read.parquet(s"$outRoot/tokenized/documents")
     }
@@ -227,21 +255,25 @@ object CorpusPipeline {
         val buckets = graft.operators.Analytics.ntileBuckets(scored,
             col(pplStratum), col("avg_logprob"), col("doc_id"), k)
           .select(col("id").as("doc_id"), col("bucket").as("ppl_bucket"))
+        val o = obsCount("ppl_buckets")
         deduped.join(buckets, Seq("doc_id"), "left")
+          .observe(o, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$outRoot/ppl/documents")
-        spark.read.parquet(s"$outRoot/ppl/documents").count()
+        Pipeline.writtenRows(spark, o, s"$outRoot/ppl/documents")
       }
       deduped = spark.read.parquet(s"$outRoot/ppl/documents")
     }
 
     // 5. token-balanced shards, laid out one directory per shard
     timed("shard_write") {
+      val o = obsCount("shard_write")
       deduped.join(
           TextAnalysis.shardTokenBudget(deduped, "doc_id", "text", numShards)
             .select("doc_id", "shard"), "doc_id")
+        .observe(o, count(lit(1)).as("n"))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(s"$outRoot/shards/documents")
-      spark.read.parquet(s"$outRoot/shards/documents").count()
+      Pipeline.writtenRows(spark, o, s"$outRoot/shards/documents")
     }
 
     val report = reports.toDF()

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CkptOps
+
 import graft.operators.{Quality, Star}
 import graft.sources.IngestDiscovery
 
@@ -50,7 +52,36 @@ object Pipeline {
       th
     }
     threads.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
+    if (!errs.isEmpty) {
+      // rethrow the first failure with any concurrent ones attached, so a
+      // double zone-write failure keeps both diagnostics (ADVICE r19)
+      val first = errs.poll()
+      var next = errs.poll()
+      while (next != null) { first.addSuppressed(next); next = errs.poll() }
+      throw first
+    }
+  }
+
+  /** Rows a just-finished write produced, from its `df.observe(obs, count)`
+    * metric — the production write-metrics pattern (r19 Finding 2): never
+    * re-read/re-list a freshly written zone just to count it. `obs.get`
+    * blocks until the ASYNC execution-listener event lands, so the wait is
+    * bounded on a daemon thread (interrupted on timeout — ADVICE r19) and a
+    * lost event degrades to the honest read-back count. */
+  private[graft] def writtenRows(spark: SparkSession,
+                                 obs: org.apache.spark.sql.Observation,
+                                 path: String): Long = {
+    val p = new java.util.concurrent.CompletableFuture[Long]()
+    val t = new Thread(() =>
+      try p.complete(obs.get("n").asInstanceOf[Long])
+      catch { case e: Throwable => p.completeExceptionally(e) })
+    t.setDaemon(true)
+    t.start()
+    try p.get(30, java.util.concurrent.TimeUnit.SECONDS)
+    catch { case _: Exception =>
+      t.interrupt()
+      spark.read.parquet(path).count()
+    }
   }
 
   def runAll(spark: SparkSession, sfDir: String, outRoot: String,
@@ -72,9 +103,20 @@ object Pipeline {
     val customer = IngestDiscovery.staged(Tables.customer(spark, sfDir), "parquet", runId, extractTime)
     timed("stage_raw") {
       // three disjoint zone writes — overlapped (guide §2.6): the next
-      // write's tasks backfill executors freed by the previous one's tail
+      // write's tasks backfill executors freed by the previous one's tail.
+      // The reported row count comes from the write's own observe() metric
+      // (r19 Finding 2 applied to every stage count): identical by
+      // construction to a re-read count, minus the re-list/footer job.
+      val obsR = org.apache.spark.sql.Observation("stage_raw_rows")
       inParallel(
-        () => IngestDiscovery.writeZone(orders, outRoot, "raw", "orders"),
+        () => IngestDiscovery.writeZone(
+          orders.observe(obsR, count(lit(1)).as("n")), outRoot, "raw", "orders"),
+        // CAVEAT (ADVICE r19): dynamic overwrite + the v2 committer means a
+        // run that dies MID-JOB can leave task-committed files for _run_id
+        // partitions a later run doesn't rewrite. The rerun contract is
+        // per-run-id idempotence (rerunning the SAME run_id replaces its
+        // partition); operational recovery from a known-aborted run is to
+        // clear that run's _run_id partition before rerunning.
         () => customer.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("_run_id")
@@ -82,7 +124,7 @@ object Pipeline {
         () => IngestDiscovery.writeZone(
           IngestDiscovery.staged(Tables.lineitem(spark, sfDir), "parquet", runId, extractTime),
           outRoot, "raw", "lineitem"))
-      spark.read.parquet(s"$outRoot/raw/orders").count()
+      Pipeline.writtenRows(spark, obsR, s"$outRoot/raw/orders")
     }
 
     // 2. quality: rule engine over the raw zone -> clean/error zones
@@ -102,12 +144,15 @@ object Pipeline {
         // clean and error zones both consume the annotated table:
         // localCheckpoint runs the rule engine (window + FK broadcast)
         // once instead of once per zone write
-        .localCheckpoint(false)
+        .ckptLocalLazy()
     }
     timed("quality") {
-      IngestDiscovery.writeZone(Quality.cleanZone(annotated), outRoot, "clean", "orders")
+      val obsC = org.apache.spark.sql.Observation("clean_rows")
+      IngestDiscovery.writeZone(
+        Quality.cleanZone(annotated).observe(obsC, count(lit(1)).as("n")),
+        outRoot, "clean", "orders")
       IngestDiscovery.writeZone(Quality.errorZone(annotated), outRoot, "error", "orders")
-      spark.read.parquet(s"$outRoot/clean/orders").count()
+      Pipeline.writtenRows(spark, obsC, s"$outRoot/clean/orders")
     }
 
     // 3. transform & load: both star facts over the clean zone (order grain
@@ -119,19 +164,8 @@ object Pipeline {
     // and re-read every footer, 2×5 s at sf0.1 and O(files) at any scale,
     // for a number the write already knows. Fallback stays the honest
     // read-back count in case an observation event is ever dropped.
-    def writtenRows(obs: org.apache.spark.sql.Observation, path: String): Long = {
-      // obs.get blocks until the (async) execution-listener event lands;
-      // bound the wait on a daemon thread so a lost event degrades to the
-      // honest read-back count instead of hanging the run.
-      val p = new java.util.concurrent.CompletableFuture[Long]()
-      val t = new Thread(() =>
-        try p.complete(obs.get("n").asInstanceOf[Long])
-        catch { case e: Throwable => p.completeExceptionally(e) })
-      t.setDaemon(true)
-      t.start()
-      try p.get(30, java.util.concurrent.TimeUnit.SECONDS)
-      catch { case _: Exception => spark.read.parquet(path).count() }
-    }
+    def writtenRows(obs: org.apache.spark.sql.Observation, path: String): Long =
+      Pipeline.writtenRows(spark, obs, path)
     timed("transform_load") {
       val clean = spark.read.parquet(s"$outRoot/clean/orders")
 
@@ -150,7 +184,7 @@ object Pipeline {
         val versions = Star.scd2(custSnaps, "c_custkey", scdAttrs, "_snap")
           .withColumn("_vk", concat_ws("|", col("c_custkey"),
             date_format(col("valid_from"), "yyyyMMddHHmmss")))
-          .localCheckpoint()
+          .ckptLocal()
         Star.withSurrogateKey(versions, "_vk", "customer_key").drop("_vk")
       }
       // the two dim writes touch disjoint paths — overlapped (guide §2.6);
@@ -176,7 +210,7 @@ object Pipeline {
       // the planner pick the line-grain join strategy from real stats.
       val ordersKeyed = Star.lookupDim(
         clean.withColumnRenamed("o_custkey", "c_custkey"), dimC, "c_custkey", "customer_key")
-        .localCheckpoint()
+        .ckptLocal()
       val factOrders = ordersKeyed
         .select(col("o_orderkey"), col("customer_key"), dateKey,
           col("o_totalprice"), col("o_orderstatus"))
@@ -199,11 +233,25 @@ object Pipeline {
       // partitioned-write tails instead of their sum
       val obsO = org.apache.spark.sql.Observation("fact_orders_rows")
       val obsL = org.apache.spark.sql.Observation("fact_lineitem_rows")
+      // Layout-granularity hints (guide §6, see writeFactPartitioned): the
+      // fact row counts are ALREADY KNOWN without a new pass — fact_orders
+      // is clean-grain (the quality stage's reported rows) and fact_lineitem
+      // is raw-lineitem-grain (a metadata footer count over the flat raw
+      // zone); the date-domain size is the just-written dim_date's row
+      // count (another footer-metadata count over a tiny flat zone). Two
+      // ~0.05 s metadata jobs decide between day-dir and flat-clustered
+      // layout from DATA, never from the core count.
+      val days = math.max(1L, spark.read.parquet(s"$outRoot/dwh/dim_date").count())
+      val cleanRows = reports.find(_.stage == "quality").map(_.rows)
+        .getOrElse(-1L)
+      val lineRows = spark.read.parquet(s"$outRoot/raw/lineitem").count()
       inParallel(
         () => Star.writeFactPartitioned(factOrders.observe(obsO, count(lit(1)).as("n")),
-          s"$outRoot/dwh/fact_orders", "date_key", "o_orderkey"),
+          s"$outRoot/dwh/fact_orders", "date_key", "o_orderkey",
+          if (cleanRows < 0) -1.0 else cleanRows.toDouble / days),
         () => Star.writeFactPartitioned(factLine.observe(obsL, count(lit(1)).as("n")),
-          s"$outRoot/dwh/fact_lineitem", "date_key", "l_orderkey"))
+          s"$outRoot/dwh/fact_lineitem", "date_key", "l_orderkey",
+          lineRows.toDouble / days))
       writtenRows(obsO, s"$outRoot/dwh/fact_orders") +
         writtenRows(obsL, s"$outRoot/dwh/fact_lineitem")
     }
@@ -218,12 +266,15 @@ object Pipeline {
       val errorZ = spark.read.parquet(s"$outRoot/error/orders")
       val zones = cleanZ.select(col("o_orderkey"), col("_errors"))
         .unionByName(errorZ.select(col("o_orderkey"), col("_errors")))
+      val obsZ = org.apache.spark.sql.Observation("zone_stats_rows")
       inParallel( // disjoint report sinks — overlapped (guide §2.6)
         () => IngestDiscovery.writeZone(
-          Quality.zoneStats(zones, "orders", "o_orderkey"), outRoot, "report", "zone_stats"),
+          Quality.zoneStats(zones, "orders", "o_orderkey")
+            .observe(obsZ, count(lit(1)).as("n")),
+          outRoot, "report", "zone_stats"),
         () => IngestDiscovery.writeZone(
           Quality.ruleAudit(errorZ), outRoot, "report", "rule_audit"))
-      spark.read.parquet(s"$outRoot/report/zone_stats").count()
+      Pipeline.writtenRows(spark, obsZ, s"$outRoot/report/zone_stats")
     }
 
     reports.toDF()

@@ -46,6 +46,9 @@ object Plans {
         } catch {
           case e: Throwable => println(s"explain failed: ${e.getMessage}")
         }
+        // eager checkpoints materialize at CONSTRUCTION, so even a
+        // plan dump creates blocks — free them per query (Bench rationale)
+        Ckpt.releaseTransient()
       }
     }
     spark.stop()

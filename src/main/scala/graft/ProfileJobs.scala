@@ -92,7 +92,10 @@ object ProfileJobs {
           SparkEntry.queries(q)(spark, sfDir)
             .write.mode("overwrite").format("noop").save()
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // free per-rep localCheckpoint blocks (the Bench sweep-loop rationale)
+      Ckpt.releaseTransient()
+      dt
     }
 
     var total = 0.0

@@ -386,17 +386,29 @@ private[graft] object QueriesDedupAnn {
             slice(col("embedding"), 2, 63)).as("embedding"))
       def rank1(df: DataFrame, alias: String) =
         df.filter(col("rank") === 1).select(col("query_id"), col("neighbor_id").as(alias))
-      val lsh = rank1(Similarity.lshTopK(q, e, "vec_id", "embedding", 1), "lsh_nn")
-      val ivf = rank1(Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 1,
-        ivfCentroids(s, d)), "ivf_nn")
-      val pq = rank1(Similarity.pqTopKWith(q, e, "vec_id", "embedding", 1,
-        pqBooks(s, d)), "pq_nn")
-      val ivfpq = rank1(Similarity.ivfPqTopKWith(q, e, "vec_id", "embedding", 1,
-        ivfCentroids(s, d), pqBooks(s, d)), "ivfpq_nn")
-      val ivfpqr = rank1(Similarity.ivfPqResidualTopKWith(q, e, "vec_id", "embedding", 1,
-        ivfCentroids(s, d), pqResBooks(s, d)), "ivfpqr_nn")
-      lsh.join(ivf, Seq("query_id")).join(pq, Seq("query_id"))
-        .join(ivfpq, Seq("query_id")).join(ivfpqr, Seq("query_id"))
+      // The five search paths are mutually INDEPENDENT (each scans the
+      // corpus its own way and emits a 5-row rank-1 table) but a single
+      // joined plan executed them one AQE stage chain at a time. Overlap
+      // them from driver threads (guide §2.6 — FIFO backfill): each path
+      // materializes via an eager query-scoped checkpoint on its own
+      // thread, and the final join assembles five 5-row checkpointed
+      // tables. Results are identical — the join inputs are the same
+      // tables, just evaluated concurrently.
+      val paths: Seq[() => DataFrame] = Seq(
+        () => rank1(Similarity.lshTopK(q, e, "vec_id", "embedding", 1), "lsh_nn"),
+        () => rank1(Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 1,
+          ivfCentroids(s, d)), "ivf_nn"),
+        () => rank1(Similarity.pqTopKWith(q, e, "vec_id", "embedding", 1,
+          pqBooks(s, d)), "pq_nn"),
+        () => rank1(Similarity.ivfPqTopKWith(q, e, "vec_id", "embedding", 1,
+          ivfCentroids(s, d), pqBooks(s, d)), "ivfpq_nn"),
+        () => rank1(Similarity.ivfPqResidualTopKWith(q, e, "vec_id", "embedding", 1,
+          ivfCentroids(s, d), pqResBooks(s, d)), "ivfpqr_nn"))
+      val done = new Array[DataFrame](paths.size)
+      Pipeline.inParallel(paths.zipWithIndex.map { case (f, i) =>
+        () => done(i) = graft.Ckpt.local(f())
+      }: _*)
+      done.reduce((a, b) => a.join(b, Seq("query_id")))
     }),
     // §2.2 row 25 — embedding column ops
     "embedding_norms" -> ((s, d) => Similarity.norms(Tables.embeddings(s, d), "vec_id", "embedding")),

@@ -372,13 +372,25 @@ private[graft] object QueriesTextLm {
         .where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 6)).as("qtext"))
-      val sparse = Retrieval.bm25TopK(docs, "doc_id", "text",
-        queries, "qid", "qtext", 10)
-        .select(col("query_id"), col("doc_id"), col("rank"))
-      val dense = Similarity.exactTopK(e.where(col("vec_id") % 97 === 0), e,
-        "vec_id", "embedding", 10)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-      Retrieval.rrfFuse(Seq(sparse, dense), 10)
+      // The two rankers are INDEPENDENT corpus passes (BM25 over documents,
+      // exact cosine over embeddings) fused rank-only afterwards — overlap
+      // them from driver threads (guide §2.6): each ranker materializes its
+      // |queries|·k-row top list via an eager query-scoped checkpoint on
+      // its own thread (BM25's eager stats pre-pass runs inside its
+      // thread too), and rrfFuse consumes the two tiny checkpointed lists.
+      // Identical results — same lists, evaluated concurrently.
+      val rankers: Seq[() => DataFrame] = Seq(
+        () => Retrieval.bm25TopK(docs, "doc_id", "text",
+            queries, "qid", "qtext", 10)
+          .select(col("query_id"), col("doc_id"), col("rank")),
+        () => Similarity.exactTopK(e.where(col("vec_id") % 97 === 0), e,
+            "vec_id", "embedding", 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank")))
+      val done = new Array[DataFrame](rankers.size)
+      Pipeline.inParallel(rankers.zipWithIndex.map { case (f, i) =>
+        () => done(i) = graft.Ckpt.local(f())
+      }: _*)
+      Retrieval.rrfFuse(done.toSeq, 10)
     }),
     // §2.1 row 19b — sequential funnel over the event stream (view → click →
     // purchase, each step strictly after the user's previous-step time)

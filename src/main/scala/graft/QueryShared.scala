@@ -468,9 +468,11 @@ private[graft] object QueryShared {
   def rankedDim(s: SparkSession, d: String, table: String,
                         naturalKey: String, keyName: String): DataFrame =
     dimCache.computeIfAbsent(s"${s.hashCode}:$d:$naturalKey", _ =>
-      Star.withSurrogateKey(
-        Tables.load(s, d, table).select(col(naturalKey)), naturalKey, keyName)
-        .localCheckpoint())
+      // PINNED (session-scoped, shared across the star queries): must NOT
+      // register for per-query release — freeing a dim checkpoint mid-sweep
+      // would fail every later consumer with "checkpoint block not found".
+      graft.Ckpt.pinned(Star.withSurrogateKey(
+        Tables.load(s, d, table).select(col(naturalKey)), naturalKey, keyName)))
 
 
   /** Zone root for the end-to-end pipeline queries: under the JVM temp dir

@@ -17,7 +17,7 @@ import graft.sources.IngestDiscovery
   * OraclesDedupLm / OraclesTextMix over the shared substrate in
   * QueryShared — composed here into the same two maps the driver, Verify,
   * Bench and Plans always consumed. RegistrySpec pins the composed key
-  * sets (207 queries / 203 oracles as of round 18) and
+  * sets (207 queries / 203 oracles as of round 19) and
   * part-disjointness, so a silent key collision between parts cannot
   * survive the suite.
   */

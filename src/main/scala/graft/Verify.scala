@@ -43,6 +43,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free this query's localCheckpoint blocks before the next dump —
+      // the 207-dump sweep otherwise accumulates blocks for the JVM's
+      // whole life (the Bench sweep-loop rationale, VERDICT r19 #1)
+      finally Ckpt.releaseTransient()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

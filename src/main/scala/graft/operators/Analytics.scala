@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CkptOps
+
 /** Warehouse analytics operators beyond plain groupBy: top-N per group,
   * hierarchical rollups, as-of (most-recent-prior) joins, and skew-safe
   * two-stage aggregation.
@@ -922,7 +924,7 @@ object Analytics {
     // continuous variable should pre-bucket it (the ksBinned discipline)
     // so the pair table stays domain-bounded.
     val pairs = base.groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_c"))
-      .localCheckpoint()
+      .ckptLocal()
       .where(col("_x").isNotNull && col("_y").isNotNull)
     // doubled midranks per distinct value off the pair-table marginals:
     // 2·mr(v) = 2·|{u < v}| + t(v) + 1

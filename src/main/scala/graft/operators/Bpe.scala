@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CkptOps
+
 import graft.functions.NativeExprs
 
 /** Byte-pair-encoding tokenizer induction and application (Sennrich et al.
@@ -147,7 +149,7 @@ object Bpe {
       .where(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(charSymbols(col("word"), endOfWord).as("symbols"), col("freq"))
-      .localCheckpoint()
+      .ckptLocal()
     // the checkpoint is already materialized, so this count is metadata-cheap
     if (words.count() <= driverVocabBound) {
       lastTrainCarrier = "driver"
@@ -190,7 +192,7 @@ object Bpe {
         words = words.withColumn("symbols",
           NativeExprs.bpeMergeOnce(col("symbols"), l, r))
         round += 1
-        if (round % 4 == 0) words = words.localCheckpoint()
+        if (round % 4 == 0) words = words.ckptLocal()
       }
       lastRoundSecs.add((System.nanoTime() - roundT0) / 1e9)
     }

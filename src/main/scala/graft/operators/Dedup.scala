@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CkptOps
+
 /** Document deduplication: exact (hash groupBy), MinHash+LSH banding,
   * SimHash, and n-gram Jaccard — the LLM-training-data operators the brief
   * mandates beyond the reference's surface.
@@ -256,7 +258,7 @@ object Dedup {
       explode(array_distinct(TextAnalysis.ngramsAll(tokens(col(textCol)), n))).as("gram"))
     // The bench gram set is read three times (sizing count, Bloom build,
     // exact semi-join) — materialize it once; it is the bounded small side.
-    val benchGrams = grams(benchmark).select(col("gram")).distinct().localCheckpoint()
+    val benchGrams = grams(benchmark).select(col("gram")).distinct().ckptLocal()
     // Bounded by the benchmark's distinct gram count; ~1.2 bytes/item at 3% fpp.
     val nBench = benchGrams.count()
     val bf = benchGrams.stat.bloomFilter("gram", math.max(nBench, 1L), bloomFpp)
@@ -303,7 +305,7 @@ object Dedup {
       .select(asKey(col("doc_a")).as("src"), asKey(col("doc_b")).as("dst"))
       .unionByName(pairs.select(asKey(col("doc_b")).as("src"),
         asKey(col("doc_a")).as("dst")))
-      .localCheckpoint()
+      .ckptLocal()
     var labels = docs.select(asKey(col(idCol)).as("node"))
       .withColumn("label", col("node"))
     var i = 0
@@ -316,7 +318,7 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("_nl"), col("label"))).as("label"),
           (coalesce(col("_nl"), col("label")) < col("label")).as("_changed"))
-        .localCheckpoint()
+        .ckptLocal()
       // Rounds are eager anyway (localCheckpoint); a cheap count on the
       // checkpointed result lets converged graphs skip the remaining rounds
       // (near-dup clusters are shallow — usually 1-2 rounds suffice).

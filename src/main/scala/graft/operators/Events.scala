@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CkptOps
+
 /** Event-stream analytics: type routing, gap-based sessionization, and
   * tumbling-window aggregation.
   *
@@ -120,13 +122,13 @@ object Events {
     val edges = counts.join(out, "from_type")
       .select(col("from_type"), col("to_type"),
         expr("(cast(n as decimal(38,0)) * 1000000) div out_n").as("p6"))
-      .localCheckpoint()
+      .ckptLocal()
     val nodes = events.select(col("event_type").as("node")).distinct()
-      .localCheckpoint()
+      .ckptLocal()
     val nn = broadcast(nodes.agg(count(lit(1)).as("nn")))
     var pr = nodes.crossJoin(nn)
       .select(col("node"), expr(s"${scale}L div nn").as("pr"))
-      .localCheckpoint()
+      .ckptLocal()
     for (_ <- 1 to iters) {
       val contrib = pr.join(edges, pr("node") === edges("from_type"))
         .select(col("to_type").as("node"),
@@ -137,7 +139,7 @@ object Events {
         .select(col("node"),
           (expr(s"((${scale}L div nn) * 15L) div 100L") +
             expr("(85L * coalesce(cs, 0L)) div 100L")).as("pr"))
-        .localCheckpoint()
+        .ckptLocal()
     }
     pr.select(col("node").as("event_type"), col("pr").as("pagerank"))
   }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CkptOps
+
 /** Similarity search over embedding columns (`array<float>`): brute-force
   * cosine top-k as the exact baseline, random-hyperplane LSH bucketing as the
   * scale path.
@@ -435,7 +437,7 @@ object Similarity {
     // marginMine twin-stage finding)
     val v = vectors.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
       .withColumn("_sig", lshSignature(col("_v"), planes, dim))
-      .localCheckpoint()
+      .ckptLocal()
     def bandAt(b: Int) = substring(col("_sig"), b * bandLen + 1, bandLen)
     val exact = v.select(col("_id"), col("_v"),
         posexplode(array((0 until numBands).map(bandAt): _*)))
@@ -506,7 +508,7 @@ object Similarity {
     val v = vectors.select(col(sideCol).as("_side"), col(idCol).as("_id"),
         toDouble(col(vecCol)).as("_v"))
       .withColumn("_sig", lshSignature(col("_v"), planes, dim))
-      .localCheckpoint()
+      .ckptLocal()
     def bandAt(b: Int) = substring(col("_sig"), b * bandLen + 1, bandLen)
     val exact = v.select(col("_side"), col("_id"), col("_v"),
         posexplode(array((0 until numBands).map(bandAt): _*)))
@@ -538,7 +540,7 @@ object Similarity {
     val ranked = cand
       .withColumn("_ra", row_number().over(wa))
       .withColumn("_rb", row_number().over(wb))
-      .localCheckpoint()
+      .ckptLocal()
     val muA = ranked.where(col("_ra") <= k).groupBy(col("vec_a"))
       .agg((sum(col("cos_sim").cast("decimal(18,6)")).cast("double") / count(lit(1)))
         .as("_mu_a"))
@@ -714,19 +716,19 @@ object Similarity {
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("_qv"), col("_cv")), 6).as("_sim"), col("_cv"))
-      .localCheckpoint()
+      .ckptLocal()
     val pairs = cand.select(col("query_id"), col("neighbor_id").as("_ida"), col("_cv").as("_va"))
       .join(cand.select(col("query_id"), col("neighbor_id").as("_idb"), col("_cv").as("_vb")),
         Seq("query_id"))
       .where(col("_ida") =!= col("_idb"))
       .select(col("query_id"), col("_ida"), col("_idb"),
         round(cosine(col("_va"), col("_vb")), 6).as("_psim"))
-      .localCheckpoint()
+      .ckptLocal()
     var chosen = cand
       .withColumn("_rn", row_number().over(byQ.orderBy(col("_sim").desc, col("neighbor_id"))))
       .where(col("_rn") === 1)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("mmr_rank"))
-      .localCheckpoint()
+      .ckptLocal()
     for (t <- 2 to k) {
       val pen = pairs
         .join(chosen.select(col("query_id"), col("neighbor_id").as("_idb")),
@@ -741,7 +743,7 @@ object Similarity {
         .withColumn("_rn", row_number().over(byQ.orderBy(col("_score").desc, col("neighbor_id"))))
         .where(col("_rn") === 1)
         .select(col("query_id"), col("neighbor_id"), lit(t).as("mmr_rank"))
-      chosen = chosen.union(pick).localCheckpoint()
+      chosen = chosen.union(pick).ckptLocal()
     }
     chosen
   }

@@ -127,32 +127,63 @@ object Star {
   def lookupDim(fact: DataFrame, dim: DataFrame, naturalKey: String, surrogateKey: String): DataFrame =
     fact.join(broadcast(dim.select(col(naturalKey), col(surrogateKey))), Seq(naturalKey), "left")
 
-  /** Write a fact table partitioned by its date key — the layout that makes
-    * partition pruning work at 100 TB (a date-ranged query reads only its
-    * partitions; `.explain` shows PartitionFilters). Pair with
-    * `sortWithinPartitions` on the join key so downstream bucketed readers
-    * get clustered data.
+  /** Write a fact table laid out for date-ranged readers, with the
+    * GRANULARITY derived from the data (optimization guide §6; VERDICT r19
+    * #2 — "scale-adaptive fact partition granularity").
     *
-    * The shuffle width is PINNED to the session's defaultParallelism
-    * (round 18 — found by Bench's pathology detector, its first catch):
-    * an unpinned `repartition(col(date))` lets AQE coalesce a
-    * byte-small shuffle to ONE partition, and a single task then
-    * creates every date directory SERIALLY — ~2,400 dirs × per-file
-    * commit overhead read 13-14 s per fact at small SF (the dominant
-    * cost of the whole DWH pipeline), named `withThreadLocalCaptured`
-    * in the stage log because Spark 4 runs eagerly-executed write
-    * commands on that thread pool. Pinning restores write parallelism
-    * (14.1 s → 3.0 s at 8 cores) and stays correct at 100 TB: date
-    * values hash across ALL cores, each task writes only its dates'
-    * files (bounded open handles), and pruning layout is unchanged. */
+    * Day-directory layout (`partitionBy(date_key)`) is the correct pruning
+    * shape when a day's rows fill real parquet files: a date-ranged query
+    * reads only its partitions (`.explain` shows PartitionFilters). But the
+    * SAME layout below ~`spark.graft.fact.minRowsPerDay` rows/day (default
+    * 1e6 ≈ 40-60 MB/file at fact-row widths — the guide's small-files
+    * threshold) produces thousands of sub-MB files whose per-file writer
+    * init and per-dir listing dominate the whole write (~2.4-3.0 s per
+    * fact at sf0.1 for 2,400 × ~3 KB files) while pruning saves nothing (a
+    * whole such "table" is smaller than ONE well-sized file). Below the
+    * threshold the fact is therefore written FLAT but RANGE-CLUSTERED on
+    * the date key (range repartition + within-file sort), so parquet
+    * min/max stats give readers the same date skipping at file granularity
+    * — the guide's "partition by low-cardinality columns ... within files,
+    * sort by a commonly filtered column" rule applied to each regime.
+    * `rowsPerDayHint < 0` (unknown) keeps the conservative day-dir layout.
+    * The threshold is a session conf (scale-dependent settings stay
+    * parameterised); the DECISION input is data (rows/day), never the core
+    * count, so low-core driver benches see the identical layout.
+    *
+    * The flat path deliberately uses a HASH repartition on the date key,
+    * not `repartitionByRange`: the range partitioner runs a SAMPLING pass
+    * over its child to compute boundaries — a whole extra execution of the
+    * fact subtree, which also re-fires any caller-attached `observe()`
+    * metric (measured: the written-rows count doubled). Hash keeps one
+    * pass; each file holds a few whole dates and the within-file sort on
+    * (date, key) keeps parquet ROW-GROUP min/max stats tight, which is
+    * where predicate pushdown actually skips.
+    *
+    * Day-dir path: the shuffle width is PINNED to defaultParallelism
+    * (round 18 — Bench's pathology detector's first catch): an unpinned
+    * `repartition(col(date))` lets AQE coalesce a byte-small shuffle to
+    * ONE partition, and a single task then creates every date directory
+    * SERIALLY (~2,400 dirs read 13-14 s per fact at small SF). Pinning
+    * restores write parallelism and stays correct at 100 TB: date values
+    * hash across ALL cores, each task writes only its dates' files. */
   def writeFactPartitioned(fact: DataFrame, path: String, dateKeyCol: String,
-                           sortCol: String): Unit =
-    fact.repartition(fact.sparkSession.sparkContext.defaultParallelism,
-        col(dateKeyCol))
-      .sortWithinPartitions(col(sortCol))
-      .write.mode("overwrite")
-      .partitionBy(dateKeyCol)
-      .parquet(path)
+                           sortCol: String, rowsPerDayHint: Double = -1.0): Unit = {
+    val minRowsPerDay = fact.sparkSession.conf
+      .get("spark.graft.fact.minRowsPerDay", "1000000").toDouble
+    if (rowsPerDayHint >= 0 && rowsPerDayHint < minRowsPerDay)
+      fact.repartition(
+          fact.sparkSession.sparkContext.defaultParallelism, col(dateKeyCol))
+        .sortWithinPartitions(col(dateKeyCol), col(sortCol))
+        .write.mode("overwrite")
+        .parquet(path)
+    else
+      fact.repartition(fact.sparkSession.sparkContext.defaultParallelism,
+          col(dateKeyCol))
+        .sortWithinPartitions(col(sortCol))
+        .write.mode("overwrite")
+        .partitionBy(dateKeyCol)
+        .parquet(path)
+  }
 
   /** Inventory-position fact (the reference's stock-level fact
     * `fact_kho_nguyen_lieu`, create_dwh_tables.sql:180-211): signed stock

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CkptOps
+
 /** Text analysis for training-data pipelines: quality signals, language ID,
   * token counting, and document fingerprinting — all pure Column expressions
   * (codegen'd; no UDFs, no driver-side loops).
@@ -397,12 +399,12 @@ object TextAnalysis {
     * strictly positive with no backoff branch.
     *
     * Scale: the same two shuffles as [[lmBigram]] (per-doc tf, bigram
-    * vocabulary agg); the three KN statistics are ONE partitioned window
-    * over the VOCABULARY-sized type table (context totals + fan-out on
-    * the same partitioning), a grouped second-word count joined back
-    * (r19: replaces the fan-in window exchange with a strictly smaller
-    * aggregate — identical integers), plus the audited 1-row type-count
-    * broadcast. Determinism: D = 0.75 is dyadic, the
+    * vocabulary agg); the three KN statistics are TWO partitioned windows
+    * over the VOCABULARY-sized type table (context totals + fan-out on the
+    * w1 partitioning, the backward type count on the w2 partitioning —
+    * r20: zero stat joins, so no per-run AQE broadcast-build jobs) plus
+    * the checkpointed type table's row count inlined as a literal.
+    * Determinism: D = 0.75 is dyadic, the
     * probability expression is parenthesized IDENTICALLY in both engines
     * (every step one correctly-rounded op), per-bigram log-probs round
     * to 6dp into DECIMAL(18,6) so the per-doc weighted sum is exact.
@@ -419,30 +421,33 @@ object TextAnalysis {
     // localCheckpoint runs the corpus explode+agg pass once.
     val tf = docs.select(col(idCol).as("_id"), explode(bigrams).as("bigram"))
       .groupBy(col("_id"), col("bigram")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .ckptLocal()
     // localCheckpoint: the type table feeds the context window, the
     // backward-fan aggregation, AND the 1-row type-count broadcast — the
     // broadcast/stat builds replay a checkpoint scan, not the corpus agg
     // (the r17 AQE broadcast-build lesson).
     val types = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cnt_bi"))
       .withColumn("_w2", split(col("bigram"), " ").getItem(1))
-      .localCheckpoint()
+      .ckptLocal()
     val wCtx = org.apache.spark.sql.expressions.Window
       .partitionBy(split(col("bigram"), " ").getItem(0))
-    // N1+(·w) = type count per second word — a grouped count of the type
-    // table joined back (r19: replaces a second full-type-table window
-    // exchange with a strictly smaller aggregate — identical integers).
-    val gW = types.groupBy(col("_w2")).agg(count(lit(1)).as("n1_back"))
-    val nbb = broadcast(types.agg(count(lit(1)).as("n_types")))
+    // N1+(·w) = type count per second word — a _w2-partitioned window over
+    // the SAME type table (r20: replaces the grouped-count-joined-back shape,
+    // whose AQE broadcast build was a separate scheduled job per run, with
+    // one exchange and ZERO joins — identical integers). N1+(··) is the
+    // checkpointed type table's row count, inlined as a literal (the count
+    // reads materialized blocks — metadata-cheap) instead of a 1-row
+    // aggregate riding a broadcast crossJoin build.
+    val w2w = org.apache.spark.sql.expressions.Window.partitionBy(col("_w2"))
+    val nTypes = types.count()
     val probs = types
       .withColumn("cnt_ctx", sum(col("cnt_bi")).over(wCtx))
       .withColumn("n1_fwd", count(lit(1)).over(wCtx))
-      .join(gW, Seq("_w2"))
-      .crossJoin(nbb)
+      .withColumn("n1_back", count(lit(1)).over(w2w))
       .select(col("bigram"), round(log(
         (col("cnt_bi") - lit(discount)) / col("cnt_ctx") +
           lit(discount) * col("n1_fwd") / col("cnt_ctx") *
-            (col("n1_back").cast("double") / col("n_types"))), 6)
+            (col("n1_back").cast("double") / lit(nTypes))), 6)
         .cast("decimal(18,6)").as("_lp"))
     tf.join(probs, "bigram")
       .groupBy(col("_id"))
@@ -469,10 +474,10 @@ object TextAnalysis {
     * (per-doc tf, trigram vocabulary agg); the five KN statistics are ONE
     * partitioned window over the VOCABULARY-sized type table ((w1,w2)
     * totals+fan-out) plus ONE (w2,w3) aggregation of it — n1_mid directly,
-    * re-aggregated per w2 for N1+(·w2·)/N1+(w2·) and per w3 for N1+(·w3),
-    * its row count riding the audited 1-row broadcast (r19: this replaces
-    * two further full-type-table window exchanges and a distinct-pair
-    * chain with strictly smaller grouped tables — identical integers).
+    * windowed per w2 for N1+(·w2·)/N1+(w2·) and per w3 for N1+(·w3) (r20:
+    * windows on the checkpointed pair table replace grouped-count
+    * join-backs and their per-run AQE broadcast-build jobs — identical
+    * integers), its row count inlined as a literal.
     * Determinism: the [[lmKneserNey]] oracle contract verbatim — D = 0.75
     * dyadic, every step one correctly-rounded op with IDENTICAL
     * parenthesization in both engines, per-trigram log-probs rounded 6dp
@@ -495,7 +500,7 @@ object TextAnalysis {
     // pass once.
     val tf = docs.select(col(idCol).as("_id"), explode(trigrams).as("trigram"))
       .groupBy(col("_id"), col("trigram")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .ckptLocal()
     // The type table feeds the (w1,w2)-context window AND every
     // continuation statistic: localCheckpoint materializes it once, so the
     // small-stats broadcast builds replay a checkpoint scan instead of the
@@ -504,35 +509,39 @@ object TextAnalysis {
       .withColumn("_w1", split(col("trigram"), " ").getItem(0))
       .withColumn("_w2", split(col("trigram"), " ").getItem(1))
       .withColumn("_w3", split(col("trigram"), " ").getItem(2))
-      .localCheckpoint()
+      .ckptLocal()
     val wCtx = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_w1"), col("_w2"))
     // All four continuation counts derive from ONE (w2,w3) aggregation of
-    // the type table (r19: replaces two more full-type-table window
-    // exchanges + a distinct-pairs chain): n1_mid = types per (w2,w3);
-    // summing/counting that table per w2 gives N1+(·w2·) and N1+(w2·),
-    // counting per w3 gives N1+(·w3), and its row count is N1+(··) —
-    // identical integers, so the probability expression is bit-unchanged.
+    // the type table (r19): n1_mid = types per (w2,w3). r20: the per-w2 and
+    // per-w3 statistics are now WINDOWS over that checkpointed pair table
+    // (sum/count over a _w2 partition, count over a _w3 partition) instead
+    // of two grouped aggregates joined back — each of those joins was an
+    // AQE broadcast build scheduled as its own job per run (the dominant
+    // residual cost: 14 small one-task jobs, VERDICT r19 #3); the windows
+    // ride two pair-table exchanges inside the main query. N1+(··) is the
+    // checkpointed pair table's row count inlined as a literal. Identical
+    // integers everywhere, so the probability expression is bit-unchanged.
     val g23 = types.groupBy(col("_w2"), col("_w3"))
-      .agg(count(lit(1)).as("n1_mid")).localCheckpoint()
-    val g2 = g23.groupBy(col("_w2"))
-      .agg(sum(col("n1_mid")).as("n1_dot2dot"), count(lit(1)).as("n1_w2dot"))
-    val g3 = g23.groupBy(col("_w3")).agg(count(lit(1)).as("n1_back"))
-    val np = broadcast(g23.agg(count(lit(1)).as("n_pairs")))
+      .agg(count(lit(1)).as("n1_mid")).ckptLocal()
+    val w2w = org.apache.spark.sql.expressions.Window.partitionBy(col("_w2"))
+    val w3w = org.apache.spark.sql.expressions.Window.partitionBy(col("_w3"))
+    val nPairs = g23.count()
+    val pairStats = g23
+      .withColumn("n1_dot2dot", sum(col("n1_mid")).over(w2w))
+      .withColumn("n1_w2dot", count(lit(1)).over(w2w))
+      .withColumn("n1_back", count(lit(1)).over(w3w))
     val d = lit(discount)
     val probs = types
       .withColumn("cnt_ctx", sum(col("cnt_tri")).over(wCtx))
       .withColumn("n1_fwd", count(lit(1)).over(wCtx))
-      .join(g23, Seq("_w2", "_w3"))
-      .join(g2, Seq("_w2"))
-      .join(g3, Seq("_w3"))
-      .crossJoin(np)
+      .join(pairStats, Seq("_w2", "_w3"))
       .select(col("trigram"), round(log(
         (col("cnt_tri") - d) / col("cnt_ctx") +
           d * col("n1_fwd") / col("cnt_ctx") *
             ((col("n1_mid") - d) / col("n1_dot2dot") +
               d * col("n1_w2dot") / col("n1_dot2dot") *
-                (col("n1_back").cast("double") / col("n_pairs")))), 6)
+                (col("n1_back").cast("double") / lit(nPairs)))), 6)
         .cast("decimal(18,6)").as("_lp"))
     tf.join(probs, "trigram")
       .groupBy(col("_id"))
@@ -1528,7 +1537,7 @@ object TextAnalysis {
       // the bucket-model broadcast build would otherwise re-run this
       // whole subtree (AQE broadcast builds bypass exchange reuse — the
       // r17 lesson); one checkpoint of the already-aggregated table
-      .localCheckpoint()
+      .ckptLocal()
     val stats = db.groupBy(col("_b")).agg(
       sum(when(col("_t"), col("_k")).otherwise(0L)).as("_ct"),
       sum(col("_k")).as("_cr"))
@@ -1908,7 +1917,7 @@ object TextAnalysis {
         transform(toks, g => struct(lit(1).as("o"), g.as("g"))))).as("u"))
       .groupBy(col("u.o").as("_o"), col("u.g").as("_g"))
       .agg(count(lit(1)).as("_c"))
-      .localCheckpoint()
+      .ckptLocal()
     def orderSlice(o: Int, key: String, out: String) =
       counts.where(col("_o") === o)
         .select(col("_g").as(key), col("_c").as(out))

@@ -31,11 +31,17 @@ class PipelineSpec extends SparkSpec {
       .count() == 0)
     // metadata rode through the zones
     assert(raw.columns.contains("_run_id"))
-    // DWH is laid out partitioned by date_key
+    // DWH layout is granularity-ADAPTIVE (round 20): at sf0.001 rows/day is
+    // far below spark.graft.fact.minRowsPerDay, so the facts are written
+    // FLAT (no date_key= dirs — the day-dir layout would be thousands of
+    // sub-KB files) but still carry date_key as a data column, range-
+    // clustered for parquet min/max skipping. The at-scale day-dir shape is
+    // pinned by the dedicated writeFactPartitioned test below.
     for (f <- Seq("fact_orders", "fact_lineitem")) {
       val parts = new java.io.File(s"$out/dwh/$f").listFiles()
         .filter(_.isDirectory).map(_.getName)
-      assert(parts.nonEmpty && parts.forall(_.startsWith("date_key=")))
+      assert(parts.isEmpty, s"expected flat low-volume layout for $f, got dirs: ${parts.toSeq}")
+      assert(spark.read.parquet(s"$out/dwh/$f").columns.contains("date_key"))
     }
     // report zone: per-zone stats cover every raw row; rule audit readable
     val stats = spark.read.parquet(s"$out/report/zone_stats")
@@ -48,6 +54,34 @@ class PipelineSpec extends SparkSpec {
     val dimDate = spark.read.parquet(s"$out/dwh/dim_date")
     assert(dimDate.select("date_key").distinct().count() == dimDate.count())
     assert(fact.join(dimDate, Seq("date_key"), "left_anti").count() == 0)
+  }
+
+  test("writeFactPartitioned: day dirs at scale, flat range-clustered below the threshold") {
+    import org.apache.spark.sql.functions._
+    val fact = spark.range(0, 600).select(
+      col("id").as("k"),
+      (lit(20240101) + (col("id") % 3)).cast("int").as("date_key"))
+    // rows/day ABOVE the threshold -> day-dir pruning layout
+    val outHi = Files.createTempDirectory("graft_fact_hi").toFile.getAbsolutePath
+    graft.operators.Star.writeFactPartitioned(fact, s"$outHi/f", "date_key", "k",
+      rowsPerDayHint = 2e6)
+    val hiDirs = new java.io.File(s"$outHi/f").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(hiDirs.nonEmpty && hiDirs.forall(_.startsWith("date_key=")), hiDirs.toSeq)
+    // rows/day BELOW the threshold -> flat, date_key kept as a data column
+    val outLo = Files.createTempDirectory("graft_fact_lo").toFile.getAbsolutePath
+    graft.operators.Star.writeFactPartitioned(fact, s"$outLo/f", "date_key", "k",
+      rowsPerDayHint = 200.0)
+    assert(new java.io.File(s"$outLo/f").listFiles().forall(!_.isDirectory))
+    // identical rows either way, and the flat layout keeps the column
+    val hi = spark.read.parquet(s"$outHi/f").select("k", "date_key")
+    val lo = spark.read.parquet(s"$outLo/f").select("k", "date_key")
+    assert(hi.count() == 600 && lo.count() == 600)
+    assert(hi.exceptAll(lo).isEmpty && lo.exceptAll(hi).isEmpty)
+    // unknown volume (hint < 0) keeps the conservative day-dir layout
+    val outUk = Files.createTempDirectory("graft_fact_uk").toFile.getAbsolutePath
+    graft.operators.Star.writeFactPartitioned(fact, s"$outUk/f", "date_key", "k")
+    assert(new java.io.File(s"$outUk/f").listFiles()
+      .filter(_.isDirectory).forall(_.getName.startsWith("date_key=")))
   }
 
   test("two runs with a changed customer snapshot version the SCD2 dim; facts resolve current") {

@@ -338,13 +338,18 @@ class PlanAuditSpec extends SparkSpec {
   test("hybrid_rrf adds only bounded work above its rankers") {
     val p = planOf("hybrid_rrf")
     // the fusion window partitions by query_id over the <= |rankers|*k
-    // union — never an unpartitioned rank; the rankers keep their shapes
-    // (bm25's bounded-heap ObjectHashAggregate; the dense side's
-    // broadcast corpus x query-batch scan is the audited ann shape)
+    // union — never an unpartitioned rank. r20: the two rankers evaluate
+    // CONCURRENTLY at construction (driver-thread overlap, guide §2.6)
+    // into query-scoped checkpoints, so the fused plan consumes two
+    // checkpoint scans — the ranker shapes themselves (bm25's
+    // bounded-heap ObjectHashAggregate, the dense broadcast scan) stay
+    // pinned by their own tests (bm25_topk / ann paths).
     assert(p.contains("windowspecdefinition(query_id"),
       s"fusion rank lost its query_id partitioning:\n$p")
-    assert(p.contains("ObjectHashAggregate"),
-      s"bm25's bounded-heap re-rank disappeared:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).length == 2,
+      s"fusion must consume exactly the two checkpointed ranker lists:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"corpus-sized work leaked above the rankers into the fusion plan:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"a fusion join degenerated to a cartesian product:\n$p")
   }

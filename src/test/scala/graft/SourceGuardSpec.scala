@@ -71,9 +71,10 @@ class SourceGuardSpec extends AnyFunSpec {
     // (nt/nr over the <=nBuckets-row bucket table) + waterfillBudget's
     // 1-row (total, n) totals join onto the |sources|-row capacity table
     // + pmiCollocations' 1-row token-total join onto the bigram counts
-    // + lmKneserNey's 1-row bigram-type-count join onto the vocabulary
     // + zipfTheilSen's 1-row median-slope join onto the ≤ topK-row head
-    // + lmKneserNeyTrigram's 1-row pair-total join onto the vocabulary
+    // (r20 removed lmKneserNey's and lmKneserNeyTrigram's 1-row totals
+    // joins: the totals are now count() literals off the checkpointed
+    // type/pair tables — two sites gone, 17 → 15)
     // + jsDivergence's |sources| × |vocab| evaluation grid (the audited
     //   ksBySource dimension-cross class — absent tokens must feed the
     //   rest-side sum, so the grid is the correct frame, never a pair join)
@@ -82,7 +83,7 @@ class SourceGuardSpec extends AnyFunSpec {
     // + sourceTokenMi's three 1-row joins (N onto the pair table, N onto
     //   the |sources| marginals, the 1-row MI ⋈ 1-row H tail)
     // + entropyRate's 1-row bigram total onto the type table
-    "graft/operators/TextAnalysis.scala" -> 17,
+    "graft/operators/TextAnalysis.scala" -> 15,
     // ... except pqTopKWith's corpus x QUERY-BATCH join (the flat-PQ ADC
     // scan: every index row scores against every query's broadcast LUT
     // — bounded by the query batch, the intended shape), one 1-row
