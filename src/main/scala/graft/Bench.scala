@@ -61,6 +61,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    HarnessLog.quietBudgetedWindowWarn() // budgeted-site WARN noise, see HarnessLog
 
     // Broadcast-build pathology detector (VERDICT r17 #3 — the automated
     // form of round 17's hand-run SparkListener diagnosis): every 1-task

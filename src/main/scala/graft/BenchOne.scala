@@ -39,6 +39,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    HarnessLog.quietBudgetedWindowWarn() // budgeted-site WARN noise, see HarnessLog
     locally {
       import org.apache.spark.sql.functions._
       Tables.region(spark, sfDir)

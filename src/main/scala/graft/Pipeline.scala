@@ -99,8 +99,17 @@ object Pipeline {
     // overwrite: each run replaces only its own partition, so repeated runs
     // ACCUMULATE snapshot history — the incremental staging-load shape that
     // feeds the SCD2 dimension (re-running a run id is idempotent).
-    val orders = IngestDiscovery.staged(Tables.orders(spark, sfDir), "parquet", runId, extractTime)
-    val customer = IngestDiscovery.staged(Tables.customer(spark, sfDir), "parquet", runId, extractTime)
+    // source reads ride Tables.spread (no-op on well-split sources): the
+    // testdata tables ship as 1-3 row groups, so an unspread staged write
+    // runs 3 tasks (measured 1.0 s for orders alone) AND leaves a 3-file
+    // raw zone that under-parallelizes every downstream zone read — one
+    // cheap shuffle of the staged rows buys full-width encode + scans
+    val orders = IngestDiscovery.staged(
+      Tables.spread(spark, sfDir, "orders", Tables.orders(spark, sfDir)),
+      "parquet", runId, extractTime)
+    val customer = IngestDiscovery.staged(
+      Tables.spread(spark, sfDir, "customer", Tables.customer(spark, sfDir)),
+      "parquet", runId, extractTime)
     timed("stage_raw") {
       // three disjoint zone writes — overlapped (guide §2.6): the next
       // write's tasks backfill executors freed by the previous one's tail.
@@ -122,7 +131,9 @@ object Pipeline {
           .partitionBy("_run_id")
           .parquet(s"$outRoot/raw/customer"),
         () => IngestDiscovery.writeZone(
-          IngestDiscovery.staged(Tables.lineitem(spark, sfDir), "parquet", runId, extractTime),
+          IngestDiscovery.staged(
+            Tables.spread(spark, sfDir, "lineitem", Tables.lineitem(spark, sfDir)),
+            "parquet", runId, extractTime),
           outRoot, "raw", "lineitem"))
       Pipeline.writtenRows(spark, obsR, s"$outRoot/raw/orders")
     }

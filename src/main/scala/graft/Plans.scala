@@ -36,6 +36,7 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    HarnessLog.quietBudgetedWindowWarn() // budgeted-site WARN noise, see HarnessLog
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         println(s"\n===== $name =====")

@@ -78,6 +78,7 @@ object ProfileJobs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    HarnessLog.quietBudgetedWindowWarn() // budgeted-site WARN noise, see HarnessLog
     val tally = new JobTally
     spark.sparkContext.addSparkListener(tally)
 

@@ -33,38 +33,30 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timeQ(q: String): Double = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, sfDir)
-          .write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      ts.min
-    }
+    // Current experiment (r20 item 9): does a CONSTANT-partitioned window
+    // (partitionBy(lit(0))) silence WindowExec's "No Partition Defined"
+    // WARN without the optimizer folding the constant away, and is the
+    // result row-identical to the global window?
     import org.apache.spark.sql.functions._
-    val root = System.getProperty("java.io.tmpdir") + "/graft_scratch_crc"
-    def fact = spark.range(0L, 150000L, 1L, 32)
-      .select(col("id").as("k"),
-        (lit(19920101) + pmod(col("id"), lit(2405))).cast("int").as("date_key"),
-        (pmod(xxhash64(col("id"), lit(1)), lit(100000)).cast("double") / 100).as("v"),
-        lit("O").as("st"))
-      .repartition(spark.sparkContext.defaultParallelism, col("date_key"))
-      .sortWithinPartitions(col("k"))
-    def run(tag: String): Unit = {
-      val ts = (1 to 4).map { _ =>
-        val t0 = System.nanoTime()
-        fact.write.mode("overwrite").partitionBy("date_key").parquet(s"$root/$tag")
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"$tag%-28s min=${ts.drop(1).min}%6.2f s")
-    }
-    run("checksummed")
-    // flip the live FileSystem for file:// to the raw no-chmod fs
-    spark.sparkContext.hadoopConfiguration.set("fs.file.impl",
-      "graft.sources.BareRawLocalFileSystem")
-    org.apache.hadoop.fs.FileSystem.closeAll()
-    run("raw-no-crc")
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 1000).select(col("id"), pmod(col("id"), lit(7)).as("v"))
+    println("=== global window (expect WARN above) ===")
+    val a = df.withColumn("rn", row_number().over(Window.orderBy(col("v"), col("id"))))
+      .withColumn("cum", sum(col("v")).over(
+        Window.orderBy(col("v"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    a.write.mode("overwrite").format("noop").save()
+    println("=== lit(0)-partitioned window (expect NO warn) ===")
+    val w0 = Window.partitionBy(lit(0))
+    val b = df.withColumn("rn", row_number().over(w0.orderBy(col("v"), col("id"))))
+      .withColumn("cum", sum(col("v")).over(
+        w0.orderBy(col("v"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    b.write.mode("overwrite").format("noop").save()
+    println("rows equal: " + (a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty))
+    println("--- constant-partitioned physical plan ---")
+    println(b.queryExecution.executedPlan.toString.linesIterator.filter(l =>
+      l.contains("Window") || l.contains("Exchange")).mkString("\n"))
     spark.stop()
   }
 }

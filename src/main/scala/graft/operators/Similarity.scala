@@ -136,6 +136,39 @@ object Similarity {
     math.max(minPlanes, math.ceil(math.log(buckets) / math.log(2.0)).toInt)
   }
 
+  /** TOTAL signature width for a BANDED self-join, quantized to 1 plane
+    * instead of `numBands` planes (round 20 — the margin_mine sawtooth,
+    * VERDICT r18 #5 / r19 #10): `ceil(numBands · log2(rows/target))`,
+    * floored at `minPlanes · numBands`.
+    *
+    * Deriving a PER-BAND width and multiplying (the old shape:
+    * `adaptivePlanes(...) * numBands`) moves the total width in steps of
+    * `numBands` planes, so between knees every band's occupancy doubles
+    * and the per-band self-join candidate volume (∝ occupancy²·buckets =
+    * N²/2^bandLen) swings by 2^numBands÷2 across a knee — a sawtooth in
+    * wall/shuffle as the corpus grows. Quantizing the TOTAL to single
+    * planes (bands then differ in width by at most 1 — see the per-band
+    * length distribution at the call sites) moves one band's bucket count
+    * ×2 per step, a ~(1 − 1/(2·numBands)) candidate-volume step — the
+    * flattest curve integer bucketing admits. At the floor the result is
+    * `minPlanes` per band exactly, so small-corpus behavior (every test
+    * SF) is unchanged. */
+  def adaptivePlanesTotal(corpusRows: Long, targetOccupancy: Int,
+                          minPlanes: Int, numBands: Int): Int = {
+    val buckets = math.max(1.0, corpusRows.toDouble / math.max(targetOccupancy, 1))
+    math.max(minPlanes * numBands,
+      math.ceil(numBands * (math.log(buckets) / math.log(2.0))).toInt)
+  }
+
+  /** Per-band substring extents for a total width spread over numBands
+    * bands, widths differing by at most one plane (wider bands first). */
+  private def bandExtents(planes: Int, numBands: Int): Array[(Int, Int)] = {
+    val lens = Array.tabulate(numBands)(b =>
+      planes / numBands + (if (b < planes % numBands) 1 else 0))
+    val offs = lens.scanLeft(0)(_ + _)
+    Array.tabulate(numBands)(b => (offs(b), lens(b)))
+  }
+
   /** Scale-adaptive IVF cell count: the classic `nlist ≈ sqrt(N)` sizing
     * (cell occupancy and probe cost balance at sqrt), clamped to
     * [minCells, maxCells]. The floor reproduces the former fixed default
@@ -427,18 +460,25 @@ object Similarity {
     // the 256-target floor width, at −0.2% verified pairs
     // (bench_logs/r18/SCALE_CURVE.md) — below the floor threshold the
     // derived width is unchanged (8 bits/band).
+    // adaptive default quantizes the TOTAL width to single planes (bands
+    // differ by ≤ 1 plane — flattens the growth sawtooth, see
+    // adaptivePlanesTotal); an explicit numPlanes pins the exact layout
+    // (the oracle replays even band widths, so pins stay divisible)
     val planes =
       if (numPlanes > 0) numPlanes
-      else adaptivePlanes(memoizedCount(vectors), targetOccupancy = 32, minPlanes = 8) * numBands
-    require(planes % numBands == 0, "numBands must divide numPlanes")
-    val bandLen = planes / numBands
+      else adaptivePlanesTotal(memoizedCount(vectors), targetOccupancy = 32,
+        minPlanes = 8, numBands = numBands)
+    require(numPlanes <= 0 || planes % numBands == 0,
+      "numBands must divide an explicitly pinned numPlanes")
+    val extents = bandExtents(planes, numBands)
     // signed vectors feed BOTH join sides (exact bands + probe balls):
     // localCheckpoint runs the planes×dim signature pass once (r19, the
     // marginMine twin-stage finding)
     val v = vectors.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
       .withColumn("_sig", lshSignature(col("_v"), planes, dim))
       .ckptLocal()
-    def bandAt(b: Int) = substring(col("_sig"), b * bandLen + 1, bandLen)
+    def bandAt(b: Int) =
+      substring(col("_sig"), extents(b)._1 + 1, extents(b)._2)
     val exact = v.select(col("_id"), col("_v"),
         posexplode(array((0 until numBands).map(bandAt): _*)))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_val")
@@ -497,11 +537,16 @@ object Similarity {
     // self-join occupancy target 32 (occ² pair cost), the cosineNearDup
     // adjudication above — measured 2x wall / 2.6x shuffle at the r18 10x
     // probe vs the 256-target floor width, −0.2% mined pairs
+    // adaptive default quantizes the TOTAL width to single planes (bands
+    // differ by ≤ 1 plane — flattens the growth sawtooth, VERDICT r18 #5:
+    // see adaptivePlanesTotal); the oracled query pins numPlanes = 16
     val planes =
       if (numPlanes > 0) numPlanes
-      else adaptivePlanes(memoizedCount(vectors), targetOccupancy = 32, minPlanes = 8) * numBands
-    require(planes % numBands == 0, "numBands must divide numPlanes")
-    val bandLen = planes / numBands
+      else adaptivePlanesTotal(memoizedCount(vectors), targetOccupancy = 32,
+        minPlanes = 8, numBands = numBands)
+    require(numPlanes <= 0 || planes % numBands == 0,
+      "numBands must divide an explicitly pinned numPlanes")
+    val extents = bandExtents(planes, numBands)
     // signed vectors feed BOTH join sides (exact bands + probe balls):
     // localCheckpoint runs the planes×dim signature pass once (r19 — the
     // per-job profile showed the signature stage twice)
@@ -509,7 +554,8 @@ object Similarity {
         toDouble(col(vecCol)).as("_v"))
       .withColumn("_sig", lshSignature(col("_v"), planes, dim))
       .ckptLocal()
-    def bandAt(b: Int) = substring(col("_sig"), b * bandLen + 1, bandLen)
+    def bandAt(b: Int) =
+      substring(col("_sig"), extents(b)._1 + 1, extents(b)._2)
     val exact = v.select(col("_side"), col("_id"), col("_v"),
         posexplode(array((0 until numBands).map(bandAt): _*)))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_val")

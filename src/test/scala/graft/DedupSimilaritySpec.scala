@@ -923,6 +923,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Similarity.adaptivePlanes(60000, 32, 8) == 11) // 30x probe → 44 planes/4 bands
   }
 
+  test("adaptivePlanesTotal: floor equals minPlanes·bands, single-plane steps, monotone") {
+    // at and below the knee: exactly the fixed default (8 planes × 4 bands)
+    // — every test SF keeps bit-identical results
+    assert(Similarity.adaptivePlanesTotal(2000, 32, 8, 4) == 32)
+    assert(Similarity.adaptivePlanesTotal(8192, 32, 8, 4) == 32)
+    // the growth regime quantizes the TOTAL width to 1 plane, not numBands:
+    // the old per-band derivation read 36 planes for the whole band
+    // (8193..16384 rows at once); the total form splits that span into
+    // four single-plane steps — the sawtooth flattening (VERDICT r18 #5)
+    assert(Similarity.adaptivePlanesTotal(8193, 32, 8, 4) == 33)
+    val steps = (8193L to 16384L by 512L)
+      .map(n => Similarity.adaptivePlanesTotal(n, 32, 8, 4)).distinct
+    assert(steps.size >= 3, s"expected several single-plane steps, got $steps")
+    assert(Similarity.adaptivePlanesTotal(16384, 32, 8, 4) == 36) // = old knee value
+    // monotone, and never below the per-band derivation's information
+    val widths = (10 to 40).map(b => Similarity.adaptivePlanesTotal(1L << b, 32, 8, 4))
+    assert(widths == widths.sorted, "total width must be monotone in corpus size")
+    // the 10x/30x probe corpora (the r18 scale-curve points)
+    assert(Similarity.adaptivePlanesTotal(20000, 32, 8, 4) == 38)
+    assert(Similarity.adaptivePlanesTotal(60000, 32, 8, 4) == 44)
+  }
+
   test("adaptive-width defaults reproduce the fixed-width results on a small corpus") {
     val rnd = new java.util.Random(11L)
     def vec() = Seq.fill(16)(rnd.nextGaussian().toFloat)
