@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * partition the centroids were trained for.
   *
   * Zone layout under `path/`:
-  *  - `index/`     (cell, neighbor_id, _codes, _vnormr) — range-clustered
-  *                 and sorted by cell, so a probe's (cell)-keyed join
-  *                 prunes to its cells' row groups via min/max stats;
+  *  - `index/`     (cell, neighbor_id, _codes, _vnormr) — hash-clustered
+  *                 (each cell whole in one file) and sorted by cell, so a
+  *                 probe's (cell)-keyed join prunes to its cells' row
+  *                 groups via min/max stats;
   *  - `vectors/`   (neighbor_id, vec) — the refine store the exact
   *                 re-rank fetches shortlist vectors from (faiss
   *                 IVFPQ + refine / DiskANN's on-disk vector file);
@@ -32,7 +33,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale: build and append are the SAME one map-side pass as the
   * in-memory index (cell assignment + compiled PQ encode + per-row
-  * reconstructed norm — the corpus never shuffles except the range
+  * reconstructed norm — the corpus never shuffles except the cell
   * clustering of the m-byte code table, which is code-table-sized, not
   * vector-sized); search is [[Similarity.ivfPqTopKWith]]'s probe
   * broadcast + bounded-heap shortlist + exact re-rank, reading codes
@@ -64,28 +65,43 @@ object AnnIndex {
 
   /** Build the zone from scratch (overwrite): index + vector store +
     * FROZEN occupancy baseline + persisted artifacts. */
+  /** Cell-clustered writer for the code table. HASH repartition on the
+    * cell key (r20): `repartitionByRange` pays a SAMPLING pass that
+    * re-executes the whole indexRows subtree — cell assignment + compiled
+    * PQ encode run TWICE per build/append — to derive boundaries for a
+    * key with ≤ |cells| distinct values; a hash exchange keys the same
+    * bytes once, each cell still lands whole in one file and the
+    * within-file sort keeps cell min/max row-group stats tight, which is
+    * what the probe-side pruning reads. */
+  private def writeIndex(rows: DataFrame, path: String, mode: String): Unit =
+    rows.repartition(rows.sparkSession.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode(mode).parquet(path)
+
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             centroids: Array[(Int, Array[Double])],
             books: Array[Array[Array[Double]]], path: String): Unit = {
     val s = corpus.sparkSession
-    indexRows(corpus, idCol, vecCol, centroids, books)
-      .repartitionByRange(col("cell"))
-      .sortWithinPartitions(col("cell"))
-      .write.mode("overwrite").parquet(s"$path/index")
-    vectorRows(corpus, idCol, vecCol)
-      .write.mode("overwrite").parquet(s"$path/vectors")
-    // training-time occupancy, computed from the zone just written (one
-    // cheap scan of the code table's cell column) — the staleness baseline
-    s.read.parquet(s"$path/index").groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$path/occupancy")
+    writeIndex(indexRows(corpus, idCol, vecCol, centroids, books),
+      s"$path/index", "overwrite")
+    // the remaining four zone writes are mutually independent (disjoint
+    // paths; occupancy READS the index just written above) — overlapped
+    // from driver threads (guide §2.6, the pipeline inParallel pattern)
     import s.implicits._
-    centroids.map { case (id, v) => (id, v.toSeq) }.toSeq
-      .toDF("cell", "vec").write.mode("overwrite").parquet(s"$path/centroids")
-    books.zipWithIndex.flatMap { case (bk, m) =>
-      bk.zipWithIndex.map { case (cv, code) => (m, code, cv.toSeq) }
-    }.toSeq.toDF("sub", "code", "vec")
-      .write.mode("overwrite").parquet(s"$path/books")
+    graft.Pipeline.inParallel(
+      () => vectorRows(corpus, idCol, vecCol)
+        .write.mode("overwrite").parquet(s"$path/vectors"),
+      // training-time occupancy, computed from the zone just written (one
+      // cheap scan of the code table's cell column) — the staleness baseline
+      () => s.read.parquet(s"$path/index").groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$path/occupancy"),
+      () => centroids.map { case (id, v) => (id, v.toSeq) }.toSeq
+        .toDF("cell", "vec").write.mode("overwrite").parquet(s"$path/centroids"),
+      () => books.zipWithIndex.flatMap { case (bk, m) =>
+        bk.zipWithIndex.map { case (cv, code) => (m, code, cv.toSeq) }
+      }.toSeq.toDF("sub", "code", "vec")
+        .write.mode("overwrite").parquet(s"$path/books"))
   }
 
   /** Append new vectors against the FROZEN artifacts — one map-side pass,
@@ -94,14 +110,13 @@ object AnnIndex {
     * [[staleness]] compares against). */
   def append(newVecs: DataFrame, idCol: String, vecCol: String,
              centroids: Array[(Int, Array[Double])],
-             books: Array[Array[Array[Double]]], path: String): Unit = {
-    indexRows(newVecs, idCol, vecCol, centroids, books)
-      .repartitionByRange(col("cell"))
-      .sortWithinPartitions(col("cell"))
-      .write.mode("append").parquet(s"$path/index")
-    vectorRows(newVecs, idCol, vecCol)
-      .write.mode("append").parquet(s"$path/vectors")
-  }
+             books: Array[Array[Array[Double]]], path: String): Unit =
+    // the two appends touch disjoint paths — overlapped (guide §2.6)
+    graft.Pipeline.inParallel(
+      () => writeIndex(indexRows(newVecs, idCol, vecCol, centroids, books),
+        s"$path/index", "append"),
+      () => vectorRows(newVecs, idCol, vecCol)
+        .write.mode("append").parquet(s"$path/vectors"))
 
   /** Search the persisted zone — [[Similarity.ivfPqTopKWith]]'s probe
     * broadcast / ADC shortlist / exact re-rank, with the code table read
